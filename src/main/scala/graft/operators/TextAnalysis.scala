@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, heuristic language ID, and document fingerprinting. All pure
+  * Column expressions (codegen'd); nothing leaves the executor.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), t => t =!= "")
+
+  /** Token count — whitespace segmentation. */
+  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  /** BPE-ish subword count estimate: word-piece regex segmentation
+    * (letters / digits / single punctuation marks), the usual cheap proxy
+    * when no tokenizer model is shippable.
+    */
+  def subwordCount(textCol: Column): Column =
+    size(filter(
+      split(textCol, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => t =!= "" && t =!= " "))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Fraction of tokens in the stopword list. */
+  def stopwordRatio(textCol: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** Punctuation-character fraction of the raw text. */
+  def punctRatio(textCol: Column): Column =
+    when(length(textCol) === 0, lit(0.0)).otherwise(
+      (length(textCol) - length(regexp_replace(textCol, "[\\p{Punct}]", "")))
+        .cast("double") / length(textCol))
+
+  /** Type-token ratio (distinct tokens / tokens) — repetition proxy. */
+  def typeTokenRatio(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + lexical
+    * diversity + low punctuation noise. Deterministic, documented weights.
+    */
+  def qualityScore(textCol: Column): Column =
+    least(lit(1.0), tokenCount(textCol).cast("double") / 20) * 0.4 +
+      typeTokenRatio(textCol) * 0.4 +
+      (lit(1.0) - punctRatio(textCol)) * 0.2
+
+  /** Heuristic language ID by stopword-list hit ratio: scores each
+    * candidate list, returns the best label or 'und' when nothing clears
+    * `minRatio`. N-gram-free variant suited to whitespace languages; the
+    * per-language lists are the model.
+    */
+  def langId(
+      textCol: Column,
+      profiles: Map[String, Seq[String]] = Map(
+        "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "for"),
+        "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+        "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
+        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que")),
+      minRatio: Double = 0.08): Column = {
+    val toks = tokens(textCol)
+    val n = size(toks)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val r = when(n === 0, lit(0.0)).otherwise(
+        size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+          .cast("double") / n)
+      struct(r.as("score"), lit(lang).as("lang"))
+    }
+    // greatest() requires >= 2 args; a single-profile model degenerates to
+    // its own score struct.
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    when(best.getField("score") >= minRatio, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** 64-bit rolling fingerprint of the token sequence (order-sensitive,
+    * unlike SimHash): acc' = rotl5(acc) XOR h(t), folded left-to-right.
+    * Pure bit ops — wraps silently, so it stays safe under ANSI mode where
+    * a multiplicative rolling hash would raise ARITHMETIC_OVERFLOW.
+    */
+  def fingerprint64(textCol: Column): Column =
+    aggregate(
+      tokens(textCol),
+      lit(0L),
+      (acc, t) =>
+        shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+          .bitwiseXOR(xxhash64(t)))
+
+  /** Per-document analysis frame: id + all text metrics. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordCount(col(textCol)).as("n_subwords"),
+      length(col(textCol)).as("n_chars"),
+      round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
+      round(typeTokenRatio(col(textCol)), 6).as("type_token_ratio"),
+      round(punctRatio(col(textCol)), 6).as("punct_ratio"),
+      round(qualityScore(col(textCol)), 6).as("quality"),
+      langId(col(textCol)).as("lang_pred"),
+      fingerprint64(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation surface over `documents` and `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search
+  * (brute-force + LSH ANN), text analysis, multimodal plumbing.
+  *
+  * Queries whose semantics are SQL-expressible carry a DuckDB oracle; the
+  * hash-based ones (MinHash/SimHash/LSH — engine-specific hash functions)
+  * are covered by ScalaTest recall/correctness specs instead and get the
+  * driver's rows-only check.
+  */
+object Curation {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(Tables.configure(s), dir, name)
+
+  private val enProfile: Map[String, Seq[String]] =
+    Map("en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "for"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + char stats per language.
+    "q20_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"),
+          round(avg(length(col("text"))), 4).as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // Quality scoring per language (length saturation + type-token ratio +
+    // punctuation noise).
+    "q21_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("avg_quality"))
+        .orderBy(col("lang"))),
+
+    // Heuristic language ID (single-profile variant so the oracle can
+    // replicate it; the multi-profile version is spec-tested).
+    "q22_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn(
+          "lang_pred",
+          TextAnalysis.langId(col("text"), enProfile, minRatio = 0.08))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+    // Exact dedup profile: docs vs distinct content digests per source.
+    "q23_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .orderBy(col("source"))),
+
+    // MinHash + banded LSH near-dup candidates, Jaccard-verified.
+    // Hash-defined -> no SQL oracle; recall vs exact Jaccard is spec-tested.
+    "q24_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash fingerprints + Hamming-close pairs (chunk-blocked).
+    "q25_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact word-set Jaccard pairs within a language block.
+    "q26_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+        .orderBy(col("lang"), col("id_a"), col("id_b"))),
+
+    // Exact brute-force cosine top-k (query set = first 5 vectors,
+    // broadcast; corpus streamed — no corpus shuffle).
+    "q27_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(
+          col("qid"), col("id"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // LSH-bucketed ANN over the same queries (the scale path; recall vs
+    // brute force is spec-tested). Hash-defined -> rows-only check.
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, k = 10, nbits = 8)
+        .select(
+          col("qid"), col("id"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Array-math profile of the embedding corpus per class label.
+    "q29_emb_stats" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      val norm = sqrt(aggregate(
+        transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(norm), 4).as("avg_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // Multimodal plumbing: text payloads as opaque binary through the
+    // ingest -> metadata path (decode itself is stubbed; see
+    // operators.Multimodal).
+    "q30_multimodal_bytes" -> ((s, dir) =>
+      Multimodal.ingest(
+          t(s, dir, "documents").withColumn("src", col("source")),
+          "doc_id", col("text").cast("binary"), "text")
+        .join(
+          t(s, dir, "documents").select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_bytes")).as("total_bytes"),
+          count(lit(1)).as("n"))
+        .orderBy(col("source")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(avg(len(list_filter(regexp_split_to_array(text, '\s+'),
+           x -> x <> ''))), 4) AS avg_tokens,
+         round(avg(length(text)), 4) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q21_quality" ->
+      """WITH m AS (
+           SELECT lang,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents)
+         SELECT lang, round(avg(
+           least(1.0, nt / 20.0) * 0.4 +
+           (CASE WHEN nt = 0 THEN 0.0 ELSE ndt * 1.0 / nt END) * 0.4 +
+           (CASE WHEN nc = 0 THEN 1.0 ELSE np * 1.0 / nc END) * 0.2), 4)
+           AS avg_quality
+         FROM m GROUP BY lang ORDER BY lang""",
+    "q22_langid" ->
+      """WITH m AS (
+           SELECT lang,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+               AS toks
+           FROM documents),
+         scored AS (
+           SELECT lang,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> x IN
+                    ('the','a','of','to','and','is','in','that','it','for')))
+                    * 1.0 / len(toks) END AS r
+           FROM m)
+         SELECT lang,
+           CASE WHEN r >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
+           count(*) AS n
+         FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "q23_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_unique
+         FROM documents GROUP BY source ORDER BY source""",
+    "q26_jaccard_pairs" ->
+      """WITH d AS (
+           SELECT lang, doc_id,
+             list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) * 1.0 /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS j
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         SELECT lang, id_a, id_b, round(j, 4) AS jaccard
+         FROM pairs WHERE j >= 0.5 ORDER BY lang, id_a, id_b""",
+    "q27_knn_brute" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         s AS (
+           SELECT qid, id, list_cosine_similarity(qvec, vec) AS sim
+           FROM q, c WHERE qid <> id),
+         r AS (
+           SELECT qid, id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rnk
+           FROM s)
+         SELECT qid, id, round(sim, 4) AS sim, rnk
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q29_emb_stats" ->
+      """SELECT label, count(*) AS n,
+         round(avg(sqrt(list_sum(list_transform(
+           CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+         FROM embeddings GROUP BY label ORDER BY label""",
+    "q30_multimodal_bytes" ->
+      """SELECT source,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         count(*) AS n
+         FROM documents GROUP BY source ORDER BY source"""
+  )
+}

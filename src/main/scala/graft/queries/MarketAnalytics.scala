@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Indicators, Sessionize, Validation}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference engine's domain semantics (validation with first-failure
+  * reasons, CASE signal classification, trailing-window indicators, VWAP,
+  * ns-epoch time handling) exercised over the driver-provided `events` and
+  * `lineitem` tables, where the DuckDB oracle can check them.
+  *
+  * The same operator implementations (graft.operators.*) also run over Trade
+  * data — see graft.pipeline.BatchEtl and the golden-fixture specs.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet read as raw ns Long
+  * (Tables.configure), mirroring the reference's ns-epoch longs
+  * (reference src/model/Trade.hpp:21); presentation-time conversion only.
+  */
+object MarketAnalytics {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(Tables.configure(s), dir, name)
+
+  /** Validation rule catalog for events — same ordered first-failure
+    * contract as the trade validator (reference
+    * src/validator/TradeValidator.hpp:98-182), adapted to the events schema.
+    */
+  def eventRules: Seq[Validation.Rule] = Seq(
+    Validation.Rule(
+      "invalid_type",
+      col("event_type").isin("click", "view", "purchase", "signup", "error")),
+    Validation.Rule(
+      "invalid_value", col("value") > 0 && col("value") < 480),
+    Validation.Rule("invalid_user", col("user_id") > 0),
+    Validation.Rule("invalid_ts", col("ts") > 0))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F8: CASE-based classification (reference README.md:239-241 shape).
+    "q13_case_classify" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn(
+          "signal",
+          when(col("value") >= 400, "HIGH")
+            .when(col("value") <= 50, "LOW")
+            .otherwise("MID"))
+        .groupBy(col("event_type"), col("signal"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("signal"))),
+
+    // P1/P2: ordered-rule validation report with dead-letter counts
+    // (reference TradeValidator.hpp:198-237).
+    "q14_validate" -> ((s, dir) =>
+      Validation.report(t(s, dir, "events"), eventRules)
+        .orderBy(col("outcome"))),
+
+    // A4: VWAP — all-history sum(p*v)/sum(v) per group
+    // (reference TechnicalIndicators.hpp:310-330).
+    // Money math in exact decimal, division in IEEE doubles, final round
+    // re-anchored at scale 10 — see Relational.decAvg for the rationale.
+    "q15_vwap" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(
+            (sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).cast("double") /
+              sum(dec(col("l_quantity"))).cast("double")).cast("decimal(38,10)"),
+            4).cast("double").as("vwap"),
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("total_vol"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A2/A3/A5: the full per-group indicator summary (SMA/RSI/VWAP/period)
+    // evaluated at the last row of each series — the reference's
+    // compute_all output shape (reference TechnicalIndicators.hpp:79-138),
+    // keyed by event_type over the ns-ordered events stream.
+    "q16_indicators" -> ((s, dir) =>
+      Indicators.summary(
+          t(s, dir, "events"),
+          groupCols = Seq("event_type"),
+          priceCol = "value",
+          volumeCol = Some("user_id"),
+          orderBy = Seq("ts", "event_id"),
+          period = 14)
+        .select(
+          col("event_type"),
+          round(col("sma"), 4).as("sma"),
+          round(col("rsi"), 4).as("rsi"),
+          round(col("vwap"), 4).as("vwap"),
+          col("period"),
+          col("n_rows"))
+        .orderBy(col("event_type"))),
+
+    // Gap-based sessionization (30 min = 1.8e12 ns) per user.
+    "q17_sessionize" -> ((s, dir) =>
+      Sessionize.stats(
+          t(s, dir, "events"),
+          keyCol = "user_id",
+          tsCol = "ts",
+          orderBy = Seq("ts", "event_id"),
+          gap = 1800000000000L)
+        .orderBy(col("user_id"))),
+
+    // F5/F6: JSON field extraction + aggregation (the tick feed's JSON
+    // codec surface, reference src/feed/TickMessage.hpp:62-186).
+    "q18_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn(
+          "k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_k"))
+        .orderBy(col("event_type"))),
+
+    // F7: ns-epoch -> calendar bucketing at presentation time
+    // (reference README.md:242 does to_timestamp(computed_at/1e9)).
+    "q19_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn(
+          "hour",
+          date_format(
+            timestamp_micros((col("ts") / 1000).cast("long")),
+            "yyyy-MM-dd HH:00"))
+        .groupBy(col("hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q13_case_classify" ->
+      """SELECT event_type,
+         CASE WHEN value >= 400 THEN 'HIGH'
+              WHEN value <= 50 THEN 'LOW'
+              ELSE 'MID' END AS signal,
+         count(*) AS n
+         FROM events GROUP BY event_type, signal
+         ORDER BY event_type, signal""",
+    "q14_validate" ->
+      """SELECT coalesce(
+           CASE
+             WHEN event_type NOT IN ('click','view','purchase','signup','error')
+               THEN 'invalid_type'
+             WHEN NOT (value > 0 AND value < 480) THEN 'invalid_value'
+             WHEN NOT (user_id > 0) THEN 'invalid_user'
+             WHEN NOT (epoch_ns(ts) > 0) THEN 'invalid_ts'
+           END, 'valid') AS outcome, count(*) AS n
+         FROM events GROUP BY outcome ORDER BY outcome""",
+    "q15_vwap" ->
+      """SELECT l_returnflag,
+         CAST(round(CAST(
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS DECIMAL(38,10)), 4) AS DOUBLE) AS vwap,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_vol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q16_indicators" ->
+      """WITH ordered AS (
+           SELECT event_type, value, user_id, ts, event_id,
+             value - lag(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS d,
+             avg(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sma_run,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(value * user_id) OVER (PARTITION BY event_type) /
+               CAST(sum(user_id) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS vwap_all
+           FROM events
+         ), lastrows AS (
+           SELECT * FROM ordered WHERE rn = n
+         ), diffs AS (
+           SELECT event_type,
+             CASE WHEN d > 0 THEN d ELSE 0 END AS gain,
+             CASE WHEN d < 0 THEN -d ELSE 0 END AS loss
+           FROM ordered
+           WHERE rn > n - 14 AND d IS NOT NULL
+         ), rsi AS (
+           SELECT event_type,
+             CASE WHEN sum(loss) = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg(gain) / avg(loss)) END AS r
+           FROM diffs GROUP BY event_type
+         )
+         SELECT l.event_type,
+           round(l.sma_run, 4) AS sma,
+           round(coalesce(r.r, 50.0), 4) AS rsi,
+           round(l.vwap_all, 4) AS vwap,
+           CAST(least(14, l.n) AS INTEGER) AS period,
+           CAST(l.n AS BIGINT) AS n_rows
+         FROM lastrows l LEFT JOIN rsi r ON l.event_type = r.event_type
+         ORDER BY l.event_type""",
+    "q17_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                       > 1800000000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         )
+         SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM flagged GROUP BY user_id ORDER BY user_id""",
+    "q18_json" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+         count(json_extract_string(props, '$.k')) AS n_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q19_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY hour ORDER BY hour"""
+  )
+}
