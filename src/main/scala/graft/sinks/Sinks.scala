@@ -1,0 +1,73 @@
+package graft.sinks
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks mirroring the reference's stage-6/stage-5 surface
+  * (SURVEY.md §2.1 S4–S7).
+  */
+object Sinks {
+
+  /** Run-stamped parquet path `trades_YYYYMMDD_HHMMSS.parquet` (reference
+    * src/output/ParquetWriter.cpp:51-75). Snappy compression, dictionary
+    * encoding and column stats are Spark parquet defaults — the properties
+    * the reference sets explicitly (ParquetWriter.cpp:303-310).
+    */
+  def stampedPath(dir: String, prefix: String, nowMs: Long): String = {
+    val ts = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .withZone(ZoneOffset.UTC).format(Instant.ofEpochMilli(nowMs))
+    s"$dir/${prefix}_$ts.parquet"
+  }
+
+  def writeParquet(df: DataFrame, dir: String, prefix: String,
+      nowMs: Long = System.currentTimeMillis()): String = {
+    val path = stampedPath(dir, prefix, nowMs)
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** JDBC bulk sink with the reference's drop-index -> load -> rebuild
+    * pattern (reference src/database/DatabaseLoader.cpp:187-269 and the
+    * 4-connection parallel variant src/threading/ParallelLoader.hpp:71-275).
+    *
+    * Spark's JDBC writer already opens one connection per partition —
+    * `numPartitions` IS the reference's thread-per-connection COPY fan-out.
+    * The index drop/rebuild is plain pre/post DDL around the write; it is an
+    * operational utility, not a dataflow operator, so it runs driver-side on
+    * a single extra connection.
+    *
+    * Untestable in this container (no database); the shape is kept separate
+    * and tiny so the write path itself is exercised by substituting any
+    * JDBC-compatible target.
+    */
+  final case class JdbcTarget(url: String, table: String,
+      properties: java.util.Properties)
+
+  def writeJdbc(
+      df: DataFrame,
+      target: JdbcTarget,
+      numPartitions: Int = 4,
+      batchSize: Int = 10000,
+      truncate: Boolean = false,
+      preSql: Seq[String] = Nil,
+      postSql: Seq[String] = Nil): Unit = {
+    def exec(sqls: Seq[String]): Unit = if (sqls.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(
+        target.url, target.properties)
+      try sqls.foreach { s =>
+        val st = conn.createStatement(); try st.execute(s) finally st.close()
+      } finally conn.close()
+    }
+    exec(preSql)
+    df.repartition(numPartitions)
+      .write
+      .mode(if (truncate) "overwrite" else "append")
+      .option("truncate", truncate.toString)
+      .option("batchsize", batchSize.toString)
+      .option("numPartitions", numPartitions.toString)
+      .jdbc(target.url, target.table, target.properties)
+    exec(postSql)
+  }
+}

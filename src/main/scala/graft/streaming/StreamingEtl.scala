@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.model.Trade
+import graft.operators.{TradeRules, Validation}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's 3-thread streaming dataflow (tick server -> WebSocket ->
+  * SPSC queue -> consumer, reference src/tools/websocket_demo.cpp:11-39)
+  * re-expressed as Structured Streaming transforms. The queue/thread/
+  * memory-ordering machinery is the micro-batch engine's job and is
+  * deliberately not ported (SURVEY.md §1.5).
+  *
+  * These are source-agnostic DataFrame -> DataFrame stages: bind them to
+  * `spark.readStream.format("kafka"|"socket"|"rate")` in production or to a
+  * MemoryStream in tests. Each stage works identically on batch frames —
+  * the Structured Streaming unification the reference lacks.
+  */
+object StreamingEtl {
+
+  /** JSON wire schema of a tick (reference src/feed/TickMessage.hpp:44-54):
+    * same 9 fields as the CSV wire format plus `exchange`, with side/type as
+    * 1-char strings.
+    */
+  val tickSchema = Trade.schema
+
+  /** Decode a stream of JSON tick strings (column `value`) into trade rows.
+    * Malformed JSON yields a null-fielded struct (PERMISSIVE from_json
+    * semantics) — rows without a trade_id are the dead-letter side, exactly
+    * the reference's strict decode that counts parse errors and drops the
+    * tick (reference src/feed/TickClient.hpp:224-231, TickMessage.hpp:120-142
+    * treats a missing field as failure).
+    */
+  def decode(jsonLines: DataFrame): DataFrame =
+    jsonLines
+      .withColumn("t", from_json(col("value"), tickSchema))
+      .filter(col("t.trade_id").isNotNull)
+      .select(col("t.*"))
+
+  /** Rows that failed JSON decode (dead-letter side of `decode`):
+    * unparseable JSON or a tick missing its trade_id.
+    */
+  def decodeFailures(jsonLines: DataFrame): DataFrame =
+    jsonLines.filter(
+      from_json(col("value"), tickSchema).getField("trade_id").isNull)
+
+  /** Serialize trades back to the JSON wire format (reference
+    * TickMessage.hpp:87-100) — for sinks that speak the tick protocol.
+    */
+  def encode(trades: DataFrame): DataFrame =
+    trades.select(to_json(struct(trades.columns.map(col): _*)).as("value"))
+
+  /** The consumer's hot-path sanity filter (price>0 && volume>0, reference
+    * websocket_demo.cpp:108-120) — a subset of the full rule catalog; use
+    * `validate` for the complete contract.
+    */
+  def sanityFilter(trades: DataFrame): DataFrame =
+    trades.filter(col("price") > 0 && col("volume") > 0)
+
+  /** Full ordered-rule validation on the stream (same catalog as batch). */
+  def validate(trades: DataFrame): Validation.Split =
+    Validation.split(trades, TradeRules.rules)
+
+  /** Per-symbol running counts — the consumer's unbounded keyed state
+    * (reference websocket_demo.cpp:73-125) as a streaming aggregation
+    * (state store replaces the hash map; output mode complete/update).
+    */
+  def perSymbolCounts(trades: DataFrame): DataFrame =
+    trades.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_ticks"),
+      sum(col("volume")).as("total_volume"))
+
+  /** Event-time windowed per-symbol OHLC + VWAP with a watermark — the
+    * north-star streaming indicator surface (SURVEY.md §2.7): the reference
+    * has no event-time reasoning; Spark gives it natively. `timestamp` is ns
+    * since epoch -> converted to µs-precision event time for the window.
+    */
+  def windowedStats(
+      trades: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "30 seconds"): DataFrame =
+    trades
+      .withColumn(
+        "event_time", timestamp_micros((col("timestamp") / 1000).cast("long")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur), col("symbol"))
+      .agg(
+        min_by(col("price"), col("timestamp")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        (sum(col("price") * col("volume")) / sum(col("volume"))).as("vwap"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docB = "the quick brown fox jumps over the lazy cat near the river bank today"
+  private val docC = "completely unrelated text about database engines and query optimizers"
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact duplicates grouped by digest") {
+    val out = Dedup.exactDuplicates(
+      docs(1L -> docA, 2L -> docA, 3L -> docC), "doc_id", "text")
+      .select("n_copies", "ids").as[(Long, Seq[Long])].collect()
+    assert(out.toSeq === Seq((2L, Seq(1L, 2L))))
+  }
+
+  test("dedupExact keeps deterministic survivor") {
+    val out = Dedup.dedupExact(
+      docs(2L -> docA, 1L -> docA, 3L -> docC), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
+  test("shingles: word n-grams, distinct") {
+    val sh = docs(1L -> "a b a b c").select(
+      Dedup.shingles(col("text"), 2).as("sh")).as[Seq[String]].head()
+    assert(sh.toSet === Set("a b", "b a", "b c"))
+  }
+
+  test("minhash signature is deterministic and length numHashes") {
+    val d = docs(1L -> docA, 2L -> docA)
+      .select(Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 2), 32).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(d(0).length === 32)
+    assert(d(0) === d(1)) // same text -> same signature
+    assert(d(0).forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("minhash LSH finds near-duplicate pair, not unrelated pair") {
+    val out = Dedup.minhashNearDuplicates(
+      docs(1L -> docA, 2L -> docB, 3L -> docC), "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("minhash similarity approximates true jaccard") {
+    // A vs B share most 2-shingles; signature agreement rate ~ jaccard.
+    val sigs = docs(1L -> docA, 2L -> docB)
+      .select(Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 2), 128).as("sig"))
+      .as[Seq[Long]].collect()
+    val est = sigs(0).zip(sigs(1)).count { case (a, b) => a == b } / 128.0
+    val shA = docA.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val shB = docB.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val truth = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(est - truth) < 0.2) // 128 hashes -> ~±0.09 stderr
+  }
+
+  test("simhash: identical docs -> distance 0; near docs close; far docs far") {
+    val fps = docs(1L -> docA, 2L -> docA, 3L -> docB, 4L -> docC)
+      .select(Dedup.simhash64(col("text")).as("fp")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0), fps(1)) === 0)
+    assert(ham(fps(0), fps(2)) < ham(fps(0), fps(3)))
+  }
+
+  test("simhash near-duplicates via chunk blocking") {
+    val out = Dedup.simhashNearDuplicates(
+      docs(1L -> docA, 2L -> docA, 3L -> docC), "doc_id", "text",
+      maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("jaccardPairs computes exact token-set jaccard within block") {
+    val a = "x y z"
+    val b = "x y w" // jaccard = 2/4 = 0.5
+    val out = Dedup.jaccardPairs(
+      Seq((1L, a, "en"), (2L, b, "en"), (3L, "q r s", "de"))
+        .toDF("doc_id", "text", "lang"),
+      "doc_id", "text", Seq("lang"), shingleSize = 1, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0.5)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0), 1.0))
+      .toDF("a", "b", "expected")
+    val got = df.select(
+      Similarity.cosine(col("a"), col("b")).as("c"), col("expected"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
+  }
+
+  test("brute-force top-k: exact ranking, self-match excluded") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), // the query itself
+      (1L, Seq(0.9, 0.1)), // most similar
+      (2L, Seq(0.5, 0.5)),
+      (3L, Seq(0.0, 1.0)), // orthogonal
+      (4L, Seq(-1.0, 0.0))) // opposite
+      .toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(
+      corpus, "id", "vec",
+      corpus.filter($"id" === 0), "id", "vec", k = 3)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("lsh top-k achieves high recall vs brute force on clustered data") {
+    // ANN only makes sense when near neighbors exist: plant 30 clusters of
+    // 11 noisy copies each, so every exact top-10 lies inside the query's
+    // own cluster (sim ≈ 0.99+) and bucket collision probability is high.
+    val rng = new scala.util.Random(123)
+    val dim = 16
+    val bases = Array.fill(30)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 11
+    } yield (ci * 11L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val queries = corpus.filter($"id" % 11 === 0 && $"id" < 55) // 5 queries
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(
+      corpus, "id", "vec", queries, "id", "vec", k))
+    val approx = topSets(Similarity.lshTopK(
+      corpus, "id", "vec", queries, "id", "vec", dim, k, nbits = 8))
+    // .toSeq before .map: keys is a Set and mapping to per-query recall
+    // fractions would dedupe equal values
+    val recall = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / k
+    }.sum / exact.size
+    assert(recall >= 0.7, s"recall $recall below 0.7")
+  }
+
+  test("lsh bucket is deterministic across invocations") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "vec")
+    val b1 = Similarity.withLshBucket(df, "vec", 4, 8).select("bucket").as[Int].head()
+    val b2 = Similarity.withLshBucket(df, "vec", 4, 8).select("bucket").as[Int].head()
+    assert(b1 === b2)
+  }
+
+  test("cosine near-duplicates finds perturbed pair only") {
+    val rng = new scala.util.Random(5)
+    val base = Seq.fill(16)(rng.nextGaussian())
+    val nearDup = base.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 0.01 else v }
+    val far = Seq.fill(16)(rng.nextGaussian())
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("id", "vec")
+    val out = Similarity.cosineNearDuplicates(df, "id", "vec", 16, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.StreamingEtl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming dataflow (reference src/tools/websocket_demo.cpp re-expressed):
+  * MemoryStream of JSON ticks -> decode -> validate -> per-symbol counts,
+  * checked through a real micro-batch execution into a memory sink.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(id: Long, symbol: String, price: Double, volume: Int,
+      ts: Long = 1700000000000000000L): String =
+    s"""{"trade_id":$id,"order_id":$id,"timestamp":${ts + id},""" +
+      s""""price":$price,"volume":$volume,"symbol":"$symbol",""" +
+      s""""exchange":"WSS","side":"B","type":"M","is_pro":false}"""
+
+  test("decode -> validate -> per-symbol streaming counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData(
+      tick(1, "RELIANCE", 2850.0, 100),
+      tick(2, "RELIANCE", 2851.0, 50),
+      tick(3, "TCS", 3900.0, 75),
+      tick(4, "TCS", -1.0, 75), // fails price rule
+      "{not valid json") // decode failure -> dropped
+
+    val decoded = StreamingEtl.decode(input.toDF().withColumnRenamed("value", "value"))
+    val valid = decoded.filter(col("trade_id").isNotNull)
+      .withColumn("reason",
+        graft.operators.Validation.reasonColumn(graft.operators.TradeRules.rules))
+      .filter(col("reason").isNull)
+    val counts = StreamingEtl.perSymbolCounts(valid)
+
+    val query = counts.writeStream
+      .format("memory").queryName("sym_counts").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("sym_counts")
+        .select("symbol", "n_ticks", "total_volume")
+        .as[(String, Long, Long)].collect().toMap2
+      assert(got === Map("RELIANCE" -> ((2L, 150L)), "TCS" -> ((1L, 75L))))
+
+      // late-arriving micro-batch updates state
+      input.addData(tick(5, "TCS", 3905.0, 25))
+      query.processAllAvailable()
+      val got2 = spark.table("sym_counts")
+        .select("symbol", "n_ticks", "total_volume")
+        .as[(String, Long, Long)].collect().toMap2
+      assert(got2("TCS") === ((2L, 100L)))
+    } finally query.stop()
+  }
+
+  test("windowed OHLC/VWAP with watermark over event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val base = 1700000000000000000L // ns
+    val min = 60L * 1000000000L
+    input.addData(
+      tick(1, "TCS", 100.0, 10, base),
+      tick(2, "TCS", 110.0, 10, base + 1000), // same minute
+      tick(3, "TCS", 105.0, 10, base + min)) // next minute
+
+    val stats = StreamingEtl.windowedStats(
+      StreamingEtl.decode(input.toDF()), "1 minute", "30 seconds")
+    val query = stats.writeStream
+      .format("memory").queryName("ohlc").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("ohlc")
+        .select("open", "high", "low", "close", "vwap", "n_ticks")
+        .as[(Double, Double, Double, Double, Double, Long)]
+        .collect().sortBy(_._6).reverse
+      assert(rows.length === 2)
+      assert(rows(0) === ((100.0, 110.0, 100.0, 110.0, 105.0, 2L)))
+      assert(rows(1)._1 === 105.0)
+    } finally query.stop()
+  }
+
+  test("encode round-trips through decode") {
+    val trades = graft.sources.TradeGenerator.generate(spark, 10)
+    val json = StreamingEtl.encode(trades)
+    val back = StreamingEtl.decode(json)
+    assert(back.count() === 10)
+    assert(back.agg(sum("volume")).as[Long].head() ===
+      trades.agg(sum("volume")).as[Long].head())
+  }
+
+  test("decode failures surface as dead-letter rows") {
+    val df = Seq(tick(1, "TCS", 1.0, 1), "garbage", "{\"a\":").toDF("value")
+    assert(StreamingEtl.decodeFailures(df).count() === 2)
+  }
+
+  implicit private class Tup3Ops(val s: Array[(String, Long, Long)]) {
+    def toMap2: Map[String, (Long, Long)] =
+      s.map { case (k, a, b) => k -> ((a, b)) }.toMap
+  }
+}

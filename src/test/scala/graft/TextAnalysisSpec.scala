@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Sessionize, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and subword counts") {
+    val df = Seq("the quick  brown fox", "", "a,b.c").toDF("text")
+    val toks = df.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect()
+    assert(toks.toSeq === Seq(4, 0, 1))
+    val sub = Seq("hello, world!").toDF("text")
+      .select(TextAnalysis.subwordCount(col("text"))).as[Int].head()
+    assert(sub === 4) // hello , world !
+  }
+
+  test("quality score bounded in [0,1] and ranks clean text above noise") {
+    val df = Seq(
+      "the quick brown fox jumps over a lazy dog and runs far away from here today quietly then sleeps well tonight",
+      "!!! ??? ... !!! ??? ###",
+      "spam spam spam spam spam spam")
+      .toDF("text")
+    val scores = df.select(
+      TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    scores.foreach(s => assert(s >= 0.0 && s <= 1.0 + 1e-9))
+    assert(scores(0) > scores(1))
+    assert(scores(0) > scores(2)) // repetition penalized via type-token
+  }
+
+  test("langId picks the best profile or und") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "el gato y la casa de que en un",
+      "zzz qqq xxx www").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq === Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint64(col("text"))).as[Long].collect()
+    assert(fps(0) === fps(2))
+    assert(fps(0) !== fps(1))
+  }
+
+  test("analyze emits full metric frame") {
+    val out = TextAnalysis.analyze(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(out.columns.toSeq === Seq(
+      "doc_id", "n_tokens", "n_subwords", "n_chars", "stopword_ratio",
+      "type_token_ratio", "punct_ratio", "quality", "lang_pred", "fingerprint"))
+    assert(out.count() === 1)
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap splits sessions per key") {
+    val events = Seq(
+      (1L, 0L), (1L, 50L), (1L, 1000L), (1L, 1040L), // user 1: 2 sessions
+      (2L, 0L)) // user 2: 1 session
+      .toDF("user_id", "ts")
+    val out = Sessionize.stats(events, "user_id", "ts", Seq("ts"), gap = 100L)
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(out(1L) === ((2L, 4L)))
+    assert(out(2L) === ((1L, 1L)))
+  }
+
+  test("session ids are 1-based and monotone in time") {
+    val events = Seq((1L, 0L), (1L, 500L), (1L, 510L), (1L, 2000L))
+      .toDF("user_id", "ts")
+    val ids = Sessionize.withSessionId(events, "user_id", "ts", Seq("ts"), 100L)
+      .orderBy("ts").select("session_id").as[Long].collect()
+    assert(ids.toSeq === Seq(1L, 2L, 2L, 3L))
+  }
+
+  implicit private class Tup3Ops(val s: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      s.map { case (k, a, b) => k -> ((a, b)) }.toMap
+  }
+}
