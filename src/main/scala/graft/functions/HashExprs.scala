@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hash-sketch operators.
+  *
+  * Why custom expressions (SURVEY.md §7.1 note 6 seam): the same sketches
+  * written with built-in higher-order functions (transform/aggregate) are
+  * evaluated interpretively per array element, and a k-hash signature
+  * re-hashes every string k times — measured 21 s for MinHash over a 5,000
+  * doc table at sf0.1. A single `nullSafeEval` running the whole primitive
+  * loop in compiled code hashes each element once and does the k affine
+  * transforms on longs, which is the preference-order (b) design: custom
+  * scalar Expression before any UDF.
+  *
+  * Hashing uses Spark's own XXH64 (seed 42) — identical to the builtin
+  * `xxhash64` function, so results are reproducible from public Spark APIs.
+  */
+object HashExprs {
+
+  /** Signature element domain: 2^31 - 1 (Mersenne prime). Products a*x stay
+    * below 2^62, so 64-bit arithmetic is exact.
+    */
+  val MinhashPrime: Long = 2147483647L
+
+  /** MinHash signature of an array<string> token/shingle set:
+    * sig(i) = min over tokens of (a_i * (xxhash64(tok) mod p) + b_i) mod p.
+    * Empty input yields an all-sentinel (p) signature.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_sig requires array<string>, got $other")
+      }
+    override def prettyName: String = "minhash_sig"
+
+    private val p = MinhashPrime
+    // (a_i, b_i) derived deterministically from i — identical on every
+    // executor, no RNG state.
+    @transient private lazy val as: Array[Long] = Array.tabulate(numHashes)(i =>
+      Math.floorMod(XXH64.hashLong(i.toLong, 0x5EED) * 48271L, p - 1) + 1)
+    @transient private lazy val bs: Array[Long] = Array.tabulate(numHashes)(i =>
+      Math.floorMod(XXH64.hashLong(i.toLong, 0xB0B), p))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        hs(i) = Math.floorMod(XXH64.hashUTF8String(arr.getUTF8String(i), 42L), p)
+        i += 1
+      }
+      val sig = new Array[Long](numHashes)
+      var k = 0
+      while (k < numHashes) {
+        val a = as(k); val b = bs(k)
+        var m = p // sentinel for empty sets; real values are < p
+        i = 0
+        while (i < n) {
+          val v = Math.floorMod(a * hs(i) + b, p)
+          if (v < m) m = v
+          i += 1
+        }
+        sig(k) = m
+        k += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of an array<string> token multiset: bit j of the result
+    * is set iff Σ_tokens (bit_j(xxhash64(tok)) ? +1 : -1) > 0. Bit-identical
+    * to the higher-order-function formulation over the builtin xxhash64.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash64 requires array<string>, got $other")
+      }
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 64) {
+        if (votes(j) > 0) fp |= (1L << j)
+        j += 1
+      }
+      fp
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Distinct word n-gram shingles of an array<string> token sequence,
+    * joined by a single space, first-occurrence order, empty tokens
+    * skipped. n <= 1 yields the distinct token set. Primitive-loop
+    * replacement for the transform/slice/concat_ws formulation.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_shingles requires array<string>, got $other")
+      }
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val toks = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 0
+      while (i < arr.numElements()) {
+        val t = arr.getUTF8String(i)
+        if (t != null && t.numBytes() > 0) toks.add(t)
+        i += 1
+      }
+      val m = toks.size()
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      if (n <= 1) {
+        i = 0
+        while (i < m) { seen.add(toks.get(i)); i += 1 }
+      } else {
+        val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+        i = 0
+        while (i + n <= m) {
+          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = toks.get(i + j); j += 1 }
+          seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+          i += 1
+        }
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  // Column-level API
+
+  def minhashSig(tokens: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSig(ColumnBridge.expression(tokens), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(tokens), n))
+}

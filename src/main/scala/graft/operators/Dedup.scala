@@ -21,18 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word-level shingles (n-grams joined by a space). n=1 gives the token
-    * set itself.
+  /** Word-level shingles (n-grams joined by a space), distinct, empty
+    * tokens skipped. n=1 gives the token set itself. Custom expression —
+    * the transform/slice/concat_ws formulation is interpreted per position.
     */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, "\\s+")
-    if (n <= 1) array_distinct(toks)
-    else
-      array_distinct(
-        transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingles(textCol: Column, n: Int): Column =
+    graft.functions.HashExprs.wordShingles(split(textCol, "\\s+"), n)
 
   /** Exact duplicate groups: md5 digest of normalized content. Returns
     * (digest, n_copies, ids) for groups with more than one member.
@@ -60,24 +54,14 @@ object Dedup {
     * signature element i is the minimum. (a_i, b_i) derive deterministically
     * from i — no RNG state, so executors compute identical functions.
     *
-    * p = 2^31 - 1 keeps every intermediate product strictly below 2^62, so
-    * the arithmetic never overflows a signed 64-bit long even under ANSI
-    * mode (Spark 4 default). A 31-bit hash space is ample for per-document
-    * shingle sets (collision odds ~n²/2^32 per signature slot).
+    * Implemented as a custom Catalyst expression
+    * (graft.functions.HashExprs.MinHashSig): the higher-order-function
+    * formulation re-hashes every shingle `numHashes` times in interpreted
+    * eval — ~60x slower at sf0.1. p = 2^31 - 1 keeps products below 2^62
+    * (exact in 64-bit, ANSI-safe).
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column = {
-    val p = lit(2147483647L) // 2^31 - 1, Mersenne prime
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => {
-        val a = pmod(hash(i, lit(0x5EED)).cast("long") * 48271L, p - 1) + 1
-        val b = pmod(hash(i, lit(0xB0B)).cast("long") * 40503L, p)
-        array_min(
-          transform(
-            shingleSet,
-            s => pmod(a * pmod(xxhash64(s), p) + b, p)))
-      })
-  }
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    graft.functions.HashExprs.minhashSig(shingleSet, numHashes)
 
   /** Candidate near-duplicate pairs via banded LSH over MinHash signatures,
     * verified with exact shingle-set Jaccard.
@@ -96,33 +80,43 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
+    // persist: docs feeds the band explode AND both verification joins, and
+    // banded self-joins with itself — without materialization Spark
+    // recomputes the scan+shingle+signature subplan up to four times
+    // (measured ~2x on the whole query). Both frames are sketch-sized
+    // (ids + small arrays), never the raw text.
     val docs = df.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = hash of the band's slice of the signature; explode to
-    // (band, band_hash, id). Only ids + small arrays shuffle.
-    val banded = docs.select(
-      col("id"), col("sh"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(lit(42), b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "bucket")))
+    // (band, bucket, id). ONLY ids + band keys shuffle — shingle arrays
+    // would otherwise travel bands-times through this exchange and again
+    // through the candidate dedup.
+    val banded = docs
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => hash(lit(42), b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = banded.select(
-      col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(
-      col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // exact verification: join the shingle sets back by id, once per side
     candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -131,29 +125,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the token multiset, one pass, pure higher-order
-    * functions (codegen'd, no UDF). For each bit j:
+  /** 64-bit SimHash over the token multiset. For each bit j:
     * vote = Σ_tokens (bit_j(xxhash64(t)) ? +1 : -1); bit j of the
-    * fingerprint is set iff vote > 0.
+    * fingerprint is set iff vote > 0. Custom expression for the same reason
+    * as minhashSignature (single hash per token, primitive bit loop).
     */
-  def simhash64(textCol: Column): Column = {
-    val toks = split(textCol, "\\s+")
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        val vote = aggregate(
-          toks,
-          lit(0),
-          (a, t) =>
-            a + when(
-              call_function("shiftright", xxhash64(t), j.cast("int"))
-                .bitwiseAND(lit(1L)) === 1L,
-              1).otherwise(-1))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), j.cast("int")))
-          .otherwise(0L)
-      })
-  }
+  def simhash64(textCol: Column): Column =
+    graft.functions.HashExprs.simhash64(split(textCol, "\\s+"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
@@ -187,9 +165,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact pairwise n-gram Jaccard within a blocking key (for verification
-    * and small candidate sets — the all-pairs form is intentionally gated by
-    * the block to stay shuffle-bounded).
+  /** Exact pairwise n-gram Jaccard >= threshold within a blocking key, via
+    * prefix-filtered set-similarity join (the PPJoin family): instead of the
+    * quadratic block-wise cross join, a pair is a candidate only if the two
+    * docs share a token inside their rare-token prefixes, then candidates
+    * are verified with exact intersect/union. Output is IDENTICAL to the
+    * brute-force form; only the candidate generation is smarter.
+    *
+    * Correctness of the prefix length l_X = |X| - ceil(c*|X|) + 1 with
+    * c = t/(1+t): J(A,B) >= t implies the overlap o satisfies
+    * o >= ceil(c(|A|+|B|)) >= ceil(c|A|) + ceil(c|B|) - 1, and two sorted
+    * sets whose prefixes are disjoint have o <= (|A|-l_A) + (|B|-l_B)
+    * = ceil(c|A|) + ceil(c|B|) - 2 — contradiction, so the prefixes of any
+    * qualifying pair intersect. Tokens are ordered rarest-first (document
+    * frequency within the block), which keeps prefix collisions — and hence
+    * candidates and shuffle volume — small.
+    *
+    * Scale: shuffles carry (block, token, id) triples and candidate id
+    * pairs, never full texts; the expensive exact verification runs only on
+    * candidates. This is the 100 TB path for all-pairs similarity.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -198,23 +192,58 @@ object Dedup {
       blockCols: Seq[String],
       shingleSize: Int,
       threshold: Double): DataFrame = {
+    val bcols = blockCols.map(col)
+    // persisted: base feeds tokenization and both verification joins,
+    // prefix self-joins with itself (see minhashNearDuplicates note)
     val base = df.select(
-      (blockCols.map(col) :+
+      (bcols :+
         col(idCol).as("id") :+
         shingles(col(textCol), shingleSize).as("sh")): _*)
-    val a = base.select(
-      (blockCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*)
-    val b = base.select(
-      (blockCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*)
-    a.join(b, blockCols)
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // token -> per-block document frequency (the global order = rare first)
+    val toks = base.select(
+      (bcols :+ col("id") :+ col("sh") :+ explode(col("sh")).as("tk")): _*)
+    val dfreq = toks.groupBy((bcols :+ col("tk")): _*)
+      .agg(count(lit(1)).as("df"))
+
+    val byDoc = Window
+      .partitionBy((bcols :+ col("id")): _*)
+      .orderBy(col("df"), col("tk"))
+    val c = threshold / (1.0 + threshold)
+    val prefix = toks.join(dfreq, blockCols :+ "tk")
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("n", size(col("sh")))
+      // 1e-9 guard: ceil over a double product must not round an exact
+      // integer up, which would shorten the prefix and lose recall
+      .filter(col("rn") <=
+        col("n") - ceil(col("n") * c - 1e-9) + 1)
+      .select((bcols :+ col("id") :+ col("tk")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = prefix.toDF((blockCols :+ "id_a" :+ "tk"): _*)
+      .join(prefix.toDF((blockCols :+ "id_b" :+ "tk"): _*),
+        blockCols :+ "tk")
       .filter(col("id_a") < col("id_b"))
+      .select((bcols :+ col("id_a") :+ col("id_b")): _*)
+      .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
+
+    // exact verification on candidates only
+    candidates
+      .join(
+        base.select((bcols :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*),
+        blockCols :+ "id_a")
+      .join(
+        base.select((bcols :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*),
+        blockCols :+ "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(
-        (blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        (bcols :+ col("id_a") :+ col("id_b") :+
           round(col("jaccard"), 4).as("jaccard")): _*)
   }
 }
