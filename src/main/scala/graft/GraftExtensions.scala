@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.HashExprs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Engine extension point: registers the custom expressions as SQL
+  * functions so `spark.sql("SELECT minhash_sig(tokens, 64) ...")` works.
+  *
+  * Two ways in:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions` (spark-submit)
+  *   - runtime: `GraftExtensions.register(spark)` (tests, notebooks)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  private[graft] val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k) => HashExprs.MinHashSig(c, intArg(k, "minhash_sig"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(tokens array<string>, numHashes int)")
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[HashExprs.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => HashExprs.SimHash64(c)
+        case _ => throw new IllegalArgumentException(
+          "simhash64(tokens array<string>)")
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[HashExprs.WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, n) => HashExprs.WordShingles(c, intArg(n, "word_shingles"))
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(tokens array<string>, n int)")
+      }))
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

@@ -30,6 +30,7 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    GraftExtensions.register(spark)
     spark
   }
 

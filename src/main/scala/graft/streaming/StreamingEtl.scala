@@ -18,6 +18,55 @@ import org.apache.spark.sql.functions._
   */
 object StreamingEtl {
 
+  /** Kafka tick source — the production binding of the reference's
+    * WebSocket feed (SURVEY.md §2.1 S2): one topic of JSON tick payloads.
+    * Requires the spark-sql-kafka connector on the runtime classpath (not
+    * shipped in this build environment; the binding compiles because the
+    * format is resolved at runtime). Pair with `decode(...)`.
+    *
+    * At-least-once by default; exactly-once end-to-end needs checkpointing
+    * plus an idempotent sink — vs the reference's at-most-once delivery
+    * (drops on parse error, no replay; SURVEY.md §2.7).
+    */
+  def kafkaSource(
+      spark: org.apache.spark.sql.SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+    maxOffsetsPerTrigger.foreach(m =>
+      r.option("maxOffsetsPerTrigger", m.toString))
+    r.load().selectExpr("CAST(value AS STRING) AS value")
+  }
+
+  /** Rate-source test feed approximating the reference tick server's
+    * ~5K ticks/sec synthetic stream (reference src/feed/TickServer.hpp:
+    * 200-242): deterministic symbols, jittered prices, ns timestamps.
+    */
+  def rateSource(
+      spark: org.apache.spark.sql.SparkSession,
+      rowsPerSecond: Int = 5000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val symbols = graft.sources.TradeGenerator.symbols.map(_._1)
+    val symArr = array(symbols.map(lit): _*)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        (col("value") + 1000000L).as("trade_id"),
+        (col("value") + 500000L).as("order_id"),
+        (unix_micros(col("timestamp")) * 1000L).as("timestamp"),
+        (lit(100.0) + pmod(xxhash64(col("value")), lit(1000L)) / 100.0).as("price"),
+        (pmod(xxhash64(col("value"), lit(1)), lit(4990L)) + 10).cast("int").as("volume"),
+        element_at(symArr, (pmod(xxhash64(col("value"), lit(2)), lit(symbols.size.toLong)) + 1).cast("int")).as("symbol"),
+        lit("WSS").as("exchange"),
+        when(pmod(xxhash64(col("value"), lit(3)), lit(2L)) === 0, "B").otherwise("S").as("side"),
+        lit("M").as("type"),
+        lit(false).as("is_pro"))
+  }
+
   /** JSON wire schema of a tick (reference src/feed/TickMessage.hpp:44-54):
     * same 9 fields as the CSV wire format plus `exchange`, with side/type as
     * 1-char strings.

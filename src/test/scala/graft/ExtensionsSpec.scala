@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+           minhash_sig(array('a','b','c'), 16) AS sig,
+           simhash64(array('a','b','c')) AS fp,
+           word_shingles(array('a','b','c'), 2) AS sh""")
+      .as[(Seq[Long], Long, Seq[String])].head()
+    assert(row._1.length === 16)
+    assert(row._3 === Seq("a b", "b c"))
+    // SQL path and Column path agree
+    val viaCol = Seq("a b c").toDF("text")
+      .select(graft.operators.Dedup.simhash64(col("text"))).as[Long].head()
+    assert(row._2 === viaCol)
+  }
+
+  test("sql minhash matches column-api minhash") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql("SELECT minhash_sig(array('x','y'), 8) AS s")
+      .as[Seq[Long]].head()
+    val col_ = Seq(Seq("x", "y")).toDF("t")
+      .select(graft.functions.HashExprs.minhashSig(col("t"), 8)).as[Seq[Long]].head()
+    assert(sql === col_)
+  }
+
+  test("rate source produces valid decodable trades") {
+    val df = graft.streaming.StreamingEtl.rateSource(spark, 100)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq === graft.model.Trade.schema.fieldNames.toSeq)
+    val q = df.writeStream.format("memory").queryName("rate_ticks")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q.awaitTermination(30000)
+    val rows = spark.table("rate_ticks")
+    val split = graft.operators.Validation.split(
+      rows, graft.operators.TradeRules.rules)
+    assert(split.rejected.count() === 0)
+  }
+}
