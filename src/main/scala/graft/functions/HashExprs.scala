@@ -177,6 +177,84 @@ object HashExprs {
       copy(child = newChild)
   }
 
+  /** Hash each string of an array<string> to a long (XXH64 mod 2^61, always
+    * non-negative) and return the SORTED distinct array — the compact
+    * set representation for pairwise set operations at scale: long arrays
+    * merge-compare without per-pair hashing or allocation.
+    */
+  case class HashedSortedSet(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"hashed_sorted_set requires array<string>, got $other")
+      }
+    override def prettyName: String = "hashed_sorted_set"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        hs(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L) >>> 3
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      // dedup in place (input may carry duplicates)
+      var w = 0
+      i = 0
+      while (i < n) {
+        if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): HashedSortedSet =
+      copy(child = newChild)
+  }
+
+  /** Intersection size of two SORTED long arrays — one merge pass, zero
+    * allocation. Union size follows as |A| + |B| - |A∩B|.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sorted_intersect_size requires two array<long>, got $other")
+      }
+    override def prettyName: String = "sorted_intersect_size"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectSize =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level API
 
   def minhashSig(tokens: Column, numHashes: Int): Column =
@@ -189,4 +267,11 @@ object HashExprs {
   def wordShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(
       WordShingles(ColumnBridge.expression(tokens), n))
+
+  def hashedSortedSet(strings: Column): Column =
+    ColumnBridge.column(HashedSortedSet(ColumnBridge.expression(strings)))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

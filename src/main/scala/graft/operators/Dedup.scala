@@ -194,17 +194,27 @@ object Dedup {
       threshold: Double): DataFrame = {
     val bcols = blockCols.map(col)
     // persisted: base feeds tokenization and both verification joins,
-    // prefix self-joins with itself (see minhashNearDuplicates note)
+    // prefix self-joins with itself (see minhashNearDuplicates note).
+    // `hs` is the hashed-sorted-set form of the shingle set: pairwise
+    // intersection sizes then cost one allocation-free merge pass over long
+    // arrays instead of array_intersect+array_union over strings (measured
+    // ~2x on the whole query at sf0.1). A 61-bit hash collision would
+    // perturb a count with probability ~(n_tokens^2 / 2^61) per pair —
+    // negligible against the corpus (~10^-9 end to end).
     val base = df.select(
       (bcols :+
         col(idCol).as("id") :+
         shingles(col(textCol), shingleSize).as("sh")): _*)
       .filter(size(col("sh")) > 0)
+      .withColumn("hs", graft.functions.HashExprs.hashedSortedSet(col("sh")))
+      .drop("sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // token -> per-block document frequency (the global order = rare first)
+    // hashed token -> per-block document frequency (rare-first global
+    // order); prefix shuffles carry longs, never strings
     val toks = base.select(
-      (bcols :+ col("id") :+ col("sh") :+ explode(col("sh")).as("tk")): _*)
+      (bcols :+ col("id") :+ size(col("hs")).as("n") :+
+        explode(col("hs")).as("tk")): _*)
     val dfreq = toks.groupBy((bcols :+ col("tk")): _*)
       .agg(count(lit(1)).as("df"))
 
@@ -214,7 +224,6 @@ object Dedup {
     val c = threshold / (1.0 + threshold)
     val prefix = toks.join(dfreq, blockCols :+ "tk")
       .withColumn("rn", row_number().over(byDoc))
-      .withColumn("n", size(col("sh")))
       // 1e-9 guard: ceil over a double product must not round an exact
       // integer up, which would shorten the prefix and lose recall
       .filter(col("rn") <=
@@ -229,18 +238,22 @@ object Dedup {
       .select((bcols :+ col("id_a") :+ col("id_b")): _*)
       .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
 
-    // exact verification on candidates only
+    // exact verification on candidates only: one merge pass per pair,
+    // |A∪B| = |A| + |B| - |A∩B|
+    val inter = graft.functions.HashExprs.sortedIntersectSize(
+      col("hs_a"), col("hs_b"))
     candidates
       .join(
-        base.select((bcols :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*),
+        base.select((bcols :+ col("id").as("id_a") :+ col("hs").as("hs_a")): _*),
         blockCols :+ "id_a")
       .join(
-        base.select((bcols :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*),
+        base.select((bcols :+ col("id").as("id_b") :+ col("hs").as("hs_b")): _*),
         blockCols :+ "id_b")
+      .withColumn("inter", inter)
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(
         (bcols :+ col("id_a") :+ col("id_b") :+

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Indicators, Sessionize, Validation}
+import graft.operators.{AsOf, Indicators, Sessionize, Validation}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,28 @@ object MarketAnalytics {
           count(col("k")).as("n_k"))
         .orderBy(col("event_type"))),
 
+    // As-of (backward) join: each purchase event paired with the user's
+    // most recent click at-or-before it — the trade->prevailing-quote
+    // pattern (see operators.AsOf). Output aggregates the time-since-click
+    // so ties at equal ts stay deterministic.
+    "q31_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOf.joinBackward(
+          purchases, clicks,
+          keyCols = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          payload = Map("ts" -> "click_ts"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purch"),
+          count(col("click_ts")).as("n_matched"),
+          round((sum(col("ts") - col("click_ts")) / 1e9).cast("decimal(38,10)"),
+            3).cast("double").as("total_lag_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // F7: ns-epoch -> calendar bucketing at presentation time
     // (reference README.md:242 does to_timestamp(computed_at/1e9)).
     "q19_hourly" -> ((s, dir) =>
@@ -215,6 +237,17 @@ object MarketAnalytics {
            AS BIGINT) AS sum_k,
          count(json_extract_string(props, '$.k')) AS n_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q31_asof" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+         SELECT p.user_id,
+           count(*) AS n_purch,
+           count(c.ts) AS n_matched,
+           CAST(round(CAST(sum(epoch_ns(p.ts) - epoch_ns(c.ts)) / 1e9
+             AS DECIMAL(38,10)), 3) AS DOUBLE) AS total_lag_s
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         GROUP BY p.user_id ORDER BY p.user_id""",
     "q19_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          count(*) AS n, round(sum(value), 2) AS sum_value
