@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Single-pass typed aggregation of SMA/RSI/VWAP — the Aggregator form of
+  * Indicators.summary (SURVEY.md §2.8): identical output, different
+  * physical plan.
+  *
+  * The window formulation shuffles rows to their group and SORTS each
+  * partition; this one is a hash aggregation with BOUNDED per-group state —
+  * running vwap sums plus the top-(period+1) rows by (ts, id) kept in a
+  * small sorted buffer. Partial aggregation (map-side combine) applies, so
+  * at 100 TB each group ships one ~period-sized buffer per map task instead
+  * of every row through a sort. Use when only the group summary is needed;
+  * use the window form when per-row indicator columns are wanted.
+  */
+object IndicatorAggregator {
+
+  final case class Point(key: String, ts: Long, id: Long, price: Double,
+      volume: Double)
+
+  final case class Buf(
+      pv: Double, v: Double, n: Long,
+      // ascending (ts, id); at most period+1 entries, the largest keys
+      ts: Array[Long], ids: Array[Long], prices: Array[Double])
+
+  final case class Out(sma: Double, rsi: Double, vwap: Double, period: Int,
+      n_rows: Long)
+
+  /** Merge two ascending bounded buffers keeping the LARGEST `cap` keys. */
+  private def mergeTop(
+      cap: Int,
+      ats: Array[Long], aids: Array[Long], aps: Array[Double],
+      bts: Array[Long], bids: Array[Long], bps: Array[Double])
+      : (Array[Long], Array[Long], Array[Double]) = {
+    val total = ats.length + bts.length
+    val keep = math.min(cap, total)
+    val ts = new Array[Long](keep)
+    val ids = new Array[Long](keep)
+    val ps = new Array[Double](keep)
+    // fill from the back (largest first)
+    var i = ats.length - 1; var j = bts.length - 1; var w = keep - 1
+    while (w >= 0) {
+      val takeA = j < 0 ||
+        (i >= 0 && (ats(i) > bts(j) || (ats(i) == bts(j) && aids(i) > bids(j))))
+      if (takeA) { ts(w) = ats(i); ids(w) = aids(i); ps(w) = aps(i); i -= 1 }
+      else { ts(w) = bts(j); ids(w) = bids(j); ps(w) = bps(j); j -= 1 }
+      w -= 1
+    }
+    (ts, ids, ps)
+  }
+
+  final class Agg(period: Int) extends Aggregator[Point, Buf, Out] {
+    private val cap = period + 1
+
+    override def zero: Buf =
+      Buf(0.0, 0.0, 0L, Array.empty, Array.empty, Array.empty)
+
+    override def reduce(b: Buf, p: Point): Buf = {
+      val (ts, ids, ps) = mergeTop(cap, b.ts, b.ids, b.prices,
+        Array(p.ts), Array(p.id), Array(p.price))
+      Buf(b.pv + p.price * p.volume, b.v + p.volume, b.n + 1, ts, ids, ps)
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      val (ts, ids, ps) = mergeTop(cap, a.ts, a.ids, a.prices,
+        b.ts, b.ids, b.prices)
+      Buf(a.pv + b.pv, a.v + b.v, a.n + b.n, ts, ids, ps)
+    }
+
+    override def finish(b: Buf): Out = {
+      val ps = b.prices
+      val m = ps.length
+      // SMA over the last min(period, n) prices
+      val smaCount = math.min(period, m)
+      var s = 0.0
+      var i = m - smaCount
+      while (i < m) { s += ps(i); i += 1 }
+      val sma = if (smaCount == 0) 0.0 else s / smaCount
+      // RSI over consecutive diffs of the (up to period+1)-price window
+      var gain = 0.0; var loss = 0.0; var diffs = 0
+      i = 1
+      while (i < m) {
+        val d = ps(i) - ps(i - 1)
+        if (d > 0) gain += d else loss -= d
+        diffs += 1
+        i += 1
+      }
+      val rsi =
+        if (diffs == 0) 50.0
+        else if (loss == 0.0) 100.0
+        else {
+          val rs = (gain / diffs) / (loss / diffs)
+          100.0 - 100.0 / (1.0 + rs)
+        }
+      val vwap = if (b.v == 0.0) 0.0 else b.pv / b.v
+      Out(sma, rsi, vwap, math.min(period, b.n).toInt, b.n)
+    }
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Out] = Encoders.product[Out]
+  }
+
+  /** DataFrame adapter mirroring Indicators.summary's signature: one row
+    * per group with (groupCol, sma, rsi, vwap, period, n_rows).
+    */
+  def summary(
+      df: DataFrame,
+      groupCol: String,
+      priceCol: String,
+      volumeCol: Option[String],
+      tsCol: String,
+      idCol: String,
+      period: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(
+      col(groupCol).cast("string").as("key"),
+      col(tsCol).cast("long").as("ts"),
+      col(idCol).cast("long").as("id"),
+      col(priceCol).cast("double").as("price"),
+      volumeCol.map(v => col(v).cast("double")).getOrElse(lit(1.0)).as("volume"))
+      .as[Point]
+    pts.groupByKey(_.key)
+      .agg(new Agg(period).toColumn.name("out"))
+      .select(
+        col("key").as(groupCol),
+        col("out.sma").as("sma"),
+        col("out.rsi").as("rsi"),
+        col("out.vwap").as("vwap"),
+        col("out.period").as("period"),
+        col("out.n_rows").as("n_rows"))
+  }
+}

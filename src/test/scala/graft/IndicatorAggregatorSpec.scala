@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{IndicatorAggregator, Indicators}
+import graft.sources.TradeGenerator
+
+/** The single-pass Aggregator must agree with the window formulation on
+  * every group of a realistic dataset (same SMA/RSI edge semantics, same
+  * clamps), modulo float-sum association order in VWAP.
+  */
+class IndicatorAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def close(a: Double, b: Double) =
+    math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  test("agrees with the window formulation on generated trades") {
+    val trades = TradeGenerator.generate(spark, 20000).repartition(8)
+    val byWindow = Indicators.summary(
+      trades, Seq("symbol"), "price", Some("volume"),
+      Seq("timestamp", "trade_id"), period = 14)
+      .select("symbol", "sma", "rsi", "vwap", "period", "n_rows")
+      .as[(String, Double, Double, Double, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val byAgg = IndicatorAggregator.summary(
+      trades, "symbol", "price", Some("volume"), "timestamp", "trade_id",
+      period = 14)
+      .select("symbol", "sma", "rsi", "vwap", "period", "n_rows")
+      .as[(String, Double, Double, Double, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byAgg.keySet === byWindow.keySet)
+    byWindow.keySet.foreach { sym =>
+      val w = byWindow(sym); val a = byAgg(sym)
+      assert(close(w._2, a._2), s"$sym sma ${w._2} vs ${a._2}")
+      assert(close(w._3, a._3), s"$sym rsi ${w._3} vs ${a._3}")
+      assert(close(w._4, a._4), s"$sym vwap ${w._4} vs ${a._4}")
+      assert(w._5 === a._5, s"$sym period")
+      assert(w._6 === a._6, s"$sym n_rows")
+    }
+  }
+
+  test("edge semantics: single row, monotone series") {
+    val one = Seq(("S", 1L, 1L, 42.0, 2.0))
+      .toDF("symbol", "timestamp", "trade_id", "price", "volume")
+    val r1 = IndicatorAggregator.summary(
+      one, "symbol", "price", Some("volume"), "timestamp", "trade_id", 5)
+      .select("sma", "rsi", "vwap", "period").as[(Double, Double, Double, Int)].head()
+    assert(r1 === ((42.0, 50.0, 42.0, 1)))
+
+    val up = (1 to 10).map(i => ("S", i.toLong, i.toLong, i.toDouble, 1.0))
+      .toDF("symbol", "timestamp", "trade_id", "price", "volume")
+    val r2 = IndicatorAggregator.summary(
+      up, "symbol", "price", Some("volume"), "timestamp", "trade_id", 5)
+      .select("rsi").as[Double].head()
+    assert(r2 === 100.0)
+  }
+}
