@@ -69,4 +69,51 @@ object Multimodal {
       .repartition(col("id"))
       .withColumn("features", stubFeatures(col("payload"), dim))
       .drop("payload")
+
+  /** Batched decode over mapPartitions — the Spark-side shape a real
+    * vectorized media decoder drops into: rows stream through each
+    * partition in fixed-size batches so the codec amortizes its setup
+    * (model load, GPU context) per batch, not per row. The decode itself
+    * is STUBBED (no codec libraries in this environment): deterministic
+    * features from byte-range hashes. Results are independent of batch
+    * size and partitioning — a property the spec pins, because a real
+    * decoder must preserve it too.
+    *
+    * Input: the `ingest` frame (id, modality, payload, ...).
+    * Output: (id, modality, n_bytes, features array<double> of `dim`).
+    */
+  def decodeFeaturesBatched(
+      ingested: DataFrame,
+      dim: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    val spark = ingested.sparkSession
+    import spark.implicits._
+    ingested
+      .select(col("id").cast("long"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one batch-shaped call, as a vectorized UDF would make
+          val feats = stubDecodeBatch(batch.map(_._3), dim)
+          batch.zip(feats).map { case ((id, mod, bytes), f) =>
+            (id, mod, bytes.length, f)
+          }
+        }
+      }
+      .toDF("id", "modality", "n_bytes", "features")
+  }
+
+  /** STUB batch decoder: replace with a real codec call. Deterministic:
+    * feature j of a payload = scaled xxhash of (payload, j).
+    */
+  private def stubDecodeBatch(
+      payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Double]] =
+    payloads.map { bytes =>
+      Array.tabulate(dim) { j =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, j.toLong)
+        (java.lang.Math.floorMod(h, 1000000L).toDouble / 500000.0) - 1.0
+      }
+    }
 }

@@ -23,14 +23,22 @@ object Curation {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + char stats per language.
-    "q20_token_stats" -> ((s, dir) =>
+    // Integer sums divided by counts can land exactly on rounding halfway
+    // points (terminating decimals); anchor the quotient at scale 10 so
+    // both engines resolve the visible round in exact decimal — see
+    // Relational.decAvg.
+    "q20_token_stats" -> ((s, dir) => {
+      def intAvg(c: org.apache.spark.sql.Column) =
+        round((sum(c).cast("double") / count(lit(1))).cast("decimal(38,10)"), 4)
+          .cast("double")
       t(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"),
-          round(avg(length(col("text"))), 4).as("avg_chars"))
-        .orderBy(col("lang"))),
+          intAvg(TextAnalysis.tokenCount(col("text"))).as("avg_tokens"),
+          intAvg(length(col("text"))).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
 
     // Quality scoring per language (length saturation + type-token ratio +
     // punctuation noise).
@@ -141,9 +149,11 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         round(avg(len(list_filter(regexp_split_to_array(text, '\s+'),
-           x -> x <> ''))), 4) AS avg_tokens,
-         round(avg(length(text)), 4) AS avg_chars
+         CAST(round(CAST(CAST(sum(len(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+           / count(*) AS DECIMAL(38,10)), 4) AS DOUBLE) AS avg_tokens,
+         CAST(round(CAST(CAST(sum(length(text)) AS DOUBLE)
+           / count(*) AS DECIMAL(38,10)), 4) AS DOUBLE) AS avg_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "q21_quality" ->
       """WITH m AS (
