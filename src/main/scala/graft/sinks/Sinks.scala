@@ -28,6 +28,28 @@ object Sinks {
     path
   }
 
+  /** Bucketed managed table: pre-shuffles the data into `nBuckets` by
+    * `bucketCols` at write time so subsequent joins/aggregations on those
+    * keys run WITHOUT an exchange — the write-once/join-many pattern that
+    * replaces per-query shuffles at large scale (the Spark equivalent of
+    * the reference's (symbol, timestamp) B-tree index, reference
+    * src/database/DatabaseLoader.cpp:122-125: pay at load time, win at
+    * query time). Requires a SparkSession with a warehouse dir (any
+    * local/remote path; Hive metastore not required).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** JDBC bulk sink with the reference's drop-index -> load -> rebuild
     * pattern (reference src/database/DatabaseLoader.cpp:187-269 and the
     * 4-connection parallel variant src/threading/ParallelLoader.hpp:71-275).

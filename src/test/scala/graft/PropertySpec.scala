@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Dedup, Indicators, Sessionize, TradeRules, Validation}
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY.md §5 test plan): indicator bounds,
+  * validator-implies-constraints, and — most load-bearing — the
+  * prefix-filtered Jaccard join agreeing with brute force on random
+  * corpora (the PPJoin rewrite must be output-identical by construction).
+  *
+  * Sampling is a deterministic seed-walked loop over ScalaCheck Gens (the
+  * scalatest-scalacheck bridge artifact is not on the offline classpath).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(params, seed).foreach(body)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val priceSeries: Gen[List[Double]] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1.0, 1000.0).map(v => math.rint(v * 100) / 100)))
+
+  test("property: rsi in [0,100], sma and vwap within price bounds") {
+    forAll(priceSeries) { prices =>
+      whenever(prices.nonEmpty) {
+        val df = prices.zipWithIndex
+          .map { case (p, i) => ("S", i.toLong, p, 1) }
+          .toDF("symbol", "ts", "price", "volume")
+        val (sma, rsi, vwap) = Indicators.summary(
+          df, Seq("symbol"), "price", Some("volume"), Seq("ts"), 14)
+          .select("sma", "rsi", "vwap").as[(Double, Double, Double)].head()
+        assert(rsi >= 0.0 && rsi <= 100.0)
+        assert(sma >= prices.min - 1e-9 && sma <= prices.max + 1e-9)
+        assert(vwap >= prices.min - 1e-9 && vwap <= prices.max + 1e-9)
+      }
+    }
+  }
+
+  test("property: validator acceptance implies the DB CHECK constraints") {
+    val anyTrade = for {
+      sym <- Gen.oneOf(Gen.alphaUpperStr.map(_.take(10)), Gen.alphaStr.map(_.take(10)))
+      price <- Gen.chooseNum(-10.0, 2000000.0)
+      vol <- Gen.chooseNum(-5, 5000)
+      side <- Gen.oneOf("B", "S", "N", "X", "")
+      typ <- Gen.oneOf("M", "L", "I", "Q")
+      ts <- Gen.chooseNum(-1L, 10L)
+    } yield (sym, price, vol, side, typ, ts)
+    forAll(Gen.listOfN(30, anyTrade)) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((sym, p, v, s, t, ts), i) =>
+          graft.model.Trade(i.toLong, i.toLong, ts, p, v, sym, "", s, t, is_pro = false)
+        }.toDF()
+        val valid = Validation.split(df, TradeRules.rules).valid
+          .as[graft.model.Trade].collect()
+        valid.foreach { tr =>
+          assert(tr.price > 0 && tr.price < 1000000)
+          assert(tr.volume > 0)
+          assert(Set("B", "S", "N")(tr.side) && Set("M", "L", "I")(tr.`type`))
+          assert(tr.timestamp > 0)
+          assert(tr.symbol.matches("[A-Z]{1,10}"))
+        }
+      }
+    }
+  }
+
+  test("property: prefix-filtered jaccard equals brute force") {
+    val word: Gen[String] = Gen.chooseNum(0, 25).map(i => s"w$i")
+    val doc: Gen[String] =
+      Gen.chooseNum(3, 15).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    forAll(Gen.chooseNum(5, 25).flatMap(n => Gen.listOfN(n, doc))) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d, "b") }
+          .toDF("doc_id", "text", "blk")
+        val got = Dedup.jaccardPairs(df, "doc_id", "text", Seq("blk"), 1, 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+        // driver-side brute force over token sets
+        val sets = docs.map(_.split("\\s+").filter(_.nonEmpty).toSet)
+        val expected = (for {
+          i <- sets.indices; j <- sets.indices if i < j
+          inter = sets(i).intersect(sets(j)).size
+          uni = sets(i).union(sets(j)).size
+          if uni > 0 && inter.toDouble / uni >= 0.5
+        } yield (i.toLong, j.toLong,
+          math.rint(inter.toDouble / uni * 10000) / 10000)).toSet
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("property: sessions never exceed events; infinite gap gives one session") {
+    val tsGen = Gen.chooseNum(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 100000L)))
+    forAll(tsGen) { ts =>
+      whenever(ts.nonEmpty) {
+        val df = ts.distinct.map(t => (1L, t)).toDF("user_id", "ts")
+        val n = df.count()
+        val (sessions, events) = Sessionize.stats(df, "user_id", "ts", Seq("ts"), 500L)
+          .select("n_sessions", "n_events").as[(Long, Long)].head()
+        assert(sessions >= 1 && sessions <= events && events === n)
+        val one = Sessionize.stats(df, "user_id", "ts", Seq("ts"), Long.MaxValue)
+          .select("n_sessions").as[Long].head()
+        assert(one === 1L)
+      }
+    }
+  }
+}
