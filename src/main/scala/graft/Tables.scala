@@ -45,5 +45,10 @@ object Tables {
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        // fresh warehouse per JVM: a stale ./spark-warehouse from an
+        // earlier run breaks saveAsTable (LOCATION_ALREADY_EXISTS) because
+        // the in-memory catalog starts empty while the directory persists
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-wh").toString)
         .getOrCreate())
 }
