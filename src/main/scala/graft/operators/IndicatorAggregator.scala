@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * at 100 TB each group ships one ~period-sized buffer per map task instead
   * of every row through a sort. Use when only the group summary is needed;
   * use the window form when per-row indicator columns are wanted.
+  *
+  * The buffer algebra (emptyBuf/mergePoint/mergeBufs/finishBuf) is shared
+  * with the streaming custom-state operator
+  * (StreamingEtl.statefulIndicators) — one semantics, batch and stream.
   */
 object IndicatorAggregator {
 
@@ -28,6 +32,11 @@ object IndicatorAggregator {
 
   final case class Out(sma: Double, rsi: Double, vwap: Double, period: Int,
       n_rows: Long)
+
+  final case class KeyedOut(symbol: String, sma: Double, rsi: Double,
+      vwap: Double, period: Int, n_rows: Long)
+
+  val emptyBuf: Buf = Buf(0.0, 0.0, 0L, Array.empty, Array.empty, Array.empty)
 
   /** Merge two ascending bounded buffers keeping the LARGEST `cap` keys. */
   private def mergeTop(
@@ -52,53 +61,52 @@ object IndicatorAggregator {
     (ts, ids, ps)
   }
 
-  final class Agg(period: Int) extends Aggregator[Point, Buf, Out] {
-    private val cap = period + 1
+  def mergePoint(b: Buf, p: Point, period: Int): Buf = {
+    val (ts, ids, ps) = mergeTop(period + 1, b.ts, b.ids, b.prices,
+      Array(p.ts), Array(p.id), Array(p.price))
+    Buf(b.pv + p.price * p.volume, b.v + p.volume, b.n + 1, ts, ids, ps)
+  }
 
-    override def zero: Buf =
-      Buf(0.0, 0.0, 0L, Array.empty, Array.empty, Array.empty)
+  def mergeBufs(a: Buf, b: Buf, period: Int): Buf = {
+    val (ts, ids, ps) = mergeTop(period + 1, a.ts, a.ids, a.prices,
+      b.ts, b.ids, b.prices)
+    Buf(a.pv + b.pv, a.v + b.v, a.n + b.n, ts, ids, ps)
+  }
 
-    override def reduce(b: Buf, p: Point): Buf = {
-      val (ts, ids, ps) = mergeTop(cap, b.ts, b.ids, b.prices,
-        Array(p.ts), Array(p.id), Array(p.price))
-      Buf(b.pv + p.price * p.volume, b.v + p.volume, b.n + 1, ts, ids, ps)
+  def finishBuf(b: Buf, period: Int): Out = {
+    val ps = b.prices
+    val m = ps.length
+    // SMA over the last min(period, n) prices
+    val smaCount = math.min(period, m)
+    var s = 0.0
+    var i = m - smaCount
+    while (i < m) { s += ps(i); i += 1 }
+    val sma = if (smaCount == 0) 0.0 else s / smaCount
+    // RSI over consecutive diffs of the (up to period+1)-price window
+    var gain = 0.0; var loss = 0.0; var diffs = 0
+    i = 1
+    while (i < m) {
+      val d = ps(i) - ps(i - 1)
+      if (d > 0) gain += d else loss -= d
+      diffs += 1
+      i += 1
     }
-
-    override def merge(a: Buf, b: Buf): Buf = {
-      val (ts, ids, ps) = mergeTop(cap, a.ts, a.ids, a.prices,
-        b.ts, b.ids, b.prices)
-      Buf(a.pv + b.pv, a.v + b.v, a.n + b.n, ts, ids, ps)
-    }
-
-    override def finish(b: Buf): Out = {
-      val ps = b.prices
-      val m = ps.length
-      // SMA over the last min(period, n) prices
-      val smaCount = math.min(period, m)
-      var s = 0.0
-      var i = m - smaCount
-      while (i < m) { s += ps(i); i += 1 }
-      val sma = if (smaCount == 0) 0.0 else s / smaCount
-      // RSI over consecutive diffs of the (up to period+1)-price window
-      var gain = 0.0; var loss = 0.0; var diffs = 0
-      i = 1
-      while (i < m) {
-        val d = ps(i) - ps(i - 1)
-        if (d > 0) gain += d else loss -= d
-        diffs += 1
-        i += 1
+    val rsi =
+      if (diffs == 0) 50.0
+      else if (loss == 0.0) 100.0
+      else {
+        val rs = (gain / diffs) / (loss / diffs)
+        100.0 - 100.0 / (1.0 + rs)
       }
-      val rsi =
-        if (diffs == 0) 50.0
-        else if (loss == 0.0) 100.0
-        else {
-          val rs = (gain / diffs) / (loss / diffs)
-          100.0 - 100.0 / (1.0 + rs)
-        }
-      val vwap = if (b.v == 0.0) 0.0 else b.pv / b.v
-      Out(sma, rsi, vwap, math.min(period, b.n).toInt, b.n)
-    }
+    val vwap = if (b.v == 0.0) 0.0 else b.pv / b.v
+    Out(sma, rsi, vwap, math.min(period, b.n).toInt, b.n)
+  }
 
+  final class Agg(period: Int) extends Aggregator[Point, Buf, Out] {
+    override def zero: Buf = emptyBuf
+    override def reduce(b: Buf, p: Point): Buf = mergePoint(b, p, period)
+    override def merge(a: Buf, b: Buf): Buf = mergeBufs(a, b, period)
+    override def finish(b: Buf): Out = finishBuf(b, period)
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Out] = Encoders.product[Out]
   }

@@ -119,6 +119,44 @@ object StreamingEtl {
       count(lit(1)).as("n_ticks"),
       sum(col("volume")).as("total_volume"))
 
+  /** Streaming per-symbol indicators with CUSTOM KEYED STATE
+    * (flatMapGroupsWithState): each symbol's state is the same bounded
+    * buffer the batch single-pass Aggregator uses — running VWAP sums plus
+    * the last (period+1) rows by (ts, trade_id) — updated per micro-batch
+    * and emitting one refreshed indicator row per symbol per trigger.
+    *
+    * This is the exact semantics of the reference's stream consumer
+    * (unbounded per-symbol hash map, reference
+    * src/tools/websocket_demo.cpp:73-125) upgraded to indicator state with
+    * bounded memory: state size is O(period) per symbol regardless of
+    * stream length, checkpointable by the state store.
+    */
+  def statefulIndicators(
+      trades: DataFrame,
+      period: Int = 14): org.apache.spark.sql.Dataset[
+        graft.operators.IndicatorAggregator.KeyedOut] = {
+    import graft.operators.IndicatorAggregator.{Buf, KeyedOut, Point, mergePoint, finishBuf, emptyBuf}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val pts = trades.select(
+      col("symbol").as("key"),
+      col("timestamp").cast("long").as("ts"),
+      col("trade_id").cast("long").as("id"),
+      col("price").cast("double").as("price"),
+      col("volume").cast("double").as("volume")).as[Point]
+    pts.groupByKey(_.key)
+      .flatMapGroupsWithState[Buf, KeyedOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[Buf]) =>
+          var buf = state.getOption.getOrElse(emptyBuf)
+          rows.foreach(p => buf = mergePoint(buf, p, period))
+          state.update(buf)
+          val o = finishBuf(buf, period)
+          Iterator.single(KeyedOut(key, o.sma, o.rsi, o.vwap, o.period, o.n_rows))
+      }
+  }
+
   /** Event-time windowed per-symbol OHLC + VWAP with a watermark — the
     * north-star streaming indicator surface (SURVEY.md §2.7): the reference
     * has no event-time reasoning; Spark gives it natively. `timestamp` is ns

@@ -79,6 +79,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful indicators: custom keyed state converges to batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val stats = StreamingEtl.statefulIndicators(
+      StreamingEtl.decode(input.toDF()), period = 5)
+    val query = stats.writeStream
+      .format("memory").queryName("stateful_ind").outputMode("update").start()
+    try {
+      // feed the worked example (prices 100,102,101,103,105) in TWO batches
+      // so state must carry across micro-batches
+      input.addData(
+        tick(1, "TCS", 100.0, 1), tick(2, "TCS", 102.0, 1))
+      query.processAllAvailable()
+      input.addData(
+        tick(3, "TCS", 101.0, 1), tick(4, "TCS", 103.0, 1),
+        tick(5, "TCS", 105.0, 1))
+      query.processAllAvailable()
+      val last = spark.table("stateful_ind")
+        .filter($"n_rows" === 5)
+        .select("sma", "rsi", "vwap", "period")
+        .as[(Double, Double, Double, Int)].head()
+      assert(math.abs(last._1 - 102.2) < 1e-9)
+      assert(math.abs(last._2 - (100.0 - 100.0 / 7.0)) < 1e-9)
+      assert(last._4 === 5)
+      // and it matches the batch single-pass Aggregator on the same data
+      val batch = Seq(
+        ("TCS", 1L, 1L, 100.0, 1.0), ("TCS", 2L, 2L, 102.0, 1.0),
+        ("TCS", 3L, 3L, 101.0, 1.0), ("TCS", 4L, 4L, 103.0, 1.0),
+        ("TCS", 5L, 5L, 105.0, 1.0))
+        .toDF("symbol", "timestamp", "trade_id", "price", "volume")
+      val b = graft.operators.IndicatorAggregator.summary(
+        batch, "symbol", "price", Some("volume"), "timestamp", "trade_id", 5)
+        .select("sma", "rsi").as[(Double, Double)].head()
+      assert(math.abs(last._1 - b._1) < 1e-9)
+      assert(math.abs(last._2 - b._2) < 1e-9)
+    } finally query.stop()
+  }
+
   test("encode round-trips through decode") {
     val trades = graft.sources.TradeGenerator.generate(spark, 10)
     val json = StreamingEtl.encode(trades)
