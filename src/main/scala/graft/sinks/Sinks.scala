@@ -28,6 +28,20 @@ object Sinks {
     path
   }
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCols`, so any query filtering on them prunes whole
+    * directories before reading a byte (PartitionFilters in the scan node)
+    * — the time/date layout every large fact table should use. Pair with
+    * `maxRecordsPerFile`/AQE coalescing to keep file counts sane.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      dir: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
   /** Bucketed managed table: pre-shuffles the data into `nBuckets` by
     * `bucketCols` at write time so subsequent joins/aggregations on those
     * keys run WITHOUT an exchange — the write-once/join-many pattern that

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Skew
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+
+class SkewAndPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90% of rows share one hot key
+  private def skewed = (1 to 10000).map { i =>
+    (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toLong)
+  }.toDF("k", "v")
+
+  test("salted aggregation equals plain aggregation on skewed keys") {
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Skew.saltedAggregate(
+      skewed, Seq("k"), 16,
+      Map("c" -> count(lit(1)), "s" -> sum(col("v"))),
+      Map("c" -> sum(col("c")), "s" -> sum(col("s"))))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    val dims = Seq(("HOT", 1), ("k0", 2), ("k3", 3)).toDF("k", "tag")
+    val plain = skewed.join(dims, Seq("k")).select("k", "v", "tag")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(skewed, dims, Seq("k"), 8)
+      .select("k", "v", "tag")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("partitioned layout prunes directories in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = (1 to 1000).map(i =>
+      (i.toLong, f"2026-01-${i % 4 + 1}%02d", i.toDouble))
+      .toDF("id", "day", "v")
+    Sinks.writePartitioned(events, dir, Seq("day"))
+    val q = spark.read.parquet(dir).filter(col("day") === "2026-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(q.count() === 250)
+    // only one of the four day directories is read
+    val files = q.select(input_file_name()).distinct().as[String].collect()
+    assert(files.forall(_.contains("day=2026-01-02")))
+  }
+}
