@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Driver bench: per-query wall times over SPARK_GRAFT_SF_DIR, plus the
+  * reference pipeline's stage benchmark at its published configuration
+  * (1M synthetic trades; reference README.md:15-19 — parse 904 ms,
+  * validate 308 ms, indicators 150 ms, ~10 s end-to-end). Stage isolation
+  * mirrors the reference's materialized vectors: each stage's input is
+  * persisted before timing the stage's own action.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,14 +23,74 @@ object Bench {
     // charged ~3s of session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").limit(1).collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = timed {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+
+    // Reference-stage benchmark at the baseline's own scale: 1M trades.
+    // A ~65 MB CSV is ONE split at the default 128 MB maxPartitionBytes —
+    // the whole pipeline would run single-threaded; split small so the
+    // stage bench actually uses the cores (a cluster-scale input makes its
+    // own parallelism; this knob only matters when input < split size).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val csvDir = s"$tmp/trades_csv"
+      results("etl1m_gen_csv") = timed {
+        graft.sources.TradeCsv.write(
+          graft.sources.TradeGenerator.generate(spark, 1000000L), csvDir)
+      }
+      // each stage timed over an already-cached input, without paying its
+      // own cache materialization inside the timing (the reference times
+      // pure compute over in-memory vectors)
+      results("etl1m_parse") = timed {
+        graft.sources.TradeCsv.read(spark, csvDir).count()
+      }
+      val parsed = graft.sources.TradeCsv.read(spark, csvDir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      parsed.count() // warm, untimed
+      val validQ = graft.operators.Validation
+        .split(parsed, graft.operators.TradeRules.rules).valid
+      results("etl1m_validate") = timed { validQ.count() }
+      val valid = validQ.persist(StorageLevel.MEMORY_AND_DISK)
+      valid.count() // warm, untimed
+      results("etl1m_indicators") = timed {
+        graft.operators.Indicators.summary(
+          valid, Seq("symbol"), "price", Some("volume"),
+          Seq("timestamp", "trade_id"), period = 5).count()
+      }
+      results("etl1m_indicators_singlepass") = timed {
+        graft.operators.IndicatorAggregator.summary(
+          valid, "symbol", "price", Some("volume"),
+          "timestamp", "trade_id", period = 5).count()
+      }
+      results("etl1m_indicators_tail") = timed {
+        graft.operators.Indicators.summaryTail(
+          valid, Seq("symbol"), "price", Some("volume"),
+          Seq("timestamp", "trade_id"), period = 5).count()
+      }
+      results("etl1m_parquet_sink") = timed {
+        valid.write.mode("overwrite").parquet(s"$tmp/trades_out.parquet")
+      }
+      results("etl1m_total") =
+        results("etl1m_parse") + results("etl1m_validate") +
+          results("etl1m_indicators_tail") + results("etl1m_parquet_sink")
+      parsed.unpersist(); valid.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] etl1m stage bench failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

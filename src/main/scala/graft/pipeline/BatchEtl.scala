@@ -54,7 +54,8 @@ object BatchEtl {
 
     // Stage 3: indicators at batch stamp (single stamp per run, NOT
     // per-row current_timestamp — reference DatabaseLoader.cpp:314-316).
-    val indicators = Indicators.summary(
+    // summaryTail: only the last period+1 rows per symbol shuffle.
+    val indicators = Indicators.summaryTail(
         split.valid,
         groupCols = Seq("symbol"),
         priceCol = "price",

@@ -27,14 +27,23 @@ class IndicatorAggregatorSpec extends SparkSpec {
       .select("symbol", "sma", "rsi", "vwap", "period", "n_rows")
       .as[(String, Double, Double, Double, Int, Long)].collect()
       .map(r => r._1 -> r).toMap
+    val byTail = Indicators.summaryTail(
+      trades, Seq("symbol"), "price", Some("volume"),
+      Seq("timestamp", "trade_id"), period = 14)
+      .select("symbol", "sma", "rsi", "vwap", "period", "n_rows")
+      .as[(String, Double, Double, Double, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
     assert(byAgg.keySet === byWindow.keySet)
+    assert(byTail.keySet === byWindow.keySet)
     byWindow.keySet.foreach { sym =>
-      val w = byWindow(sym); val a = byAgg(sym)
-      assert(close(w._2, a._2), s"$sym sma ${w._2} vs ${a._2}")
-      assert(close(w._3, a._3), s"$sym rsi ${w._3} vs ${a._3}")
-      assert(close(w._4, a._4), s"$sym vwap ${w._4} vs ${a._4}")
-      assert(w._5 === a._5, s"$sym period")
-      assert(w._6 === a._6, s"$sym n_rows")
+      val w = byWindow(sym)
+      Seq(byAgg(sym), byTail(sym)).foreach { a =>
+        assert(close(w._2, a._2), s"$sym sma ${w._2} vs ${a._2}")
+        assert(close(w._3, a._3), s"$sym rsi ${w._3} vs ${a._3}")
+        assert(close(w._4, a._4), s"$sym vwap ${w._4} vs ${a._4}")
+        assert(w._5 === a._5, s"$sym period")
+        assert(w._6 === a._6, s"$sym n_rows")
+      }
     }
   }
 
