@@ -30,10 +30,16 @@ object StreamDemo {
       .outputMode("complete")
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
+    val indicators = StreamingEtl.statefulIndicators(valid, period = 14)
+      .writeStream.format("memory").queryName("live_ind")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
 
+    // plain stop after the run window — processAllAvailable would chase a
+    // live unbounded source across three queries
     Thread.sleep(seconds * 1000L)
-    counts.processAllAvailable(); ohlc.processAllAvailable()
-    counts.stop(); ohlc.stop()
+    counts.stop(); ohlc.stop(); indicators.stop()
 
     println(s"[stream-demo] ran ${seconds}s at ~$rate ticks/s")
     println("[stream-demo] --- per-symbol counts ---")
@@ -42,6 +48,14 @@ object StreamDemo {
       .show(12, truncate = false)
     println("[stream-demo] --- windowed OHLC/VWAP ---")
     spark.table("ohlc").orderBy("window", "symbol").show(12, truncate = false)
+    println("[stream-demo] --- live indicators (custom keyed state) ---")
+    spark.table("live_ind")
+      .groupBy("symbol").agg(
+        org.apache.spark.sql.functions.last("sma").as("sma"),
+        org.apache.spark.sql.functions.last("rsi").as("rsi"),
+        org.apache.spark.sql.functions.last("vwap").as("vwap"),
+        org.apache.spark.sql.functions.max("n_rows").as("n_rows"))
+      .orderBy("symbol").show(12, truncate = false)
     val total = spark.table("counts")
       .agg(org.apache.spark.sql.functions.sum("n_ticks")).head().getLong(0)
     println(s"[stream-demo] total ticks processed: $total")

@@ -156,6 +156,48 @@ object Relational {
           col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("sma"))),
 
+    // Exact quantiles (percentile with linear interpolation — same
+    // definition as the oracle's quantile_cont).
+    "q32_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)")
+            .cast("decimal(38,10)"), 4).cast("double").as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)")
+            .cast("decimal(38,10)"), 4).cast("double").as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)")
+            .cast("decimal(38,10)"), 4).cast("double").as("p99"))
+        .orderBy(col("l_returnflag"))),
+
+    // Set operations: customers with orders vs suppliers' nations etc. —
+    // INTERSECT / EXCEPT / UNION over key sets.
+    "q33_setops" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nk")).distinct()
+      val suppNations = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nk")).distinct()
+      custNations.intersect(suppNations).withColumn("op", lit("both"))
+        .unionByName(
+          custNations.except(suppNations).withColumn("op", lit("cust_only")))
+        .unionByName(
+          suppNations.except(custNations).withColumn("op", lit("supp_only")))
+        .orderBy(col("op"), col("nk"))
+    }),
+
+    // Pivot: order priority x status counts as a wide table (conditional
+    // aggregation under the hood — the oracle states it explicitly).
+    "q34_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(
+          col("o_orderpriority"),
+          col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy(col("o_orderpriority"))),
+
     // Distinct aggregation (expand + two-phase agg under the hood).
     "q11_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
@@ -240,6 +282,27 @@ object Relational {
            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS sma
          FROM lineitem
          ORDER BY l_returnflag, l_orderkey, l_linenumber, sma""",
+    "q32_quantiles" ->
+      """SELECT l_returnflag,
+         CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(38,10)), 4) AS DOUBLE) AS p50,
+         CAST(round(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(38,10)), 4) AS DOUBLE) AS p90,
+         CAST(round(CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(38,10)), 4) AS DOUBLE) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q33_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+         SELECT nk, 'both' AS op FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+         UNION ALL
+         SELECT nk, 'cust_only' FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+         UNION ALL
+         SELECT nk, 'supp_only' FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+         ORDER BY op, nk""",
+    "q34_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q11_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps,
