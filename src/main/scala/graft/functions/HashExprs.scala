@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -33,7 +33,7 @@ object HashExprs {
     * Empty input yields an all-sentinel (p) signature.
     */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -53,8 +53,16 @@ object HashExprs {
     @transient private lazy val bs: Array[Long] = Array.tabulate(numHashes)(i =>
       Math.floorMod(XXH64.hashLong(i.toLong, 0xB0B), p))
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+
+    def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val hs = new Array[Long](n)
       var i = 0
@@ -88,7 +96,7 @@ object HashExprs {
     * to the higher-order-function formulation over the builtin xxhash64.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -100,8 +108,16 @@ object HashExprs {
       }
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+
+    def compute(arr: ArrayData): Long = {
       val n = arr.numElements()
       val votes = new Array[Int](64)
       var i = 0
@@ -133,7 +149,7 @@ object HashExprs {
     * replacement for the transform/slice/concat_ws formulation.
     */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -145,8 +161,16 @@ object HashExprs {
       }
     override def prettyName: String = "word_shingles"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+
+    def compute(arr: ArrayData): ArrayData = {
       val toks = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
       var i = 0
       while (i < arr.numElements()) {
@@ -183,7 +207,7 @@ object HashExprs {
     * merge-compare without per-pair hashing or allocation.
     */
   case class HashedSortedSet(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -195,8 +219,16 @@ object HashExprs {
       }
     override def prettyName: String = "hashed_sorted_set"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+
+    def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val hs = new Array[Long](n)
       var i = 0
@@ -220,12 +252,33 @@ object HashExprs {
   }
 
   /** Intersection size of two SORTED long arrays — one merge pass, zero
-    * allocation. Union size follows as |A| + |B| - |A∩B|.
+    * allocation. Union size follows as |A| + |B| - |A∩B|. Generates its
+    * merge loop into whole-stage codegen (no interpreted boundary on the
+    * per-pair verification hot path).
     */
   case class SortedIntersectSize(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = IntegerType
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val cnt = ctx.freshName("cnt")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $cnt = 0;
+           |while ($i < $na && $j < $nb) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { $cnt++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $cnt;
+         """.stripMargin
+      })
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (left.dataType, right.dataType) match {
         case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
