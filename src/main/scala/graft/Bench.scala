@@ -28,11 +28,17 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // a failed query must NOT masquerade as a fast one: record -1
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timed {
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      var failed = false
+      val t = timed {
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed = true
+        }
       }
+      results(name) = if (failed) -1.0 else t
     }
 
     // Reference-stage benchmark at the baseline's own scale: 1M trades.

@@ -223,7 +223,7 @@ object HashExprs {
       compute(input.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+      val ref = ctx.addReferenceObj("hashedSortedSet", this, classOf[HashedSortedSet].getName)
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = $ref.compute($c);")
     }
