@@ -128,6 +128,109 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
+  /** Deterministic driver-side k-means (Lloyd) over a bounded sample — the
+    * coarse quantizer for IVF. At 100 TB you train on a sample anyway; the
+    * centroid table is tiny and broadcasts.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      sampleN: Int = 4096,
+      iters: Int = 8): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= nlist, s"need >= $nlist sample vectors")
+    val dim = sample.head.length
+    // spread initial centroids evenly through the (id-ordered) sample
+    var centroids = Array.tabulate(nlist)(i =>
+      sample((i.toLong * sample.length / nlist).toInt).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < nlist) {
+          val dd = d2(v, centroids(c)); if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Squared-L2 distances of a vector column to each centroid (array). */
+  private def centroidDists(v: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map { c =>
+      aggregate(
+        zip_with(v, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Index of the nearest centroid (IVF cell id). */
+  def ivfCell(v: Column, centroids: Array[Array[Double]]): Column =
+    (array_position(
+      centroidDists(v, centroids),
+      array_min(centroidDists(v, centroids))) - 1).cast("int")
+
+  /** IVF approximate top-k: corpus partitioned into `nlist` cells by the
+    * coarse quantizer; each query probes its `nprobe` nearest cells and
+    * re-ranks candidates by exact cosine. The classic inverted-file ANN:
+    * at scale the cell assignment is computed once and persisted
+    * (partitioned/bucketed BY cell), and a query touches nprobe/nlist of
+    * the corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleN: Int = 4096): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleN)
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("cell", ivfCell(col("vec"), centroids))
+    // nprobe nearest cells per query: sort (dist, cell) structs, take nprobe
+    val q = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qvec"))
+    val ranked = sort_array(zip_with(
+      centroidDists(col("qvec"), centroids),
+      sequence(lit(0), lit(nlist - 1)),
+      (d, i) => struct(d.as("d"), i.as("cell"))))
+    val probes = q.select(
+      col("qid"), col("qvec"),
+      explode(transform(slice(ranked, 1, nprobe), s => s.getField("cell")))
+        .as("cell"))
+    val candidates = probes.join(c, "cell")
+      .filter(col("qid") =!= col("id"))
+      .dropDuplicates("qid", "id")
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket both sides, exact cosine
     * within bucket, keep pairs above threshold. The embedding analogue of
     * Dedup.minhashNearDuplicates.

@@ -116,6 +116,32 @@ object Curation {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // IVF (inverted-file) ANN over the same queries — the other scale path
+    // next to LSH (coarse k-means quantizer + nprobe). Hash/centroid-
+    // defined -> rows-only check; recall is spec-tested.
+    "q35_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(
+          col("qid"), col("id"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs (LSH-blocked, exact-verified).
+    // This corpus has no pairs above 0.9 (max cosine is ~0.6 at sf0.1), so
+    // both engines return the empty set and the oracle is sound: LSH
+    // blocking can only restrict candidates, never add them. The found-pair
+    // path is covered by SimilaritySpec on planted data.
+    "q36_emb_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDuplicates(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.9, nbits = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Array-math profile of the embedding corpus per class label.
     "q29_emb_stats" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -222,6 +248,14 @@ object Curation {
            FROM s)
          SELECT qid, id, round(sim, 4) AS sim, rnk
          FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q36_emb_neardup" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+         ORDER BY id_a, id_b""",
     "q29_emb_stats" ->
       """SELECT label, count(*) AS n,
          round(avg(sqrt(list_sum(list_transform(

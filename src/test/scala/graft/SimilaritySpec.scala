@@ -63,6 +63,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall below 0.7")
   }
 
+  test("ivf top-k achieves high recall vs brute force on clustered data") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val queries = corpus.filter($"id" % 12 === 0 && $"id" < 60) // 5 queries
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(
+      corpus, "id", "vec", queries, "id", "vec", k))
+    val approx = topSets(Similarity.ivfTopK(
+      corpus, "id", "vec", queries, "id", "vec", k, nlist = 8, nprobe = 3))
+    val recall = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / k
+    }.sum / exact.size
+    assert(recall >= 0.8, s"ivf recall $recall below 0.8")
+  }
+
+  test("ivf centroids are deterministic") {
+    val df = (0L until 100L).map(i =>
+      (i, Seq.tabulate(4)(d => (i % 10 + d).toDouble))).toDF("id", "vec")
+    val a = Similarity.trainIvfCentroids(df, "id", "vec", 4, 100, 4)
+    val b = Similarity.trainIvfCentroids(df, "id", "vec", 4, 100, 4)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("lsh bucket is deterministic across invocations") {
     val df = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "vec")
     val b1 = Similarity.withLshBucket(df, "vec", 4, 8).select("bucket").as[Int].head()
