@@ -48,4 +48,19 @@ object Validation {
     withReason(df, rules)
       .groupBy(coalesce(col("reason"), lit("valid")).as("outcome"))
       .agg(count(lit(1)).as("n"))
+
+  /** Attach observed metrics (`n_total`, `n_valid`, `n_rejected`) to the
+    * frame — the reference's live valid/rejected counters (reference
+    * src/tools/websocket_demo.cpp:108-125) as zero-cost piggyback metrics:
+    * no extra pass, values surface per action (batch:
+    * qe.observedMetrics) / per micro-batch (StreamingQueryListener).
+    */
+  def observed(df: DataFrame, rules: Seq[Rule], name: String = "validation"): DataFrame = {
+    val reason = reasonColumn(rules)
+    df.observe(
+      name,
+      count(lit(1)).as("n_total"),
+      count(when(reason.isNull, 1)).as("n_valid"),
+      count(when(reason.isNotNull, 1)).as("n_rejected"))
+  }
 }

@@ -198,6 +198,19 @@ object Relational {
           col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
         .orderBy(col("o_orderpriority"))),
 
+    // CUBE grouping sets (all four combinations of the two keys).
+    "q37_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec(col("o_totalprice"))), 2).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))),
+
     // Distinct aggregation (expand + two-phase agg under the hood).
     "q11_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
@@ -308,6 +321,13 @@ object Relational {
          count(DISTINCT l_suppkey) AS n_supps,
          count(DISTINCT (l_partkey, l_suppkey)) AS n_pairs
          FROM lineitem""",
+    "q37_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
     "q12_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
          coalesce(l_linestatus, 'ALL') AS status,

@@ -91,6 +91,16 @@ class ValidationSpec extends SparkSpec {
     assert(defaults === ("N", "M"))
   }
 
+  test("observed metrics piggyback on the action without an extra pass") {
+    val df = Seq(trade(1), trade(2), trade(3, price = -1)).toDF()
+    val obs = Validation.observed(df, TradeRules.rules)
+    obs.collect()
+    val metrics = obs.queryExecution.observedMetrics("validation")
+    assert(metrics.getAs[Long]("n_total") === 3L)
+    assert(metrics.getAs[Long]("n_valid") === 2L)
+    assert(metrics.getAs[Long]("n_rejected") === 1L)
+  }
+
   test("report aggregates per-reason counts plus valid bucket") {
     val df: DataFrame = Seq(
       trade(1), trade(2), trade(3, price = -1), trade(4, volume = 0),
