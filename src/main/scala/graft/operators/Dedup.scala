@@ -228,13 +228,19 @@ object Dedup {
       // integer up, which would shorten the prefix and lose recall
       .filter(col("rn") <=
         col("n") - ceil(col("n") * c - 1e-9) + 1)
-      .select((bcols :+ col("id") :+ col("tk")): _*)
+      .select((bcols :+ col("id") :+ col("n") :+ col("tk")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = prefix.toDF((blockCols :+ "id_a" :+ "tk"): _*)
-      .join(prefix.toDF((blockCols :+ "id_b" :+ "tk"): _*),
+    // length filter (PPJoin): J(A,B) >= t forces |A∩B| >= t·|A∪B|, and with
+    // |A∩B| <= min, |A∪B| >= max this gives min(|A|,|B|) >= t·max(|A|,|B|);
+    // pairs violating it are pruned BEFORE the pair-dedup shuffle and the
+    // verification joins (same 1e-9 guard as the prefix bound)
+    val candidates = prefix.toDF((blockCols :+ "id_a" :+ "n_a" :+ "tk"): _*)
+      .join(prefix.toDF((blockCols :+ "id_b" :+ "n_b" :+ "tk"): _*),
         blockCols :+ "tk")
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * threshold - 1e-9)
       .select((bcols :+ col("id_a") :+ col("id_b")): _*)
       .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
 
