@@ -46,7 +46,22 @@ object Bench {
     // the whole pipeline would run single-threaded; split small so the
     // stage bench actually uses the cores (a cluster-scale input makes its
     // own parallelism; this knob only matters when input < split size).
+    //
+    // Each stage reports TWO numbers: `etl1m_<stage>` is steady-state
+    // throughput (min of 3 repeat runs over the same persisted input) and
+    // `etl1m_<stage>_cold` is the first run, which additionally pays
+    // Catalyst analysis + whole-stage-codegen compilation + JVM JIT — a
+    // fixed per-plan cost (~0.5-1 s) that does not grow with input size and
+    // is amortized to nothing at cluster scale. The reference's stage
+    // numbers are AOT-compiled C++ loops over already-materialized vectors
+    // (reference README.md:15-19), so steady-state is the apples-to-apples
+    // throughput comparison; the cold number is reported alongside for
+    // transparency. Profiling evidence: graft.tools.ProfileStages.
     spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+    def staged(name: String)(body: => Unit): Unit = {
+      results(s"${name}_cold") = timed(body)
+      results(name) = (1 to 3).map(_ => timed(body)).min
+    }
     try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
       val csvDir = s"$tmp/trades_csv"
@@ -54,10 +69,7 @@ object Bench {
         graft.sources.TradeCsv.write(
           graft.sources.TradeGenerator.generate(spark, 1000000L), csvDir)
       }
-      // each stage timed over an already-cached input, without paying its
-      // own cache materialization inside the timing (the reference times
-      // pure compute over in-memory vectors)
-      results("etl1m_parse") = timed {
+      staged("etl1m_parse") {
         graft.sources.TradeCsv.read(spark, csvDir).count()
       }
       val parsed = graft.sources.TradeCsv.read(spark, csvDir)
@@ -65,30 +77,36 @@ object Bench {
       parsed.count() // warm, untimed
       val validQ = graft.operators.Validation
         .split(parsed, graft.operators.TradeRules.rules).valid
-      results("etl1m_validate") = timed { validQ.count() }
+      staged("etl1m_validate") { validQ.count() }
       val valid = validQ.persist(StorageLevel.MEMORY_AND_DISK)
       valid.count() // warm, untimed
-      results("etl1m_indicators") = timed {
-        graft.operators.Indicators.summary(
-          valid, Seq("symbol"), "price", Some("volume"),
-          Seq("timestamp", "trade_id"), period = 5).count()
-      }
-      results("etl1m_indicators_singlepass") = timed {
+      // headline indicators strategy = the single-pass bounded-state
+      // aggregator (what BatchEtl.run uses); window/tail variants reported
+      staged("etl1m_indicators") {
         graft.operators.IndicatorAggregator.summary(
           valid, "symbol", "price", Some("volume"),
           "timestamp", "trade_id", period = 5).count()
       }
-      results("etl1m_indicators_tail") = timed {
+      staged("etl1m_indicators_window") {
+        graft.operators.Indicators.summary(
+          valid, Seq("symbol"), "price", Some("volume"),
+          Seq("timestamp", "trade_id"), period = 5).count()
+      }
+      staged("etl1m_indicators_tail") {
         graft.operators.Indicators.summaryTail(
           valid, Seq("symbol"), "price", Some("volume"),
           Seq("timestamp", "trade_id"), period = 5).count()
       }
-      results("etl1m_parquet_sink") = timed {
+      staged("etl1m_parquet_sink") {
         valid.write.mode("overwrite").parquet(s"$tmp/trades_out.parquet")
       }
+      def stage(k: String) = results(k)
       results("etl1m_total") =
-        results("etl1m_parse") + results("etl1m_validate") +
-          results("etl1m_indicators_tail") + results("etl1m_parquet_sink")
+        stage("etl1m_parse") + stage("etl1m_validate") +
+          stage("etl1m_indicators") + stage("etl1m_parquet_sink")
+      results("etl1m_total_cold") =
+        stage("etl1m_parse_cold") + stage("etl1m_validate_cold") +
+          stage("etl1m_indicators_cold") + stage("etl1m_parquet_sink_cold")
       parsed.unpersist(); valid.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] etl1m stage bench failed: ${e.getMessage}")

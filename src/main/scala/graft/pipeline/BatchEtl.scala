@@ -3,10 +3,10 @@ package graft.pipeline
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 
-import graft.operators.{Indicators, TradeRules, Validation}
+import graft.operators.{IndicatorAggregator, Indicators, TradeRules, Validation}
 import graft.sinks.Sinks
 import graft.sources.TradeCsv
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's 6-stage batch ETL re-expressed as one lazy Spark plan
@@ -44,34 +44,52 @@ object BatchEtl {
       nowMs: Long = System.currentTimeMillis()): Result = {
 
     // Stage 1-2: extract + validate (one codegen'd projection + filter).
+    // Dead-letter counts ride the trades-write job as observed metrics
+    // (the reference logs each reject + totals, reference
+    // src/validator/TradeValidator.hpp:198-237): no separate counting scan —
+    // one pass reads, flags, counts, and writes.
+    val rules = TradeRules.rules
     val trades = TradeCsv.read(spark, csvPath)
-    val split = Validation.split(trades, TradeRules.rules)
-
-    // Dead-letter counts (the reference logs each reject + totals,
-    // reference src/validator/TradeValidator.hpp:198-237).
-    val rejects = split.rejected.groupBy(col("reason")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val obs = Observation("validation")
+    val flagged = Validation.withReason(trades, rules).observe(
+      obs,
+      count(lit(1)).as("n_total"),
+      rules.map(r =>
+        count(when(col("reason") === r.reason, 1)).as(r.reason)): _*)
+    val valid = flagged.filter(col("reason").isNull).drop("reason")
 
     // Stage 3: indicators at batch stamp (single stamp per run, NOT
     // per-row current_timestamp — reference DatabaseLoader.cpp:314-316).
-    // summaryTail: only the last period+1 rows per symbol shuffle.
-    val indicators = Indicators.summaryTail(
-        split.valid,
-        groupCols = Seq("symbol"),
+    // Single-pass bounded-state aggregation: each map task ships one
+    // ~period-sized buffer per symbol, no window sort (see
+    // IndicatorAggregator scaladoc; the window/tail forms remain available
+    // when per-row indicator columns are needed).
+    val indicators = IndicatorAggregator.summary(
+        valid,
+        groupCol = "symbol",
         priceCol = "price",
         volumeCol = Some("volume"),
-        orderBy = Seq("timestamp", "trade_id"),
+        tsCol = "timestamp",
+        idCol = "trade_id",
         period = period)
       .withColumn("computed_at", lit(nowMs * 1000000L))
 
     // Stage 5-6: concurrent independent sinks.
     implicit val ec: ExecutionContext = ExecutionContext.global
     val fTrades = Future(
-      Sinks.writeParquet(split.valid, outDir, "trades", nowMs))
+      Sinks.writeParquet(valid, outDir, "trades", nowMs))
     val fInd = Future(
       Sinks.writeParquet(indicators, outDir, "indicators", nowMs))
     val tradesPath = Await.result(fTrades, Duration.Inf)
     val indicatorsPath = Await.result(fInd, Duration.Inf)
+
+    // metrics materialized by the sink jobs above (either write triggers
+    // them; get blocks on the first completed action over `flagged`)
+    val metrics = obs.get
+    val rejects = rules.map(_.reason)
+      .map(r => r -> metrics(r).asInstanceOf[Long])
+      .filter(_._2 > 0)
+      .toMap
 
     val validCount = spark.read.parquet(tradesPath).count()
     val indicatorRows = spark.read.parquet(indicatorsPath).count()
