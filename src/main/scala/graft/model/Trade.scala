@@ -36,6 +36,15 @@ object Trade {
   /** CSV wire order (reference src/parser/CsvParser.cpp:167):
     * trade_id,order_id,timestamp,symbol,price,volume,side,type,is_pro —
     * note `exchange` is absent from the wire format.
+    *
+    * `is_pro` is a STRING at the wire level, not a boolean: the reference
+    * writes it as 0/1 (reference src/generator/DataGenerator.hpp:207) and
+    * parses it with an integer from_chars, while our own older CSVs spell
+    * true/false. Spark's CSV boolean parser only accepts true/false, so a
+    * BooleanType field would silently null out the reference's `1` and the
+    * defaulting pass would coalesce it to false — losing every
+    * institutional flag. We read the raw token and map it in
+    * [[graft.sources.TradeCsv.defaulted]] instead.
     */
   val csvSchema: StructType = StructType(Seq(
     StructField("trade_id", LongType, nullable = true),
@@ -46,7 +55,7 @@ object Trade {
     StructField("volume", IntegerType, nullable = true),
     StructField("side", StringType, nullable = true),
     StructField("type", StringType, nullable = true),
-    StructField("is_pro", BooleanType, nullable = true)))
+    StructField("is_pro", StringType, nullable = true)))
 
   /** Full in-engine schema (csv columns + exchange). */
   val schema: StructType = StructType(Seq(

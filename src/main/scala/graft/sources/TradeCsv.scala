@@ -26,10 +26,15 @@ object TradeCsv {
   val wireColumns: Seq[String] = Trade.csvSchema.fieldNames.toSeq
 
   /** Write trades in the wire format (for interchange with the reference's
-    * own CSV tooling).
+    * own CSV tooling). `is_pro` goes out as 0/1, the reference's spelling
+    * (reference src/generator/DataGenerator.hpp:207): its integer from_chars
+    * would read a literal "true" as 0, dropping the flag.
     */
   def write(trades: DataFrame, path: String): Unit =
-    trades.select(wireColumns.map(col): _*)
+    trades.select(wireColumns.map {
+      case "is_pro" => when(col("is_pro"), lit(1)).otherwise(lit(0)).as("is_pro")
+      case c        => col(c)
+    }: _*)
       .write.mode("overwrite").option("header", "true").csv(path)
 
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -58,6 +63,10 @@ object TradeCsv {
       lit("").as("exchange"),
       charDefault("side", "N").as("side"),
       charDefault("type", "M").as("type"),
-      coalesce(col("is_pro"), lit(false)).as("is_pro"))
+      // wire token -> boolean: the reference writes 0/1; legacy engine CSVs
+      // wrote true/false. Accept both spellings of truth; everything else
+      // (null, "0", "false", malformed) is the zero-default, false.
+      coalesce(lower(trim(col("is_pro"))).isin("1", "true"), lit(false))
+        .as("is_pro"))
   }
 }

@@ -91,6 +91,39 @@ class ValidationSpec extends SparkSpec {
     assert(defaults === ("N", "M"))
   }
 
+  test("is_pro wire format: reads reference 0/1 and legacy true/false, writes 0/1") {
+    // The reference writes is_pro as 0/1 (reference DataGenerator.hpp:207)
+    // and parses it with an integer from_chars; Spark's boolean CSV parser
+    // only accepts true/false. Both spellings must parse, and our writer
+    // must emit the reference's 0/1 so its tooling round-trips the flag.
+    val csv = Seq(
+      "trade_id,order_id,timestamp,symbol,price,volume,side,type,is_pro",
+      "1,1,100,ABC,5.0,10,B,M,1",
+      "2,2,100,ABC,5.0,10,B,M,0",
+      "3,3,100,ABC,5.0,10,B,M,true",
+      "4,4,100,ABC,5.0,10,B,M,false",
+      "5,5,100,ABC,5.0,10,B,M,garbage",
+      "6,6,100,ABC,5.0,10,B,M,"
+    ).mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ispro")
+    java.nio.file.Files.writeString(dir.resolve("t.csv"), csv)
+    val parsed = TradeCsv.read(spark, dir.toString)
+    val flags = parsed.select("trade_id", "is_pro")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false))
+
+    // writer emits 0/1 tokens and the round trip preserves every flag
+    val outDir = dir.resolve("out").toString
+    TradeCsv.write(parsed, outDir)
+    val rawTokens = spark.read.option("header", "true").csv(outDir)
+      .select("is_pro").as[String].collect().toSet
+    assert(rawTokens === Set("0", "1"))
+    val back = TradeCsv.read(spark, outDir)
+      .select("trade_id", "is_pro").as[(Long, Boolean)].collect().toMap
+    assert(back === flags)
+  }
+
   test("observed metrics piggyback on the action without an extra pass") {
     val df = Seq(trade(1), trade(2), trade(3, price = -1)).toDF()
     val obs = Validation.observed(df, TradeRules.rules)
