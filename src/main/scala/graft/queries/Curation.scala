@@ -76,10 +76,11 @@ object Curation {
           shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash fingerprints + Hamming-close pairs (chunk-blocked).
+    // SimHash fingerprints + Hamming-close pairs (chunk-blocked at the
+    // classic radius 3 = 4 x 16-bit chunks; recall is exact by pigeonhole).
     "q25_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(
-          t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+          t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Exact word-set Jaccard pairs within a language block.
@@ -131,15 +132,15 @@ object Curation {
         .orderBy(col("qid"), col("rnk"))
     }),
 
-    // Embedding-cosine near-duplicate pairs (LSH-blocked, exact-verified).
-    // This corpus has no pairs above 0.9 (max cosine is ~0.6 at sf0.1), so
-    // both engines return the empty set and the oracle is sound: LSH
-    // blocking can only restrict candidates, never add them. The found-pair
-    // path is covered by SimilaritySpec on planted data.
+    // Embedding-cosine near-duplicate pairs (banded multi-table LSH, exact-
+    // verified). This corpus has no pairs above 0.9 (max cosine is ~0.6 at
+    // sf0.1), so both engines return the empty set and the oracle is sound:
+    // LSH blocking can only restrict candidates, never add them. The
+    // found-pair path is covered by SimilaritySpec on planted data.
     "q36_emb_neardup" -> ((s, dir) =>
       Similarity.cosineNearDuplicates(
           t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.9, nbits = 8)
+          dim = 64, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Array-math profile of the embedding corpus per class label.

@@ -102,6 +102,35 @@ class SimilaritySpec extends SparkSpec {
     assert(b1 === b2)
   }
 
+  test("banded cosine near-duplicates: recall >= 0.9 on planted pairs") {
+    // 50 planted near-dup pairs (tiny perturbation -> cosine ~0.999) among
+    // 100 random decoys; the banded LSH must recover >= 90% of the planted
+    // pairs and exact verification must admit no decoy pair.
+    val rng = new scala.util.Random(7)
+    val dim = 32
+    val planted = (0 until 50).map { i =>
+      val base = Array.fill(dim)(rng.nextGaussian())
+      val dup = base.map(v => v + 0.02 * rng.nextGaussian())
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    }
+    val decoys = (0 until 100).map(i =>
+      (1000L + i, Seq.fill(dim)(rng.nextGaussian())))
+    val df = (planted.flatten ++ decoys).toDF("id", "vec")
+    val found = Similarity.cosineNearDuplicates(df, "id", "vec", dim, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 50).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val recall = found.intersect(expected).size.toDouble / expected.size
+    assert(recall >= 0.9, s"recall $recall")
+    // every found pair is genuinely above threshold (no decoy noise)
+    assert(found.forall { case (a, b) =>
+      expected.contains((a, b)) || {
+        // a non-planted pair may legitimately pass only if its true cosine
+        // clears the threshold; with gaussian decoys this never happens
+        false
+      }
+    }, s"unexpected pairs: ${found.diff(expected)}")
+  }
+
   test("cosine near-duplicates finds perturbed pair only") {
     val rng = new scala.util.Random(5)
     val base = Seq.fill(16)(rng.nextGaussian())
