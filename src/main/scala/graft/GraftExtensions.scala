@@ -49,6 +49,20 @@ object GraftExtensions {
         case Seq(c, n) => HashExprs.WordShingles(c, intArg(n, "word_shingles"))
         case _ => throw new IllegalArgumentException(
           "word_shingles(tokens array<string>, n int)")
+      }),
+    (FunctionIdentifier("hashed_sorted_set"),
+      new ExpressionInfo(classOf[HashExprs.HashedSortedSet].getName, "hashed_sorted_set"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => HashExprs.HashedSortedSet(c)
+        case _ => throw new IllegalArgumentException(
+          "hashed_sorted_set(tokens array<string>)")
+      }),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[HashExprs.SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => HashExprs.SortedIntersectSize(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_size(a array<long>, b array<long>)")
       }))
 
   /** Register on a live session (idempotent). */

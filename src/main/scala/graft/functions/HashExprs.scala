@@ -65,9 +65,14 @@ object HashExprs {
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val hs = new Array[Long](n)
+      var cnt = 0 // null elements are skipped (matches WordShingles)
       var i = 0
       while (i < n) {
-        hs(i) = Math.floorMod(XXH64.hashUTF8String(arr.getUTF8String(i), 42L), p)
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          hs(cnt) = Math.floorMod(XXH64.hashUTF8String(s, 42L), p)
+          cnt += 1
+        }
         i += 1
       }
       val sig = new Array[Long](numHashes)
@@ -76,7 +81,7 @@ object HashExprs {
         val a = as(k); val b = bs(k)
         var m = p // sentinel for empty sets; real values are < p
         i = 0
-        while (i < n) {
+        while (i < cnt) {
           val v = Math.floorMod(a * hs(i) + b, p)
           if (v < m) m = v
           i += 1
@@ -122,11 +127,14 @@ object HashExprs {
       val votes = new Array[Int](64)
       var i = 0
       while (i < n) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
+        val s = arr.getUTF8String(i)
+        if (s != null) { // null elements are skipped (matches WordShingles)
+          val h = XXH64.hashUTF8String(s, 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
         }
         i += 1
       }
@@ -231,16 +239,21 @@ object HashExprs {
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val hs = new Array[Long](n)
+      var cnt = 0 // null elements are skipped (matches WordShingles)
       var i = 0
       while (i < n) {
-        hs(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L) >>> 3
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          hs(cnt) = XXH64.hashUTF8String(s, 42L) >>> 3
+          cnt += 1
+        }
         i += 1
       }
-      java.util.Arrays.sort(hs)
+      java.util.Arrays.sort(hs, 0, cnt)
       // dedup in place (input may carry duplicates)
       var w = 0
       i = 0
-      while (i < n) {
+      while (i < cnt) {
         if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
         i += 1
       }

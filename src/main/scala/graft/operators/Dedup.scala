@@ -137,24 +137,41 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate candidates: block on the 4 16-bit chunks of the
-    * fingerprint (two docs within Hamming distance 3 share at least one
-    * chunk — pigeonhole), verify with exact Hamming distance.
+  /** SimHash near-duplicate candidates via chunk blocking, verified with
+    * exact Hamming distance. The fingerprint is split into `maxHamming + 1`
+    * contiguous bit chunks: two fingerprints within Hamming distance
+    * maxHamming differ in at most maxHamming chunks, so they AGREE on at
+    * least one (pigeonhole) — blocking on chunk equality has exact recall
+    * for the requested radius, whatever it is. The default radius 3 gives
+    * the classic 4 x 16-bit layout.
+    *
+    * Scale note: recall is exact for any maxHamming <= 63, but each extra
+    * chunk is narrower — at maxHamming = 15 the chunks are 4-bit and a
+    * random pair collides in some chunk with high probability, so candidate
+    * generation degenerates toward all-pairs. Radii above ~6 (9+ bit chunks)
+    * trade blocking power for radius; prefer MinHash/Jaccard for loose
+    * similarity.
     */
   def simhashNearDuplicates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkKeys = array(offsets.zip(widths).map { case (off, w) =>
+      val masked =
+        if (w >= 64) col("fp")
+        else shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1))
+      masked
+    }: _*)
     val docs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
     val chunked = docs.select(
       col("id"), col("fp"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(3)),
-          c => call_function("shiftright", col("fp"), c.cast("int") * 16)
-            .bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("chunk", "ckey")))
+      posexplode(chunkKeys).as(Seq("chunk", "ckey")))
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "ckey"))

@@ -56,6 +56,11 @@ object Skew {
     * only when right is small-ish but above the broadcast threshold, or
     * when AQE skew splitting is unavailable (e.g. inside a co-partitioned
     * stage you want to preserve).
+    *
+    * Only inner and left joins are semantics-preserving: the right side is
+    * exploded once per salt value, so a right/full outer join would emit an
+    * unmatched right row `saltBuckets` times. Left-semi/anti are also safe
+    * (right multiplicity is irrelevant to them).
     */
   def saltedJoin(
       left: DataFrame,
@@ -63,6 +68,12 @@ object Skew {
       keyCols: Seq[String],
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "").replace(" ", "")
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")(jt),
+      s"saltedJoin preserves semantics only for inner/left/semi/anti joins; " +
+        s"a right or full outer join would duplicate unmatched right rows " +
+        s"once per salt bucket (got '$joinType')")
     val l = left.withColumn(
       "__salt", pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(saltBuckets.toLong)))

@@ -79,6 +79,48 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("simhash chunk blocking has exact recall at radius > 3") {
+    // maxHamming+1 chunks guarantee every pair within the radius shares a
+    // chunk (pigeonhole) — under the old fixed 4x16 layout, pairs at
+    // distance 4..8 whose differing bits touch all four chunks were
+    // silently dropped. Compare against brute-force Hamming on small N.
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val rng = new scala.util.Random(11)
+    val corpus = (0 until 60).map { i =>
+      val toks = Seq.fill(12)(vocab(rng.nextInt(vocab.length)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val radius = 8
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= radius
+    } yield (a, b)).toSet
+    val found = Dedup.simhashNearDuplicates(df, "doc_id", "text", maxHamming = radius)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain pairs within the radius")
+    assert(found === expected)
+  }
+
+  test("hash sketches skip null array elements instead of throwing") {
+    GraftExtensions.register(spark)
+    val withNull = spark.sql(
+      """SELECT minhash_sig(array('a', NULL, 'b'), 8) AS sig,
+        |       simhash64(array('a', NULL, 'b')) AS fp,
+        |       hashed_sorted_set(array('a', NULL, 'b')) AS hs""".stripMargin)
+      .collect().head
+    val noNull = spark.sql(
+      """SELECT minhash_sig(array('a', 'b'), 8) AS sig,
+        |       simhash64(array('a', 'b')) AS fp,
+        |       hashed_sorted_set(array('a', 'b')) AS hs""".stripMargin)
+      .collect().head
+    assert(withNull.getSeq[Long](0) === noNull.getSeq[Long](0))
+    assert(withNull.getLong(1) === noNull.getLong(1))
+    assert(withNull.getSeq[Long](2) === noNull.getSeq[Long](2))
+  }
+
   test("jaccardPairs computes exact token-set jaccard within block") {
     val a = "x y z"
     val b = "x y w" // jaccard = 2/4 = 0.5

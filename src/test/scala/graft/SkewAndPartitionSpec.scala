@@ -34,6 +34,24 @@ class SkewAndPartitionSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join rejects right/full outer joins, allows left-family") {
+    val dims = Seq(("HOT", 1)).toDF("k", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dims, Seq("k"), 8, joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("salt bucket"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dims, Seq("k"), 8, joinType = "full")
+    }
+    // left outer keeps every left row exactly once
+    val leftOut = Skew.saltedJoin(skewed, dims, Seq("k"), 8, "left_outer")
+    assert(leftOut.count() === 10000)
+    // semi: right multiplicity is irrelevant -> same as unsalted semi
+    val semi = Skew.saltedJoin(skewed, dims, Seq("k"), 8, "left_semi")
+    assert(semi.count() ===
+      skewed.join(dims, Seq("k"), "left_semi").count())
+  }
+
   test("partitioned layout prunes directories in the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val events = (1 to 1000).map(i =>
