@@ -143,6 +143,83 @@ object Curation {
           dim = 64, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- gate-visible checks for the hash-defined operators ----
+    // The hash-defined queries (q24/q25/q28/q35) cannot be replicated by a
+    // SQL oracle — no engine-independent definition of xxhash64 banding or
+    // k-means cells exists in DuckDB. What IS oracle-checkable is each
+    // operator's by-construction guarantee, emitted as an empty-set
+    // difference query (the q36 pattern): the oracle pins the expected
+    // empty relation, and any soundness bug in the pipeline (bad banding
+    // join, wrong verification, corrupted similarity) makes the Spark side
+    // non-empty and fails the gate. Recall (the hash-dependent direction)
+    // stays spec-tested on planted/clustered data where it is meaningful.
+
+    // q24's guarantee: every verified MinHash pair IS an exact-Jaccard pair
+    // at the same shingle size and threshold. Exact side = the PPJoin
+    // (itself oracle-verified by q26 in blocked form), here unblocked.
+    "q38_minhash_sound" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lsh = Dedup.minhashNearDuplicates(
+          d, "doc_id", "text",
+          shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      val exact = Dedup.jaccardPairs(
+          d, "doc_id", "text",
+          blockCols = Seq(), shingleSize = 2, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      lsh.except(exact).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q25's guarantee is two-sided (pigeonhole blocking has EXACT recall
+    // for the radius): chunk-blocked pairs == brute-force Hamming pairs.
+    // Symmetric difference must be empty. The brute side is the O(N^2)
+    // diagnostic over 64-bit fingerprints only — fine at gate scales
+    // (5k docs = 12.5M long comparisons), never the production path.
+    "q39_simhash_complete" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val found = Dedup.simhashNearDuplicates(d, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val fps = d.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("fp"))
+      val brute = fps.toDF("id_a", "fp_a")
+        .join(fps.toDF("id_b", "fp_b"), col("id_a") < col("id_b"))
+        .filter(Dedup.hamming64(col("fp_a"), col("fp_b")) <= 3)
+        .select(col("id_a"), col("id_b"))
+      found.except(brute).union(brute.except(found))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q28's guarantee: every LSH ANN hit is a real (query, corpus) pair
+    // whose reported similarity equals the exact cosine — i.e. the output
+    // is contained in the full brute-force similarity relation.
+    "q40_ann_lsh_sound" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val lsh = Similarity.lshTopK(
+          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+          dim = 64, k = 10, nbits = 8)
+        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
+      val all = Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+          k = Int.MaxValue)
+        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
+      lsh.except(all).orderBy(col("qid"), col("id"))
+    }),
+
+    // q35's guarantee, same containment form for the IVF path.
+    "q41_ann_ivf_sound" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val ivf = Similarity.ivfTopK(
+          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
+      val all = Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+          k = Int.MaxValue)
+        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
+      ivf.except(all).orderBy(col("qid"), col("id"))
+    }),
+
     // Array-math profile of the embedding corpus per class label.
     "q29_emb_stats" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -266,6 +343,24 @@ object Curation {
       """SELECT source,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          count(*) AS n
-         FROM documents GROUP BY source ORDER BY source"""
+         FROM documents GROUP BY source ORDER BY source""",
+    // The gate checks for the hash-defined operators pin the expected
+    // EMPTY relation: the Spark side emits the by-construction-impossible
+    // rows (see the q38-q41 definitions), so any soundness bug surfaces as
+    // a row/hash mismatch against these.
+    "q38_minhash_sound" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+         WHERE false""",
+    "q39_simhash_complete" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+         WHERE false""",
+    "q40_ann_lsh_sound" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS id,
+         CAST(NULL AS DOUBLE) AS sim
+         WHERE false""",
+    "q41_ann_ivf_sound" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS id,
+         CAST(NULL AS DOUBLE) AS sim
+         WHERE false"""
   )
 }
