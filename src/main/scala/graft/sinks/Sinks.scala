@@ -74,9 +74,9 @@ object Sinks {
     * operational utility, not a dataflow operator, so it runs driver-side on
     * a single extra connection.
     *
-    * Untestable in this container (no database); the shape is kept separate
-    * and tiny so the write path itself is exercised by substituting any
-    * JDBC-compatible target.
+    * Exercised end-to-end by JdbcSinkSpec against embedded Derby (the JDBC
+    * engine Spark ships for its metastore): pre/post DDL, the 4-connection
+    * parallel load, truncate mode, and a read-back round trip.
     */
   final case class JdbcTarget(url: String, table: String,
       properties: java.util.Properties)
