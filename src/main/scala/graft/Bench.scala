@@ -30,15 +30,22 @@ object Bench {
 
     // a failed query must NOT masquerade as a fast one: record -1
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var failures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       var failed = false
       val t = timed {
         try fn(spark, sfDir).count() catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed = true
+          failed = true; failures += 1
         }
       }
       results(name) = if (failed) -1.0 else t
+      // queries are independent: drop every cache the query's operators
+      // persisted (minhash/jaccard/cosine dedup frames etc.) so 41 queries
+      // don't accumulate cached RDDs and each query pays its own cost —
+      // otherwise late-alphabet queries run under eviction/GC pressure from
+      // earlier ones' leftovers.
+      spark.sharedState.cacheManager.clearCache()
     }
 
     // Reference-stage benchmark at the baseline's own scale: 1M trades.
@@ -122,7 +129,9 @@ object Bench {
       case (k, v) if !k.startsWith("etl1m_") && v >= 0 => v
     }.sum
     val stageTotal = results.getOrElse("etl1m_total", -1.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","etl1m_total":$stageTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // failures is load-bearing: the -1 sentinels are excluded from the sum,
+    // so without it a degraded run would read as a speedup.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"etl1m_total":$stageTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,250 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for dense-vector math (embedding similarity).
+  *
+  * Why custom expressions (same seam as [[HashExprs]]): the higher-order-
+  * function formulation of a hyperplane sketch builds one
+  * `aggregate(zip_with(v, lit(plane)))` subtree PER PLANE — at 8 bands x 16
+  * bits x 64 dims that is a ~16,000-node expression whose Catalyst analysis
+  * and codegen dominate the query (measured: more bits made the whole query
+  * SLOWER on a 2,000-vector corpus, purely from plan-compile time). A single
+  * expression holding the plane/centroid matrix runs the whole matrix-vector
+  * loop in one compiled method: the tree is one node, analysis is O(1), and
+  * eval touches each vector element once per plane.
+  *
+  * Null semantics: any null element inside an input array nulls the result
+  * (mirrors `aggregate(zip_with(...))`, where a null product nulls the sum).
+  */
+object VecExprs {
+
+  private def requireDoubleArray(name: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<double>, got $other")
+    }
+
+  /** Reads an array<double> into a primitive array; null if any element null. */
+  private def toVec(arr: ArrayData): Array[Double] = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      out(i) = arr.getDouble(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two array<double> columns: dot / (|a| * |b|), IEEE
+    * double semantics throughout (same left-to-right accumulation order as
+    * the aggregate/zip_with form, so results are bit-identical to it).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (requireDoubleArray(prettyName, left.dataType),
+        requireDoubleArray(prettyName, right.dataType)) match {
+        case (TypeCheckResult.TypeCheckSuccess, r) => r
+        case (l, _) => l
+      }
+    override def prettyName: String = "cosine_sim"
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toVec(l.asInstanceOf[ArrayData])
+      val b = toVec(r.asInstanceOf[ArrayData])
+      // zip_with pads the shorter side with null, which nulls the whole sum
+      if (a == null || b == null || a.length != b.length) return null
+      val n = a.length
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); i += 1 }
+      i = 0
+      while (i < n) { na += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < n) { nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.nullSafeEval($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Banded random-hyperplane LSH keys of an array<double> vector:
+    * output(b) = Σ_{j < bitsPerBand} (v · plane_{b*bitsPerBand+j} > 0 ? 1L << j : 0)
+    * for b in [0, bands). The planes derive deterministically from
+    * (dim, bands*bitsPerBand, seed) via the same Gaussian stream on every
+    * executor — no literals in the plan, no RNG state shipped.
+    *
+    * With bands = 1 this is the classic single-table sign bucket (bit i =
+    * sign(v · plane_i) at weight 2^i), numerically identical to the previous
+    * shiftleft/when formulation.
+    */
+  case class HyperplaneBandKeys(
+      child: Expression, dim: Int, bands: Int, bitsPerBand: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireDoubleArray(prettyName, child.dataType)
+    override def prettyName: String = "hyperplane_band_keys"
+    override def nullable: Boolean = true
+
+    // row-major (plane, dim) Gaussian matrix, same fill order as
+    // Array.fill(nbits, dim)(rng.nextGaussian()) so buckets match the
+    // previous formulation bit for bit.
+    @transient private lazy val planes: Array[Double] = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(bands * bitsPerBand * dim)(rng.nextGaussian())
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(arr: ArrayData): ArrayData = {
+      val v = toVec(arr)
+      if (v == null) return null
+      val d = math.min(v.length, dim)
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var key = 0L
+        var j = 0
+        while (j < bitsPerBand) {
+          val base = ((b * bitsPerBand) + j) * dim
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += v(i) * planes(base + i); i += 1 }
+          if (dot > 0) key |= (1L << j)
+          j += 1
+        }
+        keys(b) = key
+        b += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj(
+        "hyperplaneBandKeys", this, classOf[HyperplaneBandKeys].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = $ref.compute($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
+      copy(child = newChild)
+  }
+
+  /** The `nprobe` nearest centroids of an array<double> vector by squared
+    * L2, as an array<int> of cell ids ordered by (distance, cell id) — ties
+    * break toward the smaller cell, matching sort_array over (d, cell)
+    * structs. nprobe = 1 is the IVF cell assignment itself.
+    *
+    * The trained centroid matrix rides in the expression (driver-trained,
+    * tiny: nlist x dim doubles) — broadcast with the plan, one node in the
+    * tree, no literal arrays for Catalyst to analyze.
+    */
+  case class NearestCentroids(
+      child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireDoubleArray(prettyName, child.dataType)
+    override def prettyName: String = "nearest_centroids"
+    override def nullable: Boolean = true
+
+    @transient private lazy val cents: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    private val k = math.min(nprobe, centroids.size)
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(arr: ArrayData): ArrayData = {
+      val v = toVec(arr)
+      if (v == null) return null
+      val nlist = cents.length
+      val d2 = new Array[Double](nlist)
+      var c = 0
+      while (c < nlist) {
+        val cent = cents(c)
+        val n = math.min(v.length, cent.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+        d2(c) = s
+        c += 1
+      }
+      // selection of the k smallest by (dist, id): k and nlist are tiny
+      // (<= dozens), a simple partial selection sort is optimal here
+      val idx = Array.tabulate(nlist)(identity)
+      var out = 0
+      while (out < k) {
+        var best = out
+        var j = out + 1
+        while (j < nlist) {
+          val a = idx(j); val b = idx(best)
+          if (d2(a) < d2(b) || (d2(a) == d2(b) && a < b)) best = j
+          j += 1
+        }
+        val t = idx(out); idx(out) = idx(best); idx(best) = t
+        out += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(idx, k).map(i => i: Any))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj(
+        "nearestCentroids", this, classOf[NearestCentroids].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = $ref.compute($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+      copy(child = newChild)
+  }
+
+  // Column-level API
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hyperplaneBandKeys(
+      vec: Column, dim: Int, bands: Int, bitsPerBand: Int, seed: Long): Column =
+    ColumnBridge.column(HyperplaneBandKeys(
+      ColumnBridge.expression(vec), dim, bands, bitsPerBand, seed))
+
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCentroids(
+      ColumnBridge.expression(vec), centroids, nprobe))
+}

@@ -38,7 +38,7 @@ object Trade {
     * note `exchange` is absent from the wire format.
     *
     * `is_pro` is a STRING at the wire level, not a boolean: the reference
-    * writes it as 0/1 (reference src/generator/DataGenerator.hpp:207) and
+    * writes it as 0/1 (reference src/tools/DataGenerator.hpp:207) and
     * parses it with an integer from_chars, while our own older CSVs spell
     * true/false. Spark's CSV boolean parser only accepts true/false, so a
     * BooleanType field would silently null out the reference's `1` and the

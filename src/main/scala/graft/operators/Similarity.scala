@@ -22,14 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double|float> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity between two array<double> columns. Custom codegen'd
+    * expression (graft.functions.VecExprs.CosineSim) — numerically identical
+    * to the aggregate/zip_with formulation (same accumulation order) with a
+    * one-node expression tree instead of three array-traversal subtrees.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecExprs.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors of each query vector.
     *
@@ -59,30 +58,21 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane matrix (nbits x dim), seeded —
-    * every executor materializes the identical planes from the literal.
+  /** Adds an integer LSH `bucket` column: bit i = sign(v . plane_i), planes
+    * drawn deterministically from the seed (identical on every executor).
+    * One custom expression (VecExprs.HyperplaneBandKeys with a single band)
+    * instead of nbits aggregate-over-literal subtrees — same bucket values,
+    * O(1)-size plan.
     */
-  private def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(nbits, dim)(rng.nextGaussian())
-  }
-
-  /** Adds an integer LSH `bucket` column: bit i = sign(v . plane_i). */
   def withLshBucket(
       df: DataFrame,
       vecCol: String,
       dim: Int,
       nbits: Int = 12,
       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, nbits, seed)
     val v = col(vecCol).cast("array<double>")
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, shiftleft(lit(1), i)).otherwise(0)
-    }.reduce(_ + _)
-    df.withColumn("bucket", bucket)
+    val keys = graft.functions.VecExprs.hyperplaneBandKeys(v, dim, 1, nbits, seed)
+    df.withColumn("bucket", element_at(keys, 1).cast("int"))
   }
 
   /** Approximate top-k: candidates share the query's bucket or any bucket at
@@ -173,19 +163,15 @@ object Similarity {
     centroids
   }
 
-  /** Squared-L2 distances of a vector column to each centroid (array). */
-  private def centroidDists(v: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.map { c =>
-      aggregate(
-        zip_with(v, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-
-  /** Index of the nearest centroid (IVF cell id). */
+  /** Index of the nearest centroid (IVF cell id) — ties toward the smaller
+    * cell. Custom expression: the trained centroid matrix rides inside one
+    * plan node (VecExprs.NearestCentroids) instead of nlist literal-array
+    * distance subtrees evaluated twice for the argmin.
+    */
   def ivfCell(v: Column, centroids: Array[Array[Double]]): Column =
-    (array_position(
-      centroidDists(v, centroids),
-      array_min(centroidDists(v, centroids))) - 1).cast("int")
+    element_at(
+      graft.functions.VecExprs.nearestCentroids(
+        v, centroids.map(_.toSeq).toSeq, 1), 1)
 
   /** IVF approximate top-k: corpus partitioned into `nlist` cells by the
     * coarse quantizer; each query probes its `nprobe` nearest cells and
@@ -206,20 +192,18 @@ object Similarity {
       nprobe: Int = 4,
       sampleN: Int = 4096): DataFrame = {
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleN)
+      .map(_.toSeq).toSeq
     val c = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("cell", ivfCell(col("vec"), centroids))
-    // nprobe nearest cells per query: sort (dist, cell) structs, take nprobe
+      .withColumn("cell", element_at(
+        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+    // nprobe nearest cells per query, ordered by (distance, cell)
     val q = queries
       .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qvec"))
-    val ranked = sort_array(zip_with(
-      centroidDists(col("qvec"), centroids),
-      sequence(lit(0), lit(nlist - 1)),
-      (d, i) => struct(d.as("d"), i.as("cell"))))
     val probes = q.select(
       col("qid"), col("qvec"),
-      explode(transform(slice(ranked, 1, nprobe), s => s.getField("cell")))
-        .as("cell"))
+      explode(graft.functions.VecExprs.nearestCentroids(
+        col("qvec"), centroids, nprobe)).as("cell"))
     val candidates = probes.join(c, "cell")
       .filter(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")
@@ -229,19 +213,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("sim"), col("rank"))
-  }
-
-  /** Sign-bit array (length nbits) of a vector column against the seeded
-    * hyperplanes: element i = 1 iff v . plane_i > 0.
-    */
-  private def signBits(v: Column, dim: Int, nbits: Int, seed: Long): Column = {
-    val planes = hyperplanes(dim, nbits, seed)
-    array(planes.map { p =>
-      val dot = aggregate(
-        zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, 1).otherwise(0)
-    }: _*)
   }
 
   /** Embedding-cosine near-duplicate pairs: banded multi-table hyperplane
@@ -273,17 +244,22 @@ object Similarity {
       bands: Int = 8,
       bitsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
+    // persist is intentional and lives as long as the returned (lazy) frame:
+    // docs feeds the band explode AND both verify joins, and the banded
+    // frame self-joins — same lifetime contract as jaccardPairs /
+    // minhashNearDuplicates. Callers running many independent queries in one
+    // session (e.g. Bench) clear the cache between them.
     val docs = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one custom expression computes every band's key (VecExprs — the
+    // HOF-per-plane form made Catalyst analysis itself the bottleneck);
+    // the join is on (band, bkey), so the raw bit-pattern key suffices
     val banded = docs
-      .withColumn("bits", signBits(col("vec"), dim, bands * bitsPerBand, seed))
       .select(
         col("id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => hash(lit(42), b, concat_ws("", slice(col("bits"), b * bitsPerBand + 1, lit(bitsPerBand))))))
+        posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
+          col("vec"), dim, bands, bitsPerBand, seed))
           .as(Seq("band", "bkey")))
     val candidates = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),

@@ -27,7 +27,7 @@ object TradeCsv {
 
   /** Write trades in the wire format (for interchange with the reference's
     * own CSV tooling). `is_pro` goes out as 0/1, the reference's spelling
-    * (reference src/generator/DataGenerator.hpp:207): its integer from_chars
+    * (reference src/tools/DataGenerator.hpp:207): its integer from_chars
     * would read a literal "true" as 0, dropping the flag.
     */
   def write(trades: DataFrame, path: String): Unit =

@@ -121,14 +121,9 @@ class SimilaritySpec extends SparkSpec {
     val expected = (0 until 50).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
     val recall = found.intersect(expected).size.toDouble / expected.size
     assert(recall >= 0.9, s"recall $recall")
-    // every found pair is genuinely above threshold (no decoy noise)
-    assert(found.forall { case (a, b) =>
-      expected.contains((a, b)) || {
-        // a non-planted pair may legitimately pass only if its true cosine
-        // clears the threshold; with gaussian decoys this never happens
-        false
-      }
-    }, s"unexpected pairs: ${found.diff(expected)}")
+    // every found pair is genuinely above threshold: with gaussian decoys
+    // no non-planted pair clears 0.95, so found must be within the planted set
+    assert(found.subsetOf(expected), s"unexpected pairs: ${found.diff(expected)}")
   }
 
   test("cosine near-duplicates finds perturbed pair only") {
