@@ -245,19 +245,32 @@ object Dedup {
       // integer up, which would shorten the prefix and lose recall
       .filter(col("rn") <=
         col("n") - ceil(col("n") * c - 1e-9) + 1)
-      .select((bcols :+ col("id") :+ col("n") :+ col("tk")): _*)
+      .select((bcols :+ col("id") :+ col("n") :+ col("rn") :+ col("tk")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // length filter (PPJoin): J(A,B) >= t forces |A∩B| >= t·|A∪B|, and with
     // |A∩B| <= min, |A∪B| >= max this gives min(|A|,|B|) >= t·max(|A|,|B|);
     // pairs violating it are pruned BEFORE the pair-dedup shuffle and the
-    // verification joins (same 1e-9 guard as the prefix bound)
-    val candidates = prefix.toDF((blockCols :+ "id_a" :+ "n_a" :+ "tk"): _*)
-      .join(prefix.toDF((blockCols :+ "id_b" :+ "n_b" :+ "tk"): _*),
+    // verification joins (same 1e-9 guard as the prefix bound).
+    //
+    // positional filter (PPJoin): both sides order tokens identically
+    // (df, tk), so a shared prefix token at 1-based ranks (rn_a, rn_b)
+    // bounds the overlap: beyond this token each side has at most
+    // n - rn tokens left, hence o <= 1 + min(n_a - rn_a, n_b - rn_b).
+    // J >= t needs o >= c·(n_a + n_b); occurrences whose bound falls short
+    // are dropped. A qualifying pair's FIRST shared prefix token satisfies
+    // the bound (it is the standard PPJoin check), and the pair survives if
+    // ANY occurrence passes — a superset of classic PPJoin's candidates, so
+    // recall is untouched while the pair-dedup shuffle and verification
+    // joins shrink.
+    val candidates = prefix.toDF((blockCols :+ "id_a" :+ "n_a" :+ "rn_a" :+ "tk"): _*)
+      .join(prefix.toDF((blockCols :+ "id_b" :+ "n_b" :+ "rn_b" :+ "tk"): _*),
         blockCols :+ "tk")
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")) * threshold - 1e-9)
+          greatest(col("n_a"), col("n_b")) * threshold - 1e-9 &&
+        (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")))
+          .cast("double") >= (col("n_a") + col("n_b")) * c - 1e-9)
       .select((bcols :+ col("id_a") :+ col("id_b")): _*)
       .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
 
