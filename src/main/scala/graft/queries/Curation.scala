@@ -110,7 +110,7 @@ object Curation {
       Similarity.lshTopK(
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          dim = 64, k = 10, nbits = 8)
+          dim = 64, k = 10)
         .select(
           col("qid"), col("id"),
           round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
@@ -196,7 +196,7 @@ object Curation {
       val qs = emb.filter(col("vec_id") < 5)
       val lsh = Similarity.lshTopK(
           emb, "vec_id", "embedding", qs, "vec_id", "embedding",
-          dim = 64, k = 10, nbits = 8)
+          dim = 64, k = 10)
         .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
       val all = Similarity.bruteForceTopK(
           emb, "vec_id", "embedding", qs, "vec_id", "embedding",

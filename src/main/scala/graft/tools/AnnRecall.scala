@@ -31,7 +31,7 @@ object AnnRecall {
     }
     recall("lsh", Similarity.lshTopK(
       emb, "vec_id", "embedding", qs, "vec_id", "embedding",
-      dim = 64, k = 10, nbits = 8)
+      dim = 64, k = 10)
       .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))))
     recall("ivf", Similarity.ivfTopK(
       emb, "vec_id", "embedding", qs, "vec_id", "embedding",

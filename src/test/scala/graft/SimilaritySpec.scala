@@ -54,7 +54,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = topSets(Similarity.bruteForceTopK(
       corpus, "id", "vec", queries, "id", "vec", k))
     val approx = topSets(Similarity.lshTopK(
-      corpus, "id", "vec", queries, "id", "vec", dim, k, nbits = 8))
+      corpus, "id", "vec", queries, "id", "vec", dim, k))
     // .toSeq before .map: keys is a Set and mapping to per-query recall
     // fractions would dedupe equal values
     val recall = exact.keys.toSeq.map { q =>
