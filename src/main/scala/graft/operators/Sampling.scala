@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * Everything keys off a uniform double in [0, 1) derived from md5 of a
+  * stable row key — NOT Spark's `rand()`/`sample()`: the assignment is then
+  * (a) reproducible across runs, cluster sizes and partitionings, (b)
+  * portable across engines (the DuckDB oracles replicate it bit-for-bit),
+  * and (c) stable under data re-ordering — the properties a 100 TB corpus
+  * split must have, where "re-run the pipeline" must not reshuffle which
+  * documents landed in the eval set.
+  *
+  * Scale: pure per-row projections (md5 + arithmetic, all codegen'd) — no
+  * shuffle, no state; filters push down to the scan's partition columns when
+  * the key is one.
+  */
+object Sampling {
+
+  /** Uniform double in [0, 1): the top 32 bits of md5(salt:key), divided by
+    * 2^32. Exactly replicated in SQL as
+    * `CAST(concat('0x', substr(md5(concat('salt:', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0`.
+    */
+  def uniformKey(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("bigint") / lit(4294967296.0)
+
+  /** Adds a `split` column assigning each row to one of the named fractions
+    * (e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) by cumulative
+    * threshold over the uniform key. Fractions must sum to 1 (±1e-9); the
+    * last split takes the remainder so no row is unassigned.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = uniformKey(col(keyCol), salt)
+    val cumulative = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cumulative).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+      when(u < cum, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keeps a deterministic per-stratum fraction of rows: row survives iff
+    * uniformKey < fractions(stratum). Strata absent from the map fall back
+    * to `defaultFraction`. The scaled analogue of DataFrameStatFunctions
+    * .sampleBy, minus the RNG nondeterminism.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "strat"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val u = uniformKey(col(keyCol), salt)
+    val frac = fractions.foldRight(lit(defaultFraction): Column) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === stratum, f).otherwise(rest)
+    }
+    df.filter(u < frac)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -220,6 +220,48 @@ object Curation {
       ivf.except(all).orderBy(col("qid"), col("id"))
     }),
 
+    // Deterministic md5-keyed train/val/test split — reproducible across
+    // runs, partitionings and engines (the oracle replicates the exact
+    // assignment arithmetic), unlike rand()-based splits.
+    "q42_hash_split" -> ((s, dir) =>
+      Sampling.assignSplit(
+          t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))),
+
+    // Deterministic stratified sampling: per-language keep fractions over
+    // the same engine-independent uniform key (the scaled, reproducible
+    // analogue of sampleBy).
+    "q43_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+          t(s, dir, "documents"), "doc_id", "lang",
+          fractions = Map("en" -> 0.5, "fr" -> 0.25),
+          defaultFraction = 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))),
+
+    // Interval join without an equality key: clicks within 5 minutes after
+    // each purchase, via bucketized equi-join (identical output to the
+    // naive inequality join, which DuckDB's IEJoin runs as the oracle).
+    "q44_range_join" -> ((s, dir) => {
+      // events.ts is a raw ns-since-epoch long (Tables nanosAsLong) —
+      // offsets below are therefore nanoseconds
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+      RangeJoin.timeRangeJoin(
+          purchases, "p_ts", clicks, "c_ts",
+          lower = 0L, upper = 5L * 60 * 1000000000L)
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("c_id")).as("min_click_id"))
+        .orderBy(col("p_id"))
+    }),
+
     // Array-math profile of the embedding corpus per class label.
     "q29_emb_stats" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -344,6 +386,39 @@ object Curation {
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          count(*) AS n
          FROM documents GROUP BY source ORDER BY source""",
+    // The sampling oracles replicate Sampling.uniformKey exactly: top 32
+    // bits of md5('salt:' || key) over 2^32 — the division by a power of
+    // two is exact in IEEE double, so the threshold compares agree
+    // bit-for-bit across engines.
+    "q42_hash_split" ->
+      """WITH u AS (
+           SELECT *,
+             CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+           FROM documents)
+         SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+                count(*) AS n, sum(n_chars) AS total_chars
+         FROM u GROUP BY 1 ORDER BY split""",
+    "q43_stratified_sample" ->
+      """WITH u AS (
+           SELECT *,
+             CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+           FROM documents)
+         SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+         FROM u
+         WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END
+         GROUP BY lang ORDER BY lang""",
+    // DuckDB compares µs-truncated timestamps while Spark compares the raw
+    // ns longs; equivalent here because every events.ts is µs-aligned
+    // (verified at all SFs) and the window bound is a whole number of µs.
+    "q44_range_join" ->
+      """SELECT p.event_id AS p_id, count(*) AS n_clicks,
+                min(c.event_id) AS min_click_id
+         FROM events p JOIN events c
+           ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         GROUP BY p.event_id ORDER BY p_id""",
     // The gate checks for the hash-defined operators pin the expected
     // EMPTY relation: the Spark side emits the by-construction-impossible
     // rows (see the q38-q41 definitions), so any soundness bug surfaces as

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, if (i % 4 == 0) "en" else "de")).toDF("id", "lang")
+
+  test("assignSplit covers every row, near the requested fractions") {
+    val out = Sampling.assignSplit(
+      docs(10000), "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 3-sigma tolerance on a binomial(10000, p)
+    assert(math.abs(counts("train") - 8000) < 3 * math.sqrt(10000 * 0.8 * 0.2))
+    assert(math.abs(counts("val") - 1000) < 3 * math.sqrt(10000 * 0.1 * 0.9))
+  }
+
+  test("assignSplit is deterministic and partitioning-invariant") {
+    val a = Sampling.assignSplit(docs(2000), "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(docs(2000).repartition(13), "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("assignSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs(10), "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("different salts give independent assignments") {
+    val n = 4000
+    val s1 = Sampling.assignSplit(docs(n), "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "s1")
+      .filter($"split" === "a").select("id").as[Long].collect().toSet
+    val s2 = Sampling.assignSplit(docs(n), "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "s2")
+      .filter($"split" === "a").select("id").as[Long].collect().toSet
+    val overlap = s1.intersect(s2).size.toDouble
+    // independent halves overlap in ~25% of rows; 3-sigma band
+    assert(math.abs(overlap - n * 0.25) < 3 * math.sqrt(n * 0.25 * 0.75), s"overlap $overlap")
+  }
+
+  test("stratifiedSample keeps per-stratum fractions and is a subset") {
+    val out = Sampling.stratifiedSample(
+      docs(8000), "id", "lang", Map("en" -> 0.5, "de" -> 0.1))
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 2000 en rows at 0.5, 6000 de rows at 0.1
+    assert(math.abs(counts("en") - 1000) < 3 * math.sqrt(2000 * 0.25))
+    assert(math.abs(counts("de") - 600) < 3 * math.sqrt(6000 * 0.09))
+    // sampling never invents rows
+    assert(out.join(docs(8000), Seq("id"), "left_anti").count() == 0)
+  }
+
+  test("stratifiedSample default fraction 0 drops unmapped strata") {
+    val out = Sampling.stratifiedSample(docs(1000), "id", "lang", Map("en" -> 1.0))
+    assert(out.filter($"lang" =!= "en").count() == 0)
+    assert(out.count() == 250) // every en row survives at fraction 1.0
+  }
+}
