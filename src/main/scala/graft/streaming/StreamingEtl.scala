@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.Trade
 import graft.operators.{TradeRules, Validation}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's 3-thread streaming dataflow (tick server -> WebSocket ->
@@ -156,6 +156,34 @@ object StreamingEtl {
           Iterator.single(KeyedOut(key, o.sma, o.rsi, o.vwap, o.period, o.n_rows))
       }
   }
+
+  /** Streaming deduplication on business keys, state bounded by the
+    * watermark: a duplicate arriving within `watermarkDelay` of the first
+    * occurrence's event time is dropped; dedup state is evicted once the
+    * watermark passes it, so state size tracks the horizon's key cardinality
+    * instead of the stream's full history — the property that makes
+    * streaming ingest dedup viable at 100 TB/day (an unbounded
+    * dropDuplicates would OOM on state). The batch analogues for full-
+    * history dedup are in operators.Dedup.
+    *
+    * `eventTimeCol` must be a timestamp column; pass the ns-long wire
+    * `timestamp` through [[toEventTime]] first.
+    */
+  def dedupStream(
+      df: DataFrame,
+      eventTimeCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** ns-since-epoch long -> µs-precision event-time timestamp column.
+    * Decimal arithmetic keeps the division exact where a double divide
+    * would round: ns epochs (~1.7e18) exceed 2^53, so `/ 1000` through
+    * DoubleType can land on the wrong microsecond.
+    */
+  def toEventTime(nsCol: Column): Column =
+    timestamp_micros((nsCol.cast("decimal(38,0)") / lit(1000)).cast("long"))
 
   /** Event-time windowed per-symbol OHLC + VWAP with a watermark — the
     * north-star streaming indicator surface (SURVEY.md §2.7): the reference

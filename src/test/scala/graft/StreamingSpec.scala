@@ -131,6 +131,43 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingEtl.decodeFailures(df).count() === 2)
   }
 
+  test("streaming dedup drops duplicate keys within and across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000000L // ns
+    val input = MemoryStream[(Long, String, Long)]
+    val deduped = StreamingEtl.dedupStream(
+      input.toDF().toDF("trade_id", "symbol", "ts_ns")
+        .withColumn("event_time", StreamingEtl.toEventTime(col("ts_ns"))),
+      "event_time", "10 seconds", Seq("trade_id"))
+
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // in-batch duplicate (id 1) and distinct ids 1,2
+      input.addData((1L, "A", t0), (2L, "A", t0 + 1000000000L), (1L, "A", t0))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").select("trade_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L))
+
+      // cross-batch duplicate (id 2, later event time but inside the
+      // watermark horizon) is dropped; new id 3 passes
+      input.addData((2L, "A", t0 + 2000000000L), (3L, "B", t0 + 3000000000L))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").select("trade_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("toEventTime is exact on ns epochs beyond double precision") {
+    // 2^53 ns ~ 104 days of epoch; real epochs (~1.7e18) lose sub-µs
+    // precision through a double divide. Pin exactness at the µs level.
+    val ns = 1700000000000001000L // ...001 µs exactly
+    val got = Seq(ns).toDF("ns")
+      .select(unix_micros(StreamingEtl.toEventTime(col("ns"))).as("us"))
+      .as[Long].head()
+    assert(got === 1700000000000001L)
+  }
+
   implicit private class Tup3Ops(val s: Array[(String, Long, Long)]) {
     def toMap2: Map[String, (Long, Long)] =
       s.map { case (k, a, b) => k -> ((a, b)) }.toMap
