@@ -142,7 +142,7 @@ object MarketAnalytics {
         .withColumn(
           "hour",
           date_format(
-            timestamp_micros((col("ts") / 1000).cast("long")),
+            graft.streaming.StreamingEtl.toEventTime(col("ts")),
             "yyyy-MM-dd HH:00"))
         .groupBy(col("hour"))
         .agg(

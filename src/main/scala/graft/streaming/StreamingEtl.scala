@@ -195,8 +195,7 @@ object StreamingEtl {
       windowDur: String = "1 minute",
       watermarkDelay: String = "30 seconds"): DataFrame =
     trades
-      .withColumn(
-        "event_time", timestamp_micros((col("timestamp") / 1000).cast("long")))
+      .withColumn("event_time", toEventTime(col("timestamp")))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), windowDur), col("symbol"))
       .agg(
