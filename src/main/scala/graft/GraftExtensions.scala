@@ -63,6 +63,13 @@ object GraftExtensions {
         case Seq(a, b) => HashExprs.SortedIntersectSize(a, b)
         case _ => throw new IllegalArgumentException(
           "sorted_intersect_size(a array<long>, b array<long>)")
+      }),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.VecExprs.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => graft.functions.VecExprs.CosineSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_sim(a array<double>, b array<double>)")
       }))
 
   /** Register on a live session (idempotent). */

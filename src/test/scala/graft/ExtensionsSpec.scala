@@ -21,6 +21,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(row._2 === viaCol)
   }
 
+  test("sql cosine_sim matches column-api cosine") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 1.0d)) AS s")
+      .as[Double].head()
+    val viaCol = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")
+      .select(graft.operators.Similarity.cosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(sql === viaCol)
+    assert(math.abs(sql - 0.8) < 1e-12) // 4 / (sqrt(5)*sqrt(5))
+  }
+
   test("sql minhash matches column-api minhash") {
     GraftExtensions.register(spark)
     val sql = spark.sql("SELECT minhash_sig(array('x','y'), 8) AS s")
