@@ -66,4 +66,30 @@ class SkewAndPartitionSpec extends SparkSpec {
     val files = q.select(input_file_name()).distinct().as[String].collect()
     assert(files.forall(_.contains("day=2026-01-02")))
   }
+
+  test("clustered layout yields disjoint per-file key ranges and bounded files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clust").toString
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 20000).map(_ => (rng.nextLong(1000000L), rng.nextDouble()))
+      .toDF("ts", "v")
+    Sinks.writeClustered(rows, dir, Seq("ts"),
+      targetRecordsPerFile = 2500L, nRanges = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 20000)
+    // per-file min/max ranges of the cluster key must be pairwise disjoint
+    // (range partitioning across files, sorted sequential splits within) —
+    // the property parquet footer stats need for file-level skipping
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    // maxRecordsPerFile honored
+    assert(ranges.forall(_._4 <= 2500), ranges.map(_._4).mkString(","))
+    assert(ranges.length >= 8, s"expected >= 8 files, got ${ranges.length}")
+    val sorted = ranges.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2,
+        s"overlapping file ranges: ${a._1} [${a._2},${a._3}] vs ${b._1} [${b._2},${b._3}]")
+      case _ =>
+    }
+  }
 }
