@@ -262,6 +262,23 @@ object Curation {
         .orderBy(col("p_id"))
     }),
 
+    // End-to-end curation pipeline composition — the operators above are
+    // only useful if they CHAIN: quality-gate, exact-dedup survivor,
+    // deterministic split, per-split profile; every stage replicated by
+    // the oracle.
+    "q45_curation_pipeline" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.75)
+      val deduped = Dedup.dedupExact(scored, "doc_id", "text")
+      Sampling.assignSplit(deduped, "doc_id", Seq("train" -> 0.9, "eval" -> 0.1))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("q")), 4).as("avg_quality"))
+        .orderBy(col("split"))
+    }),
+
     // Array-math profile of the embedding corpus per class label.
     "q29_emb_stats" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -419,6 +436,31 @@ object Curation {
            ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
          GROUP BY p.event_id ORDER BY p_id""",
+    "q45_curation_pipeline" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents),
+         scored AS (
+           SELECT doc_id, text,
+             least(1.0, nt / 20.0) * 0.4 +
+             (CASE WHEN nt = 0 THEN 0.0 ELSE ndt * 1.0 / nt END) * 0.4 +
+             (CASE WHEN nc = 0 THEN 1.0 ELSE np * 1.0 / nc END) * 0.2 AS q
+           FROM m),
+         gated AS (SELECT * FROM scored WHERE q >= 0.75),
+         deduped AS (
+           SELECT * FROM gated
+           QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+         SELECT
+           CASE WHEN CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                  / 4294967296.0 < 0.9 THEN 'train' ELSE 'eval' END AS split,
+           count(*) AS n, round(avg(q), 4) AS avg_quality
+         FROM deduped GROUP BY 1 ORDER BY split""",
     // The gate checks for the hash-defined operators pin the expected
     // EMPTY relation: the Spark side emits the by-construction-impossible
     // rows (see the q38-q41 definitions), so any soundness bug surfaces as
