@@ -50,6 +50,26 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic weighted mixture of corpora: each source is thinned to
+    * its rate (in [0, 1]) by an independently-salted uniform key, then
+    * union'd by name — the "mix web at 60%, books at 90%, code at 100%"
+    * step of a training-data pipeline, reproducible row-for-row across
+    * runs. Sources must share a schema (unionByName). Rates are per-source
+    * keep-probabilities; to hit target mixture PROPORTIONS, derive rates
+    * from the source sizes first (rate_i = target_i * N_total / n_i).
+    */
+  def mixture(
+      sources: Seq[(DataFrame, Double)],
+      keyCol: String,
+      salt: String = "mix"): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.forall { case (_, r) => r >= 0 && r <= 1 },
+      "rates must be in [0, 1]")
+    sources.zipWithIndex.map { case ((df, rate), i) =>
+      df.filter(uniformKey(col(keyCol), s"$salt:$i") < rate)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Keeps a deterministic per-stratum fraction of rows: row survives iff
     * uniformKey < fractions(stratum). Strata absent from the map fall back
     * to `defaultFraction`. The scaled analogue of DataFrameStatFunctions

@@ -56,6 +56,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.join(docs(8000), Seq("id"), "left_anti").count() == 0)
   }
 
+  test("mixture thins each source to its rate, independently per source") {
+    val a = (0 until 4000).map(i => (i.toLong, "a")).toDF("id", "src")
+    val b = (0 until 4000).map(i => (i.toLong, "b")).toDF("id", "src") // SAME ids
+    val out = Sampling.mixture(Seq(a -> 0.5, b -> 0.5), "id")
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("a") - 2000) < 3 * math.sqrt(4000 * 0.25))
+    assert(math.abs(counts("b") - 2000) < 3 * math.sqrt(4000 * 0.25))
+    // identical key values in different sources draw INDEPENDENT keys
+    // (the salt carries the source index): without it the two kept id
+    // sets would be identical; independent halves overlap in ~25%
+    val aKept = out.filter($"src" === "a").select("id").as[Long].collect().toSet
+    val bKept = out.filter($"src" === "b").select("id").as[Long].collect().toSet
+    val overlap = aKept.intersect(bKept).size.toDouble
+    assert(math.abs(overlap - 1000) < 3 * math.sqrt(4000 * 0.25 * 0.75),
+      s"overlap $overlap suggests correlated keys across sources")
+    // rate 1.0 keeps every row
+    assert(Sampling.mixture(Seq(a -> 1.0), "id").count() == 4000)
+  }
+
   test("stratifiedSample default fraction 0 drops unmapped strata") {
     val out = Sampling.stratifiedSample(docs(1000), "id", "lang", Map("en" -> 1.0))
     assert(out.filter($"lang" =!= "en").count() == 0)
