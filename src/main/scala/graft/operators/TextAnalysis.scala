@@ -98,6 +98,44 @@ object TextAnalysis {
         shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
           .bitwiseXOR(xxhash64(t)))
 
+  /** Top-k characteristic terms per document by tf-idf: score(d, t) =
+    * tf(d, t) * ln(N / df(t)), ties broken alphabetically. The classic
+    * inverted-index pipeline shape re-expressed relationally:
+    * explode -> (doc, term) counts -> term document frequencies -> scalar
+    * N broadcast -> per-doc top-k.
+    *
+    * Scale: two hash aggregations (both map-side partial) and a window
+    * whose partial top-k Spark prunes before the exchange
+    * (WindowGroupLimit). Shuffles carry (id, term, tf) triples — term
+    * strings travel once, texts never. N rides a broadcast one-row frame,
+    * not a driver-side collect, so the plan stays fully lazy.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))
+  }
+
   /** Per-document analysis frame: id + all text metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

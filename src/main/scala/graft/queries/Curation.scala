@@ -262,6 +262,15 @@ object Curation {
         .orderBy(col("p_id"))
     }),
 
+    // Top-3 characteristic terms per doc by tf-idf over a deterministic
+    // subset (every stage — tokenize, tf, df, ln scoring, ranked top-k —
+    // replicated by the oracle).
+    "q46_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
+
     // End-to-end curation pipeline composition — the operators above are
     // only useful if they CHAIN: quality-gate, exact-dedup survivor,
     // deterministic split, per-split profile; every stage replicated by
@@ -436,6 +445,26 @@ object Curation {
            ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
          GROUP BY p.event_id ORDER BY p_id""",
+    "q46_tfidf" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+         toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+           FROM docs),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, term, round(score, 4) AS score
+         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q45_curation_pipeline" ->
       """WITH m AS (
            SELECT doc_id, text,

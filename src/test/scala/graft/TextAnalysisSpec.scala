@@ -69,6 +69,26 @@ class SessionizeSpec extends SparkSpec {
     assert(out(2L) === ((1L, 1L)))
   }
 
+  test("tfidf top terms: worked example") {
+    // 4 docs; "rare" only in doc 1, "the" in all 4
+    val docs = Seq(
+      (1L, "the rare term the"),
+      (2L, "the common words"),
+      (3L, "the common stuff"),
+      (4L, "the words stuff")).toDF("id", "text")
+    val out = graft.operators.TextAnalysis.tfidfTopTerms(docs, "id", "text", 2)
+      .orderBy("id", "rnk")
+      .as[(Long, Int, String, Double)].collect()
+    // doc 1: "rare" and "term" both score 1*ln(4/1); tie -> alphabetical
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq("rare", "term"))
+    val lnQuarter = math.rint(math.log(4.0) * 10000) / 10000
+    assert(out.find(r => r._1 == 1L && r._3 == "rare").get._4 === lnQuarter)
+    // "the" has df = 4 -> idf ln(1) = 0: never a top term despite tf 2
+    assert(!out.exists(_._3 == "the"))
+    // every doc gets exactly k rows when it has >= k distinct terms
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+  }
+
   test("session ids are 1-based and monotone in time") {
     val events = Seq((1L, 0L), (1L, 500L), (1L, 510L), (1L, 2000L))
       .toDF("user_id", "ts")
