@@ -125,6 +125,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental near-dup check: which documents of a NEW batch duplicate
+    * the EXISTING corpus — the daily-crawl shape, where self-joining the
+    * whole (batch ∪ corpus) would re-verify corpus-internal pairs that were
+    * already adjudicated. Both sides are banded exactly as in
+    * [[minhashNearDuplicates]]; the candidate join is batch-banded ×
+    * corpus-banded on (band, bucket), so its size scales with the batch,
+    * not the corpus. Output: (new_id, corpus_id, jaccard >= threshold).
+    *
+    * At 100 TB the corpus side's banded sketch table is the thing to
+    * precompute and store (it is id + bands longs per doc); this function
+    * accepts the raw corpus and re-derives it, callers with a persisted
+    * sketch can join against that directly.
+    */
+  def minhashNearDuplicatesAgainst(
+      newBatch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+
+    def prep(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(docs: DataFrame) = docs
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => hash(lit(42), b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bucket")))
+
+    val nw = prep(newBatch)
+    val cp = prep(corpus)
+    val candidates = banded(nw).select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(banded(cp).select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+
+    candidates
+      .join(nw.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(cp.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash over the token multiset. For each bit j:
     * vote = Σ_tokens (bit_j(xxhash64(t)) ? +1 : -1); bit j of the
     * fingerprint is set iff vote > 0. Custom expression for the same reason

@@ -50,6 +50,29 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L)))
   }
 
+  test("incremental minhash dedup: batch-vs-corpus equals the cross slice of the self-join") {
+    // corpus = A, C; new batch = B (near-dup of A), D (unrelated)
+    val docD = "completely different content about astronomy and telescopes orbiting mars"
+    val corpus = docs(1L -> docA, 3L -> docC)
+    val batch = docs(2L -> docB, 4L -> docD)
+    val inc = Dedup.minhashNearDuplicatesAgainst(
+      batch, corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.3)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(inc === Set((2L, 1L)))
+    // identical parameters, full self-join: restricted to (batch x corpus)
+    // pairs it must agree with the incremental form
+    val full = Dedup.minhashNearDuplicates(
+      docs(1L -> docA, 2L -> docB, 3L -> docC, 4L -> docD), "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val crossSlice = full.collect {
+      case (a, b) if Set(2L, 4L)(a) && Set(1L, 3L)(b) => (a, b)
+      case (a, b) if Set(2L, 4L)(b) && Set(1L, 3L)(a) => (b, a)
+    }
+    assert(inc === crossSlice)
+  }
+
   test("minhash similarity approximates true jaccard") {
     // A vs B share most 2-shingles; signature agreement rate ~ jaccard.
     val sigs = docs(1L -> docA, 2L -> docB)
