@@ -46,8 +46,9 @@ object VecExprs {
   }
 
   /** Cosine similarity of two array<double> columns: dot / (|a| * |b|), IEEE
-    * double semantics throughout (same left-to-right accumulation order as
-    * the aggregate/zip_with form, so results are bit-identical to it).
+    * double semantics with the same left-to-right accumulation order as the
+    * aggregate/zip_with form — bit-identical to it except for zero-norm
+    * inputs, which return NULL instead of NaN (see compute).
     */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -74,6 +75,12 @@ object VecExprs {
       while (i < n) { na += a(i) * a(i); i += 1 }
       i = 0
       while (i < n) { nb += b(i) * b(i); i += 1 }
+      // zero-norm vectors have no direction: NULL. (The HOF formulation —
+      // and IEEE — yield 0.0/0.0 = NaN here, which is poison downstream:
+      // Spark ORDERS NaN above every double, so a zero vector would
+      // outrank true neighbors in top-k and pass `sim >= t` filters.
+      // The deliberate deviation from bit-parity.)
+      if (na == 0.0 || nb == 0.0) return null
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
@@ -101,8 +108,9 @@ object VecExprs {
     * executor — no literals in the plan, no RNG state shipped.
     *
     * With bands = 1 this is the classic single-table sign bucket (bit i =
-    * sign(v · plane_i) at weight 2^i), numerically identical to the previous
-    * shiftleft/when formulation.
+    * sign(v · plane_i) at weight 2^i). Vectors whose length differs from
+    * `dim` key to NULL (dropped from banding) rather than hashing partial
+    * dots into plausible-looking buckets.
     */
   case class HyperplaneBandKeys(
       child: Expression, dim: Int, bands: Int, bitsPerBand: Int, seed: Long)
@@ -126,8 +134,12 @@ object VecExprs {
 
     def compute(arr: ArrayData): ArrayData = {
       val v = toVec(arr)
-      if (v == null) return null
-      val d = math.min(v.length, dim)
+      // a wrong-dimension vector (schema drift, truncated ingest) must not
+      // silently hash with partial dots into plausible-looking buckets:
+      // NULL drops it from banding (posexplode skips the row) and surfaces
+      // the bad data, instead of giving it garbage locality
+      if (v == null || v.length != dim) return null
+      val d = dim
       val keys = new Array[Long](bands)
       var b = 0
       while (b < bands) {
@@ -188,16 +200,18 @@ object VecExprs {
 
     def compute(arr: ArrayData): ArrayData = {
       val v = toVec(arr)
-      if (v == null) return null
+      // dimension drift gets NULL (dropped from cell assignment), not a
+      // partial-distance garbage cell — same policy as HyperplaneBandKeys
+      if (v == null || cents.length == 0 || v.length != cents(0).length)
+        return null
       val nlist = cents.length
       val d2 = new Array[Double](nlist)
       var c = 0
       while (c < nlist) {
         val cent = cents(c)
-        val n = math.min(v.length, cent.length)
         var s = 0.0
         var i = 0
-        while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+        while (i < v.length) { val d = v(i) - cent(i); s += d * d; i += 1 }
         d2(c) = s
         c += 1
       }

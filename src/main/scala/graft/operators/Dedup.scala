@@ -63,6 +63,59 @@ object Dedup {
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     graft.functions.HashExprs.minhashSig(shingleSet, numHashes)
 
+  /** (id, shingle-set) frame, persisted: it feeds the band explode AND the
+    * verification joins, and the banded frame joins with itself — without
+    * materialization Spark recomputes the scan+shingle+signature subplan up
+    * to four times (measured ~2x on the whole query). Sketch-sized (ids +
+    * small arrays), never the raw text.
+    */
+  private def shingleDocs(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int) =
+    df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (id, band, bucket) LSH keys: band key = hash of the band's slice of
+    * the minhash signature. ONLY ids + band keys shuffle — shingle arrays
+    * would otherwise travel bands-times through the exchange. Shared by the
+    * self-join and incremental forms, whose agreement depends on computing
+    * byte-identical keys.
+    */
+  private def bandedKeys(docs: DataFrame, numHashes: Int, bands: Int) = {
+    val rowsPerBand = numHashes / bands
+    docs
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => hash(lit(42), b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Exact shingle-set Jaccard for candidate id pairs (left/right id column
+    * names given), verified against `threshold`. One join per side.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame,
+      leftDocs: DataFrame,
+      rightDocs: DataFrame,
+      leftId: String,
+      rightId: String,
+      threshold: Double) =
+    candidates
+      .join(leftDocs.select(col("id").as(leftId), col("sh").as("sh_a")), leftId)
+      .join(rightDocs.select(col("id").as(rightId), col("sh").as("sh_b")), rightId)
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col(leftId), col(rightId), round(col("jaccard"), 4).as("jaccard"))
+
   /** Candidate near-duplicate pairs via banded LSH over MinHash signatures,
     * verified with exact shingle-set Jaccard.
     *
@@ -78,32 +131,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-
-    // persist: docs feeds the band explode AND both verification joins, and
-    // banded self-joins with itself — without materialization Spark
-    // recomputes the scan+shingle+signature subplan up to four times
-    // (measured ~2x on the whole query). Both frames are sketch-sized
-    // (ids + small arrays), never the raw text.
-    val docs = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // band key = hash of the band's slice of the signature; explode to
-    // (band, bucket, id). ONLY ids + band keys shuffle — shingle arrays
-    // would otherwise travel bands-times through this exchange and again
-    // through the candidate dedup.
-    val banded = docs
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(
-        col("id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => hash(lit(42), b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-          .as(Seq("band", "bucket")))
+    val docs = shingleDocs(df, idCol, textCol, shingleSize)
+    val banded = bandedKeys(docs, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -113,16 +142,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // exact verification: join the shingle sets back by id, once per side
-    candidates
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(candidates, docs, docs, "id_a", "id_b", threshold)
   }
 
   /** Incremental near-dup check: which documents of a NEW batch duplicate
@@ -148,40 +168,17 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-
-    def prep(df: DataFrame) = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def banded(docs: DataFrame) = docs
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(
-        col("id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => hash(lit(42), b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-          .as(Seq("band", "bucket")))
-
-    val nw = prep(newBatch)
-    val cp = prep(corpus)
-    val candidates = banded(nw).select(col("band"), col("bucket"), col("id").as("new_id"))
-      .join(banded(cp).select(col("band"), col("bucket"), col("id").as("corpus_id")),
+    val nw = shingleDocs(newBatch, idCol, textCol, shingleSize)
+    val cp = shingleDocs(corpus, idCol, textCol, shingleSize)
+    val candidates = bandedKeys(nw, numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(bandedKeys(cp, numHashes, bands)
+          .select(col("band"), col("bucket"), col("id").as("corpus_id")),
         Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
 
-    candidates
-      .join(nw.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
-      .join(cp.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(candidates, nw, cp, "new_id", "corpus_id", threshold)
   }
 
   /** 64-bit SimHash over the token multiset. For each bit j:

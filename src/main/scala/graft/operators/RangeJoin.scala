@@ -49,10 +49,15 @@ object RangeJoin {
     }
     val lts = epoch(left, leftTsCol)
     val rts = epoch(right, rightTsCol)
-    // floor division on BIGINT microseconds, negative-safe, no double
-    // rounding: (us - pmod(us, w)) is exactly divisible by w
+    // floor division on BIGINT epochs, negative-safe and EXACT: the
+    // numerator is made divisible by w (pmod >= 0), then divided in
+    // decimal — long `/` routes through DoubleType, whose 2^53 mantissa
+    // misrounds ns-scale epochs (~1.7e18, ulp 256) into the wrong bucket
+    // for narrow windows, silently dropping matching pairs. The decimal
+    // quotient is exactly integral, so the bigint cast is lossless.
     def bucketOf(us: org.apache.spark.sql.Column) =
-      ((us - pmod(us, lit(width))) / width).cast("bigint")
+      ((us - pmod(us, lit(width))).cast("decimal(38,0)") / lit(width))
+        .cast("bigint")
 
     val r = right.withColumn("__bucket", bucketOf(rts))
     // the window [lts+lower, lts+upper) spans buckets b0 .. b1 where

@@ -32,6 +32,12 @@ object Sampling {
     * (e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) by cumulative
     * threshold over the uniform key. Fractions must sum to 1 (±1e-9); the
     * last split takes the remainder so no row is unassigned.
+    *
+    * NULL keys land in the LAST split (a null uniform key nulls every
+    * `u < cum` test, falling through to the otherwise branch) — the same
+    * answer a SQL CASE gives, which keeps the DuckDB oracle bit-compatible.
+    * Spec-pinned; pre-filter nulls if the key can be null and the tail
+    * split is an eval set you care about.
     */
   def assignSplit(
       df: DataFrame,

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two array<double> columns. Custom codegen'd
-    * expression (graft.functions.VecExprs.CosineSim) — numerically identical
-    * to the aggregate/zip_with formulation (same accumulation order) with a
-    * one-node expression tree instead of three array-traversal subtrees.
+    * expression (graft.functions.VecExprs.CosineSim) — same accumulation
+    * order as the aggregate/zip_with formulation with a one-node expression
+    * tree instead of three array-traversal subtrees. Zero-norm input gives
+    * NULL (not IEEE NaN, which Spark would sort above every real
+    * similarity).
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.VecExprs.cosineSim(a, b)
@@ -51,6 +53,7 @@ object Similarity {
           col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qvec"))))
       .filter(col("qid") =!= col("id"))
       .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .filter(col("sim").isNotNull) // zero-norm vectors have no direction
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -149,6 +152,7 @@ object Similarity {
       .filter(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")
       .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .filter(col("sim").isNotNull) // zero-norm vectors have no direction
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     candidates
       .withColumn("rank", row_number().over(w))
@@ -246,6 +250,7 @@ object Similarity {
       .filter(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")
       .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .filter(col("sim").isNotNull) // zero-norm vectors have no direction
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     candidates
       .withColumn("rank", row_number().over(w))

@@ -118,8 +118,13 @@ object TextAnalysis {
     val toks = df.select(
       col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
+    // persisted: tf feeds both the df aggregation and the scoring join —
+    // without it the tokenize+explode+aggregate subplan (the expensive
+    // stage) runs twice. Sketch-sized (id, term, tf) triples, same
+    // lifetime contract as the Dedup/Similarity persists.
     val tf = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))

@@ -59,6 +59,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(10L))
   }
 
+  test("ns-scale epochs bucket exactly (no double-rounding pair loss)") {
+    // epochs ~1.7e18 have ulp 256 as doubles; with a 1-minute ns window
+    // (6e10) a double-divided bucket can land one off and silently drop
+    // matches. Place right rows at bucket boundaries around each left row.
+    val base = 1700000000000000000L
+    val width = 60L * 1000000000L
+    val l = (0 until 200).map(i => (i.toLong, base + i * 7919L * 1000000L))
+      .toDF("l_id", "l_ts")
+    val r = (0 until 200).flatMap { i =>
+      val t = base + i * 7919L * 1000000L
+      Seq((i * 4L, t), (i * 4 + 1L, t + width - 1), // in-window edges
+        (i * 4 + 2L, t + width), (i * 4 + 3L, t - 1)) // out-window edges
+    }.toDF("r_id", "r_ts")
+    val got = RangeJoin.timeRangeJoin(l, "l_ts", r, "r_ts", 0L, width)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // left rows are spaced < width apart, so windows overlap and the truth
+    // must come from the naive join, not hand enumeration
+    val want = naive(l, r, 0L, width)
+    assert(got == want,
+      s"missing ${want.diff(got).size}, extra ${got.diff(want).size}")
+    // the boundary construction guarantees every left row matches its own
+    // at-t and at-t+width-1 rows
+    assert((0 until 200).forall(i =>
+      want((i.toLong, i * 4L)) && want((i.toLong, i * 4 + 1L))))
+  }
+
   test("plan has no cartesian product or nested loop join") {
     val (l, r) = sides(100, 1000L)
     val plan = RangeJoin.timeRangeJoin(l, "l_ts", r, "r_ts", 0L, 100L)

@@ -28,6 +28,15 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("assignSplit sends NULL keys to the last split (SQL CASE parity)") {
+    val withNull = Seq((java.lang.Long.valueOf(1L), "x"),
+      (null.asInstanceOf[java.lang.Long], "y")).toDF("id", "v")
+    val out = Sampling.assignSplit(
+      withNull, "id", Seq("train" -> 0.9, "eval" -> 0.1))
+      .select("v", "split").as[(String, String)].collect().toMap
+    assert(out("y") == "eval") // documented fall-through, matches CASE ... ELSE
+  }
+
   test("assignSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(docs(10), "id", Seq("a" -> 0.5, "b" -> 0.4))

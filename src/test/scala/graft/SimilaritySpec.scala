@@ -19,6 +19,23 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
   }
 
+  test("cosine of a zero-norm vector is NULL, never NaN") {
+    // NaN would outrank every real neighbor (Spark orders NaN above all
+    // doubles) and pass `sim >= t` filters; NULL drops cleanly.
+    val got = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .select(col("c").isNull).as[Boolean].head()
+    assert(got, "expected NULL cosine for zero vector")
+    // and a zero vector in the corpus never appears in top-k output
+    val corpus = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 0.0)))
+      .toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(
+      corpus, "id", "vec", corpus.filter($"id" === 0), "id", "vec", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(!top.contains(2L), s"zero vector ranked: $top")
+  }
+
   test("brute-force top-k: exact ranking, self-match excluded") {
     val corpus = Seq(
       (0L, Seq(1.0, 0.0)), // the query itself
