@@ -12,13 +12,14 @@ import org.apache.spark.sql.functions._
   *     is small enough to broadcast. We broadcast Q and stream the corpus —
   *     one pass, no corpus shuffle, per-query top-k via window (at very
   *     large |corpus| the window shuffle carries only (qid, nid, sim)).
-  *   - LSH: `nbits` random hyperplanes -> a bucket id per vector; candidate
-  *     generation joins on bucket (plus optional multi-probe neighbors at
-  *     Hamming distance 1), exact cosine re-rank within candidates. The
-  *     corpus is bucketed once (reusable, like an index build: at 100 TB you
-  *     persist the bucketed table, bucketed BY bucket).
-  *   - Dot products are `aggregate(zip_with(...))` over array columns —
-  *     built-in higher-order functions, no UDF.
+  *   - LSH: multi-table random-hyperplane sign buckets; candidate
+  *     generation joins on (table, bucket) plus multi-probe bit-flip
+  *     neighbors, exact cosine re-rank within candidates. The corpus's
+  *     banded key table is computed once (reusable, like an index build: at
+  *     100 TB you persist it, bucketed BY (table, bucket)).
+  *   - All vector math lives in codegen'd custom expressions
+  *     (graft.functions.VecExprs) — one plan node per operation, no UDFs,
+  *     no per-plane expression subtrees.
   */
 object Similarity {
 
