@@ -119,14 +119,40 @@ object Bench {
       System.err.println(s"[bench] etl1m stage bench failed: ${e.getMessage}")
     }
 
+    // Streaming throughput vs the reference's live tick feed (~5,000
+    // ticks/s over one WebSocket connection, BASELINE.md:20): rate source
+    // at an oversubscribed 200K rows/s through the sanity-filter +
+    // per-symbol stateful counts stages for ~5 s of wall clock; the
+    // reported number is ticks actually processed / elapsed. Not a
+    // latency metric — micro-batch throughput under sustained load.
+    try {
+      val stream = graft.streaming.StreamingEtl.perSymbolCounts(
+        graft.streaming.StreamingEtl.sanityFilter(
+          graft.streaming.StreamingEtl.rateSource(spark, 200000)))
+      val q = stream.writeStream.format("memory").queryName("bench_stream")
+        .outputMode("complete").start()
+      val t0 = System.nanoTime()
+      Thread.sleep(5000)
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ticks = spark.table("bench_stream")
+        .agg(org.apache.spark.sql.functions.sum("n_ticks"))
+        .collect()(0).getLong(0)
+      q.stop()
+      results("stream_ticks_per_s") = ticks / secs
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline = query-suite wall time ONLY: the etl1m_* stage benchmark is
     // reported per-key but excluded (etl1m_total already sums its stages and
-    // etl1m_gen_csv is test-data generation, not engine work), and failure
-    // sentinels (-1) must not subtract from the total.
+    // etl1m_gen_csv is test-data generation, not engine work), stream_* is a
+    // rate not a duration, and failure sentinels (-1) must not subtract
+    // from the total.
     val total = results.collect {
-      case (k, v) if !k.startsWith("etl1m_") && v >= 0 => v
+      case (k, v) if !k.startsWith("etl1m_") && !k.startsWith("stream_") && v >= 0 => v
     }.sum
     val stageTotal = results.getOrElse("etl1m_total", -1.0)
     // failures is load-bearing: the -1 sentinels are excluded from the sum,
