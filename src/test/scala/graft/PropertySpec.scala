@@ -100,6 +100,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: assignSplit partitions every row among exactly the named splits") {
+    val weightsGen: Gen[List[Double]] =
+      Gen.chooseNum(2, 5).flatMap(k => Gen.listOfN(k, Gen.chooseNum(0.05, 1.0)))
+    forAll(weightsGen) { raw =>
+      whenever(raw.nonEmpty) {
+        val total = raw.sum
+        val splits = raw.zipWithIndex.map { case (w, i) => s"s$i" -> w / total }
+        val n = 500
+        val df = (0 until n).map(i => Tuple1(i.toLong)).toDF("id")
+        val out = graft.operators.Sampling.assignSplit(df, "id", splits)
+          .groupBy("split").count().as[(String, Long)].collect().toMap
+        assert(out.values.sum == n) // every row assigned exactly once
+        assert(out.keySet.subsetOf(splits.map(_._1).toSet)) // no invented splits
+      }
+    }
+  }
+
+  test("property: bucketized range join equals the naive inequality join") {
+    case class P(n: Int, span: Long, lower: Long, width: Long)
+    val gen: Gen[P] = for {
+      n <- Gen.chooseNum(20, 120)
+      span <- Gen.chooseNum(500L, 20000L)
+      lower <- Gen.chooseNum(-200L, 200L)
+      width <- Gen.chooseNum(1L, 500L)
+    } yield P(n, span, lower, width)
+    forAll(gen, n = 6) { p =>
+      val rng = new scala.util.Random(p.n * 31 + p.span)
+      val l = (0 until p.n).map(i => (i.toLong, rng.nextLong(p.span))).toDF("l_id", "l_ts")
+      val r = (0 until p.n).map(i => (i.toLong, rng.nextLong(p.span))).toDF("r_id", "r_ts")
+      val got = graft.operators.RangeJoin
+        .timeRangeJoin(l, "l_ts", r, "r_ts", p.lower, p.lower + p.width)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val lt = l.as[(Long, Long)].collect(); val rt = r.as[(Long, Long)].collect()
+      val want = (for {
+        (li, lts) <- lt; (ri, rts) <- rt
+        if rts >= lts + p.lower && rts < lts + p.lower + p.width
+      } yield (li, ri)).toSet
+      assert(got === want, s"params $p")
+    }
+  }
+
   test("property: sessions never exceed events; infinite gap gives one session") {
     val tsGen = Gen.chooseNum(5, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 100000L)))
