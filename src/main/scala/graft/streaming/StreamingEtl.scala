@@ -185,6 +185,56 @@ object StreamingEtl {
   def toEventTime(nsCol: Column): Column =
     timestamp_micros((nsCol.cast("decimal(38,0)") / lit(1000)).cast("long"))
 
+  /** Stream-stream interval join: left row L matches right row R iff
+    * R.eventTime ∈ [L.eventTime + lower, L.eventTime + upper) — the
+    * streaming analogue of operators.RangeJoin (purchases joined to the
+    * clicks that follow them, while both sides are still flowing).
+    *
+    * Both sides carry watermarks and the join condition ranges over the
+    * event-time columns themselves; Spark derives from (watermark, interval
+    * bound) exactly how long each side's rows must be retained in the join
+    * state store and evicts behind the watermark — bounded state on an
+    * unbounded join, which is what makes this viable at feed scale. Offsets
+    * are microseconds (timestamp precision).
+    *
+    * Column names must be disjoint (same contract as RangeJoin).
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      leftTsCol: String,
+      right: DataFrame,
+      rightTsCol: String,
+      lowerMicros: Long,
+      upperMicros: Long,
+      watermarkDelay: String): DataFrame = {
+    require(upperMicros > lowerMicros, "empty window")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left/right column names must be disjoint (rename before joining)")
+    // Spark rejects stream-stream joins without an equality predicate (the
+    // state store is keyed by it) — same bucketization as the batch
+    // RangeJoin: quantize event time into window-width buckets, explode the
+    // left row to the <= 2 buckets its window overlaps, join on bucket
+    // equality plus the exact interval condition over the event-time
+    // columns (which is also what lets Spark compute state eviction bounds
+    // from the watermark).
+    val width = upperMicros - lowerMicros
+    def bucketOf(us: Column) =
+      ((us - pmod(us, lit(width))).cast("decimal(38,0)") / lit(width))
+        .cast("bigint")
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+      .withColumn("__b0", bucketOf(unix_micros(col(leftTsCol)) + lowerMicros))
+      .withColumn("__b1", bucketOf(unix_micros(col(leftTsCol)) + upperMicros - 1))
+      .withColumn("__lb", explode(array_distinct(array(col("__b0"), col("__b1")))))
+      .drop("__b0", "__b1")
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .withColumn("__rb", bucketOf(unix_micros(col(rightTsCol))))
+    l.join(r, expr(
+      s"__lb = __rb AND " +
+        s"$rightTsCol >= $leftTsCol + INTERVAL $lowerMicros MICROSECOND AND " +
+        s"$rightTsCol < $leftTsCol + INTERVAL $upperMicros MICROSECOND"))
+      .drop("__lb", "__rb")
+  }
+
   /** Event-time windowed per-symbol OHLC + VWAP with a watermark — the
     * north-star streaming indicator surface (SURVEY.md §2.7): the reference
     * has no event-time reasoning; Spark gives it natively. `timestamp` is ns

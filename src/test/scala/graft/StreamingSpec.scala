@@ -158,6 +158,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches purchases to following clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000L // µs
+    def ts(offsetS: Long) = new java.sql.Timestamp((t0 + offsetS * 1000000L) / 1000)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingEtl.streamIntervalJoin(
+      purchases.toDF().toDF("p_id", "p_ts"),
+      "p_ts",
+      clicks.toDF().toDF("c_id", "c_ts"),
+      "c_ts",
+      lowerMicros = 0L,
+      upperMicros = 60L * 1000000, // 1 minute
+      watermarkDelay = "2 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("interval_join").outputMode("append").start()
+    try {
+      // purchase at t+0 and t+300; clicks at t+30 (in window of first),
+      // t+90 (in no window), t+330 (in window of second)
+      purchases.addData((1L, ts(0)), (2L, ts(300)))
+      clicks.addData((10L, ts(30)), (11L, ts(90)), (12L, ts(330)))
+      query.processAllAvailable()
+      val got = spark.table("interval_join")
+        .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 10L), (2L, 12L)))
+      // a later micro-batch joins against retained state of the other side
+      clicks.addData((13L, ts(340)))
+      query.processAllAvailable()
+      val got2 = spark.table("interval_join")
+        .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+      assert(got2 === Set((1L, 10L), (2L, 12L), (2L, 13L)))
+    } finally query.stop()
+  }
+
   test("toEventTime is exact on ns epochs beyond double precision") {
     // 2^53 ns ~ 104 days of epoch; real epochs (~1.7e18) lose sub-µs
     // precision through a double divide. Pin exactness at the µs level.
