@@ -288,6 +288,31 @@ object Curation {
         .orderBy(col("split"))
     }),
 
+    // Sketch aggregations with a GATE-VISIBLE error bound (the q38-q41
+    // empty-set pattern): per event type, HyperLogLog++ distinct counts and
+    // t-digest-style approximate medians are compared against their exact
+    // counterparts INSIDE the query; any group whose sketch deviates beyond
+    // bound (3x the configured rsd for HLL, 5% of the value range for the
+    // median) is emitted — expected empty. Sketches are the only viable
+    // form of these aggregates at 100 TB (exact distinct shuffles every
+    // key; exact percentile sorts); the bound check keeps them honest.
+    "q47_sketch_bounds" -> ((s, dir) => {
+      val agg = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_d"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_d"),
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+          (max(col("value")) - min(col("value"))).as("vrange"))
+      agg.filter(
+        abs(col("approx_d") - col("exact_d")) >
+          col("exact_d").cast("double") * 0.15 ||
+          abs(col("approx_p50") - col("exact_p50")) > col("vrange") * 0.05)
+        .select(col("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Array-math profile of the embedding corpus per class label.
     "q29_emb_stats" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -494,6 +519,8 @@ object Curation {
     // EMPTY relation: the Spark side emits the by-construction-impossible
     // rows (see the q38-q41 definitions), so any soundness bug surfaces as
     // a row/hash mismatch against these.
+    "q47_sketch_bounds" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type WHERE false""",
     "q38_minhash_sound" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
          WHERE false""",
