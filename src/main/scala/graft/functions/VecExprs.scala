@@ -84,17 +84,43 @@ object VecExprs {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    // fully inline: the per-row work is small (3 short loops), so a
+    // reference-object call + boxed Double per row is measurable overhead
+    // in the brute-force paths; the generated loops keep identical
+    // accumulation order to nullSafeEval.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val r = ctx.freshName("r")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val ok = ctx.freshName("ok")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
         s"""
-           |Object $r = $ref.nullSafeEval($a, $b);
-           |if ($r == null) { ${ev.isNull} = true; }
-           |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+           |final int $n = $a.numElements();
+           |boolean $ok = $n == $b.numElements();
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |if ($ok) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $ok = false; break; }
+           |  }
+           |}
+           |if ($ok) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $dot += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    final double $x = $a.getDouble($i); $na += $x * $x;
+           |  }
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    final double $x = $b.getDouble($i); $nb += $x * $x;
+           |  }
+           |}
+           |if (!$ok || $na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          """.stripMargin
       })
-    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): CosineSim =
