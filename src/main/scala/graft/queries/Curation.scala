@@ -204,7 +204,13 @@ object Curation {
         .join(fps.toDF("id_b", "fp_b"), col("id_a") < col("id_b"))
         .filter(Dedup.hamming64(col("fp_a"), col("fp_b")) <= 3)
         .select(col("id_a"), col("id_b"))
-      found.except(brute).union(brute.except(found))
+      // symmetric difference via ONE full-outer join: except().union(except())
+      // would plan the O(N^2) brute subtree twice (both pair sets are
+      // already distinct, so null-side rows are exactly the difference)
+      found.withColumn("in_f", lit(1))
+        .join(brute.withColumn("in_b", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .filter(col("in_f").isNull || col("in_b").isNull)
+        .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
