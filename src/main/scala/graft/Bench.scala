@@ -157,7 +157,17 @@ object Bench {
     val stageTotal = results.getOrElse("etl1m_total", -1.0)
     // failures is load-bearing: the -1 sentinels are excluded from the sum,
     // so without it a degraded run would read as a speedup.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"etl1m_total":$stageTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"etl1m_total":$stageTotal,"queries":$qs,"sf":"$sfDir"}"""
+    // The metric line must be the LAST thing on stdout: the driver reads the
+    // tail of the output, and Spark's shutdown (temp-shuffle deletes, a
+    // benign LocalEndpoint trace) logs enough to push an earlier line out of
+    // that window (BENCH_r03 parsed null exactly this way). Silence logging
+    // before stop() — setLogLevel("OFF") sticks for the shutdown hooks too —
+    // then print after the session is fully down.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(metricLine)
+    System.out.flush()
   }
 }

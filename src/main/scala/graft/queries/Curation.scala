@@ -480,7 +480,7 @@ object Curation {
                / 4294967296.0 AS u
            FROM documents)
          SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
-                count(*) AS n, sum(n_chars) AS total_chars
+                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM u GROUP BY 1 ORDER BY split""",
     "q43_stratified_sample" ->
       """WITH u AS (
@@ -488,7 +488,7 @@ object Curation {
              CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
                / 4294967296.0 AS u
            FROM documents)
-         SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+         SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM u
          WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END
          GROUP BY lang ORDER BY lang""",

@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf parquet tables and compare with the parquet that
-graft.Verify dumped. Column order is normalized by sorting column names;
-values compared with per-dtype tolerance. Usage:
+graft.Verify dumped. Column order is normalized by sorting column names.
+
+The comparison is dtype-strict, mirroring the driver's hash: an int64 Spark
+column against a float64 oracle column (e.g. DuckDB HUGEINT sum widened to
+float) FAILS even when every value is numerically equal — that is exactly
+the q42/q43 round-3 miss the old tolerance-based compare let through.
+Usage:
 
     python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 """
@@ -30,6 +35,16 @@ def cmp_frames(name, spark_df, duck_df):
     if len(spark_df) != len(duck_df):
         return [f"row count differs: spark={len(spark_df)} duck={len(duck_df)}"]
     a, b = norm(spark_df), norm(duck_df)
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        # Strict like the driver's hash: int-vs-float (or any numeric kind
+        # mismatch) is a failure even when the values agree. 'O' (object,
+        # e.g. decimal/str/None-holding) is compared value-wise below.
+        if ka != kb and "O" not in (ka, kb):
+            errs.append(
+                f"col {c} dtype kind differs: spark={a[c].dtype} duck={b[c].dtype}")
+    if errs:
+        return errs
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
