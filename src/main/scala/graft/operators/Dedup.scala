@@ -75,7 +75,7 @@ object Dedup {
       col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted)
 
   /** (id, band, bucket) LSH keys: band key = hash of the band's slice of
     * the minhash signature. ONLY ids + band keys shuffle — shingle arrays
@@ -133,7 +133,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val docs = shingleDocs(df, idCol, textCol, shingleSize)
     val banded = bandedKeys(docs, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted)
 
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -281,7 +281,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("hs", graft.functions.HashExprs.hashedSortedSet(col("sh")))
       .drop("sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted)
 
     // hashed token -> per-block document frequency (rare-first global
     // order); prefix shuffles carry longs, never strings
@@ -302,7 +302,7 @@ object Dedup {
       .filter(col("rn") <=
         col("n") - ceil(col("n") * c - 1e-9) + 1)
       .select((bcols :+ col("id") :+ col("n") :+ col("rn") :+ col("tk")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted)
 
     // length filter (PPJoin): J(A,B) >= t forces |A∩B| >= t·|A∪B|, and with
     // |A∩B| <= min, |A∪B| >= max this gives min(|A|,|B|) >= t·max(|A|,|B|);

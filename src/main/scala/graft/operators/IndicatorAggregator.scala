@@ -62,9 +62,36 @@ object IndicatorAggregator {
   }
 
   def mergePoint(b: Buf, p: Point, period: Int): Buf = {
-    val (ts, ids, ps) = mergeTop(period + 1, b.ts, b.ids, b.prices,
-      Array(p.ts), Array(p.id), Array(p.price))
-    Buf(b.pv + p.price * p.volume, b.v + p.volume, b.n + 1, ts, ids, ps)
+    val cap = period + 1
+    val m = b.ts.length
+    val pv = b.pv + p.price * p.volume
+    val v = b.v + p.volume
+    val isMax = m == 0 || b.ts(m - 1) < p.ts ||
+      (b.ts(m - 1) == p.ts && b.ids(m - 1) < p.id)
+    if (isMax && m == cap) {
+      // steady-state hot path (time-ordered input, buffer full): shift left
+      // in place and append — zero allocation per row. Mutating b's arrays
+      // is safe: the object-aggregation iterator hands each group's buffer
+      // exclusively to reduce() and replaces it with the return value, and
+      // the product-encoder deserializer materializes fresh arrays.
+      System.arraycopy(b.ts, 1, b.ts, 0, cap - 1)
+      System.arraycopy(b.ids, 1, b.ids, 0, cap - 1)
+      System.arraycopy(b.prices, 1, b.prices, 0, cap - 1)
+      b.ts(cap - 1) = p.ts; b.ids(cap - 1) = p.id; b.prices(cap - 1) = p.price
+      Buf(pv, v, b.n + 1, b.ts, b.ids, b.prices)
+    } else if (isMax) {
+      // growing append: one copy into one-larger arrays
+      val ts = java.util.Arrays.copyOf(b.ts, m + 1)
+      val ids = java.util.Arrays.copyOf(b.ids, m + 1)
+      val ps = java.util.Arrays.copyOf(b.prices, m + 1)
+      ts(m) = p.ts; ids(m) = p.id; ps(m) = p.price
+      Buf(pv, v, b.n + 1, ts, ids, ps)
+    } else {
+      // out-of-order point: general bounded merge
+      val (ts, ids, ps) = mergeTop(cap, b.ts, b.ids, b.prices,
+        Array(p.ts), Array(p.id), Array(p.price))
+      Buf(pv, v, b.n + 1, ts, ids, ps)
+    }
   }
 
   def mergeBufs(a: Buf, b: Buf, period: Int): Buf = {

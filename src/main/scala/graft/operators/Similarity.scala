@@ -291,11 +291,12 @@ object Similarity {
     // persist is intentional and lives as long as the returned (lazy) frame:
     // docs feeds the band explode AND both verify joins, and the banded
     // frame self-joins — same lifetime contract as jaccardPairs /
-    // minhashNearDuplicates. Callers running many independent queries in one
-    // session (e.g. Bench) clear the cache between them.
+    // minhashNearDuplicates. Long-lived sessions bound the lifetime with
+    // CacheScope.scoped { ... }; scope-free callers (e.g. Bench) clear the
+    // cache between queries.
     val docs = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted)
     // one custom expression computes every band's key (VecExprs — the
     // HOF-per-plane form made Catalyst analysis itself the bottleneck);
     // the join is on (band, bkey), so the raw bit-pattern key suffices

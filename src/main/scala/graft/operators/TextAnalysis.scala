@@ -107,8 +107,12 @@ object TextAnalysis {
     * Scale: two hash aggregations (both map-side partial) and a window
     * whose partial top-k Spark prunes before the exchange
     * (WindowGroupLimit). Shuffles carry (id, term, tf) triples — term
-    * strings travel once, texts never. N rides a broadcast one-row frame,
-    * not a driver-side collect, so the plan stays fully lazy.
+    * strings travel once, texts never. N rides a scalar subquery
+    * (Dataset.scalar, Spark 4.1): the count subplan executes once and its
+    * value is injected into the scoring expression — no driver-side
+    * collect in THIS plan's construction, no crossJoin, and therefore no
+    * one-row BroadcastNestedLoopJoin; the library's no-nested-loop
+    * invariant (PlanShapeSpec) stays uniform.
     */
   def tfidfTopTerms(
       df: DataFrame,
@@ -121,21 +125,21 @@ object TextAnalysis {
     // persisted: tf feeds both the df aggregation and the scoring join —
     // without it the tokenize+explode+aggregate subplan (the expensive
     // stage) runs twice. Sketch-sized (id, term, tf) triples, same
-    // lifetime contract as the Dedup/Similarity persists.
+    // lifetime contract as the Dedup/Similarity persists (released by
+    // CacheScope.scoped when the caller bounds it).
     val tf = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs")).scalar()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
-      .crossJoin(broadcast(nDocs))
       .withColumn(
         "score",
-        col("tf") * log(col("n_docs").cast("double") / col("df")))
+        col("tf") * log(nDocs.cast("double") / col("df")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))

@@ -96,16 +96,25 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))),
 
     // Shuffle join on the fact keys + aggregation; AQE handles skew.
-    "q06_join_agg" -> ((s, dir) =>
+    // Revenue is pre-aggregated per l_orderkey BEFORE the join: the naive
+    // form (join the raw fact, then countDistinct(o_orderkey) + sum) plans
+    // an Expand that doubles every row through the final exchange; here the
+    // join output is one row per order, so n_orders is a plain count and the
+    // expand disappears. Decimal sums are associative, so the two-level sum
+    // is bit-identical to the single-level one.
+    "q06_join_agg" -> ((s, dir) => {
+      val revPerOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("order_rev"))
       t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
+        .join(revPerOrder, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"), col("o_orderstatus"))
         .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
-            .cast("double").as("revenue"))
-        .orderBy(col("o_orderpriority"), col("o_orderstatus"))),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("order_rev")), 2).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }),
 
     // EXISTS -> left semi join (no row multiplication, no distinct needed).
     "q07_semi_join" -> ((s, dir) =>

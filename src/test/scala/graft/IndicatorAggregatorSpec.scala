@@ -47,6 +47,30 @@ class IndicatorAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("mergePoint buffer algebra is arrival-order-invariant") {
+    // drives all three mergePoint paths (in-place full-buffer append,
+    // growing append, out-of-order bounded merge) and checks any arrival
+    // order folds to the same buffer as sorted arrival
+    import IndicatorAggregator.{Point, emptyBuf, mergePoint}
+    val rng = new scala.util.Random(11)
+    val pts = (1 to 200).map(i =>
+      Point("S", ts = (i % 50).toLong, id = i.toLong,
+        price = 100.0 + rng.nextInt(100), volume = 1.0 + rng.nextInt(5)))
+    val period = 7
+    val sorted = pts.sortBy(p => (p.ts, p.id))
+      .foldLeft(emptyBuf)((b, p) => mergePoint(b, p, period))
+    (0 until 5).foreach { round =>
+      val shuffled = new scala.util.Random(round).shuffle(pts)
+        .foldLeft(emptyBuf)((b, p) => mergePoint(b, p, period))
+      assert(shuffled.ts.toSeq == sorted.ts.toSeq)
+      assert(shuffled.ids.toSeq == sorted.ids.toSeq)
+      assert(shuffled.prices.toSeq == sorted.prices.toSeq)
+      assert(shuffled.n == sorted.n)
+      assert(close(shuffled.v, sorted.v))
+    }
+    assert(sorted.ts.length == period + 1, "buffer should be at cap")
+  }
+
   test("edge semantics: single row, monotone series") {
     val one = Seq(("S", 1L, 1L, 42.0, 2.0))
       .toDF("symbol", "timestamp", "trade_id", "price", "volume")

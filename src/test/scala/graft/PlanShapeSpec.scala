@@ -1,0 +1,87 @@
+package graft
+
+/** Plan-shape regression gate: a change that silently re-plans a production
+  * query into a scale-killer (cartesian product / broadcast nested loop) or
+  * drops an expected physical optimization (broadcast join, top-k pushdown)
+  * must fail a spec, not wait for a slow bench to notice. Plans are built at
+  * sf0.001 — physical operator CHOICE is what's pinned, not timings.
+  *
+  * The only sanctioned nested-loop is q39_simhash_complete's brute-force
+  * Hamming side: it is a diagnostic gate query (completeness check vs the
+  * blocked plan), deliberately O(N²), never library surface — pinned here to
+  * exactly one BNL occurrence so an accidental second one still fails.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def occurrences(plan: String, op: String): Int =
+    op.r.findAllIn(plan).length
+
+  // Queries whose construction is lazy enough to plan cheaply and whose
+  // plans must stay free of cartesian/BNL joins. (q39 is handled separately;
+  // q40/q41's brute-force relation is likewise gate-only but planned as a
+  // broadcast HASH join on a synthetic key, so it stays in this list.)
+  private val productionQueries = Seq(
+    "q04_topk", "q05_broadcast_join", "q06_join_agg", "q07_semi_join",
+    "q08_anti_join", "q24_minhash_lsh", "q26_jaccard_pairs", "q31_asof",
+    "q36_emb_neardup", "q44_range_join", "q46_tfidf")
+
+  test("no production plan contains a cartesian product or nested-loop join") {
+    val offenders = productionQueries.flatMap { name =>
+      val plan = planOf(name)
+      val bad =
+        (if (plan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+          (if (plan.contains("BroadcastNestedLoopJoin")) Seq("BroadcastNestedLoopJoin") else Nil)
+      if (bad.isEmpty) Nil else Seq(s"$name: ${bad.mkString(", ")}")
+    }
+    spark.sharedState.cacheManager.clearCache()
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("q39's deliberate brute-force side is exactly one nested-loop join") {
+    val plan = planOf("q39_simhash_complete")
+    spark.sharedState.cacheManager.clearCache()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(occurrences(plan, "BroadcastNestedLoopJoin") == 1,
+      s"expected exactly 1 BNL (the documented diagnostic), got " +
+        s"${occurrences(plan, "BroadcastNestedLoopJoin")}")
+  }
+
+  test("q05 dimension chain stays a broadcast hash join") {
+    val plan = planOf("q05_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension join regressed to a shuffle join:\n" + plan)
+  }
+
+  test("q04 top-k plans as TakeOrderedAndProject, not global sort") {
+    val plan = planOf("q04_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q46 tf-idf top-k prunes before the exchange via WindowGroupLimit") {
+    val plan = planOf("q46_tfidf")
+    spark.sharedState.cacheManager.clearCache()
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q26 PPJoin verifies with codegen'd merge, shuffles hashed tokens only") {
+    val plan = planOf("q26_jaccard_pairs")
+    spark.sharedState.cacheManager.clearCache()
+    // every join must be a hash/merge EQUI-join (at sf0.001 the optimizer
+    // legitimately broadcasts the small sides; at scale the same logical
+    // plan shuffles — either way, never a nested loop, which the shared
+    // no-BNL test above already pins)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    // raw document text must never reach an exchange: every Exchange block
+    // should carry hashed/derived columns, not the `text` column itself
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(!exchanges.exists(_.takeWhile(_ != '\n').contains("text#")),
+      "an exchange carries raw document text:\n" + plan)
+  }
+}
