@@ -38,8 +38,16 @@ object StreamingEtl {
       .option("subscribe", topic)
     maxOffsetsPerTrigger.foreach(m =>
       r.option("maxOffsetsPerTrigger", m.toString))
-    r.load().selectExpr("CAST(value AS STRING) AS value")
+    fromKafkaWire(r.load())
   }
+
+  /** Kafka wire shape -> JSON lines: the step shared by the real broker
+    * binding above and the broker-free TickWireSource test double, so specs
+    * exercise the exact post-broker chain (wire cast -> decode ->
+    * dead-letter) the production source runs.
+    */
+  def fromKafkaWire(wire: DataFrame): DataFrame =
+    wire.selectExpr("CAST(value AS STRING) AS value")
 
   /** Rate-source test feed approximating the reference tick server's
     * ~5K ticks/sec synthetic stream (reference src/feed/TickServer.hpp:
