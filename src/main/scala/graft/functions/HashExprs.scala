@@ -156,7 +156,8 @@ object HashExprs {
     * skipped. n <= 1 yields the distinct token set. Primitive-loop
     * replacement for the transform/slice/concat_ws formulation.
     */
-  case class WordShingles(child: Expression, n: Int)
+  case class WordShingles(child: Expression, n: Int,
+      distinctOut: Boolean = true)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -187,7 +188,13 @@ object HashExprs {
         i += 1
       }
       val m = toks.size()
-      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      // distinctOut=true: first-occurrence-ordered set (dedup semantics);
+      // false: every positional n-gram, duplicates kept (repetition
+      // metrics need the multiset)
+      val seen: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+        if (distinctOut)
+          new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+        else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
       if (n <= 1) {
         i = 0
         while (i < m) { seen.add(toks.get(i)); i += 1 }
@@ -333,6 +340,13 @@ object HashExprs {
   def wordShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(
       WordShingles(ColumnBridge.expression(tokens), n))
+
+  /** Positional n-grams with duplicates kept (the multiset form the
+    * repetition metrics need; `wordShingles` is the distinct-set form).
+    */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(tokens), n, distinctOut = false))
 
   def hashedSortedSet(strings: Column): Column =
     ColumnBridge.column(HashedSortedSet(ColumnBridge.expression(strings)))

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for training-data curation, in the lineage of
+  * the published web-corpus pipelines (C4's boilerplate removal, Gopher's
+  * repetition rules, benchmark decontamination): intra-document repetition
+  * metrics, corpus-wide boilerplate n-gram detection, and n-gram-overlap
+  * decontamination against a held-out benchmark set.
+  *
+  * Scale design shared by all three: metrics are computed from EXPLODED
+  * (id, gram) pairs through two-level hash aggregations — map-side partial
+  * combine applies, no window, no sort, no driver materialization. All
+  * per-document outputs are exact integers, so downstream thresholds are
+  * integer comparisons (engine-portable: no float-tie ambiguity between
+  * this engine and a SQL oracle).
+  */
+object CurationFilters {
+
+  private def toks(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), t => t =!= "")
+
+  /** Per-document repetition statistics, all exact integers:
+    * n_tokens, n_distinct_words, max_word_count (count of the most
+    * frequent token), n_bigrams, n_distinct_bigrams.
+    *
+    * Two (id, gram) hash aggregations (words, bigrams) joined on id; a
+    * document with fewer than 2 tokens reports 0 bigrams. At 100 TB the
+    * shuffles carry (id, gram-string, count) with full map-side combine;
+    * gram strings travel once — the alternative per-row higher-order-
+    * function formulation is O(len²) per document, which dies on
+    * real-length documents.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("max_word_count"))
+    val bigrams = df
+      .select(
+        col(idCol).as("id"),
+        explode(graft.functions.HashExprs.wordNgrams(toks(col(textCol)), 2))
+          .as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    words.join(bigrams, Seq("id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams"))
+  }
+
+  /** Gopher-style repetition gate from integer stats — flags documents
+    * whose most frequent word exceeds maxTopWordPct percent of tokens, or
+    * whose duplicate-bigram share exceeds maxDupBigramPct percent.
+    * Integer cross-multiplication only: `max_word_count * 100 >
+    * n_tokens * pct` is exact, so the flag is bit-stable across engines.
+    */
+  def repetitionFlag(
+      maxTopWordPct: Int = 20, maxDupBigramPct: Int = 20): Column =
+    (col("max_word_count") * 100 > col("n_tokens") * maxTopWordPct) ||
+      ((col("n_bigrams") - col("n_distinct_bigrams")) * 100 >
+        col("n_bigrams") * maxDupBigramPct)
+
+  /** Corpus-wide boilerplate detector: the k most frequent word n-grams
+    * with at least minCount total occurrences — the C4 "line appears
+    * many times" rule transplanted to n-grams (this corpus has no line
+    * structure). Global top-k plans as TakeOrderedAndProject (no full
+    * sort); the count aggregation is the only shuffle. At 100 TB, run
+    * with a higher minCount and the aggregation's combine absorbs the
+    * long tail map-side.
+    */
+  def heavyNgrams(
+      df: DataFrame, textCol: String, n: Int, minCount: Long, k: Int): DataFrame =
+    df.select(
+        explode(graft.functions.HashExprs.wordNgrams(toks(col(textCol)), n))
+          .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word n-gram with any benchmark document. Returns the distinct
+    * contaminated ids.
+    *
+    * Both sides reduce to DISTINCT hashed n-grams (xxhash64) before the
+    * join, so the exchange carries (id, long) / (long) — never gram
+    * strings — and the join is a left-semi on the hash: no row
+    * multiplication when a document shares many grams. A 64-bit
+    * collision could flag a clean document (never the reverse);
+    * deterministic, and vanishing at any corpus size that fits in a
+    * datacenter. The benchmark side is DISTINCT + broadcastable when
+    * small (benchmarks are ~10^5 grams); Spark picks broadcast vs
+    * shuffle by size — both are the right plan class.
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame, withId: Boolean) = {
+      val sh = graft.functions.HashExprs
+        .wordShingles(toks(col(textCol)), n) // distinct within doc
+      val exploded =
+        if (withId) df.select(col(idCol).as("id"), explode(sh).as("gram"))
+        else df.select(explode(sh).as("gram"))
+      exploded.withColumn("gh", xxhash64(col("gram"))).drop("gram")
+    }
+    grams(corpus, withId = true)
+      .join(grams(benchmark, withId = false).distinct(), Seq("gh"), "left_semi")
+      .select(col("id")).distinct()
+  }
+}

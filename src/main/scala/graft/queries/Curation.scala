@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -358,6 +358,47 @@ object Curation {
         .orderBy(col("label"))
     }),
 
+    // Gopher-style repetition hygiene, aggregated per language as exact
+    // integer sums (per-doc metrics are integers; the flag is an integer
+    // cross-multiplication — nothing float crosses the engine boundary).
+    "q48_repetition" -> ((s, dir) => {
+      val stats = CurationFilters.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .join(t(s, dir, "documents").select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      stats.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_tokens") - col("n_distinct_words")).as("total_dup_words"),
+          sum(col("n_bigrams") - col("n_distinct_bigrams")).as("total_dup_bigrams"),
+          sum(when(CurationFilters.repetitionFlag(20, 20), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy(col("lang"))
+    }),
+
+    // Corpus-wide boilerplate 3-grams: top 20 by total occurrences
+    // (count desc, gram asc — fully deterministic).
+    "q49_heavy_ngrams" -> ((s, dir) =>
+      CurationFilters.heavyNgrams(
+        t(s, dir, "documents"), "text", n = 3, minCount = 2L, k = 20)),
+
+    // Benchmark decontamination: docs (doc_id % 17 != 0) sharing any
+    // 4-gram with the deterministic benchmark slice (doc_id % 17 == 0),
+    // counted per source. The operator joins on xxhash64-hashed grams
+    // (longs through the exchange); the oracle joins raw gram strings —
+    // agreement IS the collision-freeness check, and it is deterministic.
+    "q50_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flagged = CurationFilters.decontaminate(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 4)
+      docs.join(flagged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated"))
+        .orderBy(col("source"))
+    }),
+
     // Multimodal plumbing: text payloads as opaque binary through the
     // ingest -> metadata path (decode itself is stubbed; see
     // operators.Multimodal).
@@ -566,6 +607,76 @@ object Curation {
     "q41_ann_ivf_sound" ->
       """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS id,
          CAST(NULL AS DOUBLE) AS sim
-         WHERE false"""
+         WHERE false""",
+    // Positional n-grams in DuckDB via list comprehension over the token
+    // list; all outputs are exact integer sums (see the q48 def comment).
+    "q48_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         w AS (
+           SELECT doc_id, term, count(*) AS c
+           FROM (SELECT doc_id, unnest(l) AS term FROM t)
+           GROUP BY doc_id, term),
+         ws AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct_words, max(c) AS max_word_count
+           FROM w GROUP BY doc_id),
+         b AS (
+           SELECT doc_id, gram, count(*) AS c
+           FROM (SELECT doc_id,
+                   unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS gram
+                 FROM t)
+           GROUP BY doc_id, gram),
+         bs AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  count(*) AS n_distinct_bigrams
+           FROM b GROUP BY doc_id),
+         s AS (
+           SELECT t.doc_id, t.lang,
+                  ws.n_tokens, ws.n_distinct_words, ws.max_word_count,
+                  coalesce(bs.n_bigrams, 0) AS n_bigrams,
+                  coalesce(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams
+           FROM t JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id))
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(n_tokens - n_distinct_words) AS BIGINT) AS total_dup_words,
+                CAST(sum(n_bigrams - n_distinct_bigrams) AS BIGINT) AS total_dup_bigrams,
+                CAST(sum(CASE WHEN max_word_count * 100 > n_tokens * 20
+                           OR (n_bigrams - n_distinct_bigrams) * 100 > n_bigrams * 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         FROM s GROUP BY lang ORDER BY lang""",
+    "q49_heavy_ngrams" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         g AS (
+           SELECT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                          for i in range(1, len(l) - 1)]) AS gram
+           FROM t)
+         SELECT gram, count(*) AS n_occurrences
+         FROM g GROUP BY gram
+         HAVING count(*) >= 2
+         ORDER BY n_occurrences DESC, gram
+         LIMIT 20""",
+    "q50_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         g AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(
+               [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                for i in range(1, len(l) - 2)])) AS gram
+           FROM t),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+         c AS (
+           SELECT DISTINCT doc_id, source
+           FROM g JOIN bench USING (gram)
+           WHERE doc_id % 17 <> 0)
+         SELECT source, count(*) AS n_contaminated
+         FROM c GROUP BY source ORDER BY source"""
   )
 }

@@ -28,7 +28,8 @@ class PlanShapeSpec extends SparkSpec {
   private val productionQueries = Seq(
     "q04_topk", "q05_broadcast_join", "q06_join_agg", "q07_semi_join",
     "q08_anti_join", "q24_minhash_lsh", "q26_jaccard_pairs", "q31_asof",
-    "q36_emb_neardup", "q44_range_join", "q46_tfidf")
+    "q36_emb_neardup", "q44_range_join", "q46_tfidf",
+    "q48_repetition", "q49_heavy_ngrams", "q50_decontam")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>
