@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CurationFilters, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -399,6 +399,25 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Sequence packing: documents -> fixed-token-budget training packs,
+    // greedy-contiguous within id-mod shards (operators.Packing).
+    // Summarized per shard so the gate output is small; every column is an
+    // exact integer.
+    "q51_seq_packing" -> ((s, dir) =>
+      Packing.packProfile(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks")),
+          "doc_id", "n_toks", budget = 512L, numShards = 8)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          max(col("pack_tokens")).as("max_pack_tokens"),
+          sum(col("overflow_tokens")).as("total_overflow"))
+        .orderBy(col("shard"))),
+
     // Multimodal plumbing: text payloads as opaque binary through the
     // ingest -> metadata path (decode itself is stubbed; see
     // operators.Multimodal).
@@ -660,6 +679,33 @@ object Curation {
          HAVING count(*) >= 2
          ORDER BY n_occurrences DESC, gram
          LIMIT 20""",
+    // Token counts replicate TextAnalysis.tokenCount (whitespace split,
+    // empties removed); the pack assignment is the same integer window
+    // formula as Packing.packSequences.
+    "q51_seq_packing" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_toks
+           FROM documents),
+         p AS (
+           SELECT shard, n_toks,
+             CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS pack
+           FROM d
+           WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING)),
+         packs AS (
+           SELECT shard, pack, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+             greatest(CAST(sum(n_toks) AS BIGINT) - 512, 0)
+               AS overflow_tokens
+           FROM p GROUP BY shard, pack)
+         SELECT shard, count(*) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           max(pack_tokens) AS max_pack_tokens,
+           CAST(sum(overflow_tokens) AS BIGINT) AS total_overflow
+         FROM packs GROUP BY shard ORDER BY shard""",
     "q50_decontam" ->
       """WITH t AS (
            SELECT doc_id, source,
