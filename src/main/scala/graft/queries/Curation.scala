@@ -418,6 +418,40 @@ object Curation {
           sum(col("overflow_tokens")).as("total_overflow"))
         .orderBy(col("shard"))),
 
+    // The full modern curation chain, every stage one of this engine's
+    // oracle-proven operators: repetition gate (q48 machinery) ->
+    // benchmark decontamination (q50) -> deterministic split (q42) ->
+    // sequence packing of the train split (q51). Only integer-exact
+    // stages, so the composed oracle is bit-stable end to end (the float
+    // quality gate is composed separately in q45).
+    "q52_train_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clean = docs.join(
+        CurationFilters.repetitionStats(docs, "doc_id", "text")
+          .filter(!CurationFilters.repetitionFlag(20, 20))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val corpus = clean.filter(col("doc_id") % 17 =!= 0)
+      val decont = corpus.join(
+        CurationFilters.decontaminate(
+            corpus, docs.filter(col("doc_id") % 17 === 0),
+            "doc_id", "text", n = 4)
+          .withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      val train = Sampling
+        .assignSplit(decont, "doc_id", Seq("train" -> 0.9, "eval" -> 0.1))
+        .filter(col("split") === "train")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      Packing.packProfile(train, "doc_id", "n_toks", budget = 512L, numShards = 4)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("pack_tokens")).as("total_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // Multimodal plumbing: text payloads as opaque binary through the
     // ingest -> metadata path (decode itself is stubbed; see
     // operators.Multimodal).
@@ -705,6 +739,69 @@ object Curation {
            CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
            max(pack_tokens) AS max_pack_tokens,
            CAST(sum(overflow_tokens) AS BIGINT) AS total_overflow
+         FROM packs GROUP BY shard ORDER BY shard""",
+    // Composed from the proven q48/q50/q42/q51 oracle stages.
+    "q52_train_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         w AS (
+           SELECT doc_id, term, count(*) AS c
+           FROM (SELECT doc_id, unnest(l) AS term FROM t)
+           GROUP BY doc_id, term),
+         ws AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct_words, max(c) AS max_word_count
+           FROM w GROUP BY doc_id),
+         b AS (
+           SELECT doc_id, gram, count(*) AS c
+           FROM (SELECT doc_id,
+                   unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS gram
+                 FROM t)
+           GROUP BY doc_id, gram),
+         bs AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  count(*) AS n_distinct_bigrams
+           FROM b GROUP BY doc_id),
+         clean AS (
+           SELECT t.doc_id, t.l FROM t
+           JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+           WHERE NOT (ws.max_word_count * 100 > ws.n_tokens * 20
+             OR (coalesce(bs.n_bigrams, 0) - coalesce(bs.n_distinct_bigrams, 0)) * 100
+                > coalesce(bs.n_bigrams, 0) * 20)),
+         g4 AS (
+           SELECT doc_id,
+             unnest(list_distinct(
+               [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                for i in range(1, len(l) - 2)])) AS gram
+           FROM t),
+         bench AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 17 = 0),
+         contaminated AS (
+           SELECT DISTINCT g4.doc_id FROM g4 JOIN bench USING (gram)
+           WHERE g4.doc_id % 17 <> 0),
+         decont AS (
+           SELECT doc_id, len(l) AS n_toks FROM clean
+           WHERE doc_id % 17 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         train AS (
+           SELECT doc_id, n_toks, doc_id % 4 AS shard FROM decont
+           WHERE CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < 0.9),
+         p AS (
+           SELECT shard,
+             CAST((sum(n_toks) OVER win - n_toks) // 512 AS BIGINT) AS pack,
+             n_toks
+           FROM train
+           WINDOW win AS (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING)),
+         packs AS (
+           SELECT shard, pack, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS pack_tokens
+           FROM p GROUP BY shard, pack)
+         SELECT shard, count(*) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens
          FROM packs GROUP BY shard ORDER BY shard""",
     "q50_decontam" ->
       """WITH t AS (

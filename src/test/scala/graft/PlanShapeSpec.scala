@@ -29,7 +29,8 @@ class PlanShapeSpec extends SparkSpec {
     "q04_topk", "q05_broadcast_join", "q06_join_agg", "q07_semi_join",
     "q08_anti_join", "q24_minhash_lsh", "q26_jaccard_pairs", "q31_asof",
     "q36_emb_neardup", "q44_range_join", "q46_tfidf",
-    "q48_repetition", "q49_heavy_ngrams", "q50_decontam")
+    "q48_repetition", "q49_heavy_ngrams", "q50_decontam",
+    "q51_seq_packing", "q52_train_pipeline")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>
