@@ -301,6 +301,13 @@ object Dedup {
       // integer up, which would shorten the prefix and lose recall
       .filter(col("rn") <=
         col("n") - ceil(col("n") * c - 1e-9) + 1)
+      // hapax pruning: a prefix occurrence of a df=1 token can only ever
+      // self-join (killed by id_a < id_b downstream), so it shuffles for
+      // nothing. Recall-neutral — any SHARED token has df >= 2 — and on a
+      // Zipf-distributed real corpus hapaxes are ~half the token types, so
+      // this halves the prefix exchange. rn is computed BEFORE this filter,
+      // so positional bounds are unchanged.
+      .filter(col("df") >= 2)
       .select((bcols :+ col("id") :+ col("n") :+ col("rn") :+ col("tk")): _*)
       .transform(graft.CacheScope.persisted)
 
