@@ -65,6 +65,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q49 global top-k boilerplate plans as TakeOrderedAndProject") {
+    val plan = planOf("q49_heavy_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "heavy-ngram top-k regressed to a global sort:\n" + plan)
+  }
+
   test("q46 tf-idf top-k prunes before the exchange via WindowGroupLimit") {
     val plan = planOf("q46_tfidf")
     spark.sharedState.cacheManager.clearCache()
