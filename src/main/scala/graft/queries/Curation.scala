@@ -452,6 +452,31 @@ object Curation {
         .orderBy(col("shard"))
     }),
 
+    // Near-dup pairs -> dedup clusters: connected components (min-star
+    // contraction) over the q26-style pair relation, summarized per lang.
+    // The oracle computes the same components with a recursive CTE over
+    // its own (q26-identical) pair SQL — the pair sets are proven equal,
+    // so cluster agreement checks the CC algorithm itself. Threshold 0.95
+    // (vs q26's 0.5): this synthetic corpus is pathologically
+    // self-similar — at 0.5, ~99% of same-lang pairs connect and CC
+    // measures one giant blob collapsing, not the sparse cluster
+    // structure dedup CC exists for; at 0.95 the graph is sparse
+    // (~1 pair/doc) and clusters are meaningful.
+    "q53_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang"), 1, 0.95)
+      val sizes = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"), col("component"))
+        .agg(count(lit(1)).as("sz"))
+      sizes.groupBy(col("lang"))
+        .agg(
+          sum(col("sz")).as("n_docs_in_clusters"),
+          count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_cluster"))
+        .orderBy(col("lang"))
+    }),
+
     // Multimodal plumbing: text payloads as opaque binary through the
     // ingest -> metadata path (decode itself is stubbed; see
     // operators.Multimodal).
@@ -740,6 +765,35 @@ object Curation {
            max(pack_tokens) AS max_pack_tokens,
            CAST(sum(overflow_tokens) AS BIGINT) AS total_overflow
          FROM packs GROUP BY shard ORDER BY shard""",
+    // Components via recursive CTE: `reach` enumerates (node, label) for
+    // every label reachable from the node; min per node = the component.
+    // Pair relation is byte-identical to q26's oracle.
+    "q53_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT lang, doc_id,
+             list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.95),
+         edges AS (
+           SELECT id_a AS s, id_b AS t FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT DISTINCT s AS id, s AS label FROM edges
+           UNION
+           SELECT e.s AS id, r.label FROM edges e JOIN reach r ON r.id = e.t),
+         comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         sizes AS (
+           SELECT doc.lang, c.component, count(*) AS sz
+           FROM comp c JOIN documents doc ON c.id = doc.doc_id
+           GROUP BY doc.lang, c.component)
+         SELECT lang, CAST(sum(sz) AS BIGINT) AS n_docs_in_clusters,
+           count(*) AS n_clusters, max(sz) AS max_cluster
+         FROM sizes GROUP BY lang ORDER BY lang""",
     // Composed from the proven q48/q50/q42/q51 oracle stages.
     "q52_train_pipeline" ->
       """WITH t AS (

@@ -154,4 +154,59 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
     assert(out.toSeq === Seq((1L, 2L, 0.5)))
   }
+
+  test("connectedComponents: chains, cliques, and isolated pairs") {
+    // components: {1,2,3,4} (a chain), {10,11,12} (a triangle), {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    // both execution paths must produce this exact labeling
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val gotDist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverCutoff = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == gotDist)
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (worst diameter)") {
+    // pointer-jumped contraction follows ~8 hops per round, so a 40-node
+    // path needs ~5 rounds; driverCutoff = 0 forces the DISTRIBUTED path
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b", maxIter = 50,
+        driverCutoff = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L))
+  }
+
+  test("driver union-find and distributed contraction agree exactly") {
+    val rng = new scala.util.Random(17)
+    // random graph: 300 nodes, 250 random edges -> many components of
+    // varied shapes (isolated pairs, trees, cycles)
+    val pairs = (1 to 250).map { _ =>
+      (rng.nextInt(300).toLong, rng.nextInt(300).toLong)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaCluster = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverCutoff = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaCluster)
+    assert(viaDriver.nonEmpty)
+  }
+
+  test("dedupNear keeps min-id survivor per cluster plus unpaired docs") {
+    val df = docs(1L -> docA, 2L -> docA, 3L -> docB, 9L -> docC)
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", Nil, 1, 0.5)
+    val kept = Dedup.dedupNear(df, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1/2 identical, 3 near-dup of them (token Jaccard > 0.5) -> one
+    // cluster keeps id 1; doc 9 unpaired survives
+    assert(kept == Set(1L, 9L))
+  }
 }
