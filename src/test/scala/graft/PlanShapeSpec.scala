@@ -30,7 +30,7 @@ class PlanShapeSpec extends SparkSpec {
     "q08_anti_join", "q24_minhash_lsh", "q26_jaccard_pairs", "q31_asof",
     "q36_emb_neardup", "q44_range_join", "q46_tfidf",
     "q48_repetition", "q49_heavy_ngrams", "q50_decontam",
-    "q51_seq_packing", "q52_train_pipeline")
+    "q51_seq_packing", "q52_train_pipeline", "q53_dedup_clusters")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

@@ -192,6 +192,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("curation text metrics compose into a streaming pipeline") {
+    // TextAnalysis metrics are pure (stateless) Columns, so the curation
+    // gate drops into readStream -> filter -> agg unchanged: stream docs,
+    // quality-gate them, count survivors per predicted language
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .filter(col("quality") >= 0.3)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val q = gated.writeStream.format("memory").queryName("stream_curation")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox is in the house and it is that big"),
+        (2L, "el perro que corre en la casa y no se va de los campos"),
+        (3L, "!!! !!! !!! !!!"))  // repetitive pure punctuation: gated out
+      q.processAllAvailable()
+      input.addData((4L, "the cat and the dog are in that tree for a while"))
+      q.processAllAvailable()
+      val out = spark.table("stream_curation").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.getOrElse("en", 0L) == 2L, out.toString)
+      assert(out.getOrElse("es", 0L) == 1L, out.toString)
+      assert(!out.contains("und") || out("und") == 0L,
+        "gated-out doc leaked: " + out)
+    } finally q.stop()
+  }
+
   test("toEventTime is exact on ns epochs beyond double precision") {
     // 2^53 ns ~ 104 days of epoch; real epochs (~1.7e18) lose sub-µs
     // precision through a double divide. Pin exactness at the µs level.
