@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Indicators, Sessionize, TradeRules, Validation}
+import graft.operators.{CurationFilters, Dedup, Indicators, Packing, Sessionize, TradeRules, Validation}
 import org.scalacheck.Gen
 
 /** Property-based invariants (SURVEY.md §5 test plan): indicator bounds,
@@ -154,6 +154,97 @@ class PropertySpec extends SparkSpec {
         val one = Sessionize.stats(df, "user_id", "ts", Seq("ts"), Long.MaxValue)
           .select("n_sessions").as[Long].head()
         assert(one === 1L)
+      }
+    }
+  }
+
+  private val randomDocs: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    Gen.chooseNum(3, 25).flatMap(n =>
+      Gen.listOfN(n,
+        Gen.chooseNum(1, 30).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("property: repetitionStats conserves token counts exactly") {
+    forAll(randomDocs, n = 5) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val stats = CurationFilters.repetitionStats(df, "doc_id", "text")
+          .select("id", "n_tokens", "n_distinct_words", "max_word_count",
+            "n_bigrams", "n_distinct_bigrams")
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+        val byId = docs.toMap
+        stats.foreach { case (id, nt, nd, mx, nb, nbd) =>
+          val toks = byId(id).split("\\s+").filter(_.nonEmpty)
+          assert(nt == toks.length, s"doc $id token count")
+          assert(nd == toks.distinct.length, s"doc $id distinct")
+          assert(mx == toks.groupBy(identity).values.map(_.size).max, s"doc $id max")
+          assert(nb == math.max(0, toks.length - 1), s"doc $id bigrams")
+          assert(nbd <= nb || nb == 0, s"doc $id distinct bigrams bound")
+        }
+      }
+    }
+  }
+
+  test("property: decontaminate is monotone in the benchmark set") {
+    forAll(randomDocs, n = 5) { docs =>
+      whenever(docs.size >= 4) {
+        val df = docs.toDF("doc_id", "text")
+        val benchSmall = df.filter($"doc_id" % 4 === 0)
+        val benchBig = df.filter($"doc_id" % 2 === 0)
+        def flagged(b: org.apache.spark.sql.DataFrame) =
+          CurationFilters.decontaminate(
+            df.filter($"doc_id" % 2 =!= 0), b, "doc_id", "text", 3)
+            .as[Long].collect().toSet
+        // a larger benchmark can only flag MORE corpus docs, never fewer
+        assert(flagged(benchSmall).subsetOf(flagged(benchBig)))
+      }
+    }
+  }
+
+  test("property: packing conserves docs and tokens in every shard") {
+    val sizes = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 400L)))
+    forAll(sizes, n = 6) { toks =>
+      whenever(toks.nonEmpty) {
+        val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "n_toks")
+        val packed = Packing.packSequences(df, "doc_id", "n_toks", 128L, 3)
+        // every doc appears exactly once with its token count intact
+        assert(packed.count() == toks.size)
+        val total = packed.agg(org.apache.spark.sql.functions.sum("n_toks"))
+          .as[Long].head()
+        assert(total == toks.sum)
+        // pack ids within a shard are contiguous from 0 in doc order except
+        // skips after mega-docs; they are always non-decreasing in id order
+        val perShard = packed.select("shard", "doc_id", "pack")
+          .as[(Long, Long, Long)].collect().groupBy(_._1)
+        perShard.values.foreach { rows =>
+          val ordered = rows.sortBy(_._2).map(_._3)
+          assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a <= b })
+          assert(ordered.headOption.forall(_ == 0L))
+        }
+      }
+    }
+  }
+
+  test("property: connectedComponents labels are closed under the pair relation") {
+    val edgesGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))))
+    forAll(edgesGen, n = 5) { raw =>
+      val pairs = raw.filter(p => p._1 != p._2)
+      whenever(pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val comp = Dedup.connectedComponents(df, "a", "b")
+          .as[(Long, Long)].collect().toMap
+        // endpoints of every pair share a component, and each component
+        // label is the min id of its member set
+        pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+        comp.groupBy(_._2).foreach { case (label, members) =>
+          assert(label == members.keys.min)
+        }
       }
     }
   }
