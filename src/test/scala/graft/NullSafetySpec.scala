@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{CurationFilters, Dedup, Packing, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Library contract for degenerate text: a null, empty, or whitespace-only
+  * `text` must never crash an operator. Where a document has no tokens it
+  * either reports zero-valued metrics (analyze, repetitionStats) or drops
+  * out of token-derived relations (pairs, n-grams) — never a
+  * NullPointerException five stages into a 100 TB job.
+  */
+class NullSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def degenerate = Seq(
+    (1L, "alpha beta alpha gamma"),
+    (2L, null.asInstanceOf[String]),
+    (3L, ""),
+    (4L, "   ")).toDF("doc_id", "text")
+
+  test("analyze survives null/empty/blank text") {
+    val out = TextAnalysis.analyze(degenerate, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens").as[(Long, Option[Long])].collect()
+    assert(out.length == 4)
+    // the real doc counts 4 tokens; blank/empty count 0; null propagates
+    // null (SQL semantics) — all three are non-crashing outcomes
+    assert(out.head == (1L -> Some(4L)))
+    assert(out.drop(2).forall(_._2.forall(_ == 0L)))
+  }
+
+  test("repetition, n-gram, and dedup operators survive degenerate text") {
+    assert(CurationFilters.repetitionStats(degenerate, "doc_id", "text")
+      .count() >= 1)
+    assert(CurationFilters.heavyNgrams(degenerate, "text", 2, 1L, 5)
+      .count() >= 1)
+    assert(CurationFilters.decontaminate(
+      degenerate, degenerate.filter($"doc_id" === 1L), "doc_id", "text", 2)
+      .count() == 1) // only the real doc can share grams with itself
+    assert(Dedup.jaccardPairs(degenerate, "doc_id", "text", Nil, 1, 0.5)
+      .count() == 0) // no two real docs
+    assert(Dedup.minhashNearDuplicates(degenerate, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDuplicates(degenerate, "doc_id", "text", 3).count() >= 0)
+    assert(TextAnalysis.tfidfTopTerms(degenerate, "doc_id", "text", 2).count() > 0)
+    assert(Dedup.dedupExact(degenerate, "doc_id", "text").count() >= 3)
+  }
+
+  test("packing and clustering survive empty inputs") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_id", "n_toks")
+    assert(Packing.packSequences(empty, "doc_id", "n_toks", 128L, 4).count() == 0)
+    val noPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs, "id_a", "id_b").count() == 0)
+    assert(Dedup.connectedComponents(noPairs, "id_a", "id_b", driverCutoff = 0L)
+      .count() == 0)
+  }
+}
