@@ -319,4 +319,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Semantic deduplication (the published SemDeDup shape, Abbas et al.
+    * 2023): k-means-cluster the embedding space with the IVF coarse
+    * quantizer, find cosine-similar pairs WITHIN each cluster, and keep
+    * one representative (min id) per near-duplicate group. Returns
+    * (id, cell, keep) for every input document.
+    *
+    * Scale: the within-cell pair join is the technique's defining
+    * trade-off — candidate volume is sum over cells of |cell|^2, bounded
+    * by choosing nlist so cells stay ~constant-sized (nlist grows with
+    * the corpus; the paper runs 50k clusters over LAION). The join is an
+    * equi-join on cell (never a cross join), vectors shuffle once keyed
+    * by cell, and grouping near-dups uses connectedComponents' hybrid
+    * union-find/contraction. Cluster assignment is the one approximation:
+    * a near-dup pair split across cells is missed (same recall contract
+    * as every ANN method here; recall is spec-pinned on planted data).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 64,
+      sampleN: Int = 4096,
+      iters: Int = 8): DataFrame = {
+    val centroids = trainIvfCentroids(df, idCol, vecCol, nlist, sampleN, iters)
+    val assigned = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", ivfCell(col("v"), centroids))
+      .transform(graft.CacheScope.persisted)
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id"), lit(false).as("keep"))
+    assigned.select(col("id"), col("cell"))
+      .join(losers, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
 }

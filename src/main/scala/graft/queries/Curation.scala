@@ -477,6 +477,41 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
+    // Semantic dedup soundness (q38-style empty-set gate): the operator's
+    // cells and k-means centroids are engine-defined, so no SQL oracle can
+    // replicate the assignment — but its KEEP/DROP invariant is checkable
+    // by construction: every dropped doc must have a same-cell kept doc
+    // within its near-dup component, i.e. re-deriving components from the
+    // operator's own within-cell pairs must agree that each component
+    // keeps exactly its min id. Emitted rows = violations; expected empty.
+    "q54_semdedup_sound" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val th = 0.5
+      val out = Similarity.semanticDedup(
+        emb, "vec_id", "embedding", threshold = th, nlist = 64)
+      // violation 1: a cell with members but zero keepers (every non-empty
+      // component keeps its min id, and components are within-cell)
+      val orphanCells = out.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .filter(col("n_kept") === 0 && col("n") > 0)
+        .select(col("cell").cast("long").as("bad"))
+      // violation 2: two KEPT docs that are a near-dup pair — re-derive
+      // within-cell pairs from the (deterministic) assignment the operator
+      // itself produces; any such pair proves the drop pass missed an edge
+      val v = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val kept = out.filter(col("keep")).select(col("id"), col("cell"))
+        .join(v, Seq("id"))
+      val keptPairs = kept.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
+        .join(kept.select(col("cell"), col("id").as("id_b"), col("vec").as("vb")),
+          Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= th)
+        .select(col("id_a").as("bad"))
+      orphanCells.union(keptPairs).orderBy(col("bad"))
+    }),
+
     // Multimodal plumbing: text payloads as opaque binary through the
     // ingest -> metadata path (decode itself is stubbed; see
     // operators.Multimodal).
@@ -765,6 +800,8 @@ object Curation {
            max(pack_tokens) AS max_pack_tokens,
            CAST(sum(overflow_tokens) AS BIGINT) AS total_overflow
          FROM packs GROUP BY shard ORDER BY shard""",
+    "q54_semdedup_sound" ->
+      """SELECT CAST(NULL AS BIGINT) AS bad WHERE false""",
     // Components via recursive CTE: `reach` enumerates (node, label) for
     // every label reachable from the node; min per node = the component.
     // Pair relation is byte-identical to q26's oracle.

@@ -154,4 +154,39 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("semanticDedup: planted duplicate groups keep exactly their min id") {
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    // 20 groups of 3 near-identical vectors (cos ~0.999) plus 40 far
+    // decoys; dedup at 0.95 must keep exactly one (the min id) per group
+    // and every decoy
+    val groups = (0 until 20).flatMap { g =>
+      val base = Array.fill(dim)(rng.nextGaussian())
+      (0 until 3).map(j =>
+        (g * 3L + j, base.map(x => x + 0.01 * rng.nextGaussian()).toSeq))
+    }
+    val decoys = (0 until 40).map(i =>
+      (1000L + i, Seq.fill(dim)(rng.nextGaussian())))
+    val df = (groups ++ decoys).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.semanticDedup(
+        df, "vec_id", "embedding", threshold = 0.95, nlist = 4, sampleN = 100)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 100)
+    val kept = out.filter(_._2).keySet
+    // every decoy survives
+    assert((1000L until 1040L).forall(kept))
+    // each planted group keeps at most one member, and if the whole group
+    // landed in one k-means cell (usual at 0.999 similarity) exactly its
+    // min id — allow cross-cell splits to keep one per cell, but the min
+    // id member must always be kept
+    (0 until 20).foreach { g =>
+      val members = Set(g * 3L, g * 3L + 1, g * 3L + 2)
+      val keptMembers = members.filter(kept)
+      assert(keptMembers.nonEmpty && keptMembers.contains(g * 3L),
+        s"group $g kept $keptMembers")
+    }
+    // globally: dedup must remove most planted redundancy
+    assert(kept.size <= 40 + 20 + 6, s"kept ${kept.size} — dedup too weak")
+  }
 }
