@@ -61,13 +61,21 @@ object IndicatorAggregator {
     (ts, ids, ps)
   }
 
-  def mergePoint(b: Buf, p: Point, period: Int): Buf = {
+  def mergePoint(b: Buf, p: Point, period: Int): Buf =
+    mergeValues(b, p.ts, p.id, p.price, p.volume, period)
+
+  /** Allocation-free form of [[mergePoint]] (no Point wrapper): the native
+    * aggregate expression (functions.IndicatorAggExpr) reads fields
+    * straight off InternalRow and merges them here.
+    */
+  def mergeValues(b: Buf, pTs: Long, pId: Long, pPrice: Double,
+      pVolume: Double, period: Int): Buf = {
     val cap = period + 1
     val m = b.ts.length
-    val pv = b.pv + p.price * p.volume
-    val v = b.v + p.volume
-    val isMax = m == 0 || b.ts(m - 1) < p.ts ||
-      (b.ts(m - 1) == p.ts && b.ids(m - 1) < p.id)
+    val pv = b.pv + pPrice * pVolume
+    val v = b.v + pVolume
+    val isMax = m == 0 || b.ts(m - 1) < pTs ||
+      (b.ts(m - 1) == pTs && b.ids(m - 1) < pId)
     if (isMax && m == cap) {
       // steady-state hot path (time-ordered input, buffer full): shift left
       // in place and append — zero allocation per row. Mutating b's arrays
@@ -77,19 +85,19 @@ object IndicatorAggregator {
       System.arraycopy(b.ts, 1, b.ts, 0, cap - 1)
       System.arraycopy(b.ids, 1, b.ids, 0, cap - 1)
       System.arraycopy(b.prices, 1, b.prices, 0, cap - 1)
-      b.ts(cap - 1) = p.ts; b.ids(cap - 1) = p.id; b.prices(cap - 1) = p.price
+      b.ts(cap - 1) = pTs; b.ids(cap - 1) = pId; b.prices(cap - 1) = pPrice
       Buf(pv, v, b.n + 1, b.ts, b.ids, b.prices)
     } else if (isMax) {
       // growing append: one copy into one-larger arrays
       val ts = java.util.Arrays.copyOf(b.ts, m + 1)
       val ids = java.util.Arrays.copyOf(b.ids, m + 1)
       val ps = java.util.Arrays.copyOf(b.prices, m + 1)
-      ts(m) = p.ts; ids(m) = p.id; ps(m) = p.price
+      ts(m) = pTs; ids(m) = pId; ps(m) = pPrice
       Buf(pv, v, b.n + 1, ts, ids, ps)
     } else {
       // out-of-order point: general bounded merge
       val (ts, ids, ps) = mergeTop(cap, b.ts, b.ids, b.prices,
-        Array(p.ts), Array(p.id), Array(p.price))
+        Array(pTs), Array(pId), Array(pPrice))
       Buf(pv, v, b.n + 1, ts, ids, ps)
     }
   }
@@ -139,9 +147,37 @@ object IndicatorAggregator {
   }
 
   /** DataFrame adapter mirroring Indicators.summary's signature: one row
-    * per group with (groupCol, sma, rsi, vwap, period, n_rows).
+    * per group with (groupCol, sma, rsi, vwap, period, n_rows). Runs the
+    * NATIVE aggregate expression (functions.IndicatorAggExpr — same
+    * algebra, no per-row Point materialization, no product-encoder
+    * round-trips); `summaryTyped` keeps the Dataset Aggregator form.
     */
   def summary(
+      df: DataFrame,
+      groupCol: String,
+      priceCol: String,
+      volumeCol: Option[String],
+      tsCol: String,
+      idCol: String,
+      period: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.IndicatorAggExpr.indicatorSummary(
+        col(tsCol).cast("long"), col(idCol).cast("long"),
+        col(priceCol).cast("double"),
+        volumeCol.map(v => col(v).cast("double")).getOrElse(lit(1.0)),
+        period).as("out"))
+      .select(
+        col(groupCol),
+        col("out.sma").as("sma"),
+        col("out.rsi").as("rsi"),
+        col("out.vwap").as("vwap"),
+        col("out.period").as("period"),
+        col("out.n_rows").as("n_rows"))
+
+  /** The Dataset-typed Aggregator form of [[summary]] (same algebra; kept
+    * as the §2.8 typed-API exhibit and to pin the two forms equal).
+    */
+  def summaryTyped(
       df: DataFrame,
       groupCol: String,
       priceCol: String,

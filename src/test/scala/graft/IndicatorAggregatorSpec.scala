@@ -27,6 +27,15 @@ class IndicatorAggregatorSpec extends SparkSpec {
       .select("symbol", "sma", "rsi", "vwap", "period", "n_rows")
       .as[(String, Double, Double, Double, Int, Long)].collect()
       .map(r => r._1 -> r).toMap
+    // the native TypedImperativeAggregate form and the Dataset Aggregator
+    // form share one algebra and must agree EXACTLY (not just within eps)
+    val byTyped = IndicatorAggregator.summaryTyped(
+      trades, "symbol", "price", Some("volume"), "timestamp", "trade_id",
+      period = 14)
+      .select("symbol", "sma", "rsi", "vwap", "period", "n_rows")
+      .as[(String, Double, Double, Double, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byTyped == byAgg, "native and typed aggregate forms diverge")
     val byTail = Indicators.summaryTail(
       trades, Seq("symbol"), "price", Some("volume"),
       Seq("timestamp", "trade_id"), period = 14)
