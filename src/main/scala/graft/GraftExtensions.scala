@@ -57,6 +57,16 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "hashed_sorted_set(tokens array<string>)")
       }),
+    (FunctionIdentifier("indicator_summary"),
+      new ExpressionInfo(classOf[graft.functions.IndicatorAggExpr].getName,
+        "indicator_summary"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(ts, id, price, volume, p) =>
+          graft.functions.IndicatorAggExpr(
+            ts, id, price, volume, intArg(p, "indicator_summary"))
+        case _ => throw new IllegalArgumentException(
+          "indicator_summary(ts long, id long, price double, volume double, period int)")
+      }),
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[HashExprs.SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => exprs match {

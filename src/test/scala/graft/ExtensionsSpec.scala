@@ -54,4 +54,26 @@ class ExtensionsSpec extends SparkSpec {
       rows, graft.operators.TradeRules.rules)
     assert(split.rejected.count() === 0)
   }
+
+  test("sql indicator_summary aggregate matches the operator API") {
+    GraftExtensions.register(spark)
+    val trades = graft.sources.TradeGenerator.generate(spark, 5000)
+    trades.createOrReplaceTempView("ext_trades")
+    val viaSql = spark.sql(
+      """SELECT symbol, out.sma, out.rsi, out.vwap, out.period, out.n_rows
+         FROM (SELECT symbol,
+                 indicator_summary(CAST(timestamp AS LONG),
+                   CAST(trade_id AS LONG), CAST(price AS DOUBLE),
+                   CAST(volume AS DOUBLE), 14) AS out
+               FROM ext_trades GROUP BY symbol)""")
+      .as[(String, Double, Double, Double, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val viaApi = graft.operators.IndicatorAggregator.summary(
+      trades, "symbol", "price", Some("volume"), "timestamp", "trade_id", 14)
+      .select("symbol", "sma", "rsi", "vwap", "period", "n_rows")
+      .as[(String, Double, Double, Double, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+  }
 }
