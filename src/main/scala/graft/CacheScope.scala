@@ -50,10 +50,29 @@ object CacheScope {
     p
   }
 
+  /** Structural form of the construct-and-consume contract. `scoped` alone
+    * can't stop a caller from RETURNING a still-lazy DataFrame out of the
+    * block, whose operator-internal caches are then released before first
+    * consumption — every later action silently recomputes the expensive
+    * subplans. Here the consuming action runs inside the scope and only
+    * its (materialized) value escapes, so the mistake is unrepresentable:
+    *
+    * {{{
+    * val rows = CacheScope.consuming(Dedup.jaccardPairs(docs, "id", "text", 0.5))(_.collect())
+    * }}}
+    */
+  def consuming[A, T](build: => A)(action: A => T): T =
+    scoped { action(build) }
+
   /** Run `body`, then unpersist every operator-internal cache registered
     * during it. Unpersist is non-blocking: cache-manager entries are
     * dropped synchronously (plans stop using them immediately); executor
     * block eviction proceeds asynchronously.
+    *
+    * Contract: `body` must both construct AND consume (materialize) — a
+    * still-lazy frame returned out of the block will recompute its
+    * operator-internal subplans after the scope releases their caches.
+    * Prefer [[consuming]], which makes that contract structural.
     */
   def scoped[T](body: => T): T = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -20,9 +20,8 @@ object Verify {
       // own write: 52 queries in one session would otherwise accumulate
       // every sketch operator's cached frames (the same leak Bench fixes
       // with clearCache between queries)
-      try CacheScope.scoped {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+      try CacheScope.consuming(fn(spark, sfDir)) {
+        _.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.ExpectsConcreteInputTypes
 import org.apache.spark.sql.types._
 
 /** Native single-pass SMA/RSI/VWAP aggregate — the TypedImperativeAggregate
@@ -29,9 +30,17 @@ case class IndicatorAggExpr(
     period: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Buf] {
+    extends TypedImperativeAggregate[Buf] with ExpectsConcreteInputTypes {
+
+  // period sizes the tail buffers; 0 or negative would hand mergeValues a
+  // negative arraycopy length deep inside the agg loop — fail at plan time.
+  require(period > 0, s"indicator_summary period must be > 0, got $period")
 
   override def children: Seq[Expression] = Seq(ts, id, price, volume)
+  // The analyzer inserts implicit casts to these, so INT/DECIMAL inputs
+  // arrive as LONG/DOUBLE instead of class-casting at runtime.
+  override def concreteInputTypes: Seq[DataType] =
+    Seq(LongType, LongType, DoubleType, DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("sma", DoubleType, nullable = false),
@@ -44,13 +53,19 @@ case class IndicatorAggExpr(
   override def createAggregationBuffer(): Buf = emptyBuf
 
   override def update(b: Buf, input: InternalRow): Buf = {
+    // SQL agg null semantics: a null in ANY input skips the whole row. A
+    // partially-null row must not contribute — unboxing a null id/price/
+    // volume to 0/0.0 would silently corrupt SMA/RSI/VWAP.
     val tsV = ts.eval(input)
-    if (tsV == null) b // null-keyed rows contribute nothing (SQL agg norm)
+    val idV = id.eval(input)
+    val priceV = price.eval(input)
+    val volumeV = volume.eval(input)
+    if (tsV == null || idV == null || priceV == null || volumeV == null) b
     else mergeValues(b,
       tsV.asInstanceOf[Long],
-      id.eval(input).asInstanceOf[Long],
-      price.eval(input).asInstanceOf[Double],
-      volume.eval(input).asInstanceOf[Double],
+      idV.asInstanceOf[Long],
+      priceV.asInstanceOf[Double],
+      volumeV.asInstanceOf[Double],
       period)
   }
 

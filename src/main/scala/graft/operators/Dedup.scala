@@ -29,13 +29,32 @@ object Dedup {
     graft.functions.HashExprs.wordShingles(split(textCol, "\\s+"), n)
 
   /** Exact duplicate groups: md5 digest of normalized content. Returns
-    * (digest, n_copies, ids) for groups with more than one member.
+    * (digest, n_copies, ids) for groups with more than one member, where
+    * `ids` is the `maxIds` SMALLEST member ids (sorted) — a deterministic
+    * sample, not the full roster. Web corpora have pathologically viral
+    * duplicates (millions of copies of one boilerplate page); an unbounded
+    * collect_list would build that whole group as a single array row in
+    * the agg buffer. The bound is enforced BEFORE aggregation (row_number
+    * over the digest partition — external sort, spills fine), so no
+    * operator ever holds more than `maxIds` ids per group; n_copies still
+    * counts the full group. The groupBy reuses the window's
+    * hashpartitioning(digest) — one shuffle total.
     */
-  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def exactDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxIds: Int = 1000): DataFrame = {
+    require(maxIds > 0, "maxIds must be positive")
+    val byDigest = Window.partitionBy(col("digest"))
     df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
-      .groupBy(col("digest"))
-      .agg(count(lit(1)).as("n_copies"), sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("n_copies", count(lit(1)).over(byDigest))
       .filter(col("n_copies") > 1)
+      .withColumn("__rn", row_number().over(byDigest.orderBy(col("id"))))
+      .filter(col("__rn") <= maxIds)
+      .groupBy(col("digest"))
+      .agg(
+        first(col("n_copies")).as("n_copies"),
+        sort_array(collect_list(col("id"))).as("ids"))
+  }
 
   /** Keep one row per distinct digest (first by idCol) — the "dedup" action
     * itself. Equivalent to dropDuplicates on the digest but with a
@@ -399,8 +418,18 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
       driverCutoff: Long = 2000000L): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
+    // Track exactly the frames THIS call persists/checkpoints, so the final
+    // sweep can't touch anything else. (A global getPersistentRDDs diff is
+    // wrong here: Dataset caches register their RDD lazily at first
+    // materialization, so a CALLER's pre-existing persist that first
+    // materializes during our half.count() would land in the diff and get
+    // unpersisted — silently recomputing the caller's expensive subplan on
+    // every later action. Same for RDDs persisted concurrently by other
+    // threads.)
+    val ownChk = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def chk(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); ownChk += c; c
+    }
     val half = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
       .transform(graft.CacheScope.persisted)
     val pairCount = half.count()
@@ -433,6 +462,7 @@ object Dedup {
       }
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
       parent.keySet().forEach(v => out += ((v, find(v))))
+      half.unpersist(blocking = false) // consumed by the collect above
       return out.toSeq.toDF("id", "component")
     }
     var edges = half
@@ -443,9 +473,8 @@ object Dedup {
     // checkpointed: the label chain's root — without it the final action
     // would re-derive the (by then unpersisted) original edge set, i.e.
     // recompute the caller's whole pair join
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = chk(edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")))
     var eCount = edges.count()
     var i = 0
     // m(f) composed with itself: rep'(v) = f(f(v)) — pointer jumping. Each
@@ -462,11 +491,10 @@ object Dedup {
       // m: contracted-node -> new representative (min of self + neighbors),
       // pointer-jumped to m^8; localCheckpoint severs the label chain's
       // lineage at this (small) table
-      val m = jump(jump(jump(
+      val m = chk(jump(jump(jump(
         edges.groupBy(col("s").as("mid"))
           .agg(min(col("t")).as("nmin"))
-          .select(col("mid"), least(col("mid"), col("nmin")).as("rep")))))
-        .localCheckpoint(true)
+          .select(col("mid"), least(col("mid"), col("nmin")).as("rep"))))))
       // compose lazily: label'(v) = m(label(v)); the left join only misses
       // nodes whose entire component already contracted away (keep label)
       labels = labels
@@ -492,11 +520,15 @@ object Dedup {
     // intermediates' storage is no longer reachable from it. Without the
     // sweep each call leaks checkpoint RDDs until GC (localCheckpoint
     // storage is not cache-manager-managed, so CacheScope cannot see it).
-    val intermediates = sc.getPersistentRDDs.keySet -- preexisting
+    // The sweep releases only the frames tracked in ownChk plus our two
+    // persisted frames — never global state.
     val result = labels.select(col("id"), col("label").as("component"))
       .localCheckpoint(true)
-    sc.getPersistentRDDs.foreach { case (rid, rdd) =>
-      if (intermediates(rid)) rdd.unpersist(blocking = false)
+    half.unpersist(blocking = false)
+    edges.unpersist(blocking = false) // final (empty) round's edge set
+    ownChk.foreach { df =>
+      org.apache.spark.sql.graft.ColumnBridge.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false))
     }
     result
   }

@@ -35,7 +35,16 @@ object Packing {
     require(numShards > 0, "numShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
+    // Fail fast on null ids/token counts: sum().over(w) would SKIP a null
+    // token while `cum_after - tokenCol` yields a null pack for that row —
+    // the document would be silently misplaced into its own null-pack group
+    // instead of erroring. Token counts come from upstream tokenStats; a
+    // null here is malformed input, not a value to guess at.
+    val checked = df.withColumn(tokenCol,
+      when(col(idCol).isNull || col(tokenCol).isNull,
+        raise_error(lit(s"packSequences: null $idCol/$tokenCol row")))
+        .otherwise(col(tokenCol)))
+    checked.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
       .withColumn("cum_after", sum(col(tokenCol)).over(w))
       // integral division, not floor(double /): a double quotient is
       // correctly rounded but not exact, and near a budget boundary the

@@ -21,6 +21,30 @@ object Curation {
   private val enProfile: Map[String, Seq[String]] =
     Map("en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "for"))
 
+  /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
+    * self-match, a fabricated qid/id, or a reported similarity that
+    * differs from the exact cosine recomputed on the pair's own vectors
+    * (same array<double> cast and cosine expression the ANN operators
+    * rank with, so agreement is bit-exact before the shared round).
+    * Sound output = empty set.
+    */
+  private def annUnsoundHits(
+      hits: DataFrame, corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val qv = queries.select(
+      col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qvec"))
+    val cv = corpus.select(
+      col("vec_id").as("id"), col("embedding").cast("array<double>").as("cvec"))
+    hits
+      .join(qv, Seq("qid"), "left")
+      .join(cv, Seq("id"), "left")
+      .filter(
+        col("qid") === col("id") ||
+          col("qvec").isNull || col("cvec").isNull ||
+          round(Similarity.cosine(col("qvec"), col("cvec")), 4) =!= col("sim"))
+      .select(col("qid"), col("id"), col("sim"))
+      .orderBy(col("qid"), col("id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + char stats per language.
     // Integer sums divided by counts can land exactly on rounding halfway
@@ -215,8 +239,13 @@ object Curation {
     }),
 
     // q28's guarantee: every LSH ANN hit is a real (query, corpus) pair
-    // whose reported similarity equals the exact cosine — i.e. the output
-    // is contained in the full brute-force similarity relation.
+    // whose reported similarity equals the exact cosine. Checked by DIRECT
+    // RECOMPUTATION: join each reported hit back to its two vectors and
+    // recompute the cosine — a hit is unsound iff it is a self-match,
+    // either id is fabricated (left-join miss), or the reported similarity
+    // differs. No ranking of the full Q x N relation (the old form ran
+    // bruteForceTopK with k = MaxValue through a window just to feed an
+    // except) — the gate's cost is now O(hits), not O(Q x N log N).
     "q40_ann_lsh_sound" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -224,14 +253,10 @@ object Curation {
           emb, "vec_id", "embedding", qs, "vec_id", "embedding",
           dim = 64, k = 10)
         .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
-      val all = Similarity.bruteForceTopK(
-          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
-          k = Int.MaxValue)
-        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
-      lsh.except(all).orderBy(col("qid"), col("id"))
+      annUnsoundHits(lsh, emb, qs)
     }),
 
-    // q35's guarantee, same containment form for the IVF path.
+    // q35's guarantee, same direct-recomputation form for the IVF path.
     "q41_ann_ivf_sound" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -239,11 +264,7 @@ object Curation {
           emb, "vec_id", "embedding", qs, "vec_id", "embedding",
           k = 10, nlist = 16, nprobe = 4)
         .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
-      val all = Similarity.bruteForceTopK(
-          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
-          k = Int.MaxValue)
-        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
-      ivf.except(all).orderBy(col("qid"), col("id"))
+      annUnsoundHits(ivf, emb, qs)
     }),
 
     // Deterministic md5-keyed train/val/test split — reproducible across

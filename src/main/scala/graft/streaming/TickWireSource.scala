@@ -83,14 +83,19 @@ private class TickWireStream(
     totalRows: Long, rowsPerBatch: Long, numPartitions: Int,
     malformedEvery: Int) extends MicroBatchStream {
 
-  private var emitted = 0L
+  // Log position up to which batches have been PLANNED. latestOffset must
+  // be idempotent — the engine may call it more than once per trigger
+  // (behavior differs across Spark versions / Trigger.AvailableNow), and a
+  // latestOffset that advances state as a side effect would skip
+  // rowsPerBatch rows per extra call. State advances only in
+  // planInputPartitions, i.e. only when a batch range is actually handed
+  // to the engine — matching Kafka offset semantics.
+  private var planned = 0L
 
   override def initialOffset(): Offset = TickWireOffset(0L)
 
-  override def latestOffset(): Offset = {
-    emitted = math.min(emitted + rowsPerBatch, totalRows)
-    TickWireOffset(emitted)
-  }
+  override def latestOffset(): Offset =
+    TickWireOffset(math.min(planned + rowsPerBatch, totalRows))
 
   override def deserializeOffset(json: String): Offset =
     TickWireOffset(json.toLong)
@@ -98,6 +103,8 @@ private class TickWireStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TickWireOffset].n
     val e = end.asInstanceOf[TickWireOffset].n
+    // max: a recovery replan of an old range must not rewind the log head
+    planned = math.max(planned, e)
     (0 until numPartitions).map(p =>
       TickWirePartition(s, e, p, numPartitions, malformedEvery)
         .asInstanceOf[InputPartition]).toArray

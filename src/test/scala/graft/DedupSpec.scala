@@ -19,6 +19,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, Seq(1L, 2L))))
   }
 
+  test("exactDuplicates bounds a viral duplicate group to maxIds") {
+    // 100k copies of one boilerplate page: the group row must carry the
+    // full count but only the maxIds smallest ids — never the full roster
+    val viral = spark.range(100000)
+      .select(col("id").as("doc_id"), lit(docA).as("text"))
+      .union(docs(200000L -> docC))
+    val out = Dedup.exactDuplicates(viral, "doc_id", "text", maxIds = 16)
+      .select("n_copies", "ids").as[(Long, Seq[Long])].collect()
+    assert(out.length === 1)
+    assert(out(0)._1 === 100000L)
+    assert(out(0)._2 === (0L until 16L))
+  }
+
   test("dedupExact keeps deterministic survivor") {
     val out = Dedup.dedupExact(
       docs(2L -> docA, 1L -> docA, 3L -> docC), "doc_id", "text")

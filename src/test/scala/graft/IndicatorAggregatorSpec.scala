@@ -80,6 +80,50 @@ class IndicatorAggregatorSpec extends SparkSpec {
     assert(sorted.ts.length == period + 1, "buffer should be at cap")
   }
 
+  test("native aggregate coerces INT inputs instead of class-casting") {
+    // ExpectsInputTypes: the analyzer must insert casts for int ts/id and
+    // int price/volume (previously a runtime ClassCastException)
+    val df = Seq((1, 1, 42, 2), (2, 2, 44, 3))
+      .toDF("ts", "id", "price", "volume")
+    val r = df.agg(graft.functions.IndicatorAggExpr.indicatorSummary(
+        $"ts", $"id", $"price", $"volume", period = 5).as("s"))
+      .select("s.sma", "s.n_rows").as[(Double, Long)].head()
+    assert(r === ((43.0, 2L)))
+  }
+
+  test("native aggregate skips rows with ANY null input") {
+    // SQL agg null semantics: a partially-null row contributes nothing —
+    // a null price unboxed to 0.0 would silently corrupt SMA/RSI/VWAP
+    val full = Seq(
+      (Some(1L), Some(1L), Some(10.0), Some(1.0)),
+      (Some(2L), Some(2L), Option.empty[Double], Some(1.0)), // null price
+      (Some(3L), Some(3L), Some(20.0), Option.empty[Double]), // null volume
+      (Option.empty[Long], Some(4L), Some(30.0), Some(1.0)), // null ts
+      (Some(5L), Option.empty[Long], Some(40.0), Some(1.0)), // null id
+      (Some(6L), Some(6L), Some(50.0), Some(2.0)))
+      .toDF("ts", "id", "price", "volume")
+    val clean = Seq((1L, 1L, 10.0, 1.0), (6L, 6L, 50.0, 2.0))
+      .toDF("ts", "id", "price", "volume")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(graft.functions.IndicatorAggExpr.indicatorSummary(
+          $"ts", $"id", $"price", $"volume", period = 5).as("s"))
+        .select("s.sma", "s.rsi", "s.vwap", "s.n_rows")
+        .as[(Double, Double, Double, Long)].head()
+    assert(run(full) === run(clean))
+    assert(run(full)._4 === 2L)
+  }
+
+  test("non-positive period is rejected at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.IndicatorAggExpr.indicatorSummary(
+        $"ts", $"id", $"price", $"volume", period = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.IndicatorAggExpr.indicatorSummary(
+        $"ts", $"id", $"price", $"volume", period = -1)
+    }
+  }
+
   test("edge semantics: single row, monotone series") {
     val one = Seq(("S", 1L, 1L, 42.0, 2.0))
       .toDF("symbol", "timestamp", "trade_id", "price", "volume")

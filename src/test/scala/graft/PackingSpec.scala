@@ -32,6 +32,20 @@ class PackingSpec extends SparkSpec {
     assert(prof.map(_._3).sum == df.agg(sum("n_toks")).as[Long].head())
   }
 
+  test("null id or token count fails fast instead of a silent null pack") {
+    // a null token count would otherwise be SKIPPED by sum().over(w) while
+    // cum_after - tokenCol yields a null pack — the doc lands in its own
+    // null-pack group instead of erroring
+    val nullToks = Seq((1L, Some(4L)), (2L, None), (3L, Some(3L)))
+      .toDF("doc_id", "n_toks")
+    val e = intercept[Exception] {
+      Packing.packSequences(nullToks, "doc_id", "n_toks", 10L, 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("packSequences") ||
+      Option(e.getCause).exists(_.getMessage.contains("packSequences")))
+  }
+
   test("assignment is partition-layout invariant") {
     val rng = new scala.util.Random(3)
     val rows = (1L to 500L).map(i => (i, 1L + rng.nextInt(200).toLong))

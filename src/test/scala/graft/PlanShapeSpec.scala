@@ -23,12 +23,13 @@ class PlanShapeSpec extends SparkSpec {
 
   // Queries whose construction is lazy enough to plan cheaply and whose
   // plans must stay free of cartesian/BNL joins. (q39 is handled separately;
-  // q40/q41's brute-force relation is likewise gate-only but planned as a
-  // broadcast HASH join on a synthetic key, so it stays in this list.)
+  // q40/q41 check ANN soundness by joining hits back to their own vectors —
+  // equi-joins throughout, so they are pinned here like production plans.)
   private val productionQueries = Seq(
     "q04_topk", "q05_broadcast_join", "q06_join_agg", "q07_semi_join",
     "q08_anti_join", "q24_minhash_lsh", "q26_jaccard_pairs", "q31_asof",
-    "q36_emb_neardup", "q44_range_join", "q46_tfidf",
+    "q36_emb_neardup", "q40_ann_lsh_sound", "q41_ann_ivf_sound",
+    "q44_range_join", "q46_tfidf",
     "q48_repetition", "q49_heavy_ngrams", "q50_decontam",
     "q51_seq_packing", "q52_train_pipeline", "q53_dedup_clusters")
 
