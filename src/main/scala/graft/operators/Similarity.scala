@@ -161,6 +161,63 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
+  /** Per-bit sign-agreement probability for a pair at cosine `sim`:
+    * p = 1 - theta/pi (the hyperplane-LSH fundamental; see lshTopK doc).
+    */
+  def lshBitAgreement(sim: Double): Double = {
+    require(sim >= -1.0 && sim <= 1.0, s"cosine out of range: $sim")
+    1.0 - math.acos(sim) / math.Pi
+  }
+
+  /** P[a pair at cosine `sim` collides in ONE table's probed bucket set]
+    * at `bits` sign bits and multi-probe `probeRadius`: exact-bucket match
+    * p^b, plus the radius-1 (b choose 1) one-bit-off buckets, plus the
+    * radius-2 (b choose 2) two-bit-off buckets.
+    */
+  def lshTableCollisionProb(sim: Double, bits: Int, probeRadius: Int): Double = {
+    require(bits >= 1 && probeRadius >= 0 && probeRadius <= 2)
+    val p = lshBitAgreement(sim)
+    val q = 1.0 - p
+    var prob = math.pow(p, bits)
+    if (probeRadius >= 1) prob += bits * math.pow(p, bits - 1) * q
+    if (probeRadius >= 2 && bits >= 2)
+      prob += bits * (bits - 1) / 2.0 * math.pow(p, bits - 2) * q * q
+    math.min(prob, 1.0)
+  }
+
+  /** Choose (tables, bitsPerTable) for [[lshTopK]] from the collision
+    * formula instead of hand-tuning: the most SELECTIVE table width (max
+    * bits — selectivity is what bounds bucket size, i.e. the corpus
+    * fraction touched per probe) such that the multi-table recall
+    * 1 - (1 - P_table)^L still reaches `targetRecall` for pairs at cosine
+    * `simAtTarget` within `maxTables` tables, and the smallest such L.
+    * Recall at higher similarity is strictly higher (p rises with sim),
+    * so the target is a floor over [simAtTarget, 1].
+    *
+    * The model covers the geometry (random hyperplanes vs a pair at a
+    * fixed angle), not a particular corpus's neighbor distribution —
+    * measured recall against brute force (tools.AnnRecall) remains the
+    * ground truth; this picks the starting point analytically.
+    */
+  def lshConfigForRecall(
+      targetRecall: Double,
+      simAtTarget: Double,
+      probeRadius: Int = 1,
+      maxTables: Int = 64,
+      maxBits: Int = 16): (Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    (maxBits to 1 by -1).foreach { bits =>
+      val pt = lshTableCollisionProb(simAtTarget, bits, probeRadius)
+      val tables =
+        if (pt >= targetRecall) 1
+        else if (pt <= 0.0) Int.MaxValue
+        else math.ceil(math.log1p(-targetRecall) / math.log1p(-pt)).toInt
+      if (tables <= maxTables) return (tables, bits)
+    }
+    (maxTables, 1) // even 1-bit tables can't reach the target within budget
+  }
+
   /** Deterministic driver-side k-means (Lloyd) over a bounded sample — the
     * coarse quantizer for IVF. At 100 TB you train on a sample anyway; the
     * centroid table is tiny and broadcasts.

@@ -148,40 +148,64 @@ object MarketAnalytics {
         .agg(
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("sum_value"))
-        .orderBy(col("hour")))
+        .orderBy(col("hour"))),
+
+    // §2.7 gate: batch/stream algebra equality proven through the driver's
+    // own DuckDB oracle, not just ScalaTest. The events table is replayed
+    // as a REAL Structured Streaming run — file source split into 4 files
+    // read one per micro-batch, flatMapGroupsWithState carrying O(period)
+    // state per key across batches (StreamingEtl.statefulIndicators, the
+    // same Buf algebra as the batch aggregate) — and the final state
+    // snapshot is returned in q16's exact output shape against q16's
+    // oracle SQL. mergePoint's arrival-order invariance (spec-pinned) is
+    // what makes the replay order irrelevant.
+    "q55_stream_parity" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val events = t(s, dir, "events")
+      // re-shard into several files so maxFilesPerTrigger=1 yields genuine
+      // cross-batch state, not one big batch
+      val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+      events.repartition(4).write.mode("overwrite").parquet(tmp)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+        .select(
+          col("event_type").as("symbol"),
+          col("ts").as("timestamp"),
+          col("event_id").as("trade_id"),
+          col("value").as("price"),
+          col("user_id").as("volume"))
+      val out = graft.streaming.StreamingEtl.statefulIndicators(stream, period = 14)
+      val qname = s"q55_snapshot_${replaySeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // the update-mode memory sink accumulates every per-batch update; a
+      // key's final snapshot is its row with the largest n_rows (strictly
+      // increasing — a group only emits when it received rows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("n_rows").desc)
+      spark.table(qname)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(
+          col("symbol").as("event_type"),
+          round(col("sma"), 4).as("sma"),
+          round(col("rsi"), 4).as("rsi"),
+          round(col("vwap"), 4).as("vwap"),
+          col("period"),
+          col("n_rows"))
+        .orderBy(col("event_type"))
+    })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q13_case_classify" ->
-      """SELECT event_type,
-         CASE WHEN value >= 400 THEN 'HIGH'
-              WHEN value <= 50 THEN 'LOW'
-              ELSE 'MID' END AS signal,
-         count(*) AS n
-         FROM events GROUP BY event_type, signal
-         ORDER BY event_type, signal""",
-    "q14_validate" ->
-      """SELECT coalesce(
-           CASE
-             WHEN event_type NOT IN ('click','view','purchase','signup','error')
-               THEN 'invalid_type'
-             WHEN NOT (value > 0 AND value < 480) THEN 'invalid_value'
-             WHEN NOT (user_id > 0) THEN 'invalid_user'
-             WHEN NOT (epoch_ns(ts) > 0) THEN 'invalid_ts'
-           END, 'valid') AS outcome, count(*) AS n
-         FROM events GROUP BY outcome ORDER BY outcome""",
-    "q15_vwap" ->
-      """SELECT l_returnflag,
-         CAST(round(CAST(
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-           AS DECIMAL(38,10)), 4) AS DOUBLE) AS vwap,
-         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
-           AS total_vol
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q16_indicators" ->
-      """WITH ordered AS (
+  // memory-sink query names must be unique per replay within a session
+  // (Verify and Bench both run a query several times)
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // Shared by q16 (batch windowed form) and q55 (streaming state-machine
+  // replay of the same rows): one oracle, two physical executions.
+  private val indicatorOracle: String =
+    """WITH ordered AS (
            SELECT event_type, value, user_id, ts, event_id,
              value - lag(value) OVER (
                PARTITION BY event_type ORDER BY ts, event_id) AS d,
@@ -216,7 +240,42 @@ object MarketAnalytics {
            CAST(least(14, l.n) AS INTEGER) AS period,
            CAST(l.n AS BIGINT) AS n_rows
          FROM lastrows l LEFT JOIN rsi r ON l.event_type = r.event_type
-         ORDER BY l.event_type""",
+         ORDER BY l.event_type"""
+
+  val oracles: Map[String, String] = Map(
+    "q13_case_classify" ->
+      """SELECT event_type,
+         CASE WHEN value >= 400 THEN 'HIGH'
+              WHEN value <= 50 THEN 'LOW'
+              ELSE 'MID' END AS signal,
+         count(*) AS n
+         FROM events GROUP BY event_type, signal
+         ORDER BY event_type, signal""",
+    "q14_validate" ->
+      """SELECT coalesce(
+           CASE
+             WHEN event_type NOT IN ('click','view','purchase','signup','error')
+               THEN 'invalid_type'
+             WHEN NOT (value > 0 AND value < 480) THEN 'invalid_value'
+             WHEN NOT (user_id > 0) THEN 'invalid_user'
+             WHEN NOT (epoch_ns(ts) > 0) THEN 'invalid_ts'
+           END, 'valid') AS outcome, count(*) AS n
+         FROM events GROUP BY outcome ORDER BY outcome""",
+    "q15_vwap" ->
+      """SELECT l_returnflag,
+         CAST(round(CAST(
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS DECIMAL(38,10)), 4) AS DOUBLE) AS vwap,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_vol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q16_indicators" -> indicatorOracle,
+    // q55 replays the same rows through the streaming state machine; the
+    // parity claim IS "same answer as the batch aggregate", so the oracle
+    // is q16's verbatim
+    "q55_stream_parity" -> indicatorOracle,
     "q17_sessionize" ->
       """WITH flagged AS (
            SELECT user_id,

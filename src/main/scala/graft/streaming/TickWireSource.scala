@@ -75,11 +75,11 @@ private class TickWireTable(props: util.Map[String, String])
   * collapsed to one log position; records are striped round-robin onto
   * partitions at read time).
   */
-private case class TickWireOffset(n: Long) extends Offset {
+private[graft] case class TickWireOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private class TickWireStream(
+private[graft] class TickWireStream(
     totalRows: Long, rowsPerBatch: Long, numPartitions: Int,
     malformedEvery: Int) extends MicroBatchStream {
 

@@ -49,6 +49,17 @@ class CacheScopeSpec extends SparkSpec {
     assert(sqlCacheEmpty, "cached frames leaked past the scope")
   }
 
+  test("consuming: action runs inside the scope, caches released after") {
+    spark.sharedState.cacheManager.clearCache()
+    val rows = CacheScope.consuming(
+      Dedup.jaccardPairs(docs, "doc_id", "text", Nil, 3, 0.3)) { pairs =>
+      assert(!sqlCacheEmpty, "operator caches should be live during the action")
+      pairs.collect()
+    }
+    assert(rows.length >= 0)
+    assert(sqlCacheEmpty, "cached frames leaked past consuming")
+  }
+
   test("without a scope the lazy-lifetime contract is unchanged") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.jaccardPairs(docs, "doc_id", "text", Nil, 3, 0.3).count()

@@ -32,6 +32,31 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._2 === (0L until 16L))
   }
 
+  test("connectedComponents releases only its own caches, never a caller's") {
+    // regression: the old cleanup diffed GLOBAL persistent-RDD state, so a
+    // caller's persist whose RDD first materialized during the call (cache
+    // registration is lazy) was swept — every later action silently
+    // recomputed the caller's subplan. The accumulator counts real
+    // executions of the caller's map: it must not grow after the call.
+    spark.sharedState.cacheManager.clearCache()
+    val acc = spark.sparkContext.longAccumulator("cc_caller_recompute")
+    val base = (1L to 12L).toDF("id").as[Long]
+      .map { i => acc.add(1); i }.toDF("id").persist()
+    // a 12-node chain derived from the caller's frame; driverCutoff=0
+    // forces the distributed path (the one that runs the cache sweep)
+    val pairs = base.filter(col("id") < 12)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val nComponents = Dedup.connectedComponents(
+      pairs, "id_a", "id_b", maxIter = 20, driverCutoff = 0L)
+      .select("component").distinct().count()
+    assert(nComponents === 1)
+    val afterCall = acc.value
+    base.count() // must be served from the caller's still-live cache
+    assert(acc.value === afterCall,
+      "caller's persisted frame was recomputed: its cache was swept")
+    base.unpersist()
+  }
+
   test("dedupExact keeps deterministic survivor") {
     val out = Dedup.dedupExact(
       docs(2L -> docA, 1L -> docA, 3L -> docC), "doc_id", "text")

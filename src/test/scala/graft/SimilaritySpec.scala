@@ -80,6 +80,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall below 0.7")
   }
 
+  test("lshConfigForRecall: analytic config meets its recall target") {
+    // formula sanity at the defaults' operating point
+    val p = Similarity.lshBitAgreement(0.95)
+    assert(p > 0.89 && p < 0.95, s"per-bit agreement at cos 0.95: $p")
+    // monotone: more similar pairs collide more
+    assert(Similarity.lshTableCollisionProb(0.99, 10, 1) >
+      Similarity.lshTableCollisionProb(0.90, 10, 1))
+    // the chosen (tables, bits) must analytically reach the target...
+    val target = 0.9
+    val (tables, bits) = Similarity.lshConfigForRecall(target, 0.95)
+    val pt = Similarity.lshTableCollisionProb(0.95, bits, 1)
+    assert(1.0 - math.pow(1.0 - pt, tables) >= target,
+      s"analytic recall short of $target at (tables=$tables, bits=$bits)")
+    assert(bits > 1, "selectivity collapsed to degenerate 1-bit tables")
+
+    // ...and measured recall on clustered data (neighbors at cos ~0.999,
+    // comfortably above simAtTarget) must clear the same target
+    val rng = new scala.util.Random(123)
+    val dim = 16
+    val bases = Array.fill(30)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 11
+    } yield (ci * 11L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val queries = corpus.filter($"id" % 11 === 0 && $"id" < 55)
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(
+      corpus, "id", "vec", queries, "id", "vec", k))
+    val approx = topSets(Similarity.lshTopK(
+      corpus, "id", "vec", queries, "id", "vec", dim, k,
+      tables = tables, bitsPerTable = bits))
+    val recall = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / k
+    }.sum / exact.size
+    assert(recall >= target, s"measured recall $recall below $target " +
+      s"at chosen (tables=$tables, bits=$bits)")
+  }
+
   test("ivf top-k achieves high recall vs brute force on clustered data") {
     val rng = new scala.util.Random(77)
     val dim = 16

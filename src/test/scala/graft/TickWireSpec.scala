@@ -70,6 +70,23 @@ class TickWireSpec extends SparkSpec {
     } finally { counts.stop() }
   }
 
+  test("latestOffset is idempotent until a batch is planned") {
+    // the engine may call latestOffset more than once per trigger
+    // (Trigger.AvailableNow / version differences); repeated calls must
+    // not skip rows — the log head advances only in planInputPartitions
+    val s = new graft.streaming.TickWireStream(
+      totalRows = 100L, rowsPerBatch = 25L, numPartitions = 2,
+      malformedEvery = 0)
+    val o1 = s.latestOffset()
+    val o2 = s.latestOffset()
+    assert(o1.json() == "25" && o2.json() == "25")
+    s.planInputPartitions(s.initialOffset(), o2)
+    assert(s.latestOffset().json() == "50")
+    // a recovery replan of an already-planned range must not rewind
+    s.planInputPartitions(s.initialOffset(), graft.streaming.TickWireOffset(25L))
+    assert(s.latestOffset().json() == "50")
+  }
+
   test("offset replay is deterministic: same index -> same bytes") {
     val a = TickWireSource.tickJson(123L, 10)
     val b = TickWireSource.tickJson(123L, 10)
