@@ -57,6 +57,15 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "hashed_sorted_set(tokens array<string>)")
       }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[HashExprs.WinnowedFingerprints].getName,
+        "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k, w) => HashExprs.WinnowedFingerprints(
+          c, intArg(k, "winnow_fingerprints"), intArg(w, "winnow_fingerprints"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(tokens array<string>, k int, window int)")
+      }),
     (FunctionIdentifier("indicator_summary"),
       new ExpressionInfo(classOf[graft.functions.IndicatorAggExpr].getName,
         "indicator_summary"),

@@ -216,6 +216,102 @@ object HashExprs {
       copy(child = newChild)
   }
 
+  /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * local fingerprinting algorithm): positional word k-grams are hashed
+    * with a polynomial rolling hash over code points
+    * (h = fold (h*257 + cp) mod 2^31-1, spaces included between words —
+    * deliberately engine-portable arithmetic, replicated verbatim by the
+    * DuckDB oracle), then each window of `w` consecutive gram hashes
+    * contributes its minimum. Returns the SORTED DISTINCT minima as
+    * array<long>. Winnowing's guarantee: any shared token run of length
+    * >= k + w - 1 between two documents yields at least one shared
+    * fingerprint, while only ~2/(w+1) of gram hashes are kept — the
+    * containment-detection sketch that scales to corpus-level matching
+    * (join on fingerprint value) without shipping token sets.
+    *
+    * Fewer than k tokens -> empty; fewer than w gram hashes -> the single
+    * global minimum.
+    */
+  case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"winnow_fingerprints requires array<string>, got $other")
+      }
+    override def prettyName: String = "winnow_fingerprints"
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winnowFp", this, classOf[WinnowedFingerprints].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+
+    private val p = MinhashPrime
+
+    def compute(arr: ArrayData): ArrayData = {
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      while (i < arr.numElements()) {
+        val t = arr.getUTF8String(i)
+        if (t != null && t.numBytes() > 0) toks.add(t.toString)
+        i += 1
+      }
+      val m = toks.size()
+      val nGrams = m - k + 1
+      if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](nGrams)
+      i = 0
+      while (i < nGrams) {
+        var h = 0L
+        var j = 0
+        while (j < k) {
+          if (j > 0) h = (h * 257 + ' '.toInt) % p
+          val s = toks.get(i + j)
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            h = (h * 257 + cp) % p
+            ci += Character.charCount(cp)
+          }
+          j += 1
+        }
+        hs(i) = h
+        i += 1
+      }
+      val winLen = math.min(w, nGrams)
+      val nWin = nGrams - winLen + 1
+      val mins = new Array[Long](nWin)
+      i = 0
+      while (i < nWin) {
+        var mn = hs(i)
+        var j = 1
+        while (j < winLen) { if (hs(i + j) < mn) mn = hs(i + j); j += 1 }
+        mins(i) = mn
+        i += 1
+      }
+      java.util.Arrays.sort(mins)
+      var wr = 0
+      i = 0
+      while (i < nWin) {
+        if (wr == 0 || mins(i) != mins(wr - 1)) { mins(wr) = mins(i); wr += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(mins, wr))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =
+      copy(child = newChild)
+  }
+
   /** Hash each string of an array<string> to a long (XXH64 mod 2^61, always
     * non-negative) and return the SORTED distinct array — the compact
     * set representation for pairwise set operations at scale: long arrays
@@ -350,6 +446,10 @@ object HashExprs {
 
   def hashedSortedSet(strings: Column): Column =
     ColumnBridge.column(HashedSortedSet(ColumnBridge.expression(strings)))
+
+  def winnowedFingerprints(tokens: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowedFingerprints(ColumnBridge.expression(tokens), k, w))
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(

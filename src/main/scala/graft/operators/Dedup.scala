@@ -257,6 +257,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Passage-level duplicate candidates via winnowed fingerprints
+    * (TextAnalysis.winnowedFingerprints): two documents match iff they
+    * share >= `minShared` winnowed k-gram hash minima — by the winnowing
+    * guarantee, any common token run of length >= k + window - 1 yields a
+    * shared fingerprint, so contiguous copied passages are caught even
+    * when whole-document similarity (Jaccard, SimHash) stays low. The
+    * complement of the set-level dedup family: jaccardPairs measures bag
+    * overlap, this measures CONTIGUOUS overlap.
+    *
+    * `maxDf` drops stop-fingerprints (a boilerplate passage shared by
+    * thousands of documents would otherwise make its bucket quadratic) —
+    * same role as the PPJoin hapax/prefix bound and the LSH band cap.
+    *
+    * Scale: shuffles carry (block, fp, id) longs — fingerprints are
+    * ~2/(window+1) of the gram count per doc, text never moves; the pair
+    * aggregation is a hash agg on id pairs. The standard inverted-index
+    * match shape, same as the decontamination join.
+    */
+  def winnowedPassageMatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String] = Nil,
+      k: Int = 3,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val bcols = blockCols.map(col)
+    // persisted: feeds the frequency count and both join sides
+    val fps = df.select(
+      (bcols :+ col(idCol).as("id") :+
+        explode(TextAnalysis.winnowedFingerprints(col(textCol), k, window))
+          .as("fp")): _*)
+      .transform(graft.CacheScope.persisted)
+    val rare = fps.groupBy((bcols :+ col("fp")): _*)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select((bcols :+ col("fp")): _*)
+    val keyed = fps.join(rare, blockCols :+ "fp")
+    keyed.select((bcols :+ col("fp") :+ col("id").as("id_a")): _*)
+      .join(
+        keyed.select((bcols :+ col("fp") :+ col("id").as("id_b")): _*),
+        blockCols :+ "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy((bcols :+ col("id_a") :+ col("id_b")): _*)
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact pairwise n-gram Jaccard >= threshold within a blocking key, via
     * prefix-filtered set-similarity join (the PPJoin family): instead of the
     * quadratic block-wise cross join, a pair is a candidate only if the two

@@ -55,6 +55,35 @@ object Packing {
       .drop("cum_after")
   }
 
+  /** Split documents into fixed-token-budget context-window chunks — the
+    * counterpart of [[packSequences]] for documents LONGER than the
+    * budget: packing concatenates short documents up to the budget,
+    * chunking cuts long ones down to it. Emits one row per (document,
+    * chunk): `chunk` 0..ceil(n/budget)-1 and `chunk_tokens` = budget for
+    * every chunk but possibly the last (the remainder; a document shorter
+    * than the budget is one chunk of its own length). Token counts are
+    * conserved: sum(chunk_tokens) == sum(tokenCol). Pure integer
+    * arithmetic over a generated sequence — deterministic across runs,
+    * partitionings, and engines, no shuffle at all (chunking is per-row;
+    * the explode multiplies rows in place).
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val checked = df.withColumn(tokenCol,
+      when(col(idCol).isNull || col(tokenCol).isNull || col(tokenCol) <= 0,
+        raise_error(lit(s"chunkDocuments: null/non-positive $idCol/$tokenCol row")))
+        .otherwise(col(tokenCol)))
+    // integral ceil-division (`div`, not `/` — true division yields DOUBLE
+    // and misrounds past ~2^44; same rule as packSequences)
+    val nChunks = call_function("div",
+      col(tokenCol) + lit(budget - 1), lit(budget)).cast("long")
+    checked
+      .withColumn("chunk", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk_tokens",
+        least(lit(budget), col(tokenCol) - col("chunk") * budget))
+  }
+
   /** Per-pack profile: document count, token total, and the budget-excess
     * of the pack (0 for packs that fit; positive when a long document
     * overflowed). All integers.

@@ -98,6 +98,18 @@ object TextAnalysis {
         shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
           .bitwiseXOR(xxhash64(t)))
 
+  /** Winnowed LOCAL fingerprints (MOSS winnowing over word k-grams):
+    * where [[fingerprint64]] identifies a whole document, these detect
+    * SHARED PASSAGES — any common token run of length >= k + window - 1
+    * between two documents is guaranteed at least one common fingerprint,
+    * at a ~2/(window+1) sampling rate of the gram hashes. Corpus-level
+    * passage matching is then an equi-join on (fingerprint) — sketch
+    * values through the shuffle, never text. Engine-portable polynomial
+    * hash (see HashExprs.WinnowedFingerprints; q56 replicates it in SQL).
+    */
+  def winnowedFingerprints(textCol: Column, k: Int = 3, window: Int = 4): Column =
+    graft.functions.HashExprs.winnowedFingerprints(tokens(textCol), k, window)
+
   /** Top-k characteristic terms per document by tf-idf: score(d, t) =
     * tf(d, t) * ln(N / df(t)), ties broken alphabetically. The classic
     * inverted-index pipeline shape re-expressed relationally:

@@ -533,6 +533,61 @@ object Curation {
       orphanCells.union(keptPairs).orderBy(col("bad"))
     }),
 
+    // Winnowed rolling-hash fingerprints (MOSS local fingerprinting over
+    // word 3-grams, window 4): passage-level document fingerprinting —
+    // the rolling-hash member of the text-analysis family (fingerprint64
+    // is the whole-document form, simhash the near-dup form). The oracle
+    // replicates the polynomial hash AND the winnowing selection verbatim
+    // in SQL (list comprehensions + list_reduce), so the gate pins the
+    // entire sketch bit-for-bit: hash arithmetic, gram construction,
+    // window minima, distinctness. All-integer outputs.
+    "q56_winnow_fingerprints" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("lang"),
+          TextAnalysis.winnowedFingerprints(col("text"), k = 3, window = 4)
+            .as("fps"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("fps"))).as("n_fingerprints"),
+          sum(aggregate(col("fps"), lit(0L), (acc, x) => acc + x)).as("fp_sum"))
+        .orderBy(col("lang"))),
+
+    // Passage-level duplicate pairs via winnowed fingerprints: contiguous
+    // copied passages caught even when whole-document similarity is low.
+    // Fully SQL-replicated (the whole sketch is engine-portable integer
+    // arithmetic), so unlike the MinHash/SimHash candidates this
+    // hash-defined path gets a HARD oracle, not rows-only.
+    "q58_passage_matches" -> ((s, dir) =>
+      Dedup.winnowedPassageMatches(
+          t(s, dir, "documents"), "doc_id", "text",
+          blockCols = Seq("lang"), k = 3, window = 4,
+          minShared = 2, maxDf = 100)
+        .select(col("lang"), col("id_a"), col("id_b"), col("n_shared"))
+        .orderBy(col("lang"), col("id_a"), col("id_b"))),
+
+    // Context-window chunking: long documents split into fixed-token-
+    // budget chunks (ceil-division row explosion, per-row, shuffle-free).
+    // Gate checks the whole assignment algebra: chunk counts, conservation
+    // of tokens (sum(chunk_tokens) == sum(n_toks)), full-vs-remainder
+    // chunk split. Budget 64 on token counts from tokenStats.
+    "q57_chunking" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0) // the operator rejects empty docs
+      Packing.chunkDocuments(toks, "doc_id", "n_toks", budget = 64L)
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("total_tokens"),
+          sum(when(col("chunk_tokens") === 64L, 1L).otherwise(0L)).as("n_full"),
+          max(col("chunk")).as("max_chunk_idx"))
+        .orderBy(col("lang"))
+    }),
+
     // Multimodal plumbing: text payloads as opaque binary through the
     // ingest -> metadata path (decode itself is stubbed; see
     // operators.Multimodal).
@@ -823,6 +878,104 @@ object Curation {
          FROM packs GROUP BY shard ORDER BY shard""",
     "q54_semdedup_sound" ->
       """SELECT CAST(NULL AS BIGINT) AS bad WHERE false""",
+    // Same winnow CTE as q56, then the inverted-index self-join on
+    // (lang, fingerprint) with the stop-fingerprint cap.
+    "q58_passage_matches" ->
+      """WITH toks AS (
+           SELECT lang, doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         grams AS (
+           SELECT lang, doc_id,
+             [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] AS gs
+           FROM toks),
+         hashes AS (
+           SELECT lang, doc_id,
+             [list_reduce([CAST(unicode(g[j]) AS BIGINT)
+                           for j in range(1, length(g)+1)],
+                          (a, b) -> (a * 257 + b) % 2147483647)
+              for g in gs] AS hs
+           FROM grams),
+         winnowed AS (
+           SELECT lang, doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 4 THEN [list_min(hs)]
+                  ELSE [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+             END AS mins
+           FROM hashes),
+         fp AS (
+           SELECT lang, doc_id, unnest(list_distinct(mins)) AS fp
+           FROM winnowed),
+         rare AS (
+           SELECT lang, fp FROM fp GROUP BY lang, fp HAVING count(*) <= 100),
+         keyed AS (
+           SELECT f.lang, f.doc_id, f.fp
+           FROM fp f JOIN rare r ON f.lang = r.lang AND f.fp = r.fp)
+         SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+         FROM keyed a JOIN keyed b
+           ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY a.lang, id_a, id_b HAVING count(*) >= 2
+         ORDER BY a.lang, id_a, id_b""",
+    // Chunk explosion via generate_series; integer ceil-division with
+    // DuckDB's // operator. Sums cast to BIGINT per the HUGEINT rule.
+    "q57_chunking" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_toks
+           FROM documents),
+         chunks AS (
+           SELECT doc_id, lang, n_toks, unnest(generate_series(
+             CAST(0 AS BIGINT), (n_toks + 63) // 64 - 1)) AS chunk
+           FROM toks WHERE n_toks > 0),
+         sized AS (
+           SELECT doc_id, lang, chunk,
+             least(64, n_toks - chunk * 64) AS chunk_tokens
+           FROM chunks)
+         SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN chunk_tokens = 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full,
+           CAST(max(chunk) AS BIGINT) AS max_chunk_idx
+         FROM sized GROUP BY lang ORDER BY lang""",
+    // Replicates the winnowing sketch end-to-end: the same polynomial
+    // rolling hash over code points ((h*257 + cp) mod 2^31-1 — spaces
+    // included between gram words; list_reduce's first-element seed equals
+    // the fold-from-0 since 0*257+c = c), the same window-of-4 minima
+    // (fewer than 4 gram hashes -> single global min), the same
+    // distinctness. Integer sums cast to BIGINT per the HUGEINT rule.
+    "q56_winnow_fingerprints" ->
+      """WITH toks AS (
+           SELECT lang, doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         grams AS (
+           SELECT lang, doc_id,
+             [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] AS gs
+           FROM toks),
+         hashes AS (
+           SELECT lang, doc_id,
+             [list_reduce([CAST(unicode(g[j]) AS BIGINT)
+                           for j in range(1, length(g)+1)],
+                          (a, b) -> (a * 257 + b) % 2147483647)
+              for g in gs] AS hs
+           FROM grams),
+         winnowed AS (
+           SELECT lang, doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 4 THEN [list_min(hs)]
+                  ELSE [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+             END AS mins
+           FROM hashes),
+         fp AS (
+           SELECT lang, doc_id, list_distinct(mins) AS f FROM winnowed)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(f)) AS BIGINT) AS n_fingerprints,
+           CAST(sum(coalesce(list_aggregate(f, 'sum'), 0)) AS BIGINT) AS fp_sum
+         FROM fp GROUP BY lang ORDER BY lang""",
     // Components via recursive CTE: `reach` enumerates (node, label) for
     // every label reachable from the node; min per node = the component.
     // Pair relation is byte-identical to q26's oracle.

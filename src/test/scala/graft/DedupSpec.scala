@@ -32,6 +32,21 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._2 === (0L until 16L))
   }
 
+  test("winnowedPassageMatches finds the planted copied passage only") {
+    // docs 1 and 2 share a 7-token contiguous passage (>= k+window-1 = 6
+    // guarantees a shared fingerprint) inside otherwise-unrelated text;
+    // doc 3 is fully unrelated. Only the (1,2) pair may match.
+    val passage = "copied run one two three four five"
+    val out = Dedup.winnowedPassageMatches(
+      docs(
+        1L -> s"intro words here $passage closing remark",
+        2L -> s"different opening $passage other tail text",
+        3L -> docC),
+      "doc_id", "text", minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
   test("connectedComponents releases only its own caches, never a caller's") {
     // regression: the old cleanup diffed GLOBAL persistent-RDD state, so a
     // caller's persist whose RDD first materialized during the call (cache

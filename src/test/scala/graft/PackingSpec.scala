@@ -32,6 +32,33 @@ class PackingSpec extends SparkSpec {
     assert(prof.map(_._3).sum == df.agg(sum("n_toks")).as[Long].head())
   }
 
+  test("chunkDocuments: exact chunk walk, conservation, remainder") {
+    // budget 10: 25 toks -> chunks (10,10,5); 10 -> (10); 3 -> (3)
+    val df = Seq((1L, 25L), (2L, 10L), (3L, 3L)).toDF("doc_id", "n_toks")
+    val out = Packing.chunkDocuments(df, "doc_id", "n_toks", budget = 10L)
+      .select("doc_id", "chunk", "chunk_tokens")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(out === Seq(
+      (1L, 0L, 10L), (1L, 1L, 10L), (1L, 2L, 5L),
+      (2L, 0L, 10L), (3L, 0L, 3L)))
+    // conservation across any input
+    val rng = new scala.util.Random(5)
+    val rows = (1L to 200L).map(i => (i, 1L + rng.nextInt(300).toLong))
+    val chunked = Packing.chunkDocuments(
+      rows.toDF("doc_id", "n_toks"), "doc_id", "n_toks", 64L)
+    assert(chunked.agg(sum("chunk_tokens")).as[Long].head() === rows.map(_._2).sum)
+    assert(chunked.filter(col("chunk_tokens") > 64L).count() === 0)
+  }
+
+  test("chunkDocuments rejects null and non-positive token counts") {
+    val bad = Seq((1L, Some(4L)), (2L, Some(0L))).toDF("doc_id", "n_toks")
+    val e = intercept[Exception] {
+      Packing.chunkDocuments(bad, "doc_id", "n_toks", 10L).collect()
+    }
+    assert(e.getMessage.contains("chunkDocuments") ||
+      Option(e.getCause).exists(_.getMessage.contains("chunkDocuments")))
+  }
+
   test("null id or token count fails fast instead of a silent null pack") {
     // a null token count would otherwise be SKIPPED by sum().over(w) while
     // cum_after - tokenCol yields a null pack — the doc lands in its own

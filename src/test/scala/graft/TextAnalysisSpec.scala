@@ -53,6 +53,51 @@ class TextAnalysisSpec extends SparkSpec {
       "type_token_ratio", "punct_ratio", "quality", "lang_pred", "fingerprint"))
     assert(out.count() === 1)
   }
+  test("winnowed fingerprints: known value, edge cases, SQL parity") {
+    // 7 tokens -> 5 word-3-grams -> 2 windows of 4 -> 1 distinct min;
+    // the expected value is computed independently by the DuckDB
+    // formulation (the q56 oracle SQL) on the same string
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb"), // fewer than k tokens -> no grams -> empty
+      (3L, "xx yy zz")) // exactly k -> 1 gram -> single global min
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.winnowedFingerprints(col("text"), 3, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) === Seq(375103723L))
+    assert(out(2L) === Seq.empty)
+    assert(out(3L).length === 1)
+    // SQL registration parity
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("wf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, winnow_fingerprints(
+           filter(split(text, '\\s+'), t -> t != ''), 3, 4) AS fps
+         FROM wf_docs""")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaSql === out)
+  }
+
+  test("winnowing guarantee: a shared run of k+w-1 tokens shares a fingerprint") {
+    // two documents sharing a 6-token passage (k=3, w=4 -> guarantee
+    // threshold k+w-1 = 6) embedded in unrelated text must share at least
+    // one fingerprint; two fully unrelated documents share none
+    val shared = "p1 p2 p3 p4 p5 p6"
+    val df = Seq(
+      (1L, s"u1 u2 u3 $shared u4 u5"),
+      (2L, s"v1 v2 $shared v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextAnalysis.winnowedFingerprints(col("text"), 3, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+      .view.mapValues(_.toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "documents sharing a >= k+w-1 token run must share a fingerprint")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    assert(fps(2L).intersect(fps(3L)).isEmpty)
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
