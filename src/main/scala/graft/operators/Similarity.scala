@@ -316,6 +316,77 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
+  /** Build the IVF index ONCE and persist it: trains the coarse quantizer,
+    * assigns every corpus vector its cell, and writes the assignment
+    * PARTITIONED BY cell plus the centroid table. This is the
+    * build-once/query-many form of [[ivfTopK]]'s scaladoc claim: the
+    * expensive corpus pass (quantizer training + cell assignment) happens
+    * at index-build time, and each query batch then reads only its
+    * nprobe/nlist of the corpus through partition pruning — at 100 TB the
+    * difference between a full scan per query batch and touching a few
+    * percent of files.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      path: String,
+      sampleN: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleN)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("cell", element_at(
+        graft.functions.VecExprs.nearestCentroids(
+          col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** Query a [[buildIvfIndex]] index: same semantics as [[ivfTopK]] with
+    * identical parameters (the quantizer training is deterministic, so
+    * the direct and indexed forms return IDENTICAL rows — spec-pinned),
+    * but the corpus side is the persisted cell-partitioned table and the
+    * probe join prunes to the probed cells' partitions.
+    */
+  def ivfTopKIndexed(
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+      .toSeq
+    val c = spark.read.parquet(s"$indexPath/corpus")
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qvec"))
+      .select(
+        col("qid"), col("qvec"),
+        explode(graft.functions.VecExprs.nearestCentroids(
+          col("qvec"), centroids, nprobe)).as("cell"))
+    val candidates = probes.join(c, "cell")
+      .filter(col("qid") =!= col("id"))
+      .dropDuplicates("qid", "id")
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .filter(col("sim").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded multi-table hyperplane
     * LSH for candidates, exact cosine verification. The embedding analogue
     * of Dedup.minhashNearDuplicates, with the same banding structure: two

@@ -554,6 +554,26 @@ object Curation {
           sum(aggregate(col("fps"), lit(0L), (acc, x) => acc + x)).as("fp_sum"))
         .orderBy(col("lang"))),
 
+    // IVF index round-trip parity: build the persisted cell-partitioned
+    // index, query it, and demand bit-identical rows to the direct form
+    // (deterministic quantizer + exact double parquet round-trip + the
+    // same cosine expression). Gate output = symmetric difference = empty.
+    "q59_ivf_index_parity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val direct = Similarity.ivfTopK(
+          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("id"), col("sim"), col("rank"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, tmp)
+      val indexed = Similarity.ivfTopKIndexed(
+          tmp, qs, "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(col("qid"), col("id"), col("sim"), col("rank"))
+      direct.except(indexed).union(indexed.except(direct))
+        .orderBy(col("qid"), col("id"))
+    }),
+
     // Passage-level duplicate pairs via winnowed fingerprints: contiguous
     // copied passages caught even when whole-document similarity is low.
     // Fully SQL-replicated (the whole sketch is engine-portable integer
@@ -878,6 +898,10 @@ object Curation {
          FROM packs GROUP BY shard ORDER BY shard""",
     "q54_semdedup_sound" ->
       """SELECT CAST(NULL AS BIGINT) AS bad WHERE false""",
+    "q59_ivf_index_parity" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS id,
+         CAST(NULL AS DOUBLE) AS sim, CAST(NULL AS INTEGER) AS rank
+         WHERE false""",
     // Same winnow CTE as q56, then the inverted-index self-join on
     // (lang, fingerprint) with the stop-fingerprint cap.
     "q58_passage_matches" ->

@@ -146,6 +146,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf recall $recall below 0.8")
   }
 
+  test("persisted IVF index returns identical rows to the direct form") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val queries = corpus.filter($"id" % 12 === 0 && $"id" < 60)
+    val direct = Similarity.ivfTopK(
+      corpus, "id", "vec", queries, "id", "vec", k = 10, nlist = 8, nprobe = 3)
+      .select("qid", "id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", nlist = 8, path)
+    val indexed = Similarity.ivfTopKIndexed(
+      path, queries, "id", "vec", k = 10, nprobe = 3)
+      .select("qid", "id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(indexed === direct,
+      "indexed IVF diverged from the direct form on identical parameters")
+    // the probe join must prune to the probed cells' partitions: the scan
+    // of the persisted corpus carries a partition filter on `cell`
+    val plan = Similarity.ivfTopKIndexed(path, queries, "id", "vec", 10, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      "no partition pruning on the cell-partitioned corpus scan:\n" + plan)
+  }
+
   test("ivf centroids are deterministic") {
     val df = (0L until 100L).map(i =>
       (i, Seq.tabulate(4)(d => (i % 10 + d).toDouble))).toDF("id", "vec")
