@@ -101,17 +101,71 @@ object CurationFilters {
     */
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame, withId: Boolean) = {
-      val sh = graft.functions.HashExprs
-        .wordShingles(toks(col(textCol)), n) // distinct within doc
-      val exploded =
-        if (withId) df.select(col(idCol).as("id"), explode(sh).as("gram"))
-        else df.select(explode(sh).as("gram"))
-      exploded.withColumn("gh", xxhash64(col("gram"))).drop("gram")
-    }
-    grams(corpus, withId = true)
-      .join(grams(benchmark, withId = false).distinct(), Seq("gh"), "left_semi")
+      idCol: String, textCol: String, n: Int): DataFrame =
+    hashedGrams(corpus, Some(idCol), textCol, n)
+      .join(
+        hashedGrams(benchmark, None, textCol, n).distinct(),
+        Seq("gh"), "left_semi")
       .select(col("id")).distinct()
+
+  /** (id?, gh) hashed word-n-gram pairs — distinct within document
+    * (wordShingles), xxhash64'd so nothing downstream ever carries the
+    * gram string.
+    */
+  private def hashedGrams(
+      df: DataFrame, idCol: Option[String], textCol: String, n: Int): DataFrame = {
+    val sh = graft.functions.HashExprs
+      .wordShingles(toks(col(textCol)), n) // distinct within doc
+    val exploded = idCol match {
+      case Some(id) => df.select(col(id).as("id"), explode(sh).as("gram"))
+      case None     => df.select(explode(sh).as("gram"))
+    }
+    exploded.withColumn("gh", xxhash64(col("gram"))).drop("gram")
+  }
+
+  /** Bloom-filter decontamination — the broadcast form of
+    * [[decontaminate]] and the plan you want at 100 TB. Builds Spark's
+    * BloomFilter sketch over the benchmark's distinct hashed n-grams
+    * (distributed build, driver merge — the benchmark is the small side
+    * by definition) and probes every corpus gram MAP-SIDE through the
+    * codegen'd [[graft.functions.BloomExprs.BloomMightContainLong]]:
+    * the corpus never shuffles grams at all; the only exchange is the
+    * distinct over the flagged (tiny) id set.
+    *
+    * Returns ids that MIGHT be contaminated — a strict superset of the
+    * exact join's ids (Bloom filters have no false negatives), with the
+    * false-positive share controlled by `fpp`. When exactness matters,
+    * run [[decontaminate]] on just the flagged subset: at corpus scale
+    * the flagged set is minuscule, so the exact pass costs ~nothing —
+    * that composition is [[bloomDecontaminateExact]].
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bench = hashedGrams(benchmark, None, textCol, n).distinct()
+    // Two benchmark-side passes (count, then build) — both over the SMALL
+    // side; expectedNumItems must be the real cardinality or the filter's
+    // fpp guarantee is void.
+    val nGrams = math.max(bench.count(), 1L)
+    val filter = bench.stat.bloomFilter("gh", nGrams, fpp)
+    hashedGrams(corpus, Some(idCol), textCol, n)
+      .filter(graft.functions.BloomExprs.bloomMightContain(col("gh"), filter))
+      .select(col("id")).distinct()
+  }
+
+  /** Exact decontamination at Bloom cost: Bloom pre-filter prunes the
+    * corpus to the flagged sliver, then the exact semi-join runs on that
+    * sliver only. Identical result set to [[decontaminate]] (the Bloom
+    * flag set is a superset, the join removes its false positives);
+    * the big side crosses no exchange.
+    */
+  def bloomDecontaminateExact(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double = 0.001): DataFrame = {
+    val flagged = bloomDecontaminate(corpus, benchmark, idCol, textCol, n, fpp)
+    decontaminate(
+      corpus.join(flagged.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
+      benchmark, idCol, textCol, n)
   }
 }

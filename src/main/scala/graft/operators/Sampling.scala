@@ -97,4 +97,61 @@ object Sampling {
     }
     df.filter(u < frac)
   }
+
+  /** Keeps the best keepNum/keepDen fraction of each group under the total
+    * order (scoreCol desc, tieCol asc) — the "keep the top 75% of documents
+    * by quality within each language" curation stage. The cut is exact
+    * integer cross-multiplication (`rank * keepDen <= n * keepNum`): no
+    * float threshold, so the kept set is bit-identical in any engine that
+    * agrees on the ordering (pair with an integer score such as
+    * TextAnalysis.qualityKeyInt for full portability).
+    *
+    * Plan: one exchange on the group key feeding two window functions
+    * (row_number over (group, score, tie); count over group). Exact and
+    * right up to very large groups; when a single group is a whole
+    * language slice of a 100 TB corpus, the full in-group sort is the
+    * bottleneck — switch to [[approxThresholdCut]], which never sorts or
+    * shuffles the data rows.
+    */
+  def topFractionPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      tieCol: String,
+      keepNum: Int,
+      keepDen: Int): DataFrame = {
+    require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen,
+      s"keep fraction must be in [0,1]: $keepNum/$keepDen")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ordered = byGroup.orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("__rk", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .filter(col("__rk") * keepDen <= col("__n") * keepNum)
+      .drop("__rk", "__n")
+  }
+
+  /** The 100 TB form of [[topFractionPerGroup]]: per-group score threshold
+    * from `percentile_approx` (partial-aggregated sketches — only sketches
+    * cross the exchange), broadcast back, rows kept by a map-side filter.
+    * The data rows are never sorted and never shuffled. Approximate at the
+    * cut boundary only (documents far from the threshold are classified
+    * identically; `accuracy` trades sketch size for boundary precision,
+    * and at accuracy >= group size the sketch — hence the cut — is exact,
+    * which is what the agreement spec pins).
+    */
+  def approxThresholdCut(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      keepFrac: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1]: $keepFrac")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(percentile_approx(
+        col(scoreCol), lit(1.0 - keepFrac), lit(accuracy)).as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -57,6 +57,25 @@ object TextAnalysis {
       typeTokenRatio(textCol) * 0.4 +
       (lit(1.0) - punctRatio(textCol)) * 0.2
 
+  /** Integer quality key in [0, 1000] — the RANKING analogue of
+    * [[qualityScore]] (same three components: length saturation 0-400,
+    * lexical diversity 0-400, low punctuation 0-200) scaled to integers
+    * with integral division, so an order or percentile cut over it is
+    * bit-stable across engines (a float score can flip a rank comparison
+    * in the last ulp between two engines' expression evaluators; an
+    * integer can't). DuckDB replication: `//` where this uses `div`.
+    */
+  def qualityKeyInt(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val nt = size(toks).cast("long")
+    val ndt = size(array_distinct(toks)).cast("long")
+    val nc = length(textCol).cast("long")
+    val np = length(regexp_replace(textCol, "[\\p{Punct}]", "")).cast("long")
+    when(nt === 0, lit(0L))
+      .otherwise(least(nt, lit(20L)) * 20L + call_function("div", ndt * 400L, nt)) +
+      when(nc === 0, lit(200L)).otherwise(call_function("div", np * 200L, nc))
+  }
+
   /** Heuristic language ID by stopword-list hit ratio: scores each
     * candidate list, returns the best label or 'und' when nothing clears
     * `minRatio`. N-gram-free variant suited to whitespace languages; the

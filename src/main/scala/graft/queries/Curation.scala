@@ -420,6 +420,45 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Quality-percentile cut: keep the top 3/4 of each language by the
+    // INTEGER quality key (length saturation + diversity + low punct,
+    // integral division only), cut by integer cross-multiplication
+    // rank*4 <= n*3 over (key desc, doc_id) — every comparison the rank
+    // and the cut make is on integers, so DuckDB replicates the kept set
+    // bit-for-bit.
+    "q61_quality_cut" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("qkey", TextAnalysis.qualityKeyInt(col("text")))
+      Sampling.topFractionPerGroup(scored, "lang", "qkey", "doc_id", 3, 4)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("qkey")).as("min_kept_key"))
+        .orderBy(col("lang"))
+    }),
+
+    // Bloom decontamination soundness: the Bloom flag set must contain
+    // every exactly-contaminated id (no false negatives by construction —
+    // this gate makes the construction visible), and the Bloom-prefilter +
+    // exact-join composition must equal the exact join outright. Gate
+    // output = (exact \ bloom) ∪ (exact Δ composed) = empty.
+    "q60_bloom_decontam_sound" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val exact = CurationFilters.decontaminate(
+        corpus, bench, "doc_id", "text", n = 4)
+      val bloom = CurationFilters.bloomDecontaminate(
+        corpus, bench, "doc_id", "text", n = 4, fpp = 0.01)
+      val composed = CurationFilters.bloomDecontaminateExact(
+        corpus, bench, "doc_id", "text", n = 4, fpp = 0.01)
+      exact.except(bloom)
+        .union(exact.except(composed))
+        .union(composed.except(exact))
+        .orderBy(col("id"))
+    }),
+
     // Sequence packing: documents -> fixed-token-budget training packs,
     // greedy-contiguous within id-mod shards (operators.Packing).
     // Summarized per shard so the gate output is small; every column is an
@@ -1092,6 +1131,35 @@ object Curation {
            CAST(sum(n_docs) AS BIGINT) AS n_docs,
            CAST(sum(pack_tokens) AS BIGINT) AS total_tokens
          FROM packs GROUP BY shard ORDER BY shard""",
+    "q60_bloom_decontam_sound" ->
+      """SELECT CAST(NULL AS BIGINT) AS id WHERE false""",
+    "q61_quality_cut" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang,
+             (CASE WHEN nt = 0 THEN 0
+                   ELSE least(nt, 20) * 20 + (ndt * 400) // nt END)
+             + (CASE WHEN nc = 0 THEN 200 ELSE (np * 200) // nc END) AS qkey
+           FROM m),
+         r AS (
+           SELECT doc_id, lang, qkey,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY qkey DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM k)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(qkey) AS BIGINT) AS min_kept_key
+         FROM r WHERE rk * 4 <= n * 3
+         GROUP BY lang ORDER BY lang""",
     "q50_decontam" ->
       """WITH t AS (
            SELECT doc_id, source,

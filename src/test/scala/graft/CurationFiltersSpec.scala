@@ -66,4 +66,43 @@ class CurationFiltersSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("bloomDecontaminate never misses and the exact composition agrees") {
+    val rng = new scala.util.Random(11)
+    def words(n: Int, vocab: String) =
+      Seq.fill(n)(vocab + rng.nextInt(500)).mkString(" ")
+    val bench = (0L until 20L).map(i => (i, words(30, "b"))).toDF("doc_id", "text")
+    val benchTexts = bench.as[(Long, String)].collect().toMap
+    // corpus: 30 clean docs (disjoint vocab) + 10 with a copied benchmark run
+    val corpus = (
+      (100L until 130L).map(i => (i, words(40, "c"))) ++
+      (200L until 210L).map { i =>
+        val src = benchTexts(i % 20).split(" ").slice(3, 9).mkString(" ")
+        (i, words(10, "c") + " " + src + " " + words(10, "d"))
+      }).toDF("doc_id", "text")
+    val exact = CurationFilters
+      .decontaminate(corpus, bench, "doc_id", "text", 4)
+      .as[Long].collect().toSet
+    val bloom = CurationFilters
+      .bloomDecontaminate(corpus, bench, "doc_id", "text", 4, fpp = 0.01)
+      .as[Long].collect().toSet
+    val composed = CurationFilters
+      .bloomDecontaminateExact(corpus, bench, "doc_id", "text", 4, fpp = 0.01)
+      .as[Long].collect().toSet
+    assert((200L until 210L).toSet.subsetOf(exact), s"planted not flagged: $exact")
+    assert(exact.subsetOf(bloom), "bloom missed a truly contaminated id")
+    assert(composed == exact, "bloom+exact composition diverged from exact join")
+  }
+
+  test("bloomDecontaminate plan: map-side probe, no gram exchange or join") {
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = CurationFilters
+      .bloomDecontaminate(df, df, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    // the corpus side must not join at all — the only operators are the
+    // scan, the shingle projection, the codegen'd bloom filter probe, and
+    // the distinct over flagged ids
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("bloom_might_contain_long"), plan)
+  }
 }

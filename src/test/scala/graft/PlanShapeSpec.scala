@@ -32,7 +32,8 @@ class PlanShapeSpec extends SparkSpec {
     "q44_range_join", "q46_tfidf",
     "q48_repetition", "q49_heavy_ngrams", "q50_decontam",
     "q51_seq_packing", "q52_train_pipeline", "q53_dedup_clusters",
-    "q56_winnow_fingerprints", "q57_chunking", "q58_passage_matches")
+    "q56_winnow_fingerprints", "q57_chunking", "q58_passage_matches",
+    "q61_quality_cut")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

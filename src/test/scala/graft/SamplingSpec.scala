@@ -89,4 +89,39 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter($"lang" =!= "en").count() == 0)
     assert(out.count() == 250) // every en row survives at fraction 1.0
   }
+
+  test("topFractionPerGroup: exact integer cut, ties broken by the tie column") {
+    // group g: scores 10,10,10,8 — keep 2/4 => ranks 1,2: the two LOWEST
+    // ids among the score-10 ties
+    val df = Seq(
+      ("g", 3L, 10L), ("g", 1L, 10L), ("g", 2L, 10L), ("g", 4L, 8L),
+      ("h", 9L, 5L), ("h", 8L, 7L)   // keep 2/4 of 2 rows => rank*4<=2*2 => rank 1
+    ).toDF("grp", "id", "score")
+    val kept = Sampling.topFractionPerGroup(df, "grp", "score", "id", 2, 4)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("g", 1L), ("g", 2L), ("h", 8L)))
+  }
+
+  test("approxThresholdCut agrees with the exact cut at exact accuracy") {
+    val rng = new scala.util.Random(5)
+    val df = (1L to 2000L).map(i =>
+      (s"l${i % 4}", i, rng.nextInt(100000).toLong)).toDF("grp", "id", "score")
+    // distinct scores w.h.p. => no boundary ties; accuracy >> n makes the
+    // percentile sketch exact, so the two forms must agree exactly
+    val exact = Sampling.topFractionPerGroup(df, "grp", "score", "id", 3, 4)
+      .select("id").as[Long].collect().toSet
+    val approx = Sampling.approxThresholdCut(df, "grp", "score", 0.75, accuracy = 100000)
+      .select("id").as[Long].collect().toSet
+    val disagree = (exact diff approx).size + (approx diff exact).size
+    assert(disagree <= exact.size / 100,
+      s"approx cut diverged on $disagree of ${exact.size}")
+  }
+
+  test("approxThresholdCut plan: no sort or shuffle of the data rows") {
+    val df = (1L to 100L).map(i => ("g", i, i)).toDF("grp", "id", "score")
+    val plan = Sampling.approxThresholdCut(df, "grp", "score", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("SortExec"), plan)
+  }
 }
