@@ -67,6 +67,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[dedupExact]] on the NORMALIZED text (TextAnalysis.normalizeText:
+    * lowercase, punctuation folded, whitespace collapsed): removes the
+    * trivially-reformatted copies byte-exact dedup misses, at the same
+    * cost — one digest window, (digest, id) through the exchange. The
+    * q63 oracle partitions by the raw normalized STRING where this
+    * partitions by its md5; agreement doubles as the collision check.
+    */
+  def dedupExactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(md5(TextAnalysis.normalizeText(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** MinHash signature as an array<long> of length `numHashes`.
     *
     * h_i(s) = (a_i * xxhash64(s) + b_i) mod p over the shingle set; the

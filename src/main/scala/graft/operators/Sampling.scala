@@ -131,6 +131,33 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Deterministic exactly-k-per-group sample: rank rows within each
+    * group by the engine-independent uniform key (ties broken by the key
+    * itself) and keep the first k — "pick exactly 100 eval documents per
+    * language, reproducibly". Unlike a fraction-based thin, the output
+    * size is exact; unlike orderBy(rand()) it is stable across runs,
+    * partitionings and engines (the uniform key is an integer/2^32 dyadic
+    * rational — bit-exact in any IEEE engine, so the oracle can replicate
+    * the ranking). One exchange on the group key; groups larger than
+    * executor memory sort externally, and when even that is too hot, thin
+    * FIRST with [[stratifiedSample]] at ~2k/n then rank the survivors —
+    * the composition is deterministic end-to-end.
+    */
+  def sampleExactKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String = "exactk"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(uniformKey(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** The 100 TB form of [[topFractionPerGroup]]: per-group score threshold
     * from `percentile_approx` (partial-aggregated sketches — only sketches
     * cross the exchange), broadcast back, rows kept by a map-side filter.

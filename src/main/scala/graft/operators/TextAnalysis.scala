@@ -57,6 +57,18 @@ object TextAnalysis {
       typeTokenRatio(textCol) * 0.4 +
       (lit(1.0) - punctRatio(textCol)) * 0.2
 
+  /** Canonical normalized form for dedup keys — the CCNet-style
+    * "lowercase dedup" preprocessing: lowercase, punctuation folded to
+    * spaces, whitespace collapsed and trimmed. Catches trivially
+    * reformatted copies (case, punctuation, spacing) that byte-exact
+    * dedup misses. Every step is a codegen'd built-in with an exact
+    * DuckDB replication, so normalized-dedup results stay
+    * oracle-checkable.
+    */
+  def normalizeText(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[\\p{Punct}]", " "), "\\s+", " "))
+
   /** Integer quality key in [0, 1000] — the RANKING analogue of
     * [[qualityScore]] (same three components: length saturation 0-400,
     * lexical diversity 0-400, low punctuation 0-200) scaled to integers

@@ -420,6 +420,27 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Deterministic exactly-k-per-group sample: 40 docs per language,
+    // ranked by the engine-independent md5 uniform key. The key is an
+    // integer/2^32 dyadic rational — bit-exact in both engines — so the
+    // oracle replicates the ranking and the kept set id-for-id.
+    "q62_exact_k_sample" -> ((s, dir) =>
+      Sampling.sampleExactKPerGroup(
+          t(s, dir, "documents"), "lang", "doc_id", k = 40)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))),
+
+    // Normalized exact dedup (CCNet-style lowercase dedup): survivors
+    // after grouping on the normalized text. The operator groups on
+    // md5(normalized); the oracle groups on the raw normalized string —
+    // agreement doubles as the md5 collision check (as in q50).
+    "q63_normalized_dedup" -> ((s, dir) =>
+      Dedup.dedupExactNormalized(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))),
+
     // Quality-percentile cut: keep the top 3/4 of each language by the
     // INTEGER quality key (length saturation + diversity + low punct,
     // integral division only), cut by integer cross-multiplication
@@ -1133,6 +1154,32 @@ object Curation {
          FROM packs GROUP BY shard ORDER BY shard""",
     "q60_bloom_decontam_sound" ->
       """SELECT CAST(NULL AS BIGINT) AS id WHERE false""",
+    "q62_exact_k_sample" ->
+      """WITH u AS (
+           SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(concat('exactk:',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+           FROM u)
+         SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r WHERE rk <= 40 GROUP BY lang ORDER BY lang""",
+    "q63_normalized_dedup" ->
+      """WITH n AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rk
+           FROM n)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r WHERE rk = 1 GROUP BY source ORDER BY source""",
     "q61_quality_cut" ->
       """WITH m AS (
            SELECT doc_id, lang,

@@ -79,6 +79,18 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 3L))
   }
 
+  test("dedupExactNormalized collapses case/punct/space variants only") {
+    val out = Dedup.dedupExactNormalized(
+      docs(
+        1L -> "Hello, world! Foo",
+        2L -> "hello   world foo",   // same after normalization
+        3L -> "HELLO WORLD... foo",  // same after normalization
+        4L -> "hello world bar"),    // genuinely different
+      "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 4L))
+  }
+
   test("shingles: word n-grams, distinct") {
     val sh = docs(1L -> "a b a b c").select(
       Dedup.shingles(col("text"), 2).as("sh")).as[Seq[String]].head()

@@ -117,6 +117,20 @@ class SamplingSpec extends SparkSpec {
       s"approx cut diverged on $disagree of ${exact.size}")
   }
 
+  test("sampleExactKPerGroup: exact size, subset, deterministic, k > group size") {
+    val df = docs(1000) // 250 per lang
+    val out = Sampling.sampleExactKPerGroup(df, "lang", "id", 40)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 40), counts.toString)
+    // deterministic: same call, same ids, regardless of partitioning
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.sampleExactKPerGroup(df.repartition(13), "lang", "id", 40)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "exact-k sample changed under repartitioning")
+    // k larger than the group keeps the whole group
+    assert(Sampling.sampleExactKPerGroup(df, "lang", "id", 9999).count() == 1000)
+  }
+
   test("approxThresholdCut plan: no sort or shuffle of the data rows") {
     val df = (1L to 100L).map(i => ("g", i, i)).toDF("grp", "id", "score")
     val plan = Sampling.approxThresholdCut(df, "grp", "score", 0.5)
