@@ -168,4 +168,83 @@ object CurationFilters {
       corpus.join(flagged.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
       benchmark, idCol, textCol, n)
   }
+
+  /** Contamination DEPTH, not just the flag: for each corpus document that
+    * shares at least one word n-gram with the benchmark, how many of its
+    * distinct grams are benchmark grams. [[decontaminate]] answers
+    * "drop it or not"; this answers "how contaminated" — the signal the
+    * published decontamination recipes threshold on (drop above X%
+    * overlap, keep-and-monitor below) instead of dropping on any single
+    * shared gram, which over-removes documents that merely quote a
+    * benchmark's one famous sentence.
+    *
+    * Same exchange discipline as [[decontaminate]]: both sides reduce to
+    * distinct hashed grams, the join is on the hash long, and because each
+    * side is distinct per key the left join multiplies no rows — the
+    * aggregation after it is a plain two-column hash agg. Returns
+    * (id, n_grams, n_shared) for contaminated ids only; overlap fraction
+    * is the caller's division (kept integral here so thresholds stay
+    * engine-exact).
+    */
+  def contaminationOverlap(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bench = hashedGrams(benchmark, None, textCol, n).distinct()
+      .withColumn("__hit", lit(1L))
+    hashedGrams(corpus, Some(idCol), textCol, n)
+      .join(bench, Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+  }
+
+  // ------------------------------------------------------------------
+  // PII detection / redaction
+  // ------------------------------------------------------------------
+
+  /** PII patterns, deliberately written in the common subset of Java regex
+    * and RE2 (no backreferences, no lookaround) so a DuckDB oracle can run
+    * the SAME pattern strings verbatim: emails, dotted-quad IPv4
+    * addresses, dashed phone numbers. The model is the pattern list — the
+    * operator shape (map-side regexp scan + replace, nothing leaves the
+    * executor) is what carries to a real pipeline's fuller pattern set.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  val phonePattern: String = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Text with PII matches replaced by typed placeholders. Replacement
+    * order (email, then IPv4, then phone) is part of the contract: emails
+    * can embed digit runs, so they are consumed before the narrower
+    * numeric patterns get to look; the placeholders themselves contain no
+    * digits or '@', so redaction is idempotent.
+    */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-document PII scan: per-category match counts plus the redacted
+    * text. Counts are INDEPENDENT scans of the raw text (a string that
+    * matches two categories counts in both); [[redactPii]]'s replacement
+    * order is what resolves overlaps in the redacted output. Pure
+    * codegen'd per-row projection — no shuffle, no state; at 100 TB this
+    * runs entirely map-side at scan parallelism, which is why PII
+    * scrubbing is the cheapest stage of a curation pipeline despite
+    * touching every byte.
+    */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      redactPii(col(textCol)).as("redacted"))
 }

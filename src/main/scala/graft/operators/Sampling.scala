@@ -28,6 +28,17 @@ object Sampling {
     conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
       .cast("bigint") / lit(4294967296.0)
 
+  /** The raw integer form of [[uniformKey]]: uniform BIGINT in
+    * [0, 2^32) — same md5 draw, no division. Ranking or bucketing on this
+    * is pure integer comparison, removing even the (exact, but
+    * conceptually float) dyadic-rational step from paths that don't need a
+    * [0,1) semantic. SQL replication:
+    * `CAST(concat('0x', substr(md5(concat('salt:', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT)`.
+    */
+  def uniformKeyInt(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+
   /** Adds a `split` column assigning each row to one of the named fractions
     * (e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) by cumulative
     * threshold over the uniform key. Fractions must sum to 1 (±1e-9); the
@@ -180,5 +191,90 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
+  }
+
+  /** Deterministic global corpus shuffle — the "randomize example order
+    * before training" step, as (shard, pos) coordinates: shard =
+    * u32 * numShards div 2^32 (an exact integer range split of the
+    * uniform key — NOT u32 % numShards, so shard is a prefix of the same
+    * order pos extends), pos = dense 0-based rank within the shard by
+    * (u32, key). Reading shards in order, each sorted by pos, visits the
+    * corpus in a uniform pseudorandom permutation that is reproducible
+    * across runs, engines and partitionings — which is what makes
+    * training runs repeatable and resumable at a byte offset.
+    *
+    * Scale: this is deliberately NOT a single global row_number (a total
+    * order through one partition). The only exchange is the hash
+    * repartition on shard; each shard ranks independently (external sort
+    * within executor), so parallelism = numShards. Shard sizes are
+    * binomial around N/numShards — pick numShards >> executors at 100 TB
+    * and skew is noise. All arithmetic is integer (u32 < 2^32 and
+    * numShards <= 2^20 keep the product under 2^52).
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      keyCol: String,
+      numShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(numShards > 0 && numShards <= (1 << 20),
+      s"numShards must be in [1, 2^20], got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__u"), col(keyCol))
+    df.withColumn("__u", uniformKeyInt(col(keyCol), salt))
+      .withColumn("shard",
+        call_function("div", col("__u") * numShards, lit(4294967296L)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__u")
+  }
+
+  /** Temperature-weighted mixture targets (alpha = 0.5): per-group sample
+    * counts k_g = totalTarget * w_g div sum(w), w_g = floor(sqrt(n_g)),
+    * capped at n_g. Sampling proportional to n^alpha (the multilingual /
+    * multi-domain re-balancing rule from the published LM data recipes)
+    * upweights small groups relative to proportional sampling without
+    * letting any one group dominate. Integer end-to-end after the sqrt:
+    * floor(sqrt(n)) on an IEEE double is exact for n < 2^52 up to the
+    * correctly-rounded-sqrt boundary (documented; group counts beyond
+    * ~2^26 could land one off — harmless for a target count), and the
+    * final division is integral — so a SQL oracle reproduces every target
+    * bit-for-bit.
+    *
+    * Plan: one count aggregation, then a single-partition window over the
+    * GROUP-COUNT frame only (one row per group — never the data rows) for
+    * the weight total.
+    */
+  def temperatureTargets(
+      df: DataFrame, groupCol: String, totalTarget: Long): DataFrame = {
+    require(totalTarget > 0, s"totalTarget must be > 0, got $totalTarget")
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("weight", floor(sqrt(col("n").cast("double"))).cast("long"))
+      .withColumn("target_n",
+        least(col("n"), call_function("div",
+          lit(totalTarget) * col("weight"),
+          sum(col("weight")).over(Window.partitionBy()))))
+  }
+
+  /** Draws the [[temperatureTargets]] mixture deterministically: exactly
+    * target_n rows per group, ranked by the integer uniform key (ties by
+    * the key column). The variable-k generalization of
+    * [[sampleExactKPerGroup]]; the targets frame is group-cardinality
+    * sized and broadcast. One exchange on the group key.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      totalTarget: Long,
+      salt: String = "temp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targets = temperatureTargets(df, groupCol, totalTarget)
+      .select(col(groupCol), col("target_n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(uniformKeyInt(col(keyCol), salt), col(keyCol))
+    df.join(broadcast(targets), Seq(groupCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("target_n"))
+      .drop("__rk", "target_n")
   }
 }

@@ -188,6 +188,36 @@ object TextAnalysis {
       .select(col("id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))
   }
 
+  /** Token-length histogram per group: integer bucket edges (ascending)
+    * label each document with the half-open range its token count falls
+    * in, then count and total per (group, bucket) — the corpus-profiling
+    * step that sizes context-window budgets and flags truncation loss
+    * before a training run. Labels are lexicographically ordered by
+    * construction (zero-padded lower edge) so a plain ORDER BY walks the
+    * buckets in range order. Integer comparisons only — any engine
+    * reproduces the assignment exactly. One map-side-combined hash agg;
+    * cardinality = groups x buckets.
+    */
+  def tokenHistogram(
+      df: DataFrame, groupCol: String, textCol: String,
+      edges: Seq[Int]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      s"edges must be ascending and distinct, got $edges")
+    val nt = tokenCount(col(textCol)).cast("long")
+    def lab(lo: Int, hi: Option[Int]): String =
+      f"$lo%06d_${hi.map(h => f"$h%06d").getOrElse("inf")}"
+    val bucket = edges.zip(edges.drop(1).map(Some(_)) :+ None).foldRight(
+      lit(lab(0, Some(edges.head))): Column) { case ((lo, hi), rest) =>
+      val cond = hi match {
+        case Some(h) => nt >= lo && nt < h
+        case None    => nt >= lo
+      }
+      when(cond, lab(lo, hi)).otherwise(rest)
+    }
+    df.groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(nt).as("total_tokens"))
+  }
+
   /** Per-document analysis frame: id + all text metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -459,6 +459,100 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
+    // PII scan + redaction over deterministically planted PII (the corpus
+    // itself is clean word-soup; the plant guarantees nonzero counts and
+    // exercises every pattern + the replacement order). residual_pii
+    // re-scans the REDACTED text with all three patterns — the inline
+    // soundness claim is that it sums to zero. Patterns are written in the
+    // Java-regex/RE2 common subset, so the oracle runs them verbatim.
+    "q64_pii" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0."),
+          (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+      val scan = CurationFilters.piiScan(planted, "doc_id", "text")
+      planted.select(col("doc_id").as("id"), col("source"))
+        .join(scan, Seq("id"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0, 1L)
+            .otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_ips")).as("n_ips"),
+          sum(col("n_phones")).as("n_phones"),
+          sum(length(col("redacted")).cast("long")).as("redacted_chars"),
+          sum((size(regexp_extract_all(col("redacted"),
+              lit(CurationFilters.emailPattern), lit(0))) +
+            size(regexp_extract_all(col("redacted"),
+              lit(CurationFilters.ipv4Pattern), lit(0))) +
+            size(regexp_extract_all(col("redacted"),
+              lit(CurationFilters.phonePattern), lit(0)))).cast("long"))
+            .as("residual_pii"))
+        .orderBy(col("source"))
+    }),
+
+    // Deterministic corpus shuffle: (shard, pos) permutation coordinates.
+    // order_checksum = sum(pos * doc_id) pins the EXACT within-shard
+    // order (any transposition of two docs changes it), so oracle
+    // agreement proves the full permutation, not just shard membership.
+    "q65_corpus_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(
+          t(s, dir, "documents"), "doc_id", numShards = 8)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"))
+        .orderBy(col("shard"))),
+
+    // Temperature-weighted mixture resample (alpha = 0.5): per-source
+    // targets totalTarget * floor(sqrt(n)) / sum(floor(sqrt(n))) drawn
+    // exactly by md5 rank. Integer targets + integer ranking key => the
+    // oracle replicates the kept set id-for-id (id_sum pins it).
+    "q66_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureResample(
+          t(s, dir, "documents"), "source", "doc_id", totalTarget = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))),
+
+    // Contamination depth: for every corpus doc sharing a 4-gram with the
+    // benchmark slice, how many of its distinct grams are benchmark grams.
+    // The operator joins hashed grams; the oracle joins raw gram strings —
+    // agreement doubles as the collision-freeness check (as in q50), and
+    // the overlap percentage is integral division so the max is exact.
+    "q67_contam_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ov = CurationFilters.contaminationOverlap(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 4)
+      docs.select(col("doc_id").as("id"), col("source"))
+        .join(ov, Seq("id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_contaminated"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_shared")).as("total_shared"),
+          max(call_function("div", col("n_shared") * 100L, col("n_grams")))
+            .as("max_overlap_pct"))
+        .orderBy(col("source"))
+    }),
+
+    // Token-length histogram per language: integer bucket edges, labels
+    // ordered by construction. Corpus profiling for context-window
+    // planning; integer comparisons only.
+    "q68_token_hist" -> ((s, dir) =>
+      TextAnalysis.tokenHistogram(
+          t(s, dir, "documents"), "lang", "text", Seq(50, 100, 200, 400))
+        .orderBy(col("lang"), col("bucket"))),
+
     // Bloom decontamination soundness: the Bloom flag set must contain
     // every exactly-contaminated id (no false negatives by construction —
     // this gate makes the construction visible), and the Bloom-prefilter +
@@ -1224,6 +1318,142 @@ object Curation {
            FROM g JOIN bench USING (gram)
            WHERE doc_id % 17 <> 0)
          SELECT source, count(*) AS n_contaminated
-         FROM c GROUP BY source ORDER BY source"""
+         FROM c GROUP BY source ORDER BY source""",
+    // Same PII plant as the Spark side; the three patterns are verbatim
+    // the operator's (Java-regex/RE2 common subset). DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all semantics.
+    "q64_pii" ->
+      """WITH planted AS (
+           SELECT source,
+             text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' host 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' ||
+                 CAST(doc_id % 200 AS VARCHAR)
+               ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                 '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS text
+           FROM documents),
+         s AS (
+           SELECT source,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text,
+               '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ips,
+             len(regexp_extract_all(text,
+               '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+               '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+           FROM planted)
+         SELECT source,
+           CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_ips) AS BIGINT) AS n_ips,
+           CAST(sum(n_phones) AS BIGINT) AS n_phones,
+           CAST(sum(length(red)) AS BIGINT) AS redacted_chars,
+           CAST(sum(
+             len(regexp_extract_all(red,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+             len(regexp_extract_all(red,
+               '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) +
+             len(regexp_extract_all(red,
+               '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS residual_pii
+         FROM s GROUP BY source ORDER BY source""",
+    // Replicates Sampling.deterministicShuffle exactly: u32 = top 32 md5
+    // bits, shard = u32 * 8 // 2^32, pos = rank within shard by (u32, id).
+    "q65_corpus_shuffle" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('shuffle:',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS u32
+           FROM documents),
+         sharded AS (
+           SELECT doc_id, u32, (u32 * 8) // 4294967296 AS shard FROM keyed),
+         p AS (
+           SELECT shard, doc_id,
+             row_number() OVER (PARTITION BY shard ORDER BY u32, doc_id) - 1
+               AS pos
+           FROM sharded)
+         SELECT shard, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+         FROM p GROUP BY shard ORDER BY shard""",
+    // Replicates Sampling.temperatureTargets + temperatureResample:
+    // weight = floor(sqrt(n)), target = least(n, 2000*w // sum(w)),
+    // kept = first target rows by (md5 u32, id) per source.
+    "q66_temperature_mix" ->
+      """WITH c AS (
+           SELECT source, count(*) AS n FROM documents GROUP BY source),
+         w AS (
+           SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight
+           FROM c),
+         t AS (
+           SELECT source, n, weight,
+             least(n, (2000 * weight) //
+               CAST((SELECT sum(weight) FROM w) AS BIGINT)) AS target_n
+           FROM w),
+         k AS (
+           SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source ORDER BY
+               CAST(concat('0x', substr(md5(concat('temp:',
+                 CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+               d.doc_id) AS rk
+           FROM documents d),
+         kept AS (
+           SELECT k.source, k.doc_id
+           FROM k JOIN t USING (source) WHERE rk <= target_n)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY source ORDER BY source""",
+    // q50's gram CTE, but counting shared grams per doc instead of the
+    // binary flag. Raw gram strings here vs hashed longs in the engine.
+    "q67_contam_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         g AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(
+               [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                for i in range(1, len(l) - 2)])) AS gram
+           FROM t),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+         ov AS (
+           SELECT c.doc_id, c.source, count(*) AS n_grams,
+             sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_shared
+           FROM (SELECT * FROM g WHERE doc_id % 17 <> 0) c
+           LEFT JOIN bench ON c.gram = bench.gram
+           GROUP BY c.doc_id, c.source
+           HAVING sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) > 0)
+         SELECT source, count(*) AS n_contaminated,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_shared) AS BIGINT) AS total_shared,
+           CAST(max((n_shared * 100) // n_grams) AS BIGINT) AS max_overlap_pct
+         FROM ov GROUP BY source ORDER BY source""",
+    "q68_token_hist" ->
+      """WITH m AS (
+           SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS nt
+           FROM documents)
+         SELECT lang,
+           CASE WHEN nt >= 400 THEN '000400_inf'
+                WHEN nt >= 200 THEN '000200_000400'
+                WHEN nt >= 100 THEN '000100_000200'
+                WHEN nt >= 50 THEN '000050_000100'
+                ELSE '000000_000050' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens
+         FROM m GROUP BY lang, bucket ORDER BY lang, bucket"""
   )
 }

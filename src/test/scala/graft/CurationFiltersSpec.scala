@@ -105,4 +105,65 @@ class CurationFiltersSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("bloom_might_contain_long"), plan)
   }
+
+  test("contaminationOverlap counts shared distinct grams exactly") {
+    // benchmark doc: tokens b0..b9 => 4-grams b0..b3 ... b6..b9 (7 grams)
+    val bench = Seq((0L, (0 to 9).map("b" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // copies tokens b2..b7 => shares grams b2..b5, b3..b6, b4..b7 (3)
+      // of its own 9 distinct grams (12 tokens)
+      (1L, "x1 x2 x3 " + (2 to 7).map("b" + _).mkString(" ") + " y1 y2 y3"),
+      // clean doc: no shared grams => absent from the output
+      (2L, (0 to 11).map("c" + _).mkString(" ")),
+      // full copy: all 7 grams shared, 7 of 7
+      (3L, (0 to 9).map("b" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CurationFilters
+      .contaminationOverlap(corpus, bench, "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((9L, 3L)), 3L -> ((7L, 7L))), out.toString)
+  }
+
+  test("piiScan counts and redacts every planted pattern; redaction is idempotent") {
+    val df = Seq(
+      (1L, "write to alice.b+spam@mail-host.example.com or bob@x.io today"),
+      (2L, "server 10.0.255.3 and 192.168.1.17 up"),
+      (3L, "call 555-123-4567 or +33-444-0000 now"), // 2nd: +333-444-0000 would match; +33- does not
+      (4L, "clean text with no pii at all"),
+      (5L, "mixed: c@d.org on 8.8.8.8 dial 111-222-3333")
+    ).toDF("doc_id", "text")
+    val out = CurationFilters.piiScan(df, "doc_id", "text")
+      .select($"id", $"n_emails", $"n_ips", $"n_phones", $"redacted")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._3 == 0 && out(1L)._4 == 0)
+    assert(out(2L)._3 == 2, out(2L).toString)
+    assert(out(3L)._4 == 1, out(3L).toString)
+    assert(out(4L)._2 + out(4L)._3 + out(4L)._4 == 0)
+    assert(out(5L)._2 == 1 && out(5L)._3 == 1 && out(5L)._4 == 1)
+    assert(out(5L)._5 == "mixed: <EMAIL> on <IP> dial <PHONE>", out(5L)._5)
+    // no residual matches in redacted text; redact(redact(x)) == redact(x)
+    import org.apache.spark.sql.Row
+    val redacted = CurationFilters.piiScan(
+      CurationFilters.piiScan(df, "doc_id", "text")
+        .select($"id".as("doc_id"), $"redacted".as("text")),
+      "doc_id", "text")
+    assert(redacted.filter($"n_emails" + $"n_ips" + $"n_phones" > 0).count() == 0)
+    val twice = redacted.select($"id", $"redacted").as[(Long, String)].collect().toMap
+    out.foreach { case (id, r) => assert(twice(id) == r._5, s"not idempotent on $id") }
+  }
+
+  test("piiScan counts categories independently; redaction order resolves overlaps") {
+    // an email whose domain embeds a dotted quad: BOTH raw counts fire
+    // (counts are independent scans of the raw text), but redaction
+    // replaces the email first, so no IP placeholder appears
+    val df = Seq((1L, "u@10.0.0.99.example.com is odd but an email"))
+      .toDF("doc_id", "text")
+    val r = CurationFilters.piiScan(df, "doc_id", "text")
+      .select($"n_emails", $"n_ips", $"redacted")
+      .as[(Long, Long, String)].collect().head
+    assert(r._1 == 1 && r._2 == 1, r.toString)
+    assert(r._3 == "<EMAIL> is odd but an email", r._3)
+  }
 }

@@ -138,4 +138,70 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("SortExec"), plan)
   }
+
+  test("deterministicShuffle is a permutation with contiguous per-shard positions") {
+    val df = docs(3000)
+    val out = Sampling.deterministicShuffle(df, "id", numShards = 8)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    // every id exactly once
+    assert(out.map(_._1).toSet == (0L until 3000L).toSet)
+    // positions within each shard are exactly 0..n_s-1 (dense, no gaps)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // shard sizes binomial around 3000/8 (5-sigma)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val p = 1.0 / 8
+    sizes.values.foreach(s =>
+      assert(math.abs(s - 3000 * p) < 5 * math.sqrt(3000 * p * (1 - p)),
+        s"shard sizes skewed: $sizes"))
+  }
+
+  test("deterministicShuffle is partitioning-invariant and actually permutes") {
+    val a = Sampling.deterministicShuffle(docs(1000), "id", 4)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.deterministicShuffle(docs(1000).repartition(13), "id", 4)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "shuffle coordinates changed under repartitioning")
+    // the permutation is not the identity-ish order: within shard 0, ids
+    // are not sorted (overwhelming probability for 1000 uniform draws)
+    val shard0 = a.filter(_._2 == 0L).toSeq.sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted, "shuffle left ids in sorted order")
+  }
+
+  test("temperatureTargets: integer alpha=0.5 weights, capped at group size") {
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 400).map(i => ("b", 1000L + i)) ++
+      (1 to 900).map(i => ("c", 10000L + i))).toDF("grp", "id")
+    val t = Sampling.temperatureTargets(df, "grp", totalTarget = 120L)
+      .select($"grp", $"n", $"weight", $"target_n")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // weights floor(sqrt(n)) = 10/20/30, sum 60; targets 120*w/60 = 2w
+    assert(t("a") == ((100L, 10L, 20L)), t.toString)
+    assert(t("b") == ((400L, 20L, 40L)), t.toString)
+    assert(t("c") == ((900L, 30L, 60L)), t.toString)
+    // cap: a tiny group cannot be asked for more rows than it has
+    val tiny = ((1 to 4).map(i => ("t", i.toLong)) ++
+      (1 to 10000).map(i => ("u", 100L + i))).toDF("grp", "id")
+    val t2 = Sampling.temperatureTargets(tiny, "grp", totalTarget = 10200L)
+      .select($"grp", $"target_n").as[(String, Long)].collect().toMap
+    assert(t2("t") == 4L, s"tiny group target not capped: $t2")
+  }
+
+  test("temperatureResample draws exactly the targets, deterministically") {
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 400).map(i => ("b", 1000L + i)) ++
+      (1 to 900).map(i => ("c", 10000L + i))).toDF("grp", "id")
+    val out = Sampling.temperatureResample(df, "grp", "id", totalTarget = 120L)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 20L, "b" -> 40L, "c" -> 60L), counts.toString)
+    // kept rows are a subset of the input, stable under repartitioning
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureResample(df.repartition(7), "grp", "id", 120L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "temperature resample changed under repartitioning")
+    assert(a.subsetOf(df.select("id").as[Long].collect().toSet))
+  }
 }

@@ -134,6 +134,30 @@ class SessionizeSpec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length == 2))
   }
 
+  test("tokenHistogram: boundary values land in the upper bucket, labels sort in range order") {
+    val docs = Seq(
+      (1L, "en", (1 to 4).map(_ => "w").mkString(" ")),   // 4 -> [0,5)
+      (2L, "en", (1 to 5).map(_ => "w").mkString(" ")),   // 5 -> [5,10) boundary
+      (3L, "en", (1 to 9).map(_ => "w").mkString(" ")),   // 9 -> [5,10)
+      (4L, "en", (1 to 10).map(_ => "w").mkString(" ")),  // 10 -> [10,inf)
+      (5L, "de", ""),                                     // 0 tokens -> [0,5)
+      (6L, "de", (1 to 25).map(_ => "w").mkString(" "))   // 25 -> [10,inf)
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextAnalysis
+      .tokenHistogram(docs, "lang", "text", Seq(5, 10))
+      .orderBy("lang", "bucket")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", "000000_000005", 1L, 0L),
+      ("de", "000010_inf", 1L, 25L),
+      ("en", "000000_000005", 1L, 4L),
+      ("en", "000005_000010", 2L, 14L),
+      ("en", "000010_inf", 1L, 10L)), out.toString)
+    // labels walk the ranges in lexicographic = numeric order
+    val labels = out.map(_._2).distinct
+    assert(labels == labels.sorted)
+  }
+
   test("session ids are 1-based and monotone in time") {
     val events = Seq((1L, 0L), (1L, 500L), (1L, 510L), (1L, 2000L))
       .toDF("user_id", "ts")
