@@ -83,6 +83,32 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Sequence-level exact dedup: context-window chunking
+    * (Packing.chunkTexts) followed by GLOBAL chunk dedup — the "dedup the
+    * training sequences, not just the documents" stage: a boilerplate
+    * passage repeated across thousands of documents collapses to one
+    * trainable chunk even when every containing document is unique.
+    * Returns every chunk coordinate (idCol, chunk, chunk_tokens, plus
+    * carryCols) with `keep` = true on the survivor — the first
+    * (id, chunk) per chunk-text digest; filter on `keep` for the
+    * pipeline stage, aggregate the flag for audit counts.
+    *
+    * Scale: md5(chunk_text) is projected BEFORE the survivor window, so
+    * the exchange carries (digest, id, chunk, ints) — chunk text never
+    * shuffles. One exchange on the digest; survivor choice is
+    * deterministic, so re-runs keep identical chunks.
+    */
+  def chunkDedup(
+      df: DataFrame, idCol: String, textCol: String, budget: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val projected = Packing.chunkTexts(df, textCol, budget).select(
+      md5(col("chunk_text")).as("__h") +: col(idCol) +: col("chunk") +:
+        col("chunk_tokens") +: carryCols.map(col): _*)
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("chunk"))
+    projected.withColumn("keep", row_number().over(w) === 1)
+      .drop("__h")
+  }
+
   /** MinHash signature as an array<long> of length `numHashes`.
     *
     * h_i(s) = (a_i * xxhash64(s) + b_i) mod p over the shingle set; the

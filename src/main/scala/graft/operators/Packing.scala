@@ -84,6 +84,36 @@ object Packing {
         least(lit(budget), col(tokenCol) - col("chunk") * budget))
   }
 
+  /** [[chunkDocuments]] with the chunk's actual text: the token array is
+    * sliced into budget-sized runs and re-joined, so each output row is a
+    * trainable sequence, not just a coordinate. Adds (chunk, chunk_text,
+    * chunk_tokens) to every input column; documents with zero tokens are
+    * dropped (they have no chunks). Concatenating a document's chunk
+    * texts in chunk order reconstructs its single-spaced token stream
+    * exactly (spec-pinned) — chunking loses nothing but inter-token
+    * whitespace.
+    *
+    * Scale: tokenize + slice + join are all per-row codegen'd built-ins —
+    * the explode multiplies rows map-side, no exchange. Downstream
+    * consumers that shuffle (e.g. chunk-level dedup) should project
+    * md5(chunk_text) first and ship the hash, not the text.
+    */
+  def chunkTexts(df: DataFrame, textCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    df.withColumn("__toks", toks)
+      .withColumn("__nt", size(col("__toks")).cast("long"))
+      .filter(col("__nt") > 0)
+      .withColumn("chunk", explode(sequence(lit(0L),
+        call_function("div", col("__nt") + (budget - 1), lit(budget.toLong)) - 1)))
+      .withColumn("chunk_text", array_join(
+        slice(col("__toks"), (col("chunk") * budget + 1).cast("int"),
+          lit(budget)), " "))
+      .withColumn("chunk_tokens",
+        least(lit(budget.toLong), col("__nt") - col("chunk") * budget))
+      .drop("__toks", "__nt")
+  }
+
   /** Per-pack profile: document count, token total, and the budget-excess
     * of the pack (0 for packs that fit; positive when a long document
     * overflowed). All integers.

@@ -553,6 +553,24 @@ object Curation {
           t(s, dir, "documents"), "lang", "text", Seq(50, 100, 200, 400))
         .orderBy(col("lang"), col("bucket"))),
 
+    // Sequence-level dedup: chunk every document to 64-token sequences,
+    // dedup chunks GLOBALLY (survivor = first (doc_id, chunk) per chunk
+    // digest). The operator windows on md5(chunk_text); the oracle windows
+    // on md5 recomputed from its own slicing — token conservation and the
+    // kept-token totals pin both the chunking and the survivor choice.
+    "q69_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(
+          t(s, dir, "documents"), "doc_id", "text", budget = 64,
+          carryCols = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_unique_chunks"),
+          sum(when(col("keep"), col("chunk_tokens")).otherwise(0L))
+            .as("tokens_kept"),
+          sum(col("chunk_tokens")).as("total_tokens"))
+        .orderBy(col("lang"))),
+
     // Bloom decontamination soundness: the Bloom flag set must contain
     // every exactly-contaminated id (no false negatives by construction —
     // this gate makes the construction visible), and the Bloom-prefilter +
@@ -1440,6 +1458,37 @@ object Curation {
            CAST(sum(n_shared) AS BIGINT) AS total_shared,
            CAST(max((n_shared * 100) // n_grams) AS BIGINT) AS max_overlap_pct
          FROM ov GROUP BY source ORDER BY source""",
+    // q57's chunk CTE extended with the chunk TEXT (inclusive-end list
+    // slice), then the survivor window over its md5. DuckDB slices
+    // truncate past the end exactly like Spark's slice(start, length).
+    "q69_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         sized AS (
+           SELECT doc_id, lang, l, CAST(len(l) AS BIGINT) AS nt
+           FROM toks WHERE len(l) > 0),
+         chunks AS (
+           SELECT doc_id, lang, l, nt, unnest(generate_series(
+             CAST(0 AS BIGINT), (nt + 63) // 64 - 1)) AS chunk
+           FROM sized),
+         ct AS (
+           SELECT doc_id, lang, chunk,
+             md5(array_to_string(l[(chunk*64+1):(chunk*64+64)], ' ')) AS h,
+             least(64, nt - chunk * 64) AS chunk_tokens
+           FROM chunks),
+         r AS (
+           SELECT lang, chunk_tokens,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk) AS rk
+           FROM ct)
+         SELECT lang, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN chunk_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens
+         FROM r GROUP BY lang ORDER BY lang""",
     "q68_token_hist" ->
       """WITH m AS (
            SELECT lang,

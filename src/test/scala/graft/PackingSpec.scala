@@ -107,4 +107,62 @@ class PackingSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkTexts reconstructs the token stream and conserves counts") {
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")),  // 10 toks -> 4,4,2 at budget 4
+      (2L, "a  b\tc"),                             // messy whitespace, 3 toks
+      (3L, ""),                                    // zero tokens -> no chunks
+      (4L, (1 to 4).map("u" + _).mkString(" "))    // exactly one full chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkTexts(docs, "text", budget = 4)
+      .orderBy("doc_id", "chunk")
+      .select("doc_id", "chunk", "chunk_text", "chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(!out.exists(_._1 == 3L), "zero-token doc produced a chunk")
+    // chunk sizes: full budget except the last remainder
+    assert(out.filter(_._1 == 1L).map(_._4) == Seq(4L, 4L, 2L))
+    assert(out.filter(_._1 == 2L).map(_._4) == Seq(3L))
+    assert(out.filter(_._1 == 4L).map(_._4) == Seq(4L))
+    // concatenating chunk texts in order == single-spaced token stream
+    val rebuilt = out.filter(_._1 == 1L).map(_._3).mkString(" ")
+    assert(rebuilt == (1 to 10).map("t" + _).mkString(" "), rebuilt)
+    assert(out.find(_._1 == 2L).get._3 == "a b c")
+  }
+
+  test("chunkDedup keeps the first coordinate per repeated chunk, globally") {
+    val common = (1 to 4).map("x" + _).mkString(" ") // a 4-token boilerplate run
+    val docs = Seq(
+      // doc 1: unique head + boilerplate tail => chunks [head][common]
+      (1L, "en", (1 to 4).map("a" + _).mkString(" ") + " " + common),
+      // doc 2 (other lang): boilerplate head + unique tail
+      (2L, "de", common + " " + (1 to 4).map("b" + _).mkString(" ")),
+      // doc 3: the boilerplate alone — fully deduped away
+      (3L, "en", common)
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.Dedup
+      .chunkDedup(docs, "doc_id", "text", budget = 4, carryCols = Seq("lang"))
+      .select("doc_id", "chunk", "keep").as[(Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // 5 chunks total (2+2+1); the common chunk appears at (1,1), (2,0),
+    // (3,0) — survivor is (1,1) (lowest doc_id, then chunk)
+    assert(out.size == 5)
+    assert(out((1L, 0L)) && out((1L, 1L)), "doc 1 chunks must both survive")
+    assert(!out((2L, 0L)), "doc 2's boilerplate head must dedup away")
+    assert(out((2L, 1L)), "doc 2's unique tail must survive")
+    assert(!out((3L, 0L)), "doc 3 (pure boilerplate) must dedup away")
+  }
+
+  test("chunkDedup plan ships digests, not chunk text, through the exchange") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup
+      .chunkDedup(docs, "doc_id", "text", budget = 4)
+      .queryExecution.executedPlan.toString
+    // no Exchange may list a text attribute in its partitioning header —
+    // the digest partitions the window (same check as PlanShapeSpec)
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(e => e.takeWhile(_ != '\n').contains("text#")),
+      "an exchange carries chunk/document text:\n" + plan)
+  }
 }
