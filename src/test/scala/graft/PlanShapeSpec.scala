@@ -33,7 +33,9 @@ class PlanShapeSpec extends SparkSpec {
     "q48_repetition", "q49_heavy_ngrams", "q50_decontam",
     "q51_seq_packing", "q52_train_pipeline", "q53_dedup_clusters",
     "q56_winnow_fingerprints", "q57_chunking", "q58_passage_matches",
-    "q61_quality_cut")
+    "q61_quality_cut", "q62_exact_k_sample", "q63_normalized_dedup",
+    "q64_pii", "q65_corpus_shuffle", "q66_temperature_mix",
+    "q67_contam_overlap", "q68_token_hist", "q69_chunk_dedup")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

@@ -190,6 +190,19 @@ class SamplingSpec extends SparkSpec {
     assert(t2("t") == 4L, s"tiny group target not capped: $t2")
   }
 
+  test("deterministicShuffle shard assignment is stable under corpus growth") {
+    // shard derives from the id's md5 alone, so appending new documents
+    // never MOVES an existing document's shard — the incremental-ingest
+    // property: only positions within affected shards shift
+    val small = Sampling.deterministicShuffle(docs(500), "id", 8)
+      .select($"id", $"shard").as[(Long, Long)].collect().toMap
+    val grown = Sampling.deterministicShuffle(docs(2000), "id", 8)
+      .select($"id", $"shard").as[(Long, Long)].collect().toMap
+    small.foreach { case (id, shard) =>
+      assert(grown(id) == shard, s"doc $id moved shard when the corpus grew")
+    }
+  }
+
   test("temperatureResample draws exactly the targets, deterministically") {
     val df = ((1 to 100).map(i => ("a", i.toLong)) ++
       (1 to 400).map(i => ("b", 1000L + i)) ++

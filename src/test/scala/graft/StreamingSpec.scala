@@ -225,6 +225,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PII redaction is streamable: stateless scrub inside a micro-batch sink") {
+    // redactPii is a pure Column, so it drops into readStream unchanged —
+    // the scrub-before-persist stage of a streaming ingestion pipeline
+    import graft.operators.CurationFilters
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scrubbed = input.toDF().toDF("doc_id", "text")
+      .withColumn("text", CurationFilters.redactPii(col("text")))
+    val q = scrubbed.writeStream.format("memory").queryName("stream_pii")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "mail a@b.io from 10.0.0.1 dial 555-123-4567"),
+        (2L, "nothing sensitive here"))
+      q.processAllAvailable()
+      val out = spark.table("stream_pii").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(1L) == "mail <EMAIL> from <IP> dial <PHONE>", out(1L))
+      assert(out(2L) == "nothing sensitive here")
+    } finally q.stop()
+  }
+
   test("toEventTime is exact on ns epochs beyond double precision") {
     // 2^53 ns ~ 104 days of epoch; real epochs (~1.7e18) lose sub-µs
     // precision through a double divide. Pin exactness at the µs level.

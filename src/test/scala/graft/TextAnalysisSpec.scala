@@ -153,9 +153,10 @@ class SessionizeSpec extends SparkSpec {
       ("en", "000000_000005", 1L, 4L),
       ("en", "000005_000010", 2L, 14L),
       ("en", "000010_inf", 1L, 10L)), out.toString)
-    // labels walk the ranges in lexicographic = numeric order
-    val labels = out.map(_._2).distinct
-    assert(labels == labels.sorted)
+    // lexicographic label order == numeric range order
+    val labels = out.map(_._2).distinct.sorted
+    assert(labels == Seq("000000_000005", "000005_000010", "000010_inf"),
+      labels.toString)
   }
 
   test("session ids are 1-based and monotone in time") {
