@@ -188,6 +188,51 @@ object TextAnalysis {
       .select(col("id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))
   }
 
+  /** Control/format-character sanitation — the encoding-hygiene stage of
+    * a web-corpus pipeline (stray BEL/ESC from broken scrapes, zero-width
+    * and soft-hyphen format characters that poison tokenization and
+    * dedup keys). Strips Unicode categories Cc and Cf; the class names
+    * are in the Java-regex/RE2 common subset, so a SQL oracle runs the
+    * same pattern. Codegen'd per-row projection, no shuffle.
+    */
+  def sanitizeText(textCol: Column): Column =
+    regexp_replace(textCol, "[\\p{Cc}\\p{Cf}]", "")
+
+  /** Count of word-list tokens in the lowercased text — the C4-style
+    * blocklist gate (the list is the model; membership is exact token
+    * equality, not substring, so "class" never trips a "ass" entry).
+    */
+  def blockwordCount(textCol: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(textCol)),
+      t => t.isin(words.map(_.toLowerCase).map(_.asInstanceOf[Any]): _*)))
+      .cast("long")
+
+  /** Per-document character-distribution Shannon entropy (bits/char) —
+    * the cheap perplexity proxy: binary junk and repeated-char spam sit
+    * far from natural-language entropy (~4 bits/char for English) in
+    * either direction, so a [min,max] entropy gate removes both.
+    *
+    * Relational formulation: explode characters -> (id, char) counts ->
+    * H = log2(n) - sum(c*log2 c)/n per id (the algebraic rearrangement
+    * of -sum(p log2 p) that needs only per-char counts). Two
+    * map-side-combined hash aggs; the exchange carries (id, single-char,
+    * count). Zero-length documents have no characters and are absent
+    * from the output — left-join and coalesce if a 0.0 row is needed.
+    */
+  def charEntropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * log2(col("c"))).as("__clogc"))
+      .withColumn("entropy_bits",
+        round(log2(col("n_chars")) - col("__clogc") / col("n_chars"), 4))
+      .drop("__clogc")
+
   /** Token-length histogram per group: integer bucket edges (ascending)
     * label each document with the half-open range its token count falls
     * in, then count and total per (group, bucket) — the corpus-profiling

@@ -571,6 +571,87 @@ object Curation {
           sum(col("chunk_tokens")).as("total_tokens"))
         .orderBy(col("lang"))),
 
+    // Encoding hygiene: control (Cc) and format (Cf) characters planted
+    // deterministically (BEL+ESC on doc_id%3; ZERO WIDTH SPACE + SOFT
+    // HYPHEN on doc_id%4 -> chr(7)/chr(27)/chr(8203)/chr(173) in the
+    // oracle), stripped by sanitizeText; the oracle runs the same
+    // Unicode-category pattern. Counts + removed-char totals pin the
+    // sanitation exactly.
+    "q70_sanitize" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("\u0007alert\u001B")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\u200Bzw\u00AD")).otherwise(lit(""))))
+      planted
+        .withColumn("clean", TextAnalysis.sanitizeText(col("text")))
+        .withColumn("removed",
+          (length(col("text")) - length(col("clean"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("removed") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
+          sum(col("removed")).as("n_chars_removed"),
+          sum(length(col("clean")).cast("long")).as("clean_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // C4-style blocklist gate: exact token membership on the lowercased
+    // text (the list is the model; corpus vocabulary words stand in).
+    "q71_blockwords" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_blocked", TextAnalysis.blockwordCount(
+          col("text"), Seq("merge", "batch", "spark")))
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("n_blocked") > 0, 1L).otherwise(0L)).as("n_flagged_docs"),
+          sum(col("n_blocked")).as("total_blockwords"))
+        .orderBy(col("lang"))),
+
+    // Character-distribution entropy per language — the perplexity proxy.
+    // Per-doc entropies round at 4 decimals in BOTH engines before the
+    // min/max; the avg rounds at 3 (entropy values are irrational, so a
+    // last-ulp summation difference cannot straddle a rounding boundary).
+    "q72_char_entropy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.charEntropyStats(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("entropy_bits")), 3).as("avg_entropy_bits"),
+          min(col("entropy_bits")).as("min_entropy_bits"),
+          max(col("entropy_bits")).as("max_entropy_bits"))
+        .orderBy(col("lang"))
+    }),
+
+    // Binary metadata round-trip: spec-valid synthetic PNG/WAV headers
+    // built from doc_id arithmetic, parsed back by the REAL byte-level
+    // header parsers (beUInt/leUInt on binary columns — no codec libs).
+    // The oracle computes the expected sums from doc_id directly, so
+    // agreement proves construct -> parse is the identity.
+    "q73_binary_meta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val framed = docs.select(
+        col("source"),
+        Multimodal.syntheticPng(
+          col("doc_id") % 1800 + 100, col("doc_id") % 997 + 50).as("png"),
+        Multimodal.syntheticWav(
+          when(col("doc_id") % 2 === 0, 44100L).otherwise(16000L),
+          col("doc_id") % 2 + 1).as("wav"))
+      framed.select(
+          col("source"),
+          Multimodal.pngDimensions(col("png")).as("dims"),
+          Multimodal.wavMeta(col("wav")).as("audio"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("dims.width")).as("width_sum"),
+          sum(col("dims.height")).as("height_sum"),
+          sum(col("audio.sample_rate")).as("rate_sum"),
+          sum(col("audio.channels")).as("channel_sum"))
+        .orderBy(col("source"))
+    }),
+
     // Bloom decontamination soundness: the Bloom flag set must contain
     // every exactly-contaminated id (no false negatives by construction —
     // this gate makes the construction visible), and the Bloom-prefilter +
@@ -1489,6 +1570,70 @@ object Curation {
              AS tokens_kept,
            CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens
          FROM r GROUP BY lang ORDER BY lang""",
+    "q70_sanitize" ->
+      """WITH planted AS (
+           SELECT source, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN chr(7) || 'alert' || chr(27) ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+               THEN chr(8203) || 'zw' || chr(173) ELSE '' END AS text
+           FROM documents),
+         s AS (
+           SELECT source, length(text) AS lc,
+             length(regexp_replace(text, '[\p{Cc}\p{Cf}]', '', 'g')) AS ls
+           FROM planted)
+         SELECT source,
+           CAST(sum(CASE WHEN lc > ls THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_affected,
+           CAST(sum(lc - ls) AS BIGINT) AS n_chars_removed,
+           CAST(sum(ls) AS BIGINT) AS clean_chars
+         FROM s GROUP BY source ORDER BY source""",
+    "q71_blockwords" ->
+      """WITH m AS (
+           SELECT lang,
+             len(list_filter(
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 x -> x <> ''),
+               x -> x IN ('merge', 'batch', 'spark'))) AS nb
+           FROM documents)
+         SELECT lang,
+           CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_docs,
+           CAST(sum(nb) AS BIGINT) AS total_blockwords
+         FROM m GROUP BY lang ORDER BY lang""",
+    // Per-doc entropy H = log2(n) - sum(c*log2 c)/n over 1-based char
+    // indexing; rounded at 4 before min/max and at 3 after avg, exactly
+    // like the Spark side.
+    "q72_char_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, lang,
+             unnest([text[i] for i in range(1, length(text) + 1)]) AS ch
+           FROM documents WHERE length(text) > 0),
+         cc AS (
+           SELECT doc_id, lang, ch, count(*) AS c
+           FROM chars GROUP BY doc_id, lang, ch),
+         ent AS (
+           SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_chars,
+             round(log2(CAST(sum(c) AS DOUBLE)) -
+               sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits
+           FROM cc GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(entropy_bits), 3) AS avg_entropy_bits,
+           min(entropy_bits) AS min_entropy_bits,
+           max(entropy_bits) AS max_entropy_bits
+         FROM ent GROUP BY lang ORDER BY lang""",
+    // The expected metadata comes straight from the doc_id arithmetic the
+    // synthetic headers were built from — agreement proves the byte-level
+    // construct -> parse round trip is the identity.
+    "q73_binary_meta" ->
+      """SELECT source, count(*) AS n,
+           CAST(sum(doc_id % 1800 + 100) AS BIGINT) AS width_sum,
+           CAST(sum(doc_id % 997 + 50) AS BIGINT) AS height_sum,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 16000 END)
+             AS BIGINT) AS rate_sum,
+           CAST(sum(doc_id % 2 + 1) AS BIGINT) AS channel_sum
+         FROM documents GROUP BY source ORDER BY source""",
     "q68_token_hist" ->
       """WITH m AS (
            SELECT lang,

@@ -45,4 +45,43 @@ class MultimodalSpec extends SparkSpec {
       "id", "vec", k = 2)
     assert(knn.count() === 2)
   }
+
+  test("pngDimensions parses a REAL png header byte-for-byte") {
+    // a genuine 1x1 PNG's first 33 bytes (signature + IHDR), hand-checked
+    // against the public spec — not the synthetic builder, so this also
+    // cross-validates syntheticPng against reality
+    val realPngHex =
+      "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000001" + "00000001" + "0802000000"
+    val df = Seq(Tuple1(realPngHex)).toDF("hx")
+      .select(unhex($"hx").as("payload"))
+    val dims = df.select(Multimodal.pngDimensions($"payload").as("d"))
+      .select($"d.width", $"d.height").as[(Long, Long)].head()
+    assert(dims == ((1L, 1L)))
+  }
+
+  test("synthetic headers round-trip through the byte parsers; junk yields null") {
+    val df = Seq((640L, 480L, 44100L, 2L), (8191L, 1L, 16000L, 1L))
+      .toDF("w", "h", "rate", "ch")
+      .select(
+        Multimodal.syntheticPng($"w", $"h").as("png"),
+        Multimodal.syntheticWav($"rate", $"ch").as("wav"),
+        $"w", $"h", $"rate", $"ch")
+    val out = df.select(
+        Multimodal.pngDimensions($"png").as("d"),
+        Multimodal.wavMeta($"wav").as("a"),
+        $"w", $"h", $"rate", $"ch")
+      .select($"d.width", $"d.height", $"a.sample_rate", $"a.channels",
+        $"a.bits_per_sample", $"w", $"h", $"rate", $"ch")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    out.foreach { r =>
+      assert(r._1 == r._6 && r._2 == r._7, s"png dims mismatch: $r")
+      assert(r._3 == r._8 && r._4 == r._9 && r._5 == 16L, s"wav meta mismatch: $r")
+    }
+    // non-media bytes and truncated headers parse to null, not garbage
+    val junk = Seq(Tuple1("deadbeef"), Tuple1("89504E47"))
+      .toDF("s").select(unhex($"s").as("b"))
+    assert(junk.filter(Multimodal.pngDimensions($"b").isNotNull).count() == 0)
+    assert(junk.filter(Multimodal.wavMeta($"b").isNotNull).count() == 0)
+  }
 }

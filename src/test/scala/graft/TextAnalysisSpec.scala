@@ -159,6 +159,46 @@ class SessionizeSpec extends SparkSpec {
       labels.toString)
   }
 
+  test("sanitizeText strips Cc/Cf but keeps printable text, tabs-newlines included in Cc") {
+    val out = Seq(
+      (1L, "plain text stays"),
+      (2L, "bell\u0007 esc\u001B null\u0000"),
+      (3L, "zw\u200B soft\u00AD rtl\u200F"),
+      (4L, "tab\tand\nnewline")  // tab/newline ARE Cc: stripped by contract
+    ).toDF("id", "text")
+      .select($"id", graft.operators.TextAnalysis.sanitizeText($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "plain text stays")
+    assert(out(2L) == "bell esc null")
+    assert(out(3L) == "zw soft rtl")
+    assert(out(4L) == "tabandnewline")
+  }
+
+  test("blockwordCount is exact token membership, not substring") {
+    val out = Seq(
+      (1L, "the Spark merge path"),       // spark (cased), merge -> 2
+      (2L, "sparkle merges remerge"),     // substrings only -> 0
+      (3L, "batch batch BATCH"),          // 3
+      (4L, "")
+    ).toDF("id", "text")
+      .select($"id", graft.operators.TextAnalysis.blockwordCount(
+        $"text", Seq("merge", "batch", "spark")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 3L, 4L -> 0L), out.toString)
+  }
+
+  test("charEntropyStats matches hand-computed entropies") {
+    val out = graft.operators.TextAnalysis.charEntropyStats(
+      Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "")).toDF("id", "text"),
+      "id", "text")
+      .select($"id", $"n_chars", $"n_distinct_chars", $"entropy_bits")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 1L, 0.0)))     // single symbol: 0 bits
+    assert(out(2L) == ((2L, 4L, 2L, 1.0)))     // two equiprobable: 1 bit
+    assert(out(3L) == ((3L, 4L, 4L, 2.0)))     // four equiprobable: 2 bits
+    assert(!out.contains(4L), "empty doc must be absent")
+  }
+
   test("session ids are 1-based and monotone in time") {
     val events = Seq((1L, 0L), (1L, 500L), (1L, 510L), (1L, 2000L))
       .toDF("user_id", "ts")
