@@ -35,7 +35,9 @@ class PlanShapeSpec extends SparkSpec {
     "q56_winnow_fingerprints", "q57_chunking", "q58_passage_matches",
     "q61_quality_cut", "q62_exact_k_sample", "q63_normalized_dedup",
     "q64_pii", "q65_corpus_shuffle", "q66_temperature_mix",
-    "q67_contam_overlap", "q68_token_hist", "q69_chunk_dedup")
+    "q67_contam_overlap", "q68_token_hist", "q69_chunk_dedup",
+    "q70_sanitize", "q71_blockwords", "q72_char_entropy",
+    "q73_binary_meta")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>
