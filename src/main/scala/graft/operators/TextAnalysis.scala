@@ -233,6 +233,48 @@ object TextAnalysis {
         round(log2(col("n_chars")) - col("__clogc") / col("n_chars"), 4))
       .drop("__clogc")
 
+  /** Corpus-unigram log-probability scoring — the relational skeleton of
+    * the CCNet/KenLM perplexity filter with the corpus's own unigram
+    * distribution as the model: score(d) = avg over tokens t of
+    * log2(tf(t) / N). Documents far below the language's typical score
+    * are gibberish/rare-token spam; far above are stopword soup — both
+    * prune with a two-sided cut, same as an LM-perplexity gate.
+    *
+    * Plan: one (term, tf) aggregation joined back to the exploded tokens
+    * (terms travel once, texts never); corpus token total N rides a
+    * scalar subquery (no crossJoin/BNL — the library invariant). The
+    * token frame persists (CacheScope contract) because it feeds the
+    * frequency table, the total, and the scoring join.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+        col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .transform(graft.CacheScope.persisted)
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n")).scalar()
+    toks.join(freqs, "term")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log2(col("tf").cast("double") / total.cast("double"))), 4)
+          .as("avg_log2_prob"))
+  }
+
+  /** URL references per document: full matches and their host domains,
+    * extracted with one RE2-compatible pattern (provenance/outlink
+    * analysis for web corpora — link-farm detection, per-domain corpus
+    * composition). Returns (id, url, domain) exploded rows; aggregate
+    * for per-domain stats. Map-side regexp scan, no shuffle here.
+    */
+  def urlRefs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pat = "https?://([A-Za-z0-9.-]+)[A-Za-z0-9._/%-]*"
+    df.select(
+        col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit(pat), lit(0))).as("url"))
+      .withColumn("domain",
+        regexp_extract(col("url"), pat, 1))
+  }
+
   /** Token-length histogram per group: integer bucket edges (ascending)
     * label each document with the half-open range its token count falls
     * in, then count and total per (group, bucket) — the corpus-profiling

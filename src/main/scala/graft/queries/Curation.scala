@@ -652,6 +652,44 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Corpus-unigram log-prob scoring (the LM-perplexity-filter skeleton
+    // with the corpus as its own model). Per-doc scores round at 4 in
+    // both engines before the per-lang min/max; avg rounds at 3.
+    "q74_unigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("avg_log2_prob")), 3).as("avg_score"),
+          min(col("avg_log2_prob")).as("min_score"),
+          max(col("avg_log2_prob")).as("max_score"))
+        .orderBy(col("lang"))
+    }),
+
+    // URL/domain provenance analysis over deterministically planted
+    // outlinks (the corpus is URL-free word soup; the plant exercises
+    // extraction + domain grouping). Top domains by reference count,
+    // ties broken by domain.
+    "q75_url_domains" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 6 === 0, concat(lit(" see https://site"),
+          (col("doc_id") % 13).cast("string"), lit(".example.org/p/"),
+          col("doc_id").cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, concat(lit(" ref http://cdn"),
+          (col("doc_id") % 7).cast("string"), lit(".net"))).otherwise(lit(""))))
+      TextAnalysis.urlRefs(planted, "doc_id", "text")
+        .groupBy(col("domain"))
+        .agg(
+          count(lit(1)).as("n_refs"),
+          countDistinct(col("id")).as("n_docs"))
+        .orderBy(col("n_refs").desc, col("domain"))
+        .limit(20)
+    }),
+
     // Bloom decontamination soundness: the Bloom flag set must contain
     // every exactly-contaminated id (no false negatives by construction —
     // this gate makes the construction visible), and the Bloom-prefilter +
@@ -1634,6 +1672,46 @@ object Curation {
              AS BIGINT) AS rate_sum,
            CAST(sum(doc_id % 2 + 1) AS BIGINT) AS channel_sum
          FROM documents GROUP BY source ORDER BY source""",
+    "q74_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS term
+           FROM documents),
+         freqs AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+         tot AS (SELECT count(*) AS n FROM toks),
+         scored AS (
+           SELECT doc_id, lang, count(*) AS n_tokens,
+             round(avg(log2(tf * 1.0 / (SELECT n FROM tot))), 4)
+               AS avg_log2_prob
+           FROM toks JOIN freqs USING (term)
+           GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(avg_log2_prob), 3) AS avg_score,
+           min(avg_log2_prob) AS min_score,
+           max(avg_log2_prob) AS max_score
+         FROM scored GROUP BY lang ORDER BY lang""",
+    "q75_url_domains" ->
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 6 = 0
+               THEN ' see https://site' || CAST(doc_id % 13 AS VARCHAR) ||
+                 '.example.org/p/' || CAST(doc_id AS VARCHAR)
+               ELSE '' END ||
+             CASE WHEN doc_id % 9 = 0
+               THEN ' ref http://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.net'
+               ELSE '' END AS text
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               'https?://([A-Za-z0-9.-]+)[A-Za-z0-9._/%-]*', 1)) AS domain
+           FROM planted)
+         SELECT domain, count(*) AS n_refs,
+           count(DISTINCT doc_id) AS n_docs
+         FROM u GROUP BY domain
+         ORDER BY n_refs DESC, domain LIMIT 20""",
     "q68_token_hist" ->
       """WITH m AS (
            SELECT lang,

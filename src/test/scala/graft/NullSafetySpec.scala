@@ -45,6 +45,32 @@ class NullSafetySpec extends SparkSpec {
     assert(Dedup.dedupExact(degenerate, "doc_id", "text").count() >= 3)
   }
 
+  test("round-5 text/binary operators survive degenerate input") {
+    // sanitize/blockwords/pii: null propagates null, empty stays empty
+    val hygiene = degenerate.select(
+      $"doc_id",
+      TextAnalysis.sanitizeText($"text").as("clean"),
+      TextAnalysis.blockwordCount($"text", Seq("alpha")).as("nb"))
+      .orderBy("doc_id")
+      .as[(Long, Option[String], Option[Long])].collect()
+    assert(hygiene.length == 4)
+    assert(hygiene(0)._3.contains(2L)) // "alpha" twice
+    assert(hygiene(1)._2.isEmpty && hygiene(1)._3.isEmpty) // null -> null
+    assert(hygiene(2)._2.contains("") && hygiene(2)._3.contains(0L))
+    assert(CurationFilters.piiScan(degenerate, "doc_id", "text").count() == 4)
+    // entropy/chunking/histogram: tokenless docs drop out or bucket to 0
+    assert(TextAnalysis.charEntropyStats(degenerate, "doc_id", "text")
+      .count() == 2) // the real doc + the 3-space doc (spaces are chars)
+    assert(Packing.chunkTexts(degenerate, "text", 4).count() == 1)
+    assert(Dedup.chunkDedup(degenerate, "doc_id", "text", 4).count() == 1)
+    assert(TextAnalysis.tokenHistogram(degenerate, "doc_id", "text", Seq(2))
+      .count() == 4) // every doc lands in a bucket, null text -> 0 tokens
+    // binary parsers: null payload -> null metadata, no crash
+    val nullBin = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("b")
+    assert(nullBin.select(graft.operators.Multimodal.pngDimensions($"b"))
+      .first().isNullAt(0))
+  }
+
   test("packing and clustering survive empty inputs") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("doc_id", "n_toks")
     assert(Packing.packSequences(empty, "doc_id", "n_toks", 128L, 4).count() == 0)

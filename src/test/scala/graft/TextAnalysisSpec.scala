@@ -199,6 +199,33 @@ class SessionizeSpec extends SparkSpec {
     assert(!out.contains(4L), "empty doc must be absent")
   }
 
+  test("unigramLogProb: hand-computed scores against the corpus model") {
+    // corpus tokens: a a a b  => N=4, tf(a)=3, tf(b)=1
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val log2_3q = math.rint(math.log(3.0 / 4) / math.log(2) * 10000) / 10000
+    val log2_1q = math.rint(math.log(1.0 / 4) / math.log(2) * 10000) / 10000
+    assert(out(1L) == ((3L, log2_3q)), out.toString)  // avg of log2(3/4)
+    assert(out(2L) == ((1L, log2_1q)), out.toString)  // log2(1/4) = -2
+    assert(out(2L)._2 == -2.0)
+  }
+
+  test("urlRefs extracts full urls and domains; url-free docs drop out") {
+    val docs = Seq(
+      (1L, "see https://a.example.org/x/y and http://b.net trailing"),
+      (2L, "no links here"),
+      (3L, "dup https://a.example.org/z")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.urlRefs(docs, "doc_id", "text")
+      .select("id", "url", "domain")
+      .as[(Long, String, String)].collect().toSet
+    assert(out == Set(
+      (1L, "https://a.example.org/x/y", "a.example.org"),
+      (1L, "http://b.net", "b.net"),
+      (3L, "https://a.example.org/z", "a.example.org")), out.toString)
+  }
+
   test("session ids are 1-based and monotone in time") {
     val events = Seq((1L, 0L), (1L, 500L), (1L, 510L), (1L, 2000L))
       .toDF("user_id", "ts")
