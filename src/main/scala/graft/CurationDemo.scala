@@ -1,14 +1,15 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Runnable demo of the training-data curation pipeline over the
-  * `documents` table: language gate -> quality gate -> exact dedup ->
-  * minhash near-dup removal -> deterministic split -> range-clustered
-  * parquet, with per-stage counts printed. The batch shape a 100 TB crawl
-  * day runs; every operator here is individually oracle- or spec-checked
-  * (COVERAGE.md). Usage:
+  * `documents` table: sanitize + PII scrub -> language gate -> quality
+  * gate -> exact dedup -> minhash near-dup removal -> deterministic
+  * split -> shard-shuffled, range-clustered parquet, with per-stage
+  * counts printed. The batch shape a 100 TB crawl day runs; every
+  * operator here is individually oracle- or spec-checked (COVERAGE.md).
+  * Usage:
   *
   *   sbt "runMain graft.CurationDemo [sfDir] [outDir]"
   */
@@ -21,8 +22,13 @@ object CurationDemo {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.load(spark, sfDir, "documents")
-    val total = docs.count()
+    val raw = Tables.load(spark, sfDir, "documents")
+    val total = raw.count()
+
+    // hygiene first: strip control/format chars, redact PII — both pure
+    // map-side projections, so they cost one scan fused with the gates
+    val docs = raw.withColumn("text",
+      CurationFilters.redactPii(TextAnalysis.sanitizeText(col("text"))))
 
     // language + quality gates: pure column predicates, push down to scan
     val gated = docs
@@ -44,13 +50,17 @@ object CurationDemo {
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
     val nNear = nearDeduped.count()
 
-    // deterministic split + clustered layout for downstream scans
+    // deterministic split, then a deterministic training-order shuffle
+    // (shard, pos) before the clustered write — the read order a trainer
+    // consumes is part of the artifact, not an afterthought
     val split = Sampling.assignSplit(
       nearDeduped, "doc_id", Seq("train" -> 0.9, "eval" -> 0.1))
     split.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(s"[curation] split ${r.get(0)}: ${r.get(1)} docs"))
+    val shuffled = Sampling.deterministicShuffle(split, "doc_id", numShards = 8)
     graft.sinks.Sinks.writeClustered(
-      split, s"$outDir/corpus", Seq("doc_id"), targetRecordsPerFile = 100000L)
+      shuffled, s"$outDir/corpus", Seq("shard", "pos"),
+      targetRecordsPerFile = 100000L)
 
     println(s"[curation] total=$total gated=$nGated exact_deduped=$nExact " +
       s"near_deduped=$nNear -> $outDir/corpus")
