@@ -255,6 +255,53 @@ object Sampling {
           sum(col("weight")).over(Window.partitionBy()))))
   }
 
+  /** Exact weighted sampling WITHOUT replacement for integer weights —
+    * Efraimidis–Spirakis A-ES made engine-exact: A-ES ranks rows by
+    * u^(1/w) (float pow — the one step two engines can disagree on in
+    * the last ulp, which flips a rank). But u^(1/w) is distributed as
+    * the MAX of w independent uniforms, so for integer w the key can be
+    * drawn literally: key_i = max over j in [1, w_i] of u32(salt:key:j),
+    * all integer arithmetic, bit-identical in any engine. Top-k by
+    * (key desc, id) is then a faithful weighted sample without
+    * replacement: P(row i first) = w_i / sum(w).
+    *
+    * Cost: explodes w rows per input row before the max-aggregation
+    * (map-side combined). Right for the common curation case (small
+    * integer weights: upsample factors, dup counts, quality tiers);
+    * for large or fractional weights, quantize — or accept the float
+    * A-ES, losing oracle-exactness but not correctness. Top-k plans as
+    * TakeOrderedAndProject.
+    */
+  def weightedSampleK(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      maxWeight: Long = 1024L,
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val checked = df.withColumn(weightCol,
+      when(col(weightCol).isNull || col(weightCol) < 1 ||
+        col(weightCol) > maxWeight,
+        raise_error(lit(s"weightedSampleK: $weightCol outside [1, $maxWeight]")))
+        .otherwise(col(weightCol)))
+    // draws reduce to (id, max-draw) BEFORE anything joins back, so the
+    // exchanges carry two longs per row, never the payload columns.
+    // keyCol must uniquely identify rows (it keys the draws).
+    val keys = checked
+      .select(col(keyCol), explode(sequence(lit(1L), col(weightCol))).as("__j"))
+      .select(col(keyCol), uniformKeyInt(
+        concat(col(keyCol).cast("string"), lit(":"), col("__j")), salt)
+        .as("__draw"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__draw")).as("__key"))
+    df.join(keys, Seq(keyCol))
+      .orderBy(col("__key").desc, col(keyCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Draws the [[temperatureTargets]] mixture deterministically: exactly
     * target_n rows per group, ranked by the integer uniform key (ties by
     * the key column). The variable-k generalization of

@@ -652,6 +652,21 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Exact weighted sampling without replacement (integer A-ES via the
+    // max-of-w-draws identity): weight = quality tier (qualityKeyInt div
+    // 250 + 1, in [1,5]), k = 100. Every draw, the max, and the top-k cut
+    // are integers, so the oracle replicates the kept set id-for-id —
+    // which a float-pow A-ES key could never guarantee across engines.
+    "q76_weighted_sample" -> ((s, dir) => {
+      val weighted = t(s, dir, "documents")
+        .withColumn("wt", call_function("div",
+          TextAnalysis.qualityKeyInt(col("text")), lit(250L)) + 1L)
+      Sampling.weightedSampleK(weighted, "doc_id", "wt", k = 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Corpus-unigram log-prob scoring (the LM-perplexity-filter skeleton
     // with the corpus as its own model). Per-doc scores round at 4 in
     // both engines before the per-lang min/max; avg rounds at 3.
@@ -1672,6 +1687,42 @@ object Curation {
              AS BIGINT) AS rate_sum,
            CAST(sum(doc_id % 2 + 1) AS BIGINT) AS channel_sum
          FROM documents GROUP BY source ORDER BY source""",
+    // The q61 quality-key CTE -> integer weight tier -> one uniform draw
+    // per (doc, j<=wt) -> max per doc -> global top-100 by (key desc, id).
+    "q76_weighted_sample" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents),
+         w AS (
+           SELECT doc_id, lang,
+             ((CASE WHEN nt = 0 THEN 0
+                    ELSE least(nt, 20) * 20 + (ndt * 400) // nt END)
+              + (CASE WHEN nc = 0 THEN 200 ELSE (np * 200) // nc END)) // 250
+               + 1 AS wt
+           FROM m),
+         d AS (
+           SELECT doc_id, lang,
+             unnest(generate_series(CAST(1 AS BIGINT), CAST(wt AS BIGINT)))
+               AS j
+           FROM w),
+         draws AS (
+           SELECT doc_id, lang,
+             max(CAST(concat('0x', substr(md5(concat('wsample:',
+               CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 8))
+               AS BIGINT)) AS kdraw
+           FROM d GROUP BY doc_id, lang),
+         topk AS (
+           SELECT doc_id, lang FROM draws
+           ORDER BY kdraw DESC, doc_id LIMIT 100)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM topk GROUP BY lang ORDER BY lang""",
     "q74_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, lang,

@@ -37,7 +37,8 @@ class PlanShapeSpec extends SparkSpec {
     "q64_pii", "q65_corpus_shuffle", "q66_temperature_mix",
     "q67_contam_overlap", "q68_token_hist", "q69_chunk_dedup",
     "q70_sanitize", "q71_blockwords", "q72_char_entropy",
-    "q73_binary_meta", "q74_unigram_logprob", "q75_url_domains")
+    "q73_binary_meta", "q74_unigram_logprob", "q75_url_domains",
+    "q76_weighted_sample")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

@@ -203,6 +203,52 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSampleK equals the reference A-ES computation exactly") {
+    // independent reference model: md5 in plain Scala, max of w draws,
+    // top-k by (key desc, id)
+    def u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val rows = (1L to 50L).map(i => (i, (i % 7) + 1)) // weights 1..7
+    val expected = rows.map { case (id, w) =>
+      (id, (1L to w).map(j => u32(s"wsample:$id:$j")).max)
+    }.sortBy { case (id, key) => (-key, id) }.take(10).map(_._1).toSet
+    val got = Sampling.weightedSampleK(
+      rows.toDF("id", "w"), "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+    // stable under repartitioning, k > n keeps everything
+    val again = Sampling.weightedSampleK(
+      rows.toDF("id", "w").repartition(7), "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    assert(Sampling.weightedSampleK(rows.toDF("id", "w"), "id", "w", 999)
+      .count() == 50)
+  }
+
+  test("weightedSampleK favors heavy rows at the expected rate") {
+    // one doc with weight 200 among 100 docs of weight 1: P(win) =
+    // 200/299 ~ 0.67 per independent salt; over 20 salts, winning < 6
+    // times has probability < 1e-4
+    val df = ((1L to 100L).map(i => (i, 1L)) :+ (999L, 200L)).toDF("id", "w")
+    val wins = (1 to 20).count { s =>
+      Sampling.weightedSampleK(df, "id", "w", k = 1, salt = s"trial$s")
+        .select("id").as[Long].head() == 999L
+    }
+    assert(wins >= 6, s"heavy row won only $wins/20 trials")
+  }
+
+  test("weightedSampleK rejects out-of-range weights") {
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedSampleK(bad, "id", "w", 1).collect()
+    }
+    assert(ex.getMessage.contains("weightedSampleK") ||
+      ex.getCause != null, ex.getMessage)
+  }
+
   test("temperatureResample draws exactly the targets, deterministically") {
     val df = ((1 to 100).map(i => ("a", i.toLong)) ++
       (1 to 400).map(i => ("b", 1000L + i)) ++
