@@ -79,6 +79,13 @@ class PlanShapeSpec extends SparkSpec {
       "heavy-ngram top-k regressed to a global sort:\n" + plan)
   }
 
+  test("q76 weighted-sample top-k plans as TakeOrderedAndProject") {
+    val plan = planOf("q76_weighted_sample")
+    spark.sharedState.cacheManager.clearCache()
+    assert(plan.contains("TakeOrderedAndProject"),
+      "weighted-sample top-k regressed to a global sort:\n" + plan)
+  }
+
   test("q46 tf-idf top-k prunes before the exchange via WindowGroupLimit") {
     val plan = planOf("q46_tfidf")
     spark.sharedState.cacheManager.clearCache()

@@ -230,6 +230,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunkTexts reconstructs every random document and conserves tokens") {
+    val docsGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.alphaLowerStr.map(s => s.take(4))))))
+    forAll(docsGen, n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.filter(_.nonEmpty).mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = Packing.chunkTexts(df, "text", budget = 7)
+        .select("doc_id", "chunk", "chunk_text", "chunk_tokens")
+        .as[(Long, Long, String, Long)].collect()
+      val byDoc = chunks.groupBy(_._1)
+      docs.zipWithIndex.foreach { case (toks, i) =>
+        val clean = toks.filter(_.nonEmpty)
+        val mine = byDoc.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+        if (clean.isEmpty) assert(mine.isEmpty, s"doc $i: chunks for empty doc")
+        else {
+          // rebuild == single-spaced token stream; counts conserved; every
+          // chunk but the last is exactly the budget
+          assert(mine.map(_._3).mkString(" ") == clean.mkString(" "))
+          assert(mine.map(_._4).sum == clean.size)
+          assert(mine.dropRight(1).forall(_._4 == 7L))
+          assert(mine.last._4 == (if (clean.size % 7 == 0) 7L else clean.size % 7))
+        }
+      }
+    }
+  }
+
   test("property: connectedComponents labels are closed under the pair relation") {
     val edgesGen = Gen.chooseNum(1, 60).flatMap(n =>
       Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))))
