@@ -305,6 +305,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(nt).as("total_tokens"))
   }
 
+  /** One-call corpus profile per group — the integer core of a dataset
+    * card: doc/token/char volume, exact-duplicate rate (via distinct
+    * content digests), and the token-count spread. Single hash
+    * aggregation; every column is an exact integer so the numbers are
+    * engine-portable. Pair with [[tokenHistogram]] and
+    * [[charEntropyStats]] for the full card.
+    */
+  def corpusProfile(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        countDistinct(md5(col(textCol))).as("n_unique_texts"),
+        min(tokenCount(col(textCol)).cast("long")).as("min_tokens"),
+        max(tokenCount(col(textCol)).cast("long")).as("max_tokens"))
+
   /** Per-document analysis frame: id + all text metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -652,6 +652,12 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // One-call dataset-card profile per source: all exact integers from
+    // a single hash aggregation.
+    "q77_corpus_profile" -> ((s, dir) =>
+      TextAnalysis.corpusProfile(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
+
     // Exact weighted sampling without replacement (integer A-ES via the
     // max-of-w-draws identity): weight = quality tier (qualityKeyInt div
     // 250 + 1, in [1,5]), k = 100. Every draw, the max, and the top-k cut
@@ -1687,6 +1693,19 @@ object Curation {
              AS BIGINT) AS rate_sum,
            CAST(sum(doc_id % 2 + 1) AS BIGINT) AS channel_sum
          FROM documents GROUP BY source ORDER BY source""",
+    "q77_corpus_profile" ->
+      """WITH m AS (
+           SELECT source, text,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS nt
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           count(DISTINCT md5(text)) AS n_unique_texts,
+           CAST(min(nt) AS BIGINT) AS min_tokens,
+           CAST(max(nt) AS BIGINT) AS max_tokens
+         FROM m GROUP BY source ORDER BY source""",
     // The q61 quality-key CTE -> integer weight tier -> one uniform draw
     // per (doc, j<=wt) -> max per doc -> global top-100 by (key desc, id).
     "q76_weighted_sample" ->
