@@ -652,6 +652,22 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Z-order (Morton) interleaving — the multi-dimensional clustered
+    // layout key. Pure 64-bit bit arithmetic; the oracle replicates the
+    // 5-step magic-number spread with DuckDB's &, |, << on the same hex
+    // masks, so every z-value matches bit-for-bit.
+    "q78_zorder" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), graft.functions.ZOrder.zValue(
+          col("doc_id") % 1000, (col("doc_id") * 7) % 1000).as("z"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("z")).as("z_sum"),
+          min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"))
+        .orderBy(col("source"))),
+
     // One-call dataset-card profile per source: all exact integers from
     // a single hash aggregation.
     "q77_corpus_profile" -> ((s, dir) =>
@@ -1693,6 +1709,32 @@ object Curation {
              AS BIGINT) AS rate_sum,
            CAST(sum(doc_id % 2 + 1) AS BIGINT) AS channel_sum
          FROM documents GROUP BY source ORDER BY source""",
+    "q78_zorder" ->
+      """WITH pts AS (
+           SELECT source, CAST(doc_id % 1000 AS BIGINT) AS x,
+             CAST((doc_id * 7) % 1000 AS BIGINT) AS y
+           FROM documents),
+         s1 AS (SELECT source,
+             ((x | (x << 16)) & 281470681808895) AS x1,
+             ((y | (y << 16)) & 281470681808895) AS y1 FROM pts),
+         s2 AS (SELECT source,
+             ((x1 | (x1 << 8)) & 71777214294589695) AS x2,
+             ((y1 | (y1 << 8)) & 71777214294589695) AS y2 FROM s1),
+         s3 AS (SELECT source,
+             ((x2 | (x2 << 4)) & 1085102592571150095) AS x3,
+             ((y2 | (y2 << 4)) & 1085102592571150095) AS y3 FROM s2),
+         s4 AS (SELECT source,
+             ((x3 | (x3 << 2)) & 3689348814741910323) AS x4,
+             ((y3 | (y3 << 2)) & 3689348814741910323) AS y4 FROM s3),
+         s5 AS (SELECT source,
+             ((x4 | (x4 << 1)) & 6148914691236517205) AS x5,
+             ((y4 | (y4 << 1)) & 6148914691236517205) AS y5 FROM s4),
+         zv AS (SELECT source, (x5 | (y5 << 1)) AS z FROM s5)
+         SELECT source, count(*) AS n,
+           CAST(sum(z) AS BIGINT) AS z_sum,
+           CAST(min(z) AS BIGINT) AS z_min,
+           CAST(max(z) AS BIGINT) AS z_max
+         FROM zv GROUP BY source ORDER BY source""",
     "q77_corpus_profile" ->
       """WITH m AS (
            SELECT source, text,

@@ -72,6 +72,38 @@ object Sinks {
       .parquet(dir)
   }
 
+  /** Two-dimensional clustered layout via the Z-order (Morton) curve:
+    * rows are range-partitioned and sorted by the interleaved bits of
+    * BOTH key columns ([[graft.functions.ZOrder.zValue]]), so per-file
+    * min/max ranges are tight in each dimension and a scan filtered on
+    * either column prunes most files — where [[writeClustered]]'s
+    * lexicographic sort only skips on its leading column. The z column
+    * is dropped before writing; both keys must be in [0, 2^31)
+    * (rescale first).
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      dir: String,
+      xCol: String,
+      yCol: String,
+      targetRecordsPerFile: Long = 1000000L,
+      nRanges: Int = 0): Unit = {
+    val z = graft.functions.ZOrder.zValue(
+      org.apache.spark.sql.functions.col(xCol),
+      org.apache.spark.sql.functions.col(yCol))
+    val withZ = df.withColumn("__z", z)
+    val ranged =
+      if (nRanges > 0)
+        withZ.repartitionByRange(nRanges, org.apache.spark.sql.functions.col("__z"))
+      else withZ.repartitionByRange(org.apache.spark.sql.functions.col("__z"))
+    ranged
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(dir)
+  }
+
   /** Bucketed managed table: pre-shuffles the data into `nBuckets` by
     * `bucketCols` at write time so subsequent joins/aggregations on those
     * keys run WITHOUT an exchange — the write-once/join-many pattern that

@@ -92,4 +92,62 @@ class SkewAndPartitionSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("zValue matches a reference bit-interleave; rejects out-of-range input") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 31).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val rng = new scala.util.Random(17)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), ((1L << 31) - 1, (1L << 31) - 1)) ++
+      (1 to 200).map(_ => (rng.nextLong(1L << 31), rng.nextLong(1L << 31)))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", graft.functions.ZOrder.zValue($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == ref(x, y), s"zValue($x, $y) = $z != ${ref(x, y)}")
+      assert(z >= 0, s"zValue($x, $y) went negative")
+    }
+    val ex = intercept[Exception] {
+      Seq((-1L, 0L)).toDF("x", "y")
+        .select(graft.functions.ZOrder.zValue($"x", $"y")).collect()
+    }
+    assert(ex.getMessage.contains("zValue") || ex.getCause != null)
+  }
+
+  test("z-ordered layout is tight in BOTH dimensions where lexicographic is not") {
+    // 128x128 grid: a lexicographic sort on x leaves each file spanning
+    // the FULL y range; the z-order layout bounds both spans per file
+    val grid = for { x <- 0 until 128; y <- 0 until 128 }
+      yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    def fileSpans(dir: String): Array[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+        .select("xs", "ys").as[(Long, Long)].collect()
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Sinks.writeZOrdered(df, zDir, "x", "y",
+      targetRecordsPerFile = 1024L, nRanges = 16)
+    val lexDir = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    Sinks.writeClustered(df, lexDir, Seq("x", "y"),
+      targetRecordsPerFile = 1024L, nRanges = 16)
+    val zSpans = fileSpans(zDir)
+    val lexSpans = fileSpans(lexDir)
+    assert(zSpans.length >= 16)
+    // z-order: every file's span is a bounded rectangle in both dims
+    // (a 1024-point z-range covers at most a ~32x32-aligned region plus
+    // curve spill; 63 is the aligned bound, double it for split slack)
+    zSpans.foreach { case (xs, ys) =>
+      assert(xs <= 127 && ys <= 127, s"z file spans full grid: ($xs, $ys)")
+      assert(xs <= 63 || ys <= 63, s"z file loose in both dims: ($xs, $ys)")
+    }
+    // lexicographic: files are x-slabs spanning (nearly) the full y range
+    assert(lexSpans.count(_._2 >= 120) >= lexSpans.length / 2,
+      s"expected full-height y slabs, got ${lexSpans.toSeq}")
+    val avgZy = zSpans.map(_._2).sum.toDouble / zSpans.length
+    val avgLexY = lexSpans.map(_._2).sum.toDouble / lexSpans.length
+    assert(avgZy < avgLexY / 2,
+      s"z-order y-span $avgZy not tighter than lexicographic $avgLexY")
+  }
 }
