@@ -143,9 +143,12 @@ object CurationFilters {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, fpp: Double = 0.001): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // persisted: the benchmark gram pipeline (tokenize -> shingle ->
+    // hash -> distinct, a shuffle) feeds TWO actions — the cardinality
+    // count and the filter build — and would otherwise run twice.
     val bench = hashedGrams(benchmark, None, textCol, n).distinct()
-    // Two benchmark-side passes (count, then build) — both over the SMALL
-    // side; expectedNumItems must be the real cardinality or the filter's
+      .transform(graft.CacheScope.persisted)
+    // expectedNumItems must be the real cardinality or the filter's
     // fpp guarantee is void.
     val nGrams = math.max(bench.count(), 1L)
     val filter = bench.stat.bloomFilter("gh", nGrams, fpp)

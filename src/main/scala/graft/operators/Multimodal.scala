@@ -74,12 +74,17 @@ object Multimodal {
 
   /** WAV (RIFF) audio metadata from the canonical 44-byte header:
     * sample rate (LE uint32 at byte 25), channels (LE uint16 at 23),
-    * bits per sample (LE uint16 at 35) — public RIFF/WAVE layout.
+    * bits per sample (LE uint16 at 35) — public RIFF/WAVE layout. The
+    * guard requires "fmt " as the FIRST subchunk (byte 13): real WAVs
+    * can carry LIST/JUNK chunks before fmt, and reading fixed offsets
+    * through a foreign chunk would return well-formed garbage — such
+    * files yield null here (honest "can't parse", never a wrong rate).
     */
   def wavMeta(bin: Column): Column =
     when(
       hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
         hex(substring(bin, 9, 4)) === "57415645" && // "WAVE"
+        hex(substring(bin, 13, 4)) === "666D7420" && // "fmt " first chunk
         octet_length(bin) >= 36,
       struct(
         leUInt(bin, 25, 4).as("sample_rate"),

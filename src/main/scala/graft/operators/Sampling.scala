@@ -25,14 +25,14 @@ object Sampling {
     * `CAST(concat('0x', substr(md5(concat('salt:', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0`.
     */
   def uniformKey(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
-      .cast("bigint") / lit(4294967296.0)
+    uniformKeyInt(key, salt) / lit(4294967296.0)
 
-  /** The raw integer form of [[uniformKey]]: uniform BIGINT in
-    * [0, 2^32) — same md5 draw, no division. Ranking or bucketing on this
-    * is pure integer comparison, removing even the (exact, but
-    * conceptually float) dyadic-rational step from paths that don't need a
-    * [0,1) semantic. SQL replication:
+  /** The raw integer form of [[uniformKey]] (which derives from THIS, so
+    * the two can never desynchronize): uniform BIGINT in [0, 2^32) —
+    * same md5 draw, no division. Ranking or bucketing on this is pure
+    * integer comparison, removing even the (exact, but conceptually
+    * float) dyadic-rational step from paths that don't need a [0,1)
+    * semantic. SQL replication:
     * `CAST(concat('0x', substr(md5(concat('salt:', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT)`.
     */
   def uniformKeyInt(key: Column, salt: String): Column =
@@ -136,7 +136,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(col(groupCol))
     val ordered = byGroup.orderBy(col(scoreCol).desc, col(tieCol))
-    df.withColumn("__rk", row_number().over(ordered))
+    // row_number is IntegerType: the multiply must widen to long FIRST or
+    // a group past Int.MaxValue/keepDen rows (one language of a 100 TB
+    // corpus) overflows — ANSI aborts, legacy mode silently keeps rows
+    df.withColumn("__rk", row_number().over(ordered).cast("long"))
       .withColumn("__n", count(lit(1)).over(byGroup))
       .filter(col("__rk") * keepDen <= col("__n") * keepNum)
       .drop("__rk", "__n")

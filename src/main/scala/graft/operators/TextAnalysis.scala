@@ -191,12 +191,17 @@ object TextAnalysis {
   /** Control/format-character sanitation — the encoding-hygiene stage of
     * a web-corpus pipeline (stray BEL/ESC from broken scrapes, zero-width
     * and soft-hyphen format characters that poison tokenization and
-    * dedup keys). Strips Unicode categories Cc and Cf; the class names
-    * are in the Java-regex/RE2 common subset, so a SQL oracle runs the
-    * same pattern. Codegen'd per-row projection, no shuffle.
+    * dedup keys). Whitespace-class control characters (tab, LF, VT, FF,
+    * CR) become a SPACE first — deleting them would glue the tokens on
+    * either side of every line break into words that never existed —
+    * then the remaining Cc/Cf strip outright. Both classes are in the
+    * Java-regex/RE2 common subset, so a SQL oracle runs the same two
+    * patterns. Codegen'd per-row projection, no shuffle.
     */
   def sanitizeText(textCol: Column): Column =
-    regexp_replace(textCol, "[\\p{Cc}\\p{Cf}]", "")
+    regexp_replace(
+      regexp_replace(textCol, "[\\t\\n\\x0B\\f\\r]", " "),
+      "[\\p{Cc}\\p{Cf}]", "")
 
   /** Count of word-list tokens in the lowercased text — the C4-style
     * blocklist gate (the list is the model; membership is exact token
@@ -263,11 +268,15 @@ object TextAnalysis {
   /** URL references per document: full matches and their host domains,
     * extracted with one RE2-compatible pattern (provenance/outlink
     * analysis for web corpora — link-farm detection, per-domain corpus
-    * composition). Returns (id, url, domain) exploded rows; aggregate
-    * for per-domain stats. Map-side regexp scan, no shuffle here.
+    * composition). The host must be dotted labels ending alphanumeric —
+    * a greedy `[A-Za-z0-9.-]+` would absorb a sentence-final period
+    * ("see http://b.net.") and fragment the per-domain counts — and the
+    * path, when present, must start with '/'. Returns (id, url, domain)
+    * exploded rows; aggregate for per-domain stats. Map-side regexp
+    * scan, no shuffle here.
     */
   def urlRefs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pat = "https?://([A-Za-z0-9.-]+)[A-Za-z0-9._/%-]*"
+    val pat = "https?://([A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?"
     df.select(
         col(idCol).as("id"),
         explode(regexp_extract_all(col(textCol), lit(pat), lit(0))).as("url"))

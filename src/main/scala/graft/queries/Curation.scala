@@ -21,6 +21,11 @@ object Curation {
   private val enProfile: Map[String, Seq[String]] =
     Map("en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "for"))
 
+  // q59's persisted-index scratch, one per JVM (every write inside it is
+  // mode=overwrite, so reuse is safe and bounded)
+  private lazy val ivfIndexDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -37,10 +42,13 @@ object Curation {
     hits
       .join(qv, Seq("qid"), "left")
       .join(cv, Seq("id"), "left")
+      // null-safe inequality: cosine is NULL for zero-norm vectors, and a
+      // plain =!= would evaluate NULL there — silently DROPPING the
+      // unsound hit from the gate. <=> keeps it flagged.
       .filter(
         col("qid") === col("id") ||
           col("qvec").isNull || col("cvec").isNull ||
-          round(Similarity.cosine(col("qvec"), col("cvec")), 4) =!= col("sim"))
+          !(round(Similarity.cosine(col("qvec"), col("cvec")), 4) <=> col("sim")))
       .select(col("qid"), col("id"), col("sim"))
       .orderBy(col("qid"), col("id"))
   }
@@ -893,7 +901,10 @@ object Curation {
           emb, "vec_id", "embedding", qs, "vec_id", "embedding",
           k = 10, nlist = 16, nprobe = 4)
         .select(col("qid"), col("id"), col("sim"), col("rank"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      // one scratch dir per JVM, not per invocation: Bench's median-of-3
+      // and repeated gate runs would otherwise each leave a full index
+      // tree in /tmp (the writes inside are mode=overwrite)
+      val tmp = ivfIndexDir
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, tmp)
       val indexed = Similarity.ivfTopKIndexed(
           tmp, qs, "vec_id", "embedding", k = 10, nprobe = 4)
@@ -1655,7 +1666,8 @@ object Curation {
            FROM documents),
          s AS (
            SELECT source, length(text) AS lc,
-             length(regexp_replace(text, '[\p{Cc}\p{Cf}]', '', 'g')) AS ls
+             length(regexp_replace(regexp_replace(text,
+               '[\t\n\x0B\f\r]', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g')) AS ls
            FROM planted)
          SELECT source,
            CAST(sum(CASE WHEN lc > ls THEN 1 ELSE 0 END) AS BIGINT)
@@ -1818,7 +1830,8 @@ object Curation {
          u AS (
            SELECT doc_id,
              unnest(regexp_extract_all(text,
-               'https?://([A-Za-z0-9.-]+)[A-Za-z0-9._/%-]*', 1)) AS domain
+               'https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?',
+               1)) AS domain
            FROM planted)
          SELECT domain, count(*) AS n_refs,
            count(DISTINCT doc_id) AS n_docs

@@ -163,8 +163,9 @@ object MarketAnalytics {
       val spark = Tables.configure(s)
       val events = t(s, dir, "events")
       // re-shard into several files so maxFilesPerTrigger=1 yields genuine
-      // cross-batch state, not one big batch
-      val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+      // cross-batch state, not one big batch; one scratch dir per JVM
+      // (overwrite mode) so median-of-3 bench runs don't accumulate
+      val tmp = replayDir
       events.repartition(4).write.mode("overwrite").parquet(tmp)
       val stream = spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
@@ -201,6 +202,10 @@ object MarketAnalytics {
   // memory-sink query names must be unique per replay within a session
   // (Verify and Bench both run a query several times)
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // q55's replay scratch, one per JVM (written with mode=overwrite)
+  private lazy val replayDir: String =
+    java.nio.file.Files.createTempDirectory("graft-replay").toString
 
   // Shared by q16 (batch windowed form) and q55 (streaming state-machine
   // replay of the same rows): one oracle, two physical executions.

@@ -78,8 +78,15 @@ class MultimodalSpec extends SparkSpec {
       assert(r._1 == r._6 && r._2 == r._7, s"png dims mismatch: $r")
       assert(r._3 == r._8 && r._4 == r._9 && r._5 == 16L, s"wav meta mismatch: $r")
     }
-    // non-media bytes and truncated headers parse to null, not garbage
-    val junk = Seq(Tuple1("deadbeef"), Tuple1("89504E47"))
+    // non-media bytes and truncated headers parse to null, not garbage;
+    // so does a real RIFF/WAVE whose FIRST chunk is JUNK instead of
+    // "fmt " — fixed-offset reads through a foreign chunk would return
+    // well-formed nonsense (e.g. ASCII bytes as a ~1.2e9 Hz rate)
+    val junkFirstChunkWav =
+      "52494646" + "24000000" + "57415645" + "4A554E4B" + // "JUNK"
+        "04000000" + "61626364" + "666D7420"
+    val junk = Seq(Tuple1("deadbeef"), Tuple1("89504E47"),
+        Tuple1(junkFirstChunkWav))
       .toDF("s").select(unhex($"s").as("b"))
     assert(junk.filter(Multimodal.pngDimensions($"b").isNotNull).count() == 0)
     assert(junk.filter(Multimodal.wavMeta($"b").isNotNull).count() == 0)

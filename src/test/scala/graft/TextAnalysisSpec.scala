@@ -159,19 +159,20 @@ class SessionizeSpec extends SparkSpec {
       labels.toString)
   }
 
-  test("sanitizeText strips Cc/Cf but keeps printable text, tabs-newlines included in Cc") {
+  test("sanitizeText strips Cc/Cf; whitespace controls become spaces, not glue") {
     val out = Seq(
       (1L, "plain text stays"),
       (2L, "bell\u0007 esc\u001B null\u0000"),
       (3L, "zw\u200B soft\u00AD rtl\u200F"),
-      (4L, "tab\tand\nnewline")  // tab/newline ARE Cc: stripped by contract
+      (4L, "tab\tand\nnewline\rend")  // line structure -> spaces, no gluing
     ).toDF("id", "text")
       .select($"id", graft.operators.TextAnalysis.sanitizeText($"text").as("t"))
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "plain text stays")
     assert(out(2L) == "bell esc null")
     assert(out(3L) == "zw soft rtl")
-    assert(out(4L) == "tabandnewline")
+    assert(out(4L) == "tab and newline end",
+      s"line-break controls must not glue tokens: '${out(4L)}'")
   }
 
   test("blockwordCount is exact token membership, not substring") {
@@ -212,8 +213,11 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("urlRefs extracts full urls and domains; url-free docs drop out") {
+    // note doc 1's sentence-final period after b.net: the domain class
+    // must not absorb it (a greedy [A-Za-z0-9.-]+ counts "b.net." and
+    // "b.net" as different domains and fragments provenance stats)
     val docs = Seq(
-      (1L, "see https://a.example.org/x/y and http://b.net trailing"),
+      (1L, "see https://a.example.org/x/y and http://b.net. trailing"),
       (2L, "no links here"),
       (3L, "dup https://a.example.org/z")
     ).toDF("doc_id", "text")
