@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{CurationFilters, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.sources.DocJsonl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +26,10 @@ object Curation {
   // mode=overwrite, so reuse is safe and bounded)
   private lazy val ivfIndexDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+
+  // q79's JSONL round-trip scratch, same per-JVM overwrite contract
+  private lazy val jsonlDir: String =
+    java.nio.file.Files.createTempDirectory("graft-jsonl").toString
 
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
@@ -657,6 +662,30 @@ object Curation {
           sum(col("dims.height")).as("height_sum"),
           sum(col("audio.sample_rate")).as("rate_sum"),
           sum(col("audio.channels")).as("channel_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // JSONL round trip with dead-letter: documents exported as JSONL
+    // (plus 7 planted syntactically-broken lines), read back against the
+    // strict schema. Valid rows aggregate per source exactly as the
+    // original table (round trip is the identity for string/long
+    // columns); the dead letter carries exactly the planted lines.
+    "q79_jsonl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dirOut = jsonlDir
+      DocJsonl.write(docs, dirOut)
+      val broken = s.createDataset(Seq(
+        "{not json at all", "{\"doc_id\": 1,,}", "[1, 2",
+        "{\"unterminated\": \"", "}{", "{]", "nope"))(
+        org.apache.spark.sql.Encoders.STRING).toDF("value")
+      broken.write.mode("append").text(dirOut)
+      val back = DocJsonl.read(s, dirOut, docs.schema)
+      DocJsonl.valid(back)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .unionByName(DocJsonl.deadLetter(back)
+          .agg(count(lit(1)).as("n"))
+          .select(lit("___corrupt").as("source"), col("n"), lit(0L).as("id_sum")))
         .orderBy(col("source"))
     }),
 
@@ -1721,6 +1750,17 @@ object Curation {
              AS BIGINT) AS rate_sum,
            CAST(sum(doc_id % 2 + 1) AS BIGINT) AS channel_sum
          FROM documents GROUP BY source ORDER BY source""",
+    // The JSONL round trip is the identity on valid rows, so the oracle
+    // aggregates the original table directly; the dead-letter row is the
+    // 7 planted lines. '___corrupt' sorts before 'src*' in both engines.
+    "q79_jsonl" ->
+      """SELECT source, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents GROUP BY source
+         UNION ALL
+         SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS id_sum
+         ORDER BY source""",
     "q78_zorder" ->
       """WITH pts AS (
            SELECT source, CAST(doc_id % 1000 AS BIGINT) AS x,

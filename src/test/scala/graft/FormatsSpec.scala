@@ -23,4 +23,28 @@ class FormatsSpec extends SparkSpec {
     // column pruning reaches the ORC reader too
     assert(scan.contains("ReadSchema") && !scan.contains("is_pro"), scan)
   }
+
+  test("jsonl round-trips docs exactly and dead-letters broken lines with raw bytes") {
+    import graft.sources.DocJsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toString
+    val docs = Seq(
+      (1L, "the quick \"quoted\" fox", "en"),
+      (2L, "unicode snowman ☃ and tab\\t literal", "de"),
+      (3L, "", "fr")
+    ).toDF("doc_id", "text", "lang")
+    DocJsonl.write(docs, dir)
+    Seq("{broken", "also broken}").toDF("value")
+      .write.mode("append").text(dir)
+    val back = DocJsonl.read(spark, dir, docs.schema)
+    // valid rows round-trip exactly, including quotes/unicode/empty text
+    val valid = DocJsonl.valid(back)
+      .as[(Long, String, String)].collect().toSet
+    assert(valid == docs.as[(Long, String, String)].collect().toSet)
+    // dead letter carries exactly the raw broken lines
+    val dead = DocJsonl.deadLetter(back).as[String].collect().toSet
+    assert(dead == Set("{broken", "also broken}"), dead.toString)
+    // strict schema: no inference pass, declared types honored
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", DocJsonl.corruptCol))
+  }
 }

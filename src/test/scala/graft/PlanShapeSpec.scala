@@ -38,7 +38,8 @@ class PlanShapeSpec extends SparkSpec {
     "q67_contam_overlap", "q68_token_hist", "q69_chunk_dedup",
     "q70_sanitize", "q71_blockwords", "q72_char_entropy",
     "q73_binary_meta", "q74_unigram_logprob", "q75_url_domains",
-    "q76_weighted_sample", "q77_corpus_profile", "q78_zorder")
+    "q76_weighted_sample", "q77_corpus_profile", "q78_zorder",
+    "q79_jsonl")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>
