@@ -143,15 +143,19 @@ object CurationFilters {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, fpp: Double = 0.001): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    // persisted: the benchmark gram pipeline (tokenize -> shingle ->
-    // hash -> distinct, a shuffle) feeds TWO actions — the cardinality
-    // count and the filter build — and would otherwise run twice.
-    val bench = hashedGrams(benchmark, None, textCol, n).distinct()
-      .transform(graft.CacheScope.persisted)
-    // expectedNumItems must be the real cardinality or the filter's
-    // fpp guarantee is void.
-    val nGrams = math.max(bench.count(), 1L)
-    val filter = bench.stat.bloomFilter("gh", nGrams, fpp)
+    // persisted LOCALLY: the benchmark gram pipeline (tokenize ->
+    // shingle -> hash -> distinct, a shuffle) feeds exactly two
+    // IN-FUNCTION actions — the cardinality count and the filter build —
+    // and nothing after (the returned plan embeds the built filter), so
+    // the cache is released before returning rather than leaking into a
+    // scope-free caller's session. expectedNumItems must be the real
+    // cardinality or the filter's fpp guarantee is void.
+    val bench = hashedGrams(benchmark, None, textCol, n).distinct().persist()
+    val filter =
+      try {
+        val nGrams = math.max(bench.count(), 1L)
+        bench.stat.bloomFilter("gh", nGrams, fpp)
+      } finally bench.unpersist()
     hashedGrams(corpus, Some(idCol), textCol, n)
       .filter(graft.functions.BloomExprs.bloomMightContain(col("gh"), filter))
       .select(col("id")).distinct()

@@ -191,16 +191,18 @@ object TextAnalysis {
   /** Control/format-character sanitation — the encoding-hygiene stage of
     * a web-corpus pipeline (stray BEL/ESC from broken scrapes, zero-width
     * and soft-hyphen format characters that poison tokenization and
-    * dedup keys). Whitespace-class control characters (tab, LF, VT, FF,
-    * CR) become a SPACE first — deleting them would glue the tokens on
-    * either side of every line break into words that never existed —
-    * then the remaining Cc/Cf strip outright. Both classes are in the
-    * Java-regex/RE2 common subset, so a SQL oracle runs the same two
-    * patterns. Codegen'd per-row projection, no shuffle.
+    * dedup keys). Whitespace/line-structure control characters (tab, LF,
+    * VT, FF, CR, the FS-US separators 0x1C-0x1F, and NEL U+0085 — the
+    * Unicode-mandated line terminator EBCDIC conversions emit) become a
+    * SPACE first — deleting them would glue the tokens on either side of
+    * every line break into words that never existed — then the remaining
+    * Cc/Cf strip outright. Both classes are in the Java-regex/RE2 common
+    * subset (\x{..} hex escapes included), so a SQL oracle runs the same
+    * two patterns. Codegen'd per-row projection, no shuffle.
     */
   def sanitizeText(textCol: Column): Column =
     regexp_replace(
-      regexp_replace(textCol, "[\\t\\n\\x0B\\f\\r]", " "),
+      regexp_replace(textCol, "[\\t\\n\\x0B\\f\\r\\x{1C}-\\x{1F}\\x{0085}]", " "),
       "[\\p{Cc}\\p{Cf}]", "")
 
   /** Count of word-list tokens in the lowercased text — the C4-style

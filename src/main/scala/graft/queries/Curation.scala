@@ -1696,7 +1696,8 @@ object Curation {
          s AS (
            SELECT source, length(text) AS lc,
              length(regexp_replace(regexp_replace(text,
-               '[\t\n\x0B\f\r]', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g')) AS ls
+               '[\t\n\x0B\f\r\x{1C}-\x{1F}\x{0085}]', ' ', 'g'),
+               '[\p{Cc}\p{Cf}]', '', 'g')) AS ls
            FROM planted)
          SELECT source,
            CAST(sum(CASE WHEN lc > ls THEN 1 ELSE 0 END) AS BIGINT)

@@ -44,10 +44,15 @@ object DocJsonl {
     val full = StructType(schema.fields :+
       StructField(corruptCol, StringType, nullable = true))
     val parsed = spark.read.text(path)
-      .select(from_json(col("value"), full, Map(
+      .select(col("value"), from_json(col("value"), full, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> corruptCol)).as("__r"))
-    parsed.select(full.fieldNames.map(f => col(s"__r.$f").as(f)).toSeq: _*)
+    // a line holding literal `null` (valid JSON!) parses to a null STRUCT
+    // — without the explicit check it would surface as an all-null
+    // phantom "valid" row instead of a dead letter
+    parsed.select(schema.fieldNames.map(f => col(s"__r.$f").as(f)).toSeq :+
+      when(col("__r").isNull, col("value"))
+        .otherwise(col(s"__r.$corruptCol")).as(corruptCol): _*)
   }
 
   /** Rows that parsed cleanly, corrupt column dropped. */

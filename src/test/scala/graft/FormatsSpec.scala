@@ -33,7 +33,9 @@ class FormatsSpec extends SparkSpec {
       (3L, "", "fr")
     ).toDF("doc_id", "text", "lang")
     DocJsonl.write(docs, dir)
-    Seq("{broken", "also broken}").toDF("value")
+    // "null" IS valid JSON — it must dead-letter, not become a phantom
+    // all-null document
+    Seq("{broken", "also broken}", "null").toDF("value")
       .write.mode("append").text(dir)
     val back = DocJsonl.read(spark, dir, docs.schema)
     // valid rows round-trip exactly, including quotes/unicode/empty text
@@ -42,7 +44,7 @@ class FormatsSpec extends SparkSpec {
     assert(valid == docs.as[(Long, String, String)].collect().toSet)
     // dead letter carries exactly the raw broken lines
     val dead = DocJsonl.deadLetter(back).as[String].collect().toSet
-    assert(dead == Set("{broken", "also broken}"), dead.toString)
+    assert(dead == Set("{broken", "also broken}", "null"), dead.toString)
     // strict schema: no inference pass, declared types honored
     assert(back.schema.fieldNames.toSeq ==
       Seq("doc_id", "text", "lang", DocJsonl.corruptCol))

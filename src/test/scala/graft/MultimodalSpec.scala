@@ -81,10 +81,12 @@ class MultimodalSpec extends SparkSpec {
     // non-media bytes and truncated headers parse to null, not garbage;
     // so does a real RIFF/WAVE whose FIRST chunk is JUNK instead of
     // "fmt " — fixed-offset reads through a foreign chunk would return
-    // well-formed nonsense (e.g. ASCII bytes as a ~1.2e9 Hz rate)
+    // well-formed nonsense (e.g. ASCII bytes as a ~1.2e9 Hz rate). The
+    // fixture is 44 bytes, PAST the 36-byte length guard, so only the
+    // fmt-first check can reject it — reverting that guard fails here
     val junkFirstChunkWav =
-      "52494646" + "24000000" + "57415645" + "4A554E4B" + // "JUNK"
-        "04000000" + "61626364" + "666D7420"
+      "52494646" + "24000000" + "57415645" + "4A554E4B" + // "JUNK" at 13
+        "18000000" + "61626364" * 6 // 24 payload bytes -> 44 total
     val junk = Seq(Tuple1("deadbeef"), Tuple1("89504E47"),
         Tuple1(junkFirstChunkWav))
       .toDF("s").select(unhex($"s").as("b"))
