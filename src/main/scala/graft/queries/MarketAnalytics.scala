@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOf, Indicators, Sessionize, Validation}
+import graft.operators.{AsOf, Indicators, Ohlc, Sessionize, Validation}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -149,6 +149,25 @@ object MarketAnalytics {
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("hour"))),
+
+    // Batch OHLC candles per (event_type, hour) — the batch form of the
+    // streaming windowedStats bars. min_by/max_by over the unique
+    // (ts, event_id) struct: ONE map-side-combined hash agg, no window,
+    // no per-group sort (the plan a 100 TB tick archive needs). All four
+    // prices are raw row values (no float arithmetic), volume sums longs —
+    // every output column is exact.
+    "q80_ohlc_bars" -> ((s, dir) =>
+      Ohlc.bars(
+          t(s, dir, "events")
+            .withColumn("hour", date_format(
+              graft.streaming.StreamingEtl.toEventTime(col("ts")),
+              "yyyy-MM-dd HH:00")),
+          keyCols = Seq("event_type"),
+          bucketCol = "hour",
+          priceCol = "value",
+          volumeCol = "user_id",
+          orderBy = Seq("ts", "event_id"))
+        .orderBy(col("event_type"), col("hour"))),
 
     // §2.7 gate: batch/stream algebra equality proven through the driver's
     // own DuckDB oracle, not just ScalaTest. The events table is replayed
@@ -315,6 +334,30 @@ object MarketAnalytics {
     "q19_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY hour ORDER BY hour"""
+         FROM events GROUP BY hour ORDER BY hour""",
+    // open/close replicated via rn=1 / rn=n over the same (ts, event_id)
+    // order the Spark min_by/max_by struct key encodes
+    "q80_ohlc_bars" ->
+      """WITH b AS (
+           SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             value, user_id,
+             row_number() OVER w AS rn,
+             count(*) OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)) AS n
+           FROM events
+           WINDOW w AS (
+             PARTITION BY event_type, date_trunc('hour', ts)
+             ORDER BY ts, event_id)
+         )
+         SELECT event_type, hour,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = n THEN value END) AS close,
+           CAST(sum(user_id) AS BIGINT) AS volume,
+           count(*) AS n_ticks
+         FROM b GROUP BY event_type, hour
+         ORDER BY event_type, hour"""
   )
 }
