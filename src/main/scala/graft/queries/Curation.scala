@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CurationFilters, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, SnapshotDiff, TextAnalysis}
 import graft.sources.DocJsonl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -687,6 +687,22 @@ object Curation {
           .agg(count(lit(1)).as("n"))
           .select(lit("___corrupt").as("source"), col("n"), lit(0L).as("id_sum")))
         .orderBy(col("source"))
+    }),
+
+    // Corpus snapshot diff — the incremental-refresh primitive. Two
+    // deterministic snapshots of the documents table: old drops
+    // doc_id%7==0, cur drops doc_id%5==0 and rewrites text on
+    // doc_id%3==0. Digest-projected full-outer join (only (id, md5)
+    // cross the exchange; text never moves), then counts per status.
+    "q81_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val cur = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      SnapshotDiff.report(old, cur, "doc_id", "text")
+        .orderBy(col("status"))
     }),
 
     // Z-order (Morton) interleaving — the multi-dimensional clustered
@@ -1762,6 +1778,25 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // digest equality == text equality inside EACH engine, so the status
+    // classification agrees even though it never compares digests across
+    // engines (md5 is standard anyway)
+    "q81_corpus_diff" ->
+      """WITH old AS (
+           SELECT doc_id, md5(text) AS od
+           FROM documents WHERE doc_id % 7 <> 0),
+         cur AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS cd
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT CASE WHEN od IS NULL THEN 'added'
+                     WHEN cd IS NULL THEN 'removed'
+                     WHEN od <> cd THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+           count(*) AS n
+         FROM old FULL OUTER JOIN cur USING (doc_id)
+         GROUP BY status ORDER BY status""",
     "q78_zorder" ->
       """WITH pts AS (
            SELECT source, CAST(doc_id % 1000 AS BIGINT) AS x,

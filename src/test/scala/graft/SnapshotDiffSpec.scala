@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.SnapshotDiff
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff: planted add/remove/change/unchange classification and
+  * the digest-only exchange contract (text never shuffles).
+  */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val old = Seq(
+    (1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta")
+  ).toDF("doc_id", "text")
+  // 1 unchanged, 2 changed, 3 removed, 5 added
+  private val cur = Seq(
+    (1L, "alpha"), (2L, "bravo v2"), (4L, "delta"), (5L, "echo")
+  ).toDF("doc_id", "text")
+
+  test("per-id statuses are exact") {
+    val got = SnapshotDiff.diff(old, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
+  test("report counts sum to the id-universe size") {
+    val rep = SnapshotDiff.report(old, cur, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(rep == Map(
+      "unchanged" -> 2L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("exchanges carry (id, digest) only — raw text never shuffles") {
+    val plan = SnapshotDiff.diff(old, cur, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty || plan.contains("BroadcastHashJoin"))
+    assert(!exchanges.exists(_.takeWhile(_ != '\n').contains("text#")),
+      "an exchange carries raw document text:\n" + plan)
+  }
+}
