@@ -1,0 +1,72 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-Min-Sketch point-estimate probe as a codegen'd Catalyst
+  * expression — the frequency sibling of [[BloomExprs]].
+  *
+  * Scale rationale: exact token frequencies need a groupBy over the full
+  * token stream (10^13+ rows at 100 TB). A CMS of depth d × width w
+  * (w = ceil(e/eps) counters) absorbs the whole stream through map-side
+  * merges into d*w longs, and probing it is a map-side lookup — so
+  * heavy-hitter detection touches only the (vocabulary-sized) distinct
+  * token set, never re-shuffling the stream. The estimate is one-sided:
+  * never below the true count, above it by at most eps*N with
+  * probability 1-delta per probe (q82 gates both directions).
+  */
+object CmsExprs {
+
+  /** Point estimate over Spark's own `org.apache.spark.util.sketch
+    * .CountMinSketch` (the public sketch `df.stat.countMinSketch`
+    * builds, so build and probe share one hashing scheme). The sketch's
+    * `writeTo` bytes ride the serialized plan; executors deserialize once
+    * per task via `addReferenceObj` and probe per row.
+    */
+  case class CmsEstimateLong(child: Expression, sketchBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "cms_estimate_long"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case LongType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate_long requires bigint, got $other")
+      }
+
+    @transient private lazy val sketch: CountMinSketch =
+      CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
+
+    def estimate(v: Long): Long = sketch.estimateCount(v)
+
+    override def nullSafeEval(input: Any): Any =
+      estimate(input.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cmsProbe", this,
+        classOf[CmsEstimateLong].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.estimate($c);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): CmsEstimateLong =
+      copy(child = newChild)
+  }
+
+  /** Column form: the CMS frequency estimate for `value` (never an
+    * underestimate). Serializes the sketch once at plan-construction time.
+    */
+  def cmsEstimate(value: Column, sketch: CountMinSketch): Column = {
+    val os = new ByteArrayOutputStream()
+    sketch.writeTo(os)
+    ColumnBridge.column(
+      CmsEstimateLong(ColumnBridge.expression(value), os.toByteArray))
+  }
+}

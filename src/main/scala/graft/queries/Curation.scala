@@ -689,6 +689,32 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // CMS heavy-hitter soundness gate: build the Count-Min sketch over
+    // the full token stream (the 100 TB frequency path — the stream
+    // never shuffles, see operators.HeavyHitters), take the EXACT top-20
+    // tokens (affordable at gate scale), probe each through the sketch,
+    // and emit any estimate that undercounts (impossible by CMS
+    // construction) or overshoots truth by more than ceil(eps*N).
+    // Empty set == the sketch honors both sides of its error contract.
+    "q82_cms_heavy_sound" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val eps = 1e-4
+      val totalN = toks.count() // gate diagnostic: sizes the slack bound
+      val slack = math.ceil(eps * totalN).toLong
+      val sketch = graft.operators.HeavyHitters.tokenSketch(
+        docs, "text", eps, confidence = 0.999, seed = 42)
+      toks.groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("token")).limit(20)
+        .withColumn("est_n", graft.functions.CmsExprs.cmsEstimate(
+          xxhash64(col("token")), sketch))
+        .filter(col("est_n") < col("true_n") ||
+          col("est_n") > col("true_n") + slack)
+        .select(col("token"), col("true_n"), col("est_n"))
+        .orderBy(col("token"))
+    }),
+
     // Corpus snapshot diff — the incremental-refresh primitive. Two
     // deterministic snapshots of the documents table: old drops
     // doc_id%7==0, cur drops doc_id%5==0 and rewrites text on
@@ -1778,6 +1804,10 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    "q82_cms_heavy_sound" ->
+      """SELECT CAST(NULL AS VARCHAR) AS token,
+         CAST(NULL AS BIGINT) AS true_n, CAST(NULL AS BIGINT) AS est_n
+         WHERE false""",
     // digest equality == text equality inside EACH engine, so the status
     // classification agrees even though it never compares digests across
     // engines (md5 is standard anyway)
