@@ -689,6 +689,33 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Unicode NFC normalization — the canonical-form stage that must run
+    // BEFORE any dedup/decontamination (the same visible string has many
+    // code-point encodings; un-normalized corpora silently treat equal
+    // texts as different). Decomposed sequences planted deterministically
+    // (combining acute on doc_id%3; combining ring + diaeresis on
+    // doc_id%4), folded by the codegen'd NormalizeExprs.nfc; the oracle
+    // runs DuckDB's own nfc_normalize on the same planted text.
+    "q83_nfc_normalize" -> ((s, dir) => {
+      // decomposed on purpose: 'e'+U+0301, 'A'+U+030A, 'o'+U+0308 \u2014
+      // NFC folds each pair to one precomposed code point
+      val planted = t(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" A\u030Angstro\u0308m"))
+          .otherwise(lit(""))))
+      planted
+        .withColumn("clean", graft.functions.NormalizeExprs.nfc(col("text")))
+        .withColumn("removed",
+          (length(col("text")) - length(col("clean"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("removed") > 0, 1L).otherwise(0L)).as("n_docs_changed"),
+          sum(col("removed")).as("n_marks_folded"),
+          sum(length(col("clean")).cast("long")).as("clean_chars"))
+        .orderBy(col("source"))
+    }),
+
     // CMS heavy-hitter soundness gate: build the Count-Min sketch over
     // the full token stream (the 100 TB frequency path — the stream
     // never shuffles, see operators.HeavyHitters), take the EXACT top-20
@@ -1804,6 +1831,29 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // chr() code points: 769 = U+0301 combining acute, 778 = U+030A
+    // combining ring, 776 = U+0308 combining diaeresis. Both engines
+    // count length in code points, so the fold removes exactly one char
+    // per combined pair.
+    "q83_nfc_normalize" ->
+      """WITH planted AS (
+           SELECT source, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                  ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                  ELSE '' END AS text
+           FROM documents),
+         s AS (
+           SELECT source, length(text) AS lc,
+             length(nfc_normalize(text)) AS ls
+           FROM planted)
+         SELECT source,
+           CAST(sum(CASE WHEN lc > ls THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_changed,
+           CAST(sum(lc - ls) AS BIGINT) AS n_marks_folded,
+           CAST(sum(ls) AS BIGINT) AS clean_chars
+         FROM s GROUP BY source ORDER BY source""",
     "q82_cms_heavy_sound" ->
       """SELECT CAST(NULL AS VARCHAR) AS token,
          CAST(NULL AS BIGINT) AS true_n, CAST(NULL AS BIGINT) AS est_n
