@@ -267,6 +267,49 @@ object TextAnalysis {
           .as("avg_log2_prob"))
   }
 
+  /** Corpus-bigram log-probability scoring with add-k smoothing — one
+    * Markov order above [[unigramLogProb]], and the smallest model that
+    * catches word-salad (every token common, every ADJACENT PAIR rare):
+    * score(d) = avg over bigrams (w1,w2) of
+    * log2((C(w1 w2) + k) / (C(w1 ·) + k·V)), V = corpus vocabulary.
+    * With integer k both numerator and denominator are exact integers,
+    * so any engine reproduces the ratios bit-for-bit before the log.
+    *
+    * Plan: bigrams are built MAP-SIDE from the token array (zip_with of
+    * the array against its own shift — no positional self-join, no
+    * extra shuffle); the bigram frame persists (CacheScope contract)
+    * because it feeds the bigram counts, the left-context counts, and
+    * the scoring joins; V rides a scalar subquery (no crossJoin/BNL).
+    * Only (id, bigram) strings travel — document text never shuffles.
+    */
+  def bigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 1): DataFrame = {
+    require(k >= 1, s"add-k smoothing needs k >= 1, got $k")
+    val bis = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .transform(graft.CacheScope.persisted(_))
+    val bgCounts = bis.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val leftCounts = bis.groupBy(col("w1")).agg(count(lit(1)).as("c_left"))
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("t"))
+      .agg(count_distinct(col("t")).as("v")).scalar()
+    bis.join(bgCounts, "bg").join(leftCounts, "w1")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log2(
+          (col("c_bg") + lit(k.toLong)).cast("double") /
+            (col("c_left") + lit(k.toLong) * vocab).cast("double"))), 4)
+          .as("avg_log2_prob"))
+  }
+
   /** URL references per document: full matches and their host domains,
     * extracted with one RE2-compatible pattern (provenance/outlink
     * analysis for web corpora — link-farm detection, per-domain corpus

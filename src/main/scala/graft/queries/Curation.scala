@@ -689,6 +689,24 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Corpus-bigram log-prob with add-one smoothing — the word-salad
+    // detector one Markov order above q74. Same rounding protocol:
+    // per-doc round(4) (integer count ratios before the log, so both
+    // engines see identical rationals), per-lang avg round(3).
+    "q84_bigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLogProb(docs, "doc_id", "text", k = 1)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("total_bigrams"),
+          round(avg(col("avg_log2_prob")), 3).as("avg_score"),
+          min(col("avg_log2_prob")).as("min_score"),
+          max(col("avg_log2_prob")).as("max_score"))
+        .orderBy(col("lang"))
+    }),
+
     // Unicode NFC normalization — the canonical-form stage that must run
     // BEFORE any dedup/decontamination (the same visible string has many
     // code-point encodings; un-normalized corpora silently treat equal
@@ -1831,6 +1849,40 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // bigrams via the 1-based list comprehension (i = 1..len-1 pairs
+    // l[i] with l[i+1]); tokens are \s+-split so the first space of a
+    // bigram string always separates its two words
+    "q84_bigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '') AS l
+           FROM documents),
+         vocab AS (
+           SELECT count(DISTINCT t) AS v
+           FROM (SELECT unnest(l) AS t FROM toks)),
+         bis AS (
+           SELECT doc_id, lang,
+             unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS bg
+           FROM toks WHERE len(l) >= 2),
+         bgc AS (SELECT bg, count(*) AS c_bg FROM bis GROUP BY bg),
+         lfc AS (
+           SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c_left
+           FROM bis GROUP BY w1),
+         scored AS (
+           SELECT doc_id, lang, count(*) AS n_bigrams,
+             round(avg(log2((c_bg + 1) * 1.0 /
+               (c_left + (SELECT v FROM vocab)))), 4) AS avg_log2_prob
+           FROM bis
+             JOIN bgc USING (bg)
+             JOIN lfc ON split_part(bis.bg, ' ', 1) = lfc.w1
+           GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+           round(avg(avg_log2_prob), 3) AS avg_score,
+           min(avg_log2_prob) AS min_score,
+           max(avg_log2_prob) AS max_score
+         FROM scored GROUP BY lang ORDER BY lang""",
     // chr() code points: 769 = U+0301 combining acute, 778 = U+030A
     // combining ring, 776 = U+0308 combining diaeresis. Both engines
     // count length in code points, so the fold removes exactly one char

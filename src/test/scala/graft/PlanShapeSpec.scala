@@ -39,7 +39,8 @@ class PlanShapeSpec extends SparkSpec {
     "q70_sanitize", "q71_blockwords", "q72_char_entropy",
     "q73_binary_meta", "q74_unigram_logprob", "q75_url_domains",
     "q76_weighted_sample", "q77_corpus_profile", "q78_zorder",
-    "q79_jsonl", "q80_ohlc_bars", "q81_corpus_diff", "q83_nfc_normalize")
+    "q79_jsonl", "q80_ohlc_bars", "q81_corpus_diff", "q83_nfc_normalize",
+    "q84_bigram_logprob")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

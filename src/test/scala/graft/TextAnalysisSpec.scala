@@ -212,6 +212,35 @@ class SessionizeSpec extends SparkSpec {
     assert(out(2L)._2 == -2.0)
   }
 
+  test("bigramLogProb: hand-computed add-one scores; short docs drop out") {
+    // corpus bigrams: "a b"x3 (doc1 twice, doc2 once), "b a"x1
+    // left counts: a->3, b->1; vocab V = {a,b,c} = 3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .bigramLogProb(docs, "doc_id", "text", k = 1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val ab = math.log((3.0 + 1) / (3 + 3)) / math.log(2) // log2(4/6)
+    val ba = math.log((1.0 + 1) / (1 + 3)) / math.log(2) // -1
+    assert(out(1L) == ((3L, r4((2 * ab + ba) / 3))), out.toString)
+    assert(out(2L) == ((1L, r4(ab))), out.toString)
+    assert(!out.contains(3L), "single-token doc has no bigrams")
+  }
+
+  test("bigramLogProb: word salad scores below natural order") {
+    // "x y" repeated is high-probability under the corpus's own model;
+    // the same tokens in scrambled unseen orders score strictly lower
+    val docs = Seq(
+      (1L, "x y x y x y x y"), (2L, "x y x y x y x y"),
+      (3L, "y y x x y x x y")).toDF("doc_id", "text")
+    val scores = graft.operators.TextAnalysis
+      .bigramLogProb(docs, "doc_id", "text", k = 1)
+      .select("id", "avg_log2_prob").as[(Long, Double)].collect().toMap
+    assert(scores(3L) < scores(1L), scores.toString)
+  }
+
   test("urlRefs extracts full urls and domains; url-free docs drop out") {
     // note doc 1's sentence-final period after b.net: the domain class
     // must not absorb it (a greedy [A-Za-z0-9.-]+ counts "b.net." and
