@@ -196,6 +196,50 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Token-budget corpus cut: keep the best documents (by an INTEGER
+    * quality key, ties by id) until the token budget is exhausted — "give
+    * me the top B tokens of this corpus", the final sizing step before a
+    * training run. A row is kept iff its inclusive running token total in
+    * (key desc, id asc) order is <= budget, i.e. the maximal prefix of
+    * the quality ordering that fits.
+    *
+    * Scale: this is deliberately NOT one global running-sum window (a
+    * total order through a single partition). Phase 1 aggregates tokens
+    * per quality key (the per-key frame is bounded by the key range —
+    * ~1001 rows for qualityKeyInt — so ITS prefix window is a no-op to
+    * sort) and broadcasts back each key's tokens-before-this-key. Phase
+    * 2: keys that fit entirely keep map-side with no ranking; only the
+    * ONE key straddling the budget line ranks its own rows (a window
+    * partitioned by key — never global). So the data-row cost is one
+    * broadcast-join + filter, plus an in-key sort for the straddling
+    * key only. All arithmetic is integer-exact.
+    */
+  def tokenBudgetCut(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    // per-key totals; the desc-prefix window runs over this bounded frame
+    val wKeys = Window.orderBy(col(keyCol).desc)
+    val pref = df.groupBy(col(keyCol))
+      .agg(sum(col(tokenCol)).as("__kt"))
+      .withColumn("__before",
+        coalesce(sum(col("__kt")).over(wKeys) - col("__kt"), lit(0L)))
+    val tagged = df.join(broadcast(pref), Seq(keyCol))
+    val fullKeep = tagged.filter(col("__before") + col("__kt") <= budget)
+    val wIn = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    val straddle = tagged
+      .filter(col("__before") < budget &&
+        col("__before") + col("__kt") > budget)
+      .withColumn("__in", sum(col(tokenCol)).over(wIn))
+      .filter(col("__before") + col("__in") <= budget)
+      .drop("__in")
+    fullKeep.unionByName(straddle).drop("__kt", "__before")
+  }
+
   /** Deterministic global corpus shuffle — the "randomize example order
     * before training" step, as (shard, pos) coordinates: shard =
     * u32 * numShards div 2^32 (an exact integer range split of the

@@ -689,6 +689,27 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Token-budget corpus cut: the top-50k-tokens prefix of the
+    // (quality desc, id) order, via the bucketed prefix-sum (only the
+    // straddling quality key ranks rows — see Sampling.tokenBudgetCut).
+    // Integer key + integer token counts => the oracle replicates the
+    // kept set document-for-document with one running-sum window.
+    "q85_token_budget" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.qualityKeyInt(col("text")).as("qkey"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      Sampling.tokenBudgetCut(keyed, "doc_id", "qkey", "nt",
+          budget = 50000L)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("nt")).as("tokens_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("qkey")).as("min_kept_key"))
+        .orderBy(col("lang"))
+    }),
+
     // Corpus-bigram log-prob with add-one smoothing — the word-salad
     // detector one Markov order above q74. Same rounding protocol:
     // per-doc round(4) (integer count ratios before the log, so both
@@ -1849,6 +1870,34 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // same quality-key CTE as q61; the budget cut is the maximal prefix
+    // of the (qkey DESC, doc_id) order whose running token sum fits
+    "q85_token_budget" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang, nt,
+             (CASE WHEN nt = 0 THEN 0
+                   ELSE least(nt, 20) * 20 + (ndt * 400) // nt END)
+             + (CASE WHEN nc = 0 THEN 200 ELSE (np * 200) // nc END) AS qkey
+           FROM m),
+         c AS (
+           SELECT doc_id, lang, qkey, nt,
+             sum(nt) OVER (ORDER BY qkey DESC, doc_id) AS cum
+           FROM k)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS tokens_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(qkey) AS BIGINT) AS min_kept_key
+         FROM c WHERE cum <= 50000
+         GROUP BY lang ORDER BY lang""",
     // bigrams via the 1-based list comprehension (i = 1..len-1 pairs
     // l[i] with l[i+1]); tokens are \s+-split so the first space of a
     // bigram string always separates its two words

@@ -263,4 +263,40 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "temperature resample changed under repartitioning")
     assert(a.subsetOf(df.select("id").as[Long].collect().toSet))
   }
+
+  test("tokenBudgetCut keeps the maximal quality-order prefix that fits") {
+    // (id, key, tokens): key 9 = 10+20 tokens, key 5 = 30+5+5, key 1 = 50
+    val docs = Seq(
+      (1L, 9L, 10L), (2L, 9L, 20L),
+      (3L, 5L, 30L), (4L, 5L, 5L), (5L, 5L, 5L),
+      (6L, 1L, 50L)
+    ).toDF("doc_id", "qkey", "nt")
+    def kept(budget: Long): Set[Long] =
+      Sampling.tokenBudgetCut(docs, "doc_id", "qkey", "nt", budget)
+        .select("doc_id").as[Long].collect().toSet
+    // order: 1,2 (key 9), then 3,4,5 (key 5, by id), then 6
+    // cums:  10,30,       60,65,70,             120
+    assert(kept(30L) == Set(1L, 2L))          // whole key 9 exactly fits
+    assert(kept(65L) == Set(1L, 2L, 3L, 4L))  // straddles key 5 mid-key
+    assert(kept(9L) == Set.empty)             // first doc already overflows
+    assert(kept(120L) == Set(1L, 2L, 3L, 4L, 5L, 6L)) // everything fits
+  }
+
+  test("tokenBudgetCut equals the single-window reference; broadcast plan") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1 to 500).map { i =>
+      (i.toLong, (i * 37 % 11).toLong, (i * 13 % 50 + 1).toLong)
+    }.toDF("doc_id", "qkey", "nt")
+    val budget = 3000L
+    val reference = docs
+      .withColumn("cum", sum($"nt").over(
+        Window.orderBy($"qkey".desc, $"doc_id")))
+      .filter($"cum" <= budget).select("doc_id")
+      .as[Long].collect().toSet
+    val cut = Sampling.tokenBudgetCut(
+      docs.repartition(7), "doc_id", "qkey", "nt", budget)
+    assert(cut.select("doc_id").as[Long].collect().toSet == reference)
+    val plan = cut.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
