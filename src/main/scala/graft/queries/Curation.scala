@@ -695,10 +695,15 @@ object Curation {
     // Integer key + integer token counts => the oracle replicates the
     // kept set document-for-document with one running-sum window.
     "q85_token_budget" -> ((s, dir) => {
+      // persisted: tokenBudgetCut scans its input three times (per-key
+      // totals, full-keep branch, straddle branch); caching the PROJECTED
+      // frame (4 scalar cols, no text — ~32 bytes/doc) makes the regex
+      // tokenization run once instead of three times
       val keyed = t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.qualityKeyInt(col("text")).as("qkey"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+          col("doc_id"), col("lang"),
+          TextAnalysis.qualityKeyInt(col("text")).as("qkey"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .transform(graft.CacheScope.persisted(_))
       Sampling.tokenBudgetCut(keyed, "doc_id", "qkey", "nt",
           budget = 50000L)
         .groupBy(col("lang"))
