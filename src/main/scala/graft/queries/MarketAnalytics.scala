@@ -215,6 +215,48 @@ object MarketAnalytics {
           col("period"),
           col("n_rows"))
         .orderBy(col("event_type"))
+    }),
+
+    // §2.7 gate #2: the CANDLE algebra's batch/stream parity, proven the
+    // same way q55 proves the indicator algebra's — the events table is
+    // replayed as a real multi-batch Structured Streaming run through
+    // windowedOhlc (the SAME native OhlcAggExpr the batch q80 runs, its
+    // buffer now living in the state store across batches) and the final
+    // per-(window, symbol) snapshot is checked against q80's verbatim
+    // batch oracle. No watermark: a replay must not drop late rows.
+    "q86_stream_ohlc_parity" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val events = t(s, dir, "events")
+      val tmp = replayDir
+      events.repartition(4).write.mode("overwrite").parquet(tmp)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+        .select(
+          col("event_type").as("symbol"),
+          col("ts").as("timestamp"),
+          col("event_id").as("trade_id"),
+          col("value").as("price"),
+          col("user_id").as("volume"))
+      val out = graft.streaming.StreamingEtl.windowedOhlc(stream, "1 hour")
+      val qname = s"q86_snapshot_${replaySeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // update-mode sink accumulates every per-batch update; the final
+      // snapshot per key is its row with the largest n_ticks (strictly
+      // increasing — a (window, symbol) group only re-emits on new rows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window"), col("symbol"))
+        .orderBy(col("n_ticks").desc)
+      spark.table(qname)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(
+          col("symbol").as("event_type"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_ticks"))
+        .orderBy(col("event_type"), col("hour"))
     })
   )
 
@@ -265,6 +307,32 @@ object MarketAnalytics {
            CAST(l.n AS BIGINT) AS n_rows
          FROM lastrows l LEFT JOIN rsi r ON l.event_type = r.event_type
          ORDER BY l.event_type"""
+
+  // Shared by q80 (batch candle aggregate) and q86 (streaming replay of
+  // the same rows through the same OhlcAggExpr): one oracle, two
+  // physical executions — the q16/q55 pattern for the candle algebra.
+  private val ohlcOracle: String =
+    """WITH b AS (
+         SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           value, user_id,
+           row_number() OVER w AS rn,
+           count(*) OVER (
+             PARTITION BY event_type, date_trunc('hour', ts)) AS n
+         FROM events
+         WINDOW w AS (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id)
+       )
+       SELECT event_type, hour,
+         max(CASE WHEN rn = 1 THEN value END) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         max(CASE WHEN rn = n THEN value END) AS close,
+         CAST(sum(user_id) AS BIGINT) AS volume,
+         count(*) AS n_ticks
+       FROM b GROUP BY event_type, hour
+       ORDER BY event_type, hour"""
 
   val oracles: Map[String, String] = Map(
     "q13_case_classify" ->
@@ -336,28 +404,11 @@ object MarketAnalytics {
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY hour ORDER BY hour""",
     // open/close replicated via rn=1 / rn=n over the same (ts, event_id)
-    // order the Spark min_by/max_by struct key encodes
-    "q80_ohlc_bars" ->
-      """WITH b AS (
-           SELECT event_type,
-             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-             value, user_id,
-             row_number() OVER w AS rn,
-             count(*) OVER (
-               PARTITION BY event_type, date_trunc('hour', ts)) AS n
-           FROM events
-           WINDOW w AS (
-             PARTITION BY event_type, date_trunc('hour', ts)
-             ORDER BY ts, event_id)
-         )
-         SELECT event_type, hour,
-           max(CASE WHEN rn = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn = n THEN value END) AS close,
-           CAST(sum(user_id) AS BIGINT) AS volume,
-           count(*) AS n_ticks
-         FROM b GROUP BY event_type, hour
-         ORDER BY event_type, hour"""
+    // order the native candle aggregate's ordinal tuple encodes
+    "q80_ohlc_bars" -> ohlcOracle,
+    // q86 replays the same rows through the streaming state machine; the
+    // parity claim IS "same candles as the batch aggregate" (q55 pattern)
+    "q86_stream_ohlc_parity" -> ohlcOracle
   )
+
 }

@@ -264,4 +264,36 @@ object StreamingEtl {
         (sum(col("price") * col("volume")) / sum(col("volume"))).as("vwap"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_ticks"))
+
+  /** Deterministic event-time candle bars — the streaming form of
+    * [[graft.operators.Ohlc.bars]], sharing the SAME native aggregate
+    * ([[graft.functions.OhlcAggExpr]]) so batch and stream run one candle
+    * algebra: open/close selected by the unique (timestamp, trade_id)
+    * tuple (windowedStats' min_by/max_by on timestamp alone is
+    * tie-ambiguous), state is the 72-byte buffer in the state store, and
+    * every output is a raw row value or a long sum — which is what lets
+    * q86 gate the final stream snapshot against the batch oracle
+    * hash-exact. No watermark by default: a replay gate must not drop
+    * late rows; production callers pass one to bound state.
+    */
+  def windowedOhlc(
+      trades: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: Option[String] = None): DataFrame = {
+    val et = trades.withColumn("event_time", toEventTime(col("timestamp")))
+    val wm = watermarkDelay.fold(et)(et.withWatermark("event_time", _))
+    wm.groupBy(window(col("event_time"), windowDur), col("symbol"))
+      .agg(
+        graft.functions.OhlcAggExpr.ohlcBar(
+          col("timestamp"), col("trade_id"), col("price")).as("__bar"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(
+        col("window"), col("symbol"),
+        col("__bar.open").as("open"),
+        col("__bar.high").as("high"),
+        col("__bar.low").as("low"),
+        col("__bar.close").as("close"),
+        col("volume"), col("n_ticks"))
+  }
 }

@@ -247,6 +247,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedOhlc across micro-batches equals the batch candle aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    // (symbol, ts ns, trade_id, price, volume); two 1-minute windows,
+    // rows arrive across three batches in non-chronological order
+    val base = 1700000000000000000L
+    val min = 60_000_000_000L // 1 minute in ns
+    val all = Seq[(String, Long, Long, Double, Long)](
+      ("A", base + 5, 1L, 10.0, 2L),
+      ("A", base + 30, 2L, 12.0, 1L),
+      ("A", base + min + 3, 3L, 9.0, 4L),
+      ("B", base + 7, 4L, 5.0, 3L),
+      ("A", base + 1, 5L, 11.0, 2L), // arrives LAST, is the true open
+      ("B", base + 2, 6L, 6.0, 1L)
+    )
+    val input = MemoryStream[(String, Long, Long, Double, Long)]
+    val stream = input.toDF()
+      .toDF("symbol", "timestamp", "trade_id", "price", "volume")
+    val out = StreamingEtl.windowedOhlc(stream, "1 minute")
+    val q = out.writeStream.format("memory").queryName("stream_ohlc")
+      .outputMode("update").start()
+    try {
+      Seq(all.take(2), all.slice(2, 4), all.drop(4)).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window"), col("symbol"))
+        .orderBy(col("n_ticks").desc)
+      val streamed = spark.table("stream_ohlc")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(
+          col("symbol"), unix_micros(col("window.start")).as("ws"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_ticks"))
+        .as[(String, Long, Double, Double, Double, Double, Long, Long)]
+        .collect().toSet
+      val batch = graft.operators.Ohlc.bars(
+          all.toDF("symbol", "timestamp", "trade_id", "price", "volume")
+            .withColumn("bucket", unix_micros(window(
+              StreamingEtl.toEventTime(col("timestamp")), "1 minute")
+              .getField("start"))),
+          Seq("symbol"), "bucket", "price", "volume",
+          Seq("timestamp", "trade_id"))
+        .select("symbol", "bucket", "open", "high", "low", "close",
+          "volume", "n_ticks")
+        .as[(String, Long, Double, Double, Double, Double, Long, Long)]
+        .collect().toSet
+      assert(streamed == batch, s"stream:\n$streamed\nbatch:\n$batch")
+      // spot-check the late-arriving open made it into the candle
+      assert(streamed.exists(r => r._1 == "A" && r._3 == 11.0))
+    } finally q.stop()
+  }
+
   test("toEventTime is exact on ns epochs beyond double precision") {
     // 2^53 ns ~ 104 days of epoch; real epochs (~1.7e18) lose sub-µs
     // precision through a double divide. Pin exactness at the µs level.
