@@ -267,6 +267,39 @@ object TextAnalysis {
           .as("avg_log2_prob"))
   }
 
+  /** HTML/markup stripping — the text-extraction stage between a raw web
+    * crawl and every operator above (quality scores, n-grams and dedup
+    * keys are garbage when half the "tokens" are tag soup). Four passes,
+    * all in the Java-regex/RE2 common subset so a SQL oracle runs the
+    * SAME patterns: (1) script/style elements drop WITH their contents
+    * (code is not prose — each tag matched against its own closer, never
+    * cross-paired), (2) comments drop, (3) remaining tags become spaces
+    * (deleting them would glue "...</p><p>..." into one word), (4) the
+    * five ubiquitous entities unescape — &amp; LAST, or "&amp;lt;" would
+    * double-unescape — then whitespace collapses and trims. Codegen'd
+    * per-row projection, no shuffle.
+    *
+    * Deliberately NOT a full HTML5 parser (no entity table, no nesting
+    * recovery): this is the deterministic, engine-portable 95% that
+    * boilerplate-removal pipelines (C4, CCNet) actually run before
+    * heuristic extraction.
+    */
+  def stripMarkup(textCol: Column): Column = {
+    val noScript = regexp_replace(textCol,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to))
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Corpus-bigram log-probability scoring with add-k smoothing — one
     * Markov order above [[unigramLogProb]], and the smallest model that
     * catches word-salad (every token common, every ADJACENT PAIR rare):

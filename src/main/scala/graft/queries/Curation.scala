@@ -689,6 +689,33 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // HTML/markup stripping over deterministically planted tag soup
+    // (script-with-contents, comments, tags, the five core entities).
+    // Both engines run the same RE2-subset patterns + literal replaces;
+    // counts and char totals pin extraction exactly.
+    "q87_strip_markup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" <p class=\"m\">Tom &amp; Jerry</p>")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit(" <script>var x = 1 &lt; 2;</script><b>bold</b>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" <!-- note --> five&nbsp;&#39;quoted&#39;"))
+          .otherwise(lit(""))))
+      planted
+        .withColumn("clean", TextAnalysis.stripMarkup(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("clean") =!= col("text"), 1L).otherwise(0L))
+            .as("n_docs_changed"),
+          sum((length(col("text")) - length(col("clean"))).cast("long"))
+            .as("n_chars_removed"),
+          sum(length(col("clean")).cast("long")).as("clean_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Token-budget corpus cut: the top-50k-tokens prefix of the
     // (quality desc, id) order, via the bucketed prefix-sum (only the
     // straddling quality key ranks rows — see Sampling.tokenBudgetCut).
@@ -1875,6 +1902,45 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // the same four regex passes + six literal replaces, &amp; last;
+    // DuckDB regexp_replace takes RE2 inline flags in the pattern and
+    // 'g' for global
+    "q87_strip_markup" ->
+      """WITH planted AS (
+           SELECT source, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' <p class="m">Tom &amp; Jerry</p>' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+               THEN ' <script>var x = 1 &lt; 2;</script><b>bold</b>'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' <!-- note --> five&nbsp;&#39;quoted&#39;'
+               ELSE '' END AS text
+           FROM documents),
+         cleaned AS (
+           SELECT source, text,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', CAST(chr(39) AS VARCHAR)), '&nbsp;', ' '),
+                 '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean
+           FROM planted)
+         SELECT source,
+           CAST(sum(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_changed,
+           CAST(sum(length(text) - length(clean)) AS BIGINT)
+             AS n_chars_removed,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+         FROM cleaned GROUP BY source ORDER BY source""",
     // same quality-key CTE as q61; the budget cut is the maximal prefix
     // of the (qkey DESC, doc_id) order whose running token sum fits
     "q85_token_budget" ->

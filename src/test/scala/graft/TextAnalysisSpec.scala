@@ -212,6 +212,26 @@ class SessionizeSpec extends SparkSpec {
     assert(out(2L)._2 == -2.0)
   }
 
+  test("stripMarkup: tags/script/comments out, entities unescaped once") {
+    def strip(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(graft.operators.TextAnalysis.stripMarkup($"t"))
+        .as[String].head()
+    // script and style drop WITH contents; tags become separators
+    assert(strip("<p>a</p><script>var x=1;</script><b>b</b>") == "a b")
+    assert(strip("x<style type=\"a\">p{color:red}</style>y") == "x y")
+    // comments drop; tag-as-separator prevents word gluing
+    assert(strip("one<!-- hidden -->two</p><p>three") == "one two three")
+    // the five entities, ampersand unescaped LAST (no double-unescape)
+    assert(strip("Tom &amp; Jerry &lt;3 &quot;hi&quot; &#39;q&#39;") ==
+      "Tom & Jerry <3 \"hi\" 'q'")
+    assert(strip("literal &amp;lt; stays") == "literal &lt; stays")
+    // whitespace collapses and trims
+    assert(strip("  a \n\n b  ") == "a b")
+    // markup-free text is the identity (modulo whitespace)
+    assert(strip("plain text") == "plain text")
+  }
+
   test("bigramLogProb: hand-computed add-one scores; short docs drop out") {
     // corpus bigrams: "a b"x3 (doc1 twice, doc2 once), "b a"x1
     // left counts: a->3, b->1; vocab V = {a,b,c} = 3
