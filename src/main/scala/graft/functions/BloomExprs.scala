@@ -31,9 +31,13 @@ object BloomExprs {
     * build and probe share one hashing scheme). `filterBytes` is the
     * sketch's `writeTo` serialization — it rides the serialized plan to
     * executors; the filter is deserialized once per task via
-    * `addReferenceObj` and probed per row with `mightContainLong`.
+    * `addReferenceObj` and probed per row with `mightContainLong`. Held
+    * as an IndexedSeq, not Array: a case-class Array field compares by
+    * reference, which would defeat semanticEquals/common-subexpression
+    * elimination for two probes of the same filter.
     */
-  case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+  case class BloomMightContainLong(
+      child: Expression, filterBytes: IndexedSeq[Byte])
       extends UnaryExpression {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "bloom_might_contain_long"
@@ -45,7 +49,7 @@ object BloomExprs {
       }
 
     @transient private lazy val filter: BloomFilter =
-      BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+      BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.toArray))
 
     def test(v: Long): Boolean = filter.mightContainLong(v)
 
@@ -70,6 +74,8 @@ object BloomExprs {
     val os = new ByteArrayOutputStream()
     filter.writeTo(os)
     ColumnBridge.column(
-      BloomMightContainLong(ColumnBridge.expression(value), os.toByteArray))
+      BloomMightContainLong(
+        ColumnBridge.expression(value),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(os.toByteArray)))
   }
 }

@@ -15,12 +15,17 @@ import org.apache.spark.util.sketch.CountMinSketch
   *
   * Scale rationale: exact token frequencies need a groupBy over the full
   * token stream (10^13+ rows at 100 TB). A CMS of depth d × width w
-  * (w = ceil(e/eps) counters) absorbs the whole stream through map-side
-  * merges into d*w longs, and probing it is a map-side lookup — so
-  * heavy-hitter detection touches only the (vocabulary-sized) distinct
-  * token set, never re-shuffling the stream. The estimate is one-sided:
-  * never below the true count, above it by at most eps*N with
-  * probability 1-delta per probe (q82 gates both directions).
+  * absorbs the whole stream through map-side merges into d*w longs, and
+  * probing it is a map-side lookup — so heavy-hitter detection touches
+  * only the (vocabulary-sized) distinct token set, never re-shuffling
+  * the stream. Spark's CountMinSketchImpl sizes w = ceil(2/eps) and
+  * d = ceil(log2(1/delta)) — the Markov form of the guarantee (each row
+  * overshoots by >= eps*N with probability <= 1/2, so the min over d
+  * rows fails with probability <= 2^-d = delta), NOT the textbook
+  * w = ceil(e/eps)/P<=e^-d variant; size memory from 2/eps. The
+  * estimate is one-sided: never below the true count, above it by at
+  * most eps*N with probability 1-delta per probe (q82 gates both
+  * directions).
   */
 object CmsExprs {
 
@@ -28,9 +33,12 @@ object CmsExprs {
     * .CountMinSketch` (the public sketch `df.stat.countMinSketch`
     * builds, so build and probe share one hashing scheme). The sketch's
     * `writeTo` bytes ride the serialized plan; executors deserialize once
-    * per task via `addReferenceObj` and probe per row.
+    * per task via `addReferenceObj` and probe per row. The bytes are held
+    * as an IndexedSeq, not Array: a case-class Array field compares by
+    * reference, which would defeat semanticEquals/common-subexpression
+    * elimination for two probes of the same sketch.
     */
-  case class CmsEstimateLong(child: Expression, sketchBytes: Array[Byte])
+  case class CmsEstimateLong(child: Expression, sketchBytes: IndexedSeq[Byte])
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "cms_estimate_long"
@@ -42,7 +50,7 @@ object CmsExprs {
       }
 
     @transient private lazy val sketch: CountMinSketch =
-      CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
+      CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes.toArray))
 
     def estimate(v: Long): Long = sketch.estimateCount(v)
 
@@ -67,6 +75,8 @@ object CmsExprs {
     val os = new ByteArrayOutputStream()
     sketch.writeTo(os)
     ColumnBridge.column(
-      CmsEstimateLong(ColumnBridge.expression(value), os.toByteArray))
+      CmsEstimateLong(
+        ColumnBridge.expression(value),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(os.toByteArray)))
   }
 }

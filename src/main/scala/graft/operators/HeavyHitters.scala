@@ -23,13 +23,24 @@ object HeavyHitters {
 
   /** Distributed CMS build over xxhash64(token) for every token of
     * `textCol` (TextAnalysis.tokens tokenizer). Deterministic for a fixed
-    * `seed`.
+    * `seed`. The returned sketch's `totalCount()` is exactly the corpus
+    * token count N — callers sizing the eps*N bound need no extra pass.
     */
   def tokenSketch(
       df: DataFrame, textCol: String,
       eps: Double, confidence: Double, seed: Int): CountMinSketch =
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(xxhash64(col("tok")).as("h"))
+    tokenSketchOfTokens(
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok")),
+      "tok", eps, confidence, seed)
+
+  /** Same build over an already-exploded token frame — lets a caller
+    * that needs the token frame anyway (e.g. the q82 gate's exact side)
+    * tokenize once, persist, and feed both consumers.
+    */
+  def tokenSketchOfTokens(
+      toks: DataFrame, tokenCol: String,
+      eps: Double, confidence: Double, seed: Int): CountMinSketch =
+    toks.select(xxhash64(col(tokenCol)).as("h"))
       .stat.countMinSketch(col("h"), eps, confidence, seed)
 
   /** Tokens whose CMS estimate clears `minCount`, with the estimate.

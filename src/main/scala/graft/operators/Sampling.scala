@@ -222,13 +222,20 @@ object Sampling {
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
+    // fail fast on null keys/tokens (the packSequences contract): the
+    // broadcast equi-join below would otherwise silently DROP null-key
+    // rows — a data loss, not an ordering choice
+    val checked = df.withColumn(keyCol,
+      when(col(keyCol).isNull || col(tokenCol).isNull,
+        raise_error(lit(s"tokenBudgetCut: null $keyCol/$tokenCol row")))
+        .otherwise(col(keyCol)))
     // per-key totals; the desc-prefix window runs over this bounded frame
     val wKeys = Window.orderBy(col(keyCol).desc)
-    val pref = df.groupBy(col(keyCol))
+    val pref = checked.groupBy(col(keyCol))
       .agg(sum(col(tokenCol)).as("__kt"))
       .withColumn("__before",
         coalesce(sum(col("__kt")).over(wKeys) - col("__kt"), lit(0L)))
-    val tagged = df.join(broadcast(pref), Seq(keyCol))
+    val tagged = checked.join(broadcast(pref), Seq(keyCol))
     val fullKeep = tagged.filter(col("__before") + col("__kt") <= budget)
     val wIn = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
     val straddle = tagged

@@ -25,13 +25,19 @@ object SnapshotDiff {
   def diff(
       old: DataFrame, cur: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val o = old.select(col(idCol).as("id"), md5(col(textCol)).as("__od"))
-    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("__cd"))
+    // presence is a marker column, NOT digest nullness: md5(null text) is
+    // null, so a null-text doc present on one side would otherwise be
+    // misclassified (e.g. 'added' for a row that was removed). Digests
+    // compare null-safely (<=>) so null text == null text is 'unchanged'.
+    val o = old.select(col(idCol).as("id"), md5(col(textCol)).as("__od"),
+      lit(true).as("__inOld"))
+    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("__cd"),
+      lit(true).as("__inCur"))
     o.join(c, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("__od").isNull, "added")
-          .when(col("__cd").isNull, "removed")
-          .when(col("__od") =!= col("__cd"), "changed")
+        when(col("__inOld").isNull, "added")
+          .when(col("__inCur").isNull, "removed")
+          .when(!(col("__od") <=> col("__cd")), "changed")
           .otherwise("unchanged"))
       .select(col("id"), col("status"))
   }

@@ -276,8 +276,11 @@ object TextAnalysis {
     * cross-paired), (2) comments drop, (3) remaining tags become spaces
     * (deleting them would glue "...</p><p>..." into one word), (4) the
     * five ubiquitous entities unescape — &amp; LAST, or "&amp;lt;" would
-    * double-unescape — then whitespace collapses and trims. Codegen'd
-    * per-row projection, no shuffle.
+    * double-unescape — then whitespace collapses and trims. The
+    * whitespace class is written EXPLICITLY ([ \t\n\x0B\f\r]) because
+    * Java's \s includes vertical tab while RE2's does not — a bare \s
+    * here would silently diverge from the SQL oracle on VT-bearing
+    * text. Codegen'd per-row projection, no shuffle.
     *
     * Deliberately NOT a full HTML5 parser (no entity table, no nesting
     * recovery): this is the deterministic, engine-portable 95% that
@@ -285,10 +288,11 @@ object TextAnalysis {
     * heuristic extraction.
     */
   def stripMarkup(textCol: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]" // explicit: Java \s has VT, RE2 \s doesn't
     val noScript = regexp_replace(textCol,
-      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+      s"(?is)<script\\b[^>]*>.*?</script$ws*>", " ")
     val noStyle = regexp_replace(noScript,
-      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+      s"(?is)<style\\b[^>]*>.*?</style$ws*>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
     val unescaped = Seq(
@@ -297,7 +301,7 @@ object TextAnalysis {
       .foldLeft(noTags) { case (c, (from, to)) =>
         call_function("replace", c, lit(from), lit(to))
       }
-    trim(regexp_replace(unescaped, "\\s+", " "))
+    trim(regexp_replace(unescaped, s"$ws+", " "))
   }
 
   /** Corpus-bigram log-probability scoring with add-k smoothing — one

@@ -796,13 +796,16 @@ object Curation {
     // Empty set == the sketch honors both sides of its error contract.
     "q82_cms_heavy_sound" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // persisted: the exploded token frame feeds both the sketch build
+      // and the exact top-20 side — tokenize once, not three times. N for
+      // the slack bound is the sketch's own totalCount (= items added).
       val toks = docs.select(
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .transform(graft.CacheScope.persisted(_))
       val eps = 1e-4
-      val totalN = toks.count() // gate diagnostic: sizes the slack bound
-      val slack = math.ceil(eps * totalN).toLong
-      val sketch = graft.operators.HeavyHitters.tokenSketch(
-        docs, "text", eps, confidence = 0.999, seed = 42)
+      val sketch = graft.operators.HeavyHitters.tokenSketchOfTokens(
+        toks, "token", eps, confidence = 0.999, seed = 42)
+      val slack = math.ceil(eps * sketch.totalCount()).toLong
       toks.groupBy(col("token")).agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("token")).limit(20)
         .withColumn("est_n", graft.functions.CmsExprs.cmsEstimate(
@@ -1904,7 +1907,8 @@ object Curation {
          ORDER BY source""",
     // the same four regex passes + six literal replaces, &amp; last;
     // DuckDB regexp_replace takes RE2 inline flags in the pattern and
-    // 'g' for global
+    // 'g' for global. The whitespace class is explicit ([ \t\n\x0B\f\r])
+    // on BOTH sides — Java \s includes VT, RE2 \s does not
     "q87_strip_markup" ->
       """WITH planted AS (
            SELECT source, text ||
@@ -1925,14 +1929,16 @@ object Curation {
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(text,
-                         '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-                       '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                         '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>',
+                         ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>',
+                       ' ', 'g'),
                      '(?s)<!--.*?-->', ' ', 'g'),
                    '<[^>]+>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&#39;', CAST(chr(39) AS VARCHAR)), '&nbsp;', ' '),
                  '&amp;', '&'),
-               '\s+', ' ', 'g')) AS clean
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
            FROM planted)
          SELECT source,
            CAST(sum(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT)

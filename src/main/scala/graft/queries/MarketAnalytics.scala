@@ -199,14 +199,7 @@ object MarketAnalytics {
       val q = out.writeStream.format("memory").queryName(qname)
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
-      // the update-mode memory sink accumulates every per-batch update; a
-      // key's final snapshot is its row with the largest n_rows (strictly
-      // increasing — a group only emits when it received rows)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("symbol")).orderBy(col("n_rows").desc)
-      spark.table(qname)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      finalSnapshot(spark.table(qname), Seq("symbol"), "n_rows")
         .select(
           col("symbol").as("event_type"),
           round(col("sma"), 4).as("sma"),
@@ -242,15 +235,7 @@ object MarketAnalytics {
       val q = out.writeStream.format("memory").queryName(qname)
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
-      // update-mode sink accumulates every per-batch update; the final
-      // snapshot per key is its row with the largest n_ticks (strictly
-      // increasing — a (window, symbol) group only re-emits on new rows)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("window"), col("symbol"))
-        .orderBy(col("n_ticks").desc)
-      spark.table(qname)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      finalSnapshot(spark.table(qname), Seq("window", "symbol"), "n_ticks")
         .select(
           col("symbol").as("event_type"),
           date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
@@ -259,6 +244,23 @@ object MarketAnalytics {
         .orderBy(col("event_type"), col("hour"))
     })
   )
+
+  /** Final state snapshot from an update-mode memory sink: the sink
+    * accumulates every per-batch update, and a key's LAST emission is its
+    * row with the largest `counterCol` — valid because the counter is
+    * strictly increasing per re-emission (a group only re-emits when it
+    * received new rows). Shared by q55, q86 and the streaming specs so
+    * the invariant lives in one place.
+    */
+  private[graft] def finalSnapshot(
+      df: DataFrame, partCols: Seq[String], counterCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col(counterCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   // memory-sink query names must be unique per replay within a session
   // (Verify and Bench both run a query several times)

@@ -282,6 +282,19 @@ class SamplingSpec extends SparkSpec {
     assert(kept(120L) == Set(1L, 2L, 3L, 4L, 5L, 6L)) // everything fits
   }
 
+  test("tokenBudgetCut fails fast on null keys instead of dropping rows") {
+    val bad = Seq(
+      (1L, Option(5L), Option(10L)),
+      (2L, Option.empty[Long], Option(10L))
+    ).toDF("doc_id", "qkey", "nt")
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetCut(bad, "doc_id", "qkey", "nt", 100L).collect()
+    }
+    assert(ex.getMessage.contains("tokenBudgetCut") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tokenBudgetCut")),
+      ex.toString)
+  }
+
   test("tokenBudgetCut equals the single-window reference; broadcast plan") {
     import org.apache.spark.sql.expressions.Window
     val docs = (1 to 500).map { i =>

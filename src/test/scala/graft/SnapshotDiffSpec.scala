@@ -32,6 +32,23 @@ class SnapshotDiffSpec extends SparkSpec {
       "unchanged" -> 2L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("null text classifies by PRESENCE, not digest nullness") {
+    val o = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]), (4L, Option("x")))
+      .toDF("doc_id", "text")
+    val c = Seq((2L, Option.empty[String]), (3L, Option("b")),
+      (4L, Option.empty[String]), (5L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(o, c, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "removed",   // null-free doc gone from cur
+      2L -> "unchanged", // null text on both sides IS equal content
+      3L -> "changed",   // null -> "b"
+      4L -> "changed",   // "x" -> null
+      5L -> "added"))    // null-text doc new in cur
+  }
+
   test("exchanges carry (id, digest) only — raw text never shuffles") {
     val plan = SnapshotDiff.diff(old, cur, "doc_id", "text")
       .queryExecution.executedPlan.toString

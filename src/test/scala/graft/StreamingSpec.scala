@@ -272,12 +272,8 @@ class StreamingSpec extends SparkSpec {
         input.addData(batch: _*)
         q.processAllAvailable()
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("window"), col("symbol"))
-        .orderBy(col("n_ticks").desc)
-      val streamed = spark.table("stream_ohlc")
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      val streamed = graft.queries.MarketAnalytics.finalSnapshot(
+          spark.table("stream_ohlc"), Seq("window", "symbol"), "n_ticks")
         .select(
           col("symbol"), unix_micros(col("window.start")).as("ws"),
           col("open"), col("high"), col("low"), col("close"),
