@@ -81,9 +81,16 @@ object ScaleBench {
     // across replica vocabularies can push a fingerprint's document
     // frequency over the cap, retiring it from every replica — the
     // boilerplate-suppression semantics working as specified.)
+    // q82/q84/q85/q87 joined in the round-5 continuation: the CMS build
+    // (fixed-size sketch absorbing a 10x stream), the bigram LM (bigram
+    // join volume grows linearly under disjoint vocabularies), the
+    // budget cut (FIXED 50k-token budget — output stays constant while
+    // the scanned corpus grows 10x, so time growth isolates the scan
+    // path), and the markup strip (pure map — the linear floor).
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
-      "q65_corpus_shuffle", "q69_chunk_dedup")
+      "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
+      "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.foreach { q =>
       val (bt, br) = bench(q, baseDir)
