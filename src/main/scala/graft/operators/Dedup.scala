@@ -469,6 +469,107 @@ object Dedup {
           round(col("jaccard"), 4).as("jaccard")): _*)
   }
 
+  /** Cross-corpus (R-S) exact Jaccard join: corpus docs whose n-gram
+    * Jaccard with ANY right-side doc clears `threshold` — the
+    * similarity-based decontamination member of the family (q50's exact
+    * gram join flags ANY shared gram, q67 counts them; this thresholds
+    * the actual set similarity, which is what "the benchmark is
+    * paraphrased in the training set" needs). Same PPJoin machinery as
+    * [[jaccardPairs]] specialised to two relations:
+    *
+    *  - tokens rank under ONE shared order — (combined df, token) from an
+    *    INNER join of the two sides' per-token document frequencies. The
+    *    inner join IS the R-S hapax analogue, and strictly stronger: a
+    *    token absent from either side can never be shared, so it never
+    *    shuffles (on disjoint-vocabulary corpora the prefix exchange is
+    *    empty).
+    *  - ranking over shared-only tokens keeps every filter SOUND: a
+    *    doc's shared-token rank rn' <= its full-order rank rn, so the
+    *    prefix condition rn' <= p and the positional bound
+    *    1 + min(n_a - rn'_a, n_b - rn'_b) both admit a superset of the
+    *    classic PPJoin candidates (n is still the FULL set size) — and
+    *    exact verification then restores precision.
+    *  - no id_a < id_b: the relation is bipartite (corpus_id, right_id).
+    *
+    * Scale shape is jaccardPairs': (block, token-hash, id) longs through
+    * the exchanges, texts never move, verification only on candidates.
+    */
+  def jaccardJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val bcols = blockCols.map(col)
+    def prep(df: DataFrame): DataFrame = df.select(
+        (bcols :+
+          col(idCol).as("id") :+
+          shingles(col(textCol), shingleSize).as("sh")): _*)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", graft.functions.HashExprs.hashedSortedSet(col("sh")))
+      .drop("sh")
+      .transform(graft.CacheScope.persisted)
+    val baseL = prep(left)
+    val baseR = prep(right)
+    def toks(base: DataFrame): DataFrame = base.select(
+      (bcols :+ col("id") :+ size(col("hs")).as("n") :+
+        explode(col("hs")).as("tk")): _*)
+    val toksL = toks(baseL)
+    val toksR = toks(baseR)
+    // shared-token frequency table: inner join of per-side dfs
+    val dfreq = toksL.groupBy((bcols :+ col("tk")): _*)
+      .agg(count(lit(1)).as("dfl"))
+      .join(toksR.groupBy((bcols :+ col("tk")): _*)
+        .agg(count(lit(1)).as("dfr")), blockCols :+ "tk")
+      .withColumn("df", col("dfl") + col("dfr"))
+      .select((bcols :+ col("tk") :+ col("df")): _*)
+      // persisted: feeds BOTH sides' prefix joins (shared-vocab sized)
+      .transform(graft.CacheScope.persisted)
+    val byDoc = Window
+      .partitionBy((bcols :+ col("id")): _*)
+      .orderBy(col("df"), col("tk"))
+    val c = threshold / (1.0 + threshold)
+    def prefix(t: DataFrame): DataFrame = t.join(dfreq, blockCols :+ "tk")
+      .withColumn("rn", row_number().over(byDoc))
+      // same 1e-9 ceil guard as jaccardPairs; n is the FULL set size, so
+      // the subset-ranked prefix is a superset of the classic one
+      .filter(col("rn") <=
+        col("n") - ceil(col("n") * c - 1e-9) + 1)
+      .select((bcols :+ col("id") :+ col("n") :+ col("rn") :+ col("tk")): _*)
+    val candidates = prefix(toksL)
+      .toDF((blockCols :+ "id_a" :+ "n_a" :+ "rn_a" :+ "tk"): _*)
+      .join(prefix(toksR)
+        .toDF((blockCols :+ "id_b" :+ "n_b" :+ "rn_b" :+ "tk"): _*),
+        blockCols :+ "tk")
+      .filter(
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * threshold - 1e-9 &&
+        (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")))
+          .cast("double") >= (col("n_a") + col("n_b")) * c - 1e-9)
+      .select((bcols :+ col("id_a") :+ col("id_b")): _*)
+      .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
+    val inter = graft.functions.HashExprs.sortedIntersectSize(
+      col("hs_a"), col("hs_b"))
+    candidates
+      .join(
+        baseL.select((bcols :+ col("id").as("id_a") :+ col("hs").as("hs_a")): _*),
+        blockCols :+ "id_a")
+      .join(
+        baseR.select((bcols :+ col("id").as("id_b") :+ col("hs").as("hs_b")): _*),
+        blockCols :+ "id_b")
+      .withColumn("inter", inter)
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(
+        (bcols :+ col("id_a") :+ col("id_b") :+
+          round(col("jaccard"), 4).as("jaccard")): _*)
+  }
+
   /** Connected components over an undirected pair relation — the step that
     * turns near-duplicate PAIRS (minhash/simhash/jaccard output) into
     * dedup CLUSTERS. Returns (id, component) where component = the

@@ -689,6 +689,28 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Similarity-based decontamination: corpus docs whose token-set
+    // Jaccard with ANY benchmark doc >= 0.9, via the R-S PPJoin
+    // (Dedup.jaccardJoin). Benchmark = every 17th doc with one appended
+    // token (J = n/(n+1) against its source, plus whatever organic
+    // near-dups clear the bar — both engines see the same relation).
+    // Per-pair jaccards anchor at round(4) -> DECIMAL before the sum so
+    // the aggregate is order-independent in both engines.
+    "q88_sim_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("text", concat(col("text"), lit(" canary")))
+      Dedup.jaccardJoin(docs, bench, "doc_id", "text",
+          blockCols = Seq("lang"), shingleSize = 1, threshold = 0.9)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_a")).as("n_flagged"),
+          sum(col("jaccard").cast("decimal(10,4)")).cast("double")
+            .as("sim_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // HTML/markup stripping over deterministically planted tag soup
     // (script-with-contents, comments, tags, the five core entities).
     // Both engines run the same RE2-subset patterns + literal replaces;
@@ -1905,6 +1927,32 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // brute-force R-S Jaccard within each lang block — the operator's
+    // prefix/length/positional filters must reproduce this exactly
+    "q88_sim_decontam" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS s
+           FROM documents),
+         b AS (
+           SELECT doc_id, lang,
+             list_distinct(list_filter(
+               string_split_regex(text || ' canary', '\s+'),
+               x -> x <> '')) AS s
+           FROM documents WHERE doc_id % 17 = 0),
+         p AS (
+           SELECT c.lang, c.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(c.s, b.s)) * 1.0 /
+               (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) AS j
+           FROM c JOIN b ON c.lang = b.lang
+           WHERE len(c.s) > 0 AND len(b.s) > 0)
+         SELECT lang, count(*) AS n_pairs,
+           count(DISTINCT id_a) AS n_flagged,
+           CAST(sum(CAST(round(j, 4) AS DECIMAL(10,4))) AS DOUBLE)
+             AS sim_sum
+         FROM p WHERE j >= 0.9
+         GROUP BY lang ORDER BY lang""",
     // the same four regex passes + six literal replaces, &amp; last;
     // DuckDB regexp_replace takes RE2 inline flags in the pattern and
     // 'g' for global. The whitespace class is explicit ([ \t\n\x0B\f\r])

@@ -220,6 +220,62 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 0.5)))
   }
 
+  test("jaccardJoin equals the brute-force R-S relation exactly") {
+    val rng = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"w$i")
+    // random corpora with heavy vocab overlap -> rich similarity spectrum
+    def mkDocs(n: Int, base: Long) = (0 until n).map { i =>
+      val k = 4 + rng.nextInt(8)
+      (base + i, Seq.fill(k)(vocab(rng.nextInt(vocab.size))).mkString(" "),
+        if (i % 2 == 0) "en" else "de")
+    }
+    val leftRows = mkDocs(40, 1000L)
+    // right side: perturbed copies of some left docs (one token appended /
+    // first token dropped — guaranteed high-Jaccard pairs) plus randoms
+    val rightRows = leftRows.take(8).zipWithIndex.map { case ((_, s, lang), i) =>
+      val s2 = if (i % 2 == 0) s + " extra"
+               else s.split(" ").drop(1).mkString(" ")
+      (3000L + i, s2, lang)
+    } ++ mkDocs(7, 2000L)
+    val left = leftRows.toDF("doc_id", "text", "lang")
+    val right = rightRows.toDF("doc_id", "text", "lang")
+    val t = 0.5
+    val got = Dedup.jaccardJoin(left, right, "doc_id", "text",
+        Seq("lang"), 1, t)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the token sets
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, String)].collect()
+      .map { case (id, s, lang) =>
+        (id, lang, s.split("\\s+").filter(_.nonEmpty).toSet) }
+    val brute = (for {
+      (ia, la, sa) <- sets(left)
+      (ib, lb, sb) <- sets(right)
+      if la == lb && sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= t
+    } yield (ia, ib, math.rint(j * 10000) / 10000)).toSet
+    assert(got == brute,
+      s"missing=${brute -- got}\nextra=${got -- brute}")
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs")
+  }
+
+  test("jaccardJoin on disjoint vocabularies shuffles an empty prefix") {
+    val left = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    val right = Seq((2L, "x y z", "en")).toDF("doc_id", "text", "lang")
+    val out = Dedup.jaccardJoin(left, right, "doc_id", "text",
+      Seq("lang"), 1, 0.1)
+    assert(out.count() == 0)
+    // the shared-df inner join leaves nothing: identical docs on ONE side
+    // only are never candidates either
+    val sameSide = Dedup.jaccardJoin(
+      Seq((1L, "a b c", "en"), (3L, "a b c", "en"))
+        .toDF("doc_id", "text", "lang"),
+      right, "doc_id", "text", Seq("lang"), 1, 0.1)
+    assert(sameSide.count() == 0)
+  }
+
   test("connectedComponents: chains, cliques, and isolated pairs") {
     // components: {1,2,3,4} (a chain), {10,11,12} (a triangle), {20,21}
     val pairs = Seq(
