@@ -89,6 +89,30 @@ object GraftExtensions {
         case Seq(a, b) => graft.functions.VecExprs.CosineSim(a, b)
         case _ => throw new IllegalArgumentException(
           "cosine_sim(a array<double>, b array<double>)")
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NormalizeExprs.UnicodeNormalize].getName,
+        "nfc_normalize"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => graft.functions.NormalizeExprs.UnicodeNormalize(c, "NFC")
+        case _ => throw new IllegalArgumentException("nfc_normalize(s string)")
+      }),
+    (FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NormalizeExprs.UnicodeNormalize].getName,
+        "nfkc_normalize"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => graft.functions.NormalizeExprs.UnicodeNormalize(c, "NFKC")
+        case _ => throw new IllegalArgumentException("nfkc_normalize(s string)")
+      }),
+    (FunctionIdentifier("ohlc_bar"),
+      new ExpressionInfo(classOf[graft.functions.OhlcAggExpr].getName,
+        "ohlc_bar"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(o1, o2, price) => graft.functions.OhlcAggExpr(o1, o2, price)
+        case _ => throw new IllegalArgumentException(
+          "ohlc_bar(ord1 long, ord2 long, price double)")
       }))
 
   /** Register on a live session (idempotent). */

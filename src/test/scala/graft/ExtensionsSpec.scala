@@ -76,4 +76,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaApi)
     assert(viaSql.nonEmpty)
   }
+
+  test("sql nfc/nfkc_normalize match the column API") {
+    GraftExtensions.register(spark)
+    // escapes, not glyphs: composed and decomposed render identically
+    val dec = "cafe\u0301"  // decomposed e + combining acute
+    val comp = "caf\u00E9"  // precomposed
+    val lig = "\uFB01le"    // fi-ligature, folds under NFKC only
+    val got = spark.sql(
+      s"SELECT nfc_normalize('$dec'), nfkc_normalize('$lig'), " +
+        s"nfc_normalize('$lig')")
+      .as[(String, String, String)].head()
+    assert(got == ((comp, "file", lig)))
+  }
+
+  test("sql ohlc_bar aggregate matches the operator API") {
+    GraftExtensions.register(spark)
+    val ticks = Seq(
+      ("A", 10L, 1L, 5.0, 2L), ("A", 30L, 2L, 9.0, 1L),
+      ("A", 20L, 3L, 1.0, 3L), ("B", 10L, 4L, 2.0, 5L)
+    ).toDF("symbol", "ts", "id", "price", "volume")
+    ticks.createOrReplaceTempView("ext_ticks")
+    val viaSql = spark.sql(
+      """SELECT symbol, b.open, b.high, b.low, b.close
+         FROM (SELECT symbol, ohlc_bar(ts, id, price) AS b
+               FROM ext_ticks GROUP BY symbol)""")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    val viaApi = graft.operators.Ohlc.bars(
+        ticks.withColumn("bucket", lit("all")),
+        Seq("symbol"), "bucket", "price", "volume", Seq("ts", "id"))
+      .select("symbol", "open", "high", "low", "close")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    assert(viaSql == viaApi)
+    assert(viaSql == Set(("A", 5.0, 9.0, 1.0, 9.0), ("B", 2.0, 2.0, 2.0, 2.0)))
+  }
 }
