@@ -258,6 +258,91 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: OHLC buffer merge is order- and split-invariant") {
+    // the TypedImperativeAggregate contract: any grouping of the rows
+    // into partial buffers, merged in any order, equals the single-pass
+    // candle — proven here directly on the Buf algebra with random
+    // splits (the Spark-level version is OhlcSpec's repartition test)
+    val rowsGen = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 9L),
+        Gen.chooseNum(1.0, 500.0))))
+    forAll(rowsGen, n = 8) { raw =>
+      // ordinal tuples must be unique per the operator contract
+      val rows = raw.zipWithIndex
+        .map { case ((o1, _, p), i) => (o1, i.toLong, math.rint(p * 100) / 100) }
+      whenever(rows.nonEmpty) {
+        import graft.functions.OhlcAggExpr.Buf
+        def observeAll(rs: Seq[(Long, Long, Double)]): Buf = {
+          val b = new Buf()
+          rs.foreach { case (o1, o2, p) => b.observe(o1, o2, p) }
+          b
+        }
+        val single = observeAll(rows)
+        val rng = new scala.util.Random(rows.length * 31 + 7)
+        val shuffled = rng.shuffle(rows)
+        val k = 1 + rng.nextInt(math.min(5, rows.length))
+        val parts = shuffled.grouped(
+          math.max(1, (rows.length + k - 1) / k)).map(observeAll).toSeq
+        val merged = parts.reduce { (a, b) => a.mergeFrom(b); a }
+        assert((merged.open, merged.high, merged.low, merged.close,
+          merged.n) ==
+          ((single.open, single.high, single.low, single.close, single.n)))
+      }
+    }
+  }
+
+  test("property: stripMarkup removes every tag; idempotent off entities") {
+    // entity-free alphabet: unescaping is deliberately single-pass (the
+    // "&amp;lt;" -> "&lt;" case is pinned non-idempotent in the unit
+    // spec), so the idempotence property holds on tag/word soup only
+    val fragGen: Gen[String] = {
+      val word = Gen.oneOf("alpha", "beta", "gamma", "x1", "q-2")
+      val tag = Gen.oneOf("<b>", "</b>", "<p class=\"z\">", "</p>",
+        "<!-- c -->", "<script>v=1;</script>", "<br/>",
+        "<style>p{}</style>")
+      Gen.chooseNum(1, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(word, tag)).map(_.mkString(" ")))
+    }
+    forAll(fragGen, n = 8) { html =>
+      val out = Seq(Tuple1(html)).toDF("t")
+        .select(
+          graft.operators.TextAnalysis.stripMarkup($"t").as("once"))
+        .withColumn("twice",
+          graft.operators.TextAnalysis.stripMarkup($"once"))
+        .withColumn("nfc1", graft.functions.NormalizeExprs.nfc($"once"))
+        .withColumn("nfc2", graft.functions.NormalizeExprs.nfc($"nfc1"))
+        .as[(String, String, String, String)].head()
+      val (once, twice, nfc1, nfc2) = out
+      assert(!once.contains("<") && !once.contains(">"), once)
+      assert(twice == once, "strip not idempotent on entity-free input")
+      assert(nfc1 == nfc2, "nfc not idempotent")
+    }
+  }
+
+  test("property: tokenBudgetCut equals the global-window prefix for random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(1L, 30L))))
+    forAll(docsGen, n = 6) { raw =>
+      val rows = raw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("doc_id", "qkey", "nt")
+        val total = rows.map(_._3).sum
+        val budget = (total * (rows.length % 3 + 1)) / 4 // 25/50/75%
+        val ref = df.withColumn("cum", sum($"nt").over(
+            Window.orderBy($"qkey".desc, $"doc_id")))
+          .filter($"cum" <= budget).select("doc_id")
+          .as[Long].collect().toSet
+        val got = graft.operators.Sampling
+          .tokenBudgetCut(df.repartition(3), "doc_id", "qkey", "nt", budget)
+          .select("doc_id").as[Long].collect().toSet
+        assert(got == ref, s"budget=$budget rows=$rows")
+      }
+    }
+  }
+
   test("property: connectedComponents labels are closed under the pair relation") {
     val edgesGen = Gen.chooseNum(1, 60).flatMap(n =>
       Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))))
