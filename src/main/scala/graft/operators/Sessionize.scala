@@ -44,4 +44,31 @@ object Sessionize {
       .agg(
         max(col("session_id")).as("n_sessions"),
         count(lit(1)).as("n_events"))
+
+  /** Inter-arrival gap statistics per key — the feed-health /
+    * microstructure profile (is a symbol's tick stream bursty, stalled,
+    * or steady; which users go quiet). Gaps are raw ns-epoch differences
+    * of CONSECUTIVE events in (orderBy) order, so every statistic here is
+    * exact integer arithmetic — min/max/sum replicate in any engine, and
+    * the mean is one IEEE double division of two exact int64s, which is
+    * bit-identical wherever computed (same operands, same operation).
+    * One window shuffle on the key, then a hash agg.
+    */
+  def gapStats(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      orderBy: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderBy.map(col): _*)
+    df.withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap"),
+        max(col("__gap")).as("max_gap"),
+        sum(col("__gap")).as("total_gap"),
+        round(sum(col("__gap")).cast("double") /
+          count(lit(1)).cast("double"), 2).as("avg_gap"))
+  }
 }

@@ -210,6 +210,23 @@ object MarketAnalytics {
         .orderBy(col("event_type"))
     }),
 
+    // Inter-arrival gap profile per event_type — the feed-health
+    // counterpart of q17's per-user sessions: consecutive gaps in
+    // (ts, event_id) order, all-integer stats, mean as one IEEE division
+    // of exact int64s (bit-identical in any engine). Gaps are anchored
+    // at µs granularity (ts div 1000) because the oracle engine reads
+    // TIMESTAMP(NANOS) parquet at µs precision — the same ns→µs
+    // presentation bound as F7; the operator itself is unit-agnostic
+    // (the specs drive it at full ns).
+    "q89_gap_stats" -> ((s, dir) =>
+      Sessionize.gapStats(
+          t(s, dir, "events")
+            .withColumn("ts_us", call_function("div", col("ts"), lit(1000L))),
+          keyCol = "event_type",
+          tsCol = "ts_us",
+          orderBy = Seq("ts_us", "event_id"))
+        .orderBy(col("event_type"))),
+
     // §2.7 gate #2: the CANDLE algebra's batch/stream parity, proven the
     // same way q55 proves the indicator algebra's — the events table is
     // replayed as a real multi-batch Structured Streaming run through
@@ -405,6 +422,21 @@ object MarketAnalytics {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY hour ORDER BY hour""",
+    "q89_gap_stats" ->
+      """WITH g AS (
+           SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         )
+         SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap,
+           CAST(max(gap) AS BIGINT) AS max_gap,
+           CAST(sum(gap) AS BIGINT) AS total_gap,
+           round(CAST(sum(gap) AS DOUBLE) / count(*), 2) AS avg_gap
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     // open/close replicated via rn=1 / rn=n over the same (ts, event_id)
     // order the native candle aggregate's ordinal tuple encodes
     "q80_ohlc_bars" -> ohlcOracle,

@@ -279,6 +279,28 @@ class SessionizeSpec extends SparkSpec {
       (3L, "https://a.example.org/z", "a.example.org")), out.toString)
   }
 
+  test("gapStats: exact consecutive gaps, keys with one event drop out") {
+    val events = Seq(
+      ("A", 100L, 1L), ("A", 130L, 2L), ("A", 190L, 3L), // gaps 30, 60
+      ("B", 500L, 4L) // single event -> no gaps -> absent
+    ).toDF("event_type", "ts", "event_id")
+    val got = Sessionize.gapStats(events, "event_type", "ts",
+        Seq("ts", "event_id"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 2L, 30L, 60L, 90L, 45.0)))
+  }
+
+  test("gapStats: equal-ts events tie-break on the second order column") {
+    val events = Seq(
+      ("A", 100L, 2L), ("A", 100L, 1L), ("A", 101L, 3L)
+    ).toDF("event_type", "ts", "event_id")
+    // order: (100,1), (100,2), (101,3) -> gaps 0, 1
+    val got = Sessionize.gapStats(events, "event_type", "ts",
+        Seq("ts", "event_id"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 2L, 0L, 1L, 1L, 0.5)))
+  }
+
   test("session ids are 1-based and monotone in time") {
     val events = Seq((1L, 0L), (1L, 500L), (1L, 510L), (1L, 2000L))
       .toDF("user_id", "ts")
