@@ -267,6 +267,31 @@ object TextAnalysis {
           .as("avg_log2_prob"))
   }
 
+  /** Character-class profile — the encoding audit a multilingual corpus
+    * runs before tokenizer training (how much of each source is letters
+    * vs digits vs punctuation; which slices carry non-ASCII and need
+    * script-aware handling). Each count is length(text) minus the length
+    * with that class removed — pure codegen'd projections, all integer,
+    * every class in the Java-regex/RE2 common subset ([[:punct:]] is the
+    * oracle spelling of \p{Punct}; whitespace is the explicit class —
+    * Java \s has VT, RE2 \s does not; non-ASCII is the complement of
+    * \x00-\x7F). Returns (id, n_chars, n_letters, n_digits, n_punct,
+    * n_ws, n_non_ascii).
+    */
+  def charClasses(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def n(cls: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls, ""))).cast("long")
+    df.select(
+      col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      n("[A-Za-z]").as("n_letters"),
+      n("[0-9]").as("n_digits"),
+      n("[\\p{Punct}]").as("n_punct"),
+      n("[ \\t\\n\\x0B\\f\\r]").as("n_ws"),
+      n("[^\\x00-\\x7F]").as("n_non_ascii"))
+  }
+
   /** HTML/markup stripping — the text-extraction stage between a raw web
     * crawl and every operator above (quality scores, n-grams and dedup
     * keys are garbage when half the "tokens" are tag soup). Four passes,

@@ -689,6 +689,30 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Character-class encoding audit with planted non-ASCII (the base
+    // corpus is pure-ASCII word soup; the plant gives the non-ASCII
+    // column real signal). All-integer per-class counts.
+    "q90_char_classes" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" na\u00EFve 3.14!"))
+          .otherwise(lit(""))))
+      TextAnalysis.charClasses(planted, "doc_id", "text")
+        .join(planted.select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_chars")).as("chars"),
+          sum(col("n_letters")).as("letters"),
+          sum(col("n_digits")).as("digits"),
+          sum(col("n_punct")).as("punct"),
+          sum(col("n_ws")).as("ws"),
+          sum(col("n_non_ascii")).as("non_ascii"),
+          sum(when(col("n_non_ascii") > 0, 1L).otherwise(0L))
+            .as("n_docs_non_ascii"))
+        .orderBy(col("source"))
+    }),
+
     // Similarity-based decontamination: corpus docs whose token-set
     // Jaccard with ANY benchmark doc >= 0.9, via the R-S PPJoin
     // (Dedup.jaccardJoin). Benchmark = every 17th doc with one appended
@@ -1927,6 +1951,38 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // chr(239) = U+00EF (i-diaeresis); [[:punct:]] is RE2's spelling of
+    // Java \p{Punct}; whitespace class explicit on both sides
+    "q90_char_classes" ->
+      """WITH planted AS (
+           SELECT source, doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' na' || chr(239) || 've 3.14!' ELSE '' END AS text
+           FROM documents),
+         m AS (
+           SELECT source,
+             length(text) AS c,
+             length(text) - length(regexp_replace(text,
+               '[A-Za-z]', '', 'g')) AS l,
+             length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS d,
+             length(text) - length(regexp_replace(text,
+               '[[:punct:]]', '', 'g')) AS p,
+             length(text) - length(regexp_replace(text,
+               '[ \t\n\x0B\f\r]', '', 'g')) AS w,
+             length(text) - length(regexp_replace(text,
+               '[^\x00-\x7F]', '', 'g')) AS na
+           FROM planted)
+         SELECT source,
+           CAST(sum(c) AS BIGINT) AS chars,
+           CAST(sum(l) AS BIGINT) AS letters,
+           CAST(sum(d) AS BIGINT) AS digits,
+           CAST(sum(p) AS BIGINT) AS punct,
+           CAST(sum(w) AS BIGINT) AS ws,
+           CAST(sum(na) AS BIGINT) AS non_ascii,
+           CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_non_ascii
+         FROM m GROUP BY source ORDER BY source""",
     // brute-force R-S Jaccard within each lang block — the operator's
     // prefix/length/positional filters must reproduce this exactly
     "q88_sim_decontam" ->

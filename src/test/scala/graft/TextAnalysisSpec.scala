@@ -279,6 +279,18 @@ class SessionizeSpec extends SparkSpec {
       (3L, "https://a.example.org/z", "a.example.org")), out.toString)
   }
 
+  test("charClasses: hand-computed counts incl. non-ASCII and VT") {
+    // "Ab 1.x<e-acute><VT>" -> chars 8, letters 3 (A,b,x), digits 1,
+    // punct 1 (.), ws 2 (space + VT), non-ascii 1 (é)
+    val df = Seq((1L, "Ab 1.x\u00E9\u000B"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.charClasses(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 8L, 3L, 1L, 1L, 2L, 1L),
+      (2L, 0L, 0L, 0L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("gapStats: exact consecutive gaps, keys with one event drop out") {
     val events = Seq(
       ("A", 100L, 1L), ("A", 130L, 2L), ("A", 190L, 3L), // gaps 30, 60
