@@ -348,6 +348,54 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-corpus passage matching: corpus docs sharing >= `minShared`
+    * winnowed fingerprints with a REFERENCE document — the contiguous-
+    * overlap decontamination member ([[jaccardJoin]] thresholds bag
+    * overlap; this catches a verbatim-ish benchmark PASSAGE pasted into
+    * a long training document, where whole-document similarity stays
+    * low). By the winnowing guarantee, any shared token run of length
+    * >= k + window - 1 yields a shared fingerprint.
+    *
+    * The stop-fingerprint cap applies to the CORPUS side only: that is
+    * where boilerplate lives (a fingerprint shared by thousands of
+    * corpus docs says "template", not "leak"), and the reference set is
+    * small and curated. Shuffles carry (block, fp, id) longs; the pair
+    * aggregation is a hash agg — the inverted-index probe shape, with
+    * the reference fingerprint table small enough to broadcast at any
+    * corpus scale.
+    */
+  def winnowedPassageMatchesAgainst(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String] = Nil,
+      k: Int = 3,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val bcols = blockCols.map(col)
+    def fpsOf(df: DataFrame): DataFrame = df.select(
+      (bcols :+ col(idCol).as("id") :+
+        explode(TextAnalysis.winnowedFingerprints(col(textCol), k, window))
+          .as("fp")): _*)
+    // persisted: feeds the corpus-side frequency cap and the probe join
+    val corpusFps = fpsOf(corpus).transform(graft.CacheScope.persisted)
+    val rare = corpusFps.groupBy((bcols :+ col("fp")): _*)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select((bcols :+ col("fp")): _*)
+    corpusFps.join(rare, blockCols :+ "fp")
+      .select((bcols :+ col("fp") :+ col("id").as("id_a")): _*)
+      .join(
+        fpsOf(reference)
+          .select((bcols :+ col("fp") :+ col("id").as("id_b")): _*),
+        blockCols :+ "fp")
+      .groupBy((bcols :+ col("id_a") :+ col("id_b")): _*)
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact pairwise n-gram Jaccard >= threshold within a blocking key, via
     * prefix-filtered set-similarity join (the PPJoin family): instead of the
     * quadratic block-wise cross join, a pair is a candidate only if the two

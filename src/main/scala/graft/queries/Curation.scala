@@ -689,6 +689,33 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Reference-passage decontamination: corpus docs sharing winnowed
+    // fingerprints with a benchmark PASSAGE (tokens 5-14 of every 23rd
+    // doc — a 10-token run clears the k+w-1 = 6 winnowing guarantee, so
+    // every source doc shares >= 1 fingerprint with its own passage;
+    // minShared = 2 then filters accidental single-fingerprint
+    // collisions, trading that guarantee for precision — exactly the
+    // knob a real pipeline turns). Contiguous-overlap complement of
+    // q88's bag-overlap join; corpus-side stop-fingerprint cap.
+    "q91_ref_passages" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val ref = docs.filter(col("doc_id") % 23 === 0)
+        .filter(size(toks) >= 14)
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", slice(toks, lit(5), lit(10))).as("text"))
+      Dedup.winnowedPassageMatchesAgainst(docs, ref, "doc_id", "text",
+          blockCols = Seq("lang"), k = 3, window = 4,
+          minShared = 2, maxDf = 100)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_a")).as("n_corpus_flagged"),
+          countDistinct(col("id_b")).as("n_refs_matched"),
+          sum(col("n_shared")).as("shared_total"))
+        .orderBy(col("lang"))
+    }),
+
     // Character-class encoding audit with planted non-ASCII (the base
     // corpus is pure-ASCII word soup; the plant gives the non-ASCII
     // column real signal). All-integer per-class counts.
@@ -1951,6 +1978,75 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // the q58 winnowing CTE run twice: once over full corpus docs, once
+    // over the sliced reference passages (l[5:14], 1-based inclusive ==
+    // Spark slice(toks, 5, 10)); stop-fingerprint cap on the corpus side
+    "q91_ref_passages" ->
+      """WITH toks AS (
+           SELECT lang, doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         grams AS (
+           SELECT lang, doc_id,
+             [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] AS gs
+           FROM toks),
+         hashes AS (
+           SELECT lang, doc_id,
+             [list_reduce([CAST(unicode(g[j]) AS BIGINT)
+                           for j in range(1, length(g)+1)],
+                          (a, b) -> (a * 257 + b) % 2147483647)
+              for g in gs] AS hs
+           FROM grams),
+         winnowed AS (
+           SELECT lang, doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 4 THEN [list_min(hs)]
+                  ELSE [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+             END AS mins
+           FROM hashes),
+         fp AS (
+           SELECT lang, doc_id, unnest(list_distinct(mins)) AS fp
+           FROM winnowed),
+         rtoks AS (
+           SELECT lang, doc_id, l[5:14] AS l
+           FROM toks WHERE doc_id % 23 = 0 AND len(l) >= 14),
+         rgrams AS (
+           SELECT lang, doc_id,
+             [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] AS gs
+           FROM rtoks),
+         rhashes AS (
+           SELECT lang, doc_id,
+             [list_reduce([CAST(unicode(g[j]) AS BIGINT)
+                           for j in range(1, length(g)+1)],
+                          (a, b) -> (a * 257 + b) % 2147483647)
+              for g in gs] AS hs
+           FROM rgrams),
+         rwinnowed AS (
+           SELECT lang, doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 4 THEN [list_min(hs)]
+                  ELSE [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+             END AS mins
+           FROM rhashes),
+         rfp AS (
+           SELECT lang, doc_id, unnest(list_distinct(mins)) AS fp
+           FROM rwinnowed),
+         rare AS (
+           SELECT lang, fp FROM fp GROUP BY lang, fp HAVING count(*) <= 100),
+         keyed AS (
+           SELECT f.lang, f.doc_id, f.fp
+           FROM fp f JOIN rare r ON f.lang = r.lang AND f.fp = r.fp),
+         pairs AS (
+           SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared
+           FROM keyed a JOIN rfp b
+             ON a.lang = b.lang AND a.fp = b.fp
+           GROUP BY a.lang, id_a, id_b HAVING count(*) >= 2)
+         SELECT lang, count(*) AS n_pairs,
+           count(DISTINCT id_a) AS n_corpus_flagged,
+           count(DISTINCT id_b) AS n_refs_matched,
+           CAST(sum(n_shared) AS BIGINT) AS shared_total
+         FROM pairs GROUP BY lang ORDER BY lang""",
     // chr(239) = U+00EF (i-diaeresis); [[:punct:]] is RE2's spelling of
     // Java \p{Punct}; whitespace class explicit on both sides
     "q90_char_classes" ->

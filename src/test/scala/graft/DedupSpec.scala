@@ -261,6 +261,21 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture produced no qualifying pairs")
   }
 
+  test("winnowedPassageMatchesAgainst finds the doc containing the passage") {
+    // reference passage = 8 tokens lifted verbatim from doc 1; doc 2 is
+    // unrelated. k=3, w=4: the shared run far exceeds k+w-1.
+    val corpus = Seq(
+      (1L, "intro words p1 p2 p3 p4 p5 p6 p7 p8 outro tail"),
+      (2L, "completely different content with other tokens here")
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("doc_id", "text")
+    val got = Dedup.winnowedPassageMatchesAgainst(
+        corpus, ref, "doc_id", "text", Nil, k = 3, window = 4,
+        minShared = 1, maxDf = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)), got.toString)
+  }
+
   test("jaccardJoin on disjoint vocabularies shuffles an empty prefix") {
     val left = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
     val right = Seq((2L, "x y z", "en")).toDF("doc_id", "text", "lang")
