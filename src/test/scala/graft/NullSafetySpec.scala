@@ -71,6 +71,37 @@ class NullSafetySpec extends SparkSpec {
       .first().isNullAt(0))
   }
 
+  test("continuation-batch operators survive degenerate text") {
+    // stripMarkup/charClasses: null propagates null, empty stays zeroed
+    val strip = degenerate.select(
+      $"doc_id", TextAnalysis.stripMarkup($"text").as("s"))
+      .orderBy("doc_id").as[(Long, Option[String])].collect()
+    assert(strip(1)._2.isEmpty)         // null -> null
+    assert(strip(2)._2.contains(""))    // empty -> empty
+    assert(strip(3)._2.contains(""))    // whitespace-only -> trimmed empty
+    val classes = TextAnalysis.charClasses(degenerate, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect()
+    assert(classes(1)._2.isEmpty)        // null text -> null counts
+    assert(classes(2)._2.contains(0L))   // empty -> all-zero counts
+    // bigram LM: docs without two tokens (null/empty/blank) drop out
+    assert(TextAnalysis.bigramLogProb(degenerate, "doc_id", "text")
+      .count() == 1)
+    // gapStats on an empty frame is empty, not a crash
+    val noEvents = spark.emptyDataset[(String, Long, Long)]
+      .toDF("k", "ts", "id")
+    assert(graft.operators.Sessionize.gapStats(noEvents, "k", "ts",
+      Seq("ts", "id")).count() == 0)
+    // snapshot diff where one side is empty: everything added/removed
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(graft.operators.SnapshotDiff.diff(empty, one, "doc_id", "text")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "added")))
+    assert(graft.operators.SnapshotDiff.diff(one, empty, "doc_id", "text")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "removed")))
+  }
+
   test("packing and clustering survive empty inputs") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("doc_id", "n_toks")
     assert(Packing.packSequences(empty, "doc_id", "n_toks", 128L, 4).count() == 0)
