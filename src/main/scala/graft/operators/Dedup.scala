@@ -28,6 +28,97 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     graft.functions.HashExprs.wordShingles(split(textCol, "\\s+"), n)
 
+  // ---- shared PPJoin core (jaccardPairs + jaccardJoin) -------------------
+  // One copy of the machinery both entry points run, so a fix to the ceil
+  // guard, the filter math, or the verification path lands in both.
+
+  /** (block..., id, hs) — the hashed-sorted-set form of each doc's shingle
+    * set, persisted (feeds the token explosion and the verification
+    * joins). See jaccardPairs' scaladoc for the hash-collision bound.
+    */
+  private def hashedSetBase(
+      df: DataFrame, idCol: String, textCol: String,
+      bcols: Seq[Column], shingleSize: Int): DataFrame =
+    df.select(
+        (bcols :+
+          col(idCol).as("id") :+
+          shingles(col(textCol), shingleSize).as("sh")): _*)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", graft.functions.HashExprs.hashedSortedSet(col("sh")))
+      .drop("sh")
+      .transform(graft.CacheScope.persisted)
+
+  /** (block..., id, n, tk) — one row per (doc, hashed token). */
+  private def explodedToks(base: DataFrame, bcols: Seq[Column]): DataFrame =
+    base.select(
+      (bcols :+ col("id") :+ size(col("hs")).as("n") :+
+        explode(col("hs")).as("tk")): _*)
+
+  /** PPJoin prefix: rank each doc's tokens under the (df, tk) global
+    * order and keep rank <= n - ceil(n*c) + 1. The 1e-9 guard stops ceil
+    * over a double product from rounding an exact integer up, which
+    * would shorten the prefix and lose recall.
+    */
+  private def ppjoinPrefix(
+      toks: DataFrame, dfreq: DataFrame,
+      bcols: Seq[Column], blockCols: Seq[String], c: Double): DataFrame = {
+    val byDoc = Window
+      .partitionBy((bcols :+ col("id")): _*)
+      .orderBy(col("df"), col("tk"))
+    toks.join(dfreq, blockCols :+ "tk")
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <=
+        col("n") - ceil(col("n") * c - 1e-9) + 1)
+  }
+
+  /** PPJoin length + positional filters over a prefix-token equi-join —
+    * see jaccardPairs' scaladoc for the proofs. `pairPred` adds the
+    * entry point's pair constraint (id_a < id_b for the self-join, none
+    * for the bipartite join).
+    */
+  private def ppjoinCandidates(
+      prefixA: DataFrame, prefixB: DataFrame,
+      bcols: Seq[Column], blockCols: Seq[String],
+      threshold: Double, c: Double,
+      pairPred: Column): DataFrame =
+    prefixA.toDF((blockCols :+ "id_a" :+ "n_a" :+ "rn_a" :+ "tk"): _*)
+      .join(prefixB.toDF((blockCols :+ "id_b" :+ "n_b" :+ "rn_b" :+ "tk"): _*),
+        blockCols :+ "tk")
+      .filter(pairPred &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * threshold - 1e-9 &&
+        (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")))
+          .cast("double") >= (col("n_a") + col("n_b")) * c - 1e-9)
+      .select((bcols :+ col("id_a") :+ col("id_b")): _*)
+      .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
+
+  /** Exact verification: one allocation-free merge pass per candidate,
+    * |A∪B| = |A| + |B| - |A∩B|, emit pairs clearing the threshold.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, baseA: DataFrame, baseB: DataFrame,
+      bcols: Seq[Column], blockCols: Seq[String],
+      threshold: Double): DataFrame = {
+    val inter = graft.functions.HashExprs.sortedIntersectSize(
+      col("hs_a"), col("hs_b"))
+    candidates
+      .join(
+        baseA.select((bcols :+ col("id").as("id_a") :+ col("hs").as("hs_a")): _*),
+        blockCols :+ "id_a")
+      .join(
+        baseB.select((bcols :+ col("id").as("id_b") :+ col("hs").as("hs_b")): _*),
+        blockCols :+ "id_b")
+      .withColumn("inter", inter)
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(
+        (bcols :+ col("id_a") :+ col("id_b") :+
+          round(col("jaccard"), 4).as("jaccard")): _*)
+  }
+
   /** Exact duplicate groups: md5 digest of normalized content. Returns
     * (digest, n_copies, ids) for groups with more than one member, where
     * `ids` is the `maxIds` SMALLEST member ids (sorted) — a deterministic
@@ -317,6 +408,17 @@ object Dedup {
     * aggregation is a hash agg on id pairs. The standard inverted-index
     * match shape, same as the decontamination join.
     */
+  /** (block..., id, fp) — one row per distinct winnowed fingerprint per
+    * doc; shared by the self-join and cross-corpus passage matchers.
+    */
+  private def winnowFps(
+      df: DataFrame, idCol: String, textCol: String,
+      bcols: Seq[Column], k: Int, window: Int): DataFrame =
+    df.select(
+      (bcols :+ col(idCol).as("id") :+
+        explode(TextAnalysis.winnowedFingerprints(col(textCol), k, window))
+          .as("fp")): _*)
+
   def winnowedPassageMatches(
       df: DataFrame,
       idCol: String,
@@ -328,10 +430,7 @@ object Dedup {
       maxDf: Int = 1000): DataFrame = {
     val bcols = blockCols.map(col)
     // persisted: feeds the frequency count and both join sides
-    val fps = df.select(
-      (bcols :+ col(idCol).as("id") :+
-        explode(TextAnalysis.winnowedFingerprints(col(textCol), k, window))
-          .as("fp")): _*)
+    val fps = winnowFps(df, idCol, textCol, bcols, k, window)
       .transform(graft.CacheScope.persisted)
     val rare = fps.groupBy((bcols :+ col("fp")): _*)
       .agg(count(lit(1)).as("df"))
@@ -375,12 +474,21 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 1000): DataFrame = {
     val bcols = blockCols.map(col)
-    def fpsOf(df: DataFrame): DataFrame = df.select(
-      (bcols :+ col(idCol).as("id") :+
-        explode(TextAnalysis.winnowedFingerprints(col(textCol), k, window))
-          .as("fp")): _*)
-    // persisted: feeds the corpus-side frequency cap and the probe join
-    val corpusFps = fpsOf(corpus).transform(graft.CacheScope.persisted)
+    // persisted: the reference fingerprints feed the pre-filter AND the
+    // probe join (reference sets are small — this is the broadcast table)
+    val refFps = winnowFps(reference, idCol, textCol, bcols, k, window)
+      .transform(graft.CacheScope.persisted)
+    // semi-join the corpus fingerprints to the reference set BEFORE the
+    // frequency count: only fingerprints present in the reference can
+    // reach the output, and per-fp corpus df is unchanged for survivors
+    // (the semi-join drops whole fp groups, never rows within one), so
+    // the cap decision is identical — while the df aggregation input
+    // shrinks from the full corpus fingerprint set to the tiny slice
+    // that can actually match. Persisted: feeds the cap and the probe.
+    val corpusFps = winnowFps(corpus, idCol, textCol, bcols, k, window)
+      .join(refFps.select((bcols :+ col("fp")): _*).distinct(),
+        blockCols :+ "fp", "left_semi")
+      .transform(graft.CacheScope.persisted)
     val rare = corpusFps.groupBy((bcols :+ col("fp")): _*)
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -388,8 +496,7 @@ object Dedup {
     corpusFps.join(rare, blockCols :+ "fp")
       .select((bcols :+ col("fp") :+ col("id").as("id_a")): _*)
       .join(
-        fpsOf(reference)
-          .select((bcols :+ col("fp") :+ col("id").as("id_b")): _*),
+        refFps.select((bcols :+ col("fp") :+ col("id").as("id_b")): _*),
         blockCols :+ "fp")
       .groupBy((bcols :+ col("id_a") :+ col("id_b")): _*)
       .agg(count(lit(1)).as("n_shared"))
@@ -423,42 +530,31 @@ object Dedup {
       blockCols: Seq[String],
       shingleSize: Int,
       threshold: Double): DataFrame = {
+    // t <= 0 would promise the full cross product (J = 0 pairs qualify),
+    // which no shared-token join can generate — reject the degenerate
+    // contract instead of silently under-delivering
+    require(threshold > 0 && threshold <= 1,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     val bcols = blockCols.map(col)
-    // persisted: base feeds tokenization and both verification joins,
-    // prefix self-joins with itself (see minhashNearDuplicates note).
-    // `hs` is the hashed-sorted-set form of the shingle set: pairwise
-    // intersection sizes then cost one allocation-free merge pass over long
-    // arrays instead of array_intersect+array_union over strings (measured
-    // ~2x on the whole query at sf0.1). A 61-bit hash collision would
-    // perturb a count with probability ~(n_tokens^2 / 2^61) per pair —
-    // negligible against the corpus (~10^-9 end to end).
-    val base = df.select(
-      (bcols :+
-        col(idCol).as("id") :+
-        shingles(col(textCol), shingleSize).as("sh")): _*)
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", graft.functions.HashExprs.hashedSortedSet(col("sh")))
-      .drop("sh")
-      .transform(graft.CacheScope.persisted)
+    // base is persisted (hashedSetBase): it feeds tokenization and both
+    // verification joins, and the prefix self-joins with itself (see
+    // minhashNearDuplicates note). `hs` is the hashed-sorted-set form of
+    // the shingle set: pairwise intersection sizes then cost one
+    // allocation-free merge pass over long arrays instead of
+    // array_intersect+array_union over strings (measured ~2x on the whole
+    // query at sf0.1). A 61-bit hash collision would perturb a count with
+    // probability ~(n_tokens^2 / 2^61) per pair — negligible against the
+    // corpus (~10^-9 end to end).
+    val base = hashedSetBase(df, idCol, textCol, bcols, shingleSize)
 
     // hashed token -> per-block document frequency (rare-first global
     // order); prefix shuffles carry longs, never strings
-    val toks = base.select(
-      (bcols :+ col("id") :+ size(col("hs")).as("n") :+
-        explode(col("hs")).as("tk")): _*)
+    val toks = explodedToks(base, bcols)
     val dfreq = toks.groupBy((bcols :+ col("tk")): _*)
       .agg(count(lit(1)).as("df"))
 
-    val byDoc = Window
-      .partitionBy((bcols :+ col("id")): _*)
-      .orderBy(col("df"), col("tk"))
     val c = threshold / (1.0 + threshold)
-    val prefix = toks.join(dfreq, blockCols :+ "tk")
-      .withColumn("rn", row_number().over(byDoc))
-      // 1e-9 guard: ceil over a double product must not round an exact
-      // integer up, which would shorten the prefix and lose recall
-      .filter(col("rn") <=
-        col("n") - ceil(col("n") * c - 1e-9) + 1)
+    val prefix = ppjoinPrefix(toks, dfreq, bcols, blockCols, c)
       // hapax pruning: a prefix occurrence of a df=1 token can only ever
       // self-join (killed by id_a < id_b downstream), so it shuffles for
       // nothing. Recall-neutral — any SHARED token has df >= 2 — and on a
@@ -484,37 +580,13 @@ object Dedup {
     // ANY occurrence passes — a superset of classic PPJoin's candidates, so
     // recall is untouched while the pair-dedup shuffle and verification
     // joins shrink.
-    val candidates = prefix.toDF((blockCols :+ "id_a" :+ "n_a" :+ "rn_a" :+ "tk"): _*)
-      .join(prefix.toDF((blockCols :+ "id_b" :+ "n_b" :+ "rn_b" :+ "tk"): _*),
-        blockCols :+ "tk")
-      .filter(col("id_a") < col("id_b") &&
-        least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")) * threshold - 1e-9 &&
-        (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")))
-          .cast("double") >= (col("n_a") + col("n_b")) * c - 1e-9)
-      .select((bcols :+ col("id_a") :+ col("id_b")): _*)
-      .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
+    val candidates = ppjoinCandidates(
+      prefix, prefix, bcols, blockCols, threshold, c,
+      pairPred = col("id_a") < col("id_b"))
 
     // exact verification on candidates only: one merge pass per pair,
     // |A∪B| = |A| + |B| - |A∩B|
-    val inter = graft.functions.HashExprs.sortedIntersectSize(
-      col("hs_a"), col("hs_b"))
-    candidates
-      .join(
-        base.select((bcols :+ col("id").as("id_a") :+ col("hs").as("hs_a")): _*),
-        blockCols :+ "id_a")
-      .join(
-        base.select((bcols :+ col("id").as("id_b") :+ col("hs").as("hs_b")): _*),
-        blockCols :+ "id_b")
-      .withColumn("inter", inter)
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(
-        (bcols :+ col("id_a") :+ col("id_b") :+
-          round(col("jaccard"), 4).as("jaccard")): _*)
+    verifyJaccard(candidates, base, base, bcols, blockCols, threshold)
   }
 
   /** Cross-corpus (R-S) exact Jaccard join: corpus docs whose n-gram
@@ -550,22 +622,14 @@ object Dedup {
       blockCols: Seq[String],
       shingleSize: Int,
       threshold: Double): DataFrame = {
+    // same degenerate-contract rejection as jaccardPairs
+    require(threshold > 0 && threshold <= 1,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     val bcols = blockCols.map(col)
-    def prep(df: DataFrame): DataFrame = df.select(
-        (bcols :+
-          col(idCol).as("id") :+
-          shingles(col(textCol), shingleSize).as("sh")): _*)
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", graft.functions.HashExprs.hashedSortedSet(col("sh")))
-      .drop("sh")
-      .transform(graft.CacheScope.persisted)
-    val baseL = prep(left)
-    val baseR = prep(right)
-    def toks(base: DataFrame): DataFrame = base.select(
-      (bcols :+ col("id") :+ size(col("hs")).as("n") :+
-        explode(col("hs")).as("tk")): _*)
-    val toksL = toks(baseL)
-    val toksR = toks(baseR)
+    val baseL = hashedSetBase(left, idCol, textCol, bcols, shingleSize)
+    val baseR = hashedSetBase(right, idCol, textCol, bcols, shingleSize)
+    val toksL = explodedToks(baseL, bcols)
+    val toksR = explodedToks(baseR, bcols)
     // shared-token frequency table: inner join of per-side dfs
     val dfreq = toksL.groupBy((bcols :+ col("tk")): _*)
       .agg(count(lit(1)).as("dfl"))
@@ -575,47 +639,17 @@ object Dedup {
       .select((bcols :+ col("tk") :+ col("df")): _*)
       // persisted: feeds BOTH sides' prefix joins (shared-vocab sized)
       .transform(graft.CacheScope.persisted)
-    val byDoc = Window
-      .partitionBy((bcols :+ col("id")): _*)
-      .orderBy(col("df"), col("tk"))
     val c = threshold / (1.0 + threshold)
-    def prefix(t: DataFrame): DataFrame = t.join(dfreq, blockCols :+ "tk")
-      .withColumn("rn", row_number().over(byDoc))
-      // same 1e-9 ceil guard as jaccardPairs; n is the FULL set size, so
-      // the subset-ranked prefix is a superset of the classic one
-      .filter(col("rn") <=
-        col("n") - ceil(col("n") * c - 1e-9) + 1)
-      .select((bcols :+ col("id") :+ col("n") :+ col("rn") :+ col("tk")): _*)
-    val candidates = prefix(toksL)
-      .toDF((blockCols :+ "id_a" :+ "n_a" :+ "rn_a" :+ "tk"): _*)
-      .join(prefix(toksR)
-        .toDF((blockCols :+ "id_b" :+ "n_b" :+ "rn_b" :+ "tk"): _*),
-        blockCols :+ "tk")
-      .filter(
-        least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")) * threshold - 1e-9 &&
-        (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")))
-          .cast("double") >= (col("n_a") + col("n_b")) * c - 1e-9)
-      .select((bcols :+ col("id_a") :+ col("id_b")): _*)
-      .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
-    val inter = graft.functions.HashExprs.sortedIntersectSize(
-      col("hs_a"), col("hs_b"))
-    candidates
-      .join(
-        baseL.select((bcols :+ col("id").as("id_a") :+ col("hs").as("hs_a")): _*),
-        blockCols :+ "id_a")
-      .join(
-        baseR.select((bcols :+ col("id").as("id_b") :+ col("hs").as("hs_b")): _*),
-        blockCols :+ "id_b")
-      .withColumn("inter", inter)
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(
-        (bcols :+ col("id_a") :+ col("id_b") :+
-          round(col("jaccard"), 4).as("jaccard")): _*)
+    // n is the FULL set size while ranks run over shared-only tokens, so
+    // each subset-ranked prefix is a superset of the classic one (see
+    // scaladoc) — sound, with exact verification restoring precision
+    def prefix(t: DataFrame): DataFrame =
+      ppjoinPrefix(t, dfreq, bcols, blockCols, c)
+        .select((bcols :+ col("id") :+ col("n") :+ col("rn") :+ col("tk")): _*)
+    val candidates = ppjoinCandidates(
+      prefix(toksL), prefix(toksR), bcols, blockCols, threshold, c,
+      pairPred = lit(true))
+    verifyJaccard(candidates, baseL, baseR, bcols, blockCols, threshold)
   }
 
   /** Connected components over an undirected pair relation — the step that

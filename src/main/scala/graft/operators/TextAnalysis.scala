@@ -275,21 +275,24 @@ object TextAnalysis {
     * every class in the Java-regex/RE2 common subset ([[:punct:]] is the
     * oracle spelling of \p{Punct}; whitespace is the explicit class —
     * Java \s has VT, RE2 \s does not; non-ASCII is the complement of
-    * \x00-\x7F). Returns (id, n_chars, n_letters, n_digits, n_punct,
-    * n_ws, n_non_ascii).
+    * \x00-\x7F). Returns (id, carryCols..., n_chars, n_letters,
+    * n_digits, n_punct, n_ws, n_non_ascii) — `carryCols` pass through so
+    * a per-group rollup needs no join back to the source frame.
     */
-  def charClasses(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def charClasses(
+      df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     def n(cls: String): Column =
       (length(col(textCol)) -
         length(regexp_replace(col(textCol), cls, ""))).cast("long")
     df.select(
-      col(idCol).as("id"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      n("[A-Za-z]").as("n_letters"),
-      n("[0-9]").as("n_digits"),
-      n("[\\p{Punct}]").as("n_punct"),
-      n("[ \\t\\n\\x0B\\f\\r]").as("n_ws"),
-      n("[^\\x00-\\x7F]").as("n_non_ascii"))
+      (col(idCol).as("id") +: carryCols.map(col)) ++ Seq(
+        length(col(textCol)).cast("long").as("n_chars"),
+        n("[A-Za-z]").as("n_letters"),
+        n("[0-9]").as("n_digits"),
+        n("[\\p{Punct}]").as("n_punct"),
+        n("[ \\t\\n\\x0B\\f\\r]").as("n_ws"),
+        n("[^\\x00-\\x7F]").as("n_non_ascii")): _*)
   }
 
   /** HTML/markup stripping — the text-extraction stage between a raw web

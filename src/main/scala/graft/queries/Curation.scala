@@ -724,9 +724,8 @@ object Curation {
         col("text"),
         when(col("doc_id") % 3 === 0, lit(" na\u00EFve 3.14!"))
           .otherwise(lit(""))))
-      TextAnalysis.charClasses(planted, "doc_id", "text")
-        .join(planted.select(col("doc_id").as("id"), col("source")),
-          Seq("id"))
+      TextAnalysis.charClasses(planted, "doc_id", "text",
+          carryCols = Seq("source"))
         .groupBy(col("source"))
         .agg(
           sum(col("n_chars")).as("chars"),
