@@ -45,6 +45,34 @@ object Sessionize {
         max(col("session_id")).as("n_sessions"),
         count(lit(1)).as("n_events"))
 
+  /** Order-invariant session state: the sorted, disjoint closed
+    * intervals the key's events span so far, any two separated by more
+    * than `gap` — so n_sessions is simply the interval count. Late or
+    * out-of-order events are EXACT under this algebra: a timestamp
+    * landing within `gap` of two intervals merges them (the
+    * two-sessions-were-really-one correction no running-counter
+    * formulation can make). State is O(sessions), not O(events).
+    */
+  case class SessionIntervals(
+      starts: Vector[Long], ends: Vector[Long], nEvents: Long)
+
+  /** One timestamp into the interval set. Same-session iff distance <=
+    * gap, matching the batch rule "new session iff ts - prev > gap".
+    */
+  def mergeTs(s: SessionIntervals, ts: Long, gap: Long): SessionIntervals = {
+    val iv = s.starts.zip(s.ends)
+    val (before, rest) = iv.partition(_._2 < ts - gap)
+    val (touching, after) = rest.partition(_._1 <= ts + gap)
+    val merged =
+      (math.min(ts, touching.headOption.map(_._1).getOrElse(ts)),
+        math.max(ts, touching.lastOption.map(_._2).getOrElse(ts)))
+    val out = before ++ Vector(merged) ++ after
+    SessionIntervals(out.map(_._1), out.map(_._2), s.nEvents + 1L)
+  }
+
+  /** Streaming output row: the per-key session stats snapshot. */
+  case class SessionSnapshot(user_id: Long, n_sessions: Long, n_events: Long)
+
   /** Inter-arrival gap statistics per key — the feed-health /
     * microstructure profile (is a symbol's tick stream bursty, stalled,
     * or steady; which users go quiet). Gaps are raw ns-epoch differences

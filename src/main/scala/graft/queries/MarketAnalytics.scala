@@ -227,6 +227,31 @@ object MarketAnalytics {
           orderBy = Seq("ts_us", "event_id"))
         .orderBy(col("event_type"))),
 
+    // §2.7 gate #3: SESSION algebra batch/stream parity. The streaming
+    // side runs the order-invariant interval algebra
+    // (Sessionize.SessionIntervals) — sessions depend only on the
+    // MULTISET of timestamps, so the arbitrary batch order of the replay
+    // (including a late event bridging two intervals into one) converges
+    // exactly to q17's batch oracle, with no ordering assumption at all.
+    "q92_stream_sessions" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val events = t(s, dir, "events")
+      val tmp = replayDir
+      events.repartition(4).write.mode("overwrite").parquet(tmp)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+        .select(col("user_id"), col("ts"))
+      val out = graft.streaming.StreamingEtl.statefulSessions(
+        stream, gap = 1800000000000L)
+      val qname = s"q92_snapshot_${replaySeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      finalSnapshot(spark.table(qname), Seq("user_id"), "n_events")
+        .select(col("user_id"), col("n_sessions"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.7 gate #2: the CANDLE algebra's batch/stream parity, proven the
     // same way q55 proves the indicator algebra's — the events table is
     // replayed as a real multi-batch Structured Streaming run through
@@ -327,6 +352,28 @@ object MarketAnalytics {
          FROM lastrows l LEFT JOIN rsi r ON l.event_type = r.event_type
          ORDER BY l.event_type"""
 
+  // Shared by q17 (batch lag-window sessions) and q92 (streaming replay
+  // through the order-invariant interval algebra): one oracle, two
+  // physical executions. epoch_ns is safe against the oracle engine's
+  // µs read of the ns parquet ONLY because this testdata's timestamps
+  // are all µs-aligned (ns % 1000 == 0, checked at sf0.01 and sf0.1) —
+  // truncation is lossless, so the gap-vs-threshold comparisons agree.
+  // Sub-µs data would need the q89 treatment (anchor both sides at µs).
+  private val sessionOracle: String =
+    """WITH flagged AS (
+         SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                     > 1800000000000
+                THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       )
+       SELECT user_id,
+         CAST(sum(is_new) AS BIGINT) AS n_sessions,
+         count(*) AS n_events
+       FROM flagged GROUP BY user_id ORDER BY user_id"""
+
   // Shared by q80 (batch candle aggregate) and q86 (streaming replay of
   // the same rows through the same OhlcAggExpr): one oracle, two
   // physical executions — the q16/q55 pattern for the candle algebra.
@@ -387,20 +434,10 @@ object MarketAnalytics {
     // parity claim IS "same answer as the batch aggregate", so the oracle
     // is q16's verbatim
     "q55_stream_parity" -> indicatorOracle,
-    "q17_sessionize" ->
-      """WITH flagged AS (
-           SELECT user_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
-                       > 1800000000000
-                  THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         )
-         SELECT user_id,
-           CAST(sum(is_new) AS BIGINT) AS n_sessions,
-           count(*) AS n_events
-         FROM flagged GROUP BY user_id ORDER BY user_id""",
+    "q17_sessionize" -> sessionOracle,
+    // q92 replays the same rows through the interval-algebra state
+    // machine; the parity claim IS "same sessions as the batch window"
+    "q92_stream_sessions" -> sessionOracle,
     "q18_json" ->
       """SELECT event_type,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

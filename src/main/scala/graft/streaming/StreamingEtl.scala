@@ -165,6 +165,40 @@ object StreamingEtl {
       }
   }
 
+  /** Keyed streaming sessionization — the stateful form of
+    * operators.Sessionize.stats, built on the ORDER-INVARIANT interval
+    * algebra (Sessionize.SessionIntervals): each arriving timestamp
+    * merges into the key's disjoint session intervals, and a late event
+    * that lands between two intervals within `gap` of both MERGES them —
+    * the correction a lag()-style running counter can never make, and
+    * what lets q92 replay events in arbitrary batch order and still
+    * match the batch oracle exactly. State is O(sessions) per key.
+    */
+  def statefulSessions(
+      events: DataFrame,
+      gap: Long): org.apache.spark.sql.Dataset[
+        graft.operators.Sessionize.SessionSnapshot] = {
+    import graft.operators.Sessionize.{mergeTs, SessionIntervals, SessionSnapshot}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(
+      col("user_id").cast("long").as("_1"),
+      col("ts").cast("long").as("_2")).as[(Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionIntervals, SessionSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long)],
+            state: GroupState[SessionIntervals]) =>
+          var s = state.getOption.getOrElse(
+            SessionIntervals(Vector.empty, Vector.empty, 0L))
+          it.foreach { case (_, ts) => s = mergeTs(s, ts, gap) }
+          state.update(s)
+          Iterator.single(
+            SessionSnapshot(key, s.starts.length.toLong, s.nEvents))
+      }
+  }
+
   /** Streaming deduplication on business keys, state bounded by the
     * watermark: a duplicate arriving within `watermarkDelay` of the first
     * occurrence's event time is dropped; dedup state is evicted once the

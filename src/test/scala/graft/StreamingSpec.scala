@@ -297,6 +297,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulSessions: late bridging event merges two sessions exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val out = StreamingEtl.statefulSessions(stream, gap = 100L)
+    val q = out.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("update").start()
+    def snapshot(): Map[Long, (Long, Long)] =
+      graft.queries.MarketAnalytics.finalSnapshot(
+          spark.table("stream_sessions"), Seq("user_id"), "n_events")
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    try {
+      // batch 1: two sessions — {0,50} and {220,300}, 170 apart
+      input.addData((1L, 0L), (1L, 50L), (1L, 220L), (1L, 300L))
+      q.processAllAvailable()
+      assert(snapshot()(1L) == ((2L, 4L)))
+      // batch 2: a LATE event at 130 bridges both (80 from 50, 90 from
+      // 220) — the two sessions were really one; a lag-counter can't
+      // make this correction
+      input.addData((1L, 130L), (2L, 1000L))
+      q.processAllAvailable()
+      assert(snapshot() == Map(1L -> ((1L, 5L)), 2L -> ((1L, 1L))))
+      // batch algebra agreement on the full multiset, any arrival order
+      val batch = graft.operators.Sessionize.stats(
+          Seq((1L, 0L), (1L, 50L), (1L, 220L), (1L, 300L), (1L, 130L),
+            (2L, 1000L))
+            .toDF("user_id", "ts"),
+          "user_id", "ts", Seq("ts"), gap = 100L)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(snapshot() == batch)
+    } finally q.stop()
+  }
+
   test("toEventTime is exact on ns epochs beyond double precision") {
     // 2^53 ns ~ 104 days of epoch; real epochs (~1.7e18) lose sub-µs
     // precision through a double divide. Pin exactness at the µs level.
