@@ -448,6 +448,56 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Cross-set embedding near-duplicate join: corpus vectors whose cosine
+    * with ANY reference vector clears `threshold` — the embedding member
+    * of the decontamination family (q50/q60 exact grams, q88 token-set
+    * Jaccard, q91 contiguous passages; this catches SEMANTIC restatements
+    * none of those see). Both sides band under the SAME hyperplanes
+    * (same seed/dim/bands/bits), so an identical vector pair agrees on
+    * every band and is found with probability 1 — the replay-exactness
+    * completeness anchor q93 gates on.
+    *
+    * Scale shape is [[cosineNearDuplicates]]': (band, bkey, id) through
+    * the exchange, vectors only into the bounded verify joins; the
+    * reference side's banded keys are broadcast-sized for any curated
+    * benchmark suite.
+    */
+  def cosineNearDuplicatesAgainst(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .transform(graft.CacheScope.persisted)
+    def bandedOf(docs: DataFrame): DataFrame = docs
+      .select(
+        col("id"),
+        posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
+          col("vec"), dim, bands, bitsPerBand, seed))
+          .as(Seq("band", "bkey")))
+    val corpusDocs = prep(corpus)
+    val refDocs = prep(reference)
+    val candidates = bandedOf(corpusDocs)
+      .select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(bandedOf(refDocs)
+        .select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(corpusDocs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(refDocs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Semantic deduplication (the published SemDeDup shape, Abbas et al.
     * 2023): k-means-cluster the embedding space with the IVF coarse
     * quantizer, find cosine-similar pairs WITHIN each cluster, and keep

@@ -689,6 +689,26 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Embedding-space decontamination: corpus vectors cosine-matching a
+    // reference set (every 13th embedding, id-shifted) through the
+    // cross-set banded LSH. Identical vectors agree on every band, so
+    // each planted copy is found with probability 1; the corpus's max
+    // organic cosine is ~0.49 (checked), far under the 0.95 bar, so the
+    // relation is exactly the planted self-matches in both engines and
+    // offset_check pins id_b = id_a + 100000 pairwise.
+    "q93_emb_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ref = emb.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDuplicatesAgainst(emb, ref, "vec_id",
+          "embedding", dim = 64, threshold = 0.95)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("id_a")).as("src_id_sum"),
+          sum(col("id_b") - lit(100000L) - col("id_a")).as("offset_check"),
+          round(sum(col("sim")), 1).as("sim_sum"))
+    }),
+
     // Reference-passage decontamination: corpus docs sharing winnowed
     // fingerprints with a benchmark PASSAGE (tokens 5-14 of every 23rd
     // doc — a 10-token run clears the k+w-1 = 6 winnowing guarantee, so
@@ -1977,6 +1997,24 @@ object Curation {
          SELECT '___corrupt' AS source, CAST(7 AS BIGINT) AS n,
            CAST(0 AS BIGINT) AS id_sum
          ORDER BY source""",
+    // brute-force cross cosine (LSH can only restrict candidates, never
+    // add; at threshold 0.95 the relation is the planted identity pairs)
+    "q93_emb_decontam" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         r AS (
+           SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 13 = 0),
+         p AS (
+           SELECT e.vec_id AS id_a, r.vec_id AS id_b,
+             round(list_cosine_similarity(e.v, r.v), 4) AS sim
+           FROM e CROSS JOIN r)
+         SELECT count(*) AS n_pairs,
+           CAST(sum(id_a) AS BIGINT) AS src_id_sum,
+           CAST(sum(id_b - 100000 - id_a) AS BIGINT) AS offset_check,
+           round(sum(sim), 1) AS sim_sum
+         FROM p WHERE sim >= 0.95""",
     // the q58 winnowing CTE run twice: once over full corpus docs, once
     // over the sliced reference passages (l[5:14], 1-based inclusive ==
     // Spark slice(toks, 5, 10)); stop-fingerprint cap on the corpus side

@@ -42,7 +42,7 @@ class PlanShapeSpec extends SparkSpec {
     "q79_jsonl", "q80_ohlc_bars", "q81_corpus_diff", "q83_nfc_normalize",
     "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup",
     "q88_sim_decontam", "q89_gap_stats", "q90_char_classes",
-    "q91_ref_passages")
+    "q91_ref_passages", "q93_emb_decontam")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

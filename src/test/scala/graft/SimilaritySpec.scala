@@ -227,6 +227,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Set((1L, 2L)))
   }
 
+  test("cross-set near-duplicates: identical vectors found with certainty") {
+    val rng = new scala.util.Random(11)
+    def v() = Seq.fill(16)(rng.nextGaussian())
+    val corpusVecs = (1L to 20L).map(i => (i, v()))
+    val corpus = corpusVecs.toDF("id", "vec")
+    // reference: exact copies of corpus ids 3 and 7, plus an unrelated one
+    val ref = Seq(
+      (103L, corpusVecs(2)._2), (107L, corpusVecs(6)._2), (999L, v())
+    ).toDF("id", "vec")
+    val out = Similarity.cosineNearDuplicatesAgainst(
+        corpus, ref, "id", "vec", dim = 16, threshold = 0.99)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    // identical pairs agree on every band -> guaranteed candidates
+    assert(out.map(r => (r._1, r._2)).toSet == Set((3L, 103L), (7L, 107L)),
+      out.mkString(","))
+    assert(out.forall(_._3 == 1.0), out.mkString(","))
+  }
+
   test("semanticDedup: planted duplicate groups keep exactly their min id") {
     val rng = new scala.util.Random(23)
     val dim = 16
