@@ -407,6 +407,44 @@ object Similarity {
     * doc, never the vectors; vectors travel only into the bounded verify
     * joins by id (same persist/join-back shape as minhashNearDuplicates).
     */
+  // ---- shared banded-LSH core (cosineNearDuplicates + Against) ----------
+
+  /** (id, vec double[]) prep, persisted — each side feeds its band
+    * explode AND a verify join (the jaccardPairs lifetime contract:
+    * long-lived sessions bound it with CacheScope.scoped; scope-free
+    * callers like Bench clear the cache between queries).
+    */
+  private def prepVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .transform(graft.CacheScope.persisted)
+
+  /** (id, band, bkey) — one custom expression computes every band's key
+    * (VecExprs: the HOF-per-plane form made Catalyst analysis itself the
+    * bottleneck); the join is on (band, bkey), so the raw bit-pattern
+    * key suffices.
+    */
+  private def bandedKeys(
+      docs: DataFrame, dim: Int, bands: Int, bitsPerBand: Int,
+      seed: Long): DataFrame =
+    docs.select(
+      col("id"),
+      posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
+        col("vec"), dim, bands, bitsPerBand, seed))
+        .as(Seq("band", "bkey")))
+
+  /** Exact-cosine verification of (id_a, id_b) candidates against the
+    * two prepped vector frames; emits pairs clearing the threshold.
+    */
+  private def verifyCosine(
+      candidates: DataFrame, docsA: DataFrame, docsB: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(docsA.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(docsB.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+
   def cosineNearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -416,36 +454,15 @@ object Similarity {
       bands: Int = 8,
       bitsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
-    // persist is intentional and lives as long as the returned (lazy) frame:
-    // docs feeds the band explode AND both verify joins, and the banded
-    // frame self-joins — same lifetime contract as jaccardPairs /
-    // minhashNearDuplicates. Long-lived sessions bound the lifetime with
-    // CacheScope.scoped { ... }; scope-free callers (e.g. Bench) clear the
-    // cache between queries.
-    val docs = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .transform(graft.CacheScope.persisted)
-    // one custom expression computes every band's key (VecExprs — the
-    // HOF-per-plane form made Catalyst analysis itself the bottleneck);
-    // the join is on (band, bkey), so the raw bit-pattern key suffices
-    val banded = docs
-      .select(
-        col("id"),
-        posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
-          col("vec"), dim, bands, bitsPerBand, seed))
-          .as(Seq("band", "bkey")))
+    val docs = prepVecs(df, idCol, vecCol)
+    val banded = bandedKeys(docs, dim, bands, bitsPerBand, seed)
     val candidates = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(docs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    verifyCosine(candidates, docs, docs, threshold)
   }
 
   /** Cross-set embedding near-duplicate join: corpus vectors whose cosine
@@ -472,30 +489,16 @@ object Similarity {
       bands: Int = 8,
       bitsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
-    def prep(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .transform(graft.CacheScope.persisted)
-    def bandedOf(docs: DataFrame): DataFrame = docs
-      .select(
-        col("id"),
-        posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
-          col("vec"), dim, bands, bitsPerBand, seed))
-          .as(Seq("band", "bkey")))
-    val corpusDocs = prep(corpus)
-    val refDocs = prep(reference)
-    val candidates = bandedOf(corpusDocs)
+    val corpusDocs = prepVecs(corpus, idCol, vecCol)
+    val refDocs = prepVecs(reference, idCol, vecCol)
+    val candidates = bandedKeys(corpusDocs, dim, bands, bitsPerBand, seed)
       .select(col("band"), col("bkey"), col("id").as("id_a"))
-      .join(bandedOf(refDocs)
+      .join(bandedKeys(refDocs, dim, bands, bitsPerBand, seed)
         .select(col("band"), col("bkey"), col("id").as("id_b")),
         Seq("band", "bkey"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(corpusDocs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(refDocs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    verifyCosine(candidates, corpusDocs, refDocs, threshold)
   }
 
   /** Semantic deduplication (the published SemDeDup shape, Abbas et al.

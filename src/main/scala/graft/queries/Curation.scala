@@ -2008,12 +2008,12 @@ object Curation {
            FROM embeddings WHERE vec_id % 13 = 0),
          p AS (
            SELECT e.vec_id AS id_a, r.vec_id AS id_b,
-             round(list_cosine_similarity(e.v, r.v), 4) AS sim
+             list_cosine_similarity(e.v, r.v) AS sim
            FROM e CROSS JOIN r)
          SELECT count(*) AS n_pairs,
            CAST(sum(id_a) AS BIGINT) AS src_id_sum,
            CAST(sum(id_b - 100000 - id_a) AS BIGINT) AS offset_check,
-           round(sum(sim), 1) AS sim_sum
+           round(sum(round(sim, 4)), 1) AS sim_sum
          FROM p WHERE sim >= 0.95""",
     // the q58 winnowing CTE run twice: once over full corpus docs, once
     // over the sliced reference passages (l[5:14], 1-based inclusive ==

@@ -178,28 +178,11 @@ object MarketAnalytics {
     // snapshot is returned in q16's exact output shape against q16's
     // oracle SQL. mergePoint's arrival-order invariance (spec-pinned) is
     // what makes the replay order irrelevant.
-    "q55_stream_parity" -> ((s, dir) => {
-      val spark = Tables.configure(s)
-      val events = t(s, dir, "events")
-      // re-shard into several files so maxFilesPerTrigger=1 yields genuine
-      // cross-batch state, not one big batch; one scratch dir per JVM
-      // (overwrite mode) so median-of-3 bench runs don't accumulate
-      val tmp = replayDir
-      events.repartition(4).write.mode("overwrite").parquet(tmp)
-      val stream = spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1).parquet(tmp)
-        .select(
-          col("event_type").as("symbol"),
-          col("ts").as("timestamp"),
-          col("event_id").as("trade_id"),
-          col("value").as("price"),
-          col("user_id").as("volume"))
-      val out = graft.streaming.StreamingEtl.statefulIndicators(stream, period = 14)
-      val qname = s"q55_snapshot_${replaySeq.incrementAndGet()}"
-      val q = out.writeStream.format("memory").queryName(qname)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
-      finalSnapshot(spark.table(qname), Seq("symbol"), "n_rows")
+    "q55_stream_parity" -> ((s, dir) =>
+      replaySnapshot(s, dir, "q55_snapshot",
+          stream => graft.streaming.StreamingEtl.statefulIndicators(
+            asTrades(stream), period = 14).toDF(),
+          Seq("symbol"), "n_rows")
         .select(
           col("symbol").as("event_type"),
           round(col("sma"), 4).as("sma"),
@@ -207,8 +190,7 @@ object MarketAnalytics {
           round(col("vwap"), 4).as("vwap"),
           col("period"),
           col("n_rows"))
-        .orderBy(col("event_type"))
-    }),
+        .orderBy(col("event_type"))),
 
     // Inter-arrival gap profile per event_type — the feed-health
     // counterpart of q17's per-user sessions: consecutive gaps in
@@ -233,24 +215,14 @@ object MarketAnalytics {
     // MULTISET of timestamps, so the arbitrary batch order of the replay
     // (including a late event bridging two intervals into one) converges
     // exactly to q17's batch oracle, with no ordering assumption at all.
-    "q92_stream_sessions" -> ((s, dir) => {
-      val spark = Tables.configure(s)
-      val events = t(s, dir, "events")
-      val tmp = replayDir
-      events.repartition(4).write.mode("overwrite").parquet(tmp)
-      val stream = spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1).parquet(tmp)
-        .select(col("user_id"), col("ts"))
-      val out = graft.streaming.StreamingEtl.statefulSessions(
-        stream, gap = 1800000000000L)
-      val qname = s"q92_snapshot_${replaySeq.incrementAndGet()}"
-      val q = out.writeStream.format("memory").queryName(qname)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
-      finalSnapshot(spark.table(qname), Seq("user_id"), "n_events")
+    "q92_stream_sessions" -> ((s, dir) =>
+      replaySnapshot(s, dir, "q92_snapshot",
+          stream => graft.streaming.StreamingEtl.statefulSessions(
+            stream.select(col("user_id"), col("ts")),
+            gap = 1800000000000L).toDF(),
+          Seq("user_id"), "n_events")
         .select(col("user_id"), col("n_sessions"), col("n_events"))
-        .orderBy(col("user_id"))
-    }),
+        .orderBy(col("user_id"))),
 
     // §2.7 gate #2: the CANDLE algebra's batch/stream parity, proven the
     // same way q55 proves the indicator algebra's — the events table is
@@ -259,33 +231,50 @@ object MarketAnalytics {
     // buffer now living in the state store across batches) and the final
     // per-(window, symbol) snapshot is checked against q80's verbatim
     // batch oracle. No watermark: a replay must not drop late rows.
-    "q86_stream_ohlc_parity" -> ((s, dir) => {
-      val spark = Tables.configure(s)
-      val events = t(s, dir, "events")
-      val tmp = replayDir
-      events.repartition(4).write.mode("overwrite").parquet(tmp)
-      val stream = spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1).parquet(tmp)
-        .select(
-          col("event_type").as("symbol"),
-          col("ts").as("timestamp"),
-          col("event_id").as("trade_id"),
-          col("value").as("price"),
-          col("user_id").as("volume"))
-      val out = graft.streaming.StreamingEtl.windowedOhlc(stream, "1 hour")
-      val qname = s"q86_snapshot_${replaySeq.incrementAndGet()}"
-      val q = out.writeStream.format("memory").queryName(qname)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
-      finalSnapshot(spark.table(qname), Seq("window", "symbol"), "n_ticks")
+    "q86_stream_ohlc_parity" -> ((s, dir) =>
+      replaySnapshot(s, dir, "q86_snapshot",
+          stream => graft.streaming.StreamingEtl.windowedOhlc(
+            asTrades(stream), "1 hour"),
+          Seq("window", "symbol"), "n_ticks")
         .select(
           col("symbol").as("event_type"),
           date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
           col("open"), col("high"), col("low"), col("close"),
           col("volume"), col("n_ticks"))
-        .orderBy(col("event_type"), col("hour"))
-    })
+        .orderBy(col("event_type"), col("hour")))
   )
+
+  /** Shared streaming-replay harness for the §2.7 parity gates: re-shard
+    * the events table into several files (so maxFilesPerTrigger=1 yields
+    * genuine cross-batch state, not one big batch), run `build` over the
+    * file stream into an update-mode memory sink, and return the final
+    * per-key snapshot. One scratch dir per JVM (overwrite mode) so
+    * median-of-3 bench runs don't accumulate.
+    */
+  private def replaySnapshot(
+      s: SparkSession, dir: String, name: String,
+      build: DataFrame => DataFrame,
+      partCols: Seq[String], counterCol: String): DataFrame = {
+    val spark = Tables.configure(s)
+    val events = t(s, dir, "events")
+    val tmp = replayDir
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val qname = s"${name}_${replaySeq.incrementAndGet()}"
+    val q = build(stream).writeStream.format("memory").queryName(qname)
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    finalSnapshot(spark.table(qname), partCols, counterCol)
+  }
+
+  /** events -> the trade wire shape the stateful market operators take. */
+  private def asTrades(df: DataFrame): DataFrame = df.select(
+    col("event_type").as("symbol"),
+    col("ts").as("timestamp"),
+    col("event_id").as("trade_id"),
+    col("value").as("price"),
+    col("user_id").as("volume"))
 
   /** Final state snapshot from an update-mode memory sink: the sink
     * accumulates every per-batch update, and a key's LAST emission is its
