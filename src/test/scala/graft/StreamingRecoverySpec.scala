@@ -118,4 +118,48 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(math.abs(last.sma - 102.2) < 1e-9)
     assert(math.abs(last.rsi - (100.0 - 100.0 / 7.0)) < 1e-9)
   }
+
+  test("session interval state survives restart; late bridge still merges") {
+    val root = Files.createTempDirectory("graft-eo-sessions")
+    val in = Files.createDirectories(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[graft.operators.Sessionize.SessionSnapshot]
+
+    def startQuery() =
+      StreamingEtl.statefulSessions(
+          spark.readStream
+            .schema("user_id LONG, ts LONG")
+            .json(in.toString),
+          gap = 100L)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[
+             graft.operators.Sessionize.SessionSnapshot], _: Long) =>
+            got.synchronized { got ++= ds.collect() }
+            ()
+        }
+        .start()
+
+    def ev(user: Long, ts: Long) = s"""{"user_id":$user,"ts":$ts}"""
+
+    // before restart: two sessions — {0,50} and {220,300}
+    drop(in, "s1.json", Seq(ev(1, 0), ev(1, 50), ev(1, 220), ev(1, 300)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.synchronized(
+      got.exists(s => s.n_events == 4 && s.n_sessions == 2)))
+
+    // after restart: the late bridge at 130 must merge the RECOVERED
+    // intervals into one session — only possible if the full interval
+    // vector (not just a counter) came back from the state store
+    drop(in, "s2.json", Seq(ev(1, 130)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val last = got.synchronized(got.find(_.n_events == 5)).get
+    assert(last.n_sessions == 1L, last.toString)
+  }
 }
