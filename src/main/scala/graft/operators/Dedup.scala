@@ -200,6 +200,133 @@ object Dedup {
       .drop("__h")
   }
 
+  /** C4-style LINE-level corpus dedup (Raffel et al. 2020 §2.2 — the
+    * reference pipeline dedups whole rows; a web corpus also needs the
+    * line-granular pass): a line occurring more than `maxOccurrences`
+    * times ACROSS THE CORPUS (navigation chrome, cookie banners, footer
+    * boilerplate) is removed from every document, and the documents are
+    * reassembled from their surviving lines in order. Returns the input
+    * rows plus `clean_text`, `n_lines`, `n_lines_removed`.
+    *
+    * Scale (the 100 TB shape): line TEXT never crosses an exchange —
+    * (1) the frequency pass aggregates md5 digests only; (2) the
+    * positions-to-drop pass joins (id, pos, digest) triples against the
+    * frequent-digest frame, which is heavy-hitter-sized (lines repeated
+    * > maxOccurrences corpus-wide) and broadcasts; (3) the rewrite is a
+    * map-side indexed-lambda filter over the original text after one
+    * id-equi-join against the drop-position lists (ints, affected docs
+    * only — the small side again). No collect, no unbounded state; a
+    * pathologically viral line costs one digest row, not an array of its
+    * occurrences.
+    */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Long = 1): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val freq = df
+      .select(explode(split(col(textCol), "\n")).as("__line"))
+      .select(md5(col("__line")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxOccurrences)
+      .select(col("__h"))
+    val dropPos = df
+      .select(
+        col(idCol).as("__lid"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
+      .select(col("__lid"), col("__pos"), md5(col("__l")).as("__h"))
+      .join(freq, Seq("__h"))
+      .groupBy(col("__lid"))
+      .agg(collect_set(col("__pos")).as("__drop"))
+    df.join(dropPos, col(idCol) === col("__lid"), "left")
+      .withColumn("__kept", filter(
+        split(col(textCol), "\n"),
+        (l, i) => !coalesce(array_contains(col("__drop"), i), lit(false))))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines", size(split(col(textCol), "\n")).cast("long"))
+      .withColumn("n_lines_removed",
+        (col("n_lines") - size(col("__kept"))).cast("long"))
+      .drop("__lid", "__drop", "__kept")
+  }
+
+  /** Substring-span dedup (the ExactSubstr analogue of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", at token
+    * k-gram granularity): any k-token window whose text occurs more than
+    * `maxOccurrences` times ACROSS THE CORPUS marks its k positions as
+    * duplicated; overlapping/adjacent marks merge into spans. Returns the
+    * input rows plus `n_tokens`, `n_dup_tokens` (positions covered by at
+    * least one frequent k-gram), `n_spans` (merged duplicated intervals),
+    * and `clean_text` (the surviving tokens, space-joined — the operator
+    * is defined over the whitespace-normalized token stream, so untouched
+    * documents come back whitespace-collapsed, not byte-identical).
+    * Documents shorter than k tokens have no windows and pass through.
+    *
+    * This catches what document- and line-level dedup cannot: a verbatim
+    * boilerplate PASSAGE pasted mid-paragraph into otherwise-unique
+    * documents (license blocks, quoted headers) — no full line and no
+    * whole document repeats, but every k-gram inside the passage does.
+    *
+    * Scale (same shape as [[lineDedup]], one granularity down): gram TEXT
+    * never crosses an exchange — the frequency pass aggregates md5
+    * digests of the k-gram strings; the frequent-digest frame is
+    * heavy-hitter-sized (windows repeated > maxOccurrences corpus-wide)
+    * and broadcasts into the (id, pos, digest) probe; covered-index
+    * expansion, span counting, and the rewrite are map-side array lambdas
+    * over affected docs only. Gram construction is map-side O(n·k) chars
+    * per doc — the md5-of-string form is what a SQL oracle can replicate
+    * verbatim (the raw-string oracle doubles as the collision check); a
+    * production 100 TB run swaps in the O(n) rolling polynomial hash
+    * already built for winnowing ([[graft.functions.HashExprs]]) without
+    * touching any other part of the plan.
+    */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxOccurrences: Long = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // one row per k-token window: (id, 0-based start pos, md5 of gram text)
+    def gramRows(d: DataFrame) = d
+      .select(col(idCol).as("__gid"), toks.as("__tk"))
+      // guard BEFORE building windows: sequence(0, n-k) with n < k would
+      // descend through negative positions (and slice(_, 0, _) is an
+      // ANSI error), so short docs must never reach the transform
+      .filter(size(col("__tk")) >= k)
+      .withColumn("__g", explode(transform(
+        sequence(lit(0), size(col("__tk")) - k),
+        i => struct(
+          i.as("pos"),
+          md5(concat_ws(" ", slice(col("__tk"), i + 1, lit(k)))).as("h")))))
+      .select(col("__gid"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
+    val freq = gramRows(df)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxOccurrences)
+      .select(col("__h"))
+    val dupPos = gramRows(df)
+      .join(freq, Seq("__h"))
+      .groupBy(col("__gid"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
+    df.join(dupPos, col(idCol) === col("__gid"), "left")
+      .withColumn("__tk", toks)
+      .withColumn("__cov", when(col("__ps").isNull, array().cast("array<int>"))
+        .otherwise(array_distinct(flatten(
+          transform(col("__ps"), p => sequence(p, p + k - 1))))))
+      .withColumn("n_tokens", size(col("__tk")).cast("long"))
+      .withColumn("n_dup_tokens", size(col("__cov")).cast("long"))
+      // sorted starts each cover k tokens: a new span begins where the
+      // gap to the previous start exceeds k (> k leaves an uncovered
+      // token between the two windows; == k is adjacent and merges)
+      .withColumn("n_spans", when(col("__ps").isNull, lit(0L)).otherwise(
+        (lit(1) + size(filter(
+          zip_with(
+            slice(col("__ps"), lit(2), greatest(size(col("__ps")) - 1, lit(0))),
+            slice(col("__ps"), lit(1), greatest(size(col("__ps")) - 1, lit(0))),
+            (a, b) => a - b),
+          d => d > k))).cast("long")))
+      .withColumn("clean_text", array_join(
+        filter(col("__tk"), (t, i) => !array_contains(col("__cov"), i)), " "))
+      .drop("__gid", "__ps", "__tk", "__cov")
+  }
+
   /** MinHash signature as an array<long> of length `numHashes`.
     *
     * h_i(s) = (a_i * xxhash64(s) + b_i) mod p over the shingle set; the

@@ -91,6 +91,30 @@ object Multimodal {
         leUInt(bin, 23, 2).as("channels"),
         leUInt(bin, 35, 2).as("bits_per_sample")))
 
+  /** Magic-byte file-type sniffing over an opaque binary column — the
+    * content-verification stage a 100 TB multimodal pipeline runs BEFORE
+    * routing payloads to decoders (extension/metadata lies; the leading
+    * bytes don't): PNG / JPEG / GIF / RIFF-WAV / RIFF-AVI / PDF / ZIP /
+    * gzip by their published signatures, else 'unknown'. RIFF resolves
+    * its inner form tag so a WAV is never just "RIFF". Truncated payloads
+    * fall through honestly: hex(substring) of a too-short slice can't
+    * equal a full signature. Pure codegen'd projection (substring + hex
+    * comparisons), no shuffle; null payload -> null.
+    */
+  def sniffType(bin: Column): Column =
+    when(bin.isNull, lit(null).cast("string"))
+      .when(hex(substring(bin, 1, 8)) === "89504E470D0A1A0A", "png")
+      .when(hex(substring(bin, 1, 3)) === "FFD8FF", "jpeg")
+      .when(hex(substring(bin, 1, 4)) === "47494638", "gif")
+      .when(hex(substring(bin, 1, 4)) === "52494646" &&
+        hex(substring(bin, 9, 4)) === "57415645", "wav")
+      .when(hex(substring(bin, 1, 4)) === "52494646" &&
+        hex(substring(bin, 9, 4)) === "41564920", "avi")
+      .when(hex(substring(bin, 1, 4)) === "25504446", "pdf")
+      .when(hex(substring(bin, 1, 4)) === "504B0304", "zip")
+      .when(hex(substring(bin, 1, 2)) === "1F8B", "gzip")
+      .otherwise("unknown")
+
   /** Little-endian hex of the low `bytes` bytes of a non-negative value —
     * building block for synthetic RIFF headers.
     */

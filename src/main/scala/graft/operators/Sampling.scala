@@ -67,6 +67,37 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a test document with a train-set
+    * near-copy is contamination measured as generalization), so the split
+    * key is the near-dup CLUSTER, not the document — every member of a
+    * connected component of `pairs` draws the SAME uniform key (from the
+    * component's min-id label via Dedup.connectedComponents); singletons
+    * fall back to their own id, which IS their component label, so the
+    * assignment is one uniform rule over coalesce(component, id).
+    *
+    * Scale: one id-equi-join against the component frame (pair-graph
+    * nodes only — near-dup members, a small fraction of the corpus) on
+    * top of connectedComponents' own documented hybrid path; the
+    * assignment itself stays the pure per-row md5 projection of
+    * [[assignSplit]].
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("__lsid"), col("component").as("__comp"))
+    val keyed = df
+      .join(comp, col(idCol).cast("long") === col("__lsid"), "left")
+      .withColumn("__splitkey",
+        coalesce(col("__comp"), col(idCol).cast("long")))
+      .drop("__lsid", "__comp")
+    assignSplit(keyed, "__splitkey", splits, salt).drop("__splitkey")
+  }
+
   /** Deterministic weighted mixture of corpora: each source is thinned to
     * its rate (in [0, 1]) by an independently-salted uniform key, then
     * union'd by name — the "mix web at 60%, books at 90%, code at 100%"

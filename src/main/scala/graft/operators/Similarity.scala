@@ -545,4 +545,35 @@ object Similarity {
       .select(col("id"), col("cell"),
         coalesce(col("keep"), lit(true)).as("keep"))
   }
+
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * 4x-vs-float32 / 8x-vs-float64 memory cut that lets a 100 TB
+    * embedding store fit its ANN working set in executor RAM: per vector,
+    * scale = max|x| / 127 and q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].
+    * floor(x + 0.5) is the ENGINE-PORTABLE rounding — a single exact IEEE
+    * comparison-free op in every engine, where `round()` conventions
+    * (half-even vs half-away) differ; scale and each q_i are one IEEE
+    * division/multiply on exact inputs, so a SQL oracle replicates the
+    * whole codec bit-for-bit. Zero vectors quantize to all-zeros with
+    * scale 0. Adds `scale`, `qvec` (array<int>), and `max_abs_err` (the
+    * largest per-dimension reconstruction error |x - q*scale|, which is
+    * <= scale/2 by construction — the corpus-wide bound the q99 gate
+    * checks). Pure map-side projection: no shuffle, no UDF, codegen'd
+    * array lambdas only.
+    */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("scale",
+        aggregate(v, lit(0d), (m, x) => greatest(m, abs(x))) / lit(127d))
+      .withColumn("qvec",
+        when(col("scale") === 0d, transform(v, x => lit(0)))
+          .otherwise(transform(v,
+            x => floor(x / col("scale") + lit(0.5d)).cast("int"))))
+      .withColumn("max_abs_err",
+        when(col("scale") === 0d, lit(0d))
+          .otherwise(aggregate(
+            zip_with(v, col("qvec"),
+              (x, q) => abs(x - q.cast("double") * col("scale"))),
+            lit(0d), (m, e) => greatest(m, e))))
+  }
 }

@@ -394,6 +394,40 @@ object TextAnalysis {
         regexp_extract(col("url"), pat, 1))
   }
 
+  /** URL canonicalization — the CCNet/RefinedWeb pre-dedup step that
+    * collapses the many spellings of one resource before URL-keyed dedup
+    * or per-domain accounting: scheme and host lowercase (path stays
+    * case-sensitive per RFC 3986 §6.2.2.1), fragment dropped, default
+    * ports stripped (http:80 / https:443; others kept), one trailing
+    * slash trimmed from the path, query parameters with tracking keys
+    * (`utm_*`) removed and the rest SORTED so parameter order can't split
+    * a dedup key. Every step is a codegen'd built-in (regexp_extract /
+    * sort_array / array_join) in the Java-regex/RE2 common subset, so a
+    * SQL oracle replicates the whole pipeline verbatim (q95). Map-side
+    * projection, no shuffle.
+    */
+  def canonicalizeUrl(urlCol: Column): Column = {
+    val noFrag = regexp_replace(urlCol, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/$", "")
+    val params = filter(
+      split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val queryPart = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(sort_array(params), "&")))
+    concat(scheme, lit("://"), host, portPart, path, queryPart)
+  }
+
   /** Token-length histogram per group: integer bucket edges (ascending)
     * label each document with the half-open range its token count falls
     * in, then count and total per (group, bucket) — the corpus-profiling

@@ -1225,7 +1225,164 @@ object Curation {
         .agg(
           sum(col("n_bytes")).as("total_bytes"),
           count(lit(1)).as("n"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // C4-style line-level corpus dedup: boilerplate lines planted into
+    // the corpus (newsletter/footer chrome on doc_id strides) plus any
+    // organically repeated full text; lines occurring > 2 times
+    // corpus-wide are removed and documents reassembled. The oracle
+    // counts raw line strings where the engine counts md5 digests —
+    // agreement doubles as the collision check (q50's pattern).
+    "q94_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat_ws("\n",
+          when(col("doc_id") % 5 === 0,
+            lit("subscribe to our newsletter for daily updates")),
+          col("text"),
+          when(col("doc_id") % 9 === 0,
+            lit("all rights reserved by the site owner"))))
+      Dedup.lineDedup(planted, "doc_id", "text", maxOccurrences = 2)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_lines_removed") > 0, 1L).otherwise(0L))
+            .as("n_docs_affected"),
+          sum(col("n_lines_removed")).as("n_lines_removed"),
+          sum(length(col("clean_text")).cast("long")).as("clean_chars"),
+          countDistinct(md5(col("clean_text"))).as("n_distinct_clean"))
+        .orderBy(col("source"))
+    }),
+
+    // URL canonicalization: four planted spellings per stride — default
+    // port + tracking params + fragment + trailing slash (m=0) collapse
+    // onto the clean form (m=1); non-default ports survive (m=2); the
+    // all-identical case (m=3). distinct_raw > distinct_canonical by
+    // construction; the oracle replicates every canonicalization step.
+    "q95_url_canonical" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val urls = t(s, dir, "documents").select(
+        col("source"),
+        when(m === 0, concat(
+            lit("https://WWW.Example.COM:443/Products/"),
+            (col("doc_id") % 10).cast("string"),
+            lit("/?utm_source=mail&b=2&a=1#frag")))
+          .when(m === 1, concat(
+            lit("https://www.example.com/Products/"),
+            (col("doc_id") % 10).cast("string"),
+            lit("?a=1&b=2")))
+          .when(m === 2, concat(
+            lit("HTTP://Site.ORG:8080/a/b?z="),
+            (col("doc_id") % 5).cast("string"),
+            lit("&utm_campaign=x")))
+          .otherwise(lit("http://site.org:80/plain/")).as("url"))
+      urls
+        .withColumn("canon", TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_distinct_raw"),
+          countDistinct(col("canon")).as("n_distinct_canonical"))
+        .orderBy(col("source"))
+    }),
+
+    // Leakage-safe split: near-dup clusters (q53's pair graph) never
+    // straddle train/val/test — the split key is the component label,
+    // singletons their own id. The oracle composes q53's recursive-CTE
+    // components with q42's md5 assignment rule.
+    "q96_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang"), 1, 0.95)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "leak")
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
+    // Magic-byte file-type sniffing: payloads synthesized per doc_id
+    // stride (real PNG/WAV headers via the q73 builders, JPEG/PDF/ZIP
+    // signature prefixes, 1-byte junk), routed by sniffType. The oracle
+    // recomputes the expected label from doc_id directly — agreement
+    // proves construct -> sniff is the identity, including the truncated
+    // fall-through.
+    "q97_filetype_sniff" -> ((s, dir) => {
+      val m = col("doc_id") % 6
+      val framed = t(s, dir, "documents").select(
+        col("source"),
+        when(m === 0, Multimodal.syntheticPng(
+            col("doc_id") % 1800 + 100, col("doc_id") % 997 + 50))
+          .when(m === 1, Multimodal.syntheticWav(
+            when(col("doc_id") % 2 === 0, 44100L).otherwise(16000L),
+            col("doc_id") % 2 + 1))
+          .when(m === 2, unhex(lit("FFD8FFE000104A46494600")))
+          .when(m === 3, unhex(lit("255044462D312E34")))
+          .when(m === 4, unhex(lit("504B03040A00")))
+          .otherwise(unhex(lpad(hex(col("doc_id") % 256), 2, "0")))
+          .as("payload"))
+      framed
+        .withColumn("kind", Multimodal.sniffType(col("payload")))
+        .groupBy(col("source"), col("kind"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("kind"))
+    }),
+
+    // Substring-span dedup (ExactSubstr at k-gram granularity): a license
+    // passage pasted at the head (doc_id % 7) and tail (doc_id % 11) of
+    // otherwise-unique documents — invisible to document- and line-level
+    // dedup, but every interior 4-gram repeats corpus-wide. The oracle
+    // counts raw gram strings where the engine counts md5 digests
+    // (collision check, q50's pattern), and replicates the coverage /
+    // span-merge / rewrite arithmetic with list comprehensions.
+    "q98_span_dedup" -> ((s, dir) => {
+      val passage =
+        "redistribution and use in source and binary forms are permitted"
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat_ws(" ",
+          when(col("doc_id") % 7 === 0, lit(passage)),
+          col("text"),
+          when(col("doc_id") % 11 === 0, lit(passage))))
+      Dedup.spanDedup(planted, "doc_id", "text", k = 4, maxOccurrences = 2)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_dup_tokens") > 0, 1L).otherwise(0L))
+            .as("n_docs_affected"),
+          sum(col("n_dup_tokens")).as("n_dup_tokens"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(length(col("clean_text")).cast("long")).as("clean_chars"),
+          countDistinct(md5(col("clean_text"))).as("n_distinct_clean"))
+        .orderBy(col("source"))
+    }),
+
+    // int8 embedding quantization: the whole codec is single IEEE ops on
+    // exact inputs (max-abs fold, one division, floor(x/scale + 0.5)), so
+    // the oracle replicates scale, every quantized value, and the
+    // reconstruction error bit-for-bit. Two vectors are zeroed to pin the
+    // scale-0 path through the gate; n_violations gates the |err| <=
+    // scale/2 contract corpus-wide (epsilon-guarded against the one-ulp
+    // boundary, identically on both sides).
+    "q99_embed_quant" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").withColumn("embedding",
+        when(col("vec_id") % 250 === 0,
+          transform(col("embedding"), x => lit(0f)))
+          .otherwise(col("embedding")))
+      Similarity.quantizeEmbeddings(emb, "embedding")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(aggregate(col("qvec"), lit(0L), (s0, x) => s0 + x)).as("sum_q"),
+          max(array_max(col("qvec"))).as("max_q"),
+          min(array_min(col("qvec"))).as("min_q"),
+          sum(when(col("max_abs_err") > col("scale") * 0.5000001d, 1L)
+            .otherwise(0L)).as("n_violations"),
+          max(when(col("scale") > 0d,
+            round(col("max_abs_err") / col("scale"), 4)
+              .cast("decimal(10,4)"))).as("max_err_ratio"),
+          sum(when(col("scale") === 0d, 1L).otherwise(0L)).as("n_zero_vecs"))
+        .orderBy(col("label"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -2422,6 +2579,232 @@ object Curation {
                 ELSE '000000_000050' END AS bucket,
            count(*) AS n_docs,
            CAST(sum(nt) AS BIGINT) AS total_tokens
-         FROM m GROUP BY lang, bucket ORDER BY lang, bucket"""
+         FROM m GROUP BY lang, bucket ORDER BY lang, bucket""",
+    // Line frequencies counted on RAW line strings where the engine
+    // counts md5 digests — agreement doubles as the collision check.
+    // string_agg skips the NULLed (dropped) lines and orders by the
+    // original position, exactly array_join(filter(...)); fully-emptied
+    // docs coalesce to '' on both sides.
+    "q94_line_dedup" ->
+      """WITH planted AS (
+           SELECT doc_id, source,
+             concat_ws(chr(10),
+               CASE WHEN doc_id % 5 = 0
+                 THEN 'subscribe to our newsletter for daily updates' END,
+               text,
+               CASE WHEN doc_id % 9 = 0
+                 THEN 'all rights reserved by the site owner' END) AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id, source,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+           FROM planted),
+         freq AS (
+           SELECT line FROM lines GROUP BY line HAVING count(*) > 2),
+         marked AS (
+           SELECT l.doc_id, l.source, l.line, l.pos,
+             (f.line IS NOT NULL) AS dropped
+           FROM lines l LEFT JOIN freq f USING (line)),
+         per_doc AS (
+           SELECT doc_id, source,
+             CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+               chr(10) ORDER BY pos), '') AS clean
+           FROM marked GROUP BY doc_id, source)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_affected,
+           CAST(sum(n_removed) AS BIGINT) AS n_lines_removed,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+           count(DISTINCT md5(clean)) AS n_distinct_clean
+         FROM per_doc GROUP BY source ORDER BY source""",
+    // Every canonicalization step replicated: fragment strip, scheme/host
+    // lowercase, default-port strip, trailing-slash trim, utm_* filter +
+    // parameter sort. regexp_extract returns '' on no match in both
+    // engines; list_sort ASC == sort_array on ASCII.
+    "q95_url_canonical" ->
+      """WITH u AS (
+           SELECT source,
+             CASE WHEN doc_id % 4 = 0
+                 THEN 'https://WWW.Example.COM:443/Products/' ||
+                   CAST(doc_id % 10 AS VARCHAR) || '/?utm_source=mail&b=2&a=1#frag'
+               WHEN doc_id % 4 = 1
+                 THEN 'https://www.example.com/Products/' ||
+                   CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2'
+               WHEN doc_id % 4 = 2
+                 THEN 'HTTP://Site.ORG:8080/a/b?z=' ||
+                   CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+               ELSE 'http://site.org:80/plain/' END AS url
+           FROM documents),
+         f AS (
+           SELECT source, url, regexp_replace(url, '#.*$', '') AS nofrag
+           FROM u),
+         parts AS (
+           SELECT source, url,
+             lower(regexp_extract(nofrag,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(regexp_extract(nofrag,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^([^:]*)', 1)) AS host,
+             regexp_extract(regexp_extract(nofrag,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               ':([0-9]+)$', 1) AS port,
+             regexp_replace(regexp_extract(nofrag,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/$', '') AS path,
+             list_filter(string_split(
+               regexp_extract(nofrag, '\?([^#]*)', 1), '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')) AS params
+           FROM f),
+         canon AS (
+           SELECT source, url,
+             scheme || '://' || host ||
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END ||
+             path ||
+             CASE WHEN len(params) = 0 THEN ''
+               ELSE '?' || array_to_string(list_sort(params), '&') END AS canon
+           FROM parts)
+         SELECT source, count(*) AS n_urls,
+           count(DISTINCT url) AS n_distinct_raw,
+           count(DISTINCT canon) AS n_distinct_canonical
+         FROM canon GROUP BY source ORDER BY source""",
+    // q53's recursive-CTE components + q42's md5 assignment, keyed on
+    // coalesce(component, doc_id).
+    "q96_leakage_split" ->
+      """WITH RECURSIVE d AS (
+           SELECT lang, doc_id,
+             list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.95),
+         edges AS (
+           SELECT id_a AS s, id_b AS t FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT DISTINCT s AS id, s AS label FROM edges
+           UNION
+           SELECT e.s AS id, r.label FROM edges e JOIN reach r ON r.id = e.t),
+         comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         keyed AS (
+           SELECT doc.doc_id,
+             CAST(concat('0x', substr(md5(concat('leak:',
+               CAST(coalesce(c.component, doc.doc_id) AS VARCHAR))), 1, 8))
+               AS BIGINT) / 4294967296.0 AS u
+           FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id)
+         SELECT CASE WHEN u < 0.8 THEN 'train'
+                     WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM keyed GROUP BY 1 ORDER BY split""",
+    // Expected label recomputed from doc_id directly — construct -> sniff
+    // must be the identity (1-byte junk payloads sniff as 'unknown').
+    "q97_filetype_sniff" ->
+      """SELECT source,
+           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+             WHEN 2 THEN 'jpeg' WHEN 3 THEN 'pdf' WHEN 4 THEN 'zip'
+             ELSE 'unknown' END AS kind,
+           count(*) AS n
+         FROM documents GROUP BY source, kind ORDER BY source, kind""",
+    // Gram frequencies counted on RAW k-gram strings where the engine
+    // counts md5 digests — agreement doubles as the collision check.
+    // Positions are 1-based here, 0-based in the engine; every output is
+    // a count or a reassembled string, so the base never surfaces. A new
+    // span starts where the gap between consecutive sorted starts
+    // exceeds k (== k is adjacent coverage and merges).
+    "q98_span_dedup" ->
+      """WITH planted AS (
+           SELECT doc_id, source,
+             concat_ws(' ',
+               CASE WHEN doc_id % 7 = 0 THEN
+                 'redistribution and use in source and binary forms are permitted' END,
+               text,
+               CASE WHEN doc_id % 11 = 0 THEN
+                 'redistribution and use in source and binary forms are permitted' END)
+               AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+           FROM planted),
+         grams AS (
+           SELECT doc_id, pos,
+             array_to_string(tk[pos : pos + 3], ' ') AS gram
+           FROM (SELECT doc_id, tk,
+                   unnest(range(1, len(tk) - 4 + 2)) AS pos
+                 FROM toks WHERE len(tk) >= 4)),
+         freq AS (
+           SELECT gram FROM grams GROUP BY gram HAVING count(*) > 2),
+         hits AS (
+           SELECT doc_id, list_sort(list(pos)) AS ps
+           FROM grams JOIN freq USING (gram) GROUP BY doc_id),
+         cov AS (
+           SELECT t.doc_id, t.source, t.tk,
+             coalesce(h.ps, CAST([] AS BIGINT[])) AS ps,
+             list_distinct(flatten(
+               [range(p, p + 4) for p in coalesce(h.ps, CAST([] AS BIGINT[]))]))
+               AS covered
+           FROM toks t LEFT JOIN hits h USING (doc_id)),
+         per_doc AS (
+           SELECT doc_id, source,
+             CAST(len(covered) AS BIGINT) AS n_dup,
+             CAST(CASE WHEN len(ps) = 0 THEN 0
+               ELSE 1 + len([i for i in range(2, len(ps) + 1)
+                             if ps[i] - ps[i - 1] > 4]) END AS BIGINT) AS n_spans,
+             coalesce(array_to_string(
+               [tk[i] for i in range(1, len(tk) + 1)
+                if NOT list_contains(covered, i)], ' '), '') AS clean
+           FROM cov)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_affected,
+           CAST(sum(n_dup) AS BIGINT) AS n_dup_tokens,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+           count(DISTINCT md5(clean)) AS n_distinct_clean
+         FROM per_doc GROUP BY source ORDER BY source""",
+    // The codec replicated bit-for-bit: CAST(FLOAT[] AS DOUBLE[]) widens
+    // exactly, list_max of abs is exact selection, scale is ONE IEEE
+    // division, q = floor(x/scale + 0.5) is exact, err recomputes q
+    // inline (identical double ops). round(err/scale, 4) -> DECIMAL per
+    // row before max, per the q88 anchoring policy.
+    "q99_embed_quant" ->
+      """WITH e AS (
+           SELECT label,
+             CASE WHEN vec_id % 250 = 0
+               THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
+               ELSE CAST(embedding AS DOUBLE[]) END AS v
+           FROM embeddings),
+         q AS (
+           SELECT label, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e),
+         r AS (
+           SELECT label, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+               ELSE list_transform(v,
+                 x -> CAST(floor(x / scale + 0.5) AS INTEGER)) END AS qvec,
+             CASE WHEN scale = 0 THEN 0.0
+               ELSE list_max(list_transform(v,
+                 x -> abs(x - floor(x / scale + 0.5) * scale))) END AS err
+           FROM q)
+         SELECT label, count(*) AS n_vecs,
+           CAST(sum(list_sum(qvec)) AS BIGINT) AS sum_q,
+           max(list_max(qvec)) AS max_q,
+           min(list_min(qvec)) AS min_q,
+           CAST(sum(CASE WHEN err > scale * 0.5000001 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_violations,
+           max(CASE WHEN scale > 0
+             THEN CAST(round(err / scale, 4) AS DECIMAL(10,4)) END)
+             AS max_err_ratio,
+           CAST(sum(CASE WHEN scale = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vecs
+         FROM r GROUP BY label ORDER BY label"""
   )
 }

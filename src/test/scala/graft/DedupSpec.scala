@@ -345,4 +345,87 @@ class DedupSpec extends SparkSpec {
     // cluster keeps id 1; doc 9 unpaired survives
     assert(kept == Set(1L, 9L))
   }
+
+  test("lineDedup removes corpus-frequent lines and reassembles in order") {
+    val boiler = "subscribe to our newsletter"
+    val d = docs(
+      1L -> s"$boiler\nunique one\nmiddle line",
+      2L -> s"$boiler\nunique two",
+      3L -> s"unique three\n$boiler",
+      4L -> boiler) // fully-boilerplate doc collapses to ""
+    val out = Dedup.lineDedup(d, "doc_id", "text", maxOccurrences = 2)
+      .select("doc_id", "clean_text", "n_lines", "n_lines_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "unique one\nmiddle line", 3L, 1L),
+      (2L, "unique two", 2L, 1L),
+      (3L, "unique three", 2L, 1L),
+      (4L, "", 1L, 1L)))
+  }
+
+  test("lineDedup keeps lines at exactly maxOccurrences") {
+    val d = docs(1L -> "twice\nalpha", 2L -> "twice\nbeta", 3L -> "gamma")
+    val out = Dedup.lineDedup(d, "doc_id", "text", maxOccurrences = 2)
+    assert(out.filter(col("n_lines_removed") > 0).count() === 0)
+    assert(out.filter(col("clean_text") =!= col("text")).count() === 0)
+  }
+
+  test("spanDedup cuts corpus-repeated k-gram spans and merges overlaps") {
+    // "a b" and "b c" repeat across docs 1/2 -> overlapping windows merge
+    // into ONE span per doc; surrounding unique tokens survive in order
+    val d = docs(1L -> "a b c d e", 2L -> "x a b c y")
+    val out = Dedup.spanDedup(d, "doc_id", "text", k = 2, maxOccurrences = 1)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "n_spans", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 5L, 3L, 1L, "d e"),
+      (2L, 5L, 3L, 1L, "x y")))
+  }
+
+  test("spanDedup separated repeats count as distinct spans") {
+    // "p q" repeats at positions 0 and 5 of doc 1 (gap > k) -> two spans
+    val d = docs(1L -> "p q z1 z2 z3 p q", 2L -> "p q")
+    val out = Dedup.spanDedup(d, "doc_id", "text", k = 2, maxOccurrences = 1)
+      .filter(col("doc_id") === 1L)
+      .select("n_dup_tokens", "n_spans", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(out === ((4L, 2L, "z1 z2 z3")))
+  }
+
+  test("spanDedup adjacent windows (gap == k) merge into one span") {
+    // "a b"@0 and "c d"@2 are frequent, "b c"@1 is unique to doc 1:
+    // coverage {0,1} ∪ {2,3} is contiguous -> one span, empty clean text
+    val d = docs(1L -> "a b c d", 2L -> "a b", 3L -> "c d")
+    val out = Dedup.spanDedup(d, "doc_id", "text", k = 2, maxOccurrences = 1)
+      .filter(col("doc_id") === 1L)
+      .select("n_dup_tokens", "n_spans", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(out === ((4L, 1L, "")))
+  }
+
+  test("spanDedup passes short docs and at-threshold grams through") {
+    val d = docs(
+      1L -> "tiny", // < k tokens: no windows at all
+      2L -> "twice repeated gram", 3L -> "twice repeated gram")
+    val out = Dedup.spanDedup(d, "doc_id", "text", k = 3, maxOccurrences = 2)
+      .select("doc_id", "n_dup_tokens", "clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    // the duplicated gram occurs exactly maxOccurrences times -> kept
+    assert(out === Seq(
+      (1L, 0L, "tiny"),
+      (2L, 0L, "twice repeated gram"),
+      (3L, 0L, "twice repeated gram")))
+  }
+
+  test("lineDedup removes a frequent line at EVERY position it occupies") {
+    // the same boilerplate twice within one doc: both copies drop
+    val d = docs(
+      1L -> "ad\nkeep me\nad",
+      2L -> "ad\nother text",
+      3L -> "ad")
+    val out = Dedup.lineDedup(d, "doc_id", "text", maxOccurrences = 1)
+      .select("doc_id", "clean_text", "n_lines_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "keep me", 2L), (2L, "other text", 1L), (3L, "", 1L)))
+  }
 }

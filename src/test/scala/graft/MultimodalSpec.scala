@@ -93,4 +93,33 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.filter(Multimodal.pngDimensions($"b").isNotNull).count() == 0)
     assert(junk.filter(Multimodal.wavMeta($"b").isNotNull).count() == 0)
   }
+
+  test("sniffType identifies magic bytes and falls through honestly") {
+    val cases: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "png" -> Multimodal.syntheticPng(lit(10L), lit(20L)),
+      "wav" -> Multimodal.syntheticWav(lit(44100L), lit(2L)),
+      "jpeg" -> unhex(lit("FFD8FFE000104A46494600")),
+      "gif" -> unhex(lit("47494638396100")),
+      "pdf" -> unhex(lit("255044462D312E34")),
+      "zip" -> unhex(lit("504B03040A00")),
+      "gzip" -> unhex(lit("1F8B0800")),
+      "avi" -> unhex(lit("52494646AAAAAAAA41564920")),
+      "wav" -> unhex(lit("52494646AAAAAAAA57415645")),
+      // RIFF with a foreign form tag is NOT a wav/avi
+      "unknown" -> unhex(lit("52494646AAAAAAAA58585858")),
+      // 1-byte truncation of a gzip signature
+      "unknown" -> unhex(lit("1F")),
+      "unknown" -> unhex(lit("00112233")))
+    val out = spark.range(1)
+      .select(cases.zipWithIndex.map { case ((_, c), i) =>
+        Multimodal.sniffType(c).as(s"c$i")
+      }: _*).collect().head
+    cases.zipWithIndex.foreach { case ((expected, _), i) =>
+      assert(out.getString(i) === expected, s"case $i")
+    }
+    val nul = spark.range(1)
+      .select(Multimodal.sniffType(lit(null).cast("binary")).as("k"))
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
 }

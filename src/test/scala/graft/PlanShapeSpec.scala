@@ -42,7 +42,9 @@ class PlanShapeSpec extends SparkSpec {
     "q79_jsonl", "q80_ohlc_bars", "q81_corpus_diff", "q83_nfc_normalize",
     "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup",
     "q88_sim_decontam", "q89_gap_stats", "q90_char_classes",
-    "q91_ref_passages", "q93_emb_decontam")
+    "q91_ref_passages", "q93_emb_decontam",
+    "q94_line_dedup", "q95_url_canonical", "q96_leakage_split",
+    "q97_filetype_sniff", "q98_span_dedup", "q99_embed_quant")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

@@ -312,4 +312,35 @@ class SamplingSpec extends SparkSpec {
     val plan = cut.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("leakageSafeSplit keeps near-dup clusters within one split") {
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"))
+    // chain 0-1-2 is one cluster; (10,11) another; the rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val bySplit = out.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(bySplit(0L) === bySplit(1L))
+    assert(bySplit(1L) === bySplit(2L))
+    assert(bySplit(10L) === bySplit(11L))
+    // no cluster straddles: by construction above, but assert globally too
+    val straddle = out
+      .join(Seq(0L, 1L, 2L).toDF("doc_id"), Seq("doc_id"))
+      .select(countDistinct(col("split"))).as[Long].head()
+    assert(straddle === 1L)
+  }
+
+  test("leakageSafeSplit singletons match plain assignSplit on their own id") {
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"))
+    val pairs = Seq((5L, 6L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val leak = Sampling.leakageSafeSplit(docs, "doc_id", pairs, splits)
+      .filter(!col("doc_id").isin(5L, 6L))
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val plain = Sampling.assignSplit(
+        docs.filter(!col("doc_id").isin(5L, 6L)), "doc_id", splits)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(leak === plain)
+  }
 }

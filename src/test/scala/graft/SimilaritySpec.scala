@@ -279,4 +279,48 @@ class SimilaritySpec extends SparkSpec {
     // globally: dedup must remove most planted redundancy
     assert(kept.size <= 40 + 20 + 6, s"kept ${kept.size} — dedup too weak")
   }
+
+  test("quantizeEmbeddings: worked example, bound, and zero-vector path") {
+    // max-abs values chosen so scale is a power of two: every division,
+    // product, and error below is EXACT binary arithmetic, so the
+    // assertions pin values, not tolerances
+    val df = Seq(
+      (1L, Seq(127.0, -63.5, 0.0, 31.75)), // scale 1.0
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),       // zero vector: scale 0, q all 0
+      (3L, Seq(-254.0, 127.0, 0.5, -0.5))  // scale 2.0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(df, "embedding")
+      .select("vec_id", "scale", "qvec", "max_abs_err")
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s1, q1, e1) = out(1L)
+    assert(s1 === 1.0)
+    // -63.5/1.0: floor(-63.5 + 0.5) = -63 (half rounds toward +inf)
+    assert(q1 === Seq(127, -63, 0, 32))
+    assert(e1 === 0.5) // the -63.5 dimension: exactly scale/2
+    val (_, s2, q2, e2) = out(2L)
+    assert(s2 === 0.0 && q2 === Seq(0, 0, 0, 0) && e2 === 0.0)
+    val (_, s3, q3, e3) = out(3L)
+    assert(s3 === 2.0)
+    // 127/2 = 63.5 rounds to 64; -254/2 = -127 exact
+    assert(q3 === Seq(-127, 64, 0, 0))
+    assert(e3 === 1.0) // |127 - 64*2| = exactly scale/2
+  }
+
+  test("quantizeEmbeddings: q in [-127,127] and bound holds on random vectors") {
+    val rng = new scala.util.Random(7)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(df, "embedding")
+    assert(out.filter(array_max(col("qvec")) > 127 ||
+      array_min(col("qvec")) < -127).count() === 0)
+    assert(out.filter(col("max_abs_err") > col("scale") * 0.5000001).count() === 0)
+    // dequantized cosine stays close to the original: int8 is lossy but
+    // must preserve neighborhood structure (the point of the codec)
+    val sims = out.select(Similarity.cosine(
+      col("embedding").cast("array<double>"),
+      transform(col("qvec"),
+        q => q.cast("double") * col("scale"))).as("c")).as[Double].collect()
+    assert(sims.forall(_ > 0.995), s"min dequant cosine ${sims.min}")
+  }
 }

@@ -325,4 +325,40 @@ class SessionizeSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Long)] =
       s.map { case (k, a, b) => k -> ((a, b)) }.toMap
   }
+
+  test("canonicalizeUrl normalizes scheme/host/port/path/query/fragment") {
+    val cases = Seq(
+      // default port + trailing slash + utm + fragment + case all collapse
+      "https://WWW.Example.COM:443/Products/3/?utm_source=m&b=2&a=1#frag" ->
+        "https://www.example.com/Products/3?a=1&b=2",
+      // the clean spelling is its own fixed point
+      "https://www.example.com/Products/3?a=1&b=2" ->
+        "https://www.example.com/Products/3?a=1&b=2",
+      // non-default port survives; utm_ param drops; scheme/host lowercase
+      "HTTP://Site.ORG:8080/a/b?z=1&utm_campaign=x" ->
+        "http://site.org:8080/a/b?z=1",
+      // http default port + trailing slash
+      "http://site.org:80/plain/" -> "http://site.org/plain",
+      // bare root slash trims away entirely
+      "http://site.org/" -> "http://site.org",
+      // params sort; trailing '&' yields an empty segment that drops;
+      // path CASE is preserved (RFC 3986: only scheme+host case-fold)
+      "https://h.io:8443/P?b=1&a=2&utm_x=9&" -> "https://h.io:8443/P?a=2&b=1",
+      // no query, no port — identity
+      "http://a.b/path" -> "http://a.b/path")
+    val out = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(out === cases.map(_._2))
+  }
+
+  test("canonicalizeUrl is idempotent on the test spellings") {
+    val raw = Seq(
+      "https://WWW.Example.COM:443/Products/3/?utm_source=m&b=2&a=1#frag",
+      "HTTP://Site.ORG:8080/a/b?z=1&utm_campaign=x",
+      "http://site.org:80/plain/").toDF("url")
+    val once = raw.select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+    val twice = once.select(TextAnalysis.canonicalizeUrl(col("c")).as("c"))
+    assert(once.as[String].collect().toSeq === twice.as[String].collect().toSeq)
+  }
 }
