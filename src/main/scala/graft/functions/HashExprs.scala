@@ -447,6 +447,85 @@ object HashExprs {
   def hashedSortedSet(strings: Column): Column =
     ColumnBridge.column(HashedSortedSet(ColumnBridge.expression(strings)))
 
+  /** All k-gram hashes of a token array, by position, via a TRUE rolling
+    * polynomial: token hashes t_i = xxhash64(tok_i, seed 42), gram hash
+    * g_i = Σ_j t_{i+j} · B^{k-1-j} in the 2^64 ring (B = the FNV-64
+    * prime, odd, so multiplication is invertible mod 2^64 and the ring
+    * arithmetic is exact modular arithmetic on wrapping longs). Each
+    * step removes the leading token with one multiply-subtract
+    * (precomputed B^{k-1}) and appends the next with one multiply-add:
+    * O(n) total vs the O(n·k) per-gram recompute of the md5-of-string
+    * formulation — the constant-factor upgrade [[graft.operators.Dedup.spanDedupFast]]
+    * rides. 64-bit codomain keeps corpus-scale collision mass negligible
+    * (2^31 codomains collide constantly at 10^12 grams).
+    *
+    * Input must already be filtered of empty tokens — the expression
+    * hashes positions as given so output index i always refers to the
+    * caller's token i (filtering inside would silently desync the
+    * rewrite). Returns empty array when fewer than k tokens.
+    */
+  case class PositionalGramHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"positional_gram_hashes requires array<string>, got $other")
+      }
+    override def prettyName: String = "positional_gram_hashes"
+
+    override protected def withNewChildInternal(newChild: Expression): PositionalGramHashes =
+      copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("posGrams", this, classOf[PositionalGramHashes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+
+    private val B = 1099511628211L // FNV-64 prime
+
+    def compute(arr: ArrayData): ArrayData = {
+      val m = arr.numElements()
+      val nGrams = m - k + 1
+      if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        th(i) = if (s == null) 0L else XXH64.hashUTF8String(s, 42L)
+        i += 1
+      }
+      // B^(k-1) in the 2^64 ring (wrapping long multiply IS mod 2^64)
+      var bk1 = 1L
+      i = 1
+      while (i < k) { bk1 *= B; i += 1 }
+      val hs = new Array[Long](nGrams)
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + th(i); i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < nGrams) {
+        h = (h - th(i - 1) * bk1) * B + th(i + k - 1)
+        hs(i) = h
+        i += 1
+      }
+      new GenericArrayData(hs)
+    }
+  }
+
+  def positionalGramHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(
+      PositionalGramHashes(ColumnBridge.expression(tokens), k))
+
   def winnowedFingerprints(tokens: Column, k: Int, w: Int): Column =
     ColumnBridge.column(
       WinnowedFingerprints(ColumnBridge.expression(tokens), k, w))

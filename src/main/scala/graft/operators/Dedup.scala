@@ -280,28 +280,57 @@ object Dedup {
     */
   def spanDedup(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, maxOccurrences: Long = 1): DataFrame = {
+      k: Int, maxOccurrences: Long = 1): DataFrame =
+    spanDedupFrom(df, idCol, textCol, k, maxOccurrences) { d =>
+      // one row per k-token window: (id, 0-based pos, md5 of gram text).
+      // Guard BEFORE building windows: sequence(0, n-k) with n < k would
+      // descend through negative positions (and slice(_, 0, _) is an
+      // ANSI error), so short docs must never reach the transform.
+      d.filter(size(col("__tk")) >= k)
+        .withColumn("__g", explode(transform(
+          sequence(lit(0), size(col("__tk")) - k),
+          i => struct(
+            i.as("pos"),
+            md5(concat_ws(" ", slice(col("__tk"), i + 1, lit(k)))).as("h")))))
+        .select(col("__gid"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
+    }
+
+  /** [[spanDedup]] with the O(n) rolling-hash gram pass
+    * ([[graft.functions.HashExprs.PositionalGramHashes]]: xxhash64 token
+    * hashes folded under a 2^64 polynomial, one multiply-subtract +
+    * multiply-add per step) instead of the O(n·k) md5-of-string build —
+    * the production form at 100 TB, where gram construction dominates
+    * the map side. Decisions are identical unless two DIFFERENT k-grams
+    * collide in the 64-bit codomain (~n²/2^65 expected corpus-wide);
+    * q100 runs this path against q98's raw-string oracle, so the gate
+    * itself is the collision check.
+    */
+  def spanDedupFast(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxOccurrences: Long = 1): DataFrame =
+    spanDedupFrom(df, idCol, textCol, k, maxOccurrences) { d =>
+      d.select(col("__gid"),
+          posexplode(graft.functions.HashExprs.positionalGramHashes(
+            col("__tk"), k)).as(Seq("__pos", "__h")))
+    }
+
+  /** Shared frequency -> probe -> rewrite chain for the span-dedup pair;
+    * `gramRows` maps (__gid, __tk) to one (__gid, __pos, __h) row per
+    * k-token window (any hash type).
+    */
+  private def spanDedupFrom(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxOccurrences: Long)(
+      gramRows: DataFrame => DataFrame): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    // one row per k-token window: (id, 0-based start pos, md5 of gram text)
-    def gramRows(d: DataFrame) = d
-      .select(col(idCol).as("__gid"), toks.as("__tk"))
-      // guard BEFORE building windows: sequence(0, n-k) with n < k would
-      // descend through negative positions (and slice(_, 0, _) is an
-      // ANSI error), so short docs must never reach the transform
-      .filter(size(col("__tk")) >= k)
-      .withColumn("__g", explode(transform(
-        sequence(lit(0), size(col("__tk")) - k),
-        i => struct(
-          i.as("pos"),
-          md5(concat_ws(" ", slice(col("__tk"), i + 1, lit(k)))).as("h")))))
-      .select(col("__gid"), col("__g.pos").as("__pos"), col("__g.h").as("__h"))
-    val freq = gramRows(df)
+    def grams = gramRows(df.select(col(idCol).as("__gid"), toks.as("__tk")))
+    val freq = grams
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > maxOccurrences)
       .select(col("__h"))
-    val dupPos = gramRows(df)
+    val dupPos = grams
       .join(freq, Seq("__h"))
       .groupBy(col("__gid"))
       .agg(sort_array(collect_set(col("__pos"))).as("__ps"))

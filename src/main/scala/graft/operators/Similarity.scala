@@ -561,6 +561,69 @@ object Similarity {
     * checks). Pure map-side projection: no shuffle, no UDF, codegen'd
     * array lambdas only.
     */
+  /** Two-stage top-k over an int8-quantized corpus: stage 1 scores every
+    * (query, vector) pair on the QUANTIZED forms — cosine is
+    * scale-free (dot(s_q·qq, s_v·qv) / (|s_q·qq|·|s_v·qv|) cancels both
+    * scales), so the approximate score is intdot(qq,qv) /
+    * (√intdot(qq,qq)·√intdot(qv,qv)) where all three dots are EXACT
+    * int64 sums (|q| <= 127 → per-term <= 16129, no overflow at any
+    * realistic dim) — and keeps the top k·rerankFactor per query;
+    * stage 2 re-scores only those candidates with the exact float
+    * cosine and re-ranks to the final k.
+    *
+    * The 100 TB shape: the stage-1 scan touches ONLY the int8 corpus —
+    * 4x less bandwidth than float32 and 8x less than float64, which is
+    * the difference between a memory-resident and a disk-bound pass —
+    * while float vectors are fetched for k·rerankFactor rows per query
+    * via an id-equi-join (never scanned). Like [[bruteForceTopK]] the
+    * query set must be broadcastable; the quantized scan composes with
+    * the IVF/LSH pruning operators when it is not. Every stage-1 score
+    * is integer-exact and every stage-2 cosine is a deterministic
+    * per-pair fold, so the whole two-stage pipeline is SQL-replicable
+    * (q101).
+    */
+  def quantizedTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1,
+      s"k and rerankFactor must be >= 1, got k=$k rerankFactor=$rerankFactor")
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
+        lit(0L), (s, x) => s + x)
+    def q8(df: DataFrame, id: String, vec: String, p: String) =
+      quantizeEmbeddings(df.select(col(id), col(vec)), vec)
+        .select(col(id), col(vec), col("qvec"))
+        .withColumn(s"${p}n2", intDot(col("qvec"), col("qvec")))
+        .filter(col(s"${p}n2") > 0) // zero vectors have no direction
+    val c = q8(corpus, idCol, vecCol, "c")
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"),
+        col("qvec").as("cq"), col("cn2"))
+    val qs = q8(queries, qidCol, qvecCol, "q")
+      .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qv"),
+        col("qvec").as("qq"), col("qn2"))
+    val approx = c.select(col("id"), col("cq"), col("cn2"))
+      .join(broadcast(qs.select(col("qid"), col("qq"), col("qn2"))))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("ascore",
+        intDot(col("cq"), col("qq")).cast("double") /
+          (sqrt(col("cn2").cast("double")) * sqrt(col("qn2").cast("double"))))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("id"))
+    val cands = approx
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("qid"), col("id"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cands
+      .join(c.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
+      .withColumn("sim", cosine(col("vec"), col("qv")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
   def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     df.withColumn("scale",

@@ -1335,26 +1335,8 @@ object Curation {
     // counts raw gram strings where the engine counts md5 digests
     // (collision check, q50's pattern), and replicates the coverage /
     // span-merge / rewrite arithmetic with list comprehensions.
-    "q98_span_dedup" -> ((s, dir) => {
-      val passage =
-        "redistribution and use in source and binary forms are permitted"
-      val planted = t(s, dir, "documents").withColumn("text",
-        concat_ws(" ",
-          when(col("doc_id") % 7 === 0, lit(passage)),
-          col("text"),
-          when(col("doc_id") % 11 === 0, lit(passage))))
-      Dedup.spanDedup(planted, "doc_id", "text", k = 4, maxOccurrences = 2)
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("n_dup_tokens") > 0, 1L).otherwise(0L))
-            .as("n_docs_affected"),
-          sum(col("n_dup_tokens")).as("n_dup_tokens"),
-          sum(col("n_spans")).as("n_spans"),
-          sum(length(col("clean_text")).cast("long")).as("clean_chars"),
-          countDistinct(md5(col("clean_text"))).as("n_distinct_clean"))
-        .orderBy(col("source"))
-    }),
+    "q98_span_dedup" -> ((s, dir) =>
+      spanDedupGate(s, dir, Dedup.spanDedup(_, "doc_id", "text", 4, 2))),
 
     // int8 embedding quantization: the whole codec is single IEEE ops on
     // exact inputs (max-abs fold, one division, floor(x/scale + 0.5)), so
@@ -1382,8 +1364,113 @@ object Curation {
               .cast("decimal(10,4)"))).as("max_err_ratio"),
           sum(when(col("scale") === 0d, 1L).otherwise(0L)).as("n_zero_vecs"))
         .orderBy(col("label"))
+    }),
+
+    // The rolling-hash production form of q98: SAME planted corpus, SAME
+    // aggregate, SAME raw-string oracle — but grams hashed by the O(n)
+    // 2^64 polynomial instead of md5-of-string, so oracle agreement IS
+    // the 64-bit collision check at this corpus scale.
+    "q100_span_dedup_fast" -> ((s, dir) =>
+      spanDedupGate(s, dir, Dedup.spanDedupFast(_, "doc_id", "text", 4, 2))),
+
+    // Quantized two-stage top-k over q27's exact queries: stage-1 scores
+    // are pure integer dot products of the int8 forms (scale-free cosine),
+    // stage-2 reranks the k*4 candidate slice with the exact float
+    // cosine. Both stages replicate in SQL, so the gate pins candidate
+    // selection AND final ranking — not just rows.
+    "q101_quantized_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, rerankFactor = 4)
+        .select(
+          col("qid"), col("id"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     })
   )
+
+  /** Shared q98/q100 gate body: plant a license passage at the head
+    * (doc_id % 7) and tail (doc_id % 11) of otherwise-unique documents —
+    * invisible to document- and line-level dedup, but every interior
+    * 4-gram repeats corpus-wide — run the given span-dedup
+    * implementation, and aggregate the cut per source.
+    */
+  private def spanDedupGate(
+      s: SparkSession, dir: String,
+      impl: DataFrame => DataFrame): DataFrame = {
+    val passage =
+      "redistribution and use in source and binary forms are permitted"
+    val planted = t(s, dir, "documents").withColumn("text",
+      concat_ws(" ",
+        when(col("doc_id") % 7 === 0, lit(passage)),
+        col("text"),
+        when(col("doc_id") % 11 === 0, lit(passage))))
+    impl(planted)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup_tokens") > 0, 1L).otherwise(0L))
+          .as("n_docs_affected"),
+        sum(col("n_dup_tokens")).as("n_dup_tokens"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(length(col("clean_text")).cast("long")).as("clean_chars"),
+        countDistinct(md5(col("clean_text"))).as("n_distinct_clean"))
+      .orderBy(col("source"))
+  }
+
+  private val SpanDedupOracleSql: String =
+        """WITH planted AS (
+             SELECT doc_id, source,
+               concat_ws(' ',
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   'redistribution and use in source and binary forms are permitted' END,
+                 text,
+                 CASE WHEN doc_id % 11 = 0 THEN
+                   'redistribution and use in source and binary forms are permitted' END)
+                 AS text
+             FROM documents),
+           toks AS (
+             SELECT doc_id, source,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+             FROM planted),
+           grams AS (
+             SELECT doc_id, pos,
+               array_to_string(tk[pos : pos + 3], ' ') AS gram
+             FROM (SELECT doc_id, tk,
+                     unnest(range(1, len(tk) - 4 + 2)) AS pos
+                   FROM toks WHERE len(tk) >= 4)),
+           freq AS (
+             SELECT gram FROM grams GROUP BY gram HAVING count(*) > 2),
+           hits AS (
+             SELECT doc_id, list_sort(list(pos)) AS ps
+             FROM grams JOIN freq USING (gram) GROUP BY doc_id),
+           cov AS (
+             SELECT t.doc_id, t.source, t.tk,
+               coalesce(h.ps, CAST([] AS BIGINT[])) AS ps,
+               list_distinct(flatten(
+                 [range(p, p + 4) for p in coalesce(h.ps, CAST([] AS BIGINT[]))]))
+                 AS covered
+             FROM toks t LEFT JOIN hits h USING (doc_id)),
+           per_doc AS (
+             SELECT doc_id, source,
+               CAST(len(covered) AS BIGINT) AS n_dup,
+               CAST(CASE WHEN len(ps) = 0 THEN 0
+                 ELSE 1 + len([i for i in range(2, len(ps) + 1)
+                               if ps[i] - ps[i - 1] > 4]) END AS BIGINT) AS n_spans,
+               coalesce(array_to_string(
+                 [tk[i] for i in range(1, len(tk) + 1)
+                  if NOT list_contains(covered, i)], ' '), '') AS clean
+             FROM cov)
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_affected,
+             CAST(sum(n_dup) AS BIGINT) AS n_dup_tokens,
+             CAST(sum(n_spans) AS BIGINT) AS n_spans,
+             CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+             count(DISTINCT md5(clean)) AS n_distinct_clean
+           FROM per_doc GROUP BY source ORDER BY source"""
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
@@ -2713,62 +2800,14 @@ object Curation {
            count(*) AS n
          FROM documents GROUP BY source, kind ORDER BY source, kind""",
     // Gram frequencies counted on RAW k-gram strings where the engine
-    // counts md5 digests — agreement doubles as the collision check.
+    // counts md5 digests (q98) / 2^64 rolling-polynomial hashes (q100) —
+    // agreement doubles as the collision check for BOTH hash functions.
     // Positions are 1-based here, 0-based in the engine; every output is
     // a count or a reassembled string, so the base never surfaces. A new
     // span starts where the gap between consecutive sorted starts
     // exceeds k (== k is adjacent coverage and merges).
-    "q98_span_dedup" ->
-      """WITH planted AS (
-           SELECT doc_id, source,
-             concat_ws(' ',
-               CASE WHEN doc_id % 7 = 0 THEN
-                 'redistribution and use in source and binary forms are permitted' END,
-               text,
-               CASE WHEN doc_id % 11 = 0 THEN
-                 'redistribution and use in source and binary forms are permitted' END)
-               AS text
-           FROM documents),
-         toks AS (
-           SELECT doc_id, source,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
-           FROM planted),
-         grams AS (
-           SELECT doc_id, pos,
-             array_to_string(tk[pos : pos + 3], ' ') AS gram
-           FROM (SELECT doc_id, tk,
-                   unnest(range(1, len(tk) - 4 + 2)) AS pos
-                 FROM toks WHERE len(tk) >= 4)),
-         freq AS (
-           SELECT gram FROM grams GROUP BY gram HAVING count(*) > 2),
-         hits AS (
-           SELECT doc_id, list_sort(list(pos)) AS ps
-           FROM grams JOIN freq USING (gram) GROUP BY doc_id),
-         cov AS (
-           SELECT t.doc_id, t.source, t.tk,
-             coalesce(h.ps, CAST([] AS BIGINT[])) AS ps,
-             list_distinct(flatten(
-               [range(p, p + 4) for p in coalesce(h.ps, CAST([] AS BIGINT[]))]))
-               AS covered
-           FROM toks t LEFT JOIN hits h USING (doc_id)),
-         per_doc AS (
-           SELECT doc_id, source,
-             CAST(len(covered) AS BIGINT) AS n_dup,
-             CAST(CASE WHEN len(ps) = 0 THEN 0
-               ELSE 1 + len([i for i in range(2, len(ps) + 1)
-                             if ps[i] - ps[i - 1] > 4]) END AS BIGINT) AS n_spans,
-             coalesce(array_to_string(
-               [tk[i] for i in range(1, len(tk) + 1)
-                if NOT list_contains(covered, i)], ' '), '') AS clean
-           FROM cov)
-         SELECT source, count(*) AS n_docs,
-           CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_docs_affected,
-           CAST(sum(n_dup) AS BIGINT) AS n_dup_tokens,
-           CAST(sum(n_spans) AS BIGINT) AS n_spans,
-           CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
-           count(DISTINCT md5(clean)) AS n_distinct_clean
-         FROM per_doc GROUP BY source ORDER BY source""",
+    "q98_span_dedup" -> SpanDedupOracleSql,
+    "q100_span_dedup_fast" -> SpanDedupOracleSql,
     // The codec replicated bit-for-bit: CAST(FLOAT[] AS DOUBLE[]) widens
     // exactly, list_max of abs is exact selection, scale is ONE IEEE
     // division, q = floor(x/scale + 0.5) is exact, err recomputes q
@@ -2805,6 +2844,58 @@ object Curation {
              AS max_err_ratio,
            CAST(sum(CASE WHEN scale = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_vecs
-         FROM r GROUP BY label ORDER BY label"""
+         FROM r GROUP BY label ORDER BY label""",
+    // Both stages replicated: the q99 codec per side, integer dot
+    // products via list comprehensions (exact int64 — CAST before the
+    // product so 127*127 terms sum wide), the scale-free approximate
+    // cosine as one double expression, candidate cut at k*4 by
+    // (ascore DESC, id), exact rerank on the float vectors.
+    "q101_quantized_rerank" ->
+      """WITH cq AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x))) / 127.0 AS scale
+           FROM embeddings),
+         c AS (
+           SELECT id, vec,
+             CASE WHEN scale = 0 THEN list_transform(vec, x -> 0)
+               ELSE list_transform(vec,
+                 x -> CAST(floor(x / scale + 0.5) AS INTEGER)) END AS qv
+           FROM cq),
+         cn AS (
+           SELECT id, vec, qv,
+             CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
+               for i in range(1, len(qv) + 1)]) AS BIGINT) AS n2
+           FROM c),
+         qn AS (
+           SELECT id AS qid, vec AS qvec, qv AS qqv, n2 AS qn2
+           FROM cn WHERE id < 5),
+         s AS (
+           SELECT q.qid, v.id,
+             CAST(list_sum([CAST(v.qv[i] AS BIGINT) * q.qqv[i]
+               for i in range(1, len(v.qv) + 1)]) AS DOUBLE) /
+               (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))
+               AS ascore
+           FROM qn q, cn v
+           WHERE q.qid <> v.id AND v.n2 > 0 AND q.qn2 > 0),
+         cand AS (
+           SELECT qid, id,
+             row_number() OVER (PARTITION BY qid ORDER BY ascore DESC, id)
+               AS arank
+           FROM s),
+         exact AS (
+           SELECT cand.qid, cand.id,
+             list_cosine_similarity(v.vec, q.qvec) AS sim
+           FROM cand
+           JOIN cn v ON v.id = cand.id
+           JOIN qn q ON q.qid = cand.qid
+           WHERE cand.arank <= 40),
+         r AS (
+           SELECT qid, id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rnk
+           FROM exact WHERE sim IS NOT NULL)
+         SELECT qid, id, round(sim, 4) AS sim, rnk
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
   )
 }

@@ -417,6 +417,54 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, "twice repeated gram")))
   }
 
+  test("positionalGramHashes: rolling hash equals per-gram recompute") {
+    // the rolling multiply-subtract must reproduce the direct polynomial
+    // fold at every position, including k=1 (grams are the tokens) and
+    // short-array empties
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon", "beta")
+    for (k <- Seq(1, 2, 3, 6)) {
+      val rolled = Seq(Tuple1(toks)).toDF("tk")
+        .select(graft.functions.HashExprs.positionalGramHashes(col("tk"), k).as("h"))
+        .as[Seq[Long]].head()
+      assert(rolled.length === toks.length - k + 1)
+      // direct recompute: fold token xxhash64 under B without rolling
+      val th = Seq(Tuple1(toks)).toDF("tk")
+        .select(transform(col("tk"), t => xxhash64(t)).as("h"))
+        .as[Seq[Long]].head()
+      val B = 1099511628211L
+      val direct = (0 to toks.length - k).map { i =>
+        (i until i + k).foldLeft(0L)((h, j) => h * B + th(j))
+      }
+      assert(rolled === direct, s"k=$k")
+    }
+    val short = Seq(Tuple1(Seq("one"))).toDF("tk")
+      .select(graft.functions.HashExprs.positionalGramHashes(col("tk"), 2).as("h"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
+  test("spanDedupFast equals spanDedup on a planted corpus") {
+    val boiler = "all rights reserved by the site owner today"
+    val d = (0L until 60L).map { i =>
+      val body = s"unique body $i with enough distinct tokens to matter ${i * 7}"
+      val text =
+        if (i % 5 == 0) s"$boiler $body"
+        else if (i % 7 == 0) s"$body $boiler"
+        else body
+      (i, text)
+    }.toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_tokens", "n_dup_tokens", "n_spans", "clean_text")
+    val slow = Dedup.spanDedup(d, "doc_id", "text", 3, 2)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val fast = Dedup.spanDedupFast(d, "doc_id", "text", 3, 2)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(fast === slow)
+    // and the cut actually fired: boilerplate-carrying docs lost tokens
+    assert(slow.count(_._3 > 0) > 10)
+  }
+
   test("lineDedup removes a frequent line at EVERY position it occupies") {
     // the same boilerplate twice within one doc: both copies drop
     val d = docs(

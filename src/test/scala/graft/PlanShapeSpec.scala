@@ -44,7 +44,8 @@ class PlanShapeSpec extends SparkSpec {
     "q88_sim_decontam", "q89_gap_stats", "q90_char_classes",
     "q91_ref_passages", "q93_emb_decontam",
     "q94_line_dedup", "q95_url_canonical", "q96_leakage_split",
-    "q97_filetype_sniff", "q98_span_dedup", "q99_embed_quant")
+    "q97_filetype_sniff", "q98_span_dedup", "q99_embed_quant",
+    "q100_span_dedup_fast")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

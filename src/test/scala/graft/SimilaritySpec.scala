@@ -307,6 +307,39 @@ class SimilaritySpec extends SparkSpec {
     assert(e3 === 1.0) // |127 - 64*2| = exactly scale/2
   }
 
+  test("quantizedTopK: int8 candidates + float rerank track brute force") {
+    val rng = new scala.util.Random(11)
+    val dim = 32
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("id"), col("rank"))
+        .as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val brute = ranked(Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+    val quant = ranked(Similarity.quantizedTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 10, rerankFactor = 4))
+    assert(quant.keySet === brute.keySet)
+    brute.foreach { case (qid, bids) =>
+      val qids = quant(qid)
+      // int8 + 4x rerank headroom: recall >= 0.9, and the top hit —
+      // re-scored exactly in stage 2 — must agree whenever it survived
+      // stage 1 (it does at this precision)
+      val recall = bids.toSet.intersect(qids.toSet).size.toDouble / bids.size
+      assert(recall >= 0.9, s"qid=$qid recall=$recall")
+      assert(qids.head === bids.head, s"qid=$qid top-1 diverged")
+    }
+    // a zero corpus vector must never surface as a neighbor
+    val withZero = corpus.union(
+      Seq((999L, Seq.fill(dim)(0.0))).toDF("vec_id", "embedding"))
+    val z = Similarity.quantizedTopK(withZero, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    assert(z.filter(col("id") === 999L).count() === 0)
+  }
+
   test("quantizeEmbeddings: q in [-127,127] and bound holds on random vectors") {
     val rng = new scala.util.Random(7)
     val df = (0 until 200).map(i =>
