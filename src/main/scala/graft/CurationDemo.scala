@@ -4,10 +4,10 @@ import graft.operators.{CurationFilters, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Runnable demo of the training-data curation pipeline over the
-  * `documents` table: sanitize + PII scrub -> language gate -> quality
-  * gate -> exact dedup -> minhash near-dup removal -> deterministic
-  * split -> shard-shuffled, range-clustered parquet, with per-stage
-  * counts printed. The batch shape a 100 TB crawl day runs; every
+  * `documents` table: sanitize + PII scrub -> line-level boilerplate
+  * removal -> language gate -> quality gate -> exact dedup -> minhash
+  * near-dup removal -> deterministic split -> shard-shuffled,
+  * range-clustered parquet, with per-stage counts printed. The batch shape a 100 TB crawl day runs; every
   * operator here is individually oracle- or spec-checked (COVERAGE.md).
   * Usage:
   *
@@ -30,8 +30,15 @@ object CurationDemo {
     val docs = raw.withColumn("text",
       CurationFilters.redactPii(TextAnalysis.sanitizeText(col("text"))))
 
+    // line-level boilerplate removal BEFORE scoring: corpus-frequent
+    // lines (nav chrome, cookie banners, footers) would otherwise drag
+    // quality scores and seed spurious near-dup pairs
+    val lineClean = Dedup.lineDedup(docs, "doc_id", "text", maxOccurrences = 2)
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text", "n_lines", "n_lines_removed")
+
     // language + quality gates: pure column predicates, push down to scan
-    val gated = docs
+    val gated = lineClean
       .filter(col("lang").isin("en", "de", "fr", "es"))
       .withColumn("q", TextAnalysis.qualityScore(col("text")))
       .filter(col("q") >= 0.7)

@@ -66,6 +66,15 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprints(tokens array<string>, k int, window int)")
       }),
+    (FunctionIdentifier("positional_gram_hashes"),
+      new ExpressionInfo(classOf[HashExprs.PositionalGramHashes].getName,
+        "positional_gram_hashes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k) => HashExprs.PositionalGramHashes(
+          c, intArg(k, "positional_gram_hashes"))
+        case _ => throw new IllegalArgumentException(
+          "positional_gram_hashes(tokens array<string>, k int)")
+      }),
     (FunctionIdentifier("indicator_summary"),
       new ExpressionInfo(classOf[graft.functions.IndicatorAggExpr].getName,
         "indicator_summary"),

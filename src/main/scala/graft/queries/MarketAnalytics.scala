@@ -262,9 +262,21 @@ object MarketAnalytics {
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
-    val q = build(stream).writeStream.format("memory").queryName(qname)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    // Pin the STREAMING run's shuffle width to the replay's key scale:
+    // every stateful shuffle partition pays a state-store delta commit
+    // per micro-batch whether or not it holds keys, so the session-wide
+    // 32 costs 4x32 near-empty commits per gate — measured 12.4 s -> 3.6 s
+    // warm for q55 at sf0.1 going 32 -> 8. Eight partitions still
+    // exercise genuinely multi-partition state; results are
+    // partitioning-invariant (the parity oracles assert it). Restored
+    // before the batch-side snapshot window.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(stream).writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     finalSnapshot(spark.table(qname), partCols, counterCol)
   }
 

@@ -87,10 +87,16 @@ object ScaleBench {
     // budget cut (FIXED 50k-token budget — output stays constant while
     // the scanned corpus grows 10x, so time growth isolates the scan
     // path), and the markup strip (pure map — the linear floor).
+    // q94/q98 joined in round 6: the line-digest and positional-gram
+    // frequency passes (frequency agg on digests -> heavy-hitter join
+    // -> indexed-lambda rewrite). Their planted boilerplate is a query
+    // literal on doc_id strides, so plant volume and cut volume both
+    // grow exactly with the replica count.
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
       "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
-      "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup")
+      "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup",
+      "q94_line_dedup", "q98_span_dedup")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.foreach { q =>
       val (bt, br) = bench(q, baseDir)

@@ -90,6 +90,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == ((comp, "file", lig)))
   }
 
+  test("sql positional_gram_hashes matches the column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT positional_gram_hashes(array('a','b','c','d'), 2)")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("tk")
+      .select(graft.functions.HashExprs.positionalGramHashes(col("tk"), 2))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaCol && viaSql.length === 3)
+  }
+
   test("sql ohlc_bar aggregate matches the operator API") {
     GraftExtensions.register(spark)
     val ticks = Seq(
