@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name prefixes — run only matching
+    // queries (builder-side iteration; the driver always passes two args)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, Seq.empty[String])
+      case Array(a, b, f) => (a, b, f.split(",").toSeq)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +20,9 @@ object Verify {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
+      .foreach { case (name, fn) =>
       // CacheScope bounds each query's operator-internal persists to its
       // own write: 52 queries in one session would otherwise accumulate
       // every sketch operator's cached frames (the same leak Bench fixes

@@ -976,4 +976,80 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Every distinct string reachable from `s` by deleting at most one
+    * character (including `s` itself). Built-in HOF form (sequence →
+    * transform → substr concat), codegen'd; the empty string maps to
+    * just itself (`sequence(0, -1)` would count DOWN and fabricate
+    * variants, so zero-length input is guarded explicitly).
+    */
+  private def deletionNeighborhood(s: Column): Column = {
+    val dels = when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+    array_union(array(s), dels)
+  }
+
+  /** All-pairs fuzzy string matching at bounded edit distance — the
+    * record-linkage/fuzzy-dedup member of the dedup family (near-identical
+    * titles, names, or short fields that hash-exact dedup misses by one
+    * typo). Blocking is the symmetric-delete scheme (SymSpell): each
+    * string emits its ≤`maxDist`-deletion neighborhood, candidates are
+    * pairs sharing a variant, and exact `levenshtein` verification
+    * restores precision, so output is IDENTICAL to the brute-force
+    * quadratic scan.
+    *
+    * Completeness: if lev(a, b) = k ≤ maxDist, fix an optimal alignment
+    * and delete from `a` the ≤k characters it substitutes or deletes and
+    * from `b` the ≤k characters it substitutes or inserts; both strings
+    * collapse onto the alignment's matched subsequence, a shared member
+    * of the two ≤k-deletion neighborhoods. Soundness is the exact verify.
+    *
+    * Scale: each length-n string emits O(n^maxDist) variant keys, hashed
+    * to int64 BEFORE the shuffle — raw strings never cross an exchange
+    * (an xxhash64 collision can only ADD a candidate, which verification
+    * removes). The self-join is an equi-join on the variant hash; the
+    * quadratic blowup inside one key is bounded by the neighborhood
+    * design (a key's population is strings within 2·maxDist edits of each
+    * other). This is the short-string analogue of jaccardPairs — use that
+    * for document-length text, this for fields up to ~100 chars where
+    * edit distance, not token overlap, is the right metric. Verification
+    * fetches strings by id equi-join (O(candidates)); output columns
+    * (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist (0 = exact dups).
+    *
+    * Reference analogue: none — the reference dedups on exact symbol
+    * equality only; this generalizes its `symbol` grouping key to noisy
+    * string keys.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (neighborhood size is O(n^maxDist)), got $maxDist")
+    // null string keys are malformed input for a dedup key, not a value
+    // to guess at — same fail-fast contract as packSequences
+    val base = df.select(col(idCol).cast("long").as("id"),
+        when(col(strCol).isNull,
+          raise_error(lit(s"editDistancePairs: null $strCol row")))
+          .otherwise(col(strCol)).as("s"))
+      .transform(graft.CacheScope.persisted)
+    val vars1 = deletionNeighborhood(col("s"))
+    val variants = if (maxDist == 1) vars1
+      else array_distinct(flatten(transform(vars1, v => deletionNeighborhood(v))))
+    val keyed = base
+      .select(col("id"), explode(variants).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("k"))
+      .distinct()
+    val cands = keyed.as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val out = cands
+      .join(base.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+    out
+  }
 }

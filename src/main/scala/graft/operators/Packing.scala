@@ -127,4 +127,58 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("pack_tokens"),
         greatest(sum(col(tokenCol)) - budget, lit(0L)).as("overflow_tokens"))
+
+  /** Length-bucket padding profile — the batching-efficiency planner for
+    * bucketed (non-packed) training: each document lands in the smallest
+    * bucket boundary that holds it, documents longer than the largest
+    * boundary are clipped there, and the profile reports what that
+    * bucketing scheme costs in padded and truncated tokens. The
+    * complement of [[packSequences]]: packing eliminates padding by
+    * concatenation, bucketing keeps document boundaries and PAYS padding
+    * — this operator prices that choice so the boundaries can be chosen
+    * from corpus evidence rather than convention.
+    *
+    * Per bucket (boundary value, ascending): `n_docs`, `token_total`
+    * (pre-clip), `padded_tokens` = Σ(boundary − min(tokens, boundary)),
+    * `truncated_tokens` = Σ max(tokens − boundary, 0) (nonzero only in
+    * the top bucket), and `utilization_pct` = (Σ min(tokens, boundary) ·
+    * 100) div (n_docs · boundary) — integral division, so every output
+    * column is an exact integer and an oracle's CASE ladder reproduces
+    * the profile bit-for-bit.
+    *
+    * Scale: the bucket assignment is one codegen'd CASE projection (no
+    * join against a boundary table) and the profile is one map-side-
+    * combined hash aggregate over ≤|boundaries| groups. Null/non-positive
+    * token counts fail fast — same malformed-input contract as
+    * [[packSequences]].
+    */
+  def lengthBucketStats(
+      df: DataFrame, idCol: String, tokenCol: String,
+      boundaries: Seq[Int]): DataFrame = {
+    require(boundaries.nonEmpty, "boundaries must be non-empty")
+    require(boundaries.forall(_ > 0), s"boundaries must be positive: $boundaries")
+    require(boundaries == boundaries.sorted && boundaries.distinct == boundaries,
+      s"boundaries must be strictly increasing: $boundaries")
+    val checked = df.withColumn("__nt",
+      when(col(idCol).isNull || col(tokenCol).isNull || col(tokenCol) <= 0,
+        raise_error(lit(s"lengthBucketStats: null/non-positive $idCol/$tokenCol row")))
+        .otherwise(col(tokenCol).cast("long")))
+    val top = boundaries.last.toLong
+    // smallest boundary >= nt; the ladder tests ascending so the first
+    // hit wins, and the over-top case clips to the largest boundary
+    val bucket = boundaries.init.foldRight(lit(top)) { (b, rest) =>
+      when(col("__nt") <= b, lit(b.toLong)).otherwise(rest)
+    }
+    checked.withColumn("bucket", bucket)
+      .withColumn("__kept", least(col("__nt"), col("bucket")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("token_total"),
+        sum(col("bucket") - col("__kept")).as("padded_tokens"),
+        sum(col("__nt") - col("__kept")).as("truncated_tokens"),
+        call_function("div",
+          sum(col("__kept")) * 100L,
+          count(lit(1)) * col("bucket")).as("utilization_pct"))
+  }
 }

@@ -49,4 +49,48 @@ object SnapshotDiff {
     diff(old, cur, idCol, textCol)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"))
+
+  /** Vocabulary drift between two snapshots — the distribution-shift
+    * monitor of an iterated crawl: which tokens appeared, vanished, or
+    * changed frequency class between corpus versions. A silent scraper
+    * regression (markup leaking into text, a language gate flipping)
+    * shows up here as a burst of `added`/`grown` tokens long before it
+    * shows up in model metrics.
+    *
+    * Per token (lowercased, `\s+`-split, empties dropped): occurrence
+    * counts on each side, classified `added` (old side absent),
+    * `removed` (new side absent), `grown` (new ≥ 2·old), `shrunk`
+    * (2·new ≤ old), else `stable`. All-integer comparisons — the 2×
+    * frequency-class thresholds multiply rather than divide, so there is
+    * no rounding to diverge an oracle. `minCount` drops tokens whose
+    * larger-side count is below the floor (hapax noise dominates raw
+    * vocabularies; the default keeps everything).
+    *
+    * Scale: two map-side-combined hash aggregates over exploded tokens
+    * (token-count frames are vocabulary-sized, ≪ corpus-sized, same
+    * regime as tf-idf q46), then one full-outer equi-join of the two
+    * vocabulary frames. Document text never crosses an exchange — only
+    * (token, count) rows do.
+    */
+  def vocabDrift(
+      old: DataFrame, cur: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def counts(df: DataFrame, side: String): DataFrame =
+      df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => t =!= "")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as(side))
+    counts(old, "old_n").join(counts(cur, "new_n"), Seq("token"), "full_outer")
+      .withColumn("status",
+        when(col("old_n").isNull, "added")
+          .when(col("new_n").isNull, "removed")
+          .when(col("new_n") >= lit(2L) * col("old_n"), "grown")
+          .when(lit(2L) * col("new_n") <= col("old_n"), "shrunk")
+          .otherwise("stable"))
+      .withColumn("old_n", coalesce(col("old_n"), lit(0L)))
+      .withColumn("new_n", coalesce(col("new_n"), lit(0L)))
+      .filter(greatest(col("old_n"), col("new_n")) >= minCount)
+      .select(col("token"), col("old_n"), col("new_n"), col("status"))
+  }
 }

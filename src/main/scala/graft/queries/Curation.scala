@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CurationFilters, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, SnapshotDiff, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, LinkGraph, Multimodal, Packing, RangeJoin, Sampling, Similarity, SnapshotDiff, TextAnalysis}
 import graft.sources.DocJsonl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1388,8 +1388,130 @@ object Curation {
           col("qid"), col("id"),
           round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
-    })
+    }),
+
+    // Fuzzy string dedup at edit distance <= 1: titles synthesized per
+    // 8-id group — clean form, one-char deletion / substitution /
+    // insertion variants, a transposition (Levenshtein 2, the designed
+    // negative), an exact duplicate, and an unrelated pair. Group labels
+    // embed in the title so near-identical labels ("report 12"/"report
+    // 13") also pair across groups — the oracle is the FULL brute-force
+    // levenshtein relation (its only prefilter, the length band <= 1, is
+    // sound: one edit changes length by at most one), so agreement pins
+    // the symmetric-delete blocking as lossless, not just plausible.
+    "q102_edit_dedup" -> ((s, dir) =>
+      Dedup.editDistancePairs(editTitles(t(s, dir, "documents")),
+          "doc_id", "title", maxDist = 1)
+        .groupBy(col("dist").cast("long").as("dist"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("id_a")).as("a_sum"),
+          sum(col("id_b")).as("b_sum"))
+        .orderBy(col("dist"))),
+
+    // Host-level link authority: src host from the doc's own id stride,
+    // outlinks PLANTED INTO THE TEXT so the regex extraction path is
+    // exercised, not bypassed. The functional site graph (13 nodes) plus
+    // the cdn tier (7 sinks) gives every metric a nonzero case: sites
+    // have both in-degree and 2-hop reach, cdns are pure sinks reached
+    // from two hops out. Exact integer counts; the oracle replicates
+    // extraction, the distinct edge relation, and both joins.
+    "q103_host_authority" -> ((s, dir) =>
+      LinkGraph.authority(plantedHostEdges(t(s, dir, "documents")))
+        .orderBy(col("host"))),
+
+    // Fixed-point integer PageRank over the same host graph: ranks in
+    // micro-units, every step integral division, so the quantized
+    // 3-iteration fixpoint is engine-portable and the oracle unrolls the
+    // SAME three iterations in SQL — the gate pins the whole diffusion,
+    // not a rounded summary.
+    "q104_host_pagerank" -> ((s, dir) =>
+      LinkGraph.pageRankInt(plantedHostEdges(t(s, dir, "documents")),
+          iters = 3)
+        .select(col("host"), col("rank").as("pr"))
+        .orderBy(col("pr").desc, col("host"))),
+
+    // Vocabulary drift between two corpus snapshots: overlapping id
+    // windows simulate crawl N / crawl N+1, planted marker tokens force
+    // the added/removed/grown classes, and the organic id-digit tokens
+    // populate shrunk/stable. All-integer frequency-class comparisons;
+    // minCount=2 exercises the hapax floor on both sides of the join.
+    "q105_vocab_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // the %20==4 / %20==14 strides live in BOTH id windows (4 mod 10
+      // is inside [2, 8)), so cycletag grows 1->3 per doc and fadetag
+      // shrinks 3->1 — populating the grown/shrunk classes the organic
+      // 60%-overlap windows keep under the 2x frequency bar
+      val old = docs.filter(col("doc_id") % 10 < 8)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" legacyterm")).otherwise(lit("")),
+          when(col("doc_id") % 20 === 4, lit(" cycletag")).otherwise(lit("")),
+          when(col("doc_id") % 20 === 14,
+            lit(" fadetag fadetag fadetag")).otherwise(lit(""))))
+      val cur = docs.filter(col("doc_id") % 10 >= 2)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" neoterm neoterm")).otherwise(lit("")),
+          when(col("doc_id") % 20 === 4,
+            lit(" cycletag cycletag cycletag")).otherwise(lit("")),
+          when(col("doc_id") % 20 === 14, lit(" fadetag")).otherwise(lit(""))))
+      SnapshotDiff.vocabDrift(old, cur, "text", minCount = 2)
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("old_n")).as("old_total"),
+          sum(col("new_n")).as("new_total"))
+        .orderBy(col("status"))
+    }),
+
+    // Length-bucket padding profile: boundaries 16/32/64/96 against the
+    // 10-100-token corpus so every bucket populates and the top bucket
+    // truncates. Every output column is an exact integer (integral
+    // division for utilization), replicated by the oracle's CASE ladder.
+    "q106_length_buckets" -> ((s, dir) =>
+      Packing.lengthBucketStats(
+          t(s, dir, "documents").withColumn("n_tokens",
+            size(filter(split(col("text"), "\\s+"), t0 => t0 =!= ""))
+              .cast("long")),
+          "doc_id", "n_tokens", Seq(16, 32, 64, 96))
+        .orderBy(col("bucket")))
   )
+
+  /** q102 fixture: per-8-id-group title variants at known edit
+    * distances (see the q102 comment for the variant table).
+    */
+  private def editTitles(docs: DataFrame): DataFrame = {
+    val g = call_function("div", col("doc_id"), lit(8L)).cast("string")
+    val m = col("doc_id") % 8
+    docs.select(col("doc_id"),
+      when(m === 0, concat(lit("annual data report "), g, lit(" final")))
+        .when(m === 1, concat(lit("annual data reprt "), g, lit(" final")))
+        .when(m === 2, concat(lit("annual data rexort "), g, lit(" final")))
+        .when(m === 3, concat(lit("annual data repoort "), g, lit(" final")))
+        .when(m === 4, concat(lit("annual data rpeort "), g, lit(" final")))
+        .when(m === 5, concat(lit("annual data report "), g, lit(" final")))
+        .when(m === 6, concat(lit("quarterly summary "), g))
+        .otherwise(concat(lit("quarterly sumary "), g))
+        .as("title"))
+  }
+
+  /** q103/q104 fixture: src host from the doc id, outlinks planted into
+    * the text — site{id%13} links site{(3·id+1)%13} always and
+    * cdn{id%7}.net on the id%4 stride, so extraction (not edge synthesis)
+    * feeds the graph operators.
+    */
+  private def plantedHostEdges(docs: DataFrame): DataFrame = {
+    val planted = docs
+      .withColumn("src_host", concat(lit("site"),
+        (col("doc_id") % 13).cast("string"), lit(".example.org")))
+      .withColumn("text", concat(
+        col("text"),
+        lit(" see https://site"), ((col("doc_id") * 3 + 1) % 13).cast("string"),
+        lit(".example.org/x/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, concat(lit(" and https://cdn"),
+          (col("doc_id") % 7).cast("string"), lit(".net")))
+          .otherwise(lit(""))))
+    LinkGraph.hostEdges(planted, "src_host", "text")
+  }
 
   /** Shared q98/q100 gate body: plant a license passage at the head
     * (doc_id % 7) and tail (doc_id % 11) of otherwise-unique documents —
@@ -2896,6 +3018,204 @@ object Curation {
                PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rnk
            FROM exact WHERE sim IS NOT NULL)
          SELECT qid, id, round(sim, 4) AS sim, rnk
-         FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    // The FULL brute-force levenshtein relation — the only prefilter is
+    // the length band |len(a)-len(b)| <= 1, sound because one edit moves
+    // length by at most one. Agreement proves the engine's
+    // symmetric-delete blocking lost no pair.
+    "q102_edit_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'annual data report ' ||
+                 CAST(doc_id // 8 AS VARCHAR) || ' final'
+               WHEN 1 THEN 'annual data reprt ' ||
+                 CAST(doc_id // 8 AS VARCHAR) || ' final'
+               WHEN 2 THEN 'annual data rexort ' ||
+                 CAST(doc_id // 8 AS VARCHAR) || ' final'
+               WHEN 3 THEN 'annual data repoort ' ||
+                 CAST(doc_id // 8 AS VARCHAR) || ' final'
+               WHEN 4 THEN 'annual data rpeort ' ||
+                 CAST(doc_id // 8 AS VARCHAR) || ' final'
+               WHEN 5 THEN 'annual data report ' ||
+                 CAST(doc_id // 8 AS VARCHAR) || ' final'
+               WHEN 6 THEN 'quarterly summary ' ||
+                 CAST(doc_id // 8 AS VARCHAR)
+               ELSE 'quarterly sumary ' || CAST(doc_id // 8 AS VARCHAR)
+             END AS title
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.title, b.title) AS dist
+           FROM t a JOIN t b
+             ON a.doc_id < b.doc_id
+            AND abs(length(a.title) - length(b.title)) <= 1)
+         SELECT CAST(dist AS BIGINT) AS dist,
+           count(*) AS n_pairs,
+           CAST(sum(id_a) AS BIGINT) AS a_sum,
+           CAST(sum(id_b) AS BIGINT) AS b_sum
+         FROM p WHERE dist <= 1 GROUP BY dist ORDER BY dist""",
+    // Extraction, the distinct edge relation, and both authority joins
+    // replicated; hosts that appear only as sources report zeros via the
+    // node-list left joins.
+    "q103_host_authority" ->
+      """WITH planted AS (
+           SELECT
+             'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.org'
+               AS src,
+             text || ' see https://site' ||
+               CAST((doc_id * 3 + 1) % 13 AS VARCHAR) ||
+               '.example.org/x/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 4 = 0
+                 THEN ' and https://cdn' || CAST(doc_id % 7 AS VARCHAR) ||
+                   '.net'
+                 ELSE '' END AS text
+           FROM documents),
+         e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src,
+               unnest(regexp_extract_all(text,
+                 'https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?',
+                 1)) AS dst
+             FROM planted)
+           WHERE dst <> '' AND src <> dst),
+         nodes AS (
+           SELECT src AS host FROM e UNION SELECT dst AS host FROM e),
+         indeg AS (
+           SELECT dst AS host, count(*) AS in_hosts FROM e GROUP BY dst),
+         r2 AS (
+           SELECT host, count(*) AS reach2 FROM (
+             SELECT DISTINCT e2.dst AS host, e1.src AS origin
+             FROM e e1 JOIN e e2 ON e1.dst = e2.src
+             WHERE e1.src <> e2.dst)
+           GROUP BY host)
+         SELECT n.host,
+           CAST(COALESCE(indeg.in_hosts, 0) AS BIGINT) AS in_hosts,
+           CAST(COALESCE(r2.reach2, 0) AS BIGINT) AS reach2
+         FROM nodes n
+         LEFT JOIN indeg ON indeg.host = n.host
+         LEFT JOIN r2 ON r2.host = n.host
+         ORDER BY n.host""",
+    // The SAME three integer-PageRank iterations unrolled: ranks in
+    // micro-units, `//` everywhere Spark uses `div` — the whole
+    // quantized diffusion is pinned, not a rounded summary.
+    "q104_host_pagerank" ->
+      """WITH planted AS (
+           SELECT
+             'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.org'
+               AS src,
+             text || ' see https://site' ||
+               CAST((doc_id * 3 + 1) % 13 AS VARCHAR) ||
+               '.example.org/x/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 4 = 0
+                 THEN ' and https://cdn' || CAST(doc_id % 7 AS VARCHAR) ||
+                   '.net'
+                 ELSE '' END AS text
+           FROM documents),
+         e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src,
+               unnest(regexp_extract_all(text,
+                 'https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?',
+                 1)) AS dst
+             FROM planted)
+           WHERE dst <> '' AND src <> dst),
+         nodes AS (
+           SELECT src AS host FROM e UNION SELECT dst AS host FROM e),
+         outdeg AS (SELECT src AS host, count(*) AS od FROM e GROUP BY src),
+         r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         c1 AS (
+           SELECT e.dst AS host, CAST(sum(r0.rank // od.od) AS BIGINT) AS s
+           FROM e JOIN r0 ON r0.host = e.src
+           JOIN outdeg od ON od.host = e.src GROUP BY e.dst),
+         r1 AS (
+           SELECT n.host,
+             CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
+               AS rank
+           FROM nodes n LEFT JOIN c1 ON c1.host = n.host),
+         c2 AS (
+           SELECT e.dst AS host, CAST(sum(r1.rank // od.od) AS BIGINT) AS s
+           FROM e JOIN r1 ON r1.host = e.src
+           JOIN outdeg od ON od.host = e.src GROUP BY e.dst),
+         r2 AS (
+           SELECT n.host,
+             CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+               AS rank
+           FROM nodes n LEFT JOIN c2 ON c2.host = n.host),
+         c3 AS (
+           SELECT e.dst AS host, CAST(sum(r2.rank // od.od) AS BIGINT) AS s
+           FROM e JOIN r2 ON r2.host = e.src
+           JOIN outdeg od ON od.host = e.src GROUP BY e.dst),
+         r3 AS (
+           SELECT n.host,
+             CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT)
+               AS rank
+           FROM nodes n LEFT JOIN c3 ON c3.host = n.host)
+         SELECT host, rank AS pr FROM r3 ORDER BY pr DESC, host""",
+    // Same tokenization as q68 (\s+ split, empties dropped) lowercased;
+    // status from pre-coalesce side nullity, frequency classes by
+    // multiplication (no division to round), hapax floor on the larger
+    // side.
+    "q105_vocab_drift" ->
+      """WITH o AS (
+           SELECT token, count(*) AS old_n FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text ||
+                 CASE WHEN doc_id % 6 = 0 THEN ' legacyterm' ELSE '' END ||
+                 CASE WHEN doc_id % 20 = 4 THEN ' cycletag' ELSE '' END ||
+                 CASE WHEN doc_id % 20 = 14
+                   THEN ' fadetag fadetag fadetag' ELSE '' END),
+               '\s+'), x -> x <> '')) AS token
+             FROM documents WHERE doc_id % 10 < 8)
+           GROUP BY token),
+         c AS (
+           SELECT token, count(*) AS new_n FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text ||
+                 CASE WHEN doc_id % 5 = 0 THEN ' neoterm neoterm' ELSE '' END ||
+                 CASE WHEN doc_id % 20 = 4
+                   THEN ' cycletag cycletag cycletag' ELSE '' END ||
+                 CASE WHEN doc_id % 20 = 14 THEN ' fadetag' ELSE '' END),
+               '\s+'), x -> x <> '')) AS token
+             FROM documents WHERE doc_id % 10 >= 2)
+           GROUP BY token),
+         j AS (
+           SELECT
+             CASE WHEN o.token IS NULL THEN 'added'
+                  WHEN c.token IS NULL THEN 'removed'
+                  WHEN c.new_n >= 2 * o.old_n THEN 'grown'
+                  WHEN 2 * c.new_n <= o.old_n THEN 'shrunk'
+                  ELSE 'stable' END AS status,
+             COALESCE(o.old_n, 0) AS old_n,
+             COALESCE(c.new_n, 0) AS new_n
+           FROM o FULL OUTER JOIN c ON o.token = c.token)
+         SELECT status, count(*) AS n_tokens,
+           CAST(sum(old_n) AS BIGINT) AS old_total,
+           CAST(sum(new_n) AS BIGINT) AS new_total
+         FROM j WHERE greatest(old_n, new_n) >= 2
+         GROUP BY status ORDER BY status""",
+    // CASE ladder + LEAST clip, `//` for the utilization — every column
+    // an exact integer.
+    "q106_length_buckets" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         b AS (
+           SELECT nt,
+             CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+                  WHEN nt <= 64 THEN 64 ELSE 96 END AS bucket,
+             LEAST(nt, CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+                  WHEN nt <= 64 THEN 64 ELSE 96 END) AS kept
+           FROM m)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS token_total,
+           CAST(sum(bucket - kept) AS BIGINT) AS padded_tokens,
+           CAST(sum(nt - kept) AS BIGINT) AS truncated_tokens,
+           CAST(sum(kept) AS BIGINT) * 100 //
+             (count(*) * CAST(bucket AS BIGINT)) AS utilization_pct
+         FROM b GROUP BY bucket ORDER BY bucket"""
   )
 }

@@ -92,11 +92,19 @@ object ScaleBench {
     // -> indexed-lambda rewrite). Their planted boilerplate is a query
     // literal on doc_id strides, so plant volume and cut volume both
     // grow exactly with the replica count.
+    // q102/q104 joined in round 6: the symmetric-delete variant explosion
+    // + hash self-join (variant keys grow linearly; replica-shifted group
+    // labels keep cross-replica titles far apart, so true pair volume is
+    // ~linear), and the link-graph diffusion (the host graph is CONSTANT
+    //-sized at any corpus scale — time growth isolates the extraction
+    // scan, which is the 100 TB story for graph ops: edges aggregate to
+    // host-pair cardinality before any iteration touches them).
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
       "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
       "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup",
-      "q94_line_dedup", "q98_span_dedup")
+      "q94_line_dedup", "q98_span_dedup", "q102_edit_dedup",
+      "q104_host_pagerank")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.foreach { q =>
       val (bt, br) = bench(q, baseDir)

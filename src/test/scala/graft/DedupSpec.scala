@@ -465,6 +465,67 @@ class DedupSpec extends SparkSpec {
     assert(slow.count(_._3 > 0) > 10)
   }
 
+  test("editDistancePairs finds each single-edit kind and excludes distance 2") {
+    val d = Seq(
+      1L -> "market report",   // clean
+      2L -> "market reprt",    // deletion        -> dist 1 to 1
+      3L -> "market rexort",   // substitution    -> dist 1 to 1
+      4L -> "market repoort",  // insertion       -> dist 1 to 1
+      5L -> "market rpeort",   // transposition   -> dist 2 to 1: excluded
+      6L -> "market report",   // exact duplicate -> dist 0 to 1
+      7L -> "unrelated title").toDF("doc_id", "title")
+    val out = Dedup.editDistancePairs(d, "doc_id", "title", maxDist = 1)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(out === Seq((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 6L, 0),
+      (2L, 6L, 1), (3L, 6L, 1), (4L, 6L, 1)))
+  }
+
+  test("editDistancePairs equals driver-side brute force on random strings") {
+    // the completeness theorem, checked against an independent DP
+    // implementation: every <=1-edit pair the quadratic scan finds, the
+    // symmetric-delete blocking must also find — on strings random enough
+    // to hit boundary shapes (shared prefixes, length +-1, empty-ish)
+    val rnd = new scala.util.Random(42)
+    val strs = (0L until 90L).map { i =>
+      i -> (0 until (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for (maxDist <- Seq(1, 2)) {
+      val expected = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = lev(sa, sb) if d <= maxDist
+      } yield (ia, ib, d)).sorted
+      val got = Dedup.editDistancePairs(
+          strs.toDF("doc_id", "title"), "doc_id", "title", maxDist)
+        .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+      assert(got === expected, s"maxDist=$maxDist")
+    }
+  }
+
+  test("editDistancePairs handles empty strings and rejects null keys") {
+    val out = Dedup.editDistancePairs(
+        Seq(1L -> "", 2L -> "a", 3L -> "", 4L -> "ab").toDF("doc_id", "title"),
+        "doc_id", "title", maxDist = 1)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // "" ~ "" dist 0, "" ~ "a" dist 1 (both empties), "a" ~ "ab" dist 1;
+    // "" ~ "ab" is dist 2 and must NOT appear
+    assert(out === Seq((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1), (2L, 4L, 1)))
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(
+        Seq((1L, "ok"), (2L, null)).toDF("doc_id", "title"),
+        "doc_id", "title").collect()
+    }
+    assert(e.getMessage.contains("editDistancePairs"))
+  }
+
   test("lineDedup removes a frequent line at EVERY position it occupies") {
     // the same boilerplate twice within one doc: both copies drop
     val d = docs(

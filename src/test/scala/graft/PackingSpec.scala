@@ -153,6 +153,35 @@ class PackingSpec extends SparkSpec {
     assert(!out((3L, 0L)), "doc 3 (pure boilerplate) must dedup away")
   }
 
+  test("lengthBucketStats: hand-computed buckets, padding, truncation") {
+    val d = Seq((1L, 10L), (2L, 16L), (3L, 17L), (4L, 40L), (5L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.lengthBucketStats(d, "doc_id", "n_tokens", Seq(16, 32, 64))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      // bucket, n_docs, token_total, padded, truncated, utilization_pct
+      (16L, 2L, 26L, 6L, 0L, 81L),   // 26*100 div 32 = 81
+      (32L, 1L, 17L, 15L, 0L, 53L),  // 17*100 div 32 = 53
+      (64L, 2L, 140L, 24L, 36L, 81L) // (40+64)*100 div 128 = 81
+    ))
+  }
+
+  test("lengthBucketStats rejects bad boundaries and null/zero tokens") {
+    val d = Seq((1L, 10L)).toDF("doc_id", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucketStats(d, "doc_id", "n_tokens", Seq(32, 16))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucketStats(d, "doc_id", "n_tokens", Seq.empty)
+    }
+    val e = intercept[Exception] {
+      Packing.lengthBucketStats(
+        Seq((1L, 0L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", Seq(16)).collect()
+    }
+    assert(e.getMessage.contains("lengthBucketStats"))
+  }
+
   test("chunkDedup plan ships digests, not chunk text, through the exchange") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val plan = graft.operators.Dedup

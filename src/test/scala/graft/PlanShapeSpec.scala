@@ -45,7 +45,12 @@ class PlanShapeSpec extends SparkSpec {
     "q91_ref_passages", "q93_emb_decontam",
     "q94_line_dedup", "q95_url_canonical", "q96_leakage_split",
     "q97_filetype_sniff", "q98_span_dedup", "q99_embed_quant",
-    "q100_span_dedup_fast")
+    // q101 is exempt like q27/q38-q41: its stage 1 deliberately scores
+    // every (query, corpus-vector) pair — a broadcast product over the
+    // 5-vector query set is THE intended plan for a brute-force scan
+    "q100_span_dedup_fast", "q102_edit_dedup",
+    "q103_host_authority", "q104_host_pagerank", "q105_vocab_drift",
+    "q106_length_buckets")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

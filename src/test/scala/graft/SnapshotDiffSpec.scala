@@ -57,4 +57,35 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(!exchanges.exists(_.takeWhile(_ != '\n').contains("text#")),
       "an exchange carries raw document text:\n" + plan)
   }
+
+  test("vocabDrift classifies added/removed/grown/shrunk/stable by hand") {
+    val o = Seq(1L -> "The cat", 2L -> "the dog dog x",
+      3L -> "gone gone").toDF("doc_id", "text")
+    val c = Seq(4L -> "the THE cat bird", 5L -> "dog x x").toDF("doc_id", "text")
+    val got = SnapshotDiff.vocabDrift(o, c, "text")
+      .select("token", "old_n", "new_n").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "the" -> ((2L, 2L)),    // "The"/"THE" case-fold in; equal -> stable
+      "cat" -> ((1L, 1L)),    // equal -> stable
+      "dog" -> ((2L, 1L)),    // 2*1 <= 2 -> shrunk
+      "x" -> ((1L, 2L)),      // 2 >= 2*1 -> grown
+      "gone" -> ((2L, 0L)),   // removed
+      "bird" -> ((0L, 1L))))  // added
+    val byToken = SnapshotDiff.vocabDrift(o, c, "text")
+      .select("token", "status").as[(String, String)].collect().toMap
+    assert(byToken == Map("the" -> "stable", "cat" -> "stable",
+      "dog" -> "shrunk", "x" -> "grown", "gone" -> "removed",
+      "bird" -> "added"))
+  }
+
+  test("vocabDrift minCount floors on the LARGER side, after classification") {
+    val o = Seq(1L -> "solo twice twice").toDF("doc_id", "text")
+    val c = Seq(2L -> "fresh fresh").toDF("doc_id", "text")
+    val got = SnapshotDiff.vocabDrift(o, c, "text", minCount = 2)
+      .select("token", "status").as[(String, String)].collect().toMap
+    // "solo" (1 old, 0 new) is hapax noise and drops; "twice" (removed,
+    // old=2) and "fresh" (added, new=2) clear the floor on their side
+    assert(got == Map("twice" -> "removed", "fresh" -> "added"))
+  }
 }
