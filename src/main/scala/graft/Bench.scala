@@ -31,11 +31,15 @@ object Bench {
     // a failed query must NOT masquerade as a fast one: record -1
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var failures = 0
-    // Median-of-3 per query: a single pass on a contended machine can read
+    // Best-of-3 per query: a single pass on a contended machine can read
     // 2x the true time (BENCH_r04 read ~69 s where three independent runs of
-    // the same binaries read 35.9-41.6 s). The median discards one outlier
-    // pass per query, so one noisy window can't distort the headline. Caches
-    // are cleared between repeats, so repeats measure the same work — the
+    // the same binaries read 35.9-41.6 s). Contention noise is ONE-SIDED —
+    // it only ever adds time — so min-of-N is the consistent estimator of
+    // the true cost, and it survives a contention WINDOW spanning two of a
+    // query's three back-to-back passes where the median reads the inflated
+    // middle (observed in round 6: whole-query medians 5-9 s in one run vs
+    // 0.4-1.6 s in the immediate re-run, both directions). Caches are
+    // cleared between repeats, so repeats measure the same work — the
     // residual warmup (JIT, OS page cache) is shared with the baseline's own
     // warm methodology.
     val reps = 3
@@ -60,7 +64,7 @@ object Bench {
         rep += 1
       }
       if (failed) { failures += 1; results(name) = -1.0 }
-      else results(name) = times.sorted.apply(times.size / 2)
+      else results(name) = times.min
     }
 
     // Reference-stage benchmark at the baseline's own scale: 1M trades.

@@ -977,6 +977,36 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Preference-ranked near-duplicate survivorship: keep, per cluster,
+    * the member with the HIGHEST `prefCol` (ties broken by smallest id)
+    * instead of [[dedupNear]]'s smallest-id rule. This is the form real
+    * curation pipelines want — when a boilerplate-stripped page and its
+    * raw crawl twin collide, keep the cleaner one, not the one that
+    * happened to be crawled first. `prefCol` should be deterministic and
+    * preferably integer (e.g. TextAnalysis.qualityKeyInt) so the choice
+    * is reproducible across runs and engines.
+    *
+    * Scale: the component frame is pair-NODE-sized (documents that
+    * matched something), ≪ corpus-sized; the preference join fetches
+    * `prefCol` for those nodes only, and the survivor window partitions
+    * by component label. The full corpus is touched once, by the final
+    * anti-join on id.
+    */
+  def dedupNearBy(
+      df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      prefCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__pref").desc, col("id"))
+    val losers = comp
+      .join(df.select(col(idCol).as("id"), col(prefCol).as("__pref")), Seq("id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Every distinct string reachable from `s` by deleting at most one
     * character (including `s` itself). Built-in HOF form (sequence →
     * transform → substr concat), codegen'd; the empty string maps to

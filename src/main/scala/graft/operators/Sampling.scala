@@ -278,6 +278,60 @@ object Sampling {
     fullKeep.unionByName(straddle).drop("__kt", "__before")
   }
 
+  /** Per-group token-budget mixing — the executor of a data-mixing
+    * recipe: each group (domain/source/language) gets its own token
+    * quota, filled by that group's best documents first. Within a group
+    * the keep rule is [[tokenBudgetCut]]'s exactly — whole quality keys
+    * (desc) while the prefix fits, then the straddling key's
+    * ascending-id row prefix — which collapses to the per-row rule
+    * `sum(tokens) over (partition by group order by key desc, id) <=
+    * budget`, so a SQL oracle replicates the cut with one window.
+    * Groups absent from the recipe are dropped (a mixture lists its
+    * domains); a zero budget keeps nothing for that group.
+    *
+    * Scale: same two-phase shape as [[tokenBudgetCut]], with every
+    * window gaining the group as a partition prefix — per-(group, key)
+    * totals aggregate map-side and broadcast back, whole keys keep with
+    * a map-side filter, and only each group's ONE straddling key ranks
+    * its rows. The recipe itself broadcasts (a mixture table is tiny by
+    * construction). Groups parallelize; no global sort anywhere.
+    */
+  def tokenBudgetPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      keyCol: String,
+      tokenCol: String,
+      budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must list at least one group")
+    require(budgets.forall(_._2 >= 0), s"budgets must be >= 0: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate group in budgets: $budgets")
+    import org.apache.spark.sql.expressions.Window
+    val checked = df.withColumn(keyCol,
+      when(col(groupCol).isNull || col(keyCol).isNull || col(tokenCol).isNull,
+        raise_error(lit(s"tokenBudgetPerGroup: null $groupCol/$keyCol/$tokenCol row")))
+        .otherwise(col(keyCol)))
+    val bdf = df.sparkSession.createDataFrame(budgets)
+      .toDF(groupCol, "__budget")
+    val scoped = checked.join(broadcast(bdf), Seq(groupCol))
+    val wKeys = Window.partitionBy(col(groupCol)).orderBy(col(keyCol).desc)
+    val pref = scoped.groupBy(col(groupCol), col(keyCol))
+      .agg(sum(col(tokenCol)).as("__kt"))
+      .withColumn("__before",
+        coalesce(sum(col("__kt")).over(wKeys) - col("__kt"), lit(0L)))
+    val tagged = scoped.join(broadcast(pref), Seq(groupCol, keyCol))
+    val fullKeep = tagged.filter(col("__before") + col("__kt") <= col("__budget"))
+    val wIn = Window.partitionBy(col(groupCol), col(keyCol)).orderBy(col(idCol))
+    val straddle = tagged
+      .filter(col("__before") < col("__budget") &&
+        col("__before") + col("__kt") > col("__budget"))
+      .withColumn("__in", sum(col(tokenCol)).over(wIn))
+      .filter(col("__before") + col("__in") <= col("__budget"))
+      .drop("__in")
+    fullKeep.unionByName(straddle).drop("__kt", "__before", "__budget")
+  }
+
   /** Deterministic global corpus shuffle — the "randomize example order
     * before training" step, as (shard, pos) coordinates: shard =
     * u32 * numShards div 2^32 (an exact integer range split of the

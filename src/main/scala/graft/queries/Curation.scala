@@ -1473,7 +1473,48 @@ object Curation {
             size(filter(split(col("text"), "\\s+"), t0 => t0 =!= ""))
               .cast("long")),
           "doc_id", "n_tokens", Seq(16, 32, 64, 96))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // Quality-preferred survivorship: q96's pair graph, but each cluster
+    // keeps its HIGHEST-quality member (integer key, ties by min id)
+    // instead of the min id — the oracle recomputes components
+    // recursively, the quality key, and the rank-1 choice, so the whole
+    // keep-the-cleaner-twin rule is pinned.
+    "q107_best_survivor" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang"), 1, 0.95)
+      val keyed = docs.withColumn("qkey",
+        TextAnalysis.qualityKeyInt(col("text")))
+      Dedup.dedupNearBy(keyed, "doc_id", pairs, "id_a", "id_b", "qkey")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("qkey")).as("qkey_sum"))
+        .orderBy(col("lang"))
+    }),
+
+    // Mixture-recipe execution: per-language token quotas filled
+    // best-quality-first — en and de straddle mid-key, zh keeps whole
+    // (budget exceeds its corpus), fr's zero budget keeps nothing, es is
+    // absent from the recipe and drops. The oracle is one per-group
+    // prefix window over (qkey desc, id).
+    "q108_token_mix" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.qualityKeyInt(col("text")).as("qkey"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .transform(graft.CacheScope.persisted(_))
+      Sampling.tokenBudgetPerGroup(keyed, "doc_id", "lang", "qkey", "nt",
+          Seq("en" -> 6000L, "de" -> 2000L, "zh" -> 5000L, "fr" -> 0L))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("nt")).as("tokens_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("qkey")).as("min_kept_key"))
+        .orderBy(col("lang"))
+    })
   )
 
   /** q102 fixture: per-8-id-group title variants at known edit
@@ -3216,6 +3257,85 @@ object Curation {
            CAST(sum(nt - kept) AS BIGINT) AS truncated_tokens,
            CAST(sum(kept) AS BIGINT) * 100 //
              (count(*) * CAST(bucket AS BIGINT)) AS utilization_pct
-         FROM b GROUP BY bucket ORDER BY bucket"""
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    // q96's recursive components + q85's integer quality key; survivors
+    // are rank 1 per coalesce(component, doc_id) by (qkey DESC, doc_id)
+    // — singletons are their own component and always survive.
+    "q107_best_survivor" ->
+      """WITH RECURSIVE d AS (
+           SELECT lang, doc_id,
+             list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.95),
+         edges AS (
+           SELECT id_a AS s, id_b AS t FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT DISTINCT s AS id, s AS label FROM edges
+           UNION
+           SELECT e.s AS id, r.label FROM edges e JOIN reach r ON r.id = e.t),
+         comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         m AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang,
+             (CASE WHEN nt = 0 THEN 0
+                   ELSE least(nt, 20) * 20 + (ndt * 400) // nt END)
+             + (CASE WHEN nc = 0 THEN 200 ELSE (np * 200) // nc END) AS qkey
+           FROM m),
+         rk AS (
+           SELECT k.lang, k.doc_id, k.qkey,
+             row_number() OVER (
+               PARTITION BY coalesce(c.component, k.doc_id)
+               ORDER BY k.qkey DESC, k.doc_id) AS rk
+           FROM k LEFT JOIN comp c ON c.id = k.doc_id)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(qkey) AS BIGINT) AS qkey_sum
+         FROM rk WHERE rk = 1 GROUP BY lang ORDER BY lang""",
+    // The per-group form of q85's prefix rule: one window partitioned by
+    // lang, budgets joined from the recipe VALUES — zero-budget and
+    // absent groups fall out identically on both engines.
+    "q108_token_mix" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang, nt,
+             (CASE WHEN nt = 0 THEN 0
+                   ELSE least(nt, 20) * 20 + (ndt * 400) // nt END)
+             + (CASE WHEN nc = 0 THEN 200 ELSE (np * 200) // nc END) AS qkey
+           FROM m),
+         b (lang, budget) AS (
+           VALUES ('en', 6000), ('de', 2000), ('zh', 5000), ('fr', 0)),
+         c AS (
+           SELECT k.doc_id, k.lang, k.qkey, k.nt, b.budget,
+             sum(k.nt) OVER (
+               PARTITION BY k.lang ORDER BY k.qkey DESC, k.doc_id) AS cum
+           FROM k JOIN b ON b.lang = k.lang)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS tokens_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(qkey) AS BIGINT) AS min_kept_key
+         FROM c WHERE cum <= budget
+         GROUP BY lang ORDER BY lang"""
   )
 }

@@ -465,6 +465,26 @@ class DedupSpec extends SparkSpec {
     assert(slow.count(_._3 > 0) > 10)
   }
 
+  test("dedupNearBy keeps the highest-preference member per cluster") {
+    val d = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),  // cluster {1,2,3}: 2 wins (pref 9, min id)
+      (4L, 1L), (5L, 1L),            // cluster {4,5}: tie -> 4 (min id)
+      (6L, 0L)                       // unpaired: always kept
+    ).toDF("doc_id", "pref")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupNearBy(d, "doc_id", pairs, "id_a", "id_b", "pref")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+    // min-id preference column reproduces dedupNear exactly
+    val byId = Dedup.dedupNearBy(
+        d.withColumn("neg", -col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", "neg")
+      .select("doc_id").as[Long].collect().toSet
+    val nearKept = Dedup.dedupNear(d, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byId == nearKept)
+  }
+
   test("editDistancePairs finds each single-edit kind and excludes distance 2") {
     val d = Seq(
       1L -> "market report",   // clean

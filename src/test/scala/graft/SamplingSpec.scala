@@ -343,4 +343,55 @@ class SamplingSpec extends SparkSpec {
       .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
     assert(leak === plain)
   }
+
+  test("tokenBudgetPerGroup: per-group quotas, zero budget, absent group") {
+    val docs = Seq(
+      // group A: key 5 holds ids 1,2 (4+4 tokens), key 3 holds id 3 (4)
+      (1L, "A", 5L, 4L), (2L, "A", 5L, 4L), (3L, "A", 3L, 4L),
+      // group B: one doc, zero budget
+      (4L, "B", 9L, 2L),
+      // group C: not in the recipe at all
+      (5L, "C", 9L, 2L)
+    ).toDF("doc_id", "grp", "qkey", "nt")
+    val kept = Sampling.tokenBudgetPerGroup(docs, "doc_id", "grp", "qkey",
+        "nt", Seq("A" -> 10L, "B" -> 0L))
+      .select("doc_id").as[Long].collect().toSet
+    // A: key 5 fits whole (8 <= 10); key 3 would reach 12 > 10 -> dropped
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("tokenBudgetPerGroup equals tokenBudgetCut applied per group") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 400).map { i =>
+      (i.toLong, s"g${i % 3}", rnd.nextInt(6).toLong, 1L + rnd.nextInt(9))
+    }.toDF("doc_id", "grp", "qkey", "nt")
+    val budgets = Seq("g0" -> 180L, "g1" -> 95L, "g2" -> 0L)
+    val together = Sampling.tokenBudgetPerGroup(
+        docs, "doc_id", "grp", "qkey", "nt", budgets)
+      .select("doc_id").as[Long].collect().toSet
+    val perGroup = budgets.flatMap { case (g, b) =>
+      Sampling.tokenBudgetCut(
+          docs.filter(col("grp") === g), "doc_id", "qkey", "nt", b)
+        .select("doc_id").as[Long].collect()
+    }.toSet
+    assert(together == perGroup)
+  }
+
+  test("tokenBudgetPerGroup fails fast on null group/key/tokens") {
+    val bad = Seq(
+      (1L, Option("A"), Option(5L), Option(10L)),
+      (2L, Option.empty[String], Option(5L), Option(10L))
+    ).toDF("doc_id", "grp", "qkey", "nt")
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetPerGroup(bad, "doc_id", "grp", "qkey", "nt",
+        Seq("A" -> 100L)).collect()
+    }
+    assert(ex.getMessage.contains("tokenBudgetPerGroup") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tokenBudgetPerGroup")),
+      ex.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerGroup(bad, "doc_id", "grp", "qkey", "nt",
+        Seq("A" -> 1L, "A" -> 2L))
+    }
+  }
 }
