@@ -1035,6 +1035,11 @@ object Dedup {
     * collapse onto the alignment's matched subsequence, a shared member
     * of the two ≤k-deletion neighborhoods. Soundness is the exact verify.
     *
+    * Unit of edit: both the deletion variants (substr/length) and the
+    * levenshtein verification count the same character units, so the
+    * completeness argument is internally consistent; for text beyond the
+    * BMP treat distances as code-unit-based.
+    *
     * Scale: each length-n string emits O(n^maxDist) variant keys, hashed
     * to int64 BEFORE the shuffle — raw strings never cross an exchange
     * (an xxhash64 collision can only ADD a candidate, which verification

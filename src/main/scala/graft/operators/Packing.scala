@@ -128,6 +128,36 @@ object Packing {
         sum(col(tokenCol)).as("pack_tokens"),
         greatest(sum(col(tokenCol)) - budget, lit(0L)).as("overflow_tokens"))
 
+  /** Materialize the actual training sequences: concatenate each pack's
+    * documents in ascending id order (the SAME order [[packSequences]]
+    * assigned by, so the text layout is exactly the assignment's walk),
+    * separated by a single separator string. This is the last step of
+    * the corpus→sequences pipeline — packSequences decides the layout,
+    * this produces it. Emits one row per (shard, pack) with `pack_text`,
+    * `n_docs`, and `pack_tokens`.
+    *
+    * Scale: the pack assignment's one shuffle is reused — the
+    * concatenation itself is the same in-shard window walk expressed as
+    * a hash aggregate over (shard, pack) with an order-anchored
+    * array_agg (sort_array of (id, text) structs — deterministic
+    * regardless of arrival order). A pack's text is budget-bounded by
+    * construction (one overflowing doc at most), so rows stay
+    * executor-sized at any corpus scale.
+    */
+  def materializePacks(
+      df: DataFrame, idCol: String, textCol: String, tokenCol: String,
+      budget: Long, numShards: Int, sep: String = " "): DataFrame =
+    packSequences(df, idCol, tokenCol, budget, numShards)
+      .groupBy(col("shard"), col("pack"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("pack_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("pack_text"))
+
   /** Length-bucket padding profile — the batching-efficiency planner for
     * bucketed (non-packed) training: each document lands in the smallest
     * bucket boundary that holds it, documents longer than the largest

@@ -1514,7 +1514,21 @@ object Curation {
           sum(col("doc_id")).as("id_sum"),
           min(col("qkey")).as("min_kept_key"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // Pack materialization: q51's assignment actually produced — one row
+    // per (shard, pack) with the in-id-order concatenation. md5 of each
+    // pack's text pins the exact byte layout of every training sequence
+    // while keeping the gate output small.
+    "q109_pack_texts" -> ((s, dir) =>
+      Packing.materializePacks(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("text"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks")),
+          "doc_id", "text", "n_toks", budget = 512L, numShards = 8)
+        .select(col("shard"), col("pack"), col("n_docs"), col("pack_tokens"),
+          md5(col("pack_text")).as("digest"))
+        .orderBy(col("shard"), col("pack")))
   )
 
   /** q102 fixture: per-8-id-group title variants at known edit
@@ -3336,6 +3350,24 @@ object Curation {
            CAST(sum(doc_id) AS BIGINT) AS id_sum,
            CAST(min(qkey) AS BIGINT) AS min_kept_key
          FROM c WHERE cum <= budget
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    // q51's window assignment + ordered string_agg: the md5 digest pins
+    // every pack's exact byte layout (separator placement included).
+    "q109_pack_texts" ->
+      """WITH d AS (
+           SELECT doc_id, text, doc_id % 8 AS shard,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_toks
+           FROM documents),
+         p AS (
+           SELECT shard, doc_id, text, n_toks,
+             CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS pack
+           FROM d
+           WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING))
+         SELECT shard, pack, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+           md5(string_agg(text, ' ' ORDER BY doc_id)) AS digest
+         FROM p GROUP BY shard, pack ORDER BY shard, pack"""
   )
 }

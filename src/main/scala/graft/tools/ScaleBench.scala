@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 10
+    // optional 2nd arg: comma-separated query names — re-measure a subset
+    // (e.g. after a contended window) without paying the full sweep
+    val onlyQ = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.configure(SparkSession.builder()
@@ -106,7 +109,7 @@ object ScaleBench {
       "q94_line_dedup", "q98_span_dedup", "q102_edit_dedup",
       "q104_host_pagerank")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
-    queries.foreach { q =>
+    queries.filter(q => onlyQ.isEmpty || onlyQ.contains(q)).foreach { q =>
       val (bt, br) = bench(q, baseDir)
       val (st, sr) = bench(q, scaledDir)
       println(f"[scale] $q%-20s $bt%8.2f $br%10d $st%8.2f $sr%10d ${st / bt}%10.1f")
@@ -115,16 +118,18 @@ object ScaleBench {
     // contraction-path convergence on the 10x pair graph: driverCutoff=0
     // forces the distributed min-star contraction loop; maxIter=4 makes
     // "converges in <= 4 rounds" a hard assertion (require fails otherwise)
-    val scaledDocs = graft.Tables.load(spark, scaledDir, "documents")
-    val pairs = graft.operators.Dedup.jaccardPairs(
-      scaledDocs, "doc_id", "text", Seq("lang"), 1, 0.95)
-    val (ccTime, ccRows) = timed {
-      graft.operators.Dedup.connectedComponents(
-        pairs, "id_a", "id_b", maxIter = 4, driverCutoff = 0L).count()
+    if (onlyQ.isEmpty) {
+      val scaledDocs = graft.Tables.load(spark, scaledDir, "documents")
+      val pairs = graft.operators.Dedup.jaccardPairs(
+        scaledDocs, "doc_id", "text", Seq("lang"), 1, 0.95)
+      val (ccTime, ccRows) = timed {
+        graft.operators.Dedup.connectedComponents(
+          pairs, "id_a", "id_b", maxIter = 4, driverCutoff = 0L).count()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      println(f"[scale] contraction(driverCutoff=0, maxIter=4) on ${n}x: " +
+        f"$ccRows%d labeled nodes in $ccTime%.2f s — converged within 4 rounds")
     }
-    spark.sharedState.cacheManager.clearCache()
-    println(f"[scale] contraction(driverCutoff=0, maxIter=4) on ${n}x: " +
-      f"$ccRows%d labeled nodes in $ccTime%.2f s — converged within 4 rounds")
     spark.stop()
   }
 }

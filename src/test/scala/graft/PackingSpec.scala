@@ -153,6 +153,29 @@ class PackingSpec extends SparkSpec {
     assert(!out((3L, 0L)), "doc 3 (pure boilerplate) must dedup away")
   }
 
+  test("materializePacks concatenates each pack's members in id order") {
+    // shard 1 (odd ids): cums 2,3,6,7 at budget 5 -> packs 0,0,0,1
+    val d = Seq(
+      (1L, "a b", 2L), (3L, "c", 1L), (5L, "d d d", 3L), (7L, "e", 1L),
+      (2L, "z", 1L)
+    ).toDF("doc_id", "text", "nt")
+    val out = Packing.materializePacks(d, "doc_id", "text", "nt",
+        budget = 5L, numShards = 2)
+      .select("shard", "pack", "n_docs", "pack_tokens", "pack_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (0L, 0L, 1L, 1L, "z"),
+      (1L, 0L, 3L, 6L, "a b c d d d"),
+      (1L, 1L, 1L, 1L, "e")))
+    // arrival order cannot change the layout
+    val shuffled = Packing.materializePacks(d.repartition(7), "doc_id",
+        "text", "nt", budget = 5L, numShards = 2)
+      .select("shard", "pack", "pack_text")
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(shuffled === out.map(r => (r._1, r._2, r._5)))
+  }
+
   test("lengthBucketStats: hand-computed buckets, padding, truncation") {
     val d = Seq((1L, 10L), (2L, 16L), (3L, 17L), (4L, 40L), (5L, 100L))
       .toDF("doc_id", "n_tokens")
