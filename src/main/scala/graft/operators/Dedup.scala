@@ -1007,6 +1007,52 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental exact dedup of an arriving batch against the historical
+    * corpus — the crawl-day-N+1 ingest path. The Bloom filter is built
+    * over the BATCH's xxhash64 text digests (the small side: one crawl
+    * day vs all history) and shipped inside the probe expression, so the
+    * corpus is scanned map-side and NEVER shuffles; only the corpus
+    * sliver whose digest might match a batch digest (true matches + fpp
+    * false positives) is projected to md5 digests for the exact
+    * verification join. No false negatives by Bloom construction; Bloom
+    * false positives die at the md5 equi-join. Output is the batch with
+    * an `is_new` flag (false = this text already exists in the corpus).
+    *
+    * Content equality is digest equality (md5, the [[Dedup]] exact-pass
+    * contract); the q110 oracle joins raw text, so gate agreement
+    * doubles as the collision check for both hash functions.
+    *
+    * Scale: the expensive side (100 TB of history) pays one scan with a
+    * map-side Bloom probe — the only rows that reach an exchange are the
+    * flagged sliver (≈ batch-sized at any corpus scale) and the batch
+    * itself. Compare [[minhashNearDuplicatesAgainst]] for the near-dup
+    * analogue; this is the exact-match fast path.
+    */
+  def dedupAgainstCorpus(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // scope-persisted: the digest projection feeds the cardinality count,
+    // the filter build, AND the final join-back (3 uses of a regex-free
+    // but md5+xxhash64 double projection)
+    val bd = batch.select(col(idCol).as("__bid"),
+        xxhash64(col(textCol)).as("__bx"), md5(col(textCol)).as("__bd"))
+      .transform(graft.CacheScope.persisted)
+    // expectedNumItems must be the real cardinality or fpp is void
+    val n = math.max(bd.select(col("__bx")).distinct().count(), 1L)
+    val filter = bd.stat.bloomFilter("__bx", n, fpp)
+    val corpusHits = corpus
+      .select(xxhash64(col(textCol)).as("__cx"), md5(col(textCol)).as("__cd"))
+      .filter(graft.functions.BloomExprs.bloomMightContain(col("__cx"), filter))
+      .select(col("__cd")).distinct()
+    batch
+      .join(bd.select(col("__bid").as(idCol), col("__bd")), Seq(idCol))
+      .join(corpusHits.withColumnRenamed("__cd", "__bd")
+        .withColumn("__hit", lit(true)), Seq("__bd"), "left")
+      .withColumn("is_new", col("__hit").isNull)
+      .drop("__bd", "__hit")
+  }
+
   /** Every distinct string reachable from `s` by deleting at most one
     * character (including `s` itself). Built-in HOF form (sequence →
     * transform → substr concat), codegen'd; the empty string maps to

@@ -1528,7 +1528,33 @@ object Curation {
           "doc_id", "text", "n_toks", budget = 512L, numShards = 8)
         .select(col("shard"), col("pack"), col("n_docs"), col("pack_tokens"),
           md5(col("pack_text")).as("digest"))
-        .orderBy(col("shard"), col("pack")))
+        .orderBy(col("shard"), col("pack"))),
+
+    // Incremental ingest dedup: corpus = "history" (doc_id % 3 != 0),
+    // batch = the arriving day (doc_id % 3 == 0) where every EVEN batch
+    // id carries a verbatim copy of the corpus doc at id+1 (id+1 ≡ 1
+    // mod 3, so the copied text is always in the corpus); odd batch ids
+    // keep their own text, which may still collide with history through
+    // the corpus's organic exact duplicates — the oracle classifies by
+    // joining RAW TEXT, so agreement is the collision check for both
+    // the Bloom's xxhash64 and the verification md5.
+    "q110_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("__next")), Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, col("__next"))
+            .otherwise(col("text")).as("text"))
+      Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text")
+        .groupBy(col("is_new"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("is_new"))
+    })
   )
 
   /** q102 fixture: per-8-id-group title variants at known edit
@@ -3368,6 +3394,23 @@ object Curation {
          SELECT shard, pack, count(*) AS n_docs,
            CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
            md5(string_agg(text, ' ' ORDER BY doc_id)) AS digest
-         FROM p GROUP BY shard, pack ORDER BY shard, pack"""
+         FROM p GROUP BY shard, pack ORDER BY shard, pack""",
+    // Classification on RAW TEXT (no hash anywhere): the engine's
+    // xxhash64-Bloom + md5-verify composition must land on exactly this
+    // relation — agreement doubles as the collision check.
+    "q110_incremental_dedup" ->
+      """WITH batch AS (
+           SELECT a.doc_id,
+             CASE WHEN a.doc_id % 2 = 0 THEN b.text ELSE a.text END AS text
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 3 = 0),
+         ct AS (
+           SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
+         c AS (
+           SELECT batch.doc_id, ct.text IS NULL AS is_new
+           FROM batch LEFT JOIN ct ON ct.text = batch.text)
+         SELECT is_new, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM c GROUP BY is_new ORDER BY is_new"""
   )
 }

@@ -241,7 +241,27 @@ object MarketAnalytics {
           date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
           col("open"), col("high"), col("low"), col("close"),
           col("volume"), col("n_ticks"))
-        .orderBy(col("event_type"), col("hour")))
+        .orderBy(col("event_type"), col("hour"))),
+
+    // §2.7 gate #4: STREAMING DEDUP through the driver's oracle. Every
+    // id%5==0 event is planted as an exact second copy before the
+    // re-shard, so the copies land in arbitrary micro-batches; the
+    // stateful dropDuplicates must suppress each duplicate whether it
+    // arrives in the same batch or a later one. In update mode the
+    // memory sink then holds every event_id exactly once, and because
+    // the planted copies are verbatim rows, the deduped stream equals
+    // the ORIGINAL events table — which is exactly what the oracle
+    // aggregates.
+    "q111_stream_dedup" -> ((s, dir) =>
+      replayRaw(s, dir, "q111_dedup",
+          prep = ev => ev.union(ev.filter(col("event_id") % 5 === 0)),
+          build = stream => stream.dropDuplicates("event_id")
+            .select(col("event_type"), col("event_id")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type")))
   )
 
   /** Shared streaming-replay harness for the §2.7 parity gates: re-shard
@@ -254,9 +274,22 @@ object MarketAnalytics {
   private def replaySnapshot(
       s: SparkSession, dir: String, name: String,
       build: DataFrame => DataFrame,
-      partCols: Seq[String], counterCol: String): DataFrame = {
+      partCols: Seq[String], counterCol: String): DataFrame =
+    finalSnapshot(
+      replayRaw(s, dir, name, identity, build), partCols, counterCol)
+
+  /** The replay harness without the per-key snapshot: returns the raw
+    * update-mode memory-sink table. `prep` transforms the events table
+    * BEFORE the re-shard + write, so a gate can plant rows (e.g.
+    * duplicates for the streaming-dedup gate) that then arrive across
+    * different micro-batches.
+    */
+  private def replayRaw(
+      s: SparkSession, dir: String, name: String,
+      prep: DataFrame => DataFrame,
+      build: DataFrame => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
-    val events = t(s, dir, "events")
+    val events = prep(t(s, dir, "events"))
     val tmp = replayDir
     events.repartition(4).write.mode("overwrite").parquet(tmp)
     val stream = spark.readStream.schema(events.schema)
@@ -277,7 +310,7 @@ object MarketAnalytics {
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    finalSnapshot(spark.table(qname), partCols, counterCol)
+    spark.table(qname)
   }
 
   /** events -> the trade wire shape the stateful market operators take. */
@@ -480,7 +513,15 @@ object MarketAnalytics {
     "q80_ohlc_bars" -> ohlcOracle,
     // q86 replays the same rows through the streaming state machine; the
     // parity claim IS "same candles as the batch aggregate" (q55 pattern)
-    "q86_stream_ohlc_parity" -> ohlcOracle
+    "q86_stream_ohlc_parity" -> ohlcOracle,
+    // The planted duplicates are verbatim copies, so the deduped stream
+    // must equal the original events table — no dedup in the oracle at
+    // all; any state miss (a copy surviving, or a first arrival lost)
+    // breaks the count or the id sum.
+    "q111_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 
 }

@@ -465,6 +465,31 @@ class DedupSpec extends SparkSpec {
     assert(slow.count(_._3 > 0) > 10)
   }
 
+  test("dedupAgainstCorpus equals the exact text-join classification") {
+    val corpus = (0L until 60L).map(i => (i, s"corpus doc $i body")).toDF("doc_id", "text")
+    val batch = (100L until 140L).map { i =>
+      // every third batch doc copies a corpus text verbatim
+      (i, if (i % 3 == 0) s"corpus doc ${i % 60} body" else s"fresh doc $i")
+    }.toDF("doc_id", "text")
+    for (fpp <- Seq(0.5, 0.001)) { // correctness must not depend on fpp
+      val got = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text", fpp)
+        .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+      val expected = (100L until 140L).map(i => i -> (i % 3 != 0)).toMap
+      assert(got == expected, s"fpp=$fpp")
+    }
+  }
+
+  test("dedupAgainstCorpus ships digests, never corpus text, through exchanges") {
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val batch = Seq((3L, "a")).toDF("doc_id", "text")
+    val plan = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.takeWhile(_ != '\n').contains("text#")),
+      "an exchange carries raw text:\n" + plan)
+  }
+
   test("dedupNearBy keeps the highest-preference member per cluster") {
     val d = Seq(
       (1L, 5L), (2L, 9L), (3L, 9L),  // cluster {1,2,3}: 2 wins (pref 9, min id)
