@@ -349,6 +349,39 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** Append a batch to a persisted [[buildIvfIndex]] index WITHOUT
+    * retraining the quantizer — the incremental-ingest path of the
+    * build-once/query-many ANN index. The batch is assigned to the
+    * index's EXISTING centroids (read back from the index itself, so
+    * the assignment function is identical to the build's by
+    * construction) and appended into the cell partitions; a probe
+    * afterwards touches exactly the same nprobe cells and sees old and
+    * new vectors uniformly. Centroid drift under sustained append is
+    * the operator's documented bound — when the appended mass changes
+    * the distribution, rebuild (the sampleN re-train is one scan);
+    * assignments remain CORRECT under drift (every vector still lands
+    * in its nearest EXISTING cell), only cell balance degrades.
+    *
+    * Scale: one map-side assignment projection (centroids broadcast in
+    * the expression) + a partitioned append — no shuffle, no touch of
+    * the existing corpus files.
+    */
+  def ivfAppend(
+      indexPath: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+      .toSeq
+    batch
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("cell", element_at(
+        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
+  }
+
   /** Query a [[buildIvfIndex]] index: same semantics as [[ivfTopK]] with
     * identical parameters (the quantizer training is deterministic, so
     * the direct and indexed forms return IDENTICAL rows — spec-pinned),

@@ -27,6 +27,11 @@ object Curation {
   private lazy val ivfIndexDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
 
+  // q112's append scratch: per-JVM is safe because each invocation
+  // OVERWRITE-builds the base index first (clearing prior appends)
+  private lazy val ivfAppendDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+
   // q79's JSONL round-trip scratch, same per-JVM overwrite contract
   private lazy val jsonlDir: String =
     java.nio.file.Files.createTempDirectory("graft-jsonl").toString
@@ -1554,6 +1559,40 @@ object Curation {
           count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("is_new"))
+    }),
+
+    // IVF index append soundness: build on A (3/4 of the corpus),
+    // append B (the rest), then probe with EXACT COPIES of the appended
+    // vectors at nprobe=1. An identical vector assigns to the same cell
+    // as its twin by construction, so the single probed cell must
+    // contain the twin and top-1 must be a perfect match — any appended
+    // vector that went to the wrong cell, or was lost, surfaces as a
+    // violation row. A count check catches silent write loss. Empty
+    // output = sound.
+    "q112_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 4 =!= 0)
+      val b = emb.filter(col("vec_id") % 4 === 0)
+      val path = ivfAppendDir
+      Similarity.buildIvfIndex(a, "vec_id", "embedding", nlist = 16, path)
+      Similarity.ivfAppend(path, b, "vec_id", "embedding")
+      // qid shifted so the probe's self-exclusion (qid != id) can't
+      // filter the twin
+      val queries = b.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val matched = Similarity.ivfTopKIndexed(
+          path, queries, "vec_id", "embedding", k = 1, nprobe = 1)
+        .filter(col("rank") === 1 && col("sim") > 0.999999)
+        .select((col("qid") - 1000000L).as("bid"))
+      val missing = b.select(col("vec_id").as("bid"))
+        .join(matched, Seq("bid"), "left_anti")
+        .select(lit("no_perfect_match").as("kind"), col("bid").as("n"))
+      val expected = a.count() + b.count()
+      val countViol = s.read.parquet(s"$path/corpus")
+        .groupBy().agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= expected)
+        .select(lit("count_mismatch").as("kind"), col("c").as("n"))
+      missing.unionByName(countViol).orderBy(col("kind"), col("n"))
     })
   )
 
@@ -3411,6 +3450,9 @@ object Curation {
            FROM batch LEFT JOIN ct ON ct.text = batch.text)
          SELECT is_new, count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM c GROUP BY is_new ORDER BY is_new"""
+         FROM c GROUP BY is_new ORDER BY is_new""",
+    "q112_ivf_append" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false"""
   )
 }

@@ -176,6 +176,38 @@ class SimilaritySpec extends SparkSpec {
       "no partition pruning on the cell-partitioned corpus scan:\n" + plan)
   }
 
+  test("ivfAppend: appended vectors join their twin's cell and are probeable") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val all = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val a = all.filter($"id" % 4 =!= 0)
+    val b = all.filter($"id" % 4 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.buildIvfIndex(a, "id", "vec", nlist = 8, path)
+    Similarity.ivfAppend(path, b, "id", "vec")
+    // the index now holds everything, assigned under A's centroids
+    assert(spark.read.parquet(s"$path/corpus").count() ===
+      a.count() + b.count())
+    // identical-vector probes at nprobe=1 must find each appended twin
+    val queries = b.select(($"id" + 5000L).as("id"), $"vec")
+    val hit = Similarity.ivfTopKIndexed(path, queries, "id", "vec",
+        k = 1, nprobe = 1)
+      .filter($"rank" === 1 && $"sim" > 0.999999)
+      .select(($"qid" - 5000L).as("id")).as[Long].collect().toSet
+    val bids = b.select($"id").as[Long].collect().toSet
+    assert(hit === bids, s"appended vectors not probeable: ${bids -- hit}")
+    // pre-existing vectors stay probeable after the append
+    val aq = a.filter($"id" < 20).select(($"id" + 5000L).as("id"), $"vec")
+    val ahit = Similarity.ivfTopKIndexed(path, aq, "id", "vec", 1, 1)
+      .filter($"rank" === 1 && $"sim" > 0.999999).count()
+    assert(ahit === aq.count())
+  }
+
   test("ivf centroids are deterministic") {
     val df = (0L until 100L).map(i =>
       (i, Seq.tabulate(4)(d => (i % 10 + d).toDouble))).toDF("id", "vec")
