@@ -1117,10 +1117,13 @@ object Dedup {
     val vars1 = deletionNeighborhood(col("s"))
     val variants = if (maxDist == 1) vars1
       else array_distinct(flatten(transform(vars1, v => deletionNeighborhood(v))))
+    // no distinct here: array_union/array_distinct already dedup the
+    // variants WITHIN each string, so (id, k) rows are unique per id up
+    // to xxhash64 collisions — which the candidate-pair distinct below
+    // absorbs anyway. Saves one full exchange of the variant relation.
     val keyed = base
       .select(col("id"), explode(variants).as("v"))
       .select(col("id"), xxhash64(col("v")).as("k"))
-      .distinct()
     val cands = keyed.as("a")
       .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

