@@ -43,7 +43,9 @@ object LinkGraph {
     * linking hosts (in-degree over the distinct edge relation) and
     * `reach2` = distinct hosts with a directed 2-step path to this host
     * (excluding the host itself). Hosts that appear only as sources
-    * report zeros. Two hash equi-joins + hash aggregates — the 2-hop
+    * report zeros; a host whose only edge is a self-loop carries no
+    * graph information and drops out entirely (spec-pinned). Two hash
+    * equi-joins + hash aggregates — the 2-hop
     * join is edge⋈edge on the shared middle host, never a cross
     * product; both metrics are exact counts a recursive-free SQL oracle
     * reproduces.

@@ -82,8 +82,12 @@ object Sinks {
     * at 100 TB — at the price of bin imbalance: a merged partition that
     * exceeds the target is split by maxRecordsPerFile, so the final
     * count can run a few files over the ceil (never over 2× it).
-    * Writes to a temp sibling then swaps, so a concurrent reader sees
-    * the old or the new listing, never a half-written mix.
+    * Writes to a temp sibling then swaps via two renames — a reader
+    * that already listed the old files keeps reading them until the
+    * backup delete, and one that lists after the swap sees only new
+    * files; the instant BETWEEN the renames has no directory, so a
+    * listing can transiently fail (retry) but can never observe a
+    * half-written mix. Run it in the sink's own maintenance window.
     */
   def compactParquet(
       spark: org.apache.spark.sql.SparkSession,
