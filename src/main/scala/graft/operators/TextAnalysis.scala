@@ -295,6 +295,26 @@ object TextAnalysis {
         n("[^\\x00-\\x7F]").as("n_non_ascii")): _*)
   }
 
+  /** Sentence / word / vowel-group counts — the integer substrate of
+    * readability scoring (Flesch-Kincaid and friends are fixed affine
+    * maps over exactly these three ratios; vowel-group runs are the
+    * classic cheap syllable proxy). Emitting the COUNTS rather than a
+    * float score keeps the operator oracle-exact and lets the consumer
+    * pick the formula; all three are RE2-common regex counts, so a SQL
+    * oracle runs the SAME patterns. A text with no sentence terminators
+    * counts as one sentence (its whole body). Map-side projection.
+    */
+  def readabilityCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
+    df.select(
+      (col(idCol).as("id") +: carryCols.map(col)) ++ Seq(
+        size(filter(split(col(textCol), "[.!?]+"), s => trim(s) =!= ""))
+          .cast("long").as("n_sentences"),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        regexp_count(col(textCol), lit("[aeiouyAEIOUY]+"))
+          .cast("long").as("n_vowel_groups")): _*)
+
   /** HTML/markup stripping — the text-extraction stage between a raw web
     * crawl and every operator above (quality scores, n-grams and dedup
     * keys are garbage when half the "tokens" are tag soup). Four passes,

@@ -1593,6 +1593,25 @@ object Curation {
         .filter(col("c") =!= expected)
         .select(lit("count_mismatch").as("kind"), col("c").as("n"))
       missing.unionByName(countViol).orderBy(col("kind"), col("n"))
+    }),
+
+    // Readability substrate: sentence/word/vowel-group counts (the
+    // integer inputs of Flesch-Kincaid-style scores). Terminators
+    // planted on the %3 stride so the sentence splitter sees real
+    // multi-sentence docs; unplanted docs count as one sentence each.
+    "q113_readability" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(". Plus a short tail! Readable? Yes")).otherwise(lit(""))))
+      TextAnalysis.readabilityCounts(planted, "doc_id", "text", Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_sentences")).as("sentences"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_vowel_groups")).as("vowel_groups"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3453,6 +3472,27 @@ object Curation {
          FROM c GROUP BY is_new ORDER BY is_new""",
     "q112_ivf_append" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
-         WHERE false"""
+         WHERE false""",
+    // The same three RE2-common patterns; both engines trim only 0x20,
+    // so blank segments classify identically.
+    "q113_readability" ->
+      """WITH planted AS (
+           SELECT lang, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN '. Plus a short tail! Readable? Yes' ELSE '' END AS text
+           FROM documents),
+         m AS (
+           SELECT lang,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+               x -> trim(x) <> '')) AS ns,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS nw,
+             len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS nv
+           FROM planted)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(ns) AS BIGINT) AS sentences,
+           CAST(sum(nw) AS BIGINT) AS words,
+           CAST(sum(nv) AS BIGINT) AS vowel_groups
+         FROM m GROUP BY lang ORDER BY lang"""
   )
 }

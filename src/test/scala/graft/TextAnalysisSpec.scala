@@ -361,4 +361,24 @@ class SessionizeSpec extends SparkSpec {
     val twice = once.select(TextAnalysis.canonicalizeUrl(col("c")).as("c"))
     assert(once.as[String].collect().toSeq === twice.as[String].collect().toSeq)
   }
+
+  test("readabilityCounts: hand-computed sentences, words, vowel groups") {
+    val d = Seq(
+      // "One fish." | " Two red fish!" | " Wow?" -> 3 sentences, 6 words
+      // vowel runs: O-e | i | T-o | e | i | o  ... counted by hand below
+      (1L, "One fish. Two red fish! Wow?"),
+      (2L, "no terminators here"),  // 1 sentence
+      (3L, "!!!"),                  // only terminators: 0 sentences
+      (4L, "xyz")                   // y counts as a vowel group
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readabilityCounts(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      // doc 1 vowel runs: One(O,e) fish(i) Two(o) red(e) fish(i) Wow(o)
+      (1L, 3L, 6L, 7L),
+      // doc 2: no(o) terminators(e,i,a,o) here(e,e) = 7 runs
+      (2L, 1L, 3L, 7L),
+      (3L, 0L, 1L, 0L),   // "!!!" is one \s+-token, no sentences, no vowels
+      (4L, 1L, 1L, 1L)))  // y counts as a vowel group
+  }
 }
