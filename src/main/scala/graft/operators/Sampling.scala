@@ -332,6 +332,35 @@ object Sampling {
     fullKeep.unionByName(straddle).drop("__kt", "__before", "__budget")
   }
 
+  /** Multi-epoch mixture replication — the "web × 1, books × 3, code
+    * × 2" recipe step: each group's documents are replicated its whole
+    * number of epochs, tagged with an `epoch` column (0-based) so
+    * downstream shuffling/packing can interleave epochs rather than
+    * concatenate them. Groups absent from the recipe drop; a zero
+    * epoch count keeps nothing. Integer counts only — fractional
+    * "epochs" belong to [[temperatureResample]]/[[mixture]], which
+    * thin rather than replicate.
+    *
+    * Scale: one broadcast join + a map-side explode of a ≤max(epochs)
+    * sequence — no shuffle at all; output volume is the recipe's
+    * weighted sum by construction.
+    */
+  def epochReplicate(
+      df: DataFrame, groupCol: String,
+      epochs: Seq[(String, Int)]): DataFrame = {
+    require(epochs.nonEmpty, "epochs must list at least one group")
+    require(epochs.forall(_._2 >= 0), s"epoch counts must be >= 0: $epochs")
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      s"duplicate group in epochs: $epochs")
+    val edf = df.sparkSession.createDataFrame(epochs)
+      .toDF(groupCol, "__epochs")
+    df.join(broadcast(edf), Seq(groupCol))
+      .filter(col("__epochs") > 0) // sequence(0, -1) would count DOWN
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("__epochs") - 1)))
+      .drop("__epochs")
+  }
+
   /** Deterministic global corpus shuffle — the "randomize example order
     * before training" step, as (shard, pos) coordinates: shard =
     * u32 * numShards div 2^32 (an exact integer range split of the

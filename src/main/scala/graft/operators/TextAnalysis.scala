@@ -295,6 +295,27 @@ object TextAnalysis {
         n("[^\\x00-\\x7F]").as("n_non_ascii")): _*)
   }
 
+  /** Corpus-wide adjacent character-pair frequencies — the first
+    * iteration of BPE merge-table training (the most frequent adjacent
+    * pair is the first merge), and a cheap byte-level corpus signature.
+    * Pairs are raw adjacencies including spaces; a word-boundary-aware
+    * variant just pre-splits the text. Pairs are built map-side by an
+    * indexed substring walk (no self-join), so only the DISTINCT pair
+    * vocabulary — at most |alphabet|² rows — ever shuffles, with
+    * map-side combine; top-k plans as TakeOrderedAndProject.
+    */
+  def charPairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val pairs = when(length(col(textCol)) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col(textCol)) - 1),
+        i => col(textCol).substr(i, lit(2))))
+    df.select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Sentence / word / vowel-group counts — the integer substrate of
     * readability scoring (Flesch-Kincaid and friends are fixed affine
     * maps over exactly these three ratios; vowel-group runs are the

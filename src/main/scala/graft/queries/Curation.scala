@@ -1612,7 +1612,25 @@ object Curation {
           sum(col("n_words")).as("words"),
           sum(col("n_vowel_groups")).as("vowel_groups"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // Multi-epoch mixture: en×2, de×3, zh×1, fr×0 epochs, es absent —
+    // the replication volumes AND the epoch tags (sum of 0..k-1 per
+    // doc) are both pinned.
+    "q114_epoch_mix" -> ((s, dir) =>
+      Sampling.epochReplicate(t(s, dir, "documents"), "lang",
+          Seq("en" -> 2, "de" -> 3, "zh" -> 1, "fr" -> 0))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("epoch")).as("epoch_sum"))
+        .orderBy(col("lang"))),
+
+    // BPE substrate: corpus-wide top-30 adjacent character pairs.
+    "q115_char_pairs" -> ((s, dir) =>
+      TextAnalysis.charPairCounts(t(s, dir, "documents"), "text", topK = 30))
   )
 
   /** q102 fixture: per-8-id-group title variants at known edit
@@ -3493,6 +3511,28 @@ object Curation {
            CAST(sum(ns) AS BIGINT) AS sentences,
            CAST(sum(nw) AS BIGINT) AS words,
            CAST(sum(nv) AS BIGINT) AS vowel_groups
-         FROM m GROUP BY lang ORDER BY lang"""
+         FROM m GROUP BY lang ORDER BY lang""",
+    // range(k) = [0..k-1] (empty at 0) replicates the explode exactly;
+    // epoch_sum pins the tag values, not just the volumes.
+    "q114_epoch_mix" ->
+      """WITH e (lang, epochs) AS (
+           VALUES ('en', 2), ('de', 3), ('zh', 1), ('fr', 0)),
+         r AS (
+           SELECT d.lang, d.doc_id,
+             unnest(range(e.epochs)) AS epoch
+           FROM documents d JOIN e ON e.lang = d.lang)
+         SELECT lang, count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(epoch) AS BIGINT) AS epoch_sum
+         FROM r GROUP BY lang ORDER BY lang""",
+    // 1-indexed substring walk, identical tie-break (n DESC, pair ASC).
+    "q115_char_pairs" ->
+      """WITH p AS (
+           SELECT unnest([substr(text, i, 2)
+             for i in range(1, length(text))]) AS pair
+           FROM documents WHERE length(text) >= 2)
+         SELECT pair, count(*) AS n
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30"""
   )
 }

@@ -51,7 +51,8 @@ class PlanShapeSpec extends SparkSpec {
     "q100_span_dedup_fast", "q102_edit_dedup",
     "q103_host_authority", "q104_host_pagerank", "q105_vocab_drift",
     "q106_length_buckets", "q107_best_survivor", "q108_token_mix",
-    "q109_pack_texts", "q110_incremental_dedup", "q113_readability")
+    "q109_pack_texts", "q110_incremental_dedup", "q113_readability",
+    "q114_epoch_mix", "q115_char_pairs")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

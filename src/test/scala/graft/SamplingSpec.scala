@@ -377,6 +377,18 @@ class SamplingSpec extends SparkSpec {
     assert(together == perGroup)
   }
 
+  test("epochReplicate: whole-epoch replication with 0-based tags") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "grp")
+    val out = Sampling.epochReplicate(d, "grp", Seq("a" -> 2, "b" -> 0))
+      .select("id", "epoch").as[(Long, Int)].collect().toSeq.sorted
+    // a×2 -> each doc at epochs 0 and 1; b×0 -> gone; c absent -> gone
+    assert(out === Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1)))
+    intercept[IllegalArgumentException] {
+      Sampling.epochReplicate(d, "grp", Seq("a" -> -1))
+    }
+  }
+
   test("tokenBudgetPerGroup fails fast on null group/key/tokens") {
     val bad = Seq(
       (1L, Option("A"), Option(5L), Option(10L)),

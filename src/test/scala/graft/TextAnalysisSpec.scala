@@ -362,6 +362,14 @@ class SessionizeSpec extends SparkSpec {
     assert(once.as[String].collect().toSeq === twice.as[String].collect().toSeq)
   }
 
+  test("charPairCounts: hand-computed adjacency table with tie-break") {
+    val d = Seq((1L, "abab"), (2L, "ab"), (3L, "x")).toDF("doc_id", "text")
+    // pairs: "abab" -> ab, ba, ab; "ab" -> ab; "x" -> none
+    val out = TextAnalysis.charPairCounts(d, "text", topK = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("ab", 3L), ("ba", 1L)))
+  }
+
   test("readabilityCounts: hand-computed sentences, words, vowel groups") {
     val d = Seq(
       // "One fish." | " Two red fish!" | " Wow?" -> 3 sentences, 6 words
