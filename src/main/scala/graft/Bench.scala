@@ -42,29 +42,53 @@ object Bench {
     // cleared between repeats, so repeats measure the same work — the
     // residual warmup (JIT, OS page cache) is shared with the baseline's own
     // warm methodology.
+    // The three repeats are INTERLEAVED — the whole suite runs 3 times and
+    // each query's estimate is the min across passes — because a
+    // contention wave on this machine can span several consecutive
+    // seconds: back-to-back per-query reps put all 3 samples inside one
+    // wave (BENCH_r06 recorded q84 = 30.8 s where clean-window runs read
+    // 0.92-1.07 s), while interleaving separates a query's samples by a
+    // full suite pass (~30+ s), decorrelating them from any single wave at
+    // identical total cost.
     val reps = 3
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var rep = 0
-      while (rep < reps && !failed) {
-        val t = timed {
-          try fn(spark, sfDir).count() catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            failed = true
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples =
+      scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
+    ordered.foreach { case (name, _) =>
+      samples(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
+    }
+    val failedQueries = scala.collection.mutable.Set[String]()
+    for (_ <- 1 to reps) {
+      ordered.foreach { case (name, fn) =>
+        if (!failedQueries.contains(name)) {
+          var failed = false
+          val t = timed {
+            try fn(spark, sfDir).count() catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              failed = true
+            }
           }
+          if (failed) failedQueries += name else samples(name) += t
+          // queries (and repeats) are independent: drop every cache the
+          // query's operators persisted (minhash/jaccard/cosine dedup
+          // frames etc.) so 115 queries don't accumulate cached RDDs and
+          // each pass pays its own cost — otherwise late-alphabet queries
+          // run under eviction/GC pressure from earlier ones' leftovers.
+          spark.sharedState.cacheManager.clearCache()
         }
-        if (!failed) times += t
-        // queries (and repeats) are independent: drop every cache the
-        // query's operators persisted (minhash/jaccard/cosine dedup frames
-        // etc.) so 54 queries don't accumulate cached RDDs and each pass
-        // pays its own cost — otherwise late-alphabet queries run under
-        // eviction/GC pressure from earlier ones' leftovers.
-        spark.sharedState.cacheManager.clearCache()
-        rep += 1
       }
-      if (failed) { failures += 1; results(name) = -1.0 }
-      else results(name) = times.min
+    }
+    // min is the headline estimator (contention noise is one-sided); the
+    // per-query MEDIANS are recorded alongside in the detail line so
+    // comparisons against median/mean-based baselines stay like-for-like.
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ordered.foreach { case (name, _) =>
+      if (failedQueries.contains(name)) { failures += 1; results(name) = -1.0 }
+      else {
+        val ts = samples(name).sorted
+        results(name) = ts.head
+        medians(name) = ts(ts.length / 2)
+      }
     }
 
     // Reference-stage benchmark at the baseline's own scale: 1M trades.
@@ -189,8 +213,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val med = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"bench_detail","unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"bench_detail","unit":"sec","estimator":"min_of_3_interleaved","queries":$qs,"queries_median":$med,"sf":"$sfName"}"""
     // failures is load-bearing: the -1 sentinels are excluded from the sum,
     // so without it a degraded run would read as a speedup.
     val metricLine =

@@ -1108,8 +1108,15 @@ object Dedup {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (neighborhood size is O(n^maxDist)), got $maxDist")
     // null string keys are malformed input for a dedup key, not a value
-    // to guess at — same fail-fast contract as packSequences
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // to guess at — same fail-fast contract as packSequences. The id
+    // cast gets the same guard: a non-numeric id would cast to null and
+    // silently vanish from the pair relation otherwise (try_cast keeps
+    // the behavior identical under either ANSI setting).
+    val idCast = col(idCol).try_cast("long")
+    val base = df.select(
+        when(idCast.isNull,
+          raise_error(lit(s"editDistancePairs: null or non-numeric $idCol row")))
+          .otherwise(idCast).as("id"),
         when(col(strCol).isNull,
           raise_error(lit(s"editDistancePairs: null $strCol row")))
           .otherwise(col(strCol)).as("s"))

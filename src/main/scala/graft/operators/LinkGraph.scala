@@ -24,18 +24,22 @@ import org.apache.spark.sql.functions._
 object LinkGraph {
 
   private val UrlPat =
-    "https?://([A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?"
+    "(?i)https?://([A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?"
 
   /** Distinct (src, dst) host edges: outlink hosts extracted from
-    * `textCol` (same RE2-compatible pattern as TextAnalysis.urlRefs),
-    * self-loops dropped. Map-side explode + one distinct — the edge
-    * relation is what shuffles, and it is distinct-host-pair sized,
-    * never corpus-sized.
+    * `textCol` (same RE2-compatible pattern as TextAnalysis.urlRefs but
+    * case-insensitive on the scheme), self-loops dropped. Hosts are
+    * DNS-case-insensitive, so both endpoints are lowercased before the
+    * distinct — matching canonicalizeUrl — or 'Example.COM' and
+    * 'example.com' would split into two graph nodes. Map-side explode +
+    * one distinct — the edge relation is what shuffles, and it is
+    * distinct-host-pair sized, never corpus-sized.
     */
   def hostEdges(df: DataFrame, srcHostCol: String, textCol: String): DataFrame =
     df.select(
-        col(srcHostCol).as("src"),
-        explode(regexp_extract_all(col(textCol), lit(UrlPat), lit(1))).as("dst"))
+        lower(col(srcHostCol)).as("src"),
+        explode(regexp_extract_all(col(textCol), lit(UrlPat), lit(1))).as("dst0"))
+      .select(col("src"), lower(col("dst0")).as("dst"))
       .filter(col("dst") =!= "" && col("src") =!= col("dst"))
       .distinct()
 

@@ -90,11 +90,18 @@ object Sampling {
       salt: String = "split"): DataFrame = {
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("__lsid"), col("component").as("__comp"))
+    // Guard the id cast: a null or non-numeric id would otherwise yield a
+    // null split key and route the row nondeterministically (same
+    // fail-fast contract as editDistancePairs).
+    val idCast = col(idCol).try_cast("long")
     val keyed = df
-      .join(comp, col(idCol).cast("long") === col("__lsid"), "left")
-      .withColumn("__splitkey",
-        coalesce(col("__comp"), col(idCol).cast("long")))
-      .drop("__lsid", "__comp")
+      .withColumn("__lskey",
+        when(idCast.isNull,
+          raise_error(lit(s"leakageSafeSplit: null or non-numeric $idCol row")))
+          .otherwise(idCast))
+      .join(comp, col("__lskey") === col("__lsid"), "left")
+      .withColumn("__splitkey", coalesce(col("__comp"), col("__lskey")))
+      .drop("__lsid", "__comp", "__lskey")
     assignSplit(keyed, "__splitkey", splits, salt).drop("__splitkey")
   }
 

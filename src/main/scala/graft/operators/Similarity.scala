@@ -579,21 +579,6 @@ object Similarity {
         coalesce(col("keep"), lit(true)).as("keep"))
   }
 
-  /** Symmetric per-vector int8 quantization of an embedding column — the
-    * 4x-vs-float32 / 8x-vs-float64 memory cut that lets a 100 TB
-    * embedding store fit its ANN working set in executor RAM: per vector,
-    * scale = max|x| / 127 and q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].
-    * floor(x + 0.5) is the ENGINE-PORTABLE rounding — a single exact IEEE
-    * comparison-free op in every engine, where `round()` conventions
-    * (half-even vs half-away) differ; scale and each q_i are one IEEE
-    * division/multiply on exact inputs, so a SQL oracle replicates the
-    * whole codec bit-for-bit. Zero vectors quantize to all-zeros with
-    * scale 0. Adds `scale`, `qvec` (array<int>), and `max_abs_err` (the
-    * largest per-dimension reconstruction error |x - q*scale|, which is
-    * <= scale/2 by construction — the corpus-wide bound the q99 gate
-    * checks). Pure map-side projection: no shuffle, no UDF, codegen'd
-    * array lambdas only.
-    */
   /** Two-stage top-k over an int8-quantized corpus: stage 1 scores every
     * (query, vector) pair on the QUANTIZED forms — cosine is
     * scale-free (dot(s_q·qq, s_v·qv) / (|s_q·qq|·|s_v·qv|) cancels both
@@ -657,6 +642,21 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * 4x-vs-float32 / 8x-vs-float64 memory cut that lets a 100 TB
+    * embedding store fit its ANN working set in executor RAM: per vector,
+    * scale = max|x| / 127 and q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].
+    * floor(x + 0.5) is the ENGINE-PORTABLE rounding — a single exact IEEE
+    * comparison-free op in every engine, where `round()` conventions
+    * (half-even vs half-away) differ; scale and each q_i are one IEEE
+    * division/multiply on exact inputs, so a SQL oracle replicates the
+    * whole codec bit-for-bit. Zero vectors quantize to all-zeros with
+    * scale 0. Adds `scale`, `qvec` (array<int>), and `max_abs_err` (the
+    * largest per-dimension reconstruction error |x - q*scale|, which is
+    * <= scale/2 by construction — the corpus-wide bound the q99 gate
+    * checks). Pure map-side projection: no shuffle, no UDF, codegen'd
+    * array lambdas only.
+    */
   def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     df.withColumn("scale",

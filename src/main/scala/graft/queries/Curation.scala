@@ -1365,8 +1365,8 @@ object Curation {
           sum(when(col("max_abs_err") > col("scale") * 0.5000001d, 1L)
             .otherwise(0L)).as("n_violations"),
           max(when(col("scale") > 0d,
-            round(col("max_abs_err") / col("scale"), 4)
-              .cast("decimal(10,4)"))).as("max_err_ratio"),
+            floor(col("max_abs_err") / col("scale") * 10000d + 0.5d)
+              .cast("long"))).as("max_err_ratio_e4"),
           sum(when(col("scale") === 0d, 1L).otherwise(0L)).as("n_zero_vecs"))
         .orderBy(col("label"))
     }),
@@ -3090,8 +3090,10 @@ object Curation {
     // The codec replicated bit-for-bit: CAST(FLOAT[] AS DOUBLE[]) widens
     // exactly, list_max of abs is exact selection, scale is ONE IEEE
     // division, q = floor(x/scale + 0.5) is exact, err recomputes q
-    // inline (identical double ops). round(err/scale, 4) -> DECIMAL per
-    // row before max, per the q88 anchoring policy.
+    // inline (identical double ops). The error ratio surfaces as an
+    // exact integer — floor(err/scale*10000 + 0.5) — because round-to-
+    // DECIMAL diverged across engines on a half-way-boundary double
+    // (driver round-6 hash mismatch); floor of IEEE ops is bit-portable.
     "q99_embed_quant" ->
       """WITH e AS (
            SELECT label,
@@ -3119,8 +3121,8 @@ object Curation {
            CAST(sum(CASE WHEN err > scale * 0.5000001 THEN 1 ELSE 0 END)
              AS BIGINT) AS n_violations,
            max(CASE WHEN scale > 0
-             THEN CAST(round(err / scale, 4) AS DECIMAL(10,4)) END)
-             AS max_err_ratio,
+             THEN CAST(floor(err / scale * 10000 + 0.5) AS BIGINT) END)
+             AS max_err_ratio_e4,
            CAST(sum(CASE WHEN scale = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_vecs
          FROM r GROUP BY label ORDER BY label""",
@@ -3230,10 +3232,10 @@ object Curation {
            FROM documents),
          e AS (
            SELECT DISTINCT src, dst FROM (
-             SELECT src,
-               unnest(regexp_extract_all(text,
-                 'https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?',
-                 1)) AS dst
+             SELECT lower(src) AS src,
+               lower(unnest(regexp_extract_all(text,
+                 '(?i)https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?',
+                 1))) AS dst
              FROM planted)
            WHERE dst <> '' AND src <> dst),
          nodes AS (
@@ -3271,10 +3273,10 @@ object Curation {
            FROM documents),
          e AS (
            SELECT DISTINCT src, dst FROM (
-             SELECT src,
-               unnest(regexp_extract_all(text,
-                 'https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?',
-                 1)) AS dst
+             SELECT lower(src) AS src,
+               lower(unnest(regexp_extract_all(text,
+                 '(?i)https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+)(/[A-Za-z0-9._/%-]*)?',
+                 1))) AS dst
              FROM planted)
            WHERE dst <> '' AND src <> dst),
          nodes AS (

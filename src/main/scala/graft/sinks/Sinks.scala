@@ -94,20 +94,34 @@ object Sinks {
       dir: String,
       targetRecordsPerFile: Long = 1000000L): Unit = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact-old")
+    val tmpPath = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact-tmp")
+    // A leftover backup means a prior compaction died mid-swap; renaming
+    // over it would silently no-op, so refuse until the operator resolves it.
+    if (fs.exists(bak))
+      throw new IllegalStateException(
+        s"$bak exists — a previous compaction did not complete; " +
+          "restore or remove it before compacting again")
     val df = spark.read.parquet(dir)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
-    val tmp = dir.stripSuffix("/") + ".compact-tmp"
     df.coalesce(nFiles.toInt)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
-      .parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact-old")
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .parquet(tmpPath.toString)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compactParquet: rename $dst -> $bak failed")
+    if (!fs.rename(tmpPath, dst)) {
+      // Roll back so the live directory never vanishes: the data is still
+      // intact under bak; put it back before surfacing the failure.
+      fs.rename(bak, dst)
+      throw new java.io.IOException(s"compactParquet: rename $tmpPath -> $dst failed")
+    }
+    if (!fs.exists(dst))
+      throw new java.io.IOException(s"compactParquet: $dst missing after swap")
     fs.delete(bak, true)
   }
 
@@ -181,6 +195,19 @@ object Sinks {
     */
   final case class JdbcTarget(url: String, table: String,
       properties: java.util.Properties)
+
+  /** Postgres-targeted default properties: `reWriteBatchedInserts=true`
+    * makes the pgjdbc driver rewrite each JDBC batch into one multi-row
+    * INSERT — the closest JDBC-level equivalent of the reference's COPY
+    * wire (src/database/DatabaseLoader.cpp:187-269); a 2-5x load speedup
+    * on real Postgres, silently ignored by other drivers. Callers merge
+    * their credentials on top.
+    */
+  def pgDefaultProperties(): java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("reWriteBatchedInserts", "true")
+    p
+  }
 
   def writeJdbc(
       df: DataFrame,
