@@ -18,8 +18,12 @@ import org.apache.spark.sql.types._
   * transforms on longs, which is the preference-order (b) design: custom
   * scalar Expression before any UDF.
   *
-  * Hashing uses Spark's own XXH64 (seed 42) — identical to the builtin
-  * `xxhash64` function, so results are reproducible from public Spark APIs.
+  * Hashing: the positional-gram/byte sketches use Spark's own XXH64
+  * (seed 42, identical to the builtin `xxhash64`); the MinHash/SimHash
+  * sketches use ENGINE-PORTABLE polynomial digests (mod-2^31-1 char
+  * folds, the same arithmetic as [[WinnowedFingerprints]]) so a DuckDB
+  * oracle can replicate the full signature bit-for-bit — that is what
+  * upgrades q24/q25 from rows-only checks to hard oracle gates.
   */
 object HashExprs {
 
@@ -28,9 +32,44 @@ object HashExprs {
     */
   val MinhashPrime: Long = 2147483647L
 
+  /** Portable polynomial char digest: fold h = (h*mult + char) mod 2^31-1
+    * over UTF-16 units (== code points for BMP text; fixtures/corpora are
+    * ASCII). Replicated in SQL as
+    * `list_reduce([unicode(s[j]) ...], (a,b) -> (a*mult + b) % 2147483647)`
+    * — the q56 winnowing idiom. Empty input digests to 0.
+    */
+  def polyDigest(s: org.apache.spark.unsafe.types.UTF8String, mult: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) { h = (h * mult + str.charAt(i)) % MinhashPrime; i += 1 }
+    h
+  }
+
+  /** The 64-member portable hash family over a (h1, h2) digest pair:
+    * f_i = ((2i+3)*h1 + (7i^2+11)*h2 + 31i+7) mod p. Two strings collide
+    * for EVERY i only if both digests collide (the i-polynomial has >2
+    * distinct coefficient points), so the family's effective codomain is
+    * ~62 bits even though each member is 31-bit. Coefficients are small
+    * ints: every product stays far below 2^62 (exact, ANSI-safe, and
+    * exactly writable in DuckDB integer arithmetic).
+    */
+  def familyHash(i: Int, h1: Long, h2: Long): Long =
+    Math.floorMod(
+      (2L * i + 3L) * h1 + (7L * i * i + 11L) * h2 + 31L * i + 7L,
+      MinhashPrime)
+
   /** MinHash signature of an array<string> token/shingle set:
-    * sig(i) = min over tokens of (a_i * (xxhash64(tok) mod p) + b_i) mod p.
-    * Empty input yields an all-sentinel (p) signature.
+    * sig(i) = min over tokens of familyHash(i, poly257(tok), poly263(tok)).
+    * Empty input yields an all-sentinel (p) signature; null and empty
+    * elements are skipped (matches WordShingles, and keeps the SQL
+    * replica's char fold total).
+    *
+    * Portability over raw hash width: the two 31-bit polynomial digests
+    * give a ~62-bit effective codomain (see familyHash), and any residual
+    * digest collision can only ADD an LSH candidate — candidates are
+    * always re-verified by exact Jaccard, so collisions cost work, never
+    * correctness.
     */
   case class MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
@@ -46,12 +85,6 @@ object HashExprs {
     override def prettyName: String = "minhash_sig"
 
     private val p = MinhashPrime
-    // (a_i, b_i) derived deterministically from i — identical on every
-    // executor, no RNG state.
-    @transient private lazy val as: Array[Long] = Array.tabulate(numHashes)(i =>
-      Math.floorMod(XXH64.hashLong(i.toLong, 0x5EED) * 48271L, p - 1) + 1)
-    @transient private lazy val bs: Array[Long] = Array.tabulate(numHashes)(i =>
-      Math.floorMod(XXH64.hashLong(i.toLong, 0xB0B), p))
 
     override def nullSafeEval(input: Any): Any =
       compute(input.asInstanceOf[ArrayData])
@@ -64,13 +97,15 @@ object HashExprs {
 
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
-      val hs = new Array[Long](n)
-      var cnt = 0 // null elements are skipped (matches WordShingles)
+      val h1s = new Array[Long](n)
+      val h2s = new Array[Long](n)
+      var cnt = 0 // null/empty elements are skipped (matches WordShingles)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
-        if (s != null) {
-          hs(cnt) = Math.floorMod(XXH64.hashUTF8String(s, 42L), p)
+        if (s != null && s.numBytes() > 0) {
+          h1s(cnt) = polyDigest(s, 257L)
+          h2s(cnt) = polyDigest(s, 263L)
           cnt += 1
         }
         i += 1
@@ -78,11 +113,10 @@ object HashExprs {
       val sig = new Array[Long](numHashes)
       var k = 0
       while (k < numHashes) {
-        val a = as(k); val b = bs(k)
         var m = p // sentinel for empty sets; real values are < p
         i = 0
         while (i < cnt) {
-          val v = Math.floorMod(a * hs(i) + b, p)
+          val v = familyHash(k, h1s(i), h2s(i))
           if (v < m) m = v
           i += 1
         }
@@ -97,8 +131,13 @@ object HashExprs {
   }
 
   /** 64-bit SimHash of an array<string> token multiset: bit j of the result
-    * is set iff Σ_tokens (bit_j(xxhash64(tok)) ? +1 : -1) > 0. Bit-identical
-    * to the higher-order-function formulation over the builtin xxhash64.
+    * is set iff Σ_tokens (familyHash(j, poly257(tok), poly263(tok)) odd
+    * ? +1 : -1) > 0. The per-token bit stream comes from the parity of the
+    * portable 64-member hash family instead of raw xxhash64 bits — mod-p
+    * values are odd with probability (p-1)/2p (bias 1/2p ≈ 2^-32,
+    * immaterial), and the whole fingerprint becomes exactly replicable in
+    * DuckDB SQL (the q25 oracle brute-forces the complete Hamming
+    * relation from it). Null and empty tokens are skipped.
     */
   case class SimHash64(child: Expression)
       extends UnaryExpression {
@@ -128,11 +167,12 @@ object HashExprs {
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
-        if (s != null) { // null elements are skipped (matches WordShingles)
-          val h = XXH64.hashUTF8String(s, 42L)
+        if (s != null && s.numBytes() > 0) { // skip null/empty (matches WordShingles)
+          val h1 = polyDigest(s, 257L)
+          val h2 = polyDigest(s, 263L)
           var j = 0
           while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            if ((familyHash(j, h1, h2) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
             j += 1
           }
         }

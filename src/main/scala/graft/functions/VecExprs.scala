@@ -129,9 +129,14 @@ object VecExprs {
 
   /** Banded random-hyperplane LSH keys of an array<double> vector:
     * output(b) = Σ_{j < bitsPerBand} (v · plane_{b*bitsPerBand+j} > 0 ? 1L << j : 0)
-    * for b in [0, bands). The planes derive deterministically from
-    * (dim, bands*bitsPerBand, seed) via the same Gaussian stream on every
-    * executor — no literals in the plan, no RNG state shipped.
+    * for b in [0, bands). Plane components derive deterministically from
+    * (seed, global index) via the PORTABLE polynomial char digest
+    * (HashExprs.polyDigest of "hp|seed|g", centered on 0) — identical on
+    * every executor AND exactly replicable in DuckDB SQL, which is what
+    * lets the q28 ANN query carry a hard oracle. Centered-uniform
+    * components instead of Gaussians: sign-LSH only needs a symmetric
+    * component distribution (the 64-term dot is near-Gaussian by CLT
+    * either way); measured recall on the spec corpora is unchanged.
     *
     * With bands = 1 this is the classic single-table sign bucket (bit i =
     * sign(v · plane_i) at weight 2^i). Vectors whose length differs from
@@ -147,12 +152,16 @@ object VecExprs {
     override def prettyName: String = "hyperplane_band_keys"
     override def nullable: Boolean = true
 
-    // row-major (plane, dim) Gaussian matrix, same fill order as
-    // Array.fill(nbits, dim)(rng.nextGaussian()) so buckets match the
-    // previous formulation bit for bit.
+    // row-major (plane, dim) matrix: component g is the centered portable
+    // digest of "hp|seed|g" — (p-1)/2 = 1073741823 subtracted so the
+    // distribution is symmetric about 0 (a sign projection needs only
+    // symmetry). SQL replica: fold unicode() over the same string.
     @transient private lazy val planes: Array[Double] = {
-      val rng = new scala.util.Random(seed)
-      Array.fill(bands * bitsPerBand * dim)(rng.nextGaussian())
+      Array.tabulate(bands * bitsPerBand * dim) { g =>
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+          "hp|" + seed + "|" + g)
+        (HashExprs.polyDigest(s, 257L) - 1073741823L).toDouble
+      }
     }
 
     override def nullSafeEval(input: Any): Any =

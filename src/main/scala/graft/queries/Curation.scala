@@ -110,8 +110,14 @@ object Curation {
           countDistinct(md5(col("text"))).as("n_unique"))
         .orderBy(col("source"))),
 
-    // MinHash + banded LSH near-dup candidates, Jaccard-verified.
-    // Hash-defined -> no SQL oracle; recall vs exact Jaccard is spec-tested.
+    // MinHash + banded LSH near-dup candidates, Jaccard-verified. The
+    // signature is built from PORTABLE polynomial digests (HashExprs
+    // .familyHash over poly257/poly263 char folds), so the oracle
+    // replicates the full signature, the band-slice collision relation,
+    // and the exact-Jaccard verification — a hard gate, not rows-only.
+    // (The engine's band BUCKET is murmur3 of the slice; the oracle tests
+    // slice equality directly — identical up to a 2^-32 bucket collision,
+    // which could only ADD an already-Jaccard-verified pair.)
     "q24_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(
           t(s, dir, "documents"), "doc_id", "text",
@@ -120,6 +126,9 @@ object Curation {
 
     // SimHash fingerprints + Hamming-close pairs (chunk-blocked at the
     // classic radius 3 = 4 x 16-bit chunks; recall is exact by pigeonhole).
+    // Pigeonhole completeness means the output IS the full Hamming<=3
+    // relation, so the oracle needs no blocking at all: it rebuilds the
+    // portable fingerprint bits per doc and brute-forces every pair.
     "q25_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(
           t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -146,7 +155,10 @@ object Curation {
     }),
 
     // LSH-bucketed ANN over the same queries (the scale path; recall vs
-    // brute force is spec-tested). Hash-defined -> rows-only check.
+    // brute force is spec-tested). Hyperplane components are portable
+    // digests of "hp|seed|g", so the oracle regenerates all 5120 plane
+    // values, the 8x10-bit sign keys, and the radius-1 multiprobe
+    // collision relation, then reranks by exact cosine — hard gate.
     "q28_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -160,8 +172,12 @@ object Curation {
     }),
 
     // IVF (inverted-file) ANN over the same queries — the other scale path
-    // next to LSH (coarse k-means quantizer + nprobe). Hash/centroid-
-    // defined -> rows-only check; recall is spec-tested.
+    // next to LSH (coarse k-means quantizer + nprobe). The quantizer is
+    // FULLY deterministic (driver-side Lloyd over the id-ordered sample,
+    // sums folded in id order), so the oracle unrolls all 8 k-means
+    // iterations in SQL (ordered list_reduce folds reproduce the IEEE
+    // accumulation bit-for-bit), reassigns the corpus, probes 4 cells per
+    // query, and reranks by exact cosine — hard gate (ivfOracleSql).
     "q35_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -186,15 +202,16 @@ object Curation {
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- gate-visible checks for the hash-defined operators ----
-    // The hash-defined queries (q24/q25/q28/q35) cannot be replicated by a
-    // SQL oracle — no engine-independent definition of xxhash64 banding or
-    // k-means cells exists in DuckDB. What IS oracle-checkable is each
-    // operator's by-construction guarantee, emitted as an empty-set
-    // difference query (the q36 pattern): the oracle pins the expected
-    // empty relation, and any soundness bug in the pipeline (bad banding
-    // join, wrong verification, corrupted similarity) makes the Spark side
-    // non-empty and fails the gate. Recall (the hash-dependent direction)
-    // stays spec-tested on planted/clustered data where it is meaningful.
+    // Since round 7 the hash-defined queries (q24/q25/q28/q35) carry HARD
+    // oracles of their own: every hash they depend on (minhash family,
+    // simhash bit stream, hyperplane components, k-means folds) is
+    // engine-portable arithmetic that the DuckDB SQL replicates verbatim.
+    // These by-construction gates are kept alongside — they check each
+    // operator's soundness guarantee as an empty-set difference (the q36
+    // pattern) INDEPENDENTLY of any hash replication, so a regression in
+    // either the sketch or the verification path is caught twice, from
+    // two different directions. Recall stays spec-tested on
+    // planted/clustered data where it is meaningful.
 
     // q24's guarantee: every verified MinHash pair IS an exact-Jaccard pair
     // at the same shingle size and threshold — i.e. each emitted pair's
@@ -1699,6 +1716,83 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** The q35 oracle: the ENTIRE IVF pipeline in DuckDB SQL, including all
+    * 8 Lloyd iterations of the coarse quantizer. Replicability rests on
+    * three engine properties: (1) the training sample is the id-ORDERED
+    * first 4096 vectors, (2) per-cell sums fold in id order (SQL:
+    * `list(v ORDER BY id)` then an ordered `list_reduce` — the same IEEE
+    * accumulation sequence), (3) assignment ties break toward the smaller
+    * cell (SQL: `row_number() OVER (ORDER BY d2, cell)`). The iteration
+    * CTEs are generated by this loop — same shape as q104's unrolled
+    * PageRank, just produced programmatically.
+    */
+  private val IvfOracleSql: String = {
+    val d2 =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [(s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]) for i in range(1, 65)]),
+        (acc, x) -> acc + x)"""
+    val iters = (0 until 8).map { n =>
+      s"""a$n AS (
+           SELECT id, v, cell FROM (
+             SELECT s.id, s.v, c.cell,
+               row_number() OVER (PARTITION BY s.id
+                 ORDER BY $d2 ASC, c.cell ASC) AS rn
+             FROM samp s CROSS JOIN cents$n c)
+           WHERE rn = 1),
+         cents${n + 1} AS (
+           SELECT c.cell,
+             CASE WHEN g.vs IS NULL THEN c.cv
+             ELSE [list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     [vv[i] for vv in g.vs]), (acc, x) -> acc + x) / len(g.vs)
+                   for i in range(1, 65)]
+             END AS cv
+           FROM cents$n c LEFT JOIN (
+             SELECT cell, list(v ORDER BY id) AS vs FROM a$n GROUP BY cell) g
+           ON g.cell = c.cell)"""
+    }.mkString(",\n         ")
+    s"""WITH allv AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         samp AS (
+           SELECT id, v, row_number() OVER (ORDER BY id) AS rn
+           FROM (SELECT id, v FROM allv ORDER BY id LIMIT 4096)),
+         nn AS (SELECT count(*) AS n FROM samp),
+         cents0 AS (
+           SELECT cl.cell, s.v AS cv
+           FROM (SELECT unnest(range(0, 16)) AS cell) cl
+           JOIN nn ON true
+           JOIN samp s ON s.rn = (cl.cell * nn.n) // 16 + 1),
+         $iters,
+         cassign AS (
+           SELECT id, v, cell FROM (
+             SELECT s.id, s.v, c.cell,
+               row_number() OVER (PARTITION BY s.id
+                 ORDER BY $d2 ASC, c.cell ASC) AS rn
+             FROM allv s CROSS JOIN cents8 c)
+           WHERE rn = 1),
+         probes AS (
+           SELECT qid, qvec, cell FROM (
+             SELECT s.id AS qid, s.v AS qvec, c.cell,
+               row_number() OVER (PARTITION BY s.id
+                 ORDER BY $d2 ASC, c.cell ASC) AS rn
+             FROM allv s CROSS JOIN cents8 c WHERE s.id < 5)
+           WHERE rn <= 4),
+         cand AS (
+           SELECT p.qid, p.qvec, ca.id, ca.v AS vec
+           FROM probes p JOIN cassign ca ON ca.cell = p.cell
+           WHERE p.qid <> ca.id),
+         sc AS (
+           SELECT qid, id, list_cosine_similarity(qvec, vec) AS sim
+           FROM cand),
+         r AS (
+           SELECT qid, id, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+               AS INTEGER) AS rnk
+           FROM sc WHERE sim IS NOT NULL)
+         SELECT qid, id, round(sim, 4) AS sim, rnk
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
+  }
+
   private val SpanDedupOracleSql: String =
         """WITH planted AS (
              SELECT doc_id, source,
@@ -1943,6 +2037,128 @@ object Curation {
       """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS id,
          CAST(NULL AS DOUBLE) AS sim
          WHERE false""",
+    // The portable MinHash replicated end-to-end: per-shingle digest pair
+    // (poly257/poly263 char folds, the q56 idiom), the 64-member family
+    // minima, band collision as SLICE EQUALITY over the 16 x 4 signature
+    // layout (the engine's murmur bucket of the same slice is injective up
+    // to 2^-32), then exact distinct-set Jaccard >= 0.4 (q26's idiom).
+    "q24_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         sh AS (
+           SELECT id,
+             list_distinct([array_to_string(l[i:i+1], ' ')
+                            for i in range(1, len(l))]) AS sh
+           FROM toks WHERE len(l) >= 2),
+         hs AS (
+           SELECT id, sh,
+             [ { 'h1': list_reduce([CAST(unicode(s[j]) AS BIGINT)
+                                    for j in range(1, len(s)+1)],
+                                   (a, b) -> (a * 257 + b) % 2147483647),
+                 'h2': list_reduce([CAST(unicode(s[j]) AS BIGINT)
+                                    for j in range(1, len(s)+1)],
+                                   (a, b) -> (a * 263 + b) % 2147483647) }
+               for s in sh ] AS th
+           FROM sh),
+         sig AS (
+           SELECT id, sh,
+             [ list_min([ ((2*i+3) * t.h1 + (7*i*i+11) * t.h2 + 31*i + 7)
+                          % 2147483647 for t in th ])
+               for i in range(0, 64) ] AS sg
+           FROM hs),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+           FROM sig a JOIN sig b ON a.id < b.id
+           WHERE len(list_filter(range(0, 16),
+                 b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0)
+         SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4)
+             AS jaccard
+         FROM cand
+         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+               (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.4
+         ORDER BY id_a, id_b""",
+    // The portable SimHash: per-token digest pair, bit j from the parity
+    // of family member j, fingerprint kept as a 64-element bit list (so
+    // bit 63 never has to ride a signed BIGINT), Hamming by elementwise
+    // compare over ALL pairs — no blocking needed because the engine's
+    // chunk blocking is pigeonhole-complete at radius 3 (its output IS
+    // the full relation).
+    "q25_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         hs AS (
+           SELECT id,
+             [ { 'h1': list_reduce([CAST(unicode(t[j]) AS BIGINT)
+                                    for j in range(1, len(t)+1)],
+                                   (a, b) -> (a * 257 + b) % 2147483647),
+                 'h2': list_reduce([CAST(unicode(t[j]) AS BIGINT)
+                                    for j in range(1, len(t)+1)],
+                                   (a, b) -> (a * 263 + b) % 2147483647) }
+               for t in l ] AS th
+           FROM toks),
+         bits AS (
+           SELECT id,
+             [ CASE WHEN list_sum([ CASE WHEN
+                   (((2*j+3) * t.h1 + (7*j*j+11) * t.h2 + 31*j + 7)
+                    % 2147483647) % 2 = 1
+                   THEN 1 ELSE -1 END for t in th ]) > 0 THEN 1 ELSE 0 END
+               for j in range(0, 64) ] AS b
+           FROM hs)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(list_sum([CASE WHEN a.b[i] <> b.b[i] THEN 1 ELSE 0 END
+                          for i in range(1, 65)]) AS INTEGER) AS hamming
+         FROM bits a JOIN bits b ON a.id < b.id
+         WHERE list_sum([CASE WHEN a.b[i] <> b.b[i] THEN 1 ELSE 0 END
+                         for i in range(1, 65)]) <= 3
+         ORDER BY id_a, id_b""",
+    // The portable hyperplane LSH: all 5120 plane components regenerated
+    // from their "hp|42|g" digests, per-vector 8 x 10-bit sign keys via
+    // ordered dot-product folds, candidates where any table's keys are
+    // within one bit flip (radius-1 multiprobe), exact-cosine rerank
+    // (q27's idiom).
+    "q28_ann_lsh" ->
+      """WITH pl AS (
+           SELECT [CAST(list_reduce(
+                     [CAST(unicode(('hp|42|' || CAST(g AS VARCHAR))[j]) AS BIGINT)
+                      for j in range(1, len('hp|42|' || CAST(g AS VARCHAR))+1)],
+                     (a, b) -> (a * 257 + b) % 2147483647) - 1073741823
+                   AS DOUBLE)
+                   for g in range(0, 5120)] AS p),
+         v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         keys AS (
+           SELECT id, vec,
+             [ list_sum([ CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     [vec[i] * p[(t*10+j)*64 + i] for i in range(1, 65)]),
+                     (a, x) -> a + x) > 0
+                   THEN CAST(2 ** j AS BIGINT) ELSE 0 END
+                 for j in range(0, 10) ])
+               for t in range(0, 8) ] AS ks
+           FROM v, pl),
+         cand AS (
+           SELECT q.id AS qid, c.id AS id, q.vec AS qvec, c.vec AS vec
+           FROM keys q JOIN keys c ON q.id <> c.id
+           WHERE q.id < 5
+             AND len(list_filter(range(1, 9),
+                   t -> bit_count(xor(q.ks[t], c.ks[t])) <= 1)) > 0),
+         s AS (
+           SELECT qid, id, list_cosine_similarity(qvec, vec) AS sim
+           FROM cand),
+         r AS (
+           SELECT qid, id, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+               AS INTEGER) AS rnk
+           FROM s WHERE sim IS NOT NULL)
+         SELECT qid, id, round(sim, 4) AS sim, rnk
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q35_ann_ivf" -> IvfOracleSql,
     // Positional n-grams in DuckDB via list comprehension over the token
     // list; all outputs are exact integer sums (see the q48 def comment).
     "q48_repetition" ->
