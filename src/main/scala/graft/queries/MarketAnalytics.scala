@@ -261,7 +261,61 @@ object MarketAnalytics {
         .agg(
           count(lit(1)).as("n_events"),
           sum(col("event_id")).as("id_sum"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // §2.7 gate #5: WATERMARK semantics — the one streaming behavior the
+    // other four gates deliberately avoid (their replays must not drop
+    // rows). Five PHASE-CONTROLLED micro-batches make late-data handling
+    // deterministic: (1) the full events table, which sets the watermark
+    // to maxTs - 2h; (2) an EMPTY spacer batch — Spark keeps two
+    // watermarks per batch (SPARK-24699: late-event filtering uses the
+    // PREVIOUS batch's watermark, eviction the current one), so without
+    // the spacer the late copies would be filtered against the initial
+    // 1970 watermark and every one would merge (observed empirically:
+    // numRowsDroppedByWatermark=0); (3) planted late copies — one class
+    // >= 3h old (event time >= 1h below the now-effective late-event
+    // watermark, window end below it by maxTs-mod-hour >= 26 min:
+    // DROPPED), one class <= 1h old (event time >= 1h ABOVE the
+    // watermark, its window still open at eviction granularity: merged,
+    // so those windows count the copy TWICE); (4) a sentinel 6h in the
+    // future, advancing the watermark past every real window so append
+    // mode emits them all; (5) a second sentinel that triggers the
+    // emitting batch. The oracle is the batch aggregation over
+    // (events UNION accepted-late copies) — the same retention predicate
+    // applied in SQL; a watermark bug in either direction (dropping
+    // accepted rows, keeping dropped ones) shifts n_events/id_sum and
+    // fails the hash. Both row classes are robust to either predicate
+    // form (event-time vs window-end) and to ms-vs-µs watermark
+    // truncation: every boundary has >= 26 min of slack at all SFs.
+    "q116_stream_watermark" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val tsUs = call_function("div", col("ts"), lit(1000L))
+      val hourUs = 3600L * 1000000L
+      // bounded driver read: ONE long (the corpus's max event time)
+      val maxUs = events.agg(max(tsUs)).collect()(0).getLong(0)
+      val lateDrop = events
+        .filter(col("event_id") % 9 === 0 && tsUs < maxUs - 3 * hourUs)
+      val lateKeep = events
+        .filter(col("event_id") % 4 === 1 && tsUs >= maxUs - hourUs)
+      def sentinel(offsetUs: Long) = events.sparkSession.range(1).select(
+        lit(-1L).as("event_id"),
+        lit((maxUs + offsetUs) * 1000L).as("ts"),
+        lit(0L).as("user_id"),
+        lit("wm_probe").as("event_type"),
+        lit(0.0d).as("value"),
+        lit("").as("props"))
+      replayPhases(s, "q116_wm",
+          Seq(events, events.limit(0), lateDrop.union(lateKeep),
+            sentinel(6 * hourUs), sentinel(12 * hourUs)),
+          stream => graft.streaming.StreamingEtl.watermarkedWindowCounts(
+            stream, "event_type", "ts", "event_id", "user_id"))
+        .filter(col("event_type") =!= "wm_probe")
+        .select(
+          col("event_type"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("n_events"), col("id_sum"), col("user_sum"))
+        .orderBy(col("event_type"), col("hour"))
+    })
   )
 
   /** Shared streaming-replay harness for the §2.7 parity gates: re-shard
@@ -308,6 +362,51 @@ object MarketAnalytics {
     try {
       val q = build(stream).writeStream.format("memory").queryName(qname)
         .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(qname)
+  }
+
+  /** Phase-controlled replay for the watermark gate: each phase becomes
+    * ONE parquet file with a strictly increasing modification time, and
+    * `maxFilesPerTrigger=1` then yields exactly one micro-batch per phase
+    * in phase order (FileStreamSource takes unread files oldest-first;
+    * zero-padded names break any mod-time tie the same way). That ordering
+    * is what makes watermark advancement — and therefore which late rows
+    * are dropped — deterministic, where replayRaw's repartition shards
+    * would leave it to scheduling. APPEND output mode: the memory sink
+    * holds each finalized window exactly once.
+    */
+  private def replayPhases(
+      s: SparkSession, name: String,
+      phases: Seq[DataFrame],
+      build: DataFrame => DataFrame): DataFrame = {
+    val spark = Tables.configure(s)
+    val base = new java.io.File(replayDir, name)
+    val streamDir = new java.io.File(base, "stream")
+    org.apache.commons.io.FileUtils.deleteQuietly(streamDir)
+    streamDir.mkdirs()
+    val schema = phases.head.schema
+    phases.zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(base, s"stage_$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, f"phase_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // synthetic mod times: strictly increasing, far in the past so a
+      // re-run's overwrite can never interleave with wall-clock time
+      dst.setLastModified(1000000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val qname = s"${name}_${replaySeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(stream).writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(qname)
@@ -521,7 +620,32 @@ object MarketAnalytics {
     "q111_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
            CAST(sum(event_id) AS BIGINT) AS id_sum
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // The watermark's retention predicate, replayed in SQL: phase-1 rows
+    // all count once (watermark still unset when they arrive); the >=3h-old
+    // copies (id%9) are NOT here because the stream must drop them; the
+    // <=1h-old copies (id%4=1) ARE here because the stream must merge them
+    // into their still-open windows. Window start = hour truncation of the
+    // µs-anchored event time — identical on both engines.
+    "q116_stream_watermark" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+         late AS (
+           SELECT e.event_type, e.ts, e.event_id, e.user_id
+           FROM events e, m
+           WHERE e.event_id % 4 = 1
+             AND epoch_us(e.ts) >= m.max_us - 3600000000
+         ),
+         allrows AS (
+           SELECT event_type, ts, event_id, user_id FROM events
+           UNION ALL SELECT event_type, ts, event_id, user_id FROM late
+         )
+         SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM allrows GROUP BY event_type, hour
+         ORDER BY event_type, hour"""
   )
 
 }

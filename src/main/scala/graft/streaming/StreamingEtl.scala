@@ -227,6 +227,38 @@ object StreamingEtl {
   def toEventTime(nsCol: Column): Column =
     timestamp_micros((nsCol.cast("decimal(38,0)") / lit(1000)).cast("long"))
 
+  /** Event-time windowed counts under a watermark — the bounded-state
+    * form of windowed aggregation on an unbounded stream: rows later than
+    * `delay` behind the max observed event time are DROPPED (their
+    * window's state is already finalized and evicted), rows within the
+    * delay merge into still-open windows, and in append output mode each
+    * window emits exactly once, when the watermark passes its end. That
+    * drop/merge/evict contract is what keeps state O(open windows)
+    * forever — without the watermark a 100 TB-scale stream accretes every
+    * window it has ever seen.
+    *
+    * All aggregates are exact integers, so the q116 parity gate can check
+    * the emitted relation against a batch oracle that applies the same
+    * retention predicate (window end vs final watermark) in SQL.
+    * `nsTsCol` is a ns-epoch long (the events wire format); event time is
+    * µs-anchored via [[toEventTime]] (the F7 presentation bound).
+    */
+  def watermarkedWindowCounts(
+      df: DataFrame,
+      keyCol: String,
+      nsTsCol: String,
+      idCol: String,
+      sumCol: String,
+      delay: String = "2 hours",
+      windowLen: String = "1 hour"): DataFrame =
+    df.withColumn("event_time", toEventTime(col(nsTsCol)))
+      .withWatermark("event_time", delay)
+      .groupBy(col(keyCol), window(col("event_time"), windowLen))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(idCol)).as("id_sum"),
+        sum(col(sumCol)).as("user_sum"))
+
   /** Stream-stream interval join: left row L matches right row R iff
     * R.eventTime ∈ [L.eventTime + lower, L.eventTime + upper) — the
     * streaming analogue of operators.RangeJoin (purchases joined to the

@@ -1,0 +1,110 @@
+package graft
+
+import graft.streaming.StreamingEtl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermark semantics (§2.7 gate #5, q116). Two layers:
+  *
+  *  1. A MemoryStream unit drive of [[StreamingEtl.watermarkedWindowCounts]]
+  *     with hand-planted rows proving both directions of the contract —
+  *     a copy older than the delay is DROPPED, a copy within the delay
+  *     MERGES into its still-open window — including the SPARK-24699
+  *     subtlety that late-event filtering uses the PREVIOUS batch's
+  *     watermark (hence the explicit empty spacer batch, same as the
+  *     production gate's phase 2).
+  *  2. An end-to-end run of the q116 gate at sf0.001 against the
+  *     batch-computed expectation (the oracle's Spark form), pinning the
+  *     file-phase replay the driver actually executes.
+  */
+class WatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hourUs = 3600L * 1000000L
+  private def H(k: Long): Long = (472222L + k) * hourUs // hour-aligned us
+
+  test("late-beyond-delay drops; late-within-delay merges (2h delay)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    // (event_id, ts_ns, user_id, event_type, value, props)
+    def row(id: Long, us: Long, key: String = "A") =
+      (id, us * 1000L, id * 10L, key, 0.0d, "")
+
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // NOTE: do NOT filter out the sentinel key inside the streaming query —
+    // a predicate on a grouping key pushes below the EventTimeWatermark
+    // node and would drop the sentinels at the source, freezing the
+    // watermark (observed: maxEventTime=null). Filter the sink table
+    // instead, as the production gate does.
+    val query = StreamingEtl.watermarkedWindowCounts(
+        stream, "event_type", "ts", "event_id", "user_id")
+      .select(col("event_type"),
+        col("window.start").cast("long").as("start_s"),
+        col("n_events"), col("id_sum"), col("user_sum"))
+      .writeStream.format("memory").queryName("wm_unit")
+      .outputMode("append").start()
+    try {
+      // batch 0: three on-time rows; max = H(8)+30m -> wm becomes H(6)+30m
+      input.addData(Seq(
+        row(1, H(0) + hourUs / 2),
+        row(2, H(2) + hourUs / 2),
+        row(3, H(8) + hourUs / 2)))
+      query.processAllAvailable()
+      // batch 1: EMPTY spacer — makes the advanced watermark the
+      // "previous batch's" one, so the late filter below actually uses it
+      input.addData(Seq.empty[(Long, Long, Long, String, Double, String)])
+      query.processAllAvailable()
+      // batch 2: one copy 4h+ old (window end H(3) << wm: DROP), one row
+      // 15m old (window [H(8),H(9)) still open: MERGE)
+      input.addData(Seq(
+        row(4, H(2) + hourUs / 2),
+        row(5, H(8) + hourUs / 4)))
+      query.processAllAvailable()
+      // batches 3+4: sentinels push wm past H(9), then trigger emission
+      input.addData(Seq(row(-1L, H(16) + hourUs / 2, "WM")))
+      query.processAllAvailable()
+      input.addData(Seq(row(-2L, H(20), "WM")))
+      query.processAllAvailable()
+      // final spacer: eviction lags the sentinel by one batch (the same
+      // two-watermark asymmetry as the late filter), so force one more
+      input.addData(Seq.empty[(Long, Long, Long, String, Double, String)])
+      query.processAllAvailable()
+
+      val got = spark.table("wm_unit")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+        .filter(_._1 == "A").map(r => (r._2, r._3, r._4, r._5)).toSet
+      val wantedSecs = Set(
+        (H(0) / 1000000L, 1L, 1L, 10L),   // untouched
+        (H(2) / 1000000L, 1L, 2L, 20L),   // late copy id=4 DROPPED
+        (H(8) / 1000000L, 2L, 8L, 80L))   // late row id=5 MERGED
+      assert(got === wantedSecs)
+    } finally query.stop()
+  }
+
+  test("q116 file-phase gate equals the batch retention predicate at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q116_stream_watermark")(spark, dir)
+      .collect().toSeq.map(_.toString).sorted
+
+    // the oracle's Spark form: events UNION the accepted (<=1h-old) copies
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = call_function("div", col("ts"), lit(1000L))
+    val maxUs = events.agg(max(tsUs)).collect()(0).getLong(0)
+    val keep = events.filter(
+      col("event_id") % 4 === 1 && tsUs >= maxUs - hourUs)
+    val want = events.select("event_type", "ts", "event_id", "user_id")
+      .union(keep.select("event_type", "ts", "event_id", "user_id"))
+      .groupBy(col("event_type"),
+        date_format(StreamingEtl.toEventTime(col("ts")), "yyyy-MM-dd HH:00")
+          .as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .orderBy(col("event_type"), col("hour"))
+      .collect().toSeq.map(_.toString).sorted
+
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+}
