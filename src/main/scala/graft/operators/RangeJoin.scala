@@ -43,6 +43,10 @@ object RangeJoin {
     val width = upper - lower
     def epoch(df: DataFrame, name: String) = df.schema(name).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(name))
+      // NTZ wall-clock read as UTC (Tables.configure pins the session zone);
+      // offsets are then µs, same as TimestampType
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(name).cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => col(name)
       case other => throw new IllegalArgumentException(
         s"$name must be timestamp or integral epoch, got $other")

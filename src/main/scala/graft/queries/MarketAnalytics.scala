@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * The same operator implementations (graft.operators.*) also run over Trade
   * data — see graft.pipeline.BatchEtl and the golden-fixture specs.
   *
-  * `events.ts` is TIMESTAMP(NANOS) parquet read as raw ns Long
-  * (Tables.configure), mirroring the reference's ns-epoch longs
-  * (reference src/model/Trade.hpp:21); presentation-time conversion only.
+  * `events.ts` arrives as an ns-epoch Long whatever the parquet physical
+  * type (Tables.load normalizes TIMESTAMP(NANOS)/TIMESTAMP(MICROS,NTZ)
+  * alike), mirroring the reference's ns-epoch longs (reference
+  * src/model/Trade.hpp:21); presentation-time conversion only. Queries
+  * whose arithmetic would silently change meaning under a timestamp type
+  * (q31's lag subtraction) additionally assert the contract at entry.
   */
 object MarketAnalytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -121,11 +124,17 @@ object MarketAnalytics {
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
       val clicks = ev.filter(col("event_type") === "click")
-      AsOf.joinBackward(
-          purchases, clicks,
-          keyCols = Seq("user_id"),
-          leftTs = "ts", rightTs = "ts",
-          payload = Map("ts" -> "click_ts"))
+      // type-strict: ts − click_ts must be long ns arithmetic. Were these
+      // timestamps, the subtraction would silently become an INTERVAL and
+      // /1e9 would be 10^9 off while still matching rows+schema (the round-7
+      // wrong-answer). requireNsLong turns that drift into an analysis error.
+      Tables.requireNsLong(
+          AsOf.joinBackward(
+            purchases, clicks,
+            keyCols = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            payload = Map("ts" -> "click_ts")),
+          "ts", "click_ts")
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_purch"),

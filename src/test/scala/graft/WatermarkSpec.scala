@@ -88,7 +88,9 @@ class WatermarkSpec extends SparkSpec {
       .collect().toSeq.map(_.toString).sorted
 
     // the oracle's Spark form: events UNION the accepted (<=1h-old) copies
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    // (Tables.load, not a raw read: the batch side must see the same
+    // normalized ns-long ts the gate does, whatever the parquet encoding)
+    val events = Tables.load(spark, dir, "events")
     val tsUs = call_function("div", col("ts"), lit(1000L))
     val maxUs = events.agg(max(tsUs)).collect()(0).getLong(0)
     val keep = events.filter(
