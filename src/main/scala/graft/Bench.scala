@@ -51,7 +51,13 @@ object Bench {
     // full suite pass (~30+ s), decorrelating them from any single wave at
     // identical total cost.
     val reps = 3
+    // SPARK_GRAFT_BENCH_ONLY=q24,q26: builder-side focused re-measurement
+    // (comma-separated name prefixes); skips the etl1m/stream sections.
+    // The driver sets no filter and always runs the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
     val samples =
       scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     ordered.foreach { case (name, _) =>
@@ -112,7 +118,7 @@ object Bench {
       results(s"${name}_cold") = timed(body)
       results(name) = (1 to 3).map(_ => timed(body)).min
     }
-    try {
+    try if (only.isEmpty) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
       val csvDir = s"$tmp/trades_csv"
       results("etl1m_gen_csv") = timed {
@@ -168,7 +174,7 @@ object Bench {
     // per-symbol stateful counts stages for ~5 s of wall clock; the
     // reported number is ticks actually processed / elapsed. Not a
     // latency metric — micro-batch throughput under sustained load.
-    try {
+    try if (only.isEmpty) {
       val stream = graft.streaming.StreamingEtl.perSymbolCounts(
         graft.streaming.StreamingEtl.sanityFilter(
           graft.streaming.StreamingEtl.rateSource(spark, 200000)))
@@ -218,9 +224,14 @@ object Bench {
     val detailLine =
       s"""{"metric":"bench_detail","unit":"sec","estimator":"min_of_3_interleaved","queries":$qs,"queries_median":$med,"sf":"$sfName"}"""
     // failures is load-bearing: the -1 sentinels are excluded from the sum,
-    // so without it a degraded run would read as a speedup.
+    // so without it a degraded run would read as a speedup. The failed
+    // NAMES ride along (capped so the line stays tail-window-safe) so a
+    // degraded round is diagnosable from the bench line alone, without a
+    // re-run.
+    val failedNames = failedQueries.toSeq.sorted.take(12)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"etl1m_total":${fmt(stageTotal)},"queries":$top3,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"failed":$failedNames,"etl1m_total":${fmt(stageTotal)},"queries":$top3,"sf":"$sfName"}"""
     // Both lines print AFTER the session is fully down: Spark's shutdown
     // (temp-shuffle deletes, a benign LocalEndpoint trace) logs enough to
     // push earlier lines out of the tail window. setLogLevel("OFF") sticks
