@@ -46,6 +46,46 @@ object HashExprs {
     h
   }
 
+  /** Both portable digests (mult 257 and 263) in ONE pass, without the
+    * per-call String allocation: ASCII bytes fold directly (a UTF-8 byte
+    * < 0x80 IS its UTF-16 unit, so the fold is bit-identical to
+    * [[polyDigest]]); the first non-ASCII byte falls back to the decoded
+    * UTF-16 path. The sketch expressions call this once per token — on an
+    * ASCII corpus that removes two String decodes + one char pass per
+    * token from the 100 TB hot path while keeping every signature value
+    * byte-identical to the SQL oracle replica (PropertySpec pins
+    * polyDigestPair == (polyDigest 257, polyDigest 263)).
+    *
+    * @param out out(0)=digest(257), out(1)=digest(263)
+    */
+  def polyDigestPair(s: org.apache.spark.unsafe.types.UTF8String, out: Array[Long]): Unit = {
+    val n = s.numBytes()
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) { // non-ASCII: redo via the UTF-16 decode for correctness
+        val str = s.toString
+        h1 = 0L; h2 = 0L
+        var j = 0
+        while (j < str.length) {
+          val c = str.charAt(j)
+          h1 = (h1 * 257L + c) % MinhashPrime
+          h2 = (h2 * 263L + c) % MinhashPrime
+          j += 1
+        }
+        out(0) = h1; out(1) = h2
+        return
+      }
+      h1 = (h1 * 257L + b) % MinhashPrime
+      h2 = (h2 * 263L + b) % MinhashPrime
+      i += 1
+    }
+    out(0) = h1
+    out(1) = h2
+  }
+
   /** The 64-member portable hash family over a (h1, h2) digest pair:
     * f_i = ((2i+3)*h1 + (7i^2+11)*h2 + 31i+7) mod p. Two strings collide
     * for EVERY i only if both digests collide (the i-polynomial has >2
@@ -99,13 +139,15 @@ object HashExprs {
       val n = arr.numElements()
       val h1s = new Array[Long](n)
       val h2s = new Array[Long](n)
+      val pair = new Array[Long](2)
       var cnt = 0 // null/empty elements are skipped (matches WordShingles)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
         if (s != null && s.numBytes() > 0) {
-          h1s(cnt) = polyDigest(s, 257L)
-          h2s(cnt) = polyDigest(s, 263L)
+          polyDigestPair(s, pair)
+          h1s(cnt) = pair(0)
+          h2s(cnt) = pair(1)
           cnt += 1
         }
         i += 1
@@ -164,12 +206,14 @@ object HashExprs {
     def compute(arr: ArrayData): Long = {
       val n = arr.numElements()
       val votes = new Array[Int](64)
+      val pair = new Array[Long](2)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
         if (s != null && s.numBytes() > 0) { // skip null/empty (matches WordShingles)
-          val h1 = polyDigest(s, 257L)
-          val h2 = polyDigest(s, 263L)
+          polyDigestPair(s, pair)
+          val h1 = pair(0)
+          val h2 = pair(1)
           var j = 0
           while (j < 64) {
             if ((familyHash(j, h1, h2) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

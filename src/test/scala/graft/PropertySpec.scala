@@ -343,6 +343,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: polyDigestPair equals the per-mult polyDigest folds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // ASCII, empty, and non-ASCII (BMP + astral) inputs: the byte fast
+    // path and the UTF-16 fallback must both reproduce polyDigest exactly
+    // (the SQL oracle replicates the UTF-16 fold, so any drift here breaks
+    // the q24/q25 hash oracles)
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.chooseNum(32, 126)).map(_.map(_.toChar).mkString),
+      Gen.const(""),
+      Gen.const("café touché"),
+      Gen.const("日本語 😀 mixed ascii"),
+      Gen.listOf(Gen.chooseNum(0x20, 0x2fff)).map(_.map(_.toChar).mkString))
+    val out = new Array[Long](2)
+    forAll(strGen, n = 40) { s =>
+      val u = UTF8String.fromString(s)
+      graft.functions.HashExprs.polyDigestPair(u, out)
+      assert(out(0) == graft.functions.HashExprs.polyDigest(u, 257L), s"h1 for ${s.take(40)}")
+      assert(out(1) == graft.functions.HashExprs.polyDigest(u, 263L), s"h2 for ${s.take(40)}")
+    }
+  }
+
   test("property: connectedComponents labels are closed under the pair relation") {
     val edgesGen = Gen.chooseNum(1, 60).flatMap(n =>
       Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))))
