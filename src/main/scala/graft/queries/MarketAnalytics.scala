@@ -272,6 +272,38 @@ object MarketAnalytics {
           sum(col("event_id")).as("id_sum"))
         .orderBy(col("event_type"))),
 
+    // §2.7 gate #6: STREAM-STREAM interval join through the driver's
+    // oracle — the feed-scale form of q44's bucketized range join.
+    // Purchases and clicks arrive as two INDEPENDENT file streams (one
+    // file per micro-batch each), so most pairs match across different
+    // micro-batches and live in the join state store meanwhile. Inner
+    // joins emit on match, and the watermark delay (90 days) exceeds the
+    // corpus's whole ~30-day span, so nothing evicts mid-replay — the
+    // emitted pair relation is arrival-interleave-invariant and must
+    // equal the BATCH interval join exactly. The memory sink holds the
+    // matched PAIRS; the gate aggregates them to q44's output shape and
+    // is checked against q44's verbatim oracle. (Production callers pass
+    // a real delay; state is then bounded by delay + window width.)
+    "q117_stream_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val et = graft.streaming.StreamingEtl.toEventTime(col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), et.as("p_et"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), et.as("c_et"))
+      replayTwoStreams(s, "q117_join", purchases, clicks,
+          (l, r) => graft.streaming.StreamingEtl.streamIntervalJoin(
+            l, "p_et", r, "c_et",
+            lowerMicros = 0L, upperMicros = 300000000L,
+            watermarkDelay = "90 days")
+            .select(col("p_id"), col("c_id")))
+        .groupBy(col("p_id"))
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          min(col("c_id")).as("min_click_id"))
+        .orderBy(col("p_id"))
+    }),
+
     // §2.7 gate #5: WATERMARK semantics — the one streaming behavior the
     // other four gates deliberately avoid (their replays must not drop
     // rows). Five PHASE-CONTROLLED micro-batches make late-data handling
@@ -371,6 +403,38 @@ object MarketAnalytics {
     try {
       val q = build(stream).writeStream.format("memory").queryName(qname)
         .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(qname)
+  }
+
+  /** Two-source replay for the stream-stream join gate: each side is
+    * written as several parquet shards and read back as its OWN file
+    * stream (maxFilesPerTrigger=1 per source), so join matches genuinely
+    * span micro-batches and the join state store carries unmatched rows
+    * across them. The build's output goes to an append-mode memory sink —
+    * stream-stream inner joins emit rows as they match.
+    */
+  private def replayTwoStreams(
+      s: SparkSession, name: String,
+      left: DataFrame, right: DataFrame,
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = Tables.configure(s)
+    val base = new java.io.File(replayDir, name)
+    val lDir = new java.io.File(base, "left").toString
+    val rDir = new java.io.File(base, "right").toString
+    left.repartition(3).write.mode("overwrite").parquet(lDir)
+    right.repartition(3).write.mode("overwrite").parquet(rDir)
+    val lStream = spark.readStream.schema(left.schema)
+      .option("maxFilesPerTrigger", 1).parquet(lDir)
+    val rStream = spark.readStream.schema(right.schema)
+      .option("maxFilesPerTrigger", 1).parquet(rDir)
+    val qname = s"${name}_${replaySeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(lStream, rStream).writeStream.format("memory")
+        .queryName(qname).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(qname)
@@ -622,6 +686,17 @@ object MarketAnalytics {
     // q86 replays the same rows through the streaming state machine; the
     // parity claim IS "same candles as the batch aggregate" (q55 pattern)
     "q86_stream_ohlc_parity" -> ohlcOracle,
+    // q117 replays the same rows through the stream-stream join state
+    // machine; the parity claim IS "same pairs as the batch interval
+    // join", so the oracle is q44's verbatim (same 5-minute window, same
+    // aggregation shape).
+    "q117_stream_interval_join" ->
+      """SELECT p.event_id AS p_id, count(*) AS n_clicks,
+                min(c.event_id) AS min_click_id
+         FROM events p JOIN events c
+           ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         GROUP BY p.event_id ORDER BY p_id""",
     // The planted duplicates are verbatim copies, so the deduped stream
     // must equal the original events table — no dedup in the oracle at
     // all; any state miss (a copy surviving, or a first arrival lost)

@@ -192,6 +192,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q117 file-replay stream-stream join equals the batch range join at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q117_stream_interval_join")(spark, dir)
+      .collect().toSeq.map(_.toString).sorted
+    // batch expectation through the engine's own bucketized range join
+    // (oracle-proven by q44), aggregated to the gate's output shape;
+    // offsets in ns because events.ts is the normalized ns-long contract
+    val ev = Tables.load(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val want = graft.operators.RangeJoin.timeRangeJoin(
+        p, "p_ts", c, "c_ts", lower = 0L, upper = 300000000000L)
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("c_id")).as("min_click_id"))
+      .orderBy(col("p_id"))
+      .collect().toSeq.map(_.toString).sorted
+    assert(got.nonEmpty && got === want)
+  }
+
   test("curation text metrics compose into a streaming pipeline") {
     // TextAnalysis metrics are pure (stateless) Columns, so the curation
     // gate drops into readStream -> filter -> agg unchanged: stream docs,
