@@ -1,0 +1,54 @@
+package graft
+
+/** The replay gates run on the default (HDFS-backed, in-heap) state store;
+  * production streaming state at 100 TB/day runs on RocksDB (off-heap,
+  * incremental-checkpoint — the provider that keeps executor heap flat when
+  * keyed state outgrows memory). Spark ships it in-box (rocksdbjni). This
+  * spec re-runs driver gates under the RocksDB provider and pins
+  * bit-identical output, so the provider is a deployment knob, not a
+  * semantics change:
+  *   - q55: flatMapGroupsWithState custom keyed state (indicator buffers)
+  *   - q111: dropDuplicates state (planted cross-batch duplicates)
+  *   - q117: stream-stream interval join state (two sources)
+  */
+class RocksDbStateSpec extends SparkSpec {
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def underRocksDb[A](body: => A): A = {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  private def runBoth(query: String): (Seq[String], Seq[String]) = {
+    val dir = "/root/testdata/sf0.001"
+    val default = SparkEntry.queries(query)(spark, dir)
+      .collect().toSeq.map(_.toString).sorted
+    val rocks = underRocksDb {
+      SparkEntry.queries(query)(spark, dir)
+        .collect().toSeq.map(_.toString).sorted
+    }
+    (default, rocks)
+  }
+
+  test("q55 keyed-state indicator replay is identical under RocksDB") {
+    val (default, rocks) = runBoth("q55_stream_parity")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+
+  test("q111 streaming-dedup state is identical under RocksDB") {
+    val (default, rocks) = runBoth("q111_stream_dedup")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+
+  test("q117 stream-stream join state is identical under RocksDB") {
+    val (default, rocks) = runBoth("q117_stream_interval_join")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+}
