@@ -304,6 +304,61 @@ object MarketAnalytics {
         .orderBy(col("p_id"))
     }),
 
+    // §2.7 gate #7: LEFT-OUTER stream-stream join — the eviction-driven
+    // half of the join contract q117 cannot see: a purchase with NO click
+    // in its window must still emit (with nulls) once the watermark
+    // evicts its join state, never before. Phase-ordered two-source
+    // replay: three real shards per side (matches span micro-batches),
+    // then a far-future sentinel on BOTH sides in the same batch
+    // (watermark = sentinel − 90d clears every real window's end), then
+    // two empty spacer batches (eviction lags the watermark by one batch,
+    // SPARK-24699 — the q116 lesson). During the real phases the
+    // watermark stays below ALL real event times (delay 90d > the 30-day
+    // corpus span), so no purchase can evict before its clicks arrive —
+    // the outer relation is arrival-interleave-invariant. The gate
+    // aggregates sink pairs per purchase; count(c_id)/min(c_id) ignore
+    // the bucket-copy null rows (see streamIntervalJoin scaladoc), so
+    // the output is exactly the batch LEFT JOIN the oracle runs.
+    "q118_stream_outer_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val et = graft.streaming.StreamingEtl.toEventTime(col("ts"))
+      // bounded driver read: ONE long (the corpus's max event time)
+      val maxNs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+      val sentinelNs = maxNs + (90L * 86400L + 86400L) * 1000000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), et.as("p_et"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), et.as("c_et"))
+      def sentinel(idCol: String, etCol: String) =
+        ev.sparkSession.range(1).select(
+          lit(-1L).as(idCol),
+          graft.streaming.StreamingEtl.toEventTime(lit(sentinelNs)).as(etCol))
+      def phased(df: DataFrame, idCol: String, etCol: String) =
+        Seq(
+          df.filter(pmod(col(idCol), lit(3)) === 0),
+          df.filter(pmod(col(idCol), lit(3)) === 1),
+          df.filter(pmod(col(idCol), lit(3)) === 2),
+          sentinel(idCol, etCol),
+          df.limit(0), df.limit(0))
+      replayTwoStreamsPhased(s, "q118_outer",
+          phased(purchases, "p_id", "p_et"), phased(clicks, "c_id", "c_et"),
+          (l, r) => graft.streaming.StreamingEtl.streamIntervalJoin(
+            l, "p_et", r, "c_et",
+            lowerMicros = 0L, upperMicros = 300000000L,
+            watermarkDelay = "90 days", joinType = "left_outer")
+            .select(col("p_id"), col("c_id")))
+        .filter(col("p_id") >= 0) // drop the sentinel purchase
+        .groupBy(col("p_id"))
+        .agg(
+          count(col("c_id")).as("n_clicks"),
+          // no-match sentinel −1 instead of SQL NULL: a null in gate
+          // output makes the hash compare depend on both engines' null
+          // canonicalization; the sentinel keeps the outer semantics
+          // visible (n_clicks=0 rows) with an integer-exact hash
+          coalesce(min(col("c_id")), lit(-1L)).as("min_click_id"))
+        .orderBy(col("p_id"))
+    }),
+
     // §2.7 gate #5: WATERMARK semantics — the one streaming behavior the
     // other four gates deliberately avoid (their replays must not drop
     // rows). Five PHASE-CONTROLLED micro-batches make late-data handling
@@ -455,11 +510,34 @@ object MarketAnalytics {
       phases: Seq[DataFrame],
       build: DataFrame => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
+    val streamDir = writePhases(name, phases)
+    val stream = spark.readStream.schema(phases.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val qname = s"${name}_${replaySeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(stream).writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(qname)
+  }
+
+  /** Write each phase as ONE parquet file with strictly increasing
+    * modification times under `<replayDir>/<name>/stream`, so a file
+    * stream with maxFilesPerTrigger=1 yields exactly one micro-batch per
+    * phase IN PHASE ORDER (FileStreamSource takes unread files
+    * oldest-first; zero-padded names break mod-time ties the same way).
+    * An empty phase still produces a file — an empty spacer batch, which
+    * the watermark gates rely on (late-filtering and eviction both lag
+    * the watermark by one batch, SPARK-24699).
+    */
+  private def writePhases(name: String, phases: Seq[DataFrame]): String = {
     val base = new java.io.File(replayDir, name)
     val streamDir = new java.io.File(base, "stream")
     org.apache.commons.io.FileUtils.deleteQuietly(streamDir)
     streamDir.mkdirs()
-    val schema = phases.head.schema
     phases.zipWithIndex.foreach { case (df, i) =>
       val stage = new java.io.File(base, s"stage_$i").toString
       df.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -472,13 +550,31 @@ object MarketAnalytics {
       // re-run's overwrite can never interleave with wall-clock time
       dst.setLastModified(1000000000000L + i * 60000L)
     }
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    streamDir.toString
+  }
+
+  /** Two-source PHASE-CONTROLLED replay (the q118 outer-join gate): each
+    * source gets its own phase-ordered file sequence, and because
+    * maxFilesPerTrigger=1 applies per source, micro-batch k carries phase
+    * k of BOTH sides — sentinels land together, so watermark advancement
+    * (and therefore outer-null eviction) is deterministic across sources.
+    */
+  private def replayTwoStreamsPhased(
+      s: SparkSession, name: String,
+      leftPhases: Seq[DataFrame], rightPhases: Seq[DataFrame],
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = Tables.configure(s)
+    val lDir = writePhases(s"$name-left", leftPhases)
+    val rDir = writePhases(s"$name-right", rightPhases)
+    val l = spark.readStream.schema(leftPhases.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(lDir)
+    val r = spark.readStream.schema(rightPhases.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(rDir)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = build(stream).writeStream.format("memory").queryName(qname)
+      val q = build(l, r).writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -696,6 +792,17 @@ object MarketAnalytics {
          FROM events p JOIN events c
            ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         GROUP BY p.event_id ORDER BY p_id""",
+    // The LEFT JOIN form of q44/q117's oracle: every purchase appears,
+    // unmatched ones with n_clicks=0 and a null min id — exactly what the
+    // eviction-driven null emission must reconstruct.
+    "q118_stream_outer_join" ->
+      """SELECT p.event_id AS p_id,
+                count(c.event_id) AS n_clicks,
+                coalesce(min(c.event_id), -1) AS min_click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
          GROUP BY p.event_id ORDER BY p_id""",
     // The planted duplicates are verbatim copies, so the deduped stream
     // must equal the original events table — no dedup in the oracle at

@@ -273,6 +273,18 @@ object StreamingEtl {
     *
     * Column names must be disjoint (same contract as RangeJoin).
     */
+  /** @param joinType "inner" (default) or "left_outer". Left-outer: an
+    *   unmatched left row emits with null right columns once the watermark
+    *   evicts its join state — the eviction-driven half of the stream-stream
+    *   contract. NOTE the bucketization explodes each left row to ≤ 2 bucket
+    *   copies, so outer output is exact only up to per-copy null rows: a
+    *   copy unmatched in ITS bucket emits a null row even when the twin
+    *   copy matched. Aggregations that count/min the RIGHT side ignore
+    *   null rows, so every grouped consumer (q118's shape) sees exactly
+    *   the logical left-outer relation; consumers needing raw outer rows
+    *   must post-group by the left key (keep nulls only for keys with no
+    *   match anywhere).
+    */
   def streamIntervalJoin(
       left: DataFrame,
       leftTsCol: String,
@@ -280,8 +292,11 @@ object StreamingEtl {
       rightTsCol: String,
       lowerMicros: Long,
       upperMicros: Long,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     require(upperMicros > lowerMicros, "empty window")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"unsupported join type $joinType")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must be disjoint (rename before joining)")
     // Spark rejects stream-stream joins without an equality predicate (the
@@ -305,7 +320,8 @@ object StreamingEtl {
     l.join(r, expr(
       s"__lb = __rb AND " +
         s"$rightTsCol >= $leftTsCol + INTERVAL $lowerMicros MICROSECOND AND " +
-        s"$rightTsCol < $leftTsCol + INTERVAL $upperMicros MICROSECOND"))
+        s"$rightTsCol < $leftTsCol + INTERVAL $upperMicros MICROSECOND"),
+      joinType)
       .drop("__lb", "__rb")
   }
 
