@@ -230,8 +230,15 @@ object Bench {
     // re-run.
     val failedNames = failedQueries.toSeq.sorted.take(12)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "filtered" marks a SPARK_GRAFT_BENCH_ONLY run: a focused builder
+    // re-measurement must never be mistaken for a full-suite total if the
+    // line is ever scraped.
+    val filteredField =
+      if (only.isEmpty) ""
+      else ",\"filtered\":true,\"only\":" +
+        only.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"failed":$failedNames,"etl1m_total":${fmt(stageTotal)},"queries":$top3,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"failed":$failedNames,"etl1m_total":${fmt(stageTotal)},"queries":$top3,"sf":"$sfName"$filteredField}"""
     // Both lines print AFTER the session is fully down: Spark's shutdown
     // (temp-shuffle deletes, a benign LocalEndpoint trace) logs enough to
     // push earlier lines out of the tail window. setLogLevel("OFF") sticks
@@ -241,5 +248,24 @@ object Bench {
     println(detailLine)
     println(metricLine)
     System.out.flush()
+    // The driver's stdout-tail parser has recorded parsed:null for five
+    // straight rounds because sbt appends a "[success]" trailer after the
+    // metric line. Make the metric machine-readable regardless of how the
+    // tail is scraped: echo it to stderr and write it to files — one beside
+    // the repo root, one in the bench output dir if set.
+    System.err.println(metricLine)
+    System.err.flush()
+    val metricTargets = Seq(
+      "bench_metric.json",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_METRIC", "")
+    ).filter(_.nonEmpty)
+    metricTargets.foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (detailLine + "\n" + metricLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] metric write to $p failed: ${e.getMessage}")
+      }
+    }
   }
 }

@@ -440,7 +440,7 @@ object MarketAnalytics {
       build: DataFrame => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
     val events = prep(t(s, dir, "events"))
-    val tmp = memoizedWrite(s"raw|$name|$dir") { d =>
+    val tmp = memoizedWrite(s"raw|$name|$dir|${dirFp(dir)}") { d =>
       events.repartition(4).write.mode("overwrite").parquet(d)
     }
     val stream = spark.readStream.schema(events.schema)
@@ -476,10 +476,10 @@ object MarketAnalytics {
       left: DataFrame, right: DataFrame,
       build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
-    val lDir = memoizedWrite(s"two|$name|left|$dir") { d =>
+    val lDir = memoizedWrite(s"two|$name|left|$dir|${dirFp(dir)}") { d =>
       left.repartition(3).write.mode("overwrite").parquet(d)
     }
-    val rDir = memoizedWrite(s"two|$name|right|$dir") { d =>
+    val rDir = memoizedWrite(s"two|$name|right|$dir|${dirFp(dir)}") { d =>
       right.repartition(3).write.mode("overwrite").parquet(d)
     }
     val lStream = spark.readStream.schema(left.schema)
@@ -512,7 +512,7 @@ object MarketAnalytics {
       phases: Seq[DataFrame],
       build: DataFrame => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
-    val streamDir = writePhases(s"phases|$name|$dir", phases)
+    val streamDir = writePhases(s"phases|$name|$dir|${dirFp(dir)}", phases)
     val stream = spark.readStream.schema(phases.head.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
@@ -562,6 +562,29 @@ object MarketAnalytics {
     * times over). Keys must encode everything the content depends on:
     * gate name AND the sf directory.
     */
+  /** Cheap content fingerprint of an sf data dir: every parquet part's
+    * (relative path, size, mtime) hashed. Folded into each memoizedWrite
+    * key so a long-lived JVM that regenerates the testdata in place gets
+    * fresh replay inputs instead of silently reusing stale ones.
+    */
+  private def dirFp(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) "absent"
+    else {
+      var acc = 0x9e3779b97f4a7c15L
+      val stream = java.nio.file.Files.walk(root)
+      try stream.sorted().forEach { p =>
+        val f = p.toFile
+        if (f.isFile) {
+          acc = java.lang.Long.rotateLeft(acc, 17) ^
+            root.relativize(p).toString.hashCode.toLong ^
+            (f.length * 31L) ^ f.lastModified
+        }
+      } finally stream.close()
+      java.lang.Long.toHexString(acc)
+    }
+  }
+
   private def memoizedWrite(key: String)(write: String => Unit): String =
     replayWrites.computeIfAbsent(key, _ => {
       val safe = key.map(c =>
@@ -586,8 +609,8 @@ object MarketAnalytics {
       leftPhases: Seq[DataFrame], rightPhases: Seq[DataFrame],
       build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = Tables.configure(s)
-    val lDir = writePhases(s"2phases|$name|left|$dir", leftPhases)
-    val rDir = writePhases(s"2phases|$name|right|$dir", rightPhases)
+    val lDir = writePhases(s"2phases|$name|left|$dir|${dirFp(dir)}", leftPhases)
+    val rDir = writePhases(s"2phases|$name|right|$dir|${dirFp(dir)}", rightPhases)
     val l = spark.readStream.schema(leftPhases.head.schema)
       .option("maxFilesPerTrigger", 1).parquet(lDir)
     val r = spark.readStream.schema(rightPhases.head.schema)

@@ -26,7 +26,10 @@ object ProfileJobs {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // java.lang.Long (not scala Long): remove() on a missing key must return
+    // null, not unbox to 0L, or a dropped job-start event would silently add
+    // the epoch-ms end time to jobMs.
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -34,7 +37,7 @@ object ProfileJobs {
         starts.put(e.jobId, e.time)
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val s = starts.remove(e.jobId)
-        if (s != null) { jobMs.addAndGet(e.time - s); jobs.incrementAndGet() }
+        if (s != null) { jobMs.addAndGet(e.time - s.longValue); jobs.incrementAndGet() }
       }
     })
 

@@ -10,6 +10,12 @@ package graft
   *   - q55: flatMapGroupsWithState custom keyed state (indicator buffers)
   *   - q111: dropDuplicates state (planted cross-batch duplicates)
   *   - q117: stream-stream interval join state (two sources)
+  *   - q86: flatMapGroupsWithState OHLC bar buffers
+  *   - q92: session-window intervals (merge + gap close)
+  *   - q116: watermark advancement — late-row DROP and window finalize
+  *   - q118: left-outer join eviction-driven null emission (the most
+  *     state-machinery-dependent semantics in the engine: outer nulls
+  *     exist only because the store evicts on watermark, SPARK-24699)
   */
 class RocksDbStateSpec extends SparkSpec {
   private val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -50,5 +56,31 @@ class RocksDbStateSpec extends SparkSpec {
   test("q117 stream-stream join state is identical under RocksDB") {
     val (default, rocks) = runBoth("q117_stream_interval_join")
     assert(rocks.nonEmpty && rocks === default)
+  }
+
+  test("q86 OHLC keyed-state buffers are identical under RocksDB") {
+    val (default, rocks) = runBoth("q86_stream_ohlc_parity")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+
+  test("q92 session-window state is identical under RocksDB") {
+    val (default, rocks) = runBoth("q92_stream_sessions")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+
+  test("q116 watermark drop/finalize is identical under RocksDB") {
+    val (default, rocks) = runBoth("q116_stream_watermark")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+
+  test("q118 outer-join eviction nulls are identical under RocksDB") {
+    val (default, rocks) = runBoth("q118_stream_outer_join")
+    // the left-outer gate's value is the eviction-driven no-match rows
+    // (n_clicks=0, min_click_id=-1 — the gate maps outer nulls to the -1
+    // sentinel for hash stability) — make sure the RocksDB run actually
+    // exercised that path, not just matched on an all-inner corpus
+    assert(rocks.nonEmpty && rocks === default)
+    assert(rocks.exists(_.endsWith(",0,-1]")),
+      "outer-join gate produced no no-match rows under RocksDB")
   }
 }
