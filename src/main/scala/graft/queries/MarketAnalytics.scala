@@ -411,8 +411,93 @@ object MarketAnalytics {
           date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
           col("n_events"), col("id_sum"), col("user_sum"))
         .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // S7 gate: the run-stamped parquet sink round trip under the driver's
+    // oracle (reference src/output/ParquetWriter.cpp:51-75, 89-361). The
+    // trade-shaped events relation goes through Sinks.writeParquet (the
+    // stamped-path production sink, fixed clock so the path is
+    // deterministic and overwrite keeps re-runs idempotent), is read BACK
+    // from the stamped path, and aggregated with integer-exact measures.
+    // The oracle aggregates the source table directly — identical output
+    // is only possible if the sink wrote the relation losslessly.
+    "q119_parquet_sink_roundtrip" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val out = new java.io.File(replayDir, "q119_sink").toString
+      val path = graft.sinks.Sinks.writeParquet(
+        asTrades(t(s, dir, "events")), out, "trades",
+        nowMs = 1700000000000L)
+      spark.read.parquet(path)
+        .groupBy(col("symbol"))
+        .agg(
+          count(lit(1)).as("n_trades"),
+          sum(col("trade_id")).as("id_sum"),
+          sum(col("volume")).as("vol_sum"))
+        .orderBy(col("symbol"))
+    }),
+
+    // S4/S5/S8 gate: the JDBC bulk sink's drop-index -> 4-connection
+    // parallel load -> rebuild-index round trip (reference
+    // src/database/DatabaseLoader.cpp:187-269 and the 4-thread
+    // ParallelLoader.hpp:71-275) against embedded Derby — the one JDBC
+    // engine on the Spark classpath. Every invocation reloads with
+    // truncate (so the gate is idempotent across bench repeats and SF
+    // dirs), reads the table back through spark.read.jdbc, and aggregates
+    // per nation with integer-exact and decimal-anchored measures; the
+    // oracle aggregates the source customer table. A dropped or doubled
+    // partition, a lost row, or a mangled value breaks the hash.
+    "q120_jdbc_sink_roundtrip" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val u = jdbcGateUrl
+      val target = graft.sinks.Sinks.JdbcTarget(u, "customer_t", jdbcGateProps)
+      graft.sinks.Sinks.writeJdbc(
+        t(s, dir, "customer"), target,
+        numPartitions = 4, batchSize = 2000, truncate = true,
+        preSql = Seq("DROP INDEX idx_cust_nat"),
+        postSql = Seq(
+          "CREATE INDEX idx_cust_nat ON customer_t (c_nationkey, c_custkey)"))
+      spark.read.jdbc(u, "customer_t", jdbcGateProps)
+        .select(
+          col("c_nationkey").cast("int").as("nation_key"),
+          col("c_custkey").as("cust_key"),
+          col("c_acctbal").as("acctbal"))
+        .groupBy(col("nation_key"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("cust_key")).as("cust_sum"),
+          round(sum(col("acctbal").cast("decimal(18,4)")), 2)
+            .cast("double").as("acctbal_sum"))
+        .orderBy(col("nation_key"))
     })
   )
+
+  /** One embedded-Derby database per JVM for the q120 sink gate: schema
+    * DDL (table + the reference's covering index) runs once; each gate
+    * invocation then exercises only the production drop-load-rebuild
+    * path. Derby has no CREATE TABLE IF NOT EXISTS — the once-per-JVM
+    * lazy init is the idempotence mechanism.
+    */
+  private lazy val jdbcGateUrl: String = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-gate")
+    val u = s"jdbc:derby:$dbDir/gate;create=true"
+    val c = java.sql.DriverManager.getConnection(u, jdbcGateProps)
+    try {
+      val st = c.createStatement()
+      st.execute("""CREATE TABLE customer_t (
+        c_custkey BIGINT, c_name VARCHAR(64), c_nationkey INTEGER,
+        c_acctbal DOUBLE, c_mktsegment VARCHAR(32))""")
+      st.execute(
+        "CREATE INDEX idx_cust_nat ON customer_t (c_nationkey, c_custkey)")
+      st.close()
+    } finally c.close()
+    u
+  }
+
+  private def jdbcGateProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
 
   /** Shared streaming-replay harness for the §2.7 parity gates: re-shard
     * the events table into several files (so maxFilesPerTrigger=1 yields
@@ -881,7 +966,23 @@ object MarketAnalytics {
            CAST(sum(event_id) AS BIGINT) AS id_sum,
            CAST(sum(user_id) AS BIGINT) AS user_sum
          FROM allrows GROUP BY event_type, hour
-         ORDER BY event_type, hour"""
+         ORDER BY event_type, hour""",
+    // The sink round trips are identity relations: the oracle aggregates
+    // the SOURCE table; the gate aggregates what the sink wrote and read
+    // back. Integer-exact measures (plus a decimal-anchored double for
+    // acctbal) keep the hash byte-stable.
+    "q119_parquet_sink_roundtrip" ->
+      """SELECT event_type AS symbol, count(*) AS n_trades,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS vol_sum
+         FROM events GROUP BY event_type ORDER BY symbol""",
+    "q120_jdbc_sink_roundtrip" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nation_key,
+           count(*) AS n_customers,
+           CAST(sum(c_custkey) AS BIGINT) AS cust_sum,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS acctbal_sum
+         FROM customer GROUP BY c_nationkey ORDER BY nation_key"""
   )
 
 }
