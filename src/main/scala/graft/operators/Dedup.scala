@@ -814,8 +814,11 @@ object Dedup {
     * smallest id reachable from `id`; only pair-participating ids appear
     * (an unpaired document is trivially its own cluster and needs no row).
     *
-    * Execution is hybrid: pair lists up to `driverCutoff` (default 2M —
-    * 32 MB of longs, a documented bounded collect) run path-compressed
+    * Execution is hybrid: pair lists up to `driverCutoff` (default 4M —
+    * 64 MB of longs, a documented bounded collect; raised from 2M when
+    * the sf0.1 PPJoin graph measured 2.29M pairs and paid the
+    * distributed loop's ~10 scheduler round-trips for a graph that
+    * union-finds in well under a second) run path-compressed
     * union-find on the driver, because an iterative distributed loop
     * costs ~10 scheduler round-trips of fixed overhead that dwarf the
     * actual work on small graphs. Larger graphs take the distributed
@@ -847,7 +850,7 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
-      driverCutoff: Long = 2000000L): DataFrame = {
+      driverCutoff: Long = 4000000L): DataFrame = {
     // Track exactly the frames THIS call persists/checkpoints, so the final
     // sweep can't touch anything else. (A global getPersistentRDDs diff is
     // wrong here: Dataset caches register their RDD lazily at first

@@ -540,12 +540,17 @@ object MarketAnalytics {
     // partitioning-invariant (the parity oracles assert it). Restored
     // before the batch-side snapshot window.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
+    val ckpt = replayCheckpoint()
     try {
       val q = build(stream).writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt)
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     spark.table(qname)
   }
 
@@ -573,12 +578,17 @@ object MarketAnalytics {
       .option("maxFilesPerTrigger", 1).parquet(rDir)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
+    val ckpt = replayCheckpoint()
     try {
       val q = build(lStream, rStream).writeStream.format("memory")
-        .queryName(qname).outputMode("append").start()
+        .queryName(qname).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     spark.table(qname)
   }
 
@@ -602,12 +612,17 @@ object MarketAnalytics {
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
+    val ckpt = replayCheckpoint()
     try {
       val q = build(stream).writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     spark.table(qname)
   }
 
@@ -683,6 +698,18 @@ object MarketAnalytics {
   private val replayWrites =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Shuffle width for the streaming replay gates (see replayRaw scaladoc
+    * for why this is NOT the session's 32): every stateful shuffle
+    * partition pays a state-store delta commit per micro-batch whether or
+    * not it holds keys. Results are partitioning-invariant (the DuckDB
+    * oracles pin that). Measured on the five heaviest gates (min-of-3,
+    * sf0.1): 8 -> 4 cuts q118 7.4 s -> 5.9 s, q55 2.3 s -> 2.0 s, q112
+    * 4.0 s -> 3.7 s; 2 adds little beyond 4, and 4 still exercises
+    * genuinely multi-partition state. Env-overridable for A/B runs.
+    */
+  private val replayShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTITIONS", "4")
+
   /** Two-source PHASE-CONTROLLED replay (the q118 outer-join gate): each
     * source gets its own phase-ordered file sequence, and because
     * maxFilesPerTrigger=1 applies per source, micro-batch k carries phase
@@ -702,12 +729,17 @@ object MarketAnalytics {
       .option("maxFilesPerTrigger", 1).parquet(rDir)
     val qname = s"${name}_${replaySeq.incrementAndGet()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
+    val ckpt = replayCheckpoint()
     try {
       val q = build(l, r).writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     spark.table(qname)
   }
 
@@ -740,9 +772,29 @@ object MarketAnalytics {
   // (Verify and Bench both run a query several times)
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  // q55's replay scratch, one per JVM (written with mode=overwrite)
-  private lazy val replayDir: String =
-    java.nio.file.Files.createTempDirectory("graft-replay").toString
+  // Replay scratch, one per JVM (written with mode=overwrite). Prefers
+  // tmpfs (/dev/shm) when present: every micro-batch fsyncs its offset
+  // log, commit log and state-store delta files under the checkpoint, so
+  // a disk-backed /tmp charges each replay gate several ms of fsync per
+  // batch x store x partition. Replay inputs and checkpoints are small
+  // (MBs) and disposable — exactly what tmpfs is for. On a cluster the
+  // equivalent knob is a local-SSD/ramdisk checkpoint volume for TEST
+  // harnesses only; production checkpoints go to durable storage.
+  private lazy val replayDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, "graft-replay").toString
+    else java.nio.file.Files.createTempDirectory("graft-replay").toString
+  }
+
+  /** Per-replay checkpoint dir under [[replayDir]] (tmpfs when available):
+    * a fresh dir per query start — replays are deterministic re-runs, so
+    * checkpoint recovery across invocations is neither needed nor wanted
+    * (StreamingRecoverySpec proves recovery separately, on durable dirs).
+    */
+  private def replayCheckpoint(): String =
+    new java.io.File(replayDir,
+      s"ckpt_${replaySeq.incrementAndGet()}").toString
 
   // Shared by q16 (batch windowed form) and q55 (streaming state-machine
   // replay of the same rows): one oracle, two physical executions.

@@ -115,6 +115,39 @@ object ScaleBench {
       println(f"[scale] $q%-20s $bt%8.2f $br%10d $st%8.2f $sr%10d ${st / bt}%10.1f")
     }
 
+    // contraction-path convergence on an n-x REPLICATED pair graph:
+    // the base corpus's true pair set (computed once by PPJoin at base
+    // scale) replicated with disjoint id ranges, so the contraction loop
+    // is measured in isolation — at 100x the PPJoin itself would dominate
+    // the wall time and hide the loop's scaling. The replicated graph has
+    // exactly n-x the edges and n-x the components of the base graph with
+    // identical per-component structure; convergence rounds are invariant
+    // by construction, so time growth isolates the per-round shuffle cost
+    // on n-x edge volume. Trigger with pseudo-query "contraction_rep".
+    if (onlyQ.contains("contraction_rep")) {
+      val basePairs = graft.operators.Dedup.jaccardPairs(
+          docs, "doc_id", "text", Seq("lang"), 1, 0.95)
+        .select(col("id_a"), col("id_b"))
+      val pairDir = s"$scaledDir/pairs.parquet"
+      (0 until n).map { r =>
+        basePairs.select(
+          (col("id_a") + lit(r * 1000000000L)).as("id_a"),
+          (col("id_b") + lit(r * 1000000000L)).as("id_b"))
+      }.reduce(_.union(_))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(pairDir)
+      val scaledPairs = spark.read.parquet(pairDir)
+      val nEdges = scaledPairs.count()
+      val (ccTime, ccRows) = timed {
+        graft.operators.Dedup.connectedComponents(
+          scaledPairs, "id_a", "id_b", maxIter = 6, driverCutoff = 0L).count()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      println(f"[scale] contraction_rep(driverCutoff=0, maxIter=6) on ${n}x " +
+        f"replicated pair graph: $nEdges%d edges -> $ccRows%d labeled nodes " +
+        f"in $ccTime%.2f s")
+    }
+
     // contraction-path convergence on the 10x pair graph: driverCutoff=0
     // forces the distributed min-star contraction loop; maxIter=4 makes
     // "converges in <= 4 rounds" a hard assertion (require fails otherwise)
