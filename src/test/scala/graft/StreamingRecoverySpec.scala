@@ -266,4 +266,48 @@ class StreamingRecoverySpec extends SparkSpec {
     // and the eviction-driven null row for p1 exists in the raw sink output
     assert(rows.filter(col("p_id") === 1 && col("c_id").isNull).count() >= 1)
   }
+
+  test("outer-join eviction restart under RocksDB: recovery on the production backend") {
+    // The two claims composed: checkpoint recovery (above) AND provider
+    // parity (RocksDbStateSpec) could each hold while their COMBINATION
+    // breaks — RocksDB snapshots/restores its own files on restart, a
+    // different code path from the HDFS-backed provider's delta replay.
+    // Same scenario as the previous test, entirely under RocksDB.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-eo-rocks")
+      val lin = Files.createDirectories(root.resolve("lin"))
+      val rin = Files.createDirectories(root.resolve("rin"))
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      drop(lin, "a1.json", Seq(row("p_id", "p_ts")(1, sec(0)),
+        row("p_id", "p_ts")(2, sec(10))))
+      drop(rin, "a1.json", Seq(row("c_id", "c_ts")(20, sec(10))))
+      val q1 = startJoin(lin, rin, ckpt, out, "left_outer", "10 seconds")
+      q1.processAllAvailable()
+      q1.stop()
+
+      drop(lin, "a2.json", Seq(row("p_id", "p_ts")(-1, sec(10000))))
+      drop(rin, "a2.json", Seq(row("c_id", "c_ts")(-1, sec(10000))))
+      drop(lin, "a3.json", Seq.empty); drop(rin, "a3.json", Seq.empty)
+      drop(lin, "a4.json", Seq.empty); drop(rin, "a4.json", Seq.empty)
+      val q2 = startJoin(lin, rin, ckpt, out, "left_outer", "10 seconds")
+      q2.processAllAvailable()
+      q2.stop()
+
+      val agg = spark.read.parquet(out).filter(col("p_id") >= 0)
+        .groupBy("p_id")
+        .agg(count(col("c_id")).as("n"),
+          coalesce(min(col("c_id")), lit(-1L)).as("min_c"))
+        .as[(Long, Long, Long)].collect().sorted
+      assert(agg.toSeq === Seq((1L, 0L, -1L), (2L, 1L, 20L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }
