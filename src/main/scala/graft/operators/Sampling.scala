@@ -210,6 +210,35 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-group cap — "at most `cap` documents per domain, best first":
+    * rank within each group by `orderCols` and keep the first `cap`. The
+    * domain-balancing stage of a training-data pipeline (a crawl's hot
+    * hosts would otherwise dominate the mixture). Differs from
+    * [[sampleExactKPerGroup]] (random-key ranking, for eval sampling) in
+    * ranking by QUALITY, and from [[topFractionPerGroup]] in cutting at
+    * an absolute count rather than a fraction of the group.
+    *
+    * Plan/scale: a row_number<=k filter plans with WindowGroupLimit
+    * (partial + final): each map partition keeps at most `cap` rows per
+    * group BEFORE the exchange, so a hot domain ships `cap` rows per
+    * input partition instead of its whole slice — the property that
+    * makes an absolute cap safe on a 100 TB crawl (pinned in
+    * PlanShapeSpec). `orderCols` must be a total order (include a unique
+    * tiebreaker) or the kept set is nondeterministic.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      cap: Int): DataFrame = {
+    require(cap >= 0, s"cap must be >= 0, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** The 100 TB form of [[topFractionPerGroup]]: per-group score threshold
     * from `percentile_approx` (partial-aggregated sketches — only sketches
     * cross the exchange), broadcast back, rows kept by a map-side filter.

@@ -1647,7 +1647,23 @@ object Curation {
 
     // BPE substrate: corpus-wide top-30 adjacent character pairs.
     "q115_char_pairs" -> ((s, dir) =>
-      TextAnalysis.charPairCounts(t(s, dir, "documents"), "text", topK = 30))
+      TextAnalysis.charPairCounts(t(s, dir, "documents"), "text", topK = 30)),
+
+    // Domain balancing: at most 25 docs per (lang, source), longest text
+    // first (doc_id tiebreak makes the order total). min_kept_chars in
+    // the output proves the cut kept the TOP of each group, not an
+    // arbitrary subset; the rank<=k filter plans as WindowGroupLimit
+    // (map-side partial cap before the exchange — PlanShapeSpec pins it).
+    "q121_domain_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(
+          t(s, dir, "documents"), Seq("lang", "source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), cap = 25)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("n_chars")).as("min_kept_chars"))
+        .orderBy(col("lang"), col("source")))
   )
 
   /** q102 fixture: per-8-id-group title variants at known edit

@@ -2034,6 +2034,19 @@ object CurationOracles {
              for i in range(1, length(text))]) AS pair
            FROM documents WHERE length(text) >= 2)
          SELECT pair, count(*) AS n
-         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30"""
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""",
+    // Same total order (n_chars DESC, doc_id) and the same absolute cut.
+    "q121_domain_cap" ->
+      """WITH r AS (
+           SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         SELECT lang, source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(n_chars) AS BIGINT) AS min_kept_chars
+         FROM r WHERE rn <= 25
+         GROUP BY lang, source ORDER BY lang, source"""
   )
 }

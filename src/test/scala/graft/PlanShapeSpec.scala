@@ -52,7 +52,7 @@ class PlanShapeSpec extends SparkSpec {
     "q103_host_authority", "q104_host_pagerank", "q105_vocab_drift",
     "q106_length_buckets", "q107_best_survivor", "q108_token_mix",
     "q109_pack_texts", "q110_incremental_dedup", "q113_readability",
-    "q114_epoch_mix", "q115_char_pairs")
+    "q114_epoch_mix", "q115_char_pairs", "q121_domain_cap")
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>
@@ -104,6 +104,17 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf("q46_tfidf")
     spark.sharedState.cacheManager.clearCache()
     assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q121 domain cap prunes map-side via WindowGroupLimit") {
+    // the property that makes an absolute per-domain cap safe at 100 TB:
+    // a hot domain ships `cap` rows per input partition, not its whole
+    // slice — the partial WindowGroupLimit must sit below the exchange
+    val plan = planOf("q121_domain_cap")
+    spark.sharedState.cacheManager.clearCache()
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      "expected partial + final WindowGroupLimit:\n" + plan)
   }
 
   test("q26 PPJoin verifies with codegen'd merge, shuffles hashed tokens only") {

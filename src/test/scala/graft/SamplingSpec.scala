@@ -131,6 +131,27 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleExactKPerGroup(df, "lang", "id", 9999).count() == 1000)
   }
 
+  test("capPerGroup: absolute quality-first cut, total-order ties, cap > group") {
+    import org.apache.spark.sql.functions.col
+    // group g: lengths 10,10,9,8 with cap 2 -> the two best, tie on 10
+    // broken by id ASC; group h smaller than the cap keeps everything
+    val df = Seq(
+      ("g", 3L, 10L), ("g", 1L, 10L), ("g", 2L, 9L), ("g", 4L, 8L),
+      ("h", 9L, 5L)
+    ).toDF("grp", "id", "len")
+    val kept = Sampling.capPerGroup(
+        df, Seq("grp"), Seq(col("len").desc, col("id").asc), cap = 2)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("g", 1L), ("g", 3L), ("h", 9L)))
+    // deterministic under repartitioning (the order is total)
+    val again = Sampling.capPerGroup(
+        df.repartition(7), Seq("grp"), Seq(col("len").desc, col("id").asc), 2)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(again == kept)
+    assert(Sampling.capPerGroup(
+      df, Seq("grp"), Seq(col("id").asc), cap = 100).count() == 5)
+  }
+
   test("approxThresholdCut plan: no sort or shuffle of the data rows") {
     val df = (1L to 100L).map(i => ("g", i, i)).toDF("grp", "id", "score")
     val plan = Sampling.approxThresholdCut(df, "grp", "score", 0.5)
