@@ -255,8 +255,11 @@ object Bench {
     // the repo root, one in the bench output dir if set.
     System.err.println(metricLine)
     System.err.flush()
+    // a FILTERED run must not overwrite the repo-root full-suite record
+    // (bench_metric.json is committed as the round's close-out artifact);
+    // focused runs still get stderr + the explicit env target
     val metricTargets = Seq(
-      "bench_metric.json",
+      if (only.isEmpty) "bench_metric.json" else "",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_METRIC", "")
     ).filter(_.nonEmpty)
     metricTargets.foreach { p =>

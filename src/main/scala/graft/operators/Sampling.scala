@@ -200,15 +200,11 @@ object Sampling {
       groupCol: String,
       keyCol: String,
       k: Int,
-      salt: String = "exactk"): DataFrame = {
-    require(k >= 0, s"k must be >= 0, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(uniformKey(col(keyCol), salt), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
-  }
+      salt: String = "exactk"): DataFrame =
+    // the random-key special case of the general per-group cap: rank by
+    // the engine-portable uniform key instead of a quality order
+    capPerGroup(df, Seq(groupCol),
+      Seq(uniformKey(col(keyCol), salt), col(keyCol)), k)
 
   /** Per-group cap — "at most `cap` documents per domain, best first":
     * rank within each group by `orderCols` and keep the first `cap`. The

@@ -45,18 +45,24 @@ object ScaleBench {
 
     val scaledDir = s"target/scale${n}x"
     val docs = graft.Tables.load(spark, baseDir, "documents")
-    val replicas = (0 until n).map { r =>
-      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(r * 1000000000L))
-      if (r == 0) shifted
-      else shifted.withColumn("text",
-        concat_ws(" ", transform(split(col("text"), "\\s+"),
-          w => concat(w, lit(s"_$r")))))
+    // a contraction_rep-only run needs no scaled TEXT corpus (it
+    // replicates the base pair graph directly) — at n=100 the unused
+    // corpus build would dominate the focused run's wall time
+    val needCorpus = onlyQ.isEmpty || onlyQ.exists(_.startsWith("q"))
+    if (needCorpus) {
+      val replicas = (0 until n).map { r =>
+        val shifted = docs.withColumn("doc_id", col("doc_id") + lit(r * 1000000000L))
+        if (r == 0) shifted
+        else shifted.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            w => concat(w, lit(s"_$r")))))
+      }
+      replicas.reduce(_.union(_))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+      val nScaled = graft.Tables.load(spark, scaledDir, "documents").count()
+      println(s"[scale] corpus: base=$baseDir scaled=$scaledDir rows=$nScaled (${n}x)")
     }
-    replicas.reduce(_.union(_))
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
-    val nScaled = graft.Tables.load(spark, scaledDir, "documents").count()
-    println(s"[scale] corpus: base=$baseDir scaled=$scaledDir rows=$nScaled (${n}x)")
 
     def timed(body: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -125,9 +131,15 @@ object ScaleBench {
     // by construction, so time growth isolates the per-round shuffle cost
     // on n-x edge volume. Trigger with pseudo-query "contraction_rep".
     if (onlyQ.contains("contraction_rep")) {
-      val basePairs = graft.operators.Dedup.jaccardPairs(
+      // materialize the base pair set ONCE before replicating: the n-way
+      // union of un-persisted projections would re-run the PPJoin's
+      // upper plan stages once per replica inside the single write job
+      val basePairDir = s"$scaledDir/pairs_base.parquet"
+      graft.operators.Dedup.jaccardPairs(
           docs, "doc_id", "text", Seq("lang"), 1, 0.95)
         .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(basePairDir)
+      val basePairs = spark.read.parquet(basePairDir)
       val pairDir = s"$scaledDir/pairs.parquet"
       (0 until n).map { r =>
         basePairs.select(
