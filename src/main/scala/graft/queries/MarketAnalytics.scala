@@ -481,7 +481,7 @@ object MarketAnalytics {
     * path. Derby has no CREATE TABLE IF NOT EXISTS — the once-per-JVM
     * lazy init is the idempotence mechanism.
     */
-  private lazy val jdbcGateUrl: String = {
+  private[graft] lazy val jdbcGateUrl: String = {
     val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-gate")
     val u = s"jdbc:derby:$dbDir/gate;create=true"
     val c = java.sql.DriverManager.getConnection(u, jdbcGateProps)

@@ -82,6 +82,28 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.select("trade_id").distinct().count() === 2000)
   }
 
+  test("q120 gate self-heals a dropped index from a partially-failed run") {
+    // simulate a prior invocation dying between its preSql DROP INDEX and
+    // its postSql rebuild: the index is gone; the gate must recreate it
+    // (ensureJdbcGateIndex) instead of failing on DROP INDEX forever
+    val dir = "/root/testdata/sf0.001"
+    graft.SparkEntry.queries("q120_jdbc_sink_roundtrip")(spark, dir).count()
+    val u = graft.queries.MarketAnalytics.jdbcGateUrl
+    withConn(u) { c =>
+      val st = c.createStatement()
+      try st.execute("DROP INDEX idx_cust_nat") finally st.close()
+    }
+    val out = graft.SparkEntry.queries("q120_jdbc_sink_roundtrip")(spark, dir)
+    assert(out.count() > 0)
+    val idxNames = withConn(u) { c =>
+      val rs = c.getMetaData.getIndexInfo(null, null, "CUSTOMER_T", false, false)
+      val b = Seq.newBuilder[String]
+      while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(b += _)
+      b.result().toSet
+    }
+    assert(idxNames.contains("IDX_CUST_NAT"))
+  }
+
   test("jdbc sink: truncate mode replaces content, keeps table") {
     val u = url("trunc")
     withConn(u) { c =>
