@@ -354,6 +354,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    // The batch-catchup delivery mode (SURVEY §2.7): process everything
+    // available at start in rate-limited micro-batches, then terminate on
+    // its own — the nightly-catchup / bounded-backfill trigger, vs the
+    // continuous processAllAvailable the other specs use. maxFilesPerTrigger
+    // keeps applying, so the backlog drains in >= 3 batches, not one.
+    val root = java.nio.file.Files.createTempDirectory("graft-avnow")
+    val in = java.nio.file.Files.createDirectories(root.resolve("in"))
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        in.resolve(s"f$i.json"),
+        ((i * 10) until (i * 10 + 5)).map(j =>
+          s"""{"k":$j}""").mkString("\n"))
+    }
+    val stream = spark.readStream.schema("k LONG")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val q = stream.writeStream.format("memory").queryName("avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // self-terminating: no stop() call — awaitTermination must return true
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-stop")
+    val got = spark.table("avnow").as[Long].collect().sorted
+    assert(got.toSeq === (1 to 3).flatMap(i => (i * 10) until (i * 10 + 5)))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "backlog was not drained in rate-limited batches")
+  }
+
   test("toEventTime is exact on ns epochs beyond double precision") {
     // 2^53 ns ~ 104 days of epoch; real epochs (~1.7e18) lose sub-µs
     // precision through a double divide. Pin exactness at the µs level.
