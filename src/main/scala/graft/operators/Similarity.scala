@@ -62,6 +62,59 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive-training data: for each query,
+    * the top-k corpus vectors by cosine among candidates that (a) carry a
+    * DIFFERENT label than the query — same-label rows are presumed
+    * positives — and (b) fall in the similarity band [simLo, simHi). The
+    * upper bound excludes near-duplicates/verbatim copies, which would be
+    * FALSE negatives and poison a contrastive loss; the lower bound drops
+    * easy negatives that contribute no gradient. (The reference engine has
+    * no embedding operators; this extends the curation surface the brief
+    * mandates. Mining shape follows the published DPR/ANCE recipe: rank
+    * negatives near — but not at — the positive's similarity.)
+    *
+    * Scale shape: mining runs per training batch, so the query set is
+    * small — it broadcasts; the corpus streams through the broadcast join
+    * ONCE, map-side, with the label + band predicates applied BEFORE the
+    * per-query ranking window, so only in-band candidates reach the
+    * exchange, and the rank<=k filter plans as WindowGroupLimit (each
+    * input partition ships at most k rows per query).
+    *
+    * Output: (qid, id, label, sim, rank), rank 1..k by sim desc, id asc.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      qlabelCol: String,
+      k: Int,
+      simLo: Double,
+      simHi: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(simLo < simHi, s"empty similarity band [$simLo, $simHi)")
+    val joined = corpus
+      .select(
+        col(idCol).as("id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .join(broadcast(
+        queries.select(
+          col(qidCol).as("qid"), col(qlabelCol).as("qlabel"),
+          col(qvecCol).cast("array<double>").as("qvec"))))
+      .filter(col("qid") =!= col("id") && col("label") =!= col("qlabel"))
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      // null sim = zero-norm vector (no direction): never a candidate
+      .filter(col("sim") >= simLo && col("sim") < simHi)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("label"), col("sim"), col("rank"))
+  }
+
   /** Adds an integer LSH `bucket` column: bit i = sign(v . plane_i), planes
     * drawn deterministically from the seed (identical on every executor).
     * One custom expression (VecExprs.HyperplaneBandKeys with a single band)

@@ -1663,7 +1663,26 @@ object Curation {
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"),
           min(col("n_chars")).as("min_kept_chars"))
-        .orderBy(col("lang"), col("source")))
+        .orderBy(col("lang"), col("source"))),
+
+    // Hard-negative mining (contrastive-training data, DPR/ANCE recipe):
+    // for the 5 query vectors, top-10 cosine neighbors with a DIFFERENT
+    // label inside the band [0.2, 0.9) — same-label rows are presumed
+    // positives, near-dups above the band would be false negatives, easy
+    // negatives below it carry no gradient. The band holds ~25 candidates
+    // per query at sf0.01, so the k=10 cut is a real ranking decision.
+    // Brute-force oracle replicates both predicates and the tie order.
+    "q122_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+          emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label",
+          k = 10, simLo = 0.2, simHi = 0.9)
+        .select(
+          col("qid"), col("id"), col("label"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    })
   )
 
   /** q102 fixture: per-8-id-group title variants at known edit

@@ -2047,6 +2047,28 @@ object CurationOracles {
            CAST(sum(doc_id) AS BIGINT) AS id_sum,
            CAST(min(n_chars) AS BIGINT) AS min_kept_chars
          FROM r WHERE rn <= 25
-         GROUP BY lang, source ORDER BY lang, source"""
+         GROUP BY lang, source ORDER BY lang, source""",
+    // q27's brute force plus the two mining predicates: different label,
+    // similarity in [0.2, 0.9). Same tie order (sim DESC, id).
+    "q122_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         s AS (
+           SELECT qid, id, label, list_cosine_similarity(qvec, vec) AS sim
+           FROM q, c WHERE qid <> id AND label <> qlabel),
+         b AS (
+           SELECT * FROM s WHERE sim >= 0.2 AND sim < 0.9),
+         r AS (
+           SELECT qid, id, label, sim,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rnk
+           FROM b)
+         SELECT qid, id, label, round(sim, 4) AS sim, rnk
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
   )
 }

@@ -51,6 +51,60 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("hard negatives: band and label predicates, exact ranking") {
+    // Query (1,0) with label 0. Every exclusion arm planted:
+    //   1: near-duplicate (sim ~1.0, different label) — ABOVE the band,
+    //      a false negative if mined
+    //   2: same-label strong candidate — presumed positive, excluded
+    //   3: in-band hard negative, sim = 0.8
+    //   4: in-band hard negative, sim ~ 0.447
+    //   5: orthogonal easy negative (sim 0) — below the band
+    //   6: zero vector — NULL sim, never a candidate
+    val corpus = Seq(
+      (0L, 0, Seq(1.0, 0.0)),
+      (1L, 1, Seq(1.0, 1e-8)),
+      (2L, 0, Seq(0.9, 0.4)),
+      (3L, 1, Seq(0.8, 0.6)),
+      (4L, 2, Seq(1.0, 2.0)),
+      (5L, 1, Seq(0.0, 1.0)),
+      (6L, 1, Seq(0.0, 0.0)))
+      .toDF("id", "label", "vec")
+    val out = Similarity.hardNegatives(
+      corpus, "id", "vec", "label",
+      corpus.filter($"id" === 0), "id", "vec", "label",
+      k = 10, simLo = 0.2, simHi = 0.9)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq((3L, 1), (4L, 2)),
+      s"expected exactly the two in-band cross-label rows, got ${out.toSeq}")
+  }
+
+  test("hard negatives == post-filtered brute force on random data") {
+    // The operator must equal the naive recipe: full brute-force ranking,
+    // then drop out-of-band / same-label rows, then re-rank and cut at k.
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 120L).map(i =>
+        (i, (i % 5).toInt, Seq.fill(8)(rng.nextGaussian())))
+      .toDF("id", "label", "vec")
+    val queries = corpus.filter($"id" < 4)
+    val k = 5
+    val got = Similarity.hardNegatives(
+        corpus, "id", "vec", "label", queries, "id", "vec", "label",
+        k, simLo = 0.1, simHi = 0.8)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val naive = Similarity.bruteForceTopK(
+        corpus, "id", "vec", queries, "id", "vec", k = 1000)
+      .join(corpus.select($"id", $"label"), "id")
+      .join(
+        queries.select($"id".as("qid"), $"label".as("qlabel")), "qid")
+      .filter($"label" =!= $"qlabel" && $"sim" >= 0.1 && $"sim" < 0.8)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"sim".desc, $"id")))
+      .filter($"rnk" <= k)
+      .select("qid", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got === naive)
+  }
+
   test("lsh top-k achieves high recall vs brute force on clustered data") {
     // ANN only makes sense when near neighbors exist: plant 30 clusters of
     // 11 noisy copies each, so every exact top-10 lies inside the query's
