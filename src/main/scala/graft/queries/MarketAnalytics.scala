@@ -472,8 +472,98 @@ object MarketAnalytics {
           round(sum(col("acctbal").cast("decimal(18,4)")), 2)
             .cast("double").as("acctbal_sum"))
         .orderBy(col("nation_key"))
+    }),
+
+    // §2.7 × S4 composed gate: exactly-once STREAMING delivery into the
+    // JDBC sink (the reference's live leg: websocket feed -> indicators ->
+    // postgres, src/tools/websocket_demo.cpp:130-220 +
+    // src/database/DatabaseLoader.cpp:187-269, delivered there with no
+    // batch bookkeeping at all). A 4-shard file replay of the events
+    // subset streams through foreachBatch(Sinks.jdbcBatchWriter) into
+    // Derby; then the worst crash window is simulated FOR REAL: batch 0's
+    // log row is deleted (write survived, commit record lost) and a
+    // phantom row is planted under batch 0 (a partial duplicate the crash
+    // left). The replayed batch — reconstructed exactly as foreachBatch
+    // re-delivers it — must wipe both and rewrite once. The oracle
+    // aggregates the SOURCE relation: any duplicate, lost row, or
+    // surviving phantom (its 'phantom' event_type would even add a group)
+    // breaks the hash.
+    "q123_stream_jdbc_sink" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val qid = "q123"
+      val u = streamJdbcGateUrl // creates stream_events_t + its batch log
+      val slim = t(s, dir, "events")
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      // reset so bench repeats and SF switches stay idempotent
+      execJdbcGate(u, Seq(
+        "DELETE FROM stream_events_t",
+        s"DELETE FROM stream_events_t_batchlog WHERE query_id = '$qid'"))
+      val tmp = memoizedWrite(s"jdbc|$qid|$dir|${dirFp(dir)}") { d =>
+        slim.repartition(4).write.mode("overwrite").parquet(d)
+      }
+      val target = graft.sinks.Sinks.JdbcTarget(
+        u, "stream_events_t", jdbcGateProps)
+      val writer = graft.sinks.Sinks.jdbcBatchWriter(
+        target, qid, numPartitions = 2, batchSize = 5000)
+      val ckpt = replayCheckpoint()
+      try {
+        val q = spark.readStream.schema(slim.schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp)
+          .writeStream.foreachBatch((df: DataFrame, id: Long) => writer(df, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+      // crash simulation: batch 0 fully written but its log row lost, plus
+      // a leftover phantom row under the same batch id. Snapshot the
+      // batch's rows BEFORE the replay deletes them (spark.read.jdbc is
+      // lazy — materialize to scratch parquet, not driver memory).
+      val b0Dir = new java.io.File(replayDir, s"${qid}_b0").toString
+      spark.read.jdbc(u, "stream_events_t", jdbcGateProps)
+        .filter(col("batch_id") === 0).drop("batch_id")
+        .write.mode("overwrite").parquet(b0Dir)
+      execJdbcGate(u, Seq(
+        s"DELETE FROM stream_events_t_batchlog WHERE query_id = '$qid' AND batch_id = 0",
+        "INSERT INTO stream_events_t VALUES (-999, 0, 'phantom', 0)"))
+      writer(spark.read.parquet(b0Dir), 0L)
+      spark.read.jdbc(u, "stream_events_t", jdbcGateProps)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
     })
   )
+
+  /** One embedded-Derby database per JVM for the q123 streaming-sink
+    * gate: the data table AND the writer's batch-log table are created
+    * here once, so each invocation's reset can DELETE from both
+    * unconditionally (Derby has no IF [NOT] EXISTS anywhere).
+    */
+  private lazy val streamJdbcGateUrl: String = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-stream")
+    val u = s"jdbc:derby:$dbDir/gate;create=true"
+    execJdbcGate(u, Seq(
+      """CREATE TABLE stream_events_t (
+        event_id BIGINT, user_id BIGINT, event_type VARCHAR(32),
+        batch_id BIGINT)""",
+      """CREATE TABLE stream_events_t_batchlog (
+        query_id VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL,
+        PRIMARY KEY (query_id, batch_id))"""))
+    u
+  }
+
+  private def execJdbcGate(url: String, sqls: Seq[String]): Unit = {
+    val c = java.sql.DriverManager.getConnection(url, jdbcGateProps)
+    try sqls.foreach { q =>
+      val st = c.createStatement()
+      try st.execute(q) finally st.close()
+    } finally c.close()
+  }
 
   /** One embedded-Derby database per JVM for the q120 sink gate: schema
     * DDL (table + the reference's covering index) runs once; each gate
@@ -1078,7 +1168,16 @@ object MarketAnalytics {
            CAST(sum(c_custkey) AS BIGINT) AS cust_sum,
            CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS acctbal_sum
-         FROM customer GROUP BY c_nationkey ORDER BY nation_key"""
+         FROM customer GROUP BY c_nationkey ORDER BY nation_key""",
+    // The SOURCE relation's aggregate: exactly-once delivery through the
+    // streaming JDBC sink (incl. the simulated crash replay) is the only
+    // way the read-back table matches it.
+    "q123_stream_jdbc_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events WHERE event_id % 5 = 0
+         GROUP BY event_type ORDER BY event_type"""
   )
 
 }

@@ -4,6 +4,7 @@ import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 /** Output sinks mirroring the reference's stage-6/stage-5 surface
   * (SURVEY.md §2.1 S4–S7).
@@ -233,5 +234,93 @@ object Sinks {
       .option("numPartitions", numPartitions.toString)
       .jdbc(target.url, target.table, target.properties)
     exec(postSql)
+  }
+
+  /** Streaming leg of the JDBC sink: an exactly-once `foreachBatch` writer
+    * for a transactional database — the reference's live path (websocket
+    * feed -> indicators -> postgres, src/tools/websocket_demo.cpp:130-220 +
+    * src/database/DatabaseLoader.cpp:187-269), which the reference delivers
+    * at-least-once (no batch bookkeeping at all). Spark's JDBC writer is
+    * not a two-phase-commit sink, so table-level exactly-once comes from
+    * replay idempotence instead, keyed on the micro-batch id foreachBatch
+    * guarantees to re-deliver with identical data after a crash:
+    *
+    *   1. every data row lands stamped with its `batch_id`;
+    *   2. a `<table>_batchlog` table records (query_id, batch_id) only
+    *      AFTER the data write completed;
+    *   3. a replayed batch that IS logged is skipped whole; one that is
+    *      NOT logged first deletes its own batch_id rows — wiping whatever
+    *      a mid-write crash left behind — then rewrites.
+    *
+    * Every crash window converges to exactly one copy: before the write
+    * (clean replay), mid-write (delete wipes the partial), after the write
+    * but before the log row (delete wipes the complete copy, rewrite), and
+    * after the log row (skip). The data table needs a `batch_id BIGINT`
+    * column; the log table is created on first use. Contract: one writer
+    * query per target table (the delete is scoped by batch_id alone).
+    *
+    * Scale shape: the bookkeeping is three single-row driver-side
+    * statements per micro-batch; the data itself still fans out over
+    * `numPartitions` executor connections exactly like [[writeJdbc]].
+    *
+    * Wire with `df.writeStream.foreachBatch(jdbcBatchWriter(...))` plus a
+    * checkpoint location; JdbcSinkSpec drives a real micro-batch stream
+    * and each crash window explicitly.
+    */
+  def jdbcBatchWriter(
+      target: JdbcTarget,
+      queryId: String,
+      numPartitions: Int = 4,
+      batchSize: Int = 10000): (DataFrame, Long) => Unit = {
+    require(queryId.nonEmpty && queryId.length <= 128,
+      s"queryId must be 1..128 chars, got '$queryId'")
+    val logTable = target.table + "_batchlog"
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(
+        target.url, target.properties)
+      try f(c) finally c.close()
+    }
+    (df: DataFrame, batchId: Long) => {
+      val committed = withConn { c =>
+        // first use creates the log table; Derby has no IF NOT EXISTS, so
+        // an already-exists failure is expected — any REAL problem with
+        // the log table resurfaces loudly on the probe right after
+        try {
+          val st = c.createStatement()
+          try st.execute(s"""CREATE TABLE $logTable (
+            query_id VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL,
+            PRIMARY KEY (query_id, batch_id))""")
+          finally st.close()
+        } catch { case _: java.sql.SQLException => () }
+        val ps = c.prepareStatement(
+          s"SELECT 1 FROM $logTable WHERE query_id = ? AND batch_id = ?")
+        try {
+          ps.setString(1, queryId); ps.setLong(2, batchId)
+          val rs = ps.executeQuery()
+          try rs.next() finally rs.close()
+        } finally ps.close()
+      }
+      if (!committed) {
+        withConn { c =>
+          val ps = c.prepareStatement(
+            s"DELETE FROM ${target.table} WHERE batch_id = ?")
+          try { ps.setLong(1, batchId); ps.executeUpdate() } finally ps.close()
+        }
+        df.withColumn("batch_id", lit(batchId))
+          .repartition(numPartitions)
+          .write
+          .mode("append")
+          .option("batchsize", batchSize.toString)
+          .option("numPartitions", numPartitions.toString)
+          .jdbc(target.url, target.table, target.properties)
+        withConn { c =>
+          val ps = c.prepareStatement(s"INSERT INTO $logTable VALUES (?, ?)")
+          try {
+            ps.setString(1, queryId); ps.setLong(2, batchId)
+            ps.executeUpdate()
+          } finally ps.close()
+        }
+      }
+    }
   }
 }
