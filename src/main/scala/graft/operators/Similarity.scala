@@ -115,6 +115,102 @@ object Similarity {
       .select(col("qid"), col("id"), col("label"), col("sim"), col("rank"))
   }
 
+  // public: the Dataset encoder's generated deserializer instantiates
+  // these from outside this object
+  case class MmrCand(qid: Long, id: Long, sim: Double, vec: Seq[Double])
+  case class MmrPick(qid: Long, id: Long, score: Double, rnk: Int)
+
+  /** Maximal-marginal-relevance (MMR) diverse re-rank: per query, fetch
+    * the top-`fetchK` cosine candidates, then greedily select `selectK` of
+    * them maximizing `lambda * sim(q,c) - (1-lambda) * penalty(c)`, where
+    * penalty is the max cosine between the candidate and the already-
+    * selected set (0 for the first pick). The classic redundancy guard
+    * (Carbonell & Goldstein 1998) for retrieval and for diversity-aware
+    * training-data selection: near-identical passages stop crowding out
+    * coverage. Ties break toward the smaller id, so the selection is a
+    * deterministic function of the data.
+    *
+    * Scale shape: stage 1 is [[bruteForceTopK]] (broadcast queries, one
+    * corpus pass — swap in an ANN front when the corpus demands it); the
+    * greedy loop is inherently sequential per query but runs on a group
+    * BOUNDED at fetchK rows, so `flatMapGroups` does O(selectK * fetchK)
+    * cosine evaluations per query with nothing quadratic in the corpus.
+    * Id columns must be long-castable (vec ids here are int64 already).
+    *
+    * Output: (qid, id, score, rnk), rnk 1..selectK in selection order.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      fetchK: Int,
+      selectK: Int,
+      lambda: Double): DataFrame = {
+    require(selectK >= 1 && fetchK >= selectK,
+      s"need fetchK >= selectK >= 1, got fetchK=$fetchK selectK=$selectK")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(
+        corpus, idCol, vecCol, queries, qidCol, qvecCol, fetchK)
+      .join(
+        corpus.select(
+          col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec")),
+        "id")
+      .select(
+        col("qid").cast("long").as("qid"), col("id"), col("sim"), col("vec"))
+      .as[MmrCand]
+    cands.groupByKey(_.qid).flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+      val rem = scala.collection.mutable.ArrayBuffer(
+        it.toArray.sortBy(c => (-c.sim, c.id)): _*)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+      val out = Seq.newBuilder[MmrPick]
+      while (sel.size < selectK && rem.nonEmpty) {
+        var bi = 0
+        var bs = Double.NegativeInfinity
+        var i = 0
+        while (i < rem.size) {
+          val c = rem(i)
+          val mx =
+            if (sel.isEmpty) 0.0
+            else sel.iterator.map(s => cosineLocal(c.vec, s.vec)).max
+          val score = lambda * c.sim - (1 - lambda) * mx
+          // argmax with SQL's (score DESC, id ASC) total order
+          if (score > bs || (score == bs && c.id < rem(bi).id)) {
+            bi = i; bs = score
+          }
+          i += 1
+        }
+        val pick = rem.remove(bi)
+        sel += pick
+        out += MmrPick(qid, pick.id, bs, sel.size)
+      }
+      out.result().iterator
+    }.toDF("qid", "id", "score", "rnk")
+  }
+
+  /** Identical accumulation order to VecExprs.CosineSim (dot and norms in
+    * index order; dot / (sqrt(na) * sqrt(nb))), so the penalty arithmetic
+    * in [[mmrRerank]] is bit-equal to the expression the candidates' sims
+    * came from. Callers never feed zero-norm vectors (bruteForceTopK
+    * drops null-sim rows before the join-back).
+    */
+  private def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = a.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < n) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < n) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Adds an integer LSH `bucket` column: bit i = sign(v . plane_i), planes
     * drawn deterministically from the seed (identical on every executor).
     * One custom expression (VecExprs.HyperplaneBandKeys with a single band)

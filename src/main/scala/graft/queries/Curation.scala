@@ -1682,6 +1682,26 @@ object Curation {
           col("qid"), col("id"), col("label"),
           round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // MMR diverse re-rank: top-20 cosine candidates per query, then 5
+    // greedy maximal-marginal-relevance picks at lambda=0.5 — the
+    // redundancy guard for retrieval / diversity-aware data selection.
+    // The oracle unrolls all 5 greedy steps in SQL (the q35/q104 unroll
+    // pattern): every pick's argmax — relevance minus the max cosine to
+    // the already-picked set — is replicated with the same (score DESC,
+    // id) total order, so the entire selection SEQUENCE is pinned, not
+    // just the final set.
+    "q124_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          fetchK = 20, selectK = 5, lambda = 0.5)
+        .select(
+          col("qid"), col("id"),
+          round(col("score"), 4).as("score"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     })
   )
 

@@ -9,6 +9,66 @@ package graft.queries
   * anchoring) accumulated across rounds.
   */
 object CurationOracles {
+
+  /** q124 oracle: the ENTIRE MMR greedy selection unrolled in SQL (the
+    * q35/q104 unroll pattern). sel1 is the pure-relevance pick; each selN
+    * computes every unpicked candidate's penalty — max cosine to the
+    * already-picked set — and takes the argmax of
+    * `0.5*sim - 0.5*penalty` under the same (score DESC, id) total order
+    * the engine uses. Cosines on both sides are the same index-order
+    * accumulation (the q27 precedent), and the first pick's engine score
+    * `0.5*sim - 0.5*0.0` is IEEE-identical to `0.5*sim`, so the whole
+    * selection SEQUENCE and its scores replicate bit-for-bit.
+    */
+  private val MmrOracleSql: String = {
+    val steps = (2 to 5).map { n =>
+      val prev = (1 until n)
+        .map(i => s"SELECT qid, id, v FROM sel$i").mkString(" UNION ALL ")
+      s"""pen$n AS (
+           SELECT c.qid, c.id, max(list_cosine_similarity(c.v, s.v)) AS mx
+           FROM c0 c JOIN ($prev) s ON s.qid = c.qid
+           WHERE NOT EXISTS (SELECT 1 FROM ($prev) x
+                             WHERE x.qid = c.qid AND x.id = c.id)
+           GROUP BY c.qid, c.id),
+         sel$n AS (
+           SELECT qid, id, v, score, $n AS rnk FROM (
+             SELECT c.qid, c.id, c.v,
+               0.5 * c.sim - 0.5 * p.mx AS score,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY 0.5 * c.sim - 0.5 * p.mx DESC, c.id) AS rn
+             FROM c0 c JOIN pen$n p ON p.qid = c.qid AND p.id = c.id)
+           WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 3),
+         c0 AS (
+           SELECT qid, id, sim, v FROM (
+             SELECT qid, id, sim, v,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, id) AS rnk
+             FROM (
+               SELECT q.qid, e.vec_id AS id,
+                 list_cosine_similarity(q.qvec,
+                   CAST(e.embedding AS DOUBLE[])) AS sim,
+                 CAST(e.embedding AS DOUBLE[]) AS v
+               FROM q, embeddings e WHERE e.vec_id <> q.qid))
+           WHERE rnk <= 20),
+         sel1 AS (
+           SELECT qid, id, v, score, 1 AS rnk FROM (
+             SELECT qid, id, v, 0.5 * sim AS score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY 0.5 * sim DESC, id) AS rn
+             FROM c0)
+           WHERE rn = 1),
+         $steps,
+         sel AS (
+           ${(1 to 5).map(i => s"SELECT qid, id, score, rnk FROM sel$i")
+             .mkString(" UNION ALL ")})
+         SELECT qid, id, round(score, 4) AS score, rnk
+         FROM sel ORDER BY qid, rnk"""
+  }
+
   private val IvfOracleSql: String = {
     val d2 =
       """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2069,6 +2129,7 @@ object CurationOracles {
                PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rnk
            FROM b)
          SELECT qid, id, label, round(sim, 4) AS sim, rnk
-         FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q124_mmr_rerank" -> MmrOracleSql
   )
 }

@@ -105,6 +105,69 @@ class SimilaritySpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("mmr rerank picks diversity over redundancy") {
+    // Query (1,0,0). Candidate 2 is a near-duplicate of candidate 1 and
+    // would be the #2 pure-relevance pick; MMR must pass it over for the
+    // off-axis candidate 3 because the penalty (cos to the already-picked
+    // 1) erases nearly all of 2's relevance.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.9, 0.11, 0.0)),
+      (3L, Seq(0.7, 0.0, 0.4)))
+      .toDF("id", "vec")
+    val out = Similarity.mmrRerank(
+        corpus, "id", "vec", corpus.filter($"id" === 0), "id", "vec",
+        fetchK = 3, selectK = 2, lambda = 0.5)
+      .select("id", "rnk").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq((1L, 1), (3L, 2)))
+    // sanity: pure relevance WOULD have taken the near-duplicate
+    val rel = Similarity.bruteForceTopK(
+        corpus, "id", "vec", corpus.filter($"id" === 0), "id", "vec", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(rel === Set(1L, 2L))
+  }
+
+  test("mmr rerank == independent greedy reference on random data") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0L until 60L).map(i => (i, Seq.fill(6)(rng.nextGaussian())))
+      .toDF("id", "vec")
+    val queries = corpus.filter($"id" < 3)
+    val lam = 0.7
+    val got = Similarity.mmrRerank(
+        corpus, "id", "vec", queries, "id", "vec",
+        fetchK = 15, selectK = 4, lambda = lam)
+      .select("qid", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    // independent model: same candidates, greedy re-implemented here
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = Similarity.bruteForceTopK(
+        corpus, "id", "vec", queries, "id", "vec", k = 15)
+      .join(corpus.select($"id", $"vec"), "id")
+      .select("qid", "id", "sim", "vec")
+      .as[(Long, Long, Double, Seq[Double])].collect()
+    val expect = cands.groupBy(_._1).flatMap { case (qid, cs0) =>
+      var rem = cs0.toList
+      var sel = List.empty[Seq[Double]]
+      var acc = List.empty[(Long, Long, Int)]
+      for (r <- 1 to 4 if rem.nonEmpty) {
+        val scored = rem.map { case (_, id, sim, v) =>
+          val mx = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s)).max
+          (lam * sim - (1 - lam) * mx, id, v)
+        }
+        val best = scored.minBy { case (sc, id, _) => (-sc, id) }
+        acc ::= ((qid, best._2, r))
+        sel ::= best._3
+        rem = rem.filterNot(_._2 == best._2)
+      }
+      acc
+    }.toSet
+    assert(got === expect)
+  }
+
   test("lsh top-k achieves high recall vs brute force on clustered data") {
     // ANN only makes sense when near neighbors exist: plant 30 clusters of
     // 11 noisy copies each, so every exact top-10 lies inside the query's
