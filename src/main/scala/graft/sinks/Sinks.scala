@@ -43,6 +43,25 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(dir)
 
+  /** Incremental backfill into a partitioned layout: overwrite ONLY the
+    * partitions present in `df`, leaving every other partition's files
+    * untouched — the daily re-materialization pattern. [[writePartitioned]]
+    * runs under Spark's default STATIC overwrite, which deletes the whole
+    * root first; at 100 TB that turns a one-day correction into a
+    * full-corpus rewrite (and a read outage for every other day). The
+    * dynamic mode is scoped to this one write via the DataFrameWriter
+    * option, not session-wide config, so concurrent writers keep their own
+    * semantics.
+    */
+  def backfillPartitions(
+      df: DataFrame,
+      dir: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
   /** Range-clustered parquet layout: range-partition by `clusterCols`, sort
     * within partitions, and cap records per file. Three scale effects:
     *   - every output file covers a narrow, pairwise-disjoint range of the

@@ -117,6 +117,18 @@ class PlanShapeSpec extends SparkSpec {
       "expected partial + final WindowGroupLimit:\n" + plan)
   }
 
+  test("q122 hard negatives: band filter below the ranking window, " +
+      "WindowGroupLimit prunes") {
+    // the band + label predicates must cut candidates BEFORE the per-query
+    // ranking exchange, and rank<=k must plan as WindowGroupLimit — a hot
+    // query ships at most k in-band rows per input partition
+    val plan = planOf("q122_hard_negatives")
+    spark.sharedState.cacheManager.clearCache()
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the scalar band predicate appears as a Filter, not post-window
+    assert(plan.contains("Filter"), plan)
+  }
+
   test("q26 PPJoin verifies with codegen'd merge, shuffles hashed tokens only") {
     val plan = planOf("q26_jaccard_pairs")
     spark.sharedState.cacheManager.clearCache()

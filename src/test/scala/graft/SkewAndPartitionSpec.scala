@@ -67,6 +67,40 @@ class SkewAndPartitionSpec extends SparkSpec {
     assert(files.forall(_.contains("day=2026-01-02")))
   }
 
+  test("backfill overwrites only the touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val events = (1 to 900).map(i =>
+      (i.toLong, f"2026-01-${i % 3 + 1}%02d", 1.0))
+      .toDF("id", "day", "v")
+    Sinks.writePartitioned(events, dir, Seq("day"))
+    val day1Files = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "day=2026-01-01")).toArray.toSet
+
+    // the corrected day 2: half the rows, new values
+    val fixed = (1 to 150).map(i => (10000L + i, "2026-01-02", 2.0))
+      .toDF("id", "day", "v")
+    Sinks.backfillPartitions(fixed, dir, Seq("day"))
+
+    val back = spark.read.parquet(dir)
+    // day 2 REPLACED (not appended), days 1 and 3 untouched
+    assert(back.filter(col("day") === "2026-01-02").count() === 150)
+    assert(back.filter(col("day") === "2026-01-02")
+      .agg(min("id")).as[Long].head() === 10001L)
+    assert(back.filter(col("day") =!= "2026-01-02").count() === 600)
+    // untouched partitions keep their PHYSICAL files — the property that
+    // makes a one-day correction O(day), not O(corpus), at 100 TB
+    val day1After = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "day=2026-01-01")).toArray.toSet
+    assert(day1After === day1Files)
+
+    // contrast: the static-mode writer would have wiped days 1 and 3
+    // (pinned so a regression in EITHER mode's semantics fails loudly)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-static").toString
+    Sinks.writePartitioned(events, dir2, Seq("day"))
+    Sinks.writePartitioned(fixed, dir2, Seq("day"))
+    assert(spark.read.parquet(dir2).count() === 150)
+  }
+
   test("clustered layout yields disjoint per-file key ranges and bounded files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clust").toString
     val rng = new scala.util.Random(3)
