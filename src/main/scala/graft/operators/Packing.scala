@@ -84,6 +84,42 @@ object Packing {
         least(lit(budget), col(tokenCol) - col("chunk") * budget))
   }
 
+  /** [[chunkTexts]] with OVERLAP: a sliding window of `window` tokens
+    * advancing by `stride` (< window ⇒ consecutive chunks share
+    * window − stride tokens) — the retrieval-indexing chunker: a passage
+    * that straddles one chunk's boundary is fully contained in a
+    * neighbor, so boundary placement cannot hide it from search.
+    * stride = window degenerates to [[chunkTexts]]' disjoint layout.
+    * Chunk c starts at token c·stride; the last chunk is the first one
+    * whose window reaches the end (all integral arithmetic, same `div`
+    * ceil-division rule as [[chunkDocuments]]). Zero-token documents
+    * drop. Adds (chunk, chunk_start, chunk_text, chunk_tokens).
+    *
+    * Scale: identical map-side shape to [[chunkTexts]] — per-row explode
+    * of codegen'd builtins, no exchange; the data-volume multiplier is
+    * window/stride by construction, chosen by the caller.
+    */
+  def slidingChunks(
+      df: DataFrame, textCol: String, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    df.withColumn("__toks", toks)
+      .withColumn("__nt", size(col("__toks")).cast("long"))
+      .filter(col("__nt") > 0)
+      .withColumn("chunk", explode(sequence(lit(0L),
+        when(col("__nt") <= window, lit(0L))
+          .otherwise(call_function("div",
+            col("__nt") - window + (stride - 1), lit(stride.toLong))))))
+      .withColumn("chunk_start", col("chunk") * stride)
+      .withColumn("chunk_text", array_join(
+        slice(col("__toks"), (col("chunk_start") + 1).cast("int"),
+          lit(window)), " "))
+      .withColumn("chunk_tokens",
+        least(lit(window.toLong), col("__nt") - col("chunk_start")))
+      .drop("__toks", "__nt")
+  }
+
   /** [[chunkDocuments]] with the chunk's actual text: the token array is
     * sliced into budget-sized runs and re-joined, so each output row is a
     * trainable sequence, not just a coordinate. Adds (chunk, chunk_text,

@@ -1702,6 +1702,67 @@ object Curation {
           col("qid"), col("id"),
           round(col("score"), 4).as("score"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // RAG-style OVERLAPPING chunking: window 48, stride 32 — adjacent
+    // chunks share 16 tokens, so a passage straddling one boundary is
+    // whole in a neighbor. The aggregate pins the chunk count, the exact
+    // start grid (max_start), the short-tail sizes, and the chunk TEXTS
+    // (summed lengths + distinct digests) per lang; the oracle rebuilds
+    // every chunk with the same slice arithmetic.
+    "q125_sliding_chunks" -> ((s, dir) =>
+      Packing.slidingChunks(t(s, dir, "documents"), "text",
+          window = 48, stride = 32)
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("total_tokens"),
+          sum(when(col("chunk_tokens") === 48L, 1L).otherwise(0L))
+            .as("n_full"),
+          max(col("chunk_start")).as("max_start"),
+          sum(length(col("chunk_text")).cast("long")).as("chunk_chars"),
+          countDistinct(md5(col("chunk_text"))).as("n_distinct_chunks"))
+        .orderBy(col("lang"))),
+
+    // Incremental distinct counting via mergeable HLL sketches (Apache
+    // DataSketches, built into Spark 4) — the workflow that keeps a
+    // running distinct count over a 100 TB history without ever
+    // rescanning it: per-(type, day) sketches are built once, PERSISTED
+    // to parquet, read back later and unioned. The gate emits each
+    // event_type's EXACT distinct-user count only where (a) the
+    // round-tripped union estimate equals the in-memory union estimate
+    // (parquet must carry the sketch bytes faithfully) and (b) the
+    // estimate sits within 15% of exact (lgK=12 ⇒ ~1.6% relative std
+    // error; 15% is >9 sigma). Deliberately NOT pinned: merged == one
+    // single-pass sketch — DataSketches' union may traverse different
+    // sparse/dense mode promotions than a directly-built sketch, so
+    // their estimates legitimately differ within the bound
+    // (HeavyHittersSpec measures exactly that). A violation of (a) or
+    // (b) drops the row and breaks the oracle's rows/hash.
+    "q126_hll_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day",
+          call_function("div", col("ts"), lit(86400L * 1000000000L)))
+      val perDay = ev.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val skDir = java.nio.file.Files
+        .createTempDirectory("graft-q126-sketches").toString
+      perDay.write.mode("overwrite").parquet(skDir)
+      def unionEst(df: DataFrame, as: String) =
+        df.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as(as))
+      val roundtrip =
+        unionEst(ev.sparkSession.read.parquet(skDir), "est_roundtrip")
+      val mem = unionEst(perDay, "est_mem")
+      val direct = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      direct.join(roundtrip, "event_type").join(mem, "event_type")
+        .filter(col("est_roundtrip") === col("est_mem") &&
+          abs(col("est_roundtrip") - col("n_users")) <=
+            col("n_users").cast("double") * 0.15)
+        .select(col("event_type"), col("n_users"))
+        .orderBy(col("event_type"))
     })
   )
 

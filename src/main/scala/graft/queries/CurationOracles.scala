@@ -2130,6 +2130,46 @@ object CurationOracles {
            FROM b)
          SELECT qid, id, label, round(sim, 4) AS sim, rnk
          FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
-    "q124_mmr_rerank" -> MmrOracleSql
+    "q124_mmr_rerank" -> MmrOracleSql,
+    // Every sliding chunk rebuilt with the same integral start grid and
+    // the same 1-based clamped list slice; texts pinned via summed
+    // lengths + distinct md5.
+    "q125_sliding_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '') AS l
+           FROM documents),
+         docs AS (
+           SELECT doc_id, lang, l, CAST(len(l) AS BIGINT) AS n
+           FROM toks WHERE len(l) > 0),
+         chunks AS (
+           SELECT doc_id, lang, l, n, unnest(generate_series(
+             CAST(0 AS BIGINT),
+             CASE WHEN n <= 48 THEN 0 ELSE (n - 48 + 31) // 32 END))
+             AS chunk
+           FROM docs),
+         sized AS (
+           SELECT doc_id, lang, chunk, chunk * 32 AS cs,
+             least(48, n - chunk * 32) AS chunk_tokens,
+             array_to_string(
+               l[CAST(chunk * 32 + 1 AS BIGINT):
+                 CAST(chunk * 32 + 48 AS BIGINT)], ' ') AS chunk_text
+           FROM chunks)
+         SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN chunk_tokens = 48 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_full,
+           CAST(max(cs) AS BIGINT) AS max_start,
+           CAST(sum(length(chunk_text)) AS BIGINT) AS chunk_chars,
+           count(DISTINCT md5(chunk_text)) AS n_distinct_chunks
+         FROM sized GROUP BY lang ORDER BY lang""",
+    // The exact relation: the engine's gate emits it only if the
+    // sketch-merge invariants held (merged == single-pass, within-bound).
+    "q126_hll_incremental" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

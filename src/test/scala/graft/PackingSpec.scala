@@ -130,6 +130,49 @@ class PackingSpec extends SparkSpec {
     assert(out.find(_._1 == 2L).get._3 == "a b c")
   }
 
+  test("slidingChunks: start grid, overlap, tail, degenerate cases") {
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 toks, w=4 s=2 -> starts 0,2,4,6
+      (2L, "a b c"),                              // n <= window -> one whole chunk
+      (3L, ""),                                   // zero tokens -> dropped
+      (4L, (1 to 9).map("u" + _).mkString(" "))   // 9 toks -> starts 0,2,4,6 (tail 3)
+    ).toDF("doc_id", "text")
+    val out = Packing.slidingChunks(docs, "text", window = 4, stride = 2)
+      .orderBy("doc_id", "chunk")
+      .select("doc_id", "chunk_start", "chunk_text", "chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(!out.exists(_._1 == 3L), "zero-token doc produced a chunk")
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2) == Seq(0L, 2L, 4L, 6L), d1)
+    assert(d1.map(_._4) == Seq(4L, 4L, 4L, 4L))
+    // the overlap property itself: each chunk's last window-stride tokens
+    // are the next chunk's first
+    d1.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3.split(" ").takeRight(2).toSeq ===
+        b._3.split(" ").take(2).toSeq, s"$a | $b")
+    }
+    assert(d1.last._3 == "t7 t8 t9 t10")
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)) ==
+      Seq((0L, "a b c", 3L)))
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.map(_._2) == Seq(0L, 2L, 4L, 6L))
+    assert(d4.last._4 === 3L) // short tail still covers the end
+    assert(d4.last._3 == "u7 u8 u9")
+
+    // stride == window degenerates to chunkTexts' disjoint layout
+    val slid = Packing.slidingChunks(docs, "text", window = 4, stride = 4)
+      .select("doc_id", "chunk", "chunk_text", "chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val disjoint = Packing.chunkTexts(docs, "text", budget = 4)
+      .select("doc_id", "chunk", "chunk_text", "chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(slid === disjoint)
+
+    intercept[IllegalArgumentException] {
+      Packing.slidingChunks(docs, "text", window = 4, stride = 5)
+    }
+  }
+
   test("chunkDedup keeps the first coordinate per repeated chunk, globally") {
     val common = (1 to 4).map("x" + _).mkString(" ") // a 4-token boilerplate run
     val docs = Seq(
