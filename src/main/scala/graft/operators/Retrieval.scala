@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse-retrieval operators over the curation corpus: BM25 ranked
+  * search and the inverted-index build substrate. These close the
+  * retrieval loop the dense-side operators (Similarity.lshTopK /
+  * ivfTopK / mmrRerank) already cover — a training-data pipeline needs
+  * BOTH for hybrid retrieval and for retrieval-based decontamination
+  * over corpora where no embeddings exist.
+  *
+  * Everything is relational: tokenize -> (doc, term) counts -> term
+  * statistics -> broadcast-joined scoring. Texts never shuffle; term
+  * strings travel once into the tf aggregation and the only frames that
+  * move afterwards are (id, term, tf) triples and vocabulary-sized
+  * statistics.
+  */
+object Retrieval {
+
+  /** BM25 top-k document retrieval for a (small) query table.
+    *
+    * score(q, d) = Σ_{t ∈ distinct terms of q}
+    *   ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))            [idf, Robertson/Sparck-Jones non-negative form]
+    *   · tf(t, d) · (k1 + 1) / (tf(t, d) + k1 · (1 − b + b · dl(d) / avgdl))
+    *
+    * with N = |docs| (token-less documents count toward N and avgdl),
+    * dl = token count of d, avgdl = total tokens / N. Repeated query
+    * terms score once (distinct-term semantics, documented here because
+    * BM25 variants differ); query terms absent from the corpus
+    * contribute 0 (they drop at the df join, the standard treatment).
+    * Ties in the per-query ranking break toward the smaller doc id.
+    *
+    * Plan/scale shape: the query-term table is tiny and broadcasts into
+    * the vocabulary-sized df table, so only the postings of the queried
+    * terms survive the tf join — the corpus-sized posting set never
+    * feeds the scoring aggregation. N and the token total ride scalar
+    * subqueries (no crossJoin/BNL — the library invariant); the per-query
+    * top-k is a row_number window Spark prunes map-side
+    * (WindowGroupLimit), so a hot query ships k rows per partition, not
+    * its whole candidate set. The tf frame persists (CacheScope
+    * contract) because it feeds dl, df, and the scoring join.
+    *
+    * The reference engine has no text retrieval (its pipeline is
+    * numeric market data end to end); this is part of the
+    * beyond-the-reference curation surface, after Robertson & Walker
+    * BM25 as standardized in the probabilistic-IR literature.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame, // columns: query_id, query_text
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    require(k1 > 0.0, s"k1 must be positive, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1], got $b")
+    val tf = docs
+      .select(
+        col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.persisted)
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n")).scalar()
+    val totTok = tf.agg(sum(col("tf")).as("t")).scalar()
+    val qterms = queries
+      .select(
+        col("query_id"),
+        explode(TextAnalysis.tokens(col("query_text"))).as("term"))
+      .distinct()
+    // avgdl = exact-integer total / exact-integer N: ONE IEEE division,
+    // so the oracle's CAST(sum AS DOUBLE) / count reproduces it bit-for-bit.
+    val avgdl = totTok.cast("double") / nDocs.cast("double")
+    val idf = log(
+      lit(1.0) +
+        (nDocs.cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val norm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    // (query_id, term, df) is query-sized — broadcast it INTO the
+    // corpus-sized tf frame so the posting filter is map-side and only
+    // the queried terms' postings ever reach the dl join and the
+    // scoring aggregation.
+    val qdf = dfreq.join(broadcast(qterms), "term")
+    tf
+      .join(broadcast(qdf), "term")
+      .join(dl, "id")
+      .withColumn("part", idf * norm)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"),
+        col("rnk"),
+        col("id").as("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Inverted-index build substrate: per-term posting statistics with an
+    * ORDER-INDEPENDENT posting-list checksum.
+    *
+    * Materializing a hot term's full posting list (sort + string_agg /
+    * collect_list per term) is the classic inverted-index straggler — a
+    * stopword's postings at corpus scale are one task's problem. This
+    * operator pins the exact posting set without ever building the list:
+    * each posting (doc, tf) hashes to a 40-bit integer (md5 prefix — the
+    * engine-portable digest the sampling family already standardizes on)
+    * and the checksum is their SUM — commutative and associative, so it
+    * map-side combines like any hash aggregate and no ordering exists to
+    * straggle on. 40 bits keeps ~2^25 postings per term inside int64
+    * (2^25 · 2^40 = 2^65 would overflow — but a term with 33M postings
+    * in one gate is a stopword you cap long before; at any plausible
+    * per-term df the sum is exact).
+    *
+    * Output: the topK terms by (df DESC, term) with df, total tf, doc-id
+    * range, and the checksum — TakeOrderedAndProject, no global sort.
+    * Downstream index shards would partition BY TERM on exactly the
+    * (id, term, tf) frame this derives from.
+    */
+  def postingStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val tf = df
+      .select(
+        col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val postingHash = conv(
+      substring(
+        md5(concat(col("id").cast("string"), lit(":"), col("tf").cast("string"))),
+        1, 10),
+      16, 10).cast("long")
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        min(col("id")).as("min_doc"),
+        max(col("id")).as("max_doc"),
+        sum(postingHash).as("posting_checksum"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+  }
+}

@@ -516,6 +516,89 @@ object TextAnalysis {
         min(tokenCount(col(textCol)).cast("long")).as("min_tokens"),
         max(tokenCount(col(textCol)).cast("long")).as("max_tokens"))
 
+  /** In-engine Naive-Bayes quality classifier — the CCNet/fastText-style
+    * "train a cheap linear model on a trusted slice, score the crawl"
+    * stage, with multinomial NB as the model so training is nothing but
+    * counting (two hash aggregations) and the whole thing stays
+    * oracle-replicable.
+    *
+    * Train: docs with `idCol < seedMax` are the seed; label = [[
+    * qualityScore]] >= threshold (the q45 gate rule, so the float
+    * boundary is the already-proven one). Per-term class counts with
+    * add-one smoothing over the seed vocabulary V give
+    * w(t) = ln((c⁺+1)/(T⁺+V)) − ln((c⁻+1)/(T⁻+V)); the class prior is
+    * ln(n⁺/n⁻).
+    *
+    * Score: every doc with `idCol >= seedMax` gets
+    * score = prior + Σ_occurrences w(t). Terms outside the seed
+    * vocabulary are IGNORED (inner join — the standard unseen-term
+    * treatment for NB scoring; smoothing only covers terms some class
+    * saw). Docs whose tokens are all unseen produce no row — they carry
+    * no evidence either way. pred = score > 0.
+    *
+    * Plan/scale: seed counting is two vocabulary-sized hash aggregations;
+    * the weight table is vocabulary-sized and joins the exploded target
+    * tokens (term strings travel once; texts never shuffle — the q74
+    * shape). The five training scalars (class doc/token totals, V) are
+    * one-row bounded collects so degenerate seeds (a class with zero
+    * docs) fail loudly here instead of emitting NaN scores downstream.
+    */
+  def nbQualityScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seedMax: Long,
+      threshold: Double = 0.75): DataFrame = {
+    require(seedMax > 0, s"seedMax must be positive, got $seedMax")
+    val labeled = df
+      .filter(col(idCol) < seedMax)
+      .select(
+        col(idCol).as("id"),
+        col(textCol).as("text"),
+        (qualityScore(col(textCol)) >= threshold).as("pos"))
+    val docRow = labeled
+      .agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      .collect()(0)
+    val (nPos, nNeg) = (docRow.getLong(0), docRow.getLong(1))
+    require(
+      nPos > 0 && nNeg > 0,
+      s"NB training needs both classes in the seed; got pos=$nPos neg=$nNeg " +
+        s"(seedMax=$seedMax, threshold=$threshold)")
+    val counts = labeled
+      .select(col("pos"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+      .transform(graft.CacheScope.persisted)
+    val totRow = counts
+      .agg(
+        sum(col("cpos")).as("tp"),
+        sum(col("cneg")).as("tn"),
+        count(lit(1)).as("v"))
+      .collect()(0)
+    val (totPos, totNeg, vocab) =
+      (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    val prior = math.log(nPos.toDouble / nNeg.toDouble)
+    val weights = counts.select(
+      col("term"),
+      (log((col("cpos") + lit(1L)).cast("double") / lit((totPos + vocab).toDouble)) -
+        log((col("cneg") + lit(1L)).cast("double") / lit((totNeg + vocab).toDouble)))
+        .as("w"))
+    df.filter(col(idCol) >= seedMax)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .join(weights, "term")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("sum_w"))
+      .select(
+        col("id"),
+        col("n_terms"),
+        (lit(prior) + col("sum_w")).as("score"),
+        (lit(prior) + col("sum_w") > lit(0.0)).as("pred"))
+  }
+
   /** Per-document analysis frame: id + all text metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CurationFilters, Dedup, LinkGraph, Multimodal, Packing, RangeJoin, Sampling, Similarity, SnapshotDiff, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, LinkGraph, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Similarity, SnapshotDiff, TextAnalysis}
 import graft.sources.DocJsonl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1763,8 +1763,61 @@ object Curation {
             col("n_users").cast("double") * 0.15)
         .select(col("event_type"), col("n_users"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // BM25 ranked retrieval: five fixed vocabulary queries against the
+    // whole corpus, top-10 each. Every stage — tokenize, tf/df/dl,
+    // idf·saturation scoring, per-query ranked cut — replicated by the
+    // oracle with the arithmetic expression tree mirrored node for node
+    // (the q46 ln precedent extended to the full BM25 form).
+    "q127_bm25" -> ((s, dir) => {
+      Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // In-engine Naive-Bayes quality classifier: train on the doc_id<200
+    // seed labeled by the q45 quality gate, score everything else, and
+    // profile predictions per language. Training is pure counting, so
+    // the ENTIRE model — class priors, add-one log-odds weights, the
+    // per-occurrence scoring sum — replicates in SQL.
+    "q128_nb_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.nbQualityScores(docs, "doc_id", "text", seedMax = 200L)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .withColumn("score_r", round(col("score"), 4))
+        .groupBy(col("lang"), col("pred"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_terms")).as("total_terms"),
+          round(avg(col("score_r")), 3).as("avg_score"),
+          min(col("score_r")).as("min_score"),
+          max(col("score_r")).as("max_score"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // Inverted-index build substrate: top-100 terms by document
+    // frequency with exact posting statistics and the order-independent
+    // 40-bit posting checksum — the checksum pins the exact (doc, tf)
+    // posting SET of every emitted term without either engine ever
+    // materializing a posting list.
+    "q129_postings" -> ((s, dir) =>
+      Retrieval.postingStats(t(s, dir, "documents"), "doc_id", "text", 100))
   )
+
+  /** q127's fixed query table — five vocabulary queries, one term
+    * repeated on purpose (distinct-term semantics must collapse it).
+    */
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "spark window merge"),
+      (2L, "customer filter join"),
+      (3L, "hash scan order batch"),
+      (4L, "vector data stream data"),
+      (5L, "slow query table")).toDF("query_id", "query_text")
+  }
 
   /** q102 fixture: per-8-id-group title variants at known edit
     * distances (see the q102 comment for the variant table).

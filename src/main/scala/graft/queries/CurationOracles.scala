@@ -2170,6 +2170,136 @@ object CurationOracles {
     // sketch-merge invariants held (merged == single-pass, within-bound).
     "q126_hll_incremental" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Full BM25 replication. Float replicability: avgdl is ONE IEEE
+    // division of exact integers; each term part mirrors the engine's
+    // expression tree node for node — ln(1 + (N - df + 0.5)/(df + 0.5))
+    // times the PARENTHESIZED saturation quotient (an unparenthesized
+    // `ln * tf * 2.2 / d` would associate the multiplies differently);
+    // (1.2 + 1.0) folds to the same double both sides. The per-(q, d)
+    // sum is ≤ |query| = 4 terms, the q74 summation precedent.
+    "q127_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs FROM documents),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+         q(query_id, query_text) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark window merge'),
+           (CAST(2 AS BIGINT), 'customer filter join'),
+           (CAST(3 AS BIGINT), 'hash scan order batch'),
+           (CAST(4 AS BIGINT), 'vector data stream data'),
+           (CAST(5 AS BIGINT), 'slow query table')),
+         qterms AS (
+           SELECT DISTINCT query_id, term FROM (
+             SELECT query_id, unnest(list_filter(
+               regexp_split_to_array(query_text, '\s+'), x -> x <> '')) AS term
+             FROM q)),
+         scored AS (
+           SELECT qt.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 +
+                   0.75 * dl.dl / (tot.t * 1.0 / st.n_docs))))) AS score
+           FROM qterms qt
+           JOIN dfreq USING (term)
+           JOIN tf USING (term)
+           JOIN dl USING (doc_id)
+           CROSS JOIN st CROSS JOIN tot
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+         SELECT query_id, rnk, doc_id, round(score, 4) AS score
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // The whole NB model in SQL: the q45 quality CTE labels the seed,
+    // class counts + add-one log-odds weights + ln prior replicate the
+    // engine's training, and scoring is the same inner-join occurrence
+    // sum (unseen terms drop on both sides). Per-doc scores round to 4
+    // before the per-(lang, pred) profile — the q74 anchoring shape.
+    "q128_nb_quality" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS nt,
+             len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> ''))) AS ndt,
+             length(text) AS nc,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+           FROM documents WHERE doc_id < 200),
+         seed AS (
+           SELECT doc_id, text,
+             (least(1.0, nt / 20.0) * 0.4 +
+              (CASE WHEN nt = 0 THEN 0.0 ELSE ndt * 1.0 / nt END) * 0.4 +
+              (CASE WHEN nc = 0 THEN 1.0 ELSE np * 1.0 / nc END) * 0.2)
+               >= 0.75 AS pos
+           FROM m),
+         nd AS (
+           SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+           FROM seed),
+         stoks AS (
+           SELECT pos, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+           FROM seed),
+         cnts AS (
+           SELECT term,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+           FROM stoks GROUP BY term),
+         tots AS (
+           SELECT CAST(sum(cpos) AS BIGINT) AS tp,
+             CAST(sum(cneg) AS BIGINT) AS tn,
+             count(*) AS v
+           FROM cnts),
+         w AS (
+           SELECT term,
+             ln((cpos + 1) * 1.0 / (tots.tp + tots.v)) -
+             ln((cneg + 1) * 1.0 / (tots.tn + tots.v)) AS w
+           FROM cnts CROSS JOIN tots),
+         ttoks AS (
+           SELECT d.doc_id, d.lang, unnest(list_filter(
+             regexp_split_to_array(d.text, '\s+'), x -> x <> '')) AS term
+           FROM documents d WHERE d.doc_id >= 200),
+         perdoc AS (
+           SELECT t.doc_id, t.lang, count(*) AS n_terms,
+             ln((SELECT np FROM nd) * 1.0 / (SELECT nn FROM nd)) + sum(w.w)
+               AS score
+           FROM ttoks t JOIN w USING (term)
+           GROUP BY t.doc_id, t.lang),
+         anchored AS (
+           SELECT lang, n_terms, round(score, 4) AS score_r,
+             score > 0 AS pred
+           FROM perdoc)
+         SELECT lang, pred, count(*) AS n_docs,
+           CAST(sum(n_terms) AS BIGINT) AS total_terms,
+           round(avg(score_r), 3) AS avg_score,
+           min(score_r) AS min_score,
+           max(score_r) AS max_score
+         FROM anchored GROUP BY lang, pred ORDER BY lang, pred""",
+    // Posting statistics with the order-independent checksum: every
+    // posting hashes independently (md5 prefix -> 40-bit int) and the
+    // per-term SUM pins the exact posting set — no list_agg ordering to
+    // disagree on.
+    "q129_postings" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+         SELECT term, count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(sum(CAST(concat('0x', substr(md5(
+             concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR))),
+             1, 10)) AS BIGINT)) AS BIGINT) AS posting_checksum
+         FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 100"""
   )
 }

@@ -1,0 +1,183 @@
+package graft
+
+import graft.operators.{Retrieval, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval, posting statistics, and the NB quality classifier —
+  * each checked against an INDEPENDENT driver-side reference model
+  * (plain Scala loops over the same tiny corpora), not against the
+  * operator's own arithmetic.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry durian"),
+    (4L, "")) // token-less: still counts toward N and avgdl
+
+  /** Reference BM25: naive per-doc loop, same formula/parameters. */
+  private def refBm25(
+      docs: Seq[(Long, String)],
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val qts = query.split("\\s+").filter(_.nonEmpty).distinct
+    docs.flatMap { case (id, _) =>
+      val tfs = toks(id).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val score = qts.flatMap { t =>
+        dfm.get(t).flatMap { df =>
+          tfs.get(t).map { tf =>
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * toks(id).size / avgdl)))
+          }
+        }
+      }.sum
+      if (score > 0.0) Some(id -> score) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  private def runBm25(query: String, k: Int = 10) =
+    Retrieval.bm25TopK(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq((1L, query)).toDF("query_id", "query_text"), k)
+      .orderBy(col("rnk"))
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toSeq
+
+  test("bm25 matches the independent reference model") {
+    val got = runBm25("apple cherry")
+    val want = refBm25(corpus, "apple cherry", 10)
+      .map { case (id, s) => (id, math.rint(s * 1e4) / 1e4) }
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-9) }
+    // d3 (cherry tf=3) must outrank d2 (cherry tf=1) on the cherry arm;
+    // d1 is the only apple holder
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("bm25 distinct-term semantics: repeated query terms score once") {
+    assert(runBm25("apple apple cherry") === runBm25("apple cherry"))
+  }
+
+  test("bm25 ignores out-of-corpus terms and honors the k cut") {
+    assert(runBm25("zebra") === Seq.empty)
+    val full = runBm25("banana cherry")
+    val cut = runBm25("banana cherry", k = 2)
+    assert(cut === full.take(2))
+  }
+
+  test("bm25 tie-break toward the smaller doc id") {
+    val two = Seq((7L, "kiwi mango"), (3L, "kiwi mango"))
+    val got = Retrieval.bm25TopK(
+        two.toDF("doc_id", "text"), "doc_id", "text",
+        Seq((1L, "kiwi")).toDF("query_id", "query_text"), 2)
+      .orderBy(col("rnk")).select(col("doc_id")).as[Long].collect().toSeq
+    assert(got === Seq(3L, 7L))
+  }
+
+  test("bm25 rejects bad parameters") {
+    val df = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "x")).toDF("query_id", "query_text")
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(df, "doc_id", "text", q, 0))
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(df, "doc_id", "text", q, 1, k1 = 0.0))
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(df, "doc_id", "text", q, 1, b = 1.5))
+  }
+
+  /** Reference 40-bit posting hash: same md5-prefix rule, independent impl. */
+  private def refPostingHash(id: Long, tf: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$tf".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(5).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("posting stats: exact counts and order-independent checksum") {
+    val got = Retrieval.postingStats(corpus.toDF("doc_id", "text"), "doc_id", "text", 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // df order: cherry 2 = apple/banana... cherry df=2, banana df=2, apple df=1, durian df=1
+    assert(got.map(_._1) === Seq("banana", "cherry", "apple", "durian"))
+    val cherry = got.find(_._1 == "cherry").get
+    assert(cherry._2 === 2L) // df: d2, d3
+    assert(cherry._3 === 4L) // tf 1 + 3
+    assert((cherry._4, cherry._5) === (2L, 3L))
+    assert(cherry._6 === refPostingHash(2L, 1L) + refPostingHash(3L, 3L))
+    val apple = got.find(_._1 == "apple").get
+    assert(apple._6 === refPostingHash(1L, 2L))
+  }
+
+  test("posting checksum is partitioning-invariant") {
+    val df = corpus.toDF("doc_id", "text")
+    val a = Retrieval.postingStats(df, "doc_id", "text", 10).collect().toSeq
+    val b = Retrieval.postingStats(df.repartition(7), "doc_id", "text", 10).collect().toSeq
+    assert(a === b)
+  }
+
+  // NB classifier fixture: seed ids < 10. "good" docs clear the 0.75
+  // quality gate (20 distinct clean tokens -> score 1.0); "bad" docs
+  // fail it (20x the same token -> 0.4 + 0.02 + 0.2 = 0.62).
+  private val goodText = (1 to 20).map(i => s"clean$i").mkString(" ")
+  private val badText = Seq.fill(20)("spam").mkString(" ")
+  private val nbDocs = Seq(
+    (1L, goodText), (2L, goodText), (3L, badText),
+    // targets:
+    (11L, "clean1 clean2 clean3"), // good-vocab only
+    (12L, "spam spam"), // bad-vocab only
+    (13L, "zebra unseen words"), // fully unseen -> no row
+    (14L, "clean1 spam")) // mixed
+
+  private def refNb(): Map[Long, (Long, Double, Boolean)] = {
+    val nPos = 2L; val nNeg = 1L
+    val cpos = (1 to 20).map(i => s"clean$i" -> 2L).toMap // 2 good docs
+    val cneg = Map("spam" -> 20L)
+    val vocabAll = (cpos.keySet ++ cneg.keySet).toSeq
+    val tp = 40L; val tn = 20L; val v = vocabAll.size.toLong // 21
+    def w(t: String): Option[Double] =
+      if (!cpos.contains(t) && !cneg.contains(t)) None
+      else Some(
+        math.log((cpos.getOrElse(t, 0L) + 1L).toDouble / (tp + v).toDouble) -
+          math.log((cneg.getOrElse(t, 0L) + 1L).toDouble / (tn + v).toDouble))
+    val prior = math.log(nPos.toDouble / nNeg.toDouble)
+    nbDocs.filter(_._1 >= 10L).flatMap { case (id, text) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap(w(_))
+      if (ws.isEmpty) None
+      else {
+        val s = prior + ws.sum
+        Some(id -> ((ws.size.toLong, s, s > 0.0)))
+      }
+    }.toMap
+  }
+
+  test("nb classifier matches the independent reference on every arm") {
+    val got = TextAnalysis.nbQualityScores(
+        nbDocs.toDF("doc_id", "text"), "doc_id", "text", seedMax = 10L)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = refNb()
+    assert(got.keySet === want.keySet)
+    assert(!got.contains(13L)) // fully-unseen doc carries no evidence
+    want.foreach { case (id, (n, s, p)) =>
+      val (gn, gs, gp) = got(id)
+      assert(gn === n, s"doc $id n_terms")
+      assert(math.abs(gs - s) < 1e-12, s"doc $id score")
+      assert(gp === p, s"doc $id pred")
+    }
+    assert(got(11L)._3 && !got(12L)._3) // good-vocab pos, bad-vocab neg
+  }
+
+  test("nb training fails loudly on a one-class seed") {
+    val oneClass = Seq((1L, goodText), (2L, goodText), (11L, "clean1"))
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.nbQualityScores(
+        oneClass.toDF("doc_id", "text"), "doc_id", "text", seedMax = 10L)
+    }
+    assert(ex.getMessage.contains("both classes"))
+  }
+}
