@@ -106,6 +106,58 @@ object Retrieval {
         round(col("score"), 4).as("score"))
   }
 
+  /** Reciprocal-rank fusion (RRF) of two rankings — the standard hybrid
+    * sparse+dense retrieval combiner (Cormack/Clarke/Buettcher's
+    * rank-based fusion): fused(q, d) = Σ_lists 1/(c + rank_list(q, d)),
+    * with a document absent from a list contributing 0 from it.
+    *
+    * Rank-based (not score-based) fusion needs no score calibration
+    * between arms — exactly why it pairs a BM25 arm with a cosine arm.
+    * Each term is ONE IEEE division of exact integers and the fused
+    * score is ONE ordered addition, so the whole thing replicates
+    * bit-for-bit in a SQL oracle — no float-anchoring compromise.
+    * Equal fused scores are real (a doc at rank r in only list A ties a
+    * doc at rank r in only list B); ties break toward the smaller doc
+    * id. Absent-arm ranks surface as -1 sentinels (the q118 convention)
+    * so provenance is part of the gate-checked relation.
+    *
+    * Plan/scale: one full-outer equi-join of two (query, doc, rank)
+    * frames that are already per-query-top-k-bounded — fusion input is
+    * queries×k rows, never corpus-sized; the fused top-k is the same
+    * WindowGroupLimit shape as the arms.
+    */
+  def rrfFuse(
+      a: DataFrame, // columns: query_id, doc_id, rnk
+      b: DataFrame,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    require(c > 0, s"rrf constant must be positive, got $c")
+    val fused = a
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_a"))
+      .join(
+        b.select(col("query_id"), col("doc_id"), col("rnk").as("rnk_b")),
+        Seq("query_id", "doc_id"),
+        "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rnk_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rnk_b")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"),
+        col("rnk"),
+        col("doc_id"),
+        round(col("rrf"), 6).as("rrf_score"),
+        coalesce(col("rnk_a"), lit(-1)).as("rnk_sparse"),
+        coalesce(col("rnk_b"), lit(-1)).as("rnk_dense"))
+  }
+
   /** Inverted-index build substrate: per-term posting statistics with an
     * ORDER-INDEPENDENT posting-list checksum.
     *

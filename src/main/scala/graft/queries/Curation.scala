@@ -1803,7 +1803,34 @@ object Curation {
     // posting SET of every emitted term without either engine ever
     // materializing a posting list.
     "q129_postings" -> ((s, dir) =>
-      Retrieval.postingStats(t(s, dir, "documents"), "doc_id", "text", 100))
+      Retrieval.postingStats(t(s, dir, "documents"), "doc_id", "text", 100)),
+
+    // Hybrid retrieval: BM25 arm (query-by-example — each query doc's own
+    // text) + dense cosine arm (its embedding; doc_id/vec_id are aligned
+    // in this corpus), fused by reciprocal-rank fusion. Rank-based fusion
+    // is calibration-free AND float-exact (one division + one addition
+    // per doc), so the oracle replicates both arms and the fusion
+    // bit-for-bit. The example doc itself may surface on the sparse arm
+    // (it matches its own terms); the dense arm excludes self-matches —
+    // the -1 provenance sentinels make that asymmetry gate-visible.
+    "q130_rrf_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val sparse = Retrieval.bm25TopK(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("query_id"), col("text").as("query_text")),
+          k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val dense = Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+        .select(
+          col("qid").as("query_id"), col("id").as("doc_id"),
+          col("rank").as("rnk"))
+      Retrieval.rrfFuse(sparse, dense, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    })
   )
 
   /** q127's fixed query table — five vocabulary queries, one term

@@ -2300,6 +2300,81 @@ object CurationOracles {
            CAST(sum(CAST(concat('0x', substr(md5(
              concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR))),
              1, 10)) AS BIGINT)) AS BIGINT) AS posting_checksum
-         FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 100"""
+         FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 100""",
+    // Both retrieval arms replicated (BM25 = the q127 CTEs with the
+    // query table drawn from the corpus itself; dense = the q27 cosine
+    // pattern), then RRF: coalesce(1/(60+rnk), 0) per arm, sparse term
+    // added FIRST (the engine's addition order), -1 sentinels for an
+    // absent arm. Every fused score is one division + one addition of
+    // exact-integer-derived doubles — bit-identical across engines.
+    "q130_rrf_hybrid" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs FROM documents),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+         qdocs AS (
+           SELECT doc_id AS query_id, text AS query_text
+           FROM documents WHERE doc_id < 5),
+         qterms AS (
+           SELECT DISTINCT query_id, term FROM (
+             SELECT query_id, unnest(list_filter(
+               regexp_split_to_array(query_text, '\s+'), x -> x <> '')) AS term
+             FROM qdocs)),
+         bscored AS (
+           SELECT qt.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 +
+                   0.75 * dl.dl / (tot.t * 1.0 / st.n_docs))))) AS score
+           FROM qterms qt
+           JOIN dfreq USING (term)
+           JOIN tf USING (term)
+           JOIN dl USING (doc_id)
+           CROSS JOIN st CROSS JOIN tot
+           GROUP BY 1, 2),
+         sp AS (
+           SELECT query_id, doc_id, rnk FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rnk
+             FROM bscored)
+           WHERE rnk <= 20),
+         qv AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 5),
+         cv AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         de AS (
+           SELECT qid, id, rnk FROM (
+             SELECT qid, id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, id) AS rnk
+             FROM (
+               SELECT qid, id, list_cosine_similarity(qvec, vec) AS sim
+               FROM qv, cv WHERE qid <> id))
+           WHERE rnk <= 20),
+         f AS (
+           SELECT coalesce(sp.query_id, de.qid) AS query_id,
+             coalesce(sp.doc_id, de.id) AS doc_id,
+             coalesce(1.0 / (60 + sp.rnk), 0.0) +
+               coalesce(1.0 / (60 + de.rnk), 0.0) AS rrf,
+             coalesce(sp.rnk, -1) AS rnk_sparse,
+             coalesce(de.rnk, -1) AS rnk_dense
+           FROM sp FULL JOIN de
+             ON de.qid = sp.query_id AND de.id = sp.doc_id),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id) AS rnk
+           FROM f)
+         SELECT query_id, rnk, doc_id, round(rrf, 6) AS rrf_score,
+           rnk_sparse, rnk_dense
+         FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk"""
   )
 }

@@ -272,6 +272,37 @@ object MarketAnalytics {
           sum(col("event_id")).as("id_sum"))
         .orderBy(col("event_type"))),
 
+    // §2.7 gate: STREAM-STATIC dimension enrichment — the canonical
+    // "enrich the feed against a slowly-changing dim table" shape
+    // (reference analogue: the feed's per-symbol joins the README's
+    // postgres queries do after landing; here the dim never lands). The
+    // events stream replays across 4 micro-batches and inner-joins a
+    // BATCH customer⋈nation dim inside the streaming query — the static
+    // side broadcasts (no state store involvement: stream-static joins
+    // are stateless, each micro-batch probes the same built relation),
+    // then keyed counters aggregate per nation in update mode. The
+    // final snapshot must equal the all-batch join+aggregate, checked
+    // against the DuckDB oracle. All-integer counters (count + id sums)
+    // so the parity is exact; countDistinct is deliberately absent
+    // (unsupported on streams — the HLL sketch family is the streaming
+    // answer to distincts, cf. q126).
+    "q131_stream_static_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      replaySnapshot(s, dir, "q131_enrich",
+          stream => stream
+            .join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .groupBy(col("n_name"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              sum(col("user_id")).as("user_id_sum"),
+              sum(col("event_id")).as("event_id_sum")),
+          Seq("n_name"), "n_events")
+        .orderBy(col("n_name"))
+    }),
+
     // §2.7 gate #6: STREAM-STREAM interval join through the driver's
     // oracle — the feed-scale form of q44's bucketized range join.
     // Purchases and clicks arrive as two INDEPENDENT file streams (one
@@ -1128,6 +1159,17 @@ object MarketAnalytics {
       """SELECT event_type, count(*) AS n_events,
            CAST(sum(event_id) AS BIGINT) AS id_sum
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // The all-batch form of the stream-static enrichment: the streamed
+    // join+aggregate's final snapshot must reproduce this relation
+    // exactly — a dim row missed in any micro-batch breaks a counter.
+    "q131_stream_static_enrich" ->
+      """SELECT n.n_name, count(*) AS n_events,
+           CAST(sum(e.user_id) AS BIGINT) AS user_id_sum,
+           CAST(sum(e.event_id) AS BIGINT) AS event_id_sum
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name""",
     // The watermark's retention predicate, replayed in SQL: phase-1 rows
     // all count once (watermark still unset when they arrive); the >=3h-old
     // copies (id%9) are NOT here because the stream must drop them; the

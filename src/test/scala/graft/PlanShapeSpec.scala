@@ -52,7 +52,18 @@ class PlanShapeSpec extends SparkSpec {
     "q103_host_authority", "q104_host_pagerank", "q105_vocab_drift",
     "q106_length_buckets", "q107_best_survivor", "q108_token_mix",
     "q109_pack_texts", "q110_incremental_dedup", "q113_readability",
-    "q114_epoch_mix", "q115_char_pairs", "q121_domain_cap")
+    "q114_epoch_mix", "q115_char_pairs", "q121_domain_cap",
+    // q130 is exempt like q27/q101: its dense arm is deliberately a
+    // broadcast brute-force scan over the 5-query set
+    "q127_bm25", "q128_nb_quality", "q129_postings")
+
+  test("q127 BM25: query terms broadcast, per-query cut prunes map-side") {
+    val plan = planOf("q127_bm25")
+    spark.sharedState.cacheManager.clearCache()
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      "expected partial + final WindowGroupLimit:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 
   test("no production plan contains a cartesian product or nested-loop join") {
     val offenders = productionQueries.flatMap { name =>

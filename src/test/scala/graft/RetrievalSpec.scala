@@ -172,6 +172,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got(11L)._3 && !got(12L)._3) // good-vocab pos, bad-vocab neg
   }
 
+  test("rrf fusion: both-arm docs win, cross-arm ties break by id, sentinels mark absent arms") {
+    // query 1: doc 10 ranks 1 in A and 2 in B; doc 20 only in A at rank 2;
+    // doc 30 only in B at rank 1; doc 40 only in A at rank 3 TIES doc 50
+    // only in B at rank 3 -> tie broken toward doc 40.
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 40L, 3)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 30L, 1), (1L, 10L, 2), (1L, 50L, 3)).toDF("query_id", "doc_id", "rnk")
+    val got = graft.operators.Retrieval.rrfFuse(a, b, k = 10)
+      .orderBy(col("rnk"))
+      .as[(Long, Int, Long, Double, Int, Int)].collect().toSeq
+    assert(got.map(_._3) === Seq(10L, 30L, 20L, 40L, 50L))
+    val byDoc = got.map(g => g._3 -> g).toMap
+    assert(byDoc(10L)._4 === math.rint((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6)
+    assert((byDoc(10L)._5, byDoc(10L)._6) === (1, 2))
+    assert((byDoc(30L)._5, byDoc(30L)._6) === (-1, 1))
+    assert((byDoc(20L)._5, byDoc(20L)._6) === (2, -1))
+    // the planted tie: identical fused scores, 40 < 50 decides
+    assert(byDoc(40L)._4 === byDoc(50L)._4)
+    assert(byDoc(40L)._2 < byDoc(50L)._2)
+  }
+
+  test("rrf fusion honors the k cut and rejects bad args") {
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 30L, 1)).toDF("query_id", "doc_id", "rnk")
+    val cut = graft.operators.Retrieval.rrfFuse(a, b, k = 1).collect()
+    assert(cut.length === 1)
+    intercept[IllegalArgumentException](graft.operators.Retrieval.rrfFuse(a, b, 0))
+    intercept[IllegalArgumentException](graft.operators.Retrieval.rrfFuse(a, b, 1, c = 0))
+  }
+
   test("nb training fails loudly on a one-class seed") {
     val oneClass = Seq((1L, goodText), (2L, goodText), (11L, "clean1"))
     val ex = intercept[IllegalArgumentException] {

@@ -16,6 +16,8 @@ package graft
   *   - q118: left-outer join eviction-driven null emission (the most
   *     state-machinery-dependent semantics in the engine: outer nulls
   *     exist only because the store evicts on watermark, SPARK-24699)
+  *   - q131: stream-static enrichment — the dim join itself is
+  *     stateless, but the downstream keyed counters live in the store
   */
 class RocksDbStateSpec extends SparkSpec {
   private val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -55,6 +57,11 @@ class RocksDbStateSpec extends SparkSpec {
 
   test("q117 stream-stream join state is identical under RocksDB") {
     val (default, rocks) = runBoth("q117_stream_interval_join")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+
+  test("q131 stream-static enrich aggregation state is identical under RocksDB") {
+    val (default, rocks) = runBoth("q131_stream_static_enrich")
     assert(rocks.nonEmpty && rocks === default)
   }
 
