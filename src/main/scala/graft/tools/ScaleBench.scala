@@ -108,12 +108,20 @@ object ScaleBench {
     //-sized at any corpus scale — time growth isolates the extraction
     // scan, which is the 100 TB story for graph ops: edges aggregate to
     // host-pair cardinality before any iteration touches them).
+    // q127/q129 joined in round 9: BM25's fixed base-vocab queries never
+    // match replica vocabularies, so the surviving posting set after the
+    // broadcast query-term join is CONSTANT while tf/df/N grow 10x —
+    // time growth isolates the tokenize+tf scan, and output stays 50
+    // rows (the retrieval-at-scale property: work follows the query's
+    // postings, not the corpus). q129's vocabulary grows 10x (disjoint
+    // suffixes): the posting-stats aggregation is the vocabulary-sized
+    // shuffle scaling linearly, output pinned at top-100.
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
       "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
       "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup",
       "q94_line_dedup", "q98_span_dedup", "q102_edit_dedup",
-      "q104_host_pagerank")
+      "q104_host_pagerank", "q127_bm25", "q129_postings")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.filter(q => onlyQ.isEmpty || onlyQ.contains(q)).foreach { q =>
       val (bt, br) = bench(q, baseDir)
