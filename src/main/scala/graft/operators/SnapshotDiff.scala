@@ -42,6 +42,55 @@ object SnapshotDiff {
       .select(col("id"), col("status"))
   }
 
+  /** Apply a keyed changeset to a corpus snapshot — the MERGE step that
+    * completes the incremental-refresh loop [[diff]] opens (diff says
+    * WHAT changed; this applies it without re-running the whole batch).
+    * `changes` carries every corpus column plus `opCol` ∈
+    * {"upsert", "delete"}: delete drops the corpus row with that id,
+    * upsert replaces it (or inserts when absent). The changeset must be
+    * KEYED — at most one change per id; duplicate ids or unknown ops
+    * fail loudly (a silent last-wins would need an ordering column the
+    * CDC contract doesn't carry).
+    *
+    * Scale shape: result = corpus LEFT ANTI changeset-ids ∪ upsert
+    * payloads — ONE equi-join on id against a changeset that is tiny
+    * relative to the corpus (broadcastable), plus a union. The corpus
+    * is touched exactly once and never rewritten where no change
+    * landed; pair with [[graft.sinks.Sinks.backfillPartitions]] to
+    * confine the physical rewrite to the partitions the changeset hits.
+    * The validation aggregate is one bounded action over the
+    * changeset-sized frame (the [[TextAnalysis.nbQualityScores]]
+    * precedent for fail-fast over silent NaN/dup corruption).
+    */
+  def applyChangeset(
+      corpus: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      opCol: String = "op"): DataFrame = {
+    val dataCols = corpus.columns.toSeq
+    require(changes.columns.contains(opCol),
+      s"changeset must carry the op column '$opCol'")
+    require(dataCols.forall(changes.columns.contains),
+      s"changeset must carry every corpus column; missing " +
+        dataCols.filterNot(changes.columns.contains).mkString(", "))
+    val keyed = changes.transform(graft.CacheScope.persisted)
+    val checkRow = keyed
+      .agg(
+        sum(when(!col(opCol).isin("upsert", "delete"), 1L).otherwise(0L))
+          .as("bad_ops"),
+        (count(lit(1)) - countDistinct(col(idCol))).as("dup_ids"))
+      .collect()(0)
+    require(checkRow.getLong(0) == 0,
+      s"changeset has ${checkRow.getLong(0)} rows with ops outside {upsert, delete}")
+    require(checkRow.getLong(1) == 0,
+      s"changeset has duplicate ids (${checkRow.getLong(1)} extra rows); " +
+        "at most one change per id")
+    corpus
+      .join(keyed.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(
+        keyed.filter(col(opCol) === "upsert").select(dataCols.map(col): _*))
+  }
+
   /** Aggregate diff report: one row per status with counts. */
   def report(
       old: DataFrame, cur: DataFrame,

@@ -1830,6 +1830,39 @@ object Curation {
           col("rank").as("rnk"))
       Retrieval.rrfFuse(sparse, dense, k = 10)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // CDC-merge: apply a derived changeset (deletes on the id%10=3
+    // stride, text revisions on =4, fresh inserts shifted by 1e6 on =5)
+    // to the corpus and profile the merged snapshot. The oracle
+    // replicates the whole merge relationally (anti-join + upsert
+    // union), so a row deleted twice, an update half-applied, or an
+    // insert lost in the anti-join breaks a counter. n_chars is
+    // recomputed for revised payloads — the merged relation must stay
+    // internally consistent, and the oracle checks that too.
+    "q132_changeset_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deletes = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("op", lit("delete"))
+      val updates = docs.filter(col("doc_id") % 10 === 4)
+        .withColumn("text", concat(lit("rev2 "), col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("op", lit("upsert"))
+      val inserts = docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(lit("insert "), col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("op", lit("upsert"))
+      SnapshotDiff.applyChangeset(
+          docs, deletes.unionByName(updates).unionByName(inserts), "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(col("n_chars").cast("long")).as("n_chars_sum"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        .orderBy(col("lang"))
     })
   )
 

@@ -2375,6 +2375,35 @@ object CurationOracles {
            FROM f)
          SELECT query_id, rnk, doc_id, round(rrf, 6) AS rrf_score,
            rnk_sparse, rnk_dense
-         FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk"""
+         FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // The whole CDC merge replicated relationally: changed ids (deletes
+    // + update targets; insert ids are fresh) anti-join the corpus,
+    // upsert payloads union in with recomputed n_chars. NULL-text rows
+    // on the revision strides stay NULL through || and length() on both
+    // engines, so the aggregates skip them identically.
+    "q132_changeset_merge" ->
+      """WITH chids AS (
+           SELECT doc_id FROM documents WHERE doc_id % 10 IN (3, 4)
+           UNION ALL
+           SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 5),
+         ups AS (
+           SELECT doc_id, 'rev2 ' || text AS text, lang, source,
+             CAST(length('rev2 ' || text) AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id % 10 = 4
+           UNION ALL
+           SELECT doc_id + 1000000, 'insert ' || text, lang, source,
+             CAST(length('insert ' || text) AS BIGINT)
+           FROM documents WHERE doc_id % 10 = 5),
+         merged AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM chids)
+           UNION ALL
+           SELECT * FROM ups)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           count(DISTINCT md5(text)) AS n_distinct
+         FROM merged GROUP BY lang ORDER BY lang"""
   )
 }

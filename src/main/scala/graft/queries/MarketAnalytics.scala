@@ -159,6 +159,30 @@ object MarketAnalytics {
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("hour"))),
 
+    // SLIDING event-time windows in batch (q19 is the tumbling form;
+    // q116's streaming windows are tumbling too — this gates the
+    // overlapping assignment itself): size 2 h / slide 1 h, so every
+    // event lands in exactly two epoch-aligned windows. Spark's
+    // window() generates the per-row window list map-side (a row enters
+    // size/slide groups — that replication factor is the scale knob);
+    // the oracle replicates the assignment with an explicit two-element
+    // unnest of hour-truncations. All-integer counters.
+    "q133_sliding_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          window(
+            graft.streaming.StreamingEtl.toEventTime(col("ts")),
+            "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("user_id")).as("user_sum"),
+          sum(col("event_id")).as("id_sum"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:00").as("win_start"),
+          col("event_type"), col("n"), col("user_sum"), col("id_sum"))
+        .orderBy(col("win_start"), col("event_type"))),
+
     // Batch OHLC candles per (event_type, hour) — the batch form of the
     // streaming windowedStats bars. min_by/max_by over the unique
     // (ts, event_id) struct: ONE map-side-combined hash agg, no window,
@@ -1170,6 +1194,20 @@ object MarketAnalytics {
          JOIN customer c ON e.user_id = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY n.n_name ORDER BY n.n_name""",
+    // The two-element unnest replicates window(2h, 1h)'s per-row
+    // assignment: starts at trunc(hour) and trunc(hour)-1h, both always
+    // inside (ts - 2h, ts] since size/slide = 2.
+    "q133_sliding_windows" ->
+      """WITH w AS (
+           SELECT event_type, user_id, event_id,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+           FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:00') AS win_start, event_type,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
     // The watermark's retention predicate, replayed in SQL: phase-1 rows
     // all count once (watermark still unset when they arrive); the >=3h-old
     // copies (id%9) are NOT here because the stream must drop them; the

@@ -58,6 +58,39 @@ class SnapshotDiffSpec extends SparkSpec {
       "an exchange carries raw document text:\n" + plan)
   }
 
+  test("applyChangeset: delete drops, upsert replaces, fresh upsert inserts, rest untouched") {
+    val corpus = Seq(
+      (1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta")
+    ).toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, "bravo v2", "upsert"), // replace
+      (3L, "ignored", "delete"), // drop
+      (9L, "iota", "upsert"), // insert (absent id)
+      (10L, "ignored", "delete") // delete of an absent id: a no-op
+    ).toDF("doc_id", "text", "op")
+    val got = SnapshotDiff.applyChangeset(corpus, changes, "doc_id")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, "alpha"), (2L, "bravo v2"), (4L, "delta"), (9L, "iota")))
+  }
+
+  test("applyChangeset fails loudly on duplicate ids, unknown ops, missing columns") {
+    val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val dup = Seq((2L, "x", "upsert"), (2L, "y", "delete"))
+      .toDF("doc_id", "text", "op")
+    assert(intercept[IllegalArgumentException](
+      SnapshotDiff.applyChangeset(corpus, dup, "doc_id"))
+      .getMessage.contains("duplicate"))
+    val badOp = Seq((2L, "x", "merge")).toDF("doc_id", "text", "op")
+    assert(intercept[IllegalArgumentException](
+      SnapshotDiff.applyChangeset(corpus, badOp, "doc_id"))
+      .getMessage.contains("ops outside"))
+    val missing = Seq((2L, "upsert")).toDF("doc_id", "op")
+    assert(intercept[IllegalArgumentException](
+      SnapshotDiff.applyChangeset(corpus, missing, "doc_id"))
+      .getMessage.contains("every corpus column"))
+  }
+
   test("vocabDrift classifies added/removed/grown/shrunk/stable by hand") {
     val o = Seq(1L -> "The cat", 2L -> "the dog dog x",
       3L -> "gone gone").toDF("doc_id", "text")
