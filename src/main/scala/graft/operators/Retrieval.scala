@@ -106,6 +106,119 @@ object Retrieval {
         round(col("score"), 4).as("score"))
   }
 
+  /** Build a persisted BM25 index — the build-once/query-many shape of
+    * [[bm25TopK]] (which re-derives tf/df/dl per call; fine for one
+    * batch of queries, wrong for a standing retrieval service over a
+    * 100 TB corpus). Postings and the term dictionary are written
+    * PARTITIONED BY a hash bucket of the term, so a probe for a handful
+    * of query terms reads only those buckets — partition pruning does
+    * for the lexical index what cell pruning does for the IVF index
+    * ([[Similarity.buildIvfIndex]], the pattern this mirrors).
+    *
+    * Layout: `postings/` (id, term, tf | bucket), `terms/` (term, df |
+    * bucket), `doclen/` (id, dl), `stats/` (n_docs, total_tokens — one
+    * row). Bucketing hash is Spark's xxhash64 mod `buckets`, computed
+    * identically at probe time.
+    */
+  def buildBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tf = docs
+      .select(
+        col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.persisted)
+    val bucket = pmod(xxhash64(col("term")), lit(buckets.toLong))
+    tf.withColumn("bucket", bucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+    tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("total_tokens")))
+      .withColumn("buckets", lit(buckets.toLong))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe a [[buildBm25Index]] index: identical scoring (and therefore
+    * an identical result relation) to [[bm25TopK]] over the indexed
+    * corpus, but the corpus is never rescanned — the probe reads the
+    * query terms' hash-bucket partitions only. The query-term bucket
+    * set is computed driver-side from the collected query terms (the
+    * query table is small by contract — same bounded-collect rationale
+    * as the IVF centroid read) and lands in the scan as a partition
+    * filter; the oracle-facing semantics are unchanged.
+    */
+  def bm25TopKIndexed(
+      path: String,
+      queries: DataFrame, // columns: query_id, query_text
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    require(k1 > 0.0, s"k1 must be positive, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1], got $b")
+    val spark = queries.sparkSession
+    val qterms = queries
+      .select(
+        col("query_id"),
+        explode(TextAnalysis.tokens(col("query_text"))).as("term"))
+      .distinct()
+      .transform(graft.CacheScope.persisted)
+    val statsRow = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("total_tokens"), col("buckets"))
+      .collect()(0)
+    val (nDocs, totTok, nBuckets) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
+    // the probe re-derives each query term's bucket with the BUILD's
+    // modulus (read from the index, never trusted to a caller argument —
+    // a drifted modulus would silently probe the wrong partitions)
+    val qbuckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+    val avgdl = totTok.toDouble / nDocs.toDouble
+    val terms = spark.read.parquet(s"$path/terms")
+      .filter(col("bucket").isin(qbuckets: _*))
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val qdf = terms.join(broadcast(qterms), "term")
+      .select(col("query_id"), col("term"), col("df"))
+    val idf = log(
+      lit(1.0) +
+        (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val norm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    postings
+      .join(broadcast(qdf), "term")
+      .join(dl, "id")
+      .withColumn("part", idf * norm)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"),
+        col("rnk"),
+        col("id").as("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Reciprocal-rank fusion (RRF) of two rankings — the standard hybrid
     * sparse+dense retrieval combiner (Cormack/Clarke/Buettcher's
     * rank-based fusion): fused(q, d) = Σ_lists 1/(c + rank_list(q, d)),

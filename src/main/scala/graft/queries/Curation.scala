@@ -36,6 +36,11 @@ object Curation {
   private lazy val jsonlDir: String =
     java.nio.file.Files.createTempDirectory("graft-jsonl").toString
 
+  // q134's persisted BM25 index scratch, same per-JVM overwrite contract
+  // as the IVF index dirs (every invocation overwrite-builds first)
+  private lazy val bm25IndexDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -1829,6 +1834,18 @@ object Curation {
           col("qid").as("query_id"), col("id").as("doc_id"),
           col("rank").as("rnk"))
       Retrieval.rrfFuse(sparse, dense, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Persisted-BM25-index parity (the q59 build-once/query-many shape
+    // for the LEXICAL index): tf/df/dl/stats written bucket-partitioned
+    // by term hash, the probe reads only the query terms' buckets
+    // (partition-pruned — pinned in PlanShapeSpec), and the result must
+    // equal q127's relation exactly, against q127's verbatim oracle.
+    "q134_bm25_index_parity" -> ((s, dir) => {
+      Retrieval.buildBm25Index(
+        t(s, dir, "documents"), "doc_id", "text", bm25IndexDir)
+      Retrieval.bm25TopKIndexed(bm25IndexDir, bm25Queries(s), k = 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
 

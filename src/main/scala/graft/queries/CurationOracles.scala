@@ -10,6 +10,54 @@ package graft.queries
   */
 object CurationOracles {
 
+  /** q127/q134 oracle: the full BM25 replication (see the q127 map
+    * comment) — shared because the indexed probe (q134) must
+    * reproduce q127's relation exactly.
+    */
+  private val Bm25OracleSql: String =
+    """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs FROM documents),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+         q(query_id, query_text) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark window merge'),
+           (CAST(2 AS BIGINT), 'customer filter join'),
+           (CAST(3 AS BIGINT), 'hash scan order batch'),
+           (CAST(4 AS BIGINT), 'vector data stream data'),
+           (CAST(5 AS BIGINT), 'slow query table')),
+         qterms AS (
+           SELECT DISTINCT query_id, term FROM (
+             SELECT query_id, unnest(list_filter(
+               regexp_split_to_array(query_text, '\s+'), x -> x <> '')) AS term
+             FROM q)),
+         scored AS (
+           SELECT qt.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 +
+                   0.75 * dl.dl / (tot.t * 1.0 / st.n_docs))))) AS score
+           FROM qterms qt
+           JOIN dfreq USING (term)
+           JOIN tf USING (term)
+           JOIN dl USING (doc_id)
+           CROSS JOIN st CROSS JOIN tot
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+         SELECT query_id, rnk, doc_id, round(score, 4) AS score
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+
+
   /** q124 oracle: the ENTIRE MMR greedy selection unrolled in SQL (the
     * q35/q104 unroll pattern). sel1 is the pure-relevance pick; each selN
     * computes every unpicked candidate's penalty — max cosine to the
@@ -2178,47 +2226,11 @@ object CurationOracles {
     // `ln * tf * 2.2 / d` would associate the multiplies differently);
     // (1.2 + 1.0) folds to the same double both sides. The per-(q, d)
     // sum is ≤ |query| = 4 terms, the q74 summation precedent.
-    "q127_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(list_filter(
-             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         st AS (SELECT count(*) AS n_docs FROM documents),
-         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
-         q(query_id, query_text) AS (VALUES
-           (CAST(1 AS BIGINT), 'spark window merge'),
-           (CAST(2 AS BIGINT), 'customer filter join'),
-           (CAST(3 AS BIGINT), 'hash scan order batch'),
-           (CAST(4 AS BIGINT), 'vector data stream data'),
-           (CAST(5 AS BIGINT), 'slow query table')),
-         qterms AS (
-           SELECT DISTINCT query_id, term FROM (
-             SELECT query_id, unnest(list_filter(
-               regexp_split_to_array(query_text, '\s+'), x -> x <> '')) AS term
-             FROM q)),
-         scored AS (
-           SELECT qt.query_id, tf.doc_id,
-             sum(
-               ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
-               (tf.tf * (1.2 + 1.0) /
-                 (tf.tf + 1.2 * (1.0 - 0.75 +
-                   0.75 * dl.dl / (tot.t * 1.0 / st.n_docs))))) AS score
-           FROM qterms qt
-           JOIN dfreq USING (term)
-           JOIN tf USING (term)
-           JOIN dl USING (doc_id)
-           CROSS JOIN st CROSS JOIN tot
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT query_id, doc_id, score,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, doc_id) AS rnk
-           FROM scored)
-         SELECT query_id, rnk, doc_id, round(score, 4) AS score
-         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q127_bm25" -> Bm25OracleSql,
+    // The indexed probe must reproduce q127's relation exactly — same
+    // oracle, by reference: persistence and partition pruning are
+    // storage concerns, not semantics.
+    "q134_bm25_index_parity" -> Bm25OracleSql,
     // The whole NB model in SQL: the q45 quality CTE labels the seed,
     // class counts + add-one log-odds weights + ln prior replicate the
     // engine's training, and scoring is the same inner-join occurrence

@@ -172,6 +172,36 @@ class RetrievalSpec extends SparkSpec {
     assert(got(11L)._3 && !got(12L)._3) // good-vocab pos, bad-vocab neg
   }
 
+  test("indexed bm25 probe reproduces the direct scan exactly (odd modulus)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-idx").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry"), (2L, "banana durian zebra"))
+      .toDF("query_id", "query_text")
+    // buckets=7: high buckets may stay EMPTY — the probe must recover
+    // the build's modulus from stats, not infer it from written buckets
+    graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 7)
+    val direct = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text", q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    val probed = graft.operators.Retrieval.bm25TopKIndexed(dir, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed.nonEmpty && probed === direct)
+  }
+
+  test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
+    val docs = corpus.toDF("doc_id", "text")
+    graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 64)
+    val probe = graft.operators.Retrieval.bm25TopKIndexed(
+      dir, Seq((1L, "apple")).toDF("query_id", "query_text"), 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache()
+    // both bucketed scans (postings + terms) must carry a bucket
+    // partition filter; doclen is unbucketed by design
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket".r.findAllIn(plan).length
+    assert(pruned >= 2,
+      s"expected bucket partition filters on both index scans, got $pruned:\n" + plan)
+  }
+
   test("rrf fusion: both-arm docs win, cross-arm ties break by id, sentinels mark absent arms") {
     // query 1: doc 10 ranks 1 in A and 2 in B; doc 20 only in A at rank 2;
     // doc 30 only in B at rank 1; doc 40 only in A at rank 3 TIES doc 50
