@@ -808,6 +808,94 @@ object Dedup {
     verifyJaccard(candidates, baseL, baseR, bcols, blockCols, threshold)
   }
 
+  /** ASYMMETRIC containment join: needle documents whose shingle set is
+    * (near-)fully contained in a haystack document —
+    * c(A→B) = |A∩B| / |A| >= threshold. Jaccard misses exactly this
+    * case: a 100-token excerpt quoted inside a 10,000-token page has
+    * J ≈ 0.01 but containment 1.0, and excerpt/quote/boilerplate-
+    * embedding duplicates are the common web-corpus contamination the
+    * symmetric operators cannot see (the set-containment-join setting of
+    * Melnik & Garcia-Molina, and the C4/Gopher quote-dedup motivation).
+    *
+    * Prefix filter is one-sided, which is the structural difference from
+    * PPJoin: c(A→B) >= t bounds the overlap by t·|A| REGARDLESS of |B|,
+    * so A keeps the classic rarest-first prefix of length
+    * |A| − ceil(t·|A|) + 1 (disjoint prefix ⇒ overlap ≤ |A| − l_A =
+    * ceil(t|A|) − 1 < t|A|, contradiction), while B has no usable prefix
+    * (a huge B can contain any A) and contributes ALL its shared-vocab
+    * tokens, ranked only for the positional filter. Candidates must
+    * still clear |B| >= t·|A| (overlap ≤ |B|) and the positional bound
+    * overlap ≤ 1 + min(|A|−rn_A, |B|−rn_B); verification recomputes the
+    * exact hashed-set intersection. Output: (id_a, id_b, n_a, inter,
+    * containment) — needle, haystack, needle set size, overlap, ratio.
+    *
+    * Scale shape: identical to [[jaccardJoin]] — shared-vocabulary df
+    * table persisted and reused by both sides, shuffles carry (token,
+    * id) postings and id pairs, texts never move. The B side skipping
+    * its prefix cut means candidate volume is governed by the NEEDLE
+    * prefixes being rare-token-anchored — the right trade, because the
+    * needle set (dedup queries, benchmark passages) is the small side at
+    * corpus scale.
+    */
+  def containmentJoin(
+      needles: DataFrame,
+      haystacks: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val bcols = blockCols.map(col)
+    val baseA = hashedSetBase(needles, idCol, textCol, bcols, shingleSize)
+    val baseB = hashedSetBase(haystacks, idCol, textCol, bcols, shingleSize)
+    val toksA = explodedToks(baseA, bcols)
+    val toksB = explodedToks(baseB, bcols)
+    val dfreq = toksA.groupBy((bcols :+ col("tk")): _*)
+      .agg(count(lit(1)).as("dfl"))
+      .join(toksB.groupBy((bcols :+ col("tk")): _*)
+        .agg(count(lit(1)).as("dfr")), blockCols :+ "tk")
+      .withColumn("df", col("dfl") + col("dfr"))
+      .select((bcols :+ col("tk") :+ col("df")): _*)
+      .transform(graft.CacheScope.persisted)
+    def ranked(t: DataFrame, c: Double): DataFrame =
+      ppjoinPrefix(t, dfreq, bcols, blockCols, c)
+        .select((bcols :+ col("id") :+ col("n") :+ col("rn") :+ col("tk")): _*)
+    // A: classic prefix at c = threshold; B: c = 0 keeps every shared
+    // token (rank <= n - ceil(-1e-9) + 1 = n + 1), ranks retained for
+    // the positional filter only.
+    val candidates = ranked(toksA, threshold)
+      .toDF((blockCols :+ "id_a" :+ "n_a" :+ "rn_a" :+ "tk"): _*)
+      .join(
+        ranked(toksB, 0.0)
+          .toDF((blockCols :+ "id_b" :+ "n_b" :+ "rn_b" :+ "tk"): _*),
+        blockCols :+ "tk")
+      .filter(
+        col("n_b").cast("double") >= col("n_a") * threshold - 1e-9 &&
+          (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")))
+            .cast("double") >= col("n_a") * threshold - 1e-9)
+      .select((bcols :+ col("id_a") :+ col("id_b")): _*)
+      .dropDuplicates(blockCols :+ "id_a" :+ "id_b")
+    val inter = graft.functions.HashExprs.sortedIntersectSize(
+      col("hs_a"), col("hs_b"))
+    candidates
+      .join(
+        baseA.select((bcols :+ col("id").as("id_a") :+ col("hs").as("hs_a")): _*),
+        blockCols :+ "id_a")
+      .join(
+        baseB.select((bcols :+ col("id").as("id_b") :+ col("hs").as("hs_b")): _*),
+        blockCols :+ "id_b")
+      .withColumn("inter", inter)
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("hs_a")))
+      .filter(col("containment") >= threshold)
+      .select(
+        (bcols :+ col("id_a") :+ col("id_b") :+
+          size(col("hs_a")).as("n_a") :+ col("inter") :+
+          round(col("containment"), 4).as("containment")): _*)
+  }
+
   /** Connected components over an undirected pair relation — the step that
     * turns near-duplicate PAIRS (minhash/simhash/jaccard output) into
     * dedup CLUSTERS. Returns (id, component) where component = the

@@ -247,4 +247,57 @@ object Packing {
           sum(col("__kept")) * 100L,
           count(lit(1)) * col("bucket")).as("utilization_pct"))
   }
+
+  /** Content-defined chunking: chunk boundaries chosen by CONTENT (a
+    * rolling-window fingerprint hitting a mask), not by fixed offsets —
+    * the property that makes chunk-level dedup survive edits. Insert one
+    * token into a fixed-size-chunked document and every downstream chunk
+    * shifts (all digests change); with content-defined cuts only the
+    * chunks touching the edit change, so a near-identical re-crawl
+    * re-uses almost all of its chunk digests (the rolling-hash chunking
+    * of LBFS/rsync, word-level).
+    *
+    * Cut rule: a boundary BEFORE token position i (0-based, i >= 1)
+    * whenever the k-token gram starting at i has
+    * md5-prefix-hash(gram) % mask == 0 — the engine-portable md5 integer
+    * rule the sampling family standardizes on, so an oracle replicates
+    * cuts exactly. Expected chunk length ≈ mask tokens. Documents
+    * shorter than k+1 tokens (no interior gram) are one chunk.
+    *
+    * Output: one row per chunk — (id, chunk_idx, n_tokens, chunk_text,
+    * chunk_digest). Entirely MAP-SIDE (sequence/filter/zip_with array
+    * lambdas + one explode): no shuffle, no UDF; dedup aggregations
+    * downstream group by digest, never by text.
+    */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, mask: Int = 16): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    def gramHash(i: Column) = conv(
+      substring(md5(array_join(slice(col("__toks"), i + 1, lit(k)), " ")), 1, 8),
+      16, 10).cast("long")
+    df.select(col(idCol).as("id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // interior gram starts: 1..n-k (0-based); n <= k has none. The
+      // n >= k+1 guard keeps sequence() from generating a DESCENDING
+      // range when n - k < 1.
+      .withColumn("__cuts",
+        when(col("__n") >= k + 1,
+          filter(sequence(lit(1), col("__n") - k),
+            i => gramHash(i) % mask === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__starts", concat(array(lit(0)), col("__cuts")))
+      .withColumn("__ends", concat(col("__cuts"), array(col("__n"))))
+      .withColumn("__chunks", zip_with(
+        col("__starts"), col("__ends"),
+        (s, e) => array_join(slice(col("__toks"), s + 1, e - s), " ")))
+      .select(col("id"),
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens",
+        size(filter(split(col("chunk_text"), "\\s+"), t => t =!= "")))
+      .withColumn("chunk_digest", md5(col("chunk_text")))
+  }
 }

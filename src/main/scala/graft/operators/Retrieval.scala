@@ -271,6 +271,58 @@ object Retrieval {
         coalesce(col("rnk_b"), lit(-1)).as("rnk_dense"))
   }
 
+  /** Exact phrase search over positional postings — the lexical
+    * operator BM25 cannot express (BM25 is bag-of-words; "data stream"
+    * and "stream data" score identically). Needed for quote detection,
+    * benchmark-passage lookup, and boilerplate hunting in a curation
+    * pipeline.
+    *
+    * Algorithm: one aggregation, not k−1 positional self-joins. Each
+    * document explodes to positional postings (id, pos, term); each
+    * phrase explodes to (phrase_id, idx, term) with its length. A
+    * posting matching phrase term idx at position pos witnesses a
+    * candidate occurrence starting at base = pos − idx, so grouping by
+    * (phrase_id, id, base) and requiring count(DISTINCT idx) = phrase
+    * length confirms an occurrence exactly — duplicate terms inside a
+    * phrase are safe because each idx must be witnessed at its own
+    * offset, and a single posting witnessing two idx values yields two
+    * rows in two groups.
+    *
+    * Plan/scale: the phrase table is tiny and BROADCASTS into the
+    * posting stream, so the equi-join on term IS the filter — only
+    * postings of phrase vocabulary survive to the one shuffle (grouping
+    * on (phrase, doc, base)); document text never moves, and the
+    * per-phrase rollup is a second vocabulary-bounded aggregation.
+    * Output per (phrase_id, id): n_occurrences and the first start
+    * position — deterministic integers, exactly oracle-replicable.
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: DataFrame // columns: phrase_id, phrase_text
+  ): DataFrame = {
+    val postings = docs.select(
+      col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+    val phraseTerms = phrases.select(
+        col("phrase_id"),
+        size(TextAnalysis.tokens(col("phrase_text"))).as("plen"),
+        posexplode(TextAnalysis.tokens(col("phrase_text")))
+          .as(Seq("idx", "term")))
+    postings
+      .join(broadcast(phraseTerms), "term")
+      .groupBy(
+        col("phrase_id"), col("plen"), col("id"),
+        (col("pos") - col("idx")).as("base"))
+      .agg(count_distinct(col("idx")).as("n_idx"))
+      .filter(col("base") >= 0 && col("n_idx") === col("plen"))
+      .groupBy(col("phrase_id"), col("id"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        min(col("base")).as("first_pos"))
+  }
+
   /** Inverted-index build substrate: per-term posting statistics with an
     * ORDER-INDEPENDENT posting-list checksum.
     *

@@ -821,4 +821,52 @@ object Similarity {
               (x, q) => abs(x - q.cast("double") * col("scale"))),
             lit(0d), (m, e) => greatest(m, e))))
   }
+
+  /** Per-group centroid-distance outliers: embeddings far from their
+    * group's mean vector — the standard embedding-space screen for
+    * mislabeled / out-of-distribution documents before a group's corpus
+    * slice feeds training. For each group: centroid = per-dimension
+    * mean, d(v) = ||v − centroid||₂, z(v) = (d − mean(d)) / stddev_pop(d),
+    * and the topK most-distant members are emitted with rank, distance
+    * and z-score.
+    *
+    * Plan/scale: centroids come from ONE shuffle of exploded
+    * (group, dim, x) triples — never a collect, never an array-agg of
+    * the group (a 10-B-vector group still reduces to dims×groups rows).
+    * The centroid table (groups × dims rows) broadcasts back onto the
+    * exploded stream, distances reduce per (group, id), the group's
+    * distance moments ride a second vocabulary-sized aggregate joined
+    * back (groups rows, broadcast), and the per-group top-k is the
+    * WindowGroupLimit shape. Vectors themselves cross no exchange.
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val dims = df.select(
+        col(groupCol).as("grp"), col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .transform(graft.CacheScope.persisted(_))
+    val centroids = dims.groupBy(col("grp"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+    val dist = dims
+      .join(broadcast(centroids), Seq("grp", "dim"))
+      .groupBy(col("grp"), col("id"))
+      .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))).as("d"))
+      .transform(graft.CacheScope.persisted(_))
+    val moments = dist.groupBy(col("grp"))
+      .agg(avg(col("d")).as("mean_d"), stddev_pop(col("d")).as("sd_d"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("d").desc, col("id"))
+    dist.join(broadcast(moments), "grp")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(
+        col("grp"), col("rnk"), col("id"),
+        round(col("d"), 4).as("dist"),
+        round(when(col("sd_d") > 0d, (col("d") - col("mean_d")) / col("sd_d"))
+          .otherwise(lit(0d)), 4).as("z"))
+  }
 }

@@ -416,6 +416,89 @@ object TextAnalysis {
           .as("avg_log2_prob"))
   }
 
+  /** Trigram "stupid backoff" language-model scoring of a held-out
+    * split against counts from a training split (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the backoff form
+    * built for exactly this setting: counts at corpus scale, no
+    * normalization pass). Per held-out trigram (w1 w2 w3):
+    *
+    *   S = c3(w1 w2 w3) / c2(w1 w2)            if the trigram was seen
+    *     = α · c2(w2 w3) / c1(w2)              else if the tail bigram was
+    *     = α² · (c1(w3) + 1) / (N + V)         else (add-one unigram floor,
+    *                                            so unseen words stay finite)
+    *
+    * scored as log2(S), averaged per document. Unlike the in-corpus
+    * bigram scorer ([[bigramLogProb]]), training on one split and
+    * scoring another makes every backoff tier actually fire — which is
+    * the quality-filtering use: held-out perplexity under a corpus LM
+    * is the classic CCNet/KenLM quality signal. The per-tier hit counts
+    * are part of the output relation, so the gate pins the branch
+    * decisions as integers, not just the blended float.
+    *
+    * All ratios are exact-integer over exact-integer and every float
+    * expression tree (α·(a/b), α·α·(a/b)) is mirrored verbatim in the
+    * oracle, the q84 precedent. Plan/scale: held-out trigrams build
+    * MAP-SIDE (zip_with of the token array against its own shifts — no
+    * positional self-join); count tables are vocabulary-sized; N and V
+    * ride scalar subqueries (no crossJoin/BNL). The five count joins
+    * shuffle (id, ngram-string) frames only — text never moves.
+    */
+  def trigramBackoffLogProb(
+      train: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"backoff alpha must be in (0,1), got $alpha")
+    def toks(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("l"))
+    def grams(df: DataFrame, n: Int): DataFrame = {
+      val sliced = (0 until n).map(i =>
+        slice(col("l"), lit(i + 1), size(col("l")) - (n - 1)))
+      val joined = sliced.reduceLeft((a, b) =>
+        zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+      toks(df).filter(size(col("l")) >= n)
+        .select(col("id"), explode(joined).as("g"))
+    }
+    val c1 = grams(train, 1).groupBy(col("g").as("w")).agg(count(lit(1)).as("c1"))
+    val c2 = grams(train, 2).groupBy(col("g").as("bg")).agg(count(lit(1)).as("c2"))
+    val c3 = grams(train, 3).groupBy(col("g").as("tg")).agg(count(lit(1)).as("c3"))
+    val nTokens = grams(train, 1).agg(count(lit(1)).cast("double").as("n")).scalar()
+    val vocab = c1.agg(count(lit(1)).cast("double").as("v")).scalar()
+    val tris = grams(heldOut, 3)
+      .withColumn("w3", substring_index(col("g"), " ", -1))
+      .withColumn("ctx", substring_index(col("g"), " ", 2))
+      .withColumn("tail", substring_index(col("g"), " ", -2))
+    val a = lit(alpha)
+    val score =
+      when(col("c3").isNotNull,
+        log2(col("c3").cast("double") / col("c2_ctx")))
+      .when(col("c2_tail").isNotNull,
+        log2(a * (col("c2_tail").cast("double") / col("c1_w2"))))
+      .otherwise(
+        log2(a * a * ((coalesce(col("c1_w3"), lit(0L)) + lit(1L)).cast("double") /
+          (nTokens + vocab))))
+    val tier =
+      when(col("c3").isNotNull, lit("tri"))
+        .when(col("c2_tail").isNotNull, lit("bi"))
+        .otherwise(lit("uni"))
+    tris
+      .join(c3.withColumnRenamed("tg", "g"), Seq("g"), "left")
+      .join(c2.select(col("bg").as("ctx"), col("c2").as("c2_ctx")), Seq("ctx"), "left")
+      .join(c2.select(col("bg").as("tail"), col("c2").as("c2_tail")), Seq("tail"), "left")
+      .join(c1.select(col("w").as("w1w2"), col("c1").as("c1_w2"))
+        .withColumnRenamed("w1w2", "w2key"),
+        col("w2key") === substring_index(col("tail"), " ", 1), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1_w3")), Seq("w3"), "left")
+      .withColumn("lp", score)
+      .withColumn("tier", tier)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("tier") === "tri", 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("tier") === "bi", 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("tier") === "uni", 1L).otherwise(0L)).as("n_uni"),
+        round(avg(col("lp")), 4).as("avg_log2_prob"))
+  }
+
   /** URL references per document: full matches and their host domains,
     * extracted with one RE2-compatible pattern (provenance/outlink
     * analysis for web corpora — link-farm detection, per-domain corpus

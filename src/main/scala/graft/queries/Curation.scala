@@ -1880,8 +1880,126 @@ object Curation {
           sum(col("n_chars").cast("long")).as("n_chars_sum"),
           countDistinct(md5(col("text"))).as("n_distinct"))
         .orderBy(col("lang"))
+    }),
+
+    // Exact phrase search over positional postings: five fixed phrases
+    // (lengths 2 and 3, one with a repeated term — the duplicate-idx
+    // case the base-position grouping must handle) against the whole
+    // corpus. Output is the full (phrase, doc) match relation with
+    // occurrence counts and first positions — all integers, so the
+    // oracle replicates the posting join exactly.
+    "q135_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseSearch(
+          t(s, dir, "documents"), "doc_id", "text", phraseTable(s))
+        .select(
+          col("phrase_id"), col("id"), col("n_occurrences"),
+          col("first_pos").cast("long").as("first_pos"))
+        .orderBy(col("phrase_id"), col("id"))),
+
+    // Trigram stupid-backoff LM: counts from the doc_id%5!=0 split,
+    // scores for the held-out doc_id%5==0 split, rolled up per lang.
+    // Cross-split scoring makes every backoff tier fire for real; the
+    // per-tier hit counts pin the branch decisions as integers and the
+    // blended log2 score follows the q84 float-anchoring precedent.
+    "q136_backoff_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val held = docs.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.trigramBackoffLogProb(
+          docs.filter(col("doc_id") % 5 =!= 0), held, "doc_id", "text")
+        .join(held.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_trigrams")).as("total_trigrams"),
+          sum(col("n_tri")).as("tri_hits"),
+          sum(col("n_bi")).as("bi_hits"),
+          sum(col("n_uni")).as("uni_hits"),
+          round(avg(col("avg_log2_prob")), 3).as("avg_score"),
+          min(col("avg_log2_prob")).as("min_score"),
+          max(col("avg_log2_prob")).as("max_score"))
+        .orderBy(col("lang"))
+    }),
+
+    // Embedding outlier screen: per-label centroid distances, top-5
+    // most-distant members per label with distance and z-score — the
+    // mislabeled/OOD screen run before a label's slice feeds training.
+    "q137_emb_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label", topK = 5)
+        .orderBy(col("grp"), col("rnk"))),
+
+    // Asymmetric containment dedup: needles = the doc_id%10==2 stride;
+    // haystacks = the %10==7 stride with the needle at doc_id-5 quoted
+    // verbatim after its own text (the excerpt-inside-a-page pattern
+    // Jaccard cannot see — J of a planted pair is ~0.5 here, but
+    // containment is ~1.0 because concatenation preserves every needle
+    // shingle). 3-gram shingles keep the tiny synthetic vocabulary
+    // discriminative where token SETS would saturate.
+    "q138_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val needles = docs.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), col("text"))
+      val hay = docs.filter(col("doc_id") % 10 === 7)
+        .join(
+          docs.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + 5).as("doc_id"), col("text").as("quoted")),
+          "doc_id")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("quoted")).as("text"))
+      Dedup.containmentJoin(
+          needles, hay, "doc_id", "text",
+          blockCols = Seq.empty, shingleSize = 3, threshold = 0.8)
+        .select(
+          col("id_a"), col("id_b"),
+          col("n_a").cast("long").as("n_a"),
+          col("inter").cast("long").as("inter"),
+          col("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Content-defined chunking profile: rolling-fingerprint cut rule
+    // (md5-prefix % 16 == 0 over interior 3-gram starts), per-lang chunk
+    // and digest-dedup statistics. Every cut decision and every counter
+    // is integer-exact, so the oracle replicates the chunker itself —
+    // not just its aggregates.
+    "q139_cdc_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ch = Packing.cdcChunks(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .transform(graft.CacheScope.persisted(_))
+      val perDigest = ch.groupBy(col("lang"), col("chunk_digest"))
+        .agg(
+          count(lit(1)).as("copies"),
+          sum(col("n_tokens").cast("long")).as("tok"))
+      val digestStats = perDigest.groupBy(col("lang"))
+        .agg(
+          sum(col("copies")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("tok")).as("total_tokens"),
+          max(col("copies")).as("max_copies"))
+      val docStats = ch.groupBy(col("lang"))
+        .agg(countDistinct(col("id")).as("n_docs"))
+      digestStats.join(docStats, "lang")
+        .select(
+          col("lang"), col("n_docs"), col("n_chunks"), col("n_distinct"),
+          col("total_tokens"), col("max_copies"))
+        .orderBy(col("lang"))
     })
   )
+
+  /** q135's fixed phrase table — lengths 2 and 3, one phrase with a
+    * repeated term (duplicate idx values must each be witnessed at
+    * their own offset).
+    */
+  private def phraseTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "batch batch"),
+      (2L, "merge line"),
+      (3L, "spark window merge"),
+      (4L, "slow join sort"),
+      (5L, "data data")).toDF("phrase_id", "phrase_text")
+  }
 
   /** q127's fixed query table — five vocabulary queries, one term
     * repeated on purpose (distinct-term semantics must collapse it).

@@ -2416,6 +2416,227 @@ object CurationOracles {
            CAST(sum(length(text)) AS BIGINT) AS total_chars,
            CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
            count(DISTINCT md5(text)) AS n_distinct
-         FROM merged GROUP BY lang ORDER BY lang"""
+         FROM merged GROUP BY lang ORDER BY lang""",
+    // Positional-posting phrase match replicated join-for-join: 1-based
+    // positions on BOTH sides make base = pos - idx identical to the
+    // engine's 0-based arithmetic, and every output column is an exact
+    // integer.
+    "q135_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS l
+           FROM documents),
+         posting AS (
+           SELECT doc_id, unnest(l) AS term,
+             generate_subscripts(l, 1) AS pos
+           FROM toks),
+         p(phrase_id, phrase_text) AS (VALUES
+           (CAST(1 AS BIGINT), 'batch batch'),
+           (CAST(2 AS BIGINT), 'merge line'),
+           (CAST(3 AS BIGINT), 'spark window merge'),
+           (CAST(4 AS BIGINT), 'slow join sort'),
+           (CAST(5 AS BIGINT), 'data data')),
+         pt AS (
+           SELECT phrase_id, len(pl) AS plen, unnest(pl) AS term,
+             generate_subscripts(pl, 1) AS idx
+           FROM (SELECT phrase_id, list_filter(
+             regexp_split_to_array(phrase_text, '\s+'), x -> x <> '') AS pl
+             FROM p)),
+         occ AS (
+           SELECT phrase_id, plen, doc_id, pos - idx AS base,
+             count(DISTINCT idx) AS n_idx
+           FROM posting JOIN pt USING (term)
+           GROUP BY 1, 2, 3, 4)
+         SELECT phrase_id, doc_id AS id, count(*) AS n_occurrences,
+           CAST(min(base) AS BIGINT) AS first_pos
+         FROM occ WHERE base >= 0 AND n_idx = plen
+         GROUP BY 1, 2 ORDER BY phrase_id, id""",
+    // The whole stupid-backoff model in SQL: train-split n-gram counts,
+    // held-out trigrams joined to every tier's table, the SAME mirrored
+    // float trees (c3/c2, 0.4·(c2/c1), 0.4·0.4·((c1+1)/(N+V))) before
+    // log2, per-doc round(avg,4) then the q84-shape lang rollup. Tier
+    // hit counts are integers — the branch decisions themselves are
+    // gate-checked.
+    "q136_backoff_lm" ->
+      """WITH tt AS (
+           SELECT list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS l
+           FROM documents WHERE doc_id % 5 <> 0),
+         c1 AS (
+           SELECT t AS w, count(*) AS c1
+           FROM (SELECT unnest(l) AS t FROM tt) GROUP BY 1),
+         c2 AS (
+           SELECT bg, count(*) AS c2 FROM (
+             SELECT unnest([l[i] || ' ' || l[i+1]
+               for i in range(1, len(l))]) AS bg
+             FROM tt WHERE len(l) >= 2) GROUP BY 1),
+         c3 AS (
+           SELECT tg, count(*) AS c3 FROM (
+             SELECT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+               for i in range(1, len(l) - 1)]) AS tg
+             FROM tt WHERE len(l) >= 3) GROUP BY 1),
+         nn AS (
+           SELECT CAST(sum(len(l)) AS DOUBLE) AS n FROM tt),
+         vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+         ht AS (
+           SELECT doc_id, lang, list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents WHERE doc_id % 5 = 0),
+         htris AS (
+           SELECT doc_id, lang, unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+             for i in range(1, len(l) - 1)]) AS g
+           FROM ht WHERE len(l) >= 3),
+         parts AS (
+           SELECT doc_id, lang, g,
+             split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS ctx,
+             split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS tl,
+             split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+           FROM htris),
+         scored AS (
+           SELECT doc_id, lang,
+             CASE WHEN c3.c3 IS NOT NULL
+                    THEN log2(c3.c3 * 1.0 / cctx.c2)
+                  WHEN ctl.c2 IS NOT NULL
+                    THEN log2(0.4 * (ctl.c2 * 1.0 / cw2.c1))
+                  ELSE log2(0.4 * 0.4 *
+                    ((coalesce(cw3.c1, 0) + 1) * 1.0 / (nn.n + vv.v)))
+             END AS lp,
+             CASE WHEN c3.c3 IS NOT NULL THEN 'tri'
+                  WHEN ctl.c2 IS NOT NULL THEN 'bi'
+                  ELSE 'uni' END AS tier
+           FROM parts
+           LEFT JOIN c3 ON parts.g = c3.tg
+           LEFT JOIN c2 cctx ON parts.ctx = cctx.bg
+           LEFT JOIN c2 ctl ON parts.tl = ctl.bg
+           LEFT JOIN c1 cw2 ON parts.w2 = cw2.w
+           LEFT JOIN c1 cw3 ON parts.w3 = cw3.w
+           CROSS JOIN nn CROSS JOIN vv),
+         perdoc AS (
+           SELECT doc_id, lang, count(*) AS n_trigrams,
+             sum(CASE WHEN tier = 'tri' THEN 1 ELSE 0 END) AS n_tri,
+             sum(CASE WHEN tier = 'bi' THEN 1 ELSE 0 END) AS n_bi,
+             sum(CASE WHEN tier = 'uni' THEN 1 ELSE 0 END) AS n_uni,
+             round(avg(lp), 4) AS avg_lp
+           FROM scored GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_trigrams) AS BIGINT) AS total_trigrams,
+           CAST(sum(n_tri) AS BIGINT) AS tri_hits,
+           CAST(sum(n_bi) AS BIGINT) AS bi_hits,
+           CAST(sum(n_uni) AS BIGINT) AS uni_hits,
+           round(avg(avg_lp), 3) AS avg_score,
+           min(avg_lp) AS min_score, max(avg_lp) AS max_score
+         FROM perdoc GROUP BY lang ORDER BY lang""",
+    // Centroid distances replicated through the same explode -> per-dim
+    // mean -> Σ(x−c)² path; ranks on raw doubles (q27 precedent),
+    // emitted values rounded to 4.
+    "q137_emb_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         dims AS (
+           SELECT label, vec_id, generate_subscripts(v, 1) AS dim,
+             unnest(v) AS x
+           FROM e),
+         cent AS (
+           SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2),
+         dist AS (
+           SELECT d.label, d.vec_id,
+             sqrt(sum((d.x - cent.c) * (d.x - cent.c))) AS d
+           FROM dims d JOIN cent ON d.label = cent.label AND d.dim = cent.dim
+           GROUP BY 1, 2),
+         mom AS (
+           SELECT label, avg(d) AS mean_d, stddev_pop(d) AS sd_d
+           FROM dist GROUP BY 1),
+         r AS (
+           SELECT dist.label, vec_id, d, mean_d, sd_d,
+             CAST(row_number() OVER (PARTITION BY dist.label
+               ORDER BY d DESC, vec_id) AS INTEGER) AS rnk
+           FROM dist JOIN mom ON dist.label = mom.label)
+         SELECT label AS grp, rnk, vec_id AS id, round(d, 4) AS dist,
+           round(CASE WHEN sd_d > 0 THEN (d - mean_d) / sd_d
+                      ELSE 0.0 END, 4) AS z
+         FROM r WHERE rnk <= 5 ORDER BY grp, rnk""",
+    // Containment replicated on raw 3-gram shingle SETS (the engine
+    // intersects 64-bit hashed sets — identical cardinalities absent a
+    // 2^-64 collision, the q26 precedent). Haystack token lists are
+    // list_concat of the two source docs because tokens of 'A || " " || B'
+    // ARE tokens(A) ++ tokens(B); boundary-spanning shingles emerge from
+    // the comprehension over the concatenated list exactly as the engine
+    // sees them in the concatenated text.
+    "q138_containment" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS l
+           FROM documents),
+         nsh AS (
+           SELECT doc_id, list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+             for i in range(1, len(l) - 1)]) AS s
+           FROM tk WHERE doc_id % 10 = 2 AND len(l) >= 3),
+         hsh AS (
+           SELECT h.doc_id, list_distinct([cl[i] || ' ' || cl[i+1] || ' ' || cl[i+2]
+             for i in range(1, len(cl) - 1)]) AS s
+           FROM (
+             SELECT h.doc_id, list_concat(h.l, q.l) AS cl
+             FROM tk h JOIN (
+               SELECT doc_id + 5 AS doc_id, l FROM tk WHERE doc_id % 10 = 2) q
+               USING (doc_id)
+             WHERE h.doc_id % 10 = 7) h
+           WHERE len(cl) >= 3),
+         pairs AS (
+           SELECT n.doc_id AS id_a, h.doc_id AS id_b,
+             CAST(len(n.s) AS BIGINT) AS n_a,
+             CAST(len(list_intersect(n.s, h.s)) AS BIGINT) AS inter
+           FROM nsh n CROSS JOIN hsh h)
+         SELECT id_a, id_b, n_a, inter,
+           round(inter * 1.0 / n_a, 4) AS containment
+         FROM pairs WHERE inter * 1.0 / n_a >= 0.8
+         ORDER BY id_a, id_b""",
+    // The chunker replicated cut-for-cut: interior 1-based gram starts
+    // i in [2, len-2] cut when the md5-prefix integer of the 3-gram is
+    // divisible by 16 (the q42 md5-int rule); starts/ends bracket the
+    // cuts; every chunk is rebuilt and re-digested. range(2, len-1) is
+    // empty for len <= 3 — short docs are one chunk, like the engine.
+    "q139_cdc_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+           FROM documents),
+         cuts AS (
+           SELECT doc_id, lang, l,
+             [i - 1 FOR i IN range(2, len(l) - 1)
+                IF CAST(concat('0x', substr(md5(
+                     array_to_string(l[i:i+2], ' ')), 1, 8)) AS BIGINT)
+                   % 16 = 0] AS c
+           FROM toks WHERE len(l) > 0),
+         spans AS (
+           SELECT doc_id, lang, l,
+             list_prepend(0, c) AS s, list_append(c, len(l)) AS e
+           FROM cuts),
+         chunks AS (
+           SELECT doc_id, lang,
+             unnest([array_to_string(l[s[j]+1 : e[j]], ' ')
+               FOR j IN range(1, len(s) + 1)]) AS chunk_text
+           FROM spans),
+         cstats AS (
+           SELECT doc_id, lang, md5(chunk_text) AS d,
+             len(list_filter(regexp_split_to_array(chunk_text, '\s+'),
+               x -> x <> '')) AS nt
+           FROM chunks),
+         perd AS (
+           SELECT lang, d, count(*) AS copies,
+             CAST(sum(nt) AS BIGINT) AS tok
+           FROM cstats GROUP BY 1, 2),
+         agg1 AS (
+           SELECT lang, CAST(sum(copies) AS BIGINT) AS n_chunks,
+             count(*) AS n_distinct,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(max(copies) AS BIGINT) AS max_copies
+           FROM perd GROUP BY 1),
+         agg2 AS (
+           SELECT lang, count(DISTINCT doc_id) AS n_docs
+           FROM cstats GROUP BY 1)
+         SELECT lang, n_docs, n_chunks, n_distinct, total_tokens,
+           max_copies
+         FROM agg1 JOIN agg2 USING (lang) ORDER BY lang"""
   )
 }

@@ -582,4 +582,38 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(out === Seq((1L, "keep me", 2L), (2L, "other text", 1L), (3L, "", 1L)))
   }
+
+  test("containment join sees the excerpt Jaccard misses") {
+    val needles = Seq(1L -> "a b c d e").toDF("doc_id", "text")
+    // hay 10: full quote inside a much longer page (J ~ 3/13, c = 1.0);
+    // hay 11: every needle trigram broken up -> no pair
+    val hay = Seq(
+      10L -> ("j1 j2 j3 j4 j5 j6 j7 j8 j9 j10 a b c d e z1 z2 z3"),
+      11L -> "a b q c d q e").toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(
+        needles, hay, "doc_id", "text",
+        blockCols = Seq.empty, shingleSize = 3, threshold = 0.8)
+      .select("id_a", "id_b", "n_a", "inter", "containment")
+      .as[(Long, Long, Int, Int, Double)].collect().toSeq
+    assert(out === Seq((1L, 10L, 3, 3, 1.0)))
+    // symmetric Jaccard at the same threshold finds nothing here
+    assert(Dedup.jaccardJoin(needles, hay, "doc_id", "text",
+      Seq.empty, 3, 0.8).count() === 0)
+  }
+
+  test("containment join: partial overlap respects the threshold exactly") {
+    // needle has 4 trigrams; hay contains 3 of them (0.75 < 0.8 drops,
+    // 0.75 >= 0.7 passes) — the boundary is the unrounded ratio
+    val needles = Seq(1L -> "a b c d e f").toDF("doc_id", "text")
+    val hay = Seq(20L -> "a b c d e x").toDF("doc_id", "text")
+    assert(Dedup.containmentJoin(needles, hay, "doc_id", "text",
+      Seq.empty, 3, 0.8).count() === 0)
+    val out = Dedup.containmentJoin(needles, hay, "doc_id", "text",
+        Seq.empty, 3, 0.7)
+      .select("id_a", "id_b", "n_a", "inter", "containment")
+      .as[(Long, Long, Int, Int, Double)].collect().toSeq
+    assert(out === Seq((1L, 20L, 4, 3, 0.75)))
+    intercept[IllegalArgumentException](Dedup.containmentJoin(
+      needles, hay, "doc_id", "text", Seq.empty, 3, 0.0))
+  }
 }

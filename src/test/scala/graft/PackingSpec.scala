@@ -260,4 +260,50 @@ class PackingSpec extends SparkSpec {
     assert(!exchanges.exists(e => e.takeWhile(_ != '\n').contains("text#")),
       "an exchange carries chunk/document text:\n" + plan)
   }
+
+  test("cdc chunks: lossless partition, short docs, and determinism") {
+    val words = (0 until 400).map(i => s"w${i * 7919 % 997}")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, "a b"),          // shorter than k+1: exactly one chunk
+      (3L, "")               // tokenless: no rows
+    ).toDF("doc_id", "text")
+    val out = Packing.cdcChunks(docs, "doc_id", "text").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L).map(_.getString(2)).toSeq === Seq("a b"))
+    // chunks of doc 1 concatenate back to the original token stream
+    val d1 = byDoc(1L).sortBy(_.getInt(1))
+    assert(d1.map(_.getString(2)).mkString(" ") === words.mkString(" "))
+    assert(d1.length > 1, "mask 16 over 400 tokens should cut somewhere")
+    // chunk_idx is a clean 0..m-1 ramp and n_tokens sums to the doc
+    assert(d1.map(_.getInt(1)).toSeq === d1.indices)
+    assert(d1.map(_.getInt(3)).sum === 400)
+  }
+
+  test("cdc chunks: an edit changes only the chunks that touch it") {
+    val words = (0 until 400).map(i => s"w${i * 7919 % 997}")
+    val orig = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    // splice one token into the middle — fixed-size chunking would shift
+    // every downstream boundary; CDC must re-use the far chunks
+    val edited = Seq(
+      (1L, (words.take(200) ++ Seq("EDIT") ++ words.drop(200)).mkString(" ")))
+      .toDF("doc_id", "text")
+    def digests(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Packing.cdcChunks(df, "doc_id", "text")
+        .orderBy(col("chunk_idx")).select("chunk_digest")
+        .as[String].collect().toSeq
+    val a = digests(orig)
+    val b = digests(edited)
+    val shared = a.toSet.intersect(b.toSet).size
+    // all but the edited chunk (and at most its immediate neighbors,
+    // if the splice created or destroyed a cut) survive
+    assert(shared >= a.size - 3,
+      s"edit invalidated ${a.size - shared} of ${a.size} chunks")
+    assert(a.toSet !== b.toSet) // the touched chunk DID change
+    intercept[IllegalArgumentException](
+      Packing.cdcChunks(orig, "doc_id", "text", k = 1))
+    intercept[IllegalArgumentException](
+      Packing.cdcChunks(orig, "doc_id", "text", mask = 1))
+  }
 }

@@ -231,6 +231,32 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.operators.Retrieval.rrfFuse(a, b, 1, c = 0))
   }
 
+  test("phrase search: positions, overlapping matches, repeated phrase terms") {
+    val docs = Seq(
+      (1L, "x a b c y a b"), // "a b" at 1 and 5; "a b c" at 1
+      (2L, "a a a"),         // "a a" overlaps at 0 and 1
+      (3L, "b a"),           // reversed order must NOT match "a b"
+      (4L, "")).toDF("doc_id", "text")
+    val phrases = Seq((1L, "a b"), (2L, "a a"), (3L, "a b c"))
+      .toDF("phrase_id", "phrase_text")
+    val out = Retrieval.phraseSearch(docs, "doc_id", "text", phrases)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 1L, 2L, 1), // two occurrences, first at position 1
+      (2L, 2L, 2L, 0), // overlapping starts both count
+      (3L, 1L, 1L, 1)))
+  }
+
+  test("phrase search: a partial prefix match is not an occurrence") {
+    // doc has "a b" but never "a b c"; the base-position group sees idx
+    // 0 and 1 witnessed but not 2 -> no row
+    val docs = Seq((1L, "a b x c")).toDF("doc_id", "text")
+    val phrases = Seq((1L, "a b c")).toDF("phrase_id", "phrase_text")
+    assert(Retrieval.phraseSearch(docs, "doc_id", "text", phrases).count() === 0)
+  }
+
   test("nb training fails loudly on a one-class seed") {
     val oneClass = Seq((1L, goodText), (2L, goodText), (11L, "clean1"))
     val ex = intercept[IllegalArgumentException] {

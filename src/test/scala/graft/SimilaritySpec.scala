@@ -505,4 +505,27 @@ class SimilaritySpec extends SparkSpec {
         q => q.cast("double") * col("scale"))).as("c")).as[Double].collect()
     assert(sims.forall(_ > 0.995), s"min dequant cosine ${sims.min}")
   }
+
+  test("centroid outliers: hand-computed distances, ranks, and z-scores") {
+    // group 1 centroid = ((0+2+0+10)/4, (0+0+2+10)/4) = (3, 3)
+    // distances: id1 sqrt(18), id2 sqrt(10), id3 sqrt(10), id4 sqrt(98)
+    // group 2: two identical vectors -> d = 0, sd = 0 -> z = 0
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),
+      (3L, Seq(0.0, 2.0), 1), (4L, Seq(10.0, 10.0), 1),
+      (5L, Seq(1.0, 1.0), 2), (6L, Seq(1.0, 1.0), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label", 2)
+      .as[(Int, Int, Long, Double, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out.map(t => (t._1, t._2, t._3)) ===
+      Seq((1, 1, 4L), (1, 2, 1L), (2, 1, 5L), (2, 2, 6L)))
+    assert(out(0)._4 === r4(math.sqrt(98)))
+    assert(out(1)._4 === r4(math.sqrt(18)))
+    // z of the far outlier is positive and dominant; the sd=0 group is 0
+    assert(out(0)._5 > 1.0 && out(2)._5 === 0.0 && out(3)._5 === 0.0)
+    intercept[IllegalArgumentException](
+      Similarity.centroidOutliers(df, "vec_id", "embedding", "label", 0))
+  }
 }

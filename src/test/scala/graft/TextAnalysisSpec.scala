@@ -389,4 +389,30 @@ class SessionizeSpec extends SparkSpec {
       (3L, 0L, 1L, 0L),   // "!!!" is one \s+-token, no sentences, no vowels
       (4L, 1L, 1L, 1L)))  // y counts as a vowel group
   }
+
+  test("trigram stupid backoff: every tier fires and matches hand arithmetic") {
+    // train "a b c a b c": N=6 tokens, V=3; c1(a,b,c)=2 each;
+    // c2("a b")=2, ("b c")=2, ("c a")=1; c3("a b c")=2, ("b c a")=1, ("c a b")=1
+    val train = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val held = Seq(
+      (1L, "a b c d"), // "a b c": tri log2(2/2)=0; "b c d": uni tier
+      (2L, "x a b"),   // "x a b": tail "a b" seen -> bi log2(0.4*(2/2))
+      (3L, "a b")      // <3 tokens: no trigram row at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramBackoffLogProb(train, held, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val uniLp = math.log(0.4 * 0.4 * ((0.0 + 1) / (6.0 + 3.0))) / math.log(2.0)
+    val biLp = math.log(0.4 * (2.0 / 2.0)) / math.log(2.0)
+    assert(out.map(t => (t._1, t._2, t._3, t._4, t._5)) ===
+      Seq((1L, 2L, 1L, 0L, 1L), (2L, 1L, 0L, 1L, 0L)))
+    assert(math.abs(out(0)._6 - r4((0.0 + uniLp) / 2)) < 1e-9)
+    assert(math.abs(out(1)._6 - r4(biLp)) < 1e-9)
+  }
+
+  test("trigram backoff rejects a degenerate alpha") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      TextAnalysis.trigramBackoffLogProb(d, d, "doc_id", "text", alpha = 1.0))
+  }
 }
