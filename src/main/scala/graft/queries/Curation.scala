@@ -1964,7 +1964,10 @@ object Curation {
     // not just its aggregates.
     "q139_cdc_chunks" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // digests + token counts only past this point: chunk TEXT must not
+      // ride the lang join (at scale that join shuffles both sides)
       val ch = Packing.cdcChunks(docs, "doc_id", "text")
+        .select(col("id"), col("chunk_digest"), col("n_tokens"))
         .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
         .transform(graft.CacheScope.persisted(_))
       val perDigest = ch.groupBy(col("lang"), col("chunk_digest"))

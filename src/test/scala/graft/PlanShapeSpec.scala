@@ -55,7 +55,9 @@ class PlanShapeSpec extends SparkSpec {
     "q114_epoch_mix", "q115_char_pairs", "q121_domain_cap",
     // q130 is exempt like q27/q101: its dense arm is deliberately a
     // broadcast brute-force scan over the 5-query set
-    "q127_bm25", "q128_nb_quality", "q129_postings")
+    "q127_bm25", "q128_nb_quality", "q129_postings",
+    "q135_phrase_search", "q136_backoff_lm", "q137_emb_outliers",
+    "q138_containment", "q139_cdc_chunks")
 
   test("q127 BM25: query terms broadcast, per-query cut prunes map-side") {
     val plan = planOf("q127_bm25")
@@ -138,6 +140,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
     // the scalar band predicate appears as a Filter, not post-window
     assert(plan.contains("Filter"), plan)
+  }
+
+  test("q135 phrase search: phrase terms broadcast, text stays out of exchanges") {
+    // the equi-join on term IS the filter — only phrase-vocabulary
+    // postings survive to the (phrase, doc, base) shuffle. The phrase
+    // table must broadcast and document text must never reach an
+    // exchange (postings are (id, pos, term) triples).
+    val plan = planOf("q135_phrase_search")
+    spark.sharedState.cacheManager.clearCache()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(!exchanges.exists(_.takeWhile(_ != '\n').contains("text#")),
+      "an exchange carries raw document text:\n" + plan)
+  }
+
+  test("q137 centroid outliers: per-group top-k prunes via WindowGroupLimit, " +
+      "vectors stay out of exchanges") {
+    val plan = planOf("q137_emb_outliers")
+    spark.sharedState.cacheManager.clearCache()
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // embeddings explode to (grp, id, dim, x) BEFORE any exchange; the
+    // array itself must never be a shuffle column
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(!exchanges.exists(_.takeWhile(_ != '\n').contains("embedding#")),
+      "an exchange carries embedding arrays:\n" + plan)
+  }
+
+  test("q139 cdc chunks: chunk text never reaches an exchange") {
+    // chunking is map-side; everything downstream (lang join, digest
+    // dedup profile) rides (id, digest, n_tokens) — at scale the lang
+    // join shuffles both sides, so text there would be corpus-sized
+    val plan = planOf("q139_cdc_chunks")
+    spark.sharedState.cacheManager.clearCache()
+    val exchanges = plan.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists { e =>
+      val head = e.takeWhile(_ != '\n')
+      head.contains("text#") || head.contains("chunk_text#")
+    }, "an exchange carries chunk/document text:\n" + plan)
   }
 
   test("q26 PPJoin verifies with codegen'd merge, shuffles hashed tokens only") {
