@@ -499,6 +499,82 @@ object TextAnalysis {
         round(avg(col("lp")), 4).as("avg_log2_prob"))
   }
 
+  /** BPE-style tokenizer merge training, word-level: `rounds` iterations
+    * of (count adjacent pairs) -> (pick the most frequent pair, ties to
+    * the lexicographically smaller) -> (merge every LEFT-TO-RIGHT
+    * NON-OVERLAPPING occurrence corpus-wide, the canonical BPE rule —
+    * "a a a" under merge (a,a) yields [a_a, a], one application, not
+    * two). Sennrich et al. 2016's algorithm, run on whitespace tokens
+    * instead of characters so the merge table is inspectable at corpus
+    * scale; the merged symbol is `a + "_" + b`.
+    *
+    * The merge is a sequential fold, which SQL and Spark both lack as a
+    * primitive over arrays-with-replacement — so it runs as ONE
+    * `aggregate()` lambda per document over a string accumulator: the
+    * last emitted token is `acc`'s suffix after the  separator
+    * (tokens are \S+, so the separator cannot occur inside one), and
+    * appending "_b" to the accumulator IS the merge of its last token.
+    * Entirely codegen'd builtins, no UDF. A corpus token that already
+    * contains '_' can collide with a merged symbol's name; both engines
+    * treat the string identically, so determinism holds (documented
+    * limitation of readable merge names).
+    *
+    * Per round: pair counting is a map-side zip_with explode + one
+    * vocabulary-sized hash aggregate; the argmax is ONE collected row
+    * (bounded driver step, `rounds` total — the Dedup.connectedComponents
+    * precedent); the fold is map-side. Output: one row per round —
+    * (round, pair_a, pair_b, pair_count, tokens_after), where
+    * pair_count is the adjacent-occurrence count that won the round
+    * (overlaps included) and tokens_after the corpus token total after
+    * applying the merge — TOGETHER they pin the non-overlap semantics
+    * (tokens_after > tokens_before - pair_count exactly when overlaps
+    * collapsed).
+    */
+  def bpeMerges(
+      df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16] (each costs a driver round-trip), got $rounds")
+    val spark = df.sparkSession
+    val sep = "\u001f" // cannot occur inside a \S+ token
+    def mergeFold(l: Column, a: String, b: String): Column =
+      when(size(l) <= 1, l).otherwise(split(
+        aggregate(
+          slice(l, lit(2), size(l) - 1),
+          element_at(l, 1),
+          (acc, x) =>
+            when((acc === lit(a) || acc.endsWith(lit(sep + a))) && x === lit(b),
+              concat(acc, lit("_"), lit(b)))
+              .otherwise(concat(acc, lit(sep), x))),
+        lit(sep)))
+    var cur = df
+      .select(tokens(col(textCol)).as("l"))
+      .filter(size(col("l")) > 0)
+      .transform(graft.CacheScope.persisted(_))
+    val stats = (1 to rounds).map { r =>
+      val top = cur.filter(size(col("l")) >= 2)
+        .select(explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      require(top.nonEmpty, s"corpus ran out of adjacent pairs at round $r")
+      val (a, b, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val next = cur.select(mergeFold(col("l"), a, b).as("l"))
+        .transform(graft.CacheScope.persisted(_))
+      val tokensAfter =
+        next.agg(sum(size(col("l")).cast("long"))).collect()(0).getLong(0)
+      cur = next
+      (r, a, b, cnt, tokensAfter)
+    }
+    import spark.implicits._
+    stats.toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
+  }
+
   /** URL references per document: full matches and their host domains,
     * extracted with one RE2-compatible pattern (provenance/outlink
     * analysis for web corpora — link-farm detection, per-domain corpus

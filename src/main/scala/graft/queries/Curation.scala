@@ -1987,7 +1987,17 @@ object Curation {
           col("lang"), col("n_docs"), col("n_chunks"), col("n_distinct"),
           col("total_tokens"), col("max_copies"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // In-engine BPE tokenizer merge training, 4 rounds: each round's
+    // winning pair, its adjacent-occurrence count, and the corpus token
+    // total AFTER the left-to-right non-overlapping merge. The corpus
+    // happens to elect a self-pair round (e.g. (order, order) at
+    // sf0.001), so the overlap rule itself is gate-checked — a naive
+    // merge-all would report a smaller tokens_after.
+    "q140_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 4)
+        .orderBy(col("round")))
   )
 
   /** q135's fixed phrase table — lengths 2 and 3, one phrase with a

@@ -2637,6 +2637,82 @@ object CurationOracles {
            FROM cstats GROUP BY 1)
          SELECT lang, n_docs, n_chunks, n_distinct, total_tokens,
            max_copies
-         FROM agg1 JOIN agg2 USING (lang) ORDER BY lang"""
+         FROM agg1 JOIN agg2 USING (lang) ORDER BY lang""",
+    // Four BPE rounds unrolled (the q124 greedy-unroll pattern): each
+    // round counts adjacent pairs, elects (cnt DESC, a, b), and applies
+    // the merge as the SAME string fold the engine runs — the last
+    // emitted token is the accumulator's suffix after chr(31) (tokens
+    // are \S+, so the separator can't occur inside one), and appending
+    // "_b" merges it. list_reduce seeds from l[1], exactly like the
+    // engine's aggregate over slice(l, 2, ...).
+    "q140_bpe_merges" ->
+      """WITH r0 AS (
+           SELECT list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS l
+           FROM documents
+           WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) > 0),
+         p1 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r0 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+         r1 AS (SELECT CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m1.a OR
+                   ends_with(acc, chr(31) || m1.a)) AND x = m1.b
+                 THEN acc || '_' || m1.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r0 CROSS JOIN m1),
+         p2 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r1 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+         r2 AS (SELECT CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m2.a OR
+                   ends_with(acc, chr(31) || m2.a)) AND x = m2.b
+                 THEN acc || '_' || m2.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r1 CROSS JOIN m2),
+         p3 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r2 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+         r3 AS (SELECT CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m3.a OR
+                   ends_with(acc, chr(31) || m3.a)) AND x = m3.b
+                 THEN acc || '_' || m3.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r2 CROSS JOIN m3),
+         p4 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r3 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m4 AS (SELECT a, b, cnt FROM p4 ORDER BY cnt DESC, a, b LIMIT 1),
+         r4 AS (SELECT CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m4.a OR
+                   ends_with(acc, chr(31) || m4.a)) AND x = m4.b
+                 THEN acc || '_' || m4.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r3 CROSS JOIN m4)
+         SELECT 1 AS round, m1.a AS pair_a, m1.b AS pair_b,
+           CAST(m1.cnt AS BIGINT) AS pair_count,
+           (SELECT CAST(sum(len(l)) AS BIGINT) FROM r1) AS tokens_after
+         FROM m1
+         UNION ALL
+         SELECT 2, m2.a, m2.b, CAST(m2.cnt AS BIGINT),
+           (SELECT CAST(sum(len(l)) AS BIGINT) FROM r2) FROM m2
+         UNION ALL
+         SELECT 3, m3.a, m3.b, CAST(m3.cnt AS BIGINT),
+           (SELECT CAST(sum(len(l)) AS BIGINT) FROM r3) FROM m3
+         UNION ALL
+         SELECT 4, m4.a, m4.b, CAST(m4.cnt AS BIGINT),
+           (SELECT CAST(sum(len(l)) AS BIGINT) FROM r4) FROM m4
+         ORDER BY round"""
   )
 }

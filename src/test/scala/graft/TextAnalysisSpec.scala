@@ -410,6 +410,22 @@ class SessionizeSpec extends SparkSpec {
     assert(math.abs(out(1)._6 - r4(biLp)) < 1e-9)
   }
 
+  test("bpe merges: hand-walked rounds, overlap collapse, lexicographic ties") {
+    // round 1 pairs: (a,a)=3 [two overlapping in doc 1], (a,b)=2 ->
+    //   merge (a,a): [a a a]->[a_a a], [a a b]->[a_a b], [a b] unchanged
+    //   tokens_after = 2+2+2 = 6 (pair_count 3 but only 2 applications)
+    // round 2 pairs all count 1: (a,b) < (a_a,a) < (a_a,b) -> (a,b) wins
+    //   merge: [a b]->[a_b]; tokens_after = 5
+    val docs = Seq("a a a", "a a b", "a b").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1, "a", "a", 3L, 6L), (2, "a", "b", 1L, 5L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMerges(docs, "text", rounds = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMerges(docs, "text", rounds = 17))
+  }
+
   test("trigram backoff rejects a degenerate alpha") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
