@@ -278,22 +278,34 @@ object Packing {
     def gramHash(i: Column) = conv(
       substring(md5(array_join(slice(col("__toks"), i + 1, lit(k)), " ")), 1, 8),
       16, 10).cast("long")
+    // interior gram starts: 1..n-k (0-based); n <= k has none. The
+    // n >= k+1 guard keeps sequence() from generating a DESCENDING
+    // range when n - k < 1. TWO structural defenses keep the md5 cut
+    // scan at exactly one evaluation per document: (a) the cut list is
+    // wrapped in a ONE-ELEMENT-array transform instead of being a
+    // separate column — written as a plain __cuts column referenced by
+    // starts AND ends, projection collapse inlines it five times;
+    // (b) the (id, __chunks) frame is PERSISTED before the explode —
+    // otherwise InferFiltersFromGenerate pushes `size(__chunks) > 0`
+    // beneath the Generate with the whole expression inlined, where
+    // __toks inlines too and every gram hash re-splits the document
+    // text: O(n²) re-tokenization, measured 10 s -> 0.9 s at sf0.1.
     df.select(col(idCol).as("id"), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
-      // interior gram starts: 1..n-k (0-based); n <= k has none. The
-      // n >= k+1 guard keeps sequence() from generating a DESCENDING
-      // range when n - k < 1.
-      .withColumn("__cuts",
-        when(col("__n") >= k + 1,
-          filter(sequence(lit(1), col("__n") - k),
-            i => gramHash(i) % mask === 0))
-          .otherwise(array().cast("array<int>")))
-      .withColumn("__starts", concat(array(lit(0)), col("__cuts")))
-      .withColumn("__ends", concat(col("__cuts"), array(col("__n"))))
-      .withColumn("__chunks", zip_with(
-        col("__starts"), col("__ends"),
-        (s, e) => array_join(slice(col("__toks"), s + 1, e - s), " ")))
+      .withColumn("__chunks",
+        flatten(transform(
+          array(
+            when(col("__n") >= k + 1,
+              filter(sequence(lit(1), col("__n") - k),
+                i => gramHash(i) % mask === 0))
+              .otherwise(array().cast("array<int>"))),
+          cuts => zip_with(
+            concat(array(lit(0)), cuts),
+            concat(cuts, array(col("__n"))),
+            (s, e) => array_join(slice(col("__toks"), s + 1, e - s), " ")))))
+      .select(col("id"), col("__chunks"))
+      .transform(graft.CacheScope.persisted(_))
       .select(col("id"),
         posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens",

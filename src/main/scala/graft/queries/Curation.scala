@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CurationFilters, Dedup, LinkGraph, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Similarity, SnapshotDiff, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, LinkGraph, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Similarity, Skew, SnapshotDiff, TextAnalysis}
 import graft.sources.DocJsonl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1997,7 +1997,31 @@ object Curation {
     // merge-all would report a smaller tokens_after.
     "q140_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 4)
-        .orderBy(col("round")))
+        .orderBy(col("round"))),
+
+    // Salted-aggregate parity: the two-phase decomposition behind the
+    // hot-key mitigation (SkewBench measures its wall-time win) must
+    // equal the plain aggregate EXACTLY — count = Σ partial counts,
+    // sum = Σ partial sums, min/max = min/max of partials. All-integer
+    // measures keep the equality float-free; the salt column is
+    // partition-dependent but the re-aggregated relation is invariant.
+    "q141_salted_agg" -> ((s, dir) =>
+      Skew.saltedAggregate(
+          t(s, dir, "events"), Seq("event_type"), saltBuckets = 8,
+          partials = Map(
+            "n" -> count(lit(1)),
+            "id_sum" -> sum(col("event_id")),
+            "min_user" -> min(col("user_id")),
+            "max_user" -> max(col("user_id"))),
+          finals = Map(
+            "n" -> sum(col("n")),
+            "id_sum" -> sum(col("id_sum")),
+            "min_user" -> min(col("min_user")),
+            "max_user" -> max(col("max_user"))))
+        .select(
+          col("event_type"), col("n"), col("id_sum"),
+          col("min_user"), col("max_user"))
+        .orderBy(col("event_type")))
   )
 
   /** q135's fixed phrase table — lengths 2 and 3, one phrase with a

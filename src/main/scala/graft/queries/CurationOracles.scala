@@ -2713,6 +2713,13 @@ object CurationOracles {
          UNION ALL
          SELECT 4, m4.a, m4.b, CAST(m4.cnt AS BIGINT),
            (SELECT CAST(sum(len(l)) AS BIGINT) FROM r4) FROM m4
-         ORDER BY round"""
+         ORDER BY round""",
+    // The salted two-phase aggregate must collapse to the plain
+    // aggregate — the oracle IS the plain aggregate.
+    "q141_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           min(user_id) AS min_user, max(user_id) AS max_user
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -116,12 +116,29 @@ object ScaleBench {
     // postings, not the corpus). q129's vocabulary grows 10x (disjoint
     // suffixes): the posting-stats aggregation is the vocabulary-sized
     // shuffle scaling linearly, output pinned at top-100.
+    // q135/q136/q138/q139/q140 joined in the round-9 continuation:
+    // q135's fixed base-vocab phrases never match replica suffixes, so
+    // surviving postings are CONSTANT under the broadcast term join
+    // while the posexplode scan grows 10x (the q127 retrieval-at-scale
+    // story for the positional index). q136's n-gram count tables and
+    // held-out trigram joins grow linearly under disjoint vocabularies.
+    // q138's planted quoted-needle pairs ride doc_id strides that
+    // replica id-shifts (multiples of 1e9) preserve, so true
+    // containment volume grows exactly linearly and disjoint replica
+    // vocabularies forbid cross-replica candidates. q139 is the pure
+    // map + digest-agg floor (suffixed tokens give each replica its own
+    // digest space). q140 runs 4 rounds of vocabulary-sized pair aggs
+    // over the 10x corpus; replica-suffixed pairs tie at base counts and
+    // the lexicographic election stays deterministic, output pinned at
+    // 4 rows.
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
       "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
       "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup",
       "q94_line_dedup", "q98_span_dedup", "q102_edit_dedup",
-      "q104_host_pagerank", "q127_bm25", "q129_postings")
+      "q104_host_pagerank", "q127_bm25", "q129_postings",
+      "q135_phrase_search", "q136_backoff_lm", "q138_containment",
+      "q139_cdc_chunks", "q140_bpe_merges")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.filter(q => onlyQ.isEmpty || onlyQ.contains(q)).foreach { q =>
       val (bt, br) = bench(q, baseDir)
