@@ -1999,6 +1999,36 @@ object Curation {
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 4)
         .orderBy(col("round"))),
 
+    // Binary frame-sampling plumbing under the driver gate: the corpus
+    // text rides as an opaque binary payload (the multimodal column
+    // contract), Multimodal.sampleChunks keeps every 4th 16-byte frame
+    // (partial tails included), and each sampled frame's md5-prefix
+    // checksum is summed per source. The ASCII guard (octet_length ==
+    // char length, vacuously true for this corpus) makes the VARCHAR
+    // oracle byte-exact; non-ASCII payloads would simply drop from BOTH
+    // sides rather than silently diverge.
+    "q142_frame_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) > 0)
+      val framed = docs.select(
+        col("source"), col("doc_id").as("id"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.sampleChunks(framed, chunkBytes = 16, stride = 4)
+        .select(
+          col("source"), col("id"),
+          octet_length(col("chunk_bytes")).cast("long").as("nb"),
+          conv(substring(md5(col("chunk_bytes")), 1, 8), 16, 10)
+            .cast("long").as("ck"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("id")).as("n_docs"),
+          count(lit(1)).as("sampled_chunks"),
+          sum(col("nb")).as("sampled_bytes"),
+          sum(col("ck")).as("checksum_sum"))
+        .orderBy(col("source"))
+    }),
+
     // Salted-aggregate parity: the two-phase decomposition behind the
     // hot-key mitigation (SkewBench measures its wall-time win) must
     // equal the plain aggregate EXACTLY — count = Σ partial counts,

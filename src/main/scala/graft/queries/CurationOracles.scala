@@ -2720,6 +2720,32 @@ object CurationOracles {
       """SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS id_sum,
            min(user_id) AS min_user, max(user_id) AS max_user
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Frame sampling replicated on VARCHAR under the shared ASCII guard
+    // (octet == char length), so 1-based char offsets ARE byte offsets;
+    // ceil(n/16) chunks include the partial tail, every 4th kept, same
+    // md5-prefix checksum rule.
+    "q142_frame_sample" ->
+      """WITH d AS (
+           SELECT source, doc_id, text, length(text) AS n
+           FROM documents
+           WHERE octet_length(encode(text)) = length(text)
+             AND length(text) > 0),
+         ch AS (
+           SELECT source, doc_id,
+             unnest([j FOR j IN range(0, CAST(ceil(n / 16.0) AS INTEGER))
+                     IF j % 4 = 0]) AS idx,
+             text
+           FROM d),
+         fr AS (
+           SELECT source, doc_id,
+             substring(text, idx * 16 + 1, 16) AS fb
+           FROM ch)
+         SELECT source, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS sampled_chunks,
+           CAST(sum(length(fb)) AS BIGINT) AS sampled_bytes,
+           CAST(sum(CAST(concat('0x', substr(md5(fb), 1, 8)) AS BIGINT))
+             AS BIGINT) AS checksum_sum
+         FROM fr GROUP BY source ORDER BY source"""
   )
 }
