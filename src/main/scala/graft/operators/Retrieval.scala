@@ -135,10 +135,17 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .transform(graft.CacheScope.persisted)
     val bucket = pmod(xxhash64(col("term")), lit(buckets.toLong))
+    // cluster by the partition key BEFORE the dynamic-partition write:
+    // without it every shuffle task writes a file into every bucket
+    // directory (tasks × buckets small files — measured 4.9 s at sf0.1,
+    // and the classic small-files failure at corpus scale); with it each
+    // bucket is one task's single file
     tf.withColumn("bucket", bucket)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", bucket)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
     tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
       .write.mode("overwrite").parquet(s"$path/doclen")

@@ -57,7 +57,8 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast brute-force scan over the 5-query set
     "q127_bm25", "q128_nb_quality", "q129_postings",
     "q135_phrase_search", "q136_backoff_lm", "q137_emb_outliers",
-    "q138_containment", "q139_cdc_chunks")
+    "q138_containment", "q139_cdc_chunks", "q141_salted_agg",
+    "q142_frame_sample")
 
   test("q127 BM25: query terms broadcast, per-query cut prunes map-side") {
     val plan = planOf("q127_bm25")
