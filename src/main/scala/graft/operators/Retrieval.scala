@@ -156,6 +156,69 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incrementally append a document batch to a [[buildBm25Index]]
+    * index — the build-once/APPEND-many shape ([[graft.operators.Similarity.ivfAppend]]
+    * is the dense-side twin). New-doc ids must be disjoint from the
+    * indexed corpus (same caller contract as the IVF append; an id
+    * collision would double-count the doc in dl and N).
+    *
+    * What moves is proportional to the BATCH, never the index: the
+    * batch's postings cluster by the BUILD's bucket modulus (recovered
+    * from the index stats, never trusted to a caller) and append as new
+    * files in the existing bucket partitions; doclen rows append; the
+    * term df table — vocabulary-sized by construction — is the one
+    * merge rewrite (old df ∪ batch df, summed), eagerly materialized
+    * via localCheckpoint BEFORE the overwrite so the write cannot
+    * rescan the files it is replacing (the Dedup contraction-loop
+    * precedent); stats rewrites from collected scalars. After append,
+    * [[bm25TopKIndexed]] scores the union corpus bit-identically to a
+    * from-scratch rebuild — q143 pins exactly that against q127's
+    * verbatim oracle.
+    */
+  def bm25Append(
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("total_tokens"), col("buckets"))
+      .collect()(0)
+    val (oldDocs, oldTok, buckets) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val tf = docs
+      .select(
+        col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.persisted)
+    val bucket = pmod(xxhash64(col("term")), lit(buckets))
+    tf.withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+    val mergedTerms = spark.read.parquet(s"$path/terms")
+      .select(col("term"), col("df"))
+      .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .localCheckpoint(true)
+    mergedTerms.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/terms")
+    val batchStats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(tf.agg(sum(col("tf")).as("t")))
+      .collect()(0)
+    import spark.implicits._
+    Seq((oldDocs + batchStats.getLong(0), oldTok + batchStats.getLong(1),
+        buckets))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Probe a [[buildBm25Index]] index: identical scoring (and therefore
     * an identical result relation) to [[bm25TopK]] over the indexed
     * corpus, but the corpus is never rescanned — the probe reads the

@@ -41,6 +41,12 @@ object Curation {
   private lazy val bm25IndexDir: String =
     java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
 
+  // q143's append scratch: per-JVM is safe because each invocation
+  // OVERWRITE-builds the base index first (clearing prior appends) —
+  // the q112 contract for the lexical index
+  private lazy val bm25AppendDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -1998,6 +2004,22 @@ object Curation {
     "q140_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 4)
         .orderBy(col("round"))),
+
+    // Incremental BM25 index append (the q112 build-once/append-many
+    // shape for the LEXICAL index): base index from the doc_id%3!=0
+    // corpus, the %3==0 batch appended — postings land as new files in
+    // the existing bucket partitions, only the vocabulary-sized df
+    // table rewrites — and the probe over the appended index must equal
+    // q127's full-corpus relation against q127's verbatim oracle.
+    "q143_bm25_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", bm25AppendDir)
+      Retrieval.bm25Append(
+        bm25AppendDir, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Retrieval.bm25TopKIndexed(bm25AppendDir, bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
 
     // Binary frame-sampling plumbing under the driver gate: the corpus
     // text rides as an opaque binary payload (the multimodal column

@@ -2227,6 +2227,11 @@ object CurationOracles {
     // (1.2 + 1.0) folds to the same double both sides. The per-(q, d)
     // sum is ≤ |query| = 4 terms, the q74 summation precedent.
     "q127_bm25" -> Bm25OracleSql,
+    // The appended index must reproduce the full-corpus relation
+    // exactly — same oracle, by reference (the q134 rationale:
+    // persistence, pruning, and now INCREMENTAL MAINTENANCE are
+    // storage concerns, not semantics).
+    "q143_bm25_append" -> Bm25OracleSql,
     // The indexed probe must reproduce q127's relation exactly — same
     // oracle, by reference: persistence and partition pruning are
     // storage concerns, not semantics.

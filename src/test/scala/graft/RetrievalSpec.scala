@@ -187,6 +187,24 @@ class RetrievalSpec extends SparkSpec {
     assert(probed.nonEmpty && probed === direct)
   }
 
+  test("bm25 append: probe over an appended index equals the full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-app").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry"), (2L, "banana durian"))
+      .toDF("query_id", "query_text")
+    // base = docs 1-2, batch = docs 3-4: the batch shifts df("cherry"),
+    // dl, N, and avgdl — every statistic the append must maintain
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", dir, buckets = 7)
+    graft.operators.Retrieval.bm25Append(
+      dir, docs.filter(col("doc_id") > 2), "doc_id", "text")
+    val direct = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text", q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    val probed = graft.operators.Retrieval.bm25TopKIndexed(dir, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed.nonEmpty && probed === direct)
+  }
+
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
     val docs = corpus.toDF("doc_id", "text")
