@@ -550,7 +550,12 @@ object TextAnalysis {
       .select(tokens(col(textCol)).as("l"))
       .filter(size(col("l")) > 0)
       .transform(graft.CacheScope.persisted(_))
-    val stats = (1 to rounds).map { r =>
+    // tokens_after never pays its own action: it rides an observe()
+    // metric on each merged frame, filled for free when the NEXT
+    // round's pair scan materializes that frame — only the final round
+    // needs one explicit count() to flush its observation (2 actions
+    // per round -> rounds + 1 total).
+    val merges = (1 to rounds).map { r =>
       val top = cur.filter(size(col("l")) >= 2)
         .select(explode(zip_with(
           slice(col("l"), lit(1), size(col("l")) - 1),
@@ -564,12 +569,16 @@ object TextAnalysis {
       require(top.nonEmpty, s"corpus ran out of adjacent pairs at round $r")
       val (a, b, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val obs = org.apache.spark.sql.Observation(s"bpe_tokens_r$r")
       val next = cur.select(mergeFold(col("l"), a, b).as("l"))
+        .observe(obs, sum(size(col("l")).cast("long")).as("t"))
         .transform(graft.CacheScope.persisted(_))
-      val tokensAfter =
-        next.agg(sum(size(col("l")).cast("long"))).collect()(0).getLong(0)
       cur = next
-      (r, a, b, cnt, tokensAfter)
+      (r, a, b, cnt, obs)
+    }
+    cur.count() // flush the final round's observation
+    val stats = merges.map { case (r, a, b, cnt, obs) =>
+      (r, a, b, cnt, obs.get("t").asInstanceOf[Long])
     }
     import spark.implicits._
     stats.toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
