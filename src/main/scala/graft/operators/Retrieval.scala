@@ -127,7 +127,18 @@ object Retrieval {
       path: String,
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    // the two stats scalars ride observe() metrics on writes that run
+    // anyway (the q140 precedent): n_docs fires when the postings write
+    // materializes tf (the observation sits BELOW the persist, so it
+    // sees the full docs scan exactly once), total_tokens rides the
+    // doclen write. The stats write is then a driver-local one-row job —
+    // no full-corpus rescan, no crossJoin (the 1-row crossJoin would
+    // plan as BroadcastNestedLoopJoin, the library's banned shape).
+    val nDocsObs = org.apache.spark.sql.Observation()
+    val tokObs = org.apache.spark.sql.Observation()
     val tf = docs
+      .observe(nDocsObs, count(lit(1)).as("n_docs"))
       .select(
         col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -148,10 +159,14 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
     tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
       .write.mode("overwrite").parquet(s"$path/doclen")
-    docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tf.agg(sum(col("tf")).as("total_tokens")))
-      .withColumn("buckets", lit(buckets.toLong))
+    import spark.implicits._
+    Seq((
+        nDocsObs.get("n_docs").asInstanceOf[Long],
+        tokObs.get("t").asInstanceOf[Long],
+        buckets.toLong))
+      .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats")
   }
@@ -170,7 +185,8 @@ object Retrieval {
     * merge rewrite (old df ∪ batch df, summed), eagerly materialized
     * via localCheckpoint BEFORE the overwrite so the write cannot
     * rescan the files it is replacing (the Dedup contraction-loop
-    * precedent); stats rewrites from collected scalars. After append,
+    * precedent); stats rewrites from observe()-carried scalars that the
+    * append writes fill for free. After append,
     * [[bm25TopKIndexed]] scores the union corpus bit-identically to a
     * from-scratch rebuild — q143 pins exactly that against q127's
     * verbatim oracle.
@@ -186,7 +202,16 @@ object Retrieval {
       .collect()(0)
     val (oldDocs, oldTok, buckets) =
       (st.getLong(0), st.getLong(1), st.getLong(2))
+    // batch stats ride observe() metrics on the append writes (the
+    // buildBm25Index shape): no extra batch rescan, no 1-row crossJoin.
+    // An all-tokenless batch is legal (tokenless docs count toward N
+    // and avgdl, matching bm25TopK) — its token sum observes as NULL
+    // and coalesces to 0; an EMPTY batch fails loudly below instead of
+    // silently rewriting stats for no change.
+    val nObs = org.apache.spark.sql.Observation()
+    val tokObs = org.apache.spark.sql.Observation()
     val tf = docs
+      .observe(nObs, count(lit(1)).as("n"))
       .select(
         col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -197,7 +222,12 @@ object Retrieval {
     tf.withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val batchDocs = nObs.get("n").asInstanceOf[Long]
+    require(batchDocs > 0,
+      s"bm25Append: empty batch for index at $path — refusing the no-op " +
+        "(df merge and stats rewrite would rescan the index for nothing)")
     tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
       .write.mode("append").parquet(s"$path/doclen")
     val mergedTerms = spark.read.parquet(s"$path/terms")
       .select(col("term"), col("df"))
@@ -208,11 +238,8 @@ object Retrieval {
       .localCheckpoint(true)
     mergedTerms.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/terms")
-    val batchStats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(tf.agg(sum(col("tf")).as("t")))
-      .collect()(0)
     import spark.implicits._
-    Seq((oldDocs + batchStats.getLong(0), oldTok + batchStats.getLong(1),
+    Seq((oldDocs + batchDocs, oldTok + tokObs.get("t").asInstanceOf[Long],
         buckets))
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
@@ -382,6 +409,11 @@ object Retrieval {
           .as(Seq("idx", "term")))
     postings
       .join(broadcast(phraseTerms), "term")
+      // a posting at pos < idx can only witness a negative (impossible)
+      // base — drop it BEFORE the shuffle so impossible groups are never
+      // aggregated; the post-agg base >= 0 filter below is then vacuous
+      // but kept as the semantic statement of the occurrence rule
+      .filter(col("pos") >= col("idx"))
       .groupBy(
         col("phrase_id"), col("plen"), col("id"),
         (col("pos") - col("idx")).as("base"))

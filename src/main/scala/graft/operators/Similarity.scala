@@ -370,6 +370,14 @@ object Similarity {
   /** Deterministic driver-side k-means (Lloyd) over a bounded sample — the
     * coarse quantizer for IVF. At 100 TB you train on a sample anyway; the
     * centroid table is tiny and broadcasts.
+    *
+    * The sample is the first `sampleN` rows in md5(id) order — a
+    * deterministic pseudo-random draw, NOT the id-smallest prefix: a
+    * corpus whose distribution drifts along id (time-ordered ingest,
+    * per-source id ranges) would hand an id-ordered sample only the
+    * front of the distribution and train centroids that crowd it,
+    * leaving the tail's vectors piled into a few giant cells
+    * (SimilaritySpec pins cell balance on exactly such a corpus).
     */
   def trainIvfCentroids(
       corpus: DataFrame,
@@ -380,11 +388,11 @@ object Similarity {
       iters: Int = 8): Array[Array[Double]] = {
     val sample = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy(col("id")).limit(sampleN)
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(sampleN)
       .collect().map(_.getSeq[Double](1).toArray)
     require(sample.length >= nlist, s"need >= $nlist sample vectors")
     val dim = sample.head.length
-    // spread initial centroids evenly through the (id-ordered) sample
+    // spread initial centroids evenly through the (md5-ordered) sample
     var centroids = Array.tabulate(nlist)(i =>
       sample((i.toLong * sample.length / nlist).toInt).clone())
     def d2(a: Array[Double], b: Array[Double]): Double = {

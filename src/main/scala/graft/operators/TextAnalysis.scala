@@ -511,9 +511,14 @@ object TextAnalysis {
     * The merge is a sequential fold, which SQL and Spark both lack as a
     * primitive over arrays-with-replacement — so it runs as ONE
     * `aggregate()` lambda per document over a string accumulator: the
-    * last emitted token is `acc`'s suffix after the  separator
-    * (tokens are \S+, so the separator cannot occur inside one), and
-    * appending "_b" to the accumulator IS the merge of its last token.
+    * last emitted token is `acc`'s suffix after the U+001F separator,
+    * and appending "_b" to the accumulator IS the merge of its last
+    * token. U+001F is NOT regex whitespace, so a raw corpus token could
+    * contain it and corrupt the fold (spurious endsWith matches, token
+    * fragmentation at the final split) — tokenization here therefore
+    * FOLDS U+001F to a space first, guaranteeing the separator cannot
+    * occur inside any token; the oracle applies the identical
+    * replace(chr(31) -> ' ') so both engines tokenize the same stream.
     * Entirely codegen'd builtins, no UDF. A corpus token that already
     * contains '_' can collide with a merged symbol's name; both engines
     * treat the string identically, so determinism holds (documented
@@ -535,7 +540,7 @@ object TextAnalysis {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16] (each costs a driver round-trip), got $rounds")
     val spark = df.sparkSession
-    val sep = "\u001f" // cannot occur inside a \S+ token
+    val sep = "\u001f" // folded out of the corpus below, so it cannot occur inside a token
     def mergeFold(l: Column, a: String, b: String): Column =
       when(size(l) <= 1, l).otherwise(split(
         aggregate(
@@ -547,7 +552,7 @@ object TextAnalysis {
               .otherwise(concat(acc, lit(sep), x))),
         lit(sep)))
     var cur = df
-      .select(tokens(col(textCol)).as("l"))
+      .select(tokens(translate(col(textCol), sep, " ")).as("l"))
       .filter(size(col("l")) > 0)
       .transform(graft.CacheScope.persisted(_))
     // tokens_after never pays its own action: it rides an observe()
@@ -765,6 +770,113 @@ object TextAnalysis {
         col("n_terms"),
         (lit(prior) + col("sum_w")).as("score"),
         (lit(prior) + col("sum_w") > lit(0.0)).as("pred"))
+  }
+
+  /** Char-n-gram multinomial Naive-Bayes language classifier — the CCNet
+    * language-ID stage as a TRAINED model rather than the [[langId]]
+    * stopword heuristic: every per-language curation operator downstream
+    * consumes a `lang` column; this is the operator that produces one
+    * from a labeled slice.
+    *
+    * Train (docs with `idCol < seedMax`, label = `langCol`): per-gram
+    * per-class counts with add-one smoothing over the seed's gram
+    * vocabulary V give w(g, c) = ln((count(g, c) + 1) / (T_c + V)); the
+    * class prior is ln(n_c / N_seed). Classes are the seed's distinct
+    * labels (bounded driver collect — a label set is small by nature).
+    *
+    * Score (docs with `idCol >= seedMax`): score(d, c) = prior_c +
+    * Σ_{gram occurrences g of d} w(g, c); the prediction is the argmax
+    * class, margin = best − runner-up (the abstention signal a pipeline
+    * thresholds on). Grams outside the seed vocabulary are IGNORED
+    * (inner join — the [[nbQualityScores]] unseen-term treatment), so a
+    * doc whose grams are all unseen, or shorter than n chars, yields no
+    * row: it carries no evidence for any class.
+    *
+    * Grams are the n-char substrings at every position (whitespace
+    * included — word-boundary n-grams are exactly what separates
+    * languages sharing an alphabet), by CHARACTER offset in both engines
+    * so multibyte corpora classify identically.
+    *
+    * Plan/scale: the [[nbQualityScores]] shape widened to k classes —
+    * training is ONE vocabulary-sized hash aggregation (one count column
+    * per class), the class totals and V are one bounded collect, and the
+    * weight table unpivots to (gram, class, w) — every vocab gram carries
+    * ALL k class weights, so each scored doc has all k score rows and the
+    * argmax/margin window is total. Gram strings travel once into each
+    * aggregation; texts never shuffle. The argmax is a per-doc window
+    * over exactly k rows.
+    */
+  def langIdScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      seedMax: Long,
+      n: Int = 3): DataFrame = {
+    require(seedMax > 0, s"seedMax must be positive, got $seedMax")
+    require(n >= 1 && n <= 8, s"gram length must be in [1, 8], got $n")
+    def grams(frame: DataFrame, keep: Column): DataFrame =
+      frame
+        .filter(length(col(textCol)) >= n)
+        .select(
+          keep,
+          explode(transform(
+            sequence(lit(1), length(col(textCol)) - (n - 1)),
+            i => col(textCol).substr(i, lit(n)))).as("gram"))
+    val labeled = df.filter(col(idCol) < seedMax)
+    val classRows = labeled
+      .groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("nd"))
+      .orderBy(col("lang"))
+      .collect()
+    require(classRows.length >= 2,
+      s"language-ID training needs >= 2 classes in the seed, got " +
+        s"${classRows.length} (seedMax=$seedMax)")
+    val langs = classRows.map(_.getString(0)).toSeq
+    val nSeed = classRows.map(_.getLong(1)).sum
+    val priors = classRows
+      .map(r => r.getString(0) -> math.log(r.getLong(1).toDouble / nSeed))
+      .toMap
+    val countCols =
+      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val counts = grams(labeled, col(langCol).as("lang"))
+      .groupBy(col("gram"))
+      .agg(countCols.head, countCols.tail: _*)
+      .transform(graft.CacheScope.persisted)
+    val totCols =
+      langs.map(l => sum(col(s"c_$l")).as(s"t_$l")) :+ count(lit(1)).as("v")
+    val totRow = counts.agg(totCols.head, totCols.tail: _*).collect()(0)
+    val vocab = totRow.getLong(langs.length)
+    val tots = langs.zipWithIndex
+      .map { case (l, i) => l -> totRow.getLong(i) }.toMap
+    val weights = counts
+      .select(
+        col("gram"),
+        explode(array(langs.map(l => struct(
+          lit(l).as("lang"),
+          log((col(s"c_$l") + lit(1L)).cast("double") /
+            lit((tots(l) + vocab).toDouble)).as("w"))): _*)).as("lw"))
+      .select(col("gram"), col("lw.lang").as("lang"), col("lw.w").as("w"))
+    val priorCol = langs.foldRight(lit(Double.NaN): Column) { (l, rest) =>
+      when(col("lang") === l, lit(priors(l))).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("score").desc, col("lang"))
+    grams(df.filter(col(idCol) >= seedMax), col(idCol).as("id"))
+      .join(weights, "gram")
+      .groupBy(col("id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("sw"))
+      .withColumn("score", priorCol + col("sw"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("runner_up", lead(col("score"), 1).over(w))
+      .filter(col("rnk") === 1)
+      .select(
+        col("id"),
+        col("lang").as("pred"),
+        col("n_grams"),
+        col("score"),
+        (col("score") - col("runner_up")).as("margin"))
   }
 
   /** Per-document analysis frame: id + all text metrics. */

@@ -2073,8 +2073,46 @@ object Curation {
         .select(
           col("event_type"), col("n"), col("id_sum"),
           col("min_user"), col("max_user"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // In-engine language-ID classifier (the CCNet language-filter
+    // stage): char-trigram multinomial NB trained on the doc_id<200
+    // seed's lang labels, scored over the rest. Per-language marker
+    // tails are planted on EVERY doc (the q113 planting precedent) —
+    // the synthetic corpus's raw text is language-independent noise, so
+    // the plant gives the model a real signal: the gate pins the WHOLE
+    // model (priors, smoothed log-odds, argmax label, margin) and the
+    // confusion matrix comes out diagonal at all 3 SFs (accuracy 1.0).
+    "q144_lang_id" -> ((s, dir) => {
+      val docs = langIdPlanted(t(s, dir, "documents"))
+      TextAnalysis.langIdScores(docs, "doc_id", "text", "lang",
+          seedMax = 200L)
+        .withColumn("score_r", round(col("score"), 4))
+        .withColumn("margin_r", round(col("margin"), 4))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"), col("pred"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          round(avg(col("score_r")), 3).as("avg_score"),
+          round(avg(col("margin_r")), 3).as("avg_margin"),
+          round(min(col("margin_r")), 4).as("min_margin"))
+        .orderBy(col("lang"), col("pred"))
+    })
   )
+
+  /** q144's marker planting — a per-language stopword tail appended to
+    * every doc so the synthetic corpus carries a learnable language
+    * signal; the oracle replicates the identical CASE append.
+    */
+  private def langIdPlanted(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"), lit(" "),
+      when(col("lang") === "en", lit("the of and to in that"))
+        .when(col("lang") === "de", lit("der die und das ist nicht"))
+        .when(col("lang") === "es", lit("el la de que y los"))
+        .when(col("lang") === "fr", lit("le la et les des une"))
+        .when(col("lang") === "zh", lit("de shi zai bu le wo"))
+        .otherwise(lit(""))))
 
   /** q135's fixed phrase table — lengths 2 and 3, one phrase with a
     * repeated term (duplicate idx values must each be witnessed at

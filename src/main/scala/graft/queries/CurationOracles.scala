@@ -145,8 +145,14 @@ object CurationOracles {
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
          samp AS (
-           SELECT id, v, row_number() OVER (ORDER BY id) AS rn
-           FROM (SELECT id, v FROM allv ORDER BY id LIMIT 4096)),
+           -- md5(id)-ordered draw, mirroring trainIvfCentroids' unbiased
+           -- deterministic sample (NOT the id-smallest prefix); rn is the
+           -- position in the SAME order because the evenly-spread k-means
+           -- init indexes into the collected (= md5-ordered) sample
+           SELECT id, v,
+             row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+           FROM (SELECT id, v FROM allv
+                 ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 4096)),
          nn AS (SELECT count(*) AS n FROM samp),
          cents0 AS (
            SELECT cl.cell, s.v AS cv
@@ -2652,10 +2658,15 @@ object CurationOracles {
     // engine's aggregate over slice(l, 2, ...).
     "q140_bpe_merges" ->
       """WITH r0 AS (
-           SELECT list_filter(regexp_split_to_array(text, '\s+'),
+           -- chr(31) is the engine's fold separator and NOT regex
+           -- whitespace: both engines fold it to a space BEFORE
+           -- tokenizing so it can never survive inside a token
+           SELECT list_filter(regexp_split_to_array(
+               replace(text, chr(31), ' '), '\s+'),
              x -> x <> '') AS l
            FROM documents
-           WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+           WHERE len(list_filter(regexp_split_to_array(
+               replace(text, chr(31), ' '), '\s+'),
              x -> x <> '')) > 0),
          p1 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
              SELECT unnest([{'a': l[i], 'b': l[i+1]}
@@ -2751,6 +2762,70 @@ object CurationOracles {
            CAST(sum(length(fb)) AS BIGINT) AS sampled_bytes,
            CAST(sum(CAST(concat('0x', substr(md5(fb), 1, 8)) AS BIGINT))
              AS BIGINT) AS checksum_sum
-         FROM fr GROUP BY source ORDER BY source"""
+         FROM fr GROUP BY source ORDER BY source""",
+    // Char-trigram multinomial NB replicated end to end: the planted
+    // marker tail, per-gram per-class add-one counts over the seed
+    // vocabulary, ln priors and log-likelihood weights (IEEE ln of
+    // exact-integer ratios, the q128 recipe), argmax + runner-up margin
+    // via the same (score DESC, lang) window, aggregated over
+    // rounded-to-4 per-doc scores exactly as the engine does.
+    "q144_lang_id" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             text || ' ' || CASE lang
+               WHEN 'en' THEN 'the of and to in that'
+               WHEN 'de' THEN 'der die und das ist nicht'
+               WHEN 'es' THEN 'el la de que y los'
+               WHEN 'fr' THEN 'le la et les des une'
+               WHEN 'zh' THEN 'de shi zai bu le wo'
+               ELSE '' END AS text
+           FROM documents),
+         seed AS (SELECT lang, text FROM d WHERE doc_id < 200),
+         cls AS (SELECT lang, count(*) AS nd FROM seed GROUP BY 1),
+         nseed AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM cls),
+         sg AS (
+           SELECT lang, substring(text, CAST(i AS INTEGER), 3) AS gram
+           FROM seed, unnest(range(1, length(text) - 1)) AS u(i)
+           WHERE length(text) >= 3),
+         cnt AS (SELECT gram, lang, count(*) AS c FROM sg GROUP BY 1, 2),
+         vocab AS (SELECT DISTINCT gram FROM cnt),
+         ctot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t
+                  FROM cnt GROUP BY 1),
+         vsize AS (SELECT count(*) AS v FROM vocab),
+         w AS (
+           SELECT vo.gram, cl.lang,
+             ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (ct.t + vs.v)) AS w
+           FROM vocab vo CROSS JOIN cls cl
+           JOIN ctot ct ON ct.lang = cl.lang
+           CROSS JOIN vsize vs
+           LEFT JOIN cnt c ON c.gram = vo.gram AND c.lang = cl.lang),
+         tg AS (
+           SELECT doc_id AS id, substring(text, CAST(i AS INTEGER), 3) AS gram
+           FROM d, unnest(range(1, length(text) - 1)) AS u(i)
+           WHERE doc_id >= 200 AND length(text) >= 3),
+         sc AS (
+           SELECT t.id, w.lang, count(*) AS n_grams, sum(w.w) AS sw
+           FROM tg t JOIN w ON w.gram = t.gram GROUP BY 1, 2),
+         pri AS (
+           SELECT cl.lang, ln(CAST(cl.nd AS DOUBLE) / ns.n) AS prior
+           FROM cls cl CROSS JOIN nseed ns),
+         rk AS (
+           SELECT sc.id, sc.lang, sc.n_grams, pri.prior + sc.sw AS score,
+             row_number() OVER (PARTITION BY sc.id
+               ORDER BY pri.prior + sc.sw DESC, sc.lang) AS rnk,
+             lead(pri.prior + sc.sw) OVER (PARTITION BY sc.id
+               ORDER BY pri.prior + sc.sw DESC, sc.lang) AS s2
+           FROM sc JOIN pri ON pri.lang = sc.lang),
+         pred AS (
+           SELECT id, lang AS pred, CAST(n_grams AS BIGINT) AS n_grams,
+             round(score, 4) AS score_r, round(score - s2, 4) AS margin_r
+           FROM rk WHERE rnk = 1)
+         SELECT d.lang, p.pred, count(*) AS n_docs,
+           CAST(sum(p.n_grams) AS BIGINT) AS total_grams,
+           round(avg(p.score_r), 3) AS avg_score,
+           round(avg(p.margin_r), 3) AS avg_margin,
+           round(min(p.margin_r), 4) AS min_margin
+         FROM pred p JOIN d ON d.doc_id = p.id
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -197,4 +197,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exchanges.exists(_.takeWhile(_ != '\n').contains("text#")),
       "an exchange carries raw document text:\n" + plan)
   }
+
+  test("BM25 index build + append WRITE-path plans stay cartesian/BNL-free") {
+    // the no-BNL invariant above only sees returned DataFrames; the
+    // index builders write internally, so their plans are captured via a
+    // QueryExecutionListener across every action the two calls run
+    // (writes, the stats collect, the df-merge localCheckpoint)
+    import org.apache.spark.sql.execution.QueryExecution
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        captured.synchronized { captured += s"[$f] ${qe.executedPlan}" }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-bm25-planshape").toString
+    try {
+      val docs = Tables.load(spark, sfDir, "documents")
+      CacheScope.scoped {
+        operators.Retrieval.buildBm25Index(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
+          "doc_id", "text", path, buckets = 8)
+        operators.Retrieval.bm25Append(
+          path,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
+          "doc_id", "text")
+      }
+      // listener delivery is async on the bus — wait for it to drain
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1
+      var cur = captured.synchronized(captured.size)
+      while (System.nanoTime() < deadline && (cur != last || cur < 7)) {
+        Thread.sleep(200)
+        last = cur
+        cur = captured.synchronized(captured.size)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val plans = captured.synchronized(captured.toList)
+    // build: postings/terms/doclen/stats writes; append: postings/doclen/
+    // terms/stats writes (+ stats collect, checkpoint) — at least 8 actions
+    assert(plans.size >= 8, s"captured only ${plans.size} write-path plans")
+    val offenders = plans.filter(p =>
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+    assert(offenders.isEmpty,
+      "index write path planned a cartesian/BNL join:\n" +
+        offenders.mkString("\n----\n"))
+  }
 }

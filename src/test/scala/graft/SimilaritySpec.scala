@@ -528,4 +528,38 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.centroidOutliers(df, "vec_id", "embedding", "label", 0))
   }
+
+  test("ivf training sample is unbiased: front-loaded id blocks still give balanced cells") {
+    // 8 well-separated clusters occupying CONTIGUOUS id blocks of 250
+    // (cluster c = ids [250c, 250c+250)) — the time-ordered-ingest /
+    // per-source-id-range corpus shape. An id-ordered prefix sample of
+    // 256 would see ONLY cluster 0 and train every centroid inside it,
+    // piling the other 1,750 vectors into one or two giant cells; the
+    // md5(id)-ordered draw sees every block (~32 samples each), so the
+    // trained quantizer must spread the corpus across many cells with a
+    // bounded maximum.
+    val rng = new scala.util.Random(13)
+    val dim = 8
+    val bases = Array.tabulate(8)(c =>
+      Array.tabulate(dim)(d => if (d == c) 10.0 else 0.0))
+    val corpus = (for {
+      c <- 0 until 8
+      j <- 0 until 250
+    } yield (c * 250L + j, bases(c).map(_ + rng.nextGaussian() * 0.05).toSeq))
+      .toSeq.toDF("id", "vec")
+    val cents = Similarity.trainIvfCentroids(
+      corpus, "id", "vec", nlist = 8, sampleN = 256)
+    val sizes = corpus
+      .withColumn("cell", Similarity.ivfCell($"vec".cast("array<double>"), cents))
+      .groupBy("cell").count()
+      .select("count").as[Long].collect()
+    // id-prefix sampling yields max >= 1750 here (measured before the
+    // fix); the unbiased draw must keep every cluster block from piling
+    // into one cell
+    assert(sizes.max <= 750,
+      s"largest cell ${sizes.max} of ${sizes.sum} — quantizer collapsed " +
+        s"(cell sizes: ${sizes.sorted.mkString(",")})")
+    assert(sizes.length >= 6,
+      s"only ${sizes.length} non-empty cells of 8 — sample missed blocks")
+  }
 }

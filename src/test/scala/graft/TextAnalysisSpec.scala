@@ -431,4 +431,30 @@ class SessionizeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.trigramBackoffLogProb(d, d, "doc_id", "text", alpha = 1.0))
   }
+
+  test("langIdScores: argmax + margin on a separable corpus; unseen docs drop") {
+    val docs = Seq(
+      (0L, "aaa aaa aaa", "a"), (1L, "aaa aaa", "a"),
+      (2L, "bbb bbb bbb", "b"), (3L, "bbb bbb", "b"),
+      (10L, "aaa aaa aaa aaa", "?"), (11L, "bbb bbb", "?"),
+      (12L, "zzz zzz", "?"), // every gram unseen -> carries no evidence
+      (13L, "ab", "?")       // shorter than n=3 -> no grams at all
+    ).toDF("id", "text", "lang")
+    val out = TextAnalysis.langIdScores(docs, "id", "text", "lang", seedMax = 10L)
+      .orderBy("id")
+      .select("id", "pred", "n_grams", "score", "margin")
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((10L, "a"), (11L, "b")),
+      s"wrong predictions: $out")
+    assert(out.forall(_._5 > 0.0), s"non-positive margin: $out")
+    // n_grams counts matched OCCURRENCES once per doc (not once per class):
+    // "aaa aaa aaa aaa" has 13 trigrams, all seen in the seed
+    assert(out.head._3 === 13L)
+    // a single-class seed must fail loudly, not train a degenerate model
+    intercept[IllegalArgumentException](
+      TextAnalysis.langIdScores(
+        docs.filter($"lang" =!= "b"), "id", "text", "lang", seedMax = 10L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.langIdScores(docs, "id", "text", "lang", seedMax = 0L))
+  }
 }
