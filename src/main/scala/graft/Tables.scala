@@ -84,6 +84,15 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // driver-side partition discovery for up to 128 partition dirs: the
+    // bucket-partitioned index layouts (postings/terms at 64 buckets)
+    // cross the default 32-path threshold, so every index read paid a
+    // distributed LISTING job — several per probe, a real slice of the
+    // persisted-index gates' job storms. Listing 128 dirs on the driver
+    // is trivial at any corpus size (cost scales with dir count, not
+    // data); genuinely huge partition counts still go distributed.
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
     GraftExtensions.register(spark)
     spark
   }

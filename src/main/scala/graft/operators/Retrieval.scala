@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Run independent driver-side actions as CONCURRENT Spark jobs and
+    * wait for all of them. Each action in a single-threaded driver pays
+    * a fixed scheduler/commit overhead serially; independent index
+    * writes overlap it instead (local FIFO and cluster schedulers both
+    * interleave concurrent jobs). Exceptions propagate to the caller.
+    * Callers must pass actions over already-materialized (persisted)
+    * inputs — concurrent first actions would race to fill a cache.
+    */
+  private def concurrently(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    actions.map(a => Future(a())).foreach(Await.result(_, Duration.Inf))
+  }
+
   /** BM25 top-k document retrieval for a (small) query table.
     *
     * score(q, d) = Σ_{t ∈ distinct terms of q}
@@ -154,13 +169,19 @@ object Retrieval {
     tf.withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("bucket", bucket)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
-    tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-      .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
+    // terms and doclen both derive from the NOW-MATERIALIZED tf cache and
+    // are independent — run them as concurrent jobs so their fixed
+    // per-action scheduler overhead overlaps instead of serializing (the
+    // postings write goes first alone: concurrent first actions would
+    // race to materialize the persist)
+    concurrently(
+      () => tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms"),
+      () => tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+        .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
+        .write.mode("overwrite").parquet(s"$path/doclen"))
     import spark.implicits._
     Seq((
         nDocsObs.get("n_docs").asInstanceOf[Long],
@@ -226,16 +247,20 @@ object Retrieval {
     require(batchDocs > 0,
       s"bm25Append: empty batch for index at $path — refusing the no-op " +
         "(df merge and stats rewrite would rescan the index for nothing)")
-    tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-      .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
-      .write.mode("append").parquet(s"$path/doclen")
-    val mergedTerms = spark.read.parquet(s"$path/terms")
-      .select(col("term"), col("df"))
-      .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .withColumn("bucket", bucket)
-      .repartition(col("bucket"))
-      .localCheckpoint(true)
+    // doclen append and the df-merge materialization are independent once
+    // tf is cached — overlap their scheduler overhead (the build's shape)
+    var mergedTerms: DataFrame = null
+    concurrently(
+      () => tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+        .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
+        .write.mode("append").parquet(s"$path/doclen"),
+      () => mergedTerms = spark.read.parquet(s"$path/terms")
+        .select(col("term"), col("df"))
+        .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .localCheckpoint(true))
     mergedTerms.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/terms")
     import spark.implicits._

@@ -32,12 +32,24 @@ object ProfileJobs {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // SPARK_GRAFT_JOBDETAIL=1: also print each job's duration + call site,
+    // to attribute a job-storm to its actions
+    val detail = sys.env.get("SPARK_GRAFT_JOBDETAIL").contains("1")
+    val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
         starts.put(e.jobId, e.time)
+        if (detail) sites.put(e.jobId,
+          Seq("spark.sql.execution.id", "spark.job.description", "callSite.short")
+            .flatMap(k => Option(e.properties.getProperty(k)))
+            .mkString(" | ") match { case "" => "?"; case s => s })
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val s = starts.remove(e.jobId)
-        if (s != null) { jobMs.addAndGet(e.time - s.longValue); jobs.incrementAndGet() }
+        if (s != null) {
+          jobMs.addAndGet(e.time - s.longValue); jobs.incrementAndGet()
+          if (detail) println(f"[job] #${e.jobId}%3d ${(e.time - s.longValue) / 1e3}%6.3f s  ${sites.remove(e.jobId)}")
+        }
       }
     })
 
