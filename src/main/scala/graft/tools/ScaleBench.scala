@@ -131,14 +131,23 @@ object ScaleBench {
     // over the 10x corpus; replica-suffixed pairs tie at base counts and
     // the lexicographic election stays deterministic, output pinned at
     // 4 rows.
+    // q134/q143 joined in round 10 (the persisted-index tier): each run
+    // REBUILDS its index from the scaled corpus, so the measurement is
+    // index-build+probe cost vs corpus size — the build is the linear
+    // tokenize/tf path plus bucket-clustered writes, and the probe's
+    // work follows the query's buckets (constant output). q143
+    // additionally measures the append path: the appended batch is 1/3
+    // of the corpus, so "work follows the batch" predicts time growth
+    // tracking the corpus decade, never exceeding it.
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
       "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
       "q84_bigram_logprob", "q85_token_budget", "q87_strip_markup",
       "q94_line_dedup", "q98_span_dedup", "q102_edit_dedup",
       "q104_host_pagerank", "q127_bm25", "q129_postings",
-      "q135_phrase_search", "q136_backoff_lm", "q138_containment",
-      "q139_cdc_chunks", "q140_bpe_merges")
+      "q134_bm25_index_parity", "q135_phrase_search", "q136_backoff_lm",
+      "q138_containment", "q139_cdc_chunks", "q140_bpe_merges",
+      "q143_bm25_append")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.filter(q => onlyQ.isEmpty || onlyQ.contains(q)).foreach { q =>
       val (bt, br) = bench(q, baseDir)
