@@ -33,6 +33,15 @@ object Retrieval {
     actions.map(a => Future(a())).foreach(Await.result(_, Duration.Inf))
   }
 
+  /** An Observation's metrics after its action completed — EMPTY when
+    * the action ran zero tasks (an all-empty frame plans away to zero
+    * partitions and the CollectMetrics operator never executes), so
+    * callers can distinguish "no rows observed" from "metric is 0".
+    */
+  private def observedOrEmpty(
+      obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    scala.util.Try(obs.get).getOrElse(Map.empty)
+
   /** BM25 top-k document retrieval for a (small) query table.
     *
     * score(q, d) = Σ_{t ∈ distinct terms of q}
@@ -143,17 +152,22 @@ object Retrieval {
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
-    // the two stats scalars ride observe() metrics on writes that run
-    // anyway (the q140 precedent): n_docs fires when the postings write
-    // materializes tf (the observation sits BELOW the persist, so it
-    // sees the full docs scan exactly once), total_tokens rides the
-    // doclen write. The stats write is then a driver-local one-row job —
-    // no full-corpus rescan, no crossJoin (the 1-row crossJoin would
-    // plan as BroadcastNestedLoopJoin, the library's banned shape).
-    val nDocsObs = org.apache.spark.sql.Observation()
-    val tokObs = org.apache.spark.sql.Observation()
+    // the two stats scalars ride ONE observe() on the docs scan, filled
+    // for free when the postings write materializes tf (the q140
+    // precedent; the observation sits BELOW the persist, so it sees the
+    // full docs scan exactly once). The token total is the per-doc
+    // size() summed BEFORE the explode — equal to sum(tf) — so the
+    // metrics exist even when every doc is tokenless and downstream
+    // stages run zero tasks. The stats write is then a driver-local
+    // one-row job: no full-corpus rescan, no crossJoin (the 1-row
+    // crossJoin would plan as BroadcastNestedLoopJoin, the library's
+    // banned shape).
+    val statsObs = org.apache.spark.sql.Observation()
     val tf = docs
-      .observe(nDocsObs, count(lit(1)).as("n_docs"))
+      .observe(statsObs,
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("total_tokens"))
       .select(
         col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -180,12 +194,17 @@ object Retrieval {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms"),
       () => tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-        .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
         .write.mode("overwrite").parquet(s"$path/doclen"))
     import spark.implicits._
+    // AQE propagates an all-empty tf through the write plan and DROPS
+    // the CollectMetrics stage from the final plan, losing the
+    // observation — in that degenerate case (a fully tokenless corpus)
+    // the token total is 0 by construction and n_docs falls back to one
+    // explicit count of the input
+    val m = observedOrEmpty(statsObs)
     Seq((
-        nDocsObs.get("n_docs").asInstanceOf[Long],
-        tokObs.get("t").asInstanceOf[Long],
+        m.get("n_docs").map(_.asInstanceOf[Long]).getOrElse(docs.count()),
+        m.getOrElse("total_tokens", 0L).asInstanceOf[Long],
         buckets.toLong))
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
@@ -223,16 +242,19 @@ object Retrieval {
       .collect()(0)
     val (oldDocs, oldTok, buckets) =
       (st.getLong(0), st.getLong(1), st.getLong(2))
-    // batch stats ride observe() metrics on the append writes (the
+    // batch stats ride ONE observe() on the batch scan (the
     // buildBm25Index shape): no extra batch rescan, no 1-row crossJoin.
     // An all-tokenless batch is legal (tokenless docs count toward N
-    // and avgdl, matching bm25TopK) — its token sum observes as NULL
-    // and coalesces to 0; an EMPTY batch fails loudly below instead of
-    // silently rewriting stats for no change.
-    val nObs = org.apache.spark.sql.Observation()
-    val tokObs = org.apache.spark.sql.Observation()
+    // and avgdl, matching bm25TopK) — its token sum coalesces to 0 on
+    // the still-populated docs scan; an EMPTY batch (zero tasks, so the
+    // observation yields an empty metrics map) fails loudly below
+    // instead of silently rewriting stats for no change.
+    val statsObs = org.apache.spark.sql.Observation()
     val tf = docs
-      .observe(nObs, count(lit(1)).as("n"))
+      .observe(statsObs,
+        count(lit(1)).as("n"),
+        coalesce(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("t"))
       .select(
         col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -243,7 +265,12 @@ object Retrieval {
     tf.withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    val batchDocs = nObs.get("n").asInstanceOf[Long]
+    // same AQE empty-relation caveat as the build: an all-tokenless
+    // batch loses the observation, its token total is 0 by construction,
+    // and n falls back to one explicit count of the batch
+    val batchMetrics = observedOrEmpty(statsObs)
+    val batchDocs = batchMetrics.get("n").map(_.asInstanceOf[Long])
+      .getOrElse(docs.count())
     require(batchDocs > 0,
       s"bm25Append: empty batch for index at $path — refusing the no-op " +
         "(df merge and stats rewrite would rescan the index for nothing)")
@@ -252,7 +279,6 @@ object Retrieval {
     var mergedTerms: DataFrame = null
     concurrently(
       () => tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-        .observe(tokObs, coalesce(sum(col("dl")), lit(0L)).as("t"))
         .write.mode("append").parquet(s"$path/doclen"),
       () => mergedTerms = spark.read.parquet(s"$path/terms")
         .select(col("term"), col("df"))
@@ -264,11 +290,54 @@ object Retrieval {
     mergedTerms.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/terms")
     import spark.implicits._
-    Seq((oldDocs + batchDocs, oldTok + tokObs.get("t").asInstanceOf[Long],
+    Seq((oldDocs + batchDocs,
+        oldTok + batchMetrics.getOrElse("t", 0L).asInstanceOf[Long],
         buckets))
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Compact a [[buildBm25Index]] index in place: every [[bm25Append]]
+    * lands its batch as NEW files inside the existing bucket partitions
+    * (that is what makes the append cheap), so a long-lived index
+    * accumulates one file set per append — the classic small-files
+    * decay, and at corpus scale the probe's bucket reads degrade from
+    * one sequential file to hundreds of openings. Compaction rewrites
+    * postings and doclen clustered (one task's file per bucket, the
+    * build's layout) into a TEMP generation and atomically swaps it in
+    * via filesystem rename — the index is never read and overwritten in
+    * the same job (the localCheckpoint trick the df merge uses is for
+    * vocabulary-SIZED frames; checkpointing corpus-sized postings would
+    * double-buffer the corpus in executor storage). Uses the Hadoop
+    * FileSystem API, so the same swap works on HDFS/object-store
+    * filesystems with directory rename. Scoring is file-layout-blind:
+    * a probe after compact equals the probe before bit-for-bit (spec +
+    * the q145 gate pin it against q127's verbatim oracle).
+    */
+  def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val buckets = spark.read.parquet(s"$path/stats")
+      .select(col("buckets")).collect()(0).getLong(0)
+    val hconf = spark.sessionState.newHadoopConf()
+    def swapRewrite(name: String, clustered: Boolean): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_compact_tmp")
+      val fs = cur.getFileSystem(hconf)
+      val df = spark.read.parquet(cur.toString)
+      if (clustered)
+        df.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      else
+        // shuffle-free file merge: coalesce glues small splits together
+        // without moving rows between executors
+        df.coalesce(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.delete(cur, true), s"bm25Compact: could not remove $cur")
+      require(fs.rename(tmp, cur), s"bm25Compact: could not swap $tmp -> $cur")
+    }
+    require(buckets > 0, s"bm25Compact: corrupt stats at $path")
+    swapRewrite("postings", clustered = true)
+    swapRewrite("doclen", clustered = false)
   }
 
   /** Probe a [[buildBm25Index]] index: identical scoring (and therefore

@@ -199,6 +199,73 @@ object Similarity {
     * came from. Callers never feed zero-norm vectors (bruteForceTopK
     * drops null-sim rows before the join-back).
     */
+  /** Margin-based bitext mining (the ratio-margin criterion of Artetxe &
+    * Schwenk 2019, the CCMatrix/LASER recipe): candidate pair (x, y)
+    * scores cos(x, y) normalized by the mean of both sides' k-NN
+    * similarities — margin(x, y) = cos(x, y) / ((avgK(x→tgt) +
+    * avgK(y→src)) / 2) — so a pair only mines when it stands OUT of each
+    * side's neighborhood; raw cosine alone over-mines hubs (vectors
+    * near everything) and starves isolated points. Output: each source
+    * vector's best target by margin, kept when margin >= `threshold` —
+    * the mined translation-pair relation (src_id, tgt_id, sim, margin).
+    *
+    * Ties break toward the smaller tgt id; averages use the available
+    * neighbors when a side has fewer than k. Zero-norm vectors drop (no
+    * direction, the bruteForceTopK rule).
+    *
+    * Plan/scale: this is the EXACT arm — one broadcast product scoring
+    * src × tgt (the q27/q101 shape, deliberately exempt from the
+    * no-product plan gate), then two bounded top-k windows
+    * (WindowGroupLimit) and equi-joins of k-bounded frames. At corpus
+    * scale feed the SAME margin arithmetic from ANN candidate lists
+    * instead: margin needs only each side's top-k lists, which
+    * lshTopK/ivfTopKIndexed produce without the product.
+    */
+  def marginMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(threshold >= 0.0,
+      s"threshold must be non-negative (0 keeps every best pair), got $threshold")
+    val s = src.select(
+      col(idCol).as("src_id"), col(vecCol).cast("array<double>").as("sv"))
+    val t = tgt.select(
+      col(idCol).as("tgt_id"), col(vecCol).cast("array<double>").as("tv"))
+    val scores = s.join(broadcast(t))
+      .withColumn("sim", cosine(col("sv"), col("tv")))
+      .filter(col("sim").isNotNull)
+      .select(col("src_id"), col("tgt_id"), col("sim"))
+      .transform(graft.CacheScope.persisted)
+    val wFwd = Window.partitionBy(col("src_id"))
+      .orderBy(col("sim").desc, col("tgt_id"))
+    val wBwd = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("sim").desc, col("src_id"))
+    val fwd = scores.withColumn("r", row_number().over(wFwd))
+      .filter(col("r") <= k)
+      .transform(graft.CacheScope.persisted)
+    val srcAvg = fwd.groupBy(col("src_id")).agg(avg(col("sim")).as("sa"))
+    val tgtAvg = scores.withColumn("r", row_number().over(wBwd))
+      .filter(col("r") <= k)
+      .groupBy(col("tgt_id")).agg(avg(col("sim")).as("ta"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    fwd
+      .join(srcAvg, "src_id")
+      .join(tgtAvg, "tgt_id")
+      .withColumn("margin",
+        col("sim") / ((col("sa") + col("ta")) / lit(2.0)))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1 && col("margin") >= threshold)
+      .select(
+        col("src_id"), col("tgt_id"),
+        round(col("sim"), 4).as("sim"),
+        round(col("margin"), 4).as("margin"))
+  }
+
   private def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
     val n = a.length
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -499,6 +499,52 @@ object TextAnalysis {
         round(avg(col("lp")), 4).as("avg_log2_prob"))
   }
 
+  private val BpeSep = "\u001f"
+
+  /** One BPE merge round — merge (a, b) applied corpus-wide as the
+    * canonical LEFT-TO-RIGHT NON-OVERLAPPING rule, as a single codegen'd
+    * aggregate() string fold over a U+001F-separated accumulator (see
+    * [[bpeMerges]] for why the fold IS the merge). Shared by training
+    * ([[bpeMerges]]) and encoding ([[bpeEncode]]) so the two can never
+    * drift.
+    */
+  private def mergeFold(l: Column, a: String, b: String): Column =
+    when(size(l) <= 1, l).otherwise(split(
+      aggregate(
+        slice(l, lit(2), size(l) - 1),
+        element_at(l, 1),
+        (acc, x) =>
+          when((acc === lit(a) || acc.endsWith(lit(BpeSep + a))) && x === lit(b),
+            concat(acc, lit("_"), lit(b)))
+            .otherwise(concat(acc, lit(BpeSep), x))),
+      lit(BpeSep)))
+
+  /** Apply a TRAINED merge table to a corpus — the tokenizer-SERVICE
+    * half of BPE: [[bpeMerges]] elects merges once (on a sample at
+    * 100 TB); this operator applies them, in training order, to every
+    * document. Each round is the same left-to-right non-overlapping
+    * fold as training (shared [[mergeFold]] — the two cannot drift),
+    * chained as `merges.length` codegen'd expressions: encoding is a
+    * PURE MAP — no shuffle, no UDF, no driver round-trips — which is
+    * exactly what lets it run inline in a 100 TB ingest pass. U+001F is
+    * folded to a space before tokenizing (the training-side guarantee,
+    * applied identically so trained merges see the same token stream).
+    * Returns (id, tokens): the merged symbol array per document (empty
+    * texts keep their empty arrays — encoding drops nothing).
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.length <= 64,
+      s"merge table must have 1..64 rounds (each is a chained fold " +
+        s"expression), got ${merges.length}")
+    val base = tokens(translate(col(textCol), BpeSep, " "))
+    val encoded = merges.foldLeft(base) { case (l, (a, b)) => mergeFold(l, a, b) }
+    df.select(col(idCol).as("id"), encoded.as("tokens"))
+  }
+
   /** BPE-style tokenizer merge training, word-level: `rounds` iterations
     * of (count adjacent pairs) -> (pick the most frequent pair, ties to
     * the lexicographically smaller) -> (merge every LEFT-TO-RIGHT
@@ -540,19 +586,8 @@ object TextAnalysis {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16] (each costs a driver round-trip), got $rounds")
     val spark = df.sparkSession
-    val sep = "\u001f" // folded out of the corpus below, so it cannot occur inside a token
-    def mergeFold(l: Column, a: String, b: String): Column =
-      when(size(l) <= 1, l).otherwise(split(
-        aggregate(
-          slice(l, lit(2), size(l) - 1),
-          element_at(l, 1),
-          (acc, x) =>
-            when((acc === lit(a) || acc.endsWith(lit(sep + a))) && x === lit(b),
-              concat(acc, lit("_"), lit(b)))
-              .otherwise(concat(acc, lit(sep), x))),
-        lit(sep)))
     var cur = df
-      .select(tokens(translate(col(textCol), sep, " ")).as("l"))
+      .select(tokens(translate(col(textCol), BpeSep, " ")).as("l"))
       .filter(size(col("l")) > 0)
       .transform(graft.CacheScope.persisted(_))
     // tokens_after never pays its own action: it rides an observe()

@@ -47,6 +47,10 @@ object Curation {
   private lazy val bm25AppendDir: String =
     java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
 
+  // q145's compaction scratch, same overwrite-first contract
+  private lazy val bm25CompactDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-cmp").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -2098,6 +2102,73 @@ object Curation {
           round(avg(col("margin_r")), 3).as("avg_margin"),
           round(min(col("margin_r")), 4).as("min_margin"))
         .orderBy(col("lang"), col("pred"))
+    }),
+
+    // Index compaction under the driver gate: build on 2/3 of the
+    // corpus, append the remaining 1/3 in TWO batches (so the bucket
+    // partitions genuinely hold three file generations), compact —
+    // postings rewrite clustered into a temp generation and swap in by
+    // filesystem rename, doclen file-merges shuffle-free — and the
+    // probe over the COMPACTED index must still equal q127's
+    // full-corpus relation against q127's verbatim oracle. A row lost
+    // or duplicated in the rewrite breaks a score; a bucket misfiled
+    // breaks partition pruning and therefore the result.
+    "q145_bm25_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", bm25CompactDir)
+      Retrieval.bm25Append(
+        bm25CompactDir, docs.filter(col("doc_id") % 6 === 0), "doc_id", "text")
+      Retrieval.bm25Append(
+        bm25CompactDir, docs.filter(col("doc_id") % 6 === 3), "doc_id", "text")
+      Retrieval.bm25Compact(s, bm25CompactDir)
+      Retrieval.bm25TopKIndexed(bm25CompactDir, bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // BPE round trip: train 4 merges (q140's election), then ENCODE the
+    // whole corpus with the trained table — the tokenizer-service half,
+    // a pure map — and profile the encoded stream per language. The
+    // oracle replicates training AND encoding (the q140 fold chain
+    // carrying doc ids), so a drifted merge application — wrong order,
+    // overlap mishandling, a dropped round — breaks token totals,
+    // vocabulary size, or the merged-symbol occurrence count.
+    "q146_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", rounds = 4)
+        .orderBy(col("round"))
+        .select(col("pair_a"), col("pair_b"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .select(col("lang"), col("id"), explode(col("tokens")).as("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_vocab"),
+          sum(when(col("tok").contains("_"), 1L).otherwise(0L))
+            .as("merged_occurrences"))
+        .orderBy(col("lang"))
+    }),
+
+    // Margin-based bitext mining (the CCMatrix/LASER ratio-margin
+    // criterion): en->de translation-pair candidates over the aligned
+    // embeddings — each en vector's best de target by cos normalized
+    // against BOTH sides' 4-NN neighborhoods, kept at margin >= 1.1.
+    // The exact brute-force scoring arm is the gate's deliberate shape
+    // (the q27/q101 exemption); what the oracle pins is the margin
+    // arithmetic — the anti-hub normalization that raw cosine lacks —
+    // and the per-source argmax/threshold cut.
+    "q147_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      def side(lang: String) = emb.join(
+        docs.filter(col("lang") === lang)
+          .select(col("doc_id").as("vec_id")), "vec_id")
+      Similarity.marginMine(side("en"), side("de"), "vec_id", "embedding",
+          k = 4, threshold = 1.1)
+        .orderBy(col("src_id"))
     })
   )
 

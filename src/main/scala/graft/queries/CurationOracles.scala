@@ -2242,6 +2242,11 @@ object CurationOracles {
     // oracle, by reference: persistence and partition pruning are
     // storage concerns, not semantics.
     "q134_bm25_index_parity" -> Bm25OracleSql,
+    // Compaction is a pure file-layout rewrite: the probe over the
+    // compacted index must STILL reproduce q127's relation — same
+    // oracle, by reference (the q134/q143 rationale extended to
+    // maintenance).
+    "q145_bm25_compact" -> Bm25OracleSql,
     // The whole NB model in SQL: the q45 quality CTE labels the seed,
     // class counts + add-one log-odds weights + ln prior replicate the
     // engine's training, and scoring is the same inner-join occurrence
@@ -2826,6 +2831,110 @@ object CurationOracles {
            round(avg(p.margin_r), 3) AS avg_margin,
            round(min(p.margin_r), 4) AS min_margin
          FROM pred p JOIN d ON d.doc_id = p.id
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Train-then-encode replicated end to end: the q140 fold chain
+    // carrying doc ids (token-less docs train nothing and encode to
+    // empty arrays — the pair CTEs' len>=2 guard makes the training
+    // elections identical to q140's filtered chain), then the per-lang
+    // profile of the encoded token stream. All integers.
+    "q146_bpe_encode" ->
+      """WITH r0 AS (
+           SELECT doc_id, lang, list_filter(regexp_split_to_array(
+               replace(text, chr(31), ' '), '\s+'), x -> x <> '') AS l
+           FROM documents),
+         p1 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r0 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+         r1 AS (SELECT doc_id, lang, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m1.a OR
+                   ends_with(acc, chr(31) || m1.a)) AND x = m1.b
+                 THEN acc || '_' || m1.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r0 CROSS JOIN m1),
+         p2 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r1 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+         r2 AS (SELECT doc_id, lang, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m2.a OR
+                   ends_with(acc, chr(31) || m2.a)) AND x = m2.b
+                 THEN acc || '_' || m2.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r1 CROSS JOIN m2),
+         p3 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r2 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+         r3 AS (SELECT doc_id, lang, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m3.a OR
+                   ends_with(acc, chr(31) || m3.a)) AND x = m3.b
+                 THEN acc || '_' || m3.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r2 CROSS JOIN m3),
+         p4 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r3 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m4 AS (SELECT a, b FROM p4 ORDER BY cnt DESC, a, b LIMIT 1),
+         r4 AS (SELECT doc_id, lang, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m4.a OR
+                   ends_with(acc, chr(31) || m4.a)) AND x = m4.b
+                 THEN acc || '_' || m4.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r3 CROSS JOIN m4)
+         SELECT lang, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_vocab,
+           CAST(sum(CASE WHEN contains(tok, '_') THEN 1 ELSE 0 END)
+             AS BIGINT) AS merged_occurrences
+         FROM (SELECT doc_id, lang, unnest(l) AS tok FROM r4)
+         GROUP BY lang ORDER BY lang""",
+    // Ratio-margin bitext mining replicated: cross cosine scores, both
+    // sides' 4-NN averages (avg over the available neighbors, ties to
+    // the smaller id), margin = sim / mean of the two averages, per-src
+    // argmax by margin, threshold 1.1 — all mirroring the engine's
+    // expression tree; sim/margin round to 4 (the q35 anchoring).
+    "q147_bitext_margin" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         d AS (SELECT doc_id, lang FROM documents),
+         s AS (SELECT e.id, e.v FROM e JOIN d ON d.doc_id = e.id
+               WHERE d.lang = 'en'),
+         t AS (SELECT e.id, e.v FROM e JOIN d ON d.doc_id = e.id
+               WHERE d.lang = 'de'),
+         sc AS (SELECT s.id AS src_id, t.id AS tgt_id,
+                  list_cosine_similarity(s.v, t.v) AS sim
+                FROM s CROSS JOIN t
+                WHERE list_cosine_similarity(s.v, t.v) IS NOT NULL),
+         fwd AS (SELECT * FROM (SELECT src_id, tgt_id, sim,
+                  row_number() OVER (PARTITION BY src_id
+                    ORDER BY sim DESC, tgt_id) AS r
+                  FROM sc) WHERE r <= 4),
+         srcavg AS (SELECT src_id, avg(sim) AS sa FROM fwd GROUP BY 1),
+         bwd AS (SELECT * FROM (SELECT src_id, tgt_id, sim,
+                  row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY sim DESC, src_id) AS r
+                  FROM sc) WHERE r <= 4),
+         tgtavg AS (SELECT tgt_id, avg(sim) AS ta FROM bwd GROUP BY 1),
+         cand AS (SELECT f.src_id, f.tgt_id, f.sim,
+                    f.sim / ((sa.sa + ta.ta) / 2) AS margin
+                  FROM fwd f
+                  JOIN srcavg sa ON sa.src_id = f.src_id
+                  JOIN tgtavg ta ON ta.tgt_id = f.tgt_id),
+         best AS (SELECT * FROM (SELECT src_id, tgt_id, sim, margin,
+                    row_number() OVER (PARTITION BY src_id
+                      ORDER BY margin DESC, tgt_id) AS rk
+                  FROM cand) WHERE rk = 1 AND margin >= 1.1)
+         SELECT src_id, tgt_id, round(sim, 4) AS sim,
+           round(margin, 4) AS margin
+         FROM best ORDER BY src_id"""
   )
 }

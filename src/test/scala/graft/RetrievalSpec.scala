@@ -205,6 +205,36 @@ class RetrievalSpec extends SparkSpec {
     assert(probed.nonEmpty && probed === direct)
   }
 
+  test("bm25 compact: probe identical before/after, postings files per bucket drop to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-cmp").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry"), (2L, "banana durian"))
+      .toDF("query_id", "query_text")
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", dir, buckets = 7)
+    graft.operators.Retrieval.bm25Append(
+      dir, docs.filter(col("doc_id") === 3), "doc_id", "text")
+    graft.operators.Retrieval.bm25Append(
+      dir, docs.filter(col("doc_id") === 4), "doc_id", "text")
+    def bucketFiles(): Map[String, Int] =
+      new java.io.File(s"$dir/postings").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = graft.operators.Retrieval.bm25TopKIndexed(dir, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    // two appends on top of the build -> some bucket holds >= 2 files
+    assert(bucketFiles().values.max >= 2,
+      s"fixture failed to fragment the index: ${bucketFiles()}")
+    graft.operators.Retrieval.bm25Compact(spark, dir)
+    assert(bucketFiles().values.max === 1,
+      s"compaction left multi-file buckets: ${bucketFiles()}")
+    val after = graft.operators.Retrieval.bm25TopKIndexed(dir, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after.nonEmpty && after === before,
+      "compaction changed the probe relation")
+  }
+
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
     val docs = corpus.toDF("doc_id", "text")

@@ -529,6 +529,39 @@ class SimilaritySpec extends SparkSpec {
       Similarity.centroidOutliers(df, "vec_id", "embedding", "label", 0))
   }
 
+  test("marginMine: ratio margin out-mines raw cosine on a hub target") {
+    // planar fixture by angle (cosine = cos of the angle gap): tgt 10 is
+    // a HUB at 4° sitting between sources at 0° and 8°, so its
+    // neighborhood average is ~0.998; source s2 at 24° has raw cosine
+    // 0.9397 to the hub but only 0.9336 to its true counterpart t11 at
+    // 45° — raw top-1 picks the hub, the ratio margin picks t11 because
+    // the hub's crowded neighborhood eats its margin.
+    def v(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)), 0.0)
+    val src = Seq(
+      (1L, v(0)), (2L, v(24)), (3L, v(8)),
+      (4L, Seq(0.0, 0.0, 0.0))) // zero norm: no direction, must drop
+      .toDF("id", "vec")
+    val tgt = Seq((10L, v(4)), (11L, v(45))).toDF("id", "vec")
+    // raw cosine would hand s2 to the hub:
+    val raw = Similarity.bruteForceTopK(tgt, "id", "vec",
+        src.filter($"id" === 2), "id", "vec", k = 1)
+      .select("id").as[Long].head()
+    assert(raw === 10L, "fixture broke: raw top-1 of s2 should be the hub")
+    val mined = Similarity.marginMine(src, tgt, "id", "vec", k = 2,
+        threshold = 0.0)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(mined === Seq((1L, 10L), (2L, 11L), (3L, 10L)),
+      s"margin mining diverged: $mined")
+    // threshold cuts the weakest margin (s2 at ~1.036) but keeps ~1.078
+    val cut = Similarity.marginMine(src, tgt, "id", "vec", k = 2,
+        threshold = 1.05)
+      .select("src_id").as[Long].collect().toSeq.sorted
+    assert(cut === Seq(1L, 3L), s"threshold cut diverged: $cut")
+    intercept[IllegalArgumentException](
+      Similarity.marginMine(src, tgt, "id", "vec", k = 0))
+  }
+
   test("ivf training sample is unbiased: front-loaded id blocks still give balanced cells") {
     // 8 well-separated clusters occupying CONTIGUOUS id blocks of 250
     // (cluster c = ids [250c, 250c+250)) — the time-ordered-ingest /

@@ -432,6 +432,38 @@ class SessionizeSpec extends SparkSpec {
       TextAnalysis.trigramBackoffLogProb(d, d, "doc_id", "text", alpha = 1.0))
   }
 
+  test("bpeEncode applies trained merges in order with non-overlap semantics") {
+    val docs = Seq(
+      (1L, "a a b"),     // merge1 (a,a): [a_a, b]; merge2 (a,b): no site left
+      (2L, "a b a a"),   // [a, b, a_a] -> [a_b, a_a]
+      (3L, "x"),         // untouched singleton
+      (4L, "")           // empty stays empty
+    ).toDF("id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "id", "text",
+        Seq(("a", "a"), ("a", "b")))
+      .orderBy("id").select("tokens").as[Seq[String]].collect().toSeq
+    assert(out === Seq(
+      Seq("a_a", "b"), Seq("a_b", "a_a"), Seq("x"), Seq.empty))
+    // training order matters: reversing the merges flips which rule
+    // claims doc 1's "a a b" (greedy non-overlap is order-dependent)
+    val rev = TextAnalysis.bpeEncode(docs, "id", "text",
+        Seq(("a", "b"), ("a", "a")))
+      .orderBy("id").select("tokens").as[Seq[String]].collect().toSeq
+    assert(rev.head === Seq("a", "a_b"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeEncode(docs, "id", "text", Seq.empty))
+    // round trip with training: encoding with bpeMerges' elected table
+    // reproduces the training chain's final token total
+    val trained = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .orderBy("round")
+      .select("pair_a", "pair_b", "tokens_after")
+      .as[(String, String, Long)].collect().toSeq
+    val enc = TextAnalysis.bpeEncode(docs, "id", "text",
+        trained.map(t => (t._1, t._2)))
+      .select(sum(size(col("tokens")))).as[Long].head()
+    assert(enc === trained.last._3)
+  }
+
   test("langIdScores: argmax + margin on a separable corpus; unseen docs drop") {
     val docs = Seq(
       (0L, "aaa aaa aaa", "a"), (1L, "aaa aaa", "a"),
