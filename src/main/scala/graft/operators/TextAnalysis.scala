@@ -541,7 +541,16 @@ object TextAnalysis {
       s"merge table must have 1..64 rounds (each is a chained fold " +
         s"expression), got ${merges.length}")
     val base = tokens(translate(col(textCol), BpeSep, " "))
-    val encoded = merges.foldLeft(base) { case (l, (a, b)) => mergeFold(l, a, b) }
+    // BIND each round's input once: mergeFold references its argument
+    // several times (size/slice/seed), so naively chaining rounds
+    // re-evaluates round k-1's whole fold ~5x inside round k — ~5^n
+    // evaluations of the base tokenization by round n (measured 71 s at
+    // sf0.1 for 4 rounds). The one-element-array transform is the
+    // library's standard binder (the cdcChunks defense): array(l)
+    // evaluates l exactly once and the lambda variable is a free read.
+    val encoded = merges.foldLeft(base) { case (l, (a, b)) =>
+      element_at(transform(array(l), x => mergeFold(x, a, b)), 1)
+    }
     df.select(col(idCol).as("id"), encoded.as("tokens"))
   }
 

@@ -414,6 +414,59 @@ object MarketAnalytics {
         .orderBy(col("p_id"))
     }),
 
+    // §2.7 gate #11: FULL-OUTER stream-stream join — the last join form
+    // (q117 inner, q118 left-outer): BOTH eviction directions at once. A
+    // purchase with no click still emits (q118's arm, per-copy nulls
+    // collapsed by the grouping), AND a click preceded by no purchase
+    // emits a right-null row — exact WITHOUT grouping, because the right
+    // side carries one time bucket per row (no explosion). Same phased
+    // two-source replay, sentinels + spacers driving both sides'
+    // watermark evictions deterministically.
+    "q148_stream_full_outer_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val et = graft.streaming.StreamingEtl.toEventTime(col("ts"))
+      val maxNs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+      val sentinelNs = maxNs + (90L * 86400L + 86400L) * 1000000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), et.as("p_et"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), et.as("c_et"))
+      def sentinel(idCol: String, etCol: String) =
+        ev.sparkSession.range(1).select(
+          lit(-1L).as(idCol),
+          graft.streaming.StreamingEtl.toEventTime(lit(sentinelNs)).as(etCol))
+      def phased(df: DataFrame, idCol: String, etCol: String) =
+        Seq(
+          df.filter(pmod(col(idCol), lit(3)) === 0),
+          df.filter(pmod(col(idCol), lit(3)) === 1),
+          df.filter(pmod(col(idCol), lit(3)) === 2),
+          sentinel(idCol, etCol),
+          df.limit(0), df.limit(0))
+      val pairs = replayTwoStreamsPhased(s, "q148_fouter", dir,
+          phased(purchases, "p_id", "p_et"), phased(clicks, "c_id", "c_et"),
+          (l, r) => graft.streaming.StreamingEtl.streamIntervalJoin(
+            l, "p_et", r, "c_et",
+            lowerMicros = 0L, upperMicros = 300000000L,
+            watermarkDelay = "90 days", joinType = "full_outer")
+            .select(col("p_id"), col("c_id")))
+      val perPurchase = pairs
+        .filter(col("p_id").isNotNull && col("p_id") >= 0)
+        .groupBy(col("p_id"))
+        .agg(
+          count(col("c_id")).as("n_clicks"),
+          coalesce(min(col("c_id")), lit(-1L)).as("min_click_id"))
+        .select(
+          lit("purchase").as("side"), col("p_id").as("id"),
+          col("n_clicks"), col("min_click_id"))
+      val orphanClicks = pairs
+        .filter(col("p_id").isNull && col("c_id") >= 0)
+        .select(
+          lit("click_orphan").as("side"), col("c_id").as("id"),
+          lit(0L).as("n_clicks"), lit(-1L).as("min_click_id"))
+      perPurchase.unionByName(orphanClicks)
+        .orderBy(col("side"), col("id"))
+    }),
+
     // §2.7 gate #5: WATERMARK semantics — the one streaming behavior the
     // other four gates deliberately avoid (their replays must not drop
     // rows). Five PHASE-CONTROLLED micro-batches make late-data handling
@@ -1175,6 +1228,29 @@ object MarketAnalytics {
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
          GROUP BY p.event_id ORDER BY p_id""",
+    // Full outer = q118's purchase arm UNION the never-matched clicks:
+    // a click row emits the orphan arm iff NO purchase precedes it
+    // within the 5-minute window (exactly the streaming right-null
+    // eviction rule).
+    "q148_stream_full_outer_join" ->
+      """WITH p AS (SELECT event_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+         pc AS (SELECT p.event_id AS id,
+                  count(c.event_id) AS n_clicks,
+                  coalesce(min(c.event_id), -1) AS min_click_id
+                FROM p LEFT JOIN c
+                  ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 5 MINUTE
+                GROUP BY p.event_id),
+         orph AS (SELECT c.event_id AS id FROM c
+                  WHERE NOT EXISTS (SELECT 1 FROM p
+                    WHERE c.ts >= p.ts
+                      AND c.ts < p.ts + INTERVAL 5 MINUTE))
+         SELECT 'click_orphan' AS side, id, CAST(0 AS BIGINT) AS n_clicks,
+           CAST(-1 AS BIGINT) AS min_click_id FROM orph
+         UNION ALL
+         SELECT 'purchase' AS side, id, n_clicks, min_click_id FROM pc
+         ORDER BY side, id""",
     // The planted duplicates are verbatim copies, so the deduped stream
     // must equal the original events table — no dedup in the oracle at
     // all; any state miss (a copy surviving, or a first arrival lost)

@@ -273,17 +273,21 @@ object StreamingEtl {
     *
     * Column names must be disjoint (same contract as RangeJoin).
     */
-  /** @param joinType "inner" (default) or "left_outer". Left-outer: an
-    *   unmatched left row emits with null right columns once the watermark
-    *   evicts its join state — the eviction-driven half of the stream-stream
-    *   contract. NOTE the bucketization explodes each left row to ≤ 2 bucket
-    *   copies, so outer output is exact only up to per-copy null rows: a
-    *   copy unmatched in ITS bucket emits a null row even when the twin
-    *   copy matched. Aggregations that count/min the RIGHT side ignore
-    *   null rows, so every grouped consumer (q118's shape) sees exactly
-    *   the logical left-outer relation; consumers needing raw outer rows
-    *   must post-group by the left key (keep nulls only for keys with no
-    *   match anywhere).
+  /** @param joinType "inner" (default), "left_outer", or "full_outer".
+    *   Left-outer: an unmatched left row emits with null right columns
+    *   once the watermark evicts its join state — the eviction-driven
+    *   half of the stream-stream contract. NOTE the bucketization
+    *   explodes each left row to ≤ 2 bucket copies, so LEFT-outer output
+    *   is exact only up to per-copy null rows: a copy unmatched in ITS
+    *   bucket emits a null row even when the twin copy matched.
+    *   Aggregations that count/min the RIGHT side ignore null rows, so
+    *   every grouped consumer (q118's shape) sees exactly the logical
+    *   left-outer relation; consumers needing raw outer rows must
+    *   post-group by the left key (keep nulls only for keys with no
+    *   match anywhere). Full-outer adds the RIGHT-null rows — and those
+    *   are EXACT without grouping: the right side carries a single
+    *   bucket per row (no explosion), so a right row emits its null row
+    *   iff it truly matched nothing (the q148 gate checks both arms).
     */
   def streamIntervalJoin(
       left: DataFrame,
@@ -295,7 +299,9 @@ object StreamingEtl {
       watermarkDelay: String,
       joinType: String = "inner"): DataFrame = {
     require(upperMicros > lowerMicros, "empty window")
-    require(joinType == "inner" || joinType == "left_outer",
+    require(
+      joinType == "inner" || joinType == "left_outer" ||
+        joinType == "full_outer",
       s"unsupported join type $joinType")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must be disjoint (rename before joining)")

@@ -18,6 +18,8 @@ package graft
   *     exist only because the store evicts on watermark, SPARK-24699)
   *   - q131: stream-static enrichment — the dim join itself is
   *     stateless, but the downstream keyed counters live in the store
+  *   - q148: full-outer join — BOTH eviction directions (left-null and
+  *     right-null emission) in one query
   */
 class RocksDbStateSpec extends SparkSpec {
   private val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -89,5 +91,16 @@ class RocksDbStateSpec extends SparkSpec {
     assert(rocks.nonEmpty && rocks === default)
     assert(rocks.exists(_.endsWith(",0,-1]")),
       "outer-join gate produced no no-match rows under RocksDB")
+  }
+
+  test("q148 full-outer join eviction (both directions) is identical under RocksDB") {
+    val (default, rocks) = runBoth("q148_stream_full_outer_join")
+    assert(rocks.nonEmpty && rocks === default)
+    // both eviction arms must be non-vacuous: a purchase with no click
+    // AND a click with no preceding purchase
+    assert(rocks.exists(r => r.startsWith("[purchase") && r.endsWith(",0,-1]")),
+      "full-outer gate produced no left-null rows under RocksDB")
+    assert(rocks.exists(_.startsWith("[click_orphan")),
+      "full-outer gate produced no right-null rows under RocksDB")
   }
 }
