@@ -908,7 +908,10 @@ object TextAnalysis {
       .partitionBy(col("id"))
       .orderBy(col("score").desc, col("lang"))
     grams(df.filter(col(idCol) >= seedMax), col(idCol).as("id"))
-      .join(weights, "gram")
+      // the weight table is SEED-bounded (seed vocabulary x classes),
+      // constant in the corpus size — broadcast it so the corpus-sized
+      // gram stream never shuffles for the scoring join
+      .join(broadcast(weights), "gram")
       .groupBy(col("id"), col("lang"))
       .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("sw"))
       .withColumn("score", priorCol + col("sw"))
