@@ -570,6 +570,10 @@ object Similarity {
       .withColumn("cell", element_at(
         graft.functions.VecExprs.nearestCentroids(
           col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
+      // cluster by the partition key before the dynamic-partition write
+      // (the bm25 build's small-files lesson: without it every task
+      // writes a file into every cell directory)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
   }
 
@@ -587,8 +591,11 @@ object Similarity {
     * in its nearest EXISTING cell), only cell balance degrades.
     *
     * Scale: one map-side assignment projection (centroids broadcast in
-    * the expression) + a partitioned append — no shuffle, no touch of
-    * the existing corpus files.
+    * the expression) + one BATCH-sized cluster-by-cell shuffle + a
+    * partitioned append — the existing corpus files are never touched,
+    * and the shuffle buys one file per touched cell per append instead
+    * of tasks x cells (the small-files decay [[ivfCompact]] exists to
+    * repair; clustering the append slows the decay at its source).
     */
   def ivfAppend(
       indexPath: String, batch: DataFrame,
@@ -603,7 +610,33 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .withColumn("cell", element_at(
         graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+      .repartition(col("cell")) // one file per touched cell per append
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
+  }
+
+  /** Compact a [[buildIvfIndex]] index in place — the dense-side twin of
+    * [[graft.operators.Retrieval.bm25Compact]]: every [[ivfAppend]]
+    * lands its batch as new files inside the existing cell partitions,
+    * so a long-lived index accumulates one file set per append and the
+    * probe's cell reads decay into many small openings. The corpus
+    * table rewrites CELL-CLUSTERED into a temp generation and swaps in
+    * by filesystem rename (never read-and-overwrite in one job; the
+    * Hadoop FileSystem API so the swap carries to HDFS/object stores).
+    * Centroids are append-invariant and untouched. Assignment and
+    * scoring are file-layout-blind: a probe after compact equals the
+    * probe before bit-for-bit (the q149 gate pins it).
+    */
+  def ivfCompact(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/corpus_compact_tmp")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(cur), s"ivfCompact: no corpus at $cur")
+    spark.read.parquet(cur.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    require(fs.delete(cur, true), s"ivfCompact: could not remove $cur")
+    require(fs.rename(tmp, cur), s"ivfCompact: could not swap $tmp -> $cur")
   }
 
   /** Query a [[buildIvfIndex]] index: same semantics as [[ivfTopK]] with

@@ -51,6 +51,10 @@ object Curation {
   private lazy val bm25CompactDir: String =
     java.nio.file.Files.createTempDirectory("graft-bm25-cmp").toString
 
+  // q149's IVF-compaction scratch, same overwrite-first contract
+  private lazy val ivfCompactDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -2169,6 +2173,47 @@ object Curation {
       Similarity.marginMine(side("en"), side("de"), "vec_id", "embedding",
           k = 4, threshold = 1.1)
         .orderBy(col("src_id"))
+    }),
+
+    // IVF compaction soundness (the q145 shape for the DENSE index):
+    // build on 3/4 of the corpus, append the rest in TWO batches (three
+    // file generations per touched cell), probe, compact, probe again —
+    // the two probe relations must be IDENTICAL (the pre-compact
+    // relation is collected to a bounded local table BEFORE the swap
+    // destroys the files it was computed from), and the compacted
+    // corpus must hold exactly every vector. Empty output = sound.
+    "q149_ivf_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 4 =!= 0)
+      val b1 = emb.filter(col("vec_id") % 8 === 0)
+      val b2 = emb.filter(col("vec_id") % 8 === 4)
+      val path = ivfCompactDir
+      Similarity.buildIvfIndex(a, "vec_id", "embedding", nlist = 16, path)
+      Similarity.ivfAppend(path, b1, "vec_id", "embedding")
+      Similarity.ivfAppend(path, b2, "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      def probe() = Similarity.ivfTopKIndexed(
+          path, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 4))
+      val beforeRows = probe().collect() // bounded: |queries| x k
+      Similarity.ivfCompact(s, path)
+      val after = probe()
+      val before = s.createDataFrame(
+        s.sparkContext.parallelize(beforeRows.toIndexedSeq), after.schema)
+      val extra = after.exceptAll(before)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("extra_rows").as("kind"), col("n"))
+      val missing = before.exceptAll(after)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("missing_rows").as("kind"), col("n"))
+      val expected = a.count() + b1.count() + b2.count()
+      val countViol = s.read.parquet(s"$path/corpus")
+        .groupBy().agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= expected)
+        .select(lit("count_mismatch").as("kind"), col("c").as("n"))
+      extra.unionByName(missing).unionByName(countViol)
+        .orderBy(col("kind"), col("n"))
     })
   )
 

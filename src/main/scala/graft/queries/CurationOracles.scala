@@ -2106,6 +2106,9 @@ object CurationOracles {
     "q112_ivf_append" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    "q149_ivf_compact" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // The same three RE2-common patterns; both engines trim only 0x20,
     // so blank segments classify identically.
     "q113_readability" ->

@@ -325,6 +325,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ahit === aq.count())
   }
 
+  test("ivfCompact collapses per-cell file sets and preserves probes") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val all = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
+    Similarity.buildIvfIndex(all.filter($"id" % 4 =!= 0), "id", "vec", 8, path)
+    Similarity.ivfAppend(path, all.filter($"id" % 8 === 0), "id", "vec")
+    Similarity.ivfAppend(path, all.filter($"id" % 8 === 4), "id", "vec")
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(s"$path/corpus").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val queries = all.filter($"id" % 6 === 0).select(($"id" + 5000L).as("id"), $"vec")
+    def probe() = Similarity.ivfTopKIndexed(path, queries, "id", "vec", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    assert(cellFiles().values.max >= 2,
+      s"fixture failed to fragment the index: ${cellFiles()}")
+    Similarity.ivfCompact(spark, path)
+    assert(cellFiles().values.max === 1,
+      s"compaction left multi-file cells: ${cellFiles()}")
+    assert(spark.read.parquet(s"$path/corpus").count() === all.count())
+    val after = probe()
+    assert(after.nonEmpty && after === before,
+      "compaction changed the probe relation")
+  }
+
   test("ivf centroids are deterministic") {
     val df = (0L until 100L).map(i =>
       (i, Seq.tabulate(4)(d => (i % 10 + d).toDouble))).toDF("id", "vec")
