@@ -139,6 +139,13 @@ object ScaleBench {
     // additionally measures the append path: the appended batch is 1/3
     // of the corpus, so "work follows the batch" predicts time growth
     // tracking the corpus decade, never exceeding it.
+    // q144/q146 joined in round 10: the NB language-ID's training side is
+    // seed-bounded (doc_id < 200 regardless of corpus size) so its
+    // vocabulary, weight table, and broadcast stay CONSTANT while the
+    // scored gram stream grows linearly — time growth isolates the
+    // gram-explode scan + the docs x classes aggregation. q146's encode
+    // is a pure map over the corpus (training collects are
+    // vocabulary-sized), the q87-style linear floor with 4 chained folds.
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
       "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
@@ -147,7 +154,7 @@ object ScaleBench {
       "q104_host_pagerank", "q127_bm25", "q129_postings",
       "q134_bm25_index_parity", "q135_phrase_search", "q136_backoff_lm",
       "q138_containment", "q139_cdc_chunks", "q140_bpe_merges",
-      "q143_bm25_append")
+      "q143_bm25_append", "q144_lang_id", "q146_bpe_encode")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.filter(q => onlyQ.isEmpty || onlyQ.contains(q)).foreach { q =>
       val (bt, br) = bench(q, baseDir)

@@ -58,7 +58,16 @@ class PlanShapeSpec extends SparkSpec {
     "q127_bm25", "q128_nb_quality", "q129_postings",
     "q135_phrase_search", "q136_backoff_lm", "q137_emb_outliers",
     "q138_containment", "q139_cdc_chunks", "q141_salted_agg",
-    "q142_frame_sample")
+    // q147 is exempt like q27/q101: its scoring arm is deliberately a
+    // broadcast brute-force product over the source side
+    "q142_frame_sample", "q144_lang_id", "q146_bpe_encode")
+
+  test("q144 language-ID: seed-bounded weight table broadcasts into the gram stream") {
+    val plan = planOf("q144_lang_id")
+    spark.sharedState.cacheManager.clearCache()
+    assert(plan.contains("BroadcastHashJoin"),
+      "the scoring join regressed to a shuffle join:\n" + plan)
+  }
 
   test("q127 BM25: query terms broadcast, per-query cut prunes map-side") {
     val plan = planOf("q127_bm25")
