@@ -256,6 +256,10 @@ object Similarity {
     fwd
       .join(srcAvg, "src_id")
       .join(tgtAvg, "tgt_id")
+      // both neighborhoods averaging to EXACTLY 0 (everything orthogonal)
+      // leaves the ratio margin undefined — such a pair carries no mining
+      // signal and is dropped, which also keeps the division ANSI-safe
+      .filter(col("sa") + col("ta") =!= 0.0)
       .withColumn("margin",
         col("sim") / ((col("sa") + col("ta")) / lit(2.0)))
       .withColumn("rk", row_number().over(wBest))

@@ -2931,7 +2931,8 @@ object CurationOracles {
                     f.sim / ((sa.sa + ta.ta) / 2) AS margin
                   FROM fwd f
                   JOIN srcavg sa ON sa.src_id = f.src_id
-                  JOIN tgtavg ta ON ta.tgt_id = f.tgt_id),
+                  JOIN tgtavg ta ON ta.tgt_id = f.tgt_id
+                  WHERE sa.sa + ta.ta <> 0),
          best AS (SELECT * FROM (SELECT src_id, tgt_id, sim, margin,
                     row_number() OVER (PARTITION BY src_id
                       ORDER BY margin DESC, tgt_id) AS rk

@@ -102,6 +102,43 @@ class NullSafetySpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "removed")))
   }
 
+  test("round-10 operators survive degenerate text and vectors") {
+    // langIdScores: null/empty/blank docs have no grams — they drop from
+    // the scored relation (carry no evidence), never crash; a seed whose
+    // labels are null still counts as a class value? No: null labels are
+    // their own group — keep the contract simple by labeling the seed
+    val labeled = degenerate.withColumn("lang",
+      when($"doc_id" === 1L, lit("aa")).otherwise(lit("bb")))
+    val scored = TextAnalysis.langIdScores(
+      labeled.unionByName(labeled.withColumn("doc_id", $"doc_id" + 10L)),
+      "doc_id", "text", "lang", seedMax = 10L)
+    // null (12) and empty (13) have no grams and drop; the 3-space doc
+    // (14) legitimately scores via its whitespace trigram — char-gram
+    // models treat word-boundary runs as signal by design
+    assert(scored.select("id").as[Long].collect().toSet == Set(11L, 14L),
+      "null/empty docs must drop (and only they), not crash")
+    // bpeEncode: null text encodes to a null token array; empty/blank to
+    // empty arrays — never a crash
+    val enc = TextAnalysis.bpeEncode(degenerate, "doc_id", "text",
+        Seq(("alpha", "beta")))
+      .orderBy("id").select("tokens").as[Option[Seq[String]]].collect()
+    assert(enc.length == 4 && enc.head.exists(_.head == "alpha_beta"))
+    assert(enc.drop(2).forall(_.forall(_.isEmpty)))
+    // marginMine: zero-norm vectors on either side drop silently, and an
+    // all-orthogonal pair (margin denominator exactly 0) drops instead
+    // of raising ANSI DIVIDE_BY_ZERO
+    val z = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val t = Seq(
+      (10L, Seq(0.6, 0.8)), (11L, Seq(0.0, 0.0)), (12L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val mined = graft.operators.Similarity.marginMine(z, t, "id", "vec", 1, 0.0)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSeq
+    assert(mined == Seq((2L, 10L)))
+    val allOrthogonal = graft.operators.Similarity.marginMine(
+        z, t.filter($"id" === 12L), "id", "vec", 1, 0.0)
+    assert(allOrthogonal.count() == 0)
+  }
+
   test("packing and clustering survive empty inputs") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("doc_id", "n_toks")
     assert(Packing.packSequences(empty, "doc_id", "n_toks", 128L, 4).count() == 0)
