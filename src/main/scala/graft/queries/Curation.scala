@@ -2214,6 +2214,33 @@ object Curation {
         .select(lit("count_mismatch").as("kind"), col("c").as("n"))
       extra.unionByName(missing).unionByName(countViol)
         .orderBy(col("kind"), col("n"))
+    }),
+
+    // Tokenize-and-pack: the pretraining final mile composed end to end
+    // — context-window packing budgeted by the TRAINED tokenizer's
+    // encoded token counts (q146's merges applied corpus-wide), not the
+    // whitespace proxy q51 uses. A drifted merge application changes a
+    // document's encoded length, shifts a pack boundary, and breaks a
+    // per-shard counter. Budget 256 so merges move docs across packs.
+    "q150_tokenize_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", rounds = 4)
+        .orderBy(col("round"))
+        .select(col("pair_a"), col("pair_b"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      Packing.packProfile(
+          TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+            .select(col("id").as("doc_id"),
+              size(col("tokens")).cast("long").as("n_toks")),
+          "doc_id", "n_toks", budget = 256L, numShards = 8)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          max(col("pack_tokens")).as("max_pack_tokens"),
+          sum(col("overflow_tokens")).as("total_overflow"))
+        .orderBy(col("shard"))
     })
   )
 

@@ -2900,6 +2900,81 @@ object CurationOracles {
              AS BIGINT) AS merged_occurrences
          FROM (SELECT doc_id, lang, unnest(l) AS tok FROM r4)
          GROUP BY lang ORDER BY lang""",
+    // q146's train+encode chain, then q51's greedy budget packing over
+    // the ENCODED lengths (budget 256, 8 id-mod shards).
+    "q150_tokenize_pack" ->
+      """WITH r0 AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(
+               replace(text, chr(31), ' '), '\s+'), x -> x <> '') AS l
+           FROM documents),
+         p1 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r0 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+         r1 AS (SELECT doc_id, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m1.a OR
+                   ends_with(acc, chr(31) || m1.a)) AND x = m1.b
+                 THEN acc || '_' || m1.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r0 CROSS JOIN m1),
+         p2 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r1 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+         r2 AS (SELECT doc_id, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m2.a OR
+                   ends_with(acc, chr(31) || m2.a)) AND x = m2.b
+                 THEN acc || '_' || m2.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r1 CROSS JOIN m2),
+         p3 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r2 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+         r3 AS (SELECT doc_id, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m3.a OR
+                   ends_with(acc, chr(31) || m3.a)) AND x = m3.b
+                 THEN acc || '_' || m3.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r2 CROSS JOIN m3),
+         p4 AS (SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+             SELECT unnest([{'a': l[i], 'b': l[i+1]}
+               FOR i IN range(1, len(l))]) AS p
+             FROM r3 WHERE len(l) >= 2) GROUP BY 1, 2),
+         m4 AS (SELECT a, b FROM p4 ORDER BY cnt DESC, a, b LIMIT 1),
+         r4 AS (SELECT doc_id, CASE WHEN len(l) <= 1 THEN l
+             ELSE string_split(list_reduce(l,
+               (acc, x) -> CASE WHEN (acc = m4.a OR
+                   ends_with(acc, chr(31) || m4.a)) AND x = m4.b
+                 THEN acc || '_' || m4.b
+                 ELSE acc || chr(31) || x END), chr(31)) END AS l
+           FROM r3 CROSS JOIN m4),
+         d AS (SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(l) AS BIGINT) AS n_toks FROM r4),
+         p AS (
+           SELECT shard, n_toks,
+             CAST((sum(n_toks) OVER w - n_toks) // 256 AS BIGINT) AS pack
+           FROM d
+           WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING)),
+         packs AS (
+           SELECT shard, pack, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+             greatest(CAST(sum(n_toks) AS BIGINT) - 256, 0)
+               AS overflow_tokens
+           FROM p GROUP BY shard, pack)
+         SELECT shard, count(*) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           max(pack_tokens) AS max_pack_tokens,
+           CAST(sum(overflow_tokens) AS BIGINT) AS total_overflow
+         FROM packs GROUP BY shard ORDER BY shard""",
     // Ratio-margin bitext mining replicated: cross cosine scores, both
     // sides' 4-NN averages (avg over the available neighbors, ties to
     // the smaller id), margin = sim / mean of the two averages, per-src

@@ -207,7 +207,8 @@ class PlanShapeSpec extends SparkSpec {
       "an exchange carries raw document text:\n" + plan)
   }
 
-  test("BM25 index build + append WRITE-path plans stay cartesian/BNL-free") {
+  test("index build/append/compact WRITE-path plans stay cartesian/BNL-free " +
+      "(BM25 + IVF)") {
     // the no-BNL invariant above only sees returned DataFrames; the
     // index builders write internally, so their plans are captured via a
     // QueryExecutionListener across every action the two calls run
@@ -224,6 +225,9 @@ class PlanShapeSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft-bm25-planshape").toString
     try {
       val docs = Tables.load(spark, sfDir, "documents")
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val ivfPath =
+        java.nio.file.Files.createTempDirectory("graft-ivf-planshape").toString
       CacheScope.scoped {
         operators.Retrieval.buildBm25Index(
           docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
@@ -232,6 +236,15 @@ class PlanShapeSpec extends SparkSpec {
           path,
           docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
           "doc_id", "text")
+        operators.Retrieval.bm25Compact(spark, path)
+        operators.Similarity.buildIvfIndex(
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", nlist = 8, ivfPath)
+        operators.Similarity.ivfAppend(
+          ivfPath,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === 0),
+          "vec_id", "embedding")
+        operators.Similarity.ivfCompact(spark, ivfPath)
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
@@ -244,9 +257,9 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally spark.listenerManager.unregister(listener)
     val plans = captured.synchronized(captured.toList)
-    // build: postings/terms/doclen/stats writes; append: postings/doclen/
-    // terms/stats writes (+ stats collect, checkpoint) — at least 8 actions
-    assert(plans.size >= 8, s"captured only ${plans.size} write-path plans")
+    // bm25 build (4 writes) + append (4 writes + collects + checkpoint) +
+    // compact (2 rewrites), ivf build/append/compact — at least 12 actions
+    assert(plans.size >= 12, s"captured only ${plans.size} write-path plans")
     val offenders = plans.filter(p =>
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty,
