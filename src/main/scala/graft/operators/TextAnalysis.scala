@@ -850,6 +850,56 @@ object TextAnalysis {
     * aggregation; texts never shuffle. The argmax is a per-doc window
     * over exactly k rows.
     */
+  /** The n-char substring grams of `textCol` at every position, exploded
+    * with `keep` carried — shared by training, in-session scoring, and
+    * model-file scoring so the three can never tokenize differently.
+    */
+  private def charGrams(
+      frame: DataFrame, textCol: String, n: Int, keep: Column): DataFrame =
+    frame
+      .filter(length(col(textCol)) >= n)
+      .select(
+        keep,
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - (n - 1)),
+          i => col(textCol).substr(i, lit(n)))).as("gram"))
+
+  /** Score documents against a trained (weights, priors) NB model — the
+    * shared back half of [[langIdScores]] and [[langIdScoresIndexed]].
+    * `priors` must be sorted by class label (the argmax tie-break order).
+    */
+  private def scoreLangId(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame, // (gram, lang, w)
+      priors: Seq[(String, Double)],
+      n: Int): DataFrame = {
+    val priorCol = priors.foldRight(lit(Double.NaN): Column) {
+      case ((l, p), rest) => when(col("lang") === l, lit(p)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("score").desc, col("lang"))
+    charGrams(docs, textCol, n, col(idCol).as("id"))
+      // the weight table is SEED-bounded (seed vocabulary x classes),
+      // constant in the corpus size — broadcast it so the corpus-sized
+      // gram stream never shuffles for the scoring join
+      .join(broadcast(weights), "gram")
+      .groupBy(col("id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("sw"))
+      .withColumn("score", priorCol + col("sw"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("runner_up", lead(col("score"), 1).over(w))
+      .filter(col("rnk") === 1)
+      .select(
+        col("id"),
+        col("lang").as("pred"),
+        col("n_grams"),
+        col("score"),
+        (col("score") - col("runner_up")).as("margin"))
+  }
+
   def langIdScores(
       df: DataFrame,
       idCol: String,
@@ -860,13 +910,7 @@ object TextAnalysis {
     require(seedMax > 0, s"seedMax must be positive, got $seedMax")
     require(n >= 1 && n <= 8, s"gram length must be in [1, 8], got $n")
     def grams(frame: DataFrame, keep: Column): DataFrame =
-      frame
-        .filter(length(col(textCol)) >= n)
-        .select(
-          keep,
-          explode(transform(
-            sequence(lit(1), length(col(textCol)) - (n - 1)),
-            i => col(textCol).substr(i, lit(n)))).as("gram"))
+      charGrams(frame, textCol, n, keep)
     val labeled = df.filter(col(idCol) < seedMax)
     val classRows = labeled
       .groupBy(col(langCol).as("lang"))
@@ -901,29 +945,97 @@ object TextAnalysis {
           log((col(s"c_$l") + lit(1L)).cast("double") /
             lit((tots(l) + vocab).toDouble)).as("w"))): _*)).as("lw"))
       .select(col("gram"), col("lw.lang").as("lang"), col("lw.w").as("w"))
-    val priorCol = langs.foldRight(lit(Double.NaN): Column) { (l, rest) =>
-      when(col("lang") === l, lit(priors(l))).otherwise(rest)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("score").desc, col("lang"))
-    grams(df.filter(col(idCol) >= seedMax), col(idCol).as("id"))
-      // the weight table is SEED-bounded (seed vocabulary x classes),
-      // constant in the corpus size — broadcast it so the corpus-sized
-      // gram stream never shuffles for the scoring join
-      .join(broadcast(weights), "gram")
-      .groupBy(col("id"), col("lang"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("sw"))
-      .withColumn("score", priorCol + col("sw"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("runner_up", lead(col("score"), 1).over(w))
-      .filter(col("rnk") === 1)
+    scoreLangId(
+      df.filter(col(idCol) >= seedMax), idCol, textCol,
+      weights, langs.map(l => l -> priors(l)), n)
+  }
+
+  /** Persist a trained language-ID model — the train-once/score-many
+    * shape the persisted indexes already have (buildBm25Index /
+    * buildIvfIndex), for MODELS: at 100 TB the labeled seed is scanned
+    * once and the (vocabulary x classes) weight table plus the priors
+    * land on disk; every later corpus pass scores against the files.
+    * Layout: `weights/` (gram, lang, w), `meta/` (lang, prior, n — one
+    * row per class, n duplicated for self-description). Doubles round-
+    * trip parquet bit-exactly, so indexed scoring equals in-session
+    * scoring bit-for-bit (spec + the q151 gate pin it against q144's
+    * verbatim oracle).
+    */
+  def saveLangIdModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      seedMax: Long,
+      path: String,
+      n: Int = 3): Unit = {
+    require(seedMax > 0, s"seedMax must be positive, got $seedMax")
+    require(n >= 1 && n <= 8, s"gram length must be in [1, 8], got $n")
+    val spark = df.sparkSession
+    val labeled = df.filter(col(idCol) < seedMax)
+    val classRows = labeled
+      .groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("nd"))
+      .orderBy(col("lang"))
+      .collect()
+    require(classRows.length >= 2,
+      s"language-ID training needs >= 2 classes in the seed, got " +
+        s"${classRows.length} (seedMax=$seedMax)")
+    val langs = classRows.map(_.getString(0)).toSeq
+    val nSeed = classRows.map(_.getLong(1)).sum
+    val priors = classRows
+      .map(r => r.getString(0) -> math.log(r.getLong(1).toDouble / nSeed))
+    val countCols =
+      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val counts = charGrams(labeled, textCol, n, col(langCol).as("lang"))
+      .groupBy(col("gram"))
+      .agg(countCols.head, countCols.tail: _*)
+      .transform(graft.CacheScope.persisted)
+    val totCols =
+      langs.map(l => sum(col(s"c_$l")).as(s"t_$l")) :+ count(lit(1)).as("v")
+    val totRow = counts.agg(totCols.head, totCols.tail: _*).collect()(0)
+    val vocab = totRow.getLong(langs.length)
+    val tots = langs.zipWithIndex
+      .map { case (l, i) => l -> totRow.getLong(i) }.toMap
+    counts
       .select(
-        col("id"),
-        col("lang").as("pred"),
-        col("n_grams"),
-        col("score"),
-        (col("score") - col("runner_up")).as("margin"))
+        col("gram"),
+        explode(array(langs.map(l => struct(
+          lit(l).as("lang"),
+          log((col(s"c_$l") + lit(1L)).cast("double") /
+            lit((tots(l) + vocab).toDouble)).as("w"))): _*)).as("lw"))
+      .select(col("gram"), col("lw.lang").as("lang"), col("lw.w").as("w"))
+      .write.mode("overwrite").parquet(s"$path/weights")
+    import spark.implicits._
+    priors.map { case (l, p) => (l, p, n) }.toSeq
+      .toDF("lang", "prior", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a corpus against a [[saveLangIdModel]] model: identical
+    * output relation to [[langIdScores]] over the same seed (the gram
+    * length is recovered from the model files, never trusted to a
+    * caller — a drifted n would silently mis-tokenize). The weight
+    * table is vocabulary-sized and broadcasts; scoring is the shared
+    * [[scoreLangId]] back half, so the two paths cannot diverge.
+    */
+  def langIdScoresIndexed(
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("lang"), col("prior"), col("n"))
+      .collect()
+      .sortBy(_.getString(0))
+    require(meta.nonEmpty, s"langIdScoresIndexed: empty model at $path")
+    val n = meta.head.getInt(2)
+    val priors = meta.map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    scoreLangId(
+      docs, idCol, textCol,
+      spark.read.parquet(s"$path/weights"), priors, n)
   }
 
   /** Per-document analysis frame: id + all text metrics. */

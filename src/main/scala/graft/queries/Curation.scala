@@ -55,6 +55,10 @@ object Curation {
   private lazy val ivfCompactDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
 
+  // q151's persisted language-ID model scratch, same contract
+  private lazy val langIdModelDir: String =
+    java.nio.file.Files.createTempDirectory("graft-langid").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -2241,6 +2245,33 @@ object Curation {
           max(col("pack_tokens")).as("max_pack_tokens"),
           sum(col("overflow_tokens")).as("total_overflow"))
         .orderBy(col("shard"))
+    }),
+
+    // Persisted language-ID model (the train-once/score-many shape for
+    // MODELS, mirroring the persisted indexes): the q144 seed trains to
+    // files — (vocabulary x classes) weights + per-class priors — and
+    // scoring the held-out docs against the FILES must reproduce q144's
+    // relation exactly against q144's verbatim oracle (doubles
+    // round-trip parquet bit-exactly; the gram length is recovered from
+    // the model, never trusted to the caller).
+    "q151_lang_id_model" -> ((s, dir) => {
+      val docs = langIdPlanted(t(s, dir, "documents"))
+      TextAnalysis.saveLangIdModel(
+        docs, "doc_id", "text", "lang", seedMax = 200L, langIdModelDir)
+      TextAnalysis.langIdScoresIndexed(
+          langIdModelDir, docs.filter(col("doc_id") >= 200L),
+          "doc_id", "text")
+        .withColumn("score_r", round(col("score"), 4))
+        .withColumn("margin_r", round(col("margin"), 4))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"), col("pred"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          round(avg(col("score_r")), 3).as("avg_score"),
+          round(avg(col("margin_r")), 3).as("avg_margin"),
+          round(min(col("margin_r")), 4).as("min_margin"))
+        .orderBy(col("lang"), col("pred"))
     })
   )
 

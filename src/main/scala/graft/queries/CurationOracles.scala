@@ -14,6 +14,70 @@ object CurationOracles {
     * comment) — shared because the indexed probe (q134) must
     * reproduce q127's relation exactly.
     */
+  /** q144/q151 shared oracle: the whole char-trigram NB model in
+    * SQL (planted markers, priors, add-one log-odds, argmax,
+    * margin) — q151 scores against persisted model FILES and must
+    * reproduce the identical relation.
+    */
+  private val LangIdOracleSql: String =
+    """WITH d AS (
+           SELECT doc_id, lang,
+             text || ' ' || CASE lang
+               WHEN 'en' THEN 'the of and to in that'
+               WHEN 'de' THEN 'der die und das ist nicht'
+               WHEN 'es' THEN 'el la de que y los'
+               WHEN 'fr' THEN 'le la et les des une'
+               WHEN 'zh' THEN 'de shi zai bu le wo'
+               ELSE '' END AS text
+           FROM documents),
+         seed AS (SELECT lang, text FROM d WHERE doc_id < 200),
+         cls AS (SELECT lang, count(*) AS nd FROM seed GROUP BY 1),
+         nseed AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM cls),
+         sg AS (
+           SELECT lang, substring(text, CAST(i AS INTEGER), 3) AS gram
+           FROM seed, unnest(range(1, length(text) - 1)) AS u(i)
+           WHERE length(text) >= 3),
+         cnt AS (SELECT gram, lang, count(*) AS c FROM sg GROUP BY 1, 2),
+         vocab AS (SELECT DISTINCT gram FROM cnt),
+         ctot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t
+                  FROM cnt GROUP BY 1),
+         vsize AS (SELECT count(*) AS v FROM vocab),
+         w AS (
+           SELECT vo.gram, cl.lang,
+             ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (ct.t + vs.v)) AS w
+           FROM vocab vo CROSS JOIN cls cl
+           JOIN ctot ct ON ct.lang = cl.lang
+           CROSS JOIN vsize vs
+           LEFT JOIN cnt c ON c.gram = vo.gram AND c.lang = cl.lang),
+         tg AS (
+           SELECT doc_id AS id, substring(text, CAST(i AS INTEGER), 3) AS gram
+           FROM d, unnest(range(1, length(text) - 1)) AS u(i)
+           WHERE doc_id >= 200 AND length(text) >= 3),
+         sc AS (
+           SELECT t.id, w.lang, count(*) AS n_grams, sum(w.w) AS sw
+           FROM tg t JOIN w ON w.gram = t.gram GROUP BY 1, 2),
+         pri AS (
+           SELECT cl.lang, ln(CAST(cl.nd AS DOUBLE) / ns.n) AS prior
+           FROM cls cl CROSS JOIN nseed ns),
+         rk AS (
+           SELECT sc.id, sc.lang, sc.n_grams, pri.prior + sc.sw AS score,
+             row_number() OVER (PARTITION BY sc.id
+               ORDER BY pri.prior + sc.sw DESC, sc.lang) AS rnk,
+             lead(pri.prior + sc.sw) OVER (PARTITION BY sc.id
+               ORDER BY pri.prior + sc.sw DESC, sc.lang) AS s2
+           FROM sc JOIN pri ON pri.lang = sc.lang),
+         pred AS (
+           SELECT id, lang AS pred, CAST(n_grams AS BIGINT) AS n_grams,
+             round(score, 4) AS score_r, round(score - s2, 4) AS margin_r
+           FROM rk WHERE rnk = 1)
+         SELECT d.lang, p.pred, count(*) AS n_docs,
+           CAST(sum(p.n_grams) AS BIGINT) AS total_grams,
+           round(avg(p.score_r), 3) AS avg_score,
+           round(avg(p.margin_r), 3) AS avg_margin,
+           round(min(p.margin_r), 4) AS min_margin
+         FROM pred p JOIN d ON d.doc_id = p.id
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private val Bm25OracleSql: String =
     """WITH toks AS (
            SELECT doc_id, unnest(list_filter(
@@ -2777,64 +2841,7 @@ object CurationOracles {
     // exact-integer ratios, the q128 recipe), argmax + runner-up margin
     // via the same (score DESC, lang) window, aggregated over
     // rounded-to-4 per-doc scores exactly as the engine does.
-    "q144_lang_id" ->
-      """WITH d AS (
-           SELECT doc_id, lang,
-             text || ' ' || CASE lang
-               WHEN 'en' THEN 'the of and to in that'
-               WHEN 'de' THEN 'der die und das ist nicht'
-               WHEN 'es' THEN 'el la de que y los'
-               WHEN 'fr' THEN 'le la et les des une'
-               WHEN 'zh' THEN 'de shi zai bu le wo'
-               ELSE '' END AS text
-           FROM documents),
-         seed AS (SELECT lang, text FROM d WHERE doc_id < 200),
-         cls AS (SELECT lang, count(*) AS nd FROM seed GROUP BY 1),
-         nseed AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM cls),
-         sg AS (
-           SELECT lang, substring(text, CAST(i AS INTEGER), 3) AS gram
-           FROM seed, unnest(range(1, length(text) - 1)) AS u(i)
-           WHERE length(text) >= 3),
-         cnt AS (SELECT gram, lang, count(*) AS c FROM sg GROUP BY 1, 2),
-         vocab AS (SELECT DISTINCT gram FROM cnt),
-         ctot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t
-                  FROM cnt GROUP BY 1),
-         vsize AS (SELECT count(*) AS v FROM vocab),
-         w AS (
-           SELECT vo.gram, cl.lang,
-             ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (ct.t + vs.v)) AS w
-           FROM vocab vo CROSS JOIN cls cl
-           JOIN ctot ct ON ct.lang = cl.lang
-           CROSS JOIN vsize vs
-           LEFT JOIN cnt c ON c.gram = vo.gram AND c.lang = cl.lang),
-         tg AS (
-           SELECT doc_id AS id, substring(text, CAST(i AS INTEGER), 3) AS gram
-           FROM d, unnest(range(1, length(text) - 1)) AS u(i)
-           WHERE doc_id >= 200 AND length(text) >= 3),
-         sc AS (
-           SELECT t.id, w.lang, count(*) AS n_grams, sum(w.w) AS sw
-           FROM tg t JOIN w ON w.gram = t.gram GROUP BY 1, 2),
-         pri AS (
-           SELECT cl.lang, ln(CAST(cl.nd AS DOUBLE) / ns.n) AS prior
-           FROM cls cl CROSS JOIN nseed ns),
-         rk AS (
-           SELECT sc.id, sc.lang, sc.n_grams, pri.prior + sc.sw AS score,
-             row_number() OVER (PARTITION BY sc.id
-               ORDER BY pri.prior + sc.sw DESC, sc.lang) AS rnk,
-             lead(pri.prior + sc.sw) OVER (PARTITION BY sc.id
-               ORDER BY pri.prior + sc.sw DESC, sc.lang) AS s2
-           FROM sc JOIN pri ON pri.lang = sc.lang),
-         pred AS (
-           SELECT id, lang AS pred, CAST(n_grams AS BIGINT) AS n_grams,
-             round(score, 4) AS score_r, round(score - s2, 4) AS margin_r
-           FROM rk WHERE rnk = 1)
-         SELECT d.lang, p.pred, count(*) AS n_docs,
-           CAST(sum(p.n_grams) AS BIGINT) AS total_grams,
-           round(avg(p.score_r), 3) AS avg_score,
-           round(avg(p.margin_r), 3) AS avg_margin,
-           round(min(p.margin_r), 4) AS min_margin
-         FROM pred p JOIN d ON d.doc_id = p.id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q144_lang_id" -> LangIdOracleSql,
     // Train-then-encode replicated end to end: the q140 fold chain
     // carrying doc ids (token-less docs train nothing and encode to
     // empty arrays — the pair CTEs' len>=2 guard makes the training
@@ -2975,6 +2982,10 @@ object CurationOracles {
            max(pack_tokens) AS max_pack_tokens,
            CAST(sum(overflow_tokens) AS BIGINT) AS total_overflow
          FROM packs GROUP BY shard ORDER BY shard""",
+    // Model persistence is a storage concern, not semantics: scoring
+    // against the saved files must equal in-session scoring — q144's
+    // oracle, by reference (the q134/q143/q145 rationale for MODELS).
+    "q151_lang_id_model" -> LangIdOracleSql,
     // Ratio-margin bitext mining replicated: cross cosine scores, both
     // sides' 4-NN averages (avg over the available neighbors, ties to
     // the smaller id), margin = sim / mean of the two averages, per-src

@@ -464,6 +464,31 @@ class SessionizeSpec extends SparkSpec {
     assert(enc === trained.last._3)
   }
 
+  test("persisted language-ID model scores bit-identically to in-session training") {
+    val docs = Seq(
+      (0L, "aaa aaa aaa", "a"), (1L, "aaa aab", "a"),
+      (2L, "bbb bbb bbb", "b"), (3L, "bba bbb", "b"),
+      (10L, "aaa aab aaa", "?"), (11L, "bbb bba", "?"),
+      (12L, "aaa bbb", "?")
+    ).toDF("id", "text", "lang")
+    val inSession = TextAnalysis.langIdScores(
+        docs, "id", "text", "lang", seedMax = 10L)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("langid-spec").toString
+    TextAnalysis.saveLangIdModel(
+      docs, "id", "text", "lang", seedMax = 10L, dir)
+    val indexed = TextAnalysis.langIdScoresIndexed(
+        dir, docs.filter($"id" >= 10L), "id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    // bit-identical, scores included: doubles round-trip parquet exactly
+    assert(indexed.nonEmpty && indexed === inSession)
+    // a missing model fails loudly at the meta read, not with silent
+    // all-unscored output
+    intercept[Exception](
+      TextAnalysis.langIdScoresIndexed(s"$dir/nope", docs, "id", "text")
+        .collect())
+  }
+
   test("langIdScores: argmax + margin on a separable corpus; unseen docs drop") {
     val docs = Seq(
       (0L, "aaa aaa aaa", "a"), (1L, "aaa aaa", "a"),
