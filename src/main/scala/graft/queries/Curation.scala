@@ -59,6 +59,10 @@ object Curation {
   private lazy val langIdModelDir: String =
     java.nio.file.Files.createTempDirectory("graft-langid").toString
 
+  // q152's partitioned-corpus scratch (rebuilt by overwrite per invocation)
+  private lazy val deleteDir: String =
+    java.nio.file.Files.createTempDirectory("graft-del").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -2272,6 +2276,31 @@ object Curation {
           round(avg(col("margin_r")), 3).as("avg_margin"),
           round(min(col("margin_r")), 4).as("min_margin"))
         .orderBy(col("lang"), col("pred"))
+    }),
+
+    // Targeted deletion under the driver gate (takedown / erasure /
+    // opt-out — the governance primitive a long-lived corpus needs):
+    // the corpus lands lang-partitioned, a doomed-key list (every 7th
+    // id PLUS all of 'fr' — so one partition empties completely and the
+    // others rewrite partially) deletes via Sinks.deleteRows, and the
+    // READ-BACK corpus must equal the oracle's anti-join — a surviving
+    // doomed row, a lost survivor, or a zombie emptied partition all
+    // break a counter.
+    "q152_targeted_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(deleteDir)
+      val doomed = docs
+        .filter(col("doc_id") % 7 === 0 || col("lang") === "fr")
+        .select(col("doc_id"))
+      graft.sinks.Sinks.deleteRows(s, deleteDir, "lang", "doc_id", doomed)
+      s.read.parquet(deleteDir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
     })
   )
 

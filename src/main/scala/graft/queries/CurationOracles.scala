@@ -2986,6 +2986,15 @@ object CurationOracles {
     // against the saved files must equal in-session scoring — q144's
     // oracle, by reference (the q134/q143/q145 rationale for MODELS).
     "q151_lang_id_model" -> LangIdOracleSql,
+    // The whole delete relationally: the read-back corpus must equal
+    // the anti-join of the original against the doomed-key predicate.
+    "q152_targeted_delete" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         WHERE NOT (doc_id % 7 = 0 OR lang = 'fr')
+         GROUP BY lang ORDER BY lang""",
     // Ratio-margin bitext mining replicated: cross cosine scores, both
     // sides' 4-NN averages (avg over the available neighbors, ties to
     // the smaller id), margin = sim / mean of the two averages, per-src

@@ -62,6 +62,68 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(dir)
 
+  /** Targeted row deletion from a partitioned parquet corpus — the
+    * data-governance primitive (takedown / right-to-erasure / opt-out
+    * lists) a long-lived training corpus cannot run without. Touches
+    * ONLY the partitions that actually contain doomed keys:
+    *
+    *   1. the affected-partition set comes from one semi-join of the
+    *      corpus against the broadcast key list (bounded collect — a
+    *      partition-VALUE list, never rows);
+    *   2. survivors of those partitions rewrite via a dynamic-partition
+    *      overwrite ([[backfillPartitions]] semantics), eagerly
+    *      materialized first so the write can never rescan the files it
+    *      replaces (the df-merge localCheckpoint precedent; the
+    *      checkpoint is affected-partitions-sized, not corpus-sized);
+    *   3. partitions whose every row is doomed produce NO survivor rows
+    *      — dynamic overwrite would silently leave their files (and the
+    *      deleted rows) alive, so they are removed explicitly through
+    *      the Hadoop FileSystem.
+    *
+    * Untouched partitions' files are not opened, rewritten, or moved
+    * (spec pins byte-identity). Returns the number of rows deleted.
+    * Keys absent from the corpus are no-ops. At 100 TB this is the
+    * difference between a takedown costing one partition's rewrite and
+    * a full-corpus rewrite per request batch.
+    */
+  def deleteRows(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      partitionCol: String,
+      keyCol: String,
+      keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(dir)
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val affected = corpus.join(k, keyCol)
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    if (affected.isEmpty) return 0L
+    val affectedRows = corpus.filter(col(partitionCol).isin(affected: _*))
+    val survivors = affectedRows
+      .join(k, Seq(keyCol), "left_anti")
+      // partition-clustered (small-files rule) and EAGER (self-overwrite
+      // rule) before the rewrite
+      .repartition(col(partitionCol))
+      .localCheckpoint(true)
+    val deleted = affectedRows.count() - survivors.count()
+    val keptParts =
+      survivors.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
+    if (keptParts.nonEmpty)
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    affected.filterNot(keptParts).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$partitionCol=$v")
+      val fs = p.getFileSystem(hconf)
+      require(!fs.exists(p) || fs.delete(p, true),
+        s"deleteRows: could not remove emptied partition $p")
+    }
+    deleted
+  }
+
   /** Range-clustered parquet layout: range-partition by `clusterCols`, sort
     * within partitions, and cap records per file. Three scale effects:
     *   - every output file covers a narrow, pairwise-disjoint range of the

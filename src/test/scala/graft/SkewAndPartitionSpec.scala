@@ -101,6 +101,43 @@ class SkewAndPartitionSpec extends SparkSpec {
     assert(spark.read.parquet(dir2).count() === 150)
   }
 
+  test("deleteRows touches only affected partitions; emptied partitions vanish") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val events = (1 to 900).map(i =>
+      (i.toLong, f"2026-01-${i % 3 + 1}%02d", 1.0))
+      .toDF("id", "day", "v")
+    Sinks.writePartitioned(
+      events.repartition(col("day")), dir, Seq("day"))
+    val day1Files = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "day=2026-01-01")).toArray.toSet
+    // doom: every row of day 2 (ids ≡ 1 mod 3) + a slice of day 3
+    // (ids ≡ 2 mod 3, id <= 30) + keys absent from the corpus
+    val doomed = events.filter(
+        col("day") === "2026-01-02" ||
+          (col("day") === "2026-01-03" && col("id") <= 30))
+      .select(col("id"))
+      .unionByName(Seq(99999L, 88888L).toDF("id"))
+    val n = Sinks.deleteRows(spark, dir, "day", "id", doomed)
+    assert(n === 300 + 10, s"deleted $n") // day2 full (300) + 10 of day3
+    val back = spark.read.parquet(dir)
+    // the fully-doomed partition is GONE (dynamic overwrite alone would
+    // have left its files — and the deleted rows — alive)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "day=2026-01-02")))
+    assert(back.filter(col("day") === "2026-01-02").count() === 0)
+    // the partially-doomed partition rewrote to its survivors
+    assert(back.filter(col("day") === "2026-01-03").count() === 290)
+    // the untouched partition keeps its PHYSICAL files
+    val day1After = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "day=2026-01-01")).toArray.toSet
+    assert(day1After === day1Files)
+    assert(back.count() === 590)
+    // an all-absent key list is a no-op returning 0
+    assert(Sinks.deleteRows(
+      spark, dir, "day", "id", Seq(77777L).toDF("id")) === 0L)
+    assert(spark.read.parquet(dir).count() === 590)
+  }
+
   test("clustered layout yields disjoint per-file key ranges and bounded files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clust").toString
     val rng = new scala.util.Random(3)
