@@ -267,6 +267,52 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(rows.filter(col("p_id") === 1 && col("c_id").isNull).count() >= 1)
   }
 
+  test("full-outer join recovery: BOTH eviction arms fire after the outage") {
+    val root = Files.createTempDirectory("graft-eo-fouter")
+    val lin = Files.createDirectories(root.resolve("lin"))
+    val rin = Files.createDirectories(root.resolve("rin"))
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    // wave 1: p1 never matches anything; c30 (sec 50) is a click no
+    // purchase precedes; p2 <-> c20 match. The GLOBAL watermark is the
+    // min across sources (left max = 10 s -> 0 after delay), so neither
+    // unmatched row can evict before the query dies — both sit in the
+    // recovered state store.
+    drop(lin, "a1.json", Seq(row("p_id", "p_ts")(1, sec(0)),
+      row("p_id", "p_ts")(2, sec(10))))
+    drop(rin, "a1.json", Seq(row("c_id", "c_ts")(20, sec(10)),
+      row("c_id", "c_ts")(30, sec(50))))
+    val q1 = startJoin(lin, rin, ckpt, out, "full_outer", "10 seconds")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).filter(col("p_id").isNull).count() === 0,
+      "no right-null row may emit before eviction")
+
+    // restart: sentinels advance the watermark past every real window,
+    // spacers let the lagging eviction fire (SPARK-24699)
+    drop(lin, "a2.json", Seq(row("p_id", "p_ts")(-1, sec(10000))))
+    drop(rin, "a2.json", Seq(row("c_id", "c_ts")(-1, sec(10000))))
+    drop(lin, "a3.json", Seq.empty); drop(rin, "a3.json", Seq.empty)
+    drop(lin, "a4.json", Seq.empty); drop(rin, "a4.json", Seq.empty)
+    val q2 = startJoin(lin, rin, ckpt, out, "full_outer", "10 seconds")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(out)
+    // left arm: p1's eviction-driven no-match row (bucket-copy nulls
+    // collapsed by the grouping, the q118/q148 consumer rule)
+    val agg = rows.filter(col("p_id") >= 0).groupBy("p_id")
+      .agg(count(col("c_id")).as("n"),
+        coalesce(min(col("c_id")), lit(-1L)).as("min_c"))
+      .as[(Long, Long, Long)].collect().sorted
+    assert(agg.toSeq === Seq((1L, 0L, -1L), (2L, 1L, 20L)))
+    // right arm: c30's null-left row, EXACT without grouping — right
+    // rows are never bucket-exploded; it can only exist if the
+    // unmatched-right state survived the restart
+    assert(rows.filter(col("p_id").isNull && col("c_id") === 30).count() === 1)
+  }
+
   test("outer-join eviction restart under RocksDB: recovery on the production backend") {
     // The two claims composed: checkpoint recovery (above) AND provider
     // parity (RocksDbStateSpec) could each hold while their COMBINATION
