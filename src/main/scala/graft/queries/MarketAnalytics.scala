@@ -521,6 +521,47 @@ object MarketAnalytics {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // §2.7 gate #12: TTL-BOUNDED streaming dedup
+    // (dropDuplicatesWithinWatermark) — the production form of q111's
+    // unbounded dropDuplicates: state evicts behind the watermark, and
+    // the semantic price is the late-drop rule this gate makes
+    // deterministic. Phase 1 is the whole corpus (watermark lands at
+    // max − 2 h). Phase 2 plants duplicate copies: recent ones (≥ max −
+    // 1 h, state alive) suppress as duplicates; stale ones (< max − 3 h,
+    // behind the watermark) drop as late — EITHER failure mode (a
+    // re-admitted stale copy, a recent copy leaking through) changes a
+    // counter. Phase 3 plants FRESH ids: recent ones must emit (dedup
+    // must not over-suppress), stale ones must late-drop (the drop rule
+    // applies to first copies too).
+    "q153_stream_dedup_ttl" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tsUs = call_function("div", col("ts"), lit(1000L))
+      val hourUs = 3600L * 1000000L
+      // bounded driver read: ONE long (the corpus's max event time)
+      val maxUs = ev.agg(max(tsUs)).collect()(0).getLong(0)
+      val dupRecent = ev.filter(
+        col("event_id") % 5 === 0 && tsUs >= maxUs - hourUs)
+      val dupStale = ev.filter(
+        col("event_id") % 5 === 1 && tsUs < maxUs - 3 * hourUs)
+      val freshKeep = ev.filter(
+          col("event_id") % 7 === 0 && tsUs >= maxUs - hourUs)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val freshLate = ev.filter(
+          col("event_id") % 7 === 1 && tsUs < maxUs - 3 * hourUs)
+        .withColumn("event_id", col("event_id") + 2000000L)
+      replayPhases(s, "q153_ttl", dir,
+          Seq(ev, dupRecent.union(dupStale), freshKeep.union(freshLate)),
+          stream => graft.streaming.StreamingEtl.dedupWithinWatermark(
+            stream, Seq("event_id"), "ts", "2 hours")
+            .select(col("event_type"), col("event_id"), col("user_id")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // S7 gate: the run-stamped parquet sink round trip under the driver's
     // oracle (reference src/output/ParquetWriter.cpp:51-75, 89-361). The
     // trade-shaped events relation goes through Sinks.writeParquet (the
@@ -1309,6 +1350,24 @@ object MarketAnalytics {
            CAST(sum(user_id) AS BIGINT) AS user_sum
          FROM allrows GROUP BY event_type, hour
          ORDER BY event_type, hour""",
+    // The emitted relation under TTL dedup: the original corpus (unique
+    // ids emit once; planted duplicate copies suppress or late-drop —
+    // phase design makes every row's fate static) plus the fresh
+    // above-watermark plants. Stale plants of BOTH kinds drop.
+    "q153_stream_dedup_ttl" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+         fresh AS (
+           SELECT e.event_type, e.event_id + 1000000 AS event_id, e.user_id
+           FROM events e, m
+           WHERE e.event_id % 7 = 0
+             AND epoch_us(e.ts) >= m.max_us - 3600000000),
+         allrows AS (
+           SELECT event_type, event_id, user_id FROM events
+           UNION ALL SELECT event_type, event_id, user_id FROM fresh)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM allrows GROUP BY event_type ORDER BY event_type""",
     // The sink round trips are identity relations: the oracle aggregates
     // the SOURCE table; the gate aggregates what the sink wrote and read
     // back. Integer-exact measures (plus a decimal-anchored double for

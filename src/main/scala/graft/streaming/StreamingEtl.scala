@@ -259,6 +259,31 @@ object StreamingEtl {
         sum(col(idCol)).as("id_sum"),
         sum(col(sumCol)).as("user_sum"))
 
+  /** Watermark-BOUNDED streaming dedup — the production form of the
+    * unbounded `dropDuplicates` the q111 gate drives. Plain
+    * dropDuplicates keeps every key it has ever seen (state grows with
+    * the stream — fine for a replay, fatal for an unbounded feed);
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time plus `delay`, so state is bounded
+    * by the delay window's key density. The semantic contract that
+    * eviction buys: duplicates are suppressed when they arrive within
+    * the watermark delay of the first copy, and rows BEHIND the
+    * watermark (first copies included) are dropped as late — exactly
+    * the at-least-once-redelivery window an upstream broker guarantees.
+    * `nsTsCol` is the engine's ns-epoch long; event time is µs-anchored
+    * via [[toEventTime]] (the F7 bound).
+    */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      keyCols: Seq[String],
+      nsTsCol: String,
+      delay: String): DataFrame = {
+    require(keyCols.nonEmpty, "dedup needs at least one key column")
+    df.withColumn("event_time", toEventTime(col(nsTsCol)))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Stream-stream interval join: left row L matches right row R iff
     * R.eventTime ∈ [L.eventTime + lower, L.eventTime + upper) — the
     * streaming analogue of operators.RangeJoin (purchases joined to the

@@ -93,6 +93,11 @@ class RocksDbStateSpec extends SparkSpec {
       "outer-join gate produced no no-match rows under RocksDB")
   }
 
+  test("q153 TTL-dedup state (suppress/late-drop/evict) is identical under RocksDB") {
+    val (default, rocks) = runBoth("q153_stream_dedup_ttl")
+    assert(rocks.nonEmpty && rocks === default)
+  }
+
   test("q148 full-outer join eviction (both directions) is identical under RocksDB") {
     val (default, rocks) = runBoth("q148_stream_full_outer_join")
     assert(rocks.nonEmpty && rocks === default)

@@ -109,4 +109,44 @@ class WatermarkSpec extends SparkSpec {
     assert(got.size === want.size)
     assert(got === want)
   }
+
+  test("TTL dedup: duplicates suppress, late rows drop, stale keys EVICT from state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    def row(id: Long, us: Long) = (id, us * 1000L, id * 10L, "A", 0.0d, "")
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamingEtl.dedupWithinWatermark(
+        stream, Seq("event_id"), "ts", "2 hours")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("ttl_unit")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // batch 0: three fresh ids emit; watermark lands at H(1) − 2h
+      input.addData(Seq(row(1, H(0)), row(2, H(0) + hourUs / 2), row(3, H(1))))
+      query.processAllAvailable()
+      assert(stateRows === 3L, s"expected 3 keys in state, got $stateRows")
+      // batch 1: a duplicate of id 2 within the delay — suppressed
+      input.addData(Seq(row(2, H(0) + hourUs / 2)))
+      query.processAllAvailable()
+      // batch 2 + spacer: a far-future key advances the watermark past
+      // every old key's et + delay; eviction lags one batch
+      input.addData(Seq(row(99, H(30))))
+      query.processAllAvailable()
+      input.addData(Seq.empty[(Long, Long, Long, String, Double, String)])
+      query.processAllAvailable()
+      // THE bounded-state claim: the three original keys are gone, only
+      // the recent key remains — plain dropDuplicates would hold all 4
+      assert(stateRows === 1L,
+        s"stale dedup state did not evict: $stateRows rows")
+      // a first-copy row behind the watermark late-drops entirely
+      input.addData(Seq(row(50, H(0))))
+      query.processAllAvailable()
+      val got = spark.table("ttl_unit").as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 99L),
+        s"emissions diverged (dup re-emitted or late row admitted): $got")
+    } finally query.stop()
+  }
 }
