@@ -246,19 +246,41 @@ object Similarity {
       .orderBy(col("sim").desc, col("src_id"))
     val fwd = scores.withColumn("r", row_number().over(wFwd))
       .filter(col("r") <= k)
+      .select(col("src_id"), col("tgt_id"), col("sim"))
       .transform(graft.CacheScope.persisted)
-    val srcAvg = fwd.groupBy(col("src_id")).agg(avg(col("sim")).as("sa"))
-    val tgtAvg = scores.withColumn("r", row_number().over(wBwd))
+    val bwd = scores.withColumn("r", row_number().over(wBwd))
       .filter(col("r") <= k)
-      .groupBy(col("tgt_id")).agg(avg(col("sim")).as("ta"))
+      .select(col("src_id"), col("tgt_id"), col("sim"))
+    // margin arithmetic is the SHARED candidate-list form — the exact
+    // and ANN-fed paths cannot drift
+    marginMineFromCandidates(fwd, bwd, threshold)
+  }
+
+  /** [[marginMine]]'s margin arithmetic over PRE-COMPUTED candidate
+    * lists — the corpus-scale path its scaladoc promises: feed
+    * `fwd`/`bwd` from any top-k producer ([[bruteForceTopK]],
+    * [[lshTopK]], [[ivfTopKIndexed]] with qid/id renamed) and the exact
+    * product never materializes. `fwd` is the src→tgt top-k (one row
+    * per candidate pair), `bwd` the tgt→src top-k; both carry
+    * (src_id, tgt_id, sim). The k-NN averages use whatever neighbors
+    * each list holds (ANN recall < 1 shifts the averages — that is the
+    * approximation being bought); candidate pairs must appear in `fwd`.
+    * Fed with exact brute-force lists at the same k this returns
+    * [[marginMine]]'s relation identically (spec-pinned).
+    */
+  def marginMineFromCandidates(
+      fwd: DataFrame,
+      bwd: DataFrame,
+      threshold: Double = 1.0): DataFrame = {
+    require(threshold >= 0.0,
+      s"threshold must be non-negative (0 keeps every best pair), got $threshold")
+    val srcAvg = fwd.groupBy(col("src_id")).agg(avg(col("sim")).as("sa"))
+    val tgtAvg = bwd.groupBy(col("tgt_id")).agg(avg(col("sim")).as("ta"))
     val wBest = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc, col("tgt_id"))
-    fwd
+    fwd.select(col("src_id"), col("tgt_id"), col("sim"))
       .join(srcAvg, "src_id")
       .join(tgtAvg, "tgt_id")
-      // both neighborhoods averaging to EXACTLY 0 (everything orthogonal)
-      // leaves the ratio margin undefined — such a pair carries no mining
-      // signal and is dropped, which also keeps the division ANSI-safe
       .filter(col("sa") + col("ta") =!= 0.0)
       .withColumn("margin",
         col("sim") / ((col("sa") + col("ta")) / lit(2.0)))

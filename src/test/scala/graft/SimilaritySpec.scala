@@ -595,6 +595,26 @@ class SimilaritySpec extends SparkSpec {
       Similarity.marginMine(src, tgt, "id", "vec", k = 0))
   }
 
+  test("marginMineFromCandidates with exact lists reproduces marginMine; ANN lists plug in") {
+    val rng = new scala.util.Random(21)
+    val src = (1L to 40L).map(i => (i, Seq.fill(8)(rng.nextGaussian())))
+      .toDF("id", "vec")
+    val tgt = (100L to 130L).map(i => (i, Seq.fill(8)(rng.nextGaussian())))
+      .toDF("id", "vec")
+    val direct = Similarity.marginMine(src, tgt, "id", "vec", k = 4,
+        threshold = 0.0)
+      .collect().map(_.toString).sorted.toSeq
+    // the candidate-list form fed with EXACT brute-force top-k lists
+    val fwd = Similarity.bruteForceTopK(tgt, "id", "vec", src, "id", "vec", 4)
+      .select(col("qid").as("src_id"), col("id").as("tgt_id"), col("sim"))
+    val bwd = Similarity.bruteForceTopK(src, "id", "vec", tgt, "id", "vec", 4)
+      .select(col("qid").as("tgt_id"), col("id").as("src_id"), col("sim"))
+    val fromLists = Similarity.marginMineFromCandidates(fwd, bwd, 0.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromLists.nonEmpty && fromLists === direct,
+      "candidate-list margin mining diverged from the exact form")
+  }
+
   test("ivf training sample is unbiased: front-loaded id blocks still give balanced cells") {
     // 8 well-separated clusters occupying CONTIGUOUS id blocks of 250
     // (cluster c = ids [250c, 250c+250)) — the time-ordered-ingest /
