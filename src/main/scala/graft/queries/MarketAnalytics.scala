@@ -225,6 +225,36 @@ object MarketAnalytics {
           col("n_rows"))
         .orderBy(col("event_type"))),
 
+    // §2.8/§2.7 gate: the SAME indicator state machine on Spark 4's
+    // transformWithState (StatefulProcessor + typed ValueState — the
+    // successor API to flatMapGroupsWithState, RocksDB-only by its
+    // contract). Both state APIs fold the identical mergePoint/finishBuf
+    // algebra; this gate pins the new API's replay against q55's
+    // verbatim oracle, so the engine proves one semantics on both.
+    "q154_stream_indicators_tws" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try replaySnapshot(s, dir, "q154_tws",
+          stream => graft.streaming.StreamingEtl.statefulIndicatorsTws(
+            asTrades(stream), period = 14).toDF(),
+          Seq("symbol"), "n_rows")
+        .select(
+          col("symbol").as("event_type"),
+          round(col("sma"), 4).as("sma"),
+          round(col("rsi"), 4).as("rsi"),
+          round(col("vwap"), 4).as("vwap"),
+          col("period"),
+          col("n_rows"))
+        .orderBy(col("event_type"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }),
+
     // Inter-arrival gap profile per event_type — the feed-health
     // counterpart of q17's per-user sessions: consecutive gaps in
     // (ts, event_id) order, all-integer stats, mean as one IEEE division
@@ -1201,6 +1231,9 @@ object MarketAnalytics {
     // parity claim IS "same answer as the batch aggregate", so the oracle
     // is q16's verbatim
     "q55_stream_parity" -> indicatorOracle,
+    // same oracle, by reference: the state API (flatMapGroupsWithState
+    // vs transformWithState) is an implementation choice, not semantics
+    "q154_stream_indicators_tws" -> indicatorOracle,
     "q17_sessionize" -> sessionOracle,
     // q92 replays the same rows through the interval-algebra state
     // machine; the parity claim IS "same sessions as the batch window"

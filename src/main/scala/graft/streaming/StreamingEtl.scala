@@ -165,6 +165,67 @@ object StreamingEtl {
       }
   }
 
+  /** [[statefulIndicators]]' state machine re-expressed on Spark 4's
+    * `transformWithState` (StatefulProcessor + typed ValueState) — the
+    * successor API to flatMapGroupsWithState: state is named and typed
+    * per variable (schema-evolvable), timers are first-class, and the
+    * runtime REQUIRES the RocksDB state-store provider (callers set it;
+    * the q154 gate wraps the conf). Semantics are identical by
+    * construction — both paths fold the same
+    * IndicatorAggregator.mergePoint/finishBuf algebra — and the q154
+    * gate pins the output against q55's verbatim oracle, so the engine
+    * carries the old and new state APIs with one proven semantics.
+    */
+  def statefulIndicatorsTws(
+      trades: DataFrame,
+      period: Int = 14): org.apache.spark.sql.Dataset[
+        graft.operators.IndicatorAggregator.KeyedOut] = {
+    import graft.operators.IndicatorAggregator.{KeyedOut, Point}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val pts = trades.select(
+      col("symbol").as("key"),
+      col("timestamp").cast("long").as("ts"),
+      col("trade_id").cast("long").as("id"),
+      col("price").cast("double").as("price"),
+      col("volume").cast("double").as("volume")).as[Point]
+    pts.groupByKey(_.key)
+      .transformWithState(
+        new IndicatorProcessor(period), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The [[statefulIndicatorsTws]] processor: one typed ValueState holds
+    * the same bounded Buf the batch Aggregator and the
+    * flatMapGroupsWithState path fold.
+    */
+  private class IndicatorProcessor(period: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String,
+        graft.operators.IndicatorAggregator.Point,
+        graft.operators.IndicatorAggregator.KeyedOut] {
+    import graft.operators.IndicatorAggregator.{Buf, KeyedOut, Point, emptyBuf, finishBuf, mergePoint}
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[Buf] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getValueState[Buf](
+        "buf",
+        org.apache.spark.sql.Encoders.product[Buf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Point],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KeyedOut] = {
+      var b = if (buf.exists()) buf.get() else emptyBuf
+      rows.foreach(p => b = mergePoint(b, p, period))
+      buf.update(b)
+      val o = finishBuf(b, period)
+      Iterator.single(KeyedOut(key, o.sma, o.rsi, o.vwap, o.period, o.n_rows))
+    }
+  }
+
   /** Keyed streaming sessionization — the stateful form of
     * operators.Sessionize.stats, built on the ORDER-INVARIANT interval
     * algebra (Sessionize.SessionIntervals): each arriving timestamp

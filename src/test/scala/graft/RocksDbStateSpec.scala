@@ -93,6 +93,18 @@ class RocksDbStateSpec extends SparkSpec {
       "outer-join gate produced no no-match rows under RocksDB")
   }
 
+  test("transformWithState indicator replay equals the flatMapGroupsWithState path") {
+    // two state APIs, one semantics: the q154 gate (StatefulProcessor +
+    // typed ValueState, RocksDB-backed by the API's contract) must
+    // reproduce the q55 gate (flatMapGroupsWithState) relation exactly
+    val dir = "/root/testdata/sf0.001"
+    val old = SparkEntry.queries("q55_stream_parity")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val tws = SparkEntry.queries("q154_stream_indicators_tws")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tws.nonEmpty && tws === old)
+  }
+
   test("q153 TTL-dedup state (suppress/late-drop/evict) is identical under RocksDB") {
     val (default, rocks) = runBoth("q153_stream_dedup_ttl")
     assert(rocks.nonEmpty && rocks === default)
