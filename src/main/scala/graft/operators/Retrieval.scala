@@ -22,15 +22,20 @@ object Retrieval {
     * wait for all of them. Each action in a single-threaded driver pays
     * a fixed scheduler/commit overhead serially; independent index
     * writes overlap it instead (local FIFO and cluster schedulers both
-    * interleave concurrent jobs). Exceptions propagate to the caller.
-    * Callers must pass actions over already-materialized (persisted)
-    * inputs — concurrent first actions would race to fill a cache.
+    * interleave concurrent jobs). EVERY action is awaited before the
+    * first failure propagates — propagating early would return control
+    * (and possibly a retry/rebuild over the same index path) while a
+    * sibling write is still running under it. Callers must pass actions
+    * over already-materialized (persisted) inputs — concurrent first
+    * actions would race to fill a cache.
     */
   private def concurrently(actions: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    actions.map(a => Future(a())).foreach(Await.result(_, Duration.Inf))
+    actions.map(a => Future(a()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      .foreach(_.get)
   }
 
   /** An Observation's metrics after its action completed — EMPTY when
@@ -142,7 +147,14 @@ object Retrieval {
     * Layout: `postings/` (id, term, tf | bucket), `terms/` (term, df |
     * bucket), `doclen/` (id, dl), `stats/` (n_docs, total_tokens — one
     * row). Bucketing hash is Spark's xxhash64 mod `buckets`, computed
-    * identically at probe time.
+    * identically at probe time. doclen is the index's complete DOC
+    * REGISTRY — one row per indexed doc, dl = 0 for tokenless docs
+    * (which have no postings but count toward N and avgdl, the
+    * [[bm25TopK]] contract) — so n_docs == count(doclen) is an
+    * invariant and [[bm25Delete]] can account for every doomed doc from
+    * the index alone. Deriving it straight off the docs scan is also
+    * the cheaper plan: a shuffle-free projection instead of a
+    * corpus-sized groupBy over tf.
     */
   def buildBm25Index(
       docs: DataFrame,
@@ -193,7 +205,12 @@ object Retrieval {
         .withColumn("bucket", bucket)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms"),
-      () => tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      // straight off the docs scan (NOT a groupBy over tf): shuffle-free,
+      // and registers tokenless docs at dl = 0 — per-doc size(tokens)
+      // equals sum(tf) for every doc with tokens
+      () => docs.select(
+          col(idCol).as("id"),
+          size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
         .write.mode("overwrite").parquet(s"$path/doclen"))
     import spark.implicits._
     // AQE propagates an all-empty tf through the write plan and DROPS
@@ -278,7 +295,11 @@ object Retrieval {
     // tf is cached — overlap their scheduler overhead (the build's shape)
     var mergedTerms: DataFrame = null
     concurrently(
-      () => tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      // the build's registry shape: every batch doc appends a doclen row
+      // (dl = 0 when tokenless), shuffle-free off the batch scan
+      () => docs.select(
+          col(idCol).as("id"),
+          size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
         .write.mode("append").parquet(s"$path/doclen"),
       () => mergedTerms = spark.read.parquet(s"$path/terms")
         .select(col("term"), col("df"))
@@ -305,13 +326,14 @@ object Retrieval {
     * decay, and at corpus scale the probe's bucket reads degrade from
     * one sequential file to hundreds of openings. Compaction rewrites
     * postings and doclen clustered (one task's file per bucket, the
-    * build's layout) into a TEMP generation and atomically swaps it in
-    * via filesystem rename — the index is never read and overwritten in
-    * the same job (the localCheckpoint trick the df merge uses is for
-    * vocabulary-SIZED frames; checkpointing corpus-sized postings would
-    * double-buffer the corpus in executor storage). Uses the Hadoop
-    * FileSystem API, so the same swap works on HDFS/object-store
-    * filesystems with directory rename. Scoring is file-layout-blind:
+    * build's layout) into a TEMP generation and swaps it in via
+    * [[graft.sinks.Sinks.swapByRename]] (backup rename first, so a
+    * crash at any point leaves a complete generation — old or new,
+    * never none; see that scaladoc for the object-store caveat) — the
+    * index is never read and overwritten in the same job (the
+    * localCheckpoint trick the df merge uses is for vocabulary-SIZED
+    * frames; checkpointing corpus-sized postings would double-buffer
+    * the corpus in executor storage). Scoring is file-layout-blind:
     * a probe after compact equals the probe before bit-for-bit (spec +
     * the q145 gate pin it against q127's verbatim oracle).
     */
@@ -332,12 +354,116 @@ object Retrieval {
         // without moving rows between executors
         df.coalesce(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(tmp.toString)
-      require(fs.delete(cur, true), s"bm25Compact: could not remove $cur")
-      require(fs.rename(tmp, cur), s"bm25Compact: could not swap $tmp -> $cur")
+      graft.sinks.Sinks.swapByRename(fs, tmp, cur)
     }
     require(buckets > 0, s"bm25Compact: corrupt stats at $path")
     swapRewrite("postings", clustered = true)
     swapRewrite("doclen", clustered = false)
+  }
+
+  /** Targeted deletion from a persisted [[buildBm25Index]] index — the
+    * governance primitive ([[graft.sinks.Sinks.deleteRows]]) propagated
+    * into the DERIVED artifact: a takedown that erases a doc from the
+    * corpus but leaves its postings inside a standing index has not
+    * erased it (the doc still surfaces in every probe), and at 100 TB a
+    * rebuild-per-takedown is exactly what the incremental index exists
+    * to avoid. Work is proportional to the doomed docs' FOOTPRINT,
+    * never the index:
+    *
+    *   1. the doomed postings project to a vocabulary-bounded per-term
+    *      df-decrement table (eagerly materialized BEFORE any rewrite
+    *      destroys the files it derives from — the df-merge precedent);
+    *   2. postings rewrite through [[graft.sinks.Sinks.deleteRows]]:
+    *      only the hash buckets that actually contain doomed postings
+    *      are rewritten, untouched buckets keep their physical files,
+    *      fully-doomed buckets are removed;
+    *   3. the terms table decrements df in those same buckets (a term
+    *      whose df reaches 0 drops — probes must not join it), via the
+    *      same clustered + eager + dynamic-overwrite discipline;
+    *   4. doclen — the doc registry, one narrow row per doc — rewrites
+    *      filtered through a [[graft.sinks.Sinks.swapByRename]] swap
+    *      (it is unpartitioned; the rewrite is O(docs), ~16 bytes each,
+    *      noise next to the postings it spares);
+    *   5. stats decrement by the doomed docs' registered count and
+    *      token mass (dl covers tokenless docs too — the registry
+    *      invariant), so N and avgdl equal a from-scratch rebuild's.
+    *
+    * After delete, [[bm25TopKIndexed]] scores the surviving corpus
+    * bit-identically to an index rebuilt on it — the q155 gate pins
+    * exactly that against the anti-joined oracle. Same single-writer
+    * contract as deleteRows. Keys absent from the index are no-ops.
+    * Returns the number of documents deleted.
+    */
+  def bm25Delete(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCol: String): Long = {
+    val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
+    // vocabulary-bounded and EAGER: derived from postings files the
+    // deleteRows rewrite below will replace
+    val dfDec = spark.read.parquet(s"$path/postings")
+      .join(k, "id")
+      .groupBy(col("term"), col("bucket"))
+      .agg(count(lit(1)).as("dec"))
+      .localCheckpoint(true)
+    // doomed registry rows -> exact doc/token decrements (one bounded row)
+    val doomedReg = spark.read.parquet(s"$path/doclen").join(k, "id")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .collect()(0)
+    val (nDel, tokDel) = (doomedReg.getLong(0), doomedReg.getLong(1))
+    if (nDel == 0L) return 0L
+    graft.sinks.Sinks.deleteRows(spark, s"$path/postings", "bucket", "id", k)
+    // terms: decrement df in the affected buckets only (dfDec carries the
+    // build's bucket values, so the bucket filter prunes partitions)
+    // partition-value inference types the read-back bucket as INT —
+    // normalize to long for the path arithmetic below
+    val affB = dfDec.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val hconf = spark.sessionState.newHadoopConf()
+    if (affB.nonEmpty) {
+      val newTerms = spark.read.parquet(s"$path/terms")
+        .filter(col("bucket").isin(affB: _*))
+        .join(dfDec, Seq("term", "bucket"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("dec"), lit(0L))).as("df"),
+          col("bucket"))
+        .filter(col("df") > 0)
+        .repartition(col("bucket"))
+        .localCheckpoint(true)
+      val keptB = newTerms.select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (keptB.nonEmpty)
+        newTerms.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(s"$path/terms")
+      affB.filterNot(keptB).foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/terms/bucket=$b")
+        val fs = p.getFileSystem(hconf)
+        require(fs.exists(p) && fs.delete(p, true),
+          s"bm25Delete: could not remove emptied terms bucket $p")
+      }
+    }
+    // doclen: filtered registry rewrite, swap-by-rename (never
+    // read-and-overwrite in one job)
+    val dlCur = new org.apache.hadoop.fs.Path(s"$path/doclen")
+    val dlTmp = new org.apache.hadoop.fs.Path(s"$path/doclen_delete_tmp")
+    spark.read.parquet(dlCur.toString)
+      .join(k, Seq("id"), "left_anti")
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(dlTmp.toString)
+    graft.sinks.Sinks.swapByRename(dlCur.getFileSystem(hconf), dlTmp, dlCur)
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("total_tokens"), col("buckets"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((st.getLong(0) - nDel, st.getLong(1) - tokDel, st.getLong(2)))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+    nDel
   }
 
   /** Probe a [[buildBm25Index]] index: identical scoring (and therefore

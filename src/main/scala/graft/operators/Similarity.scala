@@ -646,11 +646,13 @@ object Similarity {
     * so a long-lived index accumulates one file set per append and the
     * probe's cell reads decay into many small openings. The corpus
     * table rewrites CELL-CLUSTERED into a temp generation and swaps in
-    * by filesystem rename (never read-and-overwrite in one job; the
-    * Hadoop FileSystem API so the swap carries to HDFS/object stores).
-    * Centroids are append-invariant and untouched. Assignment and
-    * scoring are file-layout-blind: a probe after compact equals the
-    * probe before bit-for-bit (the q149 gate pins it).
+    * via [[graft.sinks.Sinks.swapByRename]] (backup rename first — a
+    * crash leaves a complete old or new generation, never none; see
+    * that scaladoc for the object-store caveat). Never
+    * read-and-overwrite in one job. Centroids are append-invariant and
+    * untouched. Assignment and scoring are file-layout-blind: a probe
+    * after compact equals the probe before bit-for-bit (the q149 gate
+    * pins it).
     */
   def ivfCompact(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
@@ -661,9 +663,35 @@ object Similarity {
     spark.read.parquet(cur.toString)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    require(fs.delete(cur, true), s"ivfCompact: could not remove $cur")
-    require(fs.rename(tmp, cur), s"ivfCompact: could not swap $tmp -> $cur")
+    graft.sinks.Sinks.swapByRename(fs, tmp, cur)
   }
+
+  /** Targeted deletion from a persisted [[buildIvfIndex]] index — the
+    * dense-side twin of [[graft.operators.Retrieval.bm25Delete]]: a
+    * takedown propagated into the derived ANN artifact, not just the
+    * corpus. The cell-partitioned corpus table IS a partitioned parquet
+    * layout keyed by id, so deletion is exactly
+    * [[graft.sinks.Sinks.deleteRows]]: only the cells that actually
+    * hold doomed vectors rewrite (partition-pruned), untouched cells
+    * keep their physical files byte-identical, fully-doomed cells are
+    * removed. Centroids are untouched — deletion, like append, does
+    * not retrain the quantizer (surviving vectors stay in their
+    * nearest-EXISTING-cell, so probes remain correct; only cell
+    * balance drifts under sustained churn, the documented
+    * rebuild-when-drifted bound shared with [[ivfAppend]]). A probe
+    * after delete sees exactly the surviving vectors (the q156 gate
+    * pins the corpus against the anti-joined assignment and the probe
+    * against doomed-free results). Same single-writer contract as
+    * deleteRows. Returns the number of vectors deleted.
+    */
+  def ivfDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      keys: DataFrame,
+      keyCol: String): Long =
+    graft.sinks.Sinks.deleteRows(
+      spark, s"$indexPath/corpus", "cell", "id",
+      keys.select(col(keyCol).as("id")))
 
   /** Query a [[buildIvfIndex]] index: same semantics as [[ivfTopK]] with
     * identical parameters (the quantizer training is deterministic, so

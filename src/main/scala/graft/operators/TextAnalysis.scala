@@ -900,17 +900,28 @@ object TextAnalysis {
         (col("score") - col("runner_up")).as("margin"))
   }
 
-  def langIdScores(
+  /** Train the char-n-gram NB model over the `idCol < seedMax` labeled
+    * seed: returns (weights (gram, lang, w), priors sorted by class
+    * label — the argmax tie-break order). The ONE training path behind
+    * both [[langIdScores]] (in-session) and [[saveLangIdModel]]
+    * (persisted) — shared exactly the way [[scoreLangId]] shares the
+    * scoring back half, so a smoothing or prior change can never drift
+    * one form from the other and break the q144/q151 same-relation
+    * contract. Per-class gram-count columns are POSITIONALLY named
+    * (c_0, c_1, ...): a class label containing '.', spaces, or
+    * backticks never reaches a column name. The seed's gram counts are
+    * a bounded hash aggregate (seed vocabulary x classes); the totals
+    * read is one vocabulary-row reduction to a single driver row.
+    */
+  private def trainLangId(
       df: DataFrame,
       idCol: String,
       textCol: String,
       langCol: String,
       seedMax: Long,
-      n: Int = 3): DataFrame = {
+      n: Int): (DataFrame, Seq[(String, Double)]) = {
     require(seedMax > 0, s"seedMax must be positive, got $seedMax")
     require(n >= 1 && n <= 8, s"gram length must be in [1, 8], got $n")
-    def grams(frame: DataFrame, keep: Column): DataFrame =
-      charGrams(frame, textCol, n, keep)
     val labeled = df.filter(col(idCol) < seedMax)
     val classRows = labeled
       .groupBy(col(langCol).as("lang"))
@@ -924,30 +935,39 @@ object TextAnalysis {
     val nSeed = classRows.map(_.getLong(1)).sum
     val priors = classRows
       .map(r => r.getString(0) -> math.log(r.getLong(1).toDouble / nSeed))
-      .toMap
-    val countCols =
-      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
-    val counts = grams(labeled, col(langCol).as("lang"))
+      .toSeq
+    val countCols = langs.zipWithIndex.map { case (l, i) =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$i") }
+    val counts = charGrams(labeled, textCol, n, col(langCol).as("lang"))
       .groupBy(col("gram"))
       .agg(countCols.head, countCols.tail: _*)
       .transform(graft.CacheScope.persisted)
     val totCols =
-      langs.map(l => sum(col(s"c_$l")).as(s"t_$l")) :+ count(lit(1)).as("v")
+      langs.indices.map(i => sum(col(s"c_$i")).as(s"t_$i")) :+
+        count(lit(1)).as("v")
     val totRow = counts.agg(totCols.head, totCols.tail: _*).collect()(0)
     val vocab = totRow.getLong(langs.length)
-    val tots = langs.zipWithIndex
-      .map { case (l, i) => l -> totRow.getLong(i) }.toMap
     val weights = counts
       .select(
         col("gram"),
-        explode(array(langs.map(l => struct(
+        explode(array(langs.zipWithIndex.map { case (l, i) => struct(
           lit(l).as("lang"),
-          log((col(s"c_$l") + lit(1L)).cast("double") /
-            lit((tots(l) + vocab).toDouble)).as("w"))): _*)).as("lw"))
+          log((col(s"c_$i") + lit(1L)).cast("double") /
+            lit((totRow.getLong(i) + vocab).toDouble)).as("w")) }: _*)).as("lw"))
       .select(col("gram"), col("lw.lang").as("lang"), col("lw.w").as("w"))
+    (weights, priors)
+  }
+
+  def langIdScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      seedMax: Long,
+      n: Int = 3): DataFrame = {
+    val (weights, priors) = trainLangId(df, idCol, textCol, langCol, seedMax, n)
     scoreLangId(
-      df.filter(col(idCol) >= seedMax), idCol, textCol,
-      weights, langs.map(l => l -> priors(l)), n)
+      df.filter(col(idCol) >= seedMax), idCol, textCol, weights, priors, n)
   }
 
   /** Persist a trained language-ID model — the train-once/score-many
@@ -969,45 +989,11 @@ object TextAnalysis {
       seedMax: Long,
       path: String,
       n: Int = 3): Unit = {
-    require(seedMax > 0, s"seedMax must be positive, got $seedMax")
-    require(n >= 1 && n <= 8, s"gram length must be in [1, 8], got $n")
     val spark = df.sparkSession
-    val labeled = df.filter(col(idCol) < seedMax)
-    val classRows = labeled
-      .groupBy(col(langCol).as("lang"))
-      .agg(count(lit(1)).as("nd"))
-      .orderBy(col("lang"))
-      .collect()
-    require(classRows.length >= 2,
-      s"language-ID training needs >= 2 classes in the seed, got " +
-        s"${classRows.length} (seedMax=$seedMax)")
-    val langs = classRows.map(_.getString(0)).toSeq
-    val nSeed = classRows.map(_.getLong(1)).sum
-    val priors = classRows
-      .map(r => r.getString(0) -> math.log(r.getLong(1).toDouble / nSeed))
-    val countCols =
-      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
-    val counts = charGrams(labeled, textCol, n, col(langCol).as("lang"))
-      .groupBy(col("gram"))
-      .agg(countCols.head, countCols.tail: _*)
-      .transform(graft.CacheScope.persisted)
-    val totCols =
-      langs.map(l => sum(col(s"c_$l")).as(s"t_$l")) :+ count(lit(1)).as("v")
-    val totRow = counts.agg(totCols.head, totCols.tail: _*).collect()(0)
-    val vocab = totRow.getLong(langs.length)
-    val tots = langs.zipWithIndex
-      .map { case (l, i) => l -> totRow.getLong(i) }.toMap
-    counts
-      .select(
-        col("gram"),
-        explode(array(langs.map(l => struct(
-          lit(l).as("lang"),
-          log((col(s"c_$l") + lit(1L)).cast("double") /
-            lit((tots(l) + vocab).toDouble)).as("w"))): _*)).as("lw"))
-      .select(col("gram"), col("lw.lang").as("lang"), col("lw.w").as("w"))
-      .write.mode("overwrite").parquet(s"$path/weights")
+    val (weights, priors) = trainLangId(df, idCol, textCol, langCol, seedMax, n)
+    weights.write.mode("overwrite").parquet(s"$path/weights")
     import spark.implicits._
-    priors.map { case (l, p) => (l, p, n) }.toSeq
+    priors.map { case (l, p) => (l, p, n) }
       .toDF("lang", "prior", "n")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")

@@ -63,6 +63,14 @@ object Curation {
   private lazy val deleteDir: String =
     java.nio.file.Files.createTempDirectory("graft-del").toString
 
+  // q155's BM25 index-deletion scratch, same overwrite-first contract
+  private lazy val bm25DeleteDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+
+  // q156's IVF index-deletion scratch, same overwrite-first contract
+  private lazy val ivfDeleteDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -2301,6 +2309,78 @@ object Curation {
           sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // Takedown propagated into the persisted BM25 index (q152 erases
+    // from the corpus; this erases from the DERIVED artifact): build on
+    // 2/3, append the rest (so buckets hold real file generations),
+    // delete every 5th doc via bm25Delete — affected-buckets-only
+    // postings rewrite, df decrements, registry + stats decrements —
+    // and the probe over the post-delete index must equal the ORACLE'S
+    // BM25 over the anti-joined corpus. A surviving doomed posting, a
+    // stale df, or an undecremented N/avgdl all shift a score and break
+    // the hash.
+    "q155_bm25_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", bm25DeleteDir)
+      Retrieval.bm25Append(
+        bm25DeleteDir, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Retrieval.bm25Delete(
+        s, bm25DeleteDir,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
+      Retrieval.bm25TopKIndexed(bm25DeleteDir, bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Takedown propagated into the persisted IVF index (the q155 shape
+    // for the DENSE artifact, checked the q149 soundness way): build on
+    // 3/4, append the rest in two batches, delete every 5th vector via
+    // ivfDelete (affected-cells-only rewrite, centroids untouched),
+    // then (a) the corpus must equal EXACTLY the surviving vectors
+    // under the index's own centroid assignment, (b) no doomed id may
+    // surface in a probe, (c) the survivor count must match. Empty
+    // output = sound.
+    "q156_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfDeleteDir
+      Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nlist = 16, path)
+      Similarity.ivfAppend(
+        path, emb.filter(col("vec_id") % 8 === 0), "vec_id", "embedding")
+      Similarity.ivfAppend(
+        path, emb.filter(col("vec_id") % 8 === 4), "vec_id", "embedding")
+      val doomed = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"))
+      Similarity.ivfDelete(s, path, doomed, "vec_id")
+      val centroids = s.read.parquet(s"$path/centroids")
+        .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
+      val expected = emb
+        .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+        .select(
+          col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1),
+          1))
+      val actual = s.read.parquet(s"$path/corpus")
+        .select(col("id"), col("vec"), col("cell"))
+      val extra = actual.exceptAll(expected)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("extra_rows").as("kind"), col("n"))
+      val missing = expected.exceptAll(actual)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("missing_rows").as("kind"), col("n"))
+      val queries = emb.filter(col("vec_id") % 10 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val doomedInProbe = Similarity.ivfTopKIndexed(
+          path, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        .join(broadcast(doomed.select(col("vec_id").as("id"))), "id")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("doomed_in_probe").as("kind"), col("n"))
+      extra.unionByName(missing).unionByName(doomedInProbe)
+        .orderBy(col("kind"), col("n"))
     })
   )
 

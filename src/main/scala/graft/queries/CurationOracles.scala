@@ -78,15 +78,21 @@ object CurationOracles {
          FROM pred p JOIN d ON d.doc_id = p.id
          GROUP BY 1, 2 ORDER BY 1, 2"""
 
-  private val Bm25OracleSql: String =
-    """WITH toks AS (
+  /** The q127 BM25 relation over `documents WHERE <where>` — the same
+    * SQL parameterized by a corpus predicate so the index-DELETION gate
+    * (q155) can pin the post-delete probe against the anti-joined
+    * corpus with the verbatim scoring arithmetic.
+    */
+  private def bm25OracleOver(where: String): String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE $where),
+         toks AS (
            SELECT doc_id, unnest(list_filter(
-             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
-           FROM documents),
+             regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+           FROM corpus),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         st AS (SELECT count(*) AS n_docs FROM documents),
+         st AS (SELECT count(*) AS n_docs FROM corpus),
          tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
          q(query_id, query_text) AS (VALUES
            (CAST(1 AS BIGINT), 'spark window merge'),
@@ -97,7 +103,7 @@ object CurationOracles {
          qterms AS (
            SELECT DISTINCT query_id, term FROM (
              SELECT query_id, unnest(list_filter(
-               regexp_split_to_array(query_text, '\s+'), x -> x <> '')) AS term
+               regexp_split_to_array(query_text, '\\s+'), x -> x <> '')) AS term
              FROM q)),
          scored AS (
            SELECT qt.query_id, tf.doc_id,
@@ -119,6 +125,8 @@ object CurationOracles {
            FROM scored)
          SELECT query_id, rnk, doc_id, round(score, 4) AS score
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  private val Bm25OracleSql: String = bm25OracleOver("true")
 
 
 
@@ -2314,6 +2322,17 @@ object CurationOracles {
     // oracle, by reference (the q134/q143 rationale extended to
     // maintenance).
     "q145_bm25_compact" -> Bm25OracleSql,
+    // Index deletion: the post-delete probe must equal the SAME scoring
+    // over the ANTI-JOINED corpus — the one parameterized departure
+    // from the q127 CTEs (every statistic, N and avgdl included, now
+    // derives from the surviving docs, exactly what a from-scratch
+    // rebuild would compute).
+    "q155_bm25_delete" -> bm25OracleOver("doc_id % 5 <> 0"),
+    // IVF deletion soundness (the q149 empty-relation shape): corpus ==
+    // surviving assignment, no doomed id in any probe.
+    "q156_ivf_delete" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // The whole NB model in SQL: the q45 quality CTE labels the seed,
     // class counts + add-one log-odds weights + ln prior replicate the
     // engine's training, and scoring is the same inner-join occurrence

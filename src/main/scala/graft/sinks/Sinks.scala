@@ -82,7 +82,21 @@ object Sinks {
     *
     * Untouched partitions' files are not opened, rewritten, or moved
     * (spec pins byte-identity). Returns the number of rows deleted.
-    * Keys absent from the corpus are no-ops. At 100 TB this is the
+    * Keys absent from the corpus are no-ops; NULL keys never match (an
+    * equi-join cannot, so a null-keyed row is undeletable by key — the
+    * standard SQL contract). NULL / empty-string PARTITION values are
+    * handled: Spark writes them as the `__HIVE_DEFAULT_PARTITION__`
+    * directory and reads them back as null, and both the survivor
+    * filter (null-safe membership) and the emptied-directory removal
+    * (Spark's own partition-path escaping, so values with spaces, ':',
+    * '%' etc. resolve to the directory Spark actually wrote) follow
+    * that mapping; a constructed path that does NOT exist fails loudly
+    * instead of silently leaving doomed rows alive. SINGLE-WRITER
+    * contract: the deleted-row count and the survivor set are computed
+    * against the directory's live files, so a concurrent writer
+    * appending into an affected partition between the checkpoint and
+    * the overwrite would lose its rows — run takedowns in the corpus's
+    * maintenance window, like compaction. At 100 TB this is the
     * difference between a takedown costing one partition's rewrite and
     * a full-corpus rewrite per request batch.
     */
@@ -99,7 +113,17 @@ object Sinks {
       .select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
     if (affected.isEmpty) return 0L
-    val affectedRows = corpus.filter(col(partitionCol).isin(affected: _*))
+    // null-safe membership: isin drops a null partition value (the
+    // __HIVE_DEFAULT_PARTITION__ directory) from the predicate, which
+    // would silently skip its rewrite
+    val nonNullAffected = affected.filter(_ != null)
+    val inAffected = {
+      val base =
+        if (nonNullAffected.nonEmpty) col(partitionCol).isin(nonNullAffected: _*)
+        else lit(false)
+      if (affected.exists(_ == null)) base || col(partitionCol).isNull else base
+    }
+    val affectedRows = corpus.filter(inAffected)
     val survivors = affectedRows
       .join(k, Seq(keyCol), "left_anti")
       // partition-clustered (small-files rule) and EAGER (self-overwrite
@@ -116,12 +140,52 @@ object Sinks {
         .parquet(dir)
     val hconf = spark.sessionState.newHadoopConf()
     affected.filterNot(keptParts).foreach { v =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$partitionCol=$v")
+      // Spark's own partition-path escaping (null and "" both map to the
+      // hive default-partition directory, special characters percent-
+      // escape) — a hand-interpolated s"$partitionCol=$v" misses the
+      // directory for exactly those values
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(
+          partitionCol, if (v == null) null else v.toString)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$dirName")
       val fs = p.getFileSystem(hconf)
-      require(!fs.exists(p) || fs.delete(p, true),
+      require(fs.exists(p),
+        s"deleteRows: emptied partition directory $p not found — refusing " +
+          "to report rows deleted that may still be live")
+      require(fs.delete(p, true),
         s"deleteRows: could not remove emptied partition $p")
     }
     deleted
+  }
+
+  /** Swap a freshly-written `tmp` directory into place at `dst` via a
+    * backup rename: dst -> bak, tmp -> dst, delete bak — dst is never
+    * deleted before its replacement is ready, so a crash at any point
+    * leaves either the old generation (restorable from `bak`) or the
+    * new one, never nothing. A leftover backup from a dead prior swap
+    * aborts loudly (the [[compactParquet]] refusal contract). Directory
+    * rename is atomic on HDFS-like filesystems; object stores emulate
+    * it as copy+delete — the backup still guarantees no state is lost
+    * there, but the swap has a visible window and callers coordinating
+    * live readers on such stores should swap in a maintenance window.
+    */
+  def swapByRename(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(
+      dst.getParent, dst.getName + "_swap_bak")
+    if (fs.exists(bak))
+      throw new IllegalStateException(
+        s"swapByRename: $bak exists — a previous swap did not complete; " +
+          "restore or remove it before swapping again")
+    require(fs.rename(dst, bak), s"swapByRename: rename $dst -> $bak failed")
+    if (!fs.rename(tmp, dst)) {
+      // roll back so dst never vanishes: the old generation is intact in bak
+      fs.rename(bak, dst)
+      throw new java.io.IOException(s"swapByRename: rename $tmp -> $dst failed")
+    }
+    require(fs.delete(bak, true), s"swapByRename: could not remove backup $bak")
   }
 
   /** Range-clustered parquet layout: range-partition by `clusterCols`, sort

@@ -235,6 +235,62 @@ class RetrievalSpec extends SparkSpec {
       "compaction changed the probe relation")
   }
 
+  test("bm25 delete: probe equals a rebuild on survivors; untouched buckets byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-del").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry"), (2L, "banana durian"))
+      .toDF("query_id", "query_text")
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", dir, buckets = 64)
+    graft.operators.Retrieval.bm25Append(
+      dir, docs.filter(col("doc_id") > 2), "doc_id", "text")
+    // physical posting files per bucket BEFORE the delete
+    def postingFiles(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(s"$dir/postings").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).toSet).toMap
+    val before = postingFiles()
+    val affected = spark.read.parquet(s"$dir/postings")
+      .filter(col("id") >= 3)
+      .select(col("bucket")).distinct().as[Long].collect()
+      .map(b => s"bucket=$b").toSet
+    assert(affected.nonEmpty)
+    // doom docs 3 (the only cherry-majority/durian doc) and 4 (TOKENLESS:
+    // no postings, but the registry must still decrement N), plus an
+    // absent key (no-op)
+    val nDel = graft.operators.Retrieval.bm25Delete(
+      spark, dir, Seq(3L, 4L, 999L).toDF("doc_id"), "doc_id")
+    assert(nDel === 2L, s"deleted $nDel docs")
+    // untouched buckets keep their PHYSICAL files
+    val after = postingFiles()
+    before.keySet.diff(affected).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    // probe equals a from-scratch rebuild on the survivors, bit for bit
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25-spec-del-rb").toString
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", rebuilt, buckets = 64)
+    val probed = graft.operators.Retrieval.bm25TopKIndexed(dir, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.operators.Retrieval.bm25TopKIndexed(rebuilt, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed.nonEmpty && probed === want)
+    // stats decremented exactly (docs 1+2: 3+2 tokens); terms whose df
+    // hit 0 are gone; the registry holds exactly the survivors
+    val st = spark.read.parquet(s"$dir/stats").collect()(0)
+    assert((st.getAs[Long]("n_docs"), st.getAs[Long]("total_tokens")) === ((2L, 5L)))
+    val terms = spark.read.parquet(s"$dir/terms")
+      .select(col("term")).as[String].collect().toSet
+    assert(terms === Set("apple", "banana", "cherry"))
+    assert(spark.read.parquet(s"$dir/doclen")
+      .select(col("id")).as[Long].collect().toSet === Set(1L, 2L))
+    // absent-only key list is a no-op returning 0
+    assert(graft.operators.Retrieval.bm25Delete(
+      spark, dir, Seq(777L).toDF("doc_id"), "doc_id") === 0L)
+  }
+
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
     val docs = corpus.toDF("doc_id", "text")

@@ -358,6 +358,59 @@ class SimilaritySpec extends SparkSpec {
       "compaction changed the probe relation")
   }
 
+  test("ivfDelete: affected cells only; corpus equals the surviving assignment") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val all = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    Similarity.buildIvfIndex(all.filter($"id" % 4 =!= 0), "id", "vec", 8, path)
+    Similarity.ivfAppend(path, all.filter($"id" % 4 === 0), "id", "vec")
+    def cellFiles(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(s"$path/corpus").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).toSet).toMap
+    val before = cellFiles()
+    // doom two whole base clusters (their cells should EMPTY and vanish)
+    // plus one vector of a third; other cells must keep their files
+    val doomed = all.filter($"id" < 24 || $"id" === 30L).select($"id")
+    val affectedCells = spark.read.parquet(s"$path/corpus")
+      .join(doomed, "id").select($"cell").distinct().as[Long].collect()
+      .map(c => s"cell=$c").toSet
+    val nDel = Similarity.ivfDelete(spark, path, doomed, "id")
+    assert(nDel === 25L, s"deleted $nDel vectors")
+    val after = cellFiles()
+    before.keySet.diff(affectedCells).foreach { c =>
+      assert(after(c) === before(c), s"untouched cell $c was rewritten")
+    }
+    // the corpus is EXACTLY the surviving vectors under the index's own
+    // (untouched) centroids
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1)).toSeq
+    val expected = all.join(doomed, Seq("id"), "left_anti")
+      .select($"id", $"vec".cast("array<double>").as("vec"))
+      .withColumn("cell", org.apache.spark.sql.functions.element_at(
+        graft.functions.VecExprs.nearestCentroids($"vec", centroids, 1), 1))
+    val actual = spark.read.parquet(s"$path/corpus")
+      .select($"id", $"vec", $"cell")
+    assert(actual.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(actual).count() === 0)
+    // identical-vector probes of doomed ids no longer find them at sim ~ 1
+    val dq = all.filter($"id" < 24).select(($"id" + 5000L).as("id"), $"vec")
+    val ghost = Similarity.ivfTopKIndexed(path, dq, "id", "vec", 1, 1)
+      .filter($"sim" > 0.999999).count()
+    assert(ghost === 0L, s"$ghost doomed vectors still probeable")
+    // absent-only key list is a no-op returning 0
+    assert(Similarity.ivfDelete(
+      spark, path, Seq(99999L).toDF("id"), "id") === 0L)
+  }
+
   test("ivf centroids are deterministic") {
     val df = (0L until 100L).map(i =>
       (i, Seq.tabulate(4)(d => (i % 10 + d).toDouble))).toDF("id", "vec")

@@ -138,6 +138,48 @@ class SkewAndPartitionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 590)
   }
 
+  test("deleteRows resolves escaped and null partition directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del-esc").toString
+    // partition values Spark must ESCAPE on disk (space, colon, percent)
+    // plus a null (the __HIVE_DEFAULT_PARTITION__ directory): the old
+    // raw-interpolated path missed every one of these, silently leaving
+    // doomed rows alive
+    val events = (1 to 400).map { i =>
+      val cat = (i % 4) match {
+        case 0 => "a b"
+        case 1 => "x:y"
+        case 2 => "p%q"
+        case _ => null
+      }
+      (i.toLong, cat, 1.0)
+    }.toDF("id", "cat", "v")
+    Sinks.writePartitioned(events.repartition(col("cat")), dir, Seq("cat"))
+    // sanity: the null partition really is the hive default directory
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "cat=__HIVE_DEFAULT_PARTITION__")))
+    // doom ALL of "a b" and the null partition (both must vanish), half
+    // of "x:y" (must rewrite survivors), none of "p%q" (untouched)
+    val doomed = events.filter(
+        col("cat") === "a b" || col("cat").isNull ||
+          (col("cat") === "x:y" && col("id") <= 200))
+      .select(col("id"))
+    val pqFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "cat=p%25q")).toArray.toSet
+    val n = Sinks.deleteRows(spark, dir, "cat", "id", doomed)
+    assert(n === 100 + 100 + 50, s"deleted $n")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "cat=a%20b")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "cat=__HIVE_DEFAULT_PARTITION__")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 150)
+    assert(back.filter(col("cat") === "x:y").count() === 50)
+    assert(back.filter(col("cat").isNull).count() === 0)
+    // the untouched escaped partition keeps its physical files
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "cat=p%25q")).toArray.toSet === pqFiles)
+  }
+
   test("clustered layout yields disjoint per-file key ranges and bounded files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clust").toString
     val rng = new scala.util.Random(3)
