@@ -563,33 +563,31 @@ object MarketAnalytics {
     // counter. Phase 3 plants FRESH ids: recent ones must emit (dedup
     // must not over-suppress), stale ones must late-drop (the drop rule
     // applies to first copies too).
-    "q153_stream_dedup_ttl" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val tsUs = call_function("div", col("ts"), lit(1000L))
-      val hourUs = 3600L * 1000000L
-      // bounded driver read: ONE long (the corpus's max event time)
-      val maxUs = ev.agg(max(tsUs)).collect()(0).getLong(0)
-      val dupRecent = ev.filter(
-        col("event_id") % 5 === 0 && tsUs >= maxUs - hourUs)
-      val dupStale = ev.filter(
-        col("event_id") % 5 === 1 && tsUs < maxUs - 3 * hourUs)
-      val freshKeep = ev.filter(
-          col("event_id") % 7 === 0 && tsUs >= maxUs - hourUs)
-        .withColumn("event_id", col("event_id") + 1000000L)
-      val freshLate = ev.filter(
-          col("event_id") % 7 === 1 && tsUs < maxUs - 3 * hourUs)
-        .withColumn("event_id", col("event_id") + 2000000L)
-      replayPhases(s, "q153_ttl", dir,
-          Seq(ev, dupRecent.union(dupStale), freshKeep.union(freshLate)),
-          stream => graft.streaming.StreamingEtl.dedupWithinWatermark(
-            stream, Seq("event_id"), "ts", "2 hours")
-            .select(col("event_type"), col("event_id"), col("user_id")))
-        .groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("event_id")).as("id_sum"),
-          sum(col("user_id")).as("user_sum"))
-        .orderBy(col("event_type"))
+    "q153_stream_dedup_ttl" -> ((s, dir) =>
+      ttlDedupGate(s, dir,
+        stream => graft.streaming.StreamingEtl.dedupWithinWatermark(
+          stream, Seq("event_id"), "ts", "2 hours"))),
+
+    // §2.7 gate #13: the SAME TTL-dedup contract on Spark 4's
+    // transformWithState — first-class event-time TIMERS carry the
+    // eviction dropDuplicatesWithinWatermark builds in (q154's
+    // successor-API rationale, now for an eviction-BEARING semantics).
+    // Identical phases, identical oracle (q153's, by reference): a
+    // divergence in the late-drop rule, the suppress window, or timer
+    // eviction breaks a counter. RocksDB-pinned like every TWS gate.
+    "q157_stream_dedup_ttl_tws" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try ttlDedupGate(s, dir,
+        stream => graft.streaming.StreamingEtl.dedupWithinWatermarkTws(
+          stream, Seq("event_id"), "ts", "2 hours"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }),
 
     // S7 gate: the run-stamped parquet sink round trip under the driver's
@@ -886,6 +884,46 @@ object MarketAnalytics {
     spark.table(qname)
   }
 
+  /** Shared q153/q157 gate body — ONE phase construction and final
+    * aggregation for both TTL-dedup forms, so the two state APIs replay
+    * byte-identical inputs against the shared oracle. Phase 1 is the
+    * whole corpus (watermark lands at max − 2 h). Phase 2 plants
+    * duplicate copies: recent ones (≥ max − 1 h, state alive) suppress;
+    * stale ones (< max − 3 h, behind the watermark) late-drop. Phase 3
+    * plants FRESH ids: recent must emit, stale must late-drop (the drop
+    * rule applies to first copies too). Phases share one memoized write
+    * (same key for both gates).
+    */
+  private def ttlDedupGate(
+      s: SparkSession, dir: String,
+      dedup: DataFrame => DataFrame): DataFrame = {
+    val ev = t(s, dir, "events")
+    val tsUs = call_function("div", col("ts"), lit(1000L))
+    val hourUs = 3600L * 1000000L
+    // bounded driver read: ONE long (the corpus's max event time)
+    val maxUs = ev.agg(max(tsUs)).collect()(0).getLong(0)
+    val dupRecent = ev.filter(
+      col("event_id") % 5 === 0 && tsUs >= maxUs - hourUs)
+    val dupStale = ev.filter(
+      col("event_id") % 5 === 1 && tsUs < maxUs - 3 * hourUs)
+    val freshKeep = ev.filter(
+        col("event_id") % 7 === 0 && tsUs >= maxUs - hourUs)
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val freshLate = ev.filter(
+        col("event_id") % 7 === 1 && tsUs < maxUs - 3 * hourUs)
+      .withColumn("event_id", col("event_id") + 2000000L)
+    replayPhases(s, "ttl_dedup", dir,
+        Seq(ev, dupRecent.union(dupStale), freshKeep.union(freshLate)),
+        stream => dedup(stream)
+          .select(col("event_type"), col("event_id"), col("user_id")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** Phase-controlled replay for the watermark gate: each phase becomes
     * ONE parquet file with a strictly increasing modification time, and
     * `maxFilesPerTrigger=1` then yields exactly one micro-batch per phase
@@ -1108,6 +1146,27 @@ object MarketAnalytics {
   private def replayCheckpoint(): String =
     new java.io.File(replayDir,
       s"ckpt_${replaySeq.incrementAndGet()}").toString
+
+  // The emitted relation under TTL dedup: the original corpus (unique
+  // ids emit once; planted duplicate copies suppress or late-drop —
+  // phase design makes every row's fate static) plus the fresh
+  // above-watermark plants. Stale plants of BOTH kinds drop. Shared by
+  // q153 (dropDuplicatesWithinWatermark) and q157 (the
+  // transformWithState timer form): one contract, two state APIs.
+  private val ttlDedupOracle: String =
+    """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+         fresh AS (
+           SELECT e.event_type, e.event_id + 1000000 AS event_id, e.user_id
+           FROM events e, m
+           WHERE e.event_id % 7 = 0
+             AND epoch_us(e.ts) >= m.max_us - 3600000000),
+         allrows AS (
+           SELECT event_type, event_id, user_id FROM events
+           UNION ALL SELECT event_type, event_id, user_id FROM fresh)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM allrows GROUP BY event_type ORDER BY event_type"""
 
   // Shared by q16 (batch windowed form) and q55 (streaming state-machine
   // replay of the same rows): one oracle, two physical executions.
@@ -1387,20 +1446,12 @@ object MarketAnalytics {
     // ids emit once; planted duplicate copies suppress or late-drop —
     // phase design makes every row's fate static) plus the fresh
     // above-watermark plants. Stale plants of BOTH kinds drop.
-    "q153_stream_dedup_ttl" ->
-      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
-         fresh AS (
-           SELECT e.event_type, e.event_id + 1000000 AS event_id, e.user_id
-           FROM events e, m
-           WHERE e.event_id % 7 = 0
-             AND epoch_us(e.ts) >= m.max_us - 3600000000),
-         allrows AS (
-           SELECT event_type, event_id, user_id FROM events
-           UNION ALL SELECT event_type, event_id, user_id FROM fresh)
-         SELECT event_type, count(*) AS n_events,
-           CAST(sum(event_id) AS BIGINT) AS id_sum,
-           CAST(sum(user_id) AS BIGINT) AS user_sum
-         FROM allrows GROUP BY event_type ORDER BY event_type""",
+    "q153_stream_dedup_ttl" -> ttlDedupOracle,
+    // same oracle, by reference: the q154 rationale for the
+    // EVICTION-bearing semantics — dropDuplicatesWithinWatermark vs the
+    // transformWithState timer processor is an implementation choice,
+    // the late-drop/suppress/evict contract is one
+    "q157_stream_dedup_ttl_tws" -> ttlDedupOracle,
     // The sink round trips are identity relations: the oracle aggregates
     // the SOURCE table; the gate aggregates what the sink wrote and read
     // back. Integer-exact measures (plus a decimal-anchored double for

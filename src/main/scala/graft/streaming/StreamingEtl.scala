@@ -345,6 +345,104 @@ object StreamingEtl {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** [[dedupWithinWatermark]] re-expressed on Spark 4's
+    * `transformWithState` — the successor-API twin the way
+    * [[statefulIndicatorsTws]] twins [[statefulIndicators]], now for an
+    * EVICTION-bearing semantics: where the indicator state machine only
+    * accretes, this one must also expire state, which TWS models with
+    * first-class EVENT-TIME TIMERS instead of the fixed operator
+    * built into `dropDuplicatesWithinWatermark`. The contract is
+    * pinned identical (q157 runs against q153's verbatim oracle):
+    *
+    *   - a row behind the watermark drops as late (first copies
+    *     included) — checked in the processor against the batch
+    *     watermark, the same rule the built-in exec applies;
+    *   - the first surviving copy of a key emits and registers a timer
+    *     at its event time + `delay`;
+    *   - further copies suppress while the key's state lives;
+    *   - the timer fires once the watermark passes it and CLEARS the
+    *     key's state — state is bounded by the delay window's key
+    *     density, exactly the built-in's eviction bound (spec-measured,
+    *     the q153 3->1 discipline).
+    *
+    * Runs on any key-column types (the group key is the key columns'
+    * string rendering — null renders as "null", distinct from the
+    * string "null" only if callers avoid that collision; the built-in
+    * has the same physical-key flattening). RocksDB provider required
+    * (the TWS contract; gates wrap the conf).
+    */
+  def dedupWithinWatermarkTws(
+      df: DataFrame,
+      keyCols: Seq[String],
+      nsTsCol: String,
+      delay: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keyCols.nonEmpty, "dedup needs at least one key column")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0,
+      s"dedup delay must be a fixed duration, got '$delay' (months vary)")
+    val delayMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val withTime = df.withColumn("event_time", toEventTime(col(nsTsCol)))
+      .withWatermark("event_time", delay)
+    val schema = withTime.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    withTime.as(rowEnc)
+      .groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i)))
+        .mkString("\u001f"))(Encoders.STRING)
+      .transformWithState(
+        new DedupTtlProcessor(schema.fieldIndex("event_time"), delayMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** The [[dedupWithinWatermarkTws]] processor: one Long ValueState per
+    * key (the first copy's expiry instant) plus one event-time timer
+    * that clears it. TTLConfig.NONE because TTL there is PROCESSING-
+    * time — the event-time-faithful bound is the timer.
+    */
+  private class DedupTtlProcessor(eventTimeIdx: Int, delayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Long](
+        "seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[org.apache.spark.sql.Row],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[org.apache.spark.sql.Row] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      rows.filter { r =>
+        val tMs = r.getAs[java.sql.Timestamp](eventTimeIdx).getTime
+        if (tMs < wm) false // late: behind the watermark, first copy or not
+        else if (seen.exists()) false // duplicate within the live window
+        else {
+          val expiry = tMs + delayMs
+          seen.update(expiry)
+          getHandle.registerTimer(expiry)
+          true
+        }
+      }
+    }
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[org.apache.spark.sql.Row] = {
+      seen.clear()
+      Iterator.empty
+    }
+  }
+
   /** Stream-stream interval join: left row L matches right row R iff
     * R.eventTime ∈ [L.eventTime + lower, L.eventTime + upper) — the
     * streaming analogue of operators.RangeJoin (purchases joined to the

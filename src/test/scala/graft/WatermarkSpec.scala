@@ -149,4 +149,49 @@ class WatermarkSpec extends SparkSpec {
         s"emissions diverged (dup re-emitted or late row admitted): $got")
     } finally query.stop()
   }
+
+  test("TTL dedup on transformWithState: same contract, timers evict state") {
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    def row(id: Long, us: Long) = (id, us * 1000L, id * 10L, "A", 0.0d, "")
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamingEtl.dedupWithinWatermarkTws(
+        stream, Seq("event_id"), "ts", "2 hours")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("ttl_tws_unit")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // the q153 MemoryStream drive replayed verbatim on the TWS form
+      input.addData(Seq(row(1, H(0)), row(2, H(0) + hourUs / 2), row(3, H(1))))
+      query.processAllAvailable()
+      assert(stateRows === 3L, s"expected 3 keys in state, got $stateRows")
+      input.addData(Seq(row(2, H(0) + hourUs / 2)))
+      query.processAllAvailable()
+      input.addData(Seq(row(99, H(30))))
+      query.processAllAvailable()
+      input.addData(Seq.empty[(Long, Long, Long, String, Double, String)])
+      query.processAllAvailable()
+      // the timer-driven eviction: three stale keys cleared, one live
+      assert(stateRows === 1L,
+        s"stale TWS dedup state did not evict: $stateRows rows")
+      input.addData(Seq(row(50, H(0))))
+      query.processAllAvailable()
+      val got = spark.table("ttl_tws_unit").as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 99L),
+        s"emissions diverged from the dropDuplicatesWithinWatermark form: $got")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
