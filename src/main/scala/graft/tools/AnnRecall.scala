@@ -20,8 +20,10 @@ object AnnRecall {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = graft.Tables.load(spark, dir, "embeddings")
-    val qs = emb.filter(col("vec_id") < 5)
+    val emb = graft.Tables.load(spark, dir, "embeddings").persist()
+    emb.count()
+    val nCorpus = emb.count()
+    val qs = emb.filter(col("vec_id") < 30).persist()
     val brute = Similarity.bruteForceTopK(
       emb, "vec_id", "embedding", qs, "vec_id", "embedding", k = 10)
       .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -38,26 +40,67 @@ object AnnRecall {
       k = 10, nlist = 16, nprobe = 4)
       .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))))
 
-    // parameter sweep: recall vs corpus fraction touched, the tuning table
+    // LSH sweep: recall vs corpus fraction touched, the tuning table
     // for picking (tables, bits, radius) on a given similarity regime
-    val n = emb.count() - 1 // candidates exclude self
     for {
       tables <- Seq(4, 8, 16)
       bits <- Seq(8, 10, 12)
       radius <- Seq(0, 1)
     } {
+      val t0 = System.nanoTime()
       val out = Similarity.lshTopK(
         emb, "vec_id", "embedding", qs, "vec_id", "embedding",
         dim = 64, k = 10, tables = tables, bitsPerTable = bits,
         probeRadius = radius)
       val got = out.select(col("qid"), col("id")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
+      val wall = (System.nanoTime() - t0) / 1e9
       // expected scan fraction: tables * probes / 2^bits (capped at 1)
       val probes = 1 + (if (radius >= 1) bits else 0)
       val frac = math.min(1.0, tables.toDouble * probes / (1L << bits))
       val hits = got.count(brute.contains)
-      println(f"[sweep] L=$tables%2d r=$bits%2d probe=$radius " +
-        f"recall=${hits.toDouble / brute.size}%.3f est_scan=${frac}%.3f")
+      println(f"[sweep] lsh L=$tables%2d r=$bits%2d probe=$radius " +
+        f"recall=${hits.toDouble / brute.size}%.3f est_scan=$frac%.3f " +
+        f"wall=$wall%5.2f s")
+    }
+
+    // IVF sweep: recall vs probed-cell cost — nprobe/nlist is the
+    // designed corpus fraction; cand_frac is the MEASURED one (actual
+    // probed-cell population / (queries x corpus)), which diverges when
+    // cells are imbalanced
+    for {
+      nlist <- Seq(16, 64)
+      nprobe <- Seq(1, 2, 4, 8)
+      if nprobe < nlist
+    } {
+      val centroids = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist)
+      val cents = centroids.map(_.toSeq).toSeq
+      val assigned = emb.select(
+          col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(col("vec"), cents, 1), 1))
+      val probed = qs.select(
+          col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+        .select(col("qid"), explode(
+          graft.functions.VecExprs.nearestCentroids(
+            col("qvec"), cents, nprobe)).as("cell"))
+        .join(assigned, "cell").count()
+      val candFrac = probed.toDouble / (qs.count() * nCorpus)
+      val t0 = System.nanoTime()
+      val got = Similarity.ivfTopK(
+          emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+          k = 10, nlist = nlist, nprobe = nprobe)
+        .select(col("qid"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val hits = got.count(brute.contains)
+      println(f"[sweep] ivf nlist=$nlist%2d nprobe=$nprobe " +
+        f"recall=${hits.toDouble / brute.size}%.3f " +
+        f"designed=${nprobe.toDouble / nlist}%.3f cand_frac=$candFrac%.3f " +
+        f"wall=$wall%5.2f s")
     }
     spark.stop()
   }
