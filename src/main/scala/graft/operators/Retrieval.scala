@@ -361,6 +361,88 @@ object Retrieval {
     swapRewrite("doclen", clustered = false)
   }
 
+  /** Merge two [[buildBm25Index]] indexes over DISJOINT corpora into a
+    * new index at `dest` — the composition that makes a 100 TB index
+    * BUILD distributable: build per-shard indexes in parallel (each
+    * shard's build touches only its own corpus slice), then merge —
+    * and merging is nearly free, because the corpus-sized parts union
+    * at the FILE level:
+    *
+    *   - postings: both sides bucket their terms with the same
+    *     `xxhash64 mod buckets` (verified from stats — a modulus
+    *     mismatch aborts), so bucket b of the merged index is exactly
+    *     (A's bucket-b files + B's bucket-b files) — a metadata
+    *     copy, no row is read;
+    *   - doclen: disjoint doc registries — plain file union;
+    *   - terms: the ONE real job, vocabulary-sized by construction —
+    *     df(A) + df(B) summed per term and rewritten clustered;
+    *   - stats: two scalars added.
+    *
+    * Caller contract: doc-id sets disjoint (the [[bm25Append]]
+    * contract — an overlap would double-count dl and N). A probe of
+    * the merged index equals [[bm25TopK]] over the union corpus
+    * bit-for-bit (the q158 gate pins it against the full-corpus
+    * oracle; the spec pins merged == from-scratch-rebuild probes).
+    * `dest` must not exist; sources are not modified.
+    */
+  def bm25Merge(
+      spark: org.apache.spark.sql.SparkSession,
+      pathA: String,
+      pathB: String,
+      dest: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(hconf)
+    require(!fs.exists(destP), s"bm25Merge: $dest already exists")
+    def stats(p: String) = {
+      val r = spark.read.parquet(s"$p/stats")
+        .select(col("n_docs"), col("total_tokens"), col("buckets"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (docsA, tokA, bA) = stats(pathA)
+    val (docsB, tokB, bB) = stats(pathB)
+    require(bA == bB,
+      s"bm25Merge: bucket moduli differ ($bA vs $bB) — the sides bucket " +
+        "terms differently; rebuild one side with the other's modulus")
+    // corpus-sized parts: FILE-level union (copy both sides' parquet
+    // parts, disambiguated by side prefix — no data pass)
+    def copyParts(srcDir: String, dstDir: String, tag: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(srcDir)
+      if (!fs.exists(src)) return
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+      fs.listStatus(src).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("bucket="))
+          copyParts(s"$srcDir/$name", s"$dstDir/$name", tag)
+        else if (name.endsWith(".parquet"))
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, st.getPath,
+            fs, new org.apache.hadoop.fs.Path(s"$dstDir/${tag}_$name"),
+            false, hconf)
+      }
+    }
+    copyParts(s"$pathA/postings", s"$dest/postings", "a")
+    copyParts(s"$pathB/postings", s"$dest/postings", "b")
+    copyParts(s"$pathA/doclen", s"$dest/doclen", "a")
+    copyParts(s"$pathB/doclen", s"$dest/doclen", "b")
+    // terms: the one vocabulary-sized job — df sums, clustered write
+    val bucket = pmod(xxhash64(col("term")), lit(bA))
+    spark.read.parquet(s"$pathA/terms")
+      .select(col("term"), col("df"))
+      .unionByName(spark.read.parquet(s"$pathB/terms")
+        .select(col("term"), col("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dest/terms")
+    import spark.implicits._
+    Seq((docsA + docsB, tokA + tokB, bA))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/stats")
+  }
+
   /** Targeted deletion from a persisted [[buildBm25Index]] index — the
     * governance primitive ([[graft.sinks.Sinks.deleteRows]]) propagated
     * into the DERIVED artifact: a takedown that erases a doc from the

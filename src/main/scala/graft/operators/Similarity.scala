@@ -666,6 +666,145 @@ object Similarity {
     graft.sinks.Sinks.swapByRename(fs, tmp, cur)
   }
 
+  /** Build the QUANTIZED IVF index — [[buildIvfIndex]]'s cell layout
+    * with the corpus stored int8 ([[quantizeEmbeddings]]'s codec)
+    * ALONGSIDE the float vector in the same cell-partitioned table,
+    * plus the precomputed int8 self-dot. This composes the library's
+    * two ANN cost levers into the production layout: a probe's stage-1
+    * scan reads ONLY (id, qvec, qn2) of the probed cells — partition
+    * pruning x column pruning, nprobe/nlist of the corpus at 1/8th the
+    * float64 bytes — and stage 2 fetches float vectors for the
+    * k·rerankFactor survivors from those same pruned cells. At 100 TB
+    * that is the difference between a disk-bound and a page-cache-
+    * resident candidate scan ([[quantizedTopK]]'s scaladoc bound, now
+    * bought at rest). Zero vectors are stored (the registry stays
+    * complete for [[ivfDelete]], which works unchanged on this layout)
+    * and filtered at probe time like every cosine path.
+    */
+  def buildIvfQIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      path: String,
+      sampleN: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleN)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    quantizeEmbeddings(
+        corpus.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("vec")), "vec")
+      .select(col("id"), col("vec"), col("qvec"),
+        intDot(col("qvec"), col("qvec")).as("qn2"))
+      .withColumn("cell", element_at(
+        graft.functions.VecExprs.nearestCentroids(
+          col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** Append a batch to a persisted [[buildIvfQIndex]] index —
+    * [[ivfAppend]]'s contract (existing centroids, batch-sized
+    * cluster-by-cell shuffle, one file per touched cell, disjoint ids,
+    * the documented centroid-drift bound) with the batch quantized
+    * map-side into the same (id, vec, qvec, qn2, cell) layout.
+    * [[ivfCompact]] and [[ivfDelete]] are layout-blind (they rewrite /
+    * filter whole rows) and work on this index unchanged.
+    */
+  def ivfQAppend(
+      indexPath: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+      .toSeq
+    quantizeEmbeddings(
+        batch.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("vec")), "vec")
+      .select(col("id"), col("vec"), col("qvec"),
+        intDot(col("qvec"), col("qvec")).as("qn2"))
+      .withColumn("cell", element_at(
+        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
+  }
+
+  /** Probe a [[buildIvfQIndex]] index: [[ivfTopKIndexed]]'s cell
+    * pruning composed with [[quantizedTopK]]'s two stages. Stage 1
+    * scores the probed cells' candidates on the int8 forms only
+    * (cosine is scale-free, so the approx score is
+    * intdot(qq,cq)/(sqrt(qq.qq)·sqrt(cq.cq)) — exact int64 sums) and
+    * keeps k·rerankFactor per query; stage 2 re-scores exactly those
+    * survivors with the exact float cosine from the SAME pruned cells.
+    * The probed-cell set lands in both scans as a partition filter
+    * (driver-derived from the query table — small by the same contract
+    * as every probe). Reported sims are exact cosines, so the q159
+    * soundness gate can re-verify every hit independently.
+    */
+  def ivfQTopKIndexed(
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1,
+      s"k and rerankFactor must be >= 1, got k=$k rerankFactor=$rerankFactor")
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+      .toSeq
+    // the query-side float vec is named qv so quantizeEmbeddings' added
+    // `qvec` column cannot collide with it
+    val qs = quantizeEmbeddings(
+        queries.select(col(qidCol).as("qid"),
+          col(qvecCol).cast("array<double>").as("qv")), "qv")
+      .select(col("qid"), col("qv"), col("qvec").as("qq"),
+        intDot(col("qvec"), col("qvec")).as("qqn2"))
+      .transform(graft.CacheScope.persisted)
+    val probes = qs
+      .select(col("qid"), col("qq"), col("qqn2"), explode(
+        graft.functions.VecExprs.nearestCentroids(
+          col("qv"), centroids, nprobe)).as("cell"))
+    // bounded driver read: the probed-cell VALUES (<= queries x nprobe),
+    // pushed into both corpus scans as a partition filter
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toLong).sorted
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cell").isin(probedCells: _*))
+    val stage1 = corpus.select(col("id"), col("qvec").as("cq"),
+        col("qn2").as("cn2"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("id") && col("cn2") > 0 && col("qqn2") > 0)
+      .withColumn("ascore",
+        intDot(col("cq"), col("qq")).cast("double") /
+          (sqrt(col("cn2").cast("double")) * sqrt(col("qqn2").cast("double"))))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("id"))
+    val cands = stage1
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("qid"), col("id"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cands
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
+      .withColumn("sim", cosine(col("vec"), col("qv")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
   /** Targeted deletion from a persisted [[buildIvfIndex]] index — the
     * dense-side twin of [[graft.operators.Retrieval.bm25Delete]]: a
     * takedown propagated into the derived ANN artifact, not just the
@@ -911,15 +1050,20 @@ object Similarity {
     * per-pair fold, so the whole two-stage pipeline is SQL-replicable
     * (q101).
     */
+  /** Exact int64 dot product of two int8-quantized vectors (|q| <= 127
+    * -> per-term <= 16129: no overflow at any realistic dim). Shared by
+    * [[quantizedTopK]] and the persisted [[ivfQTopKIndexed]] probe.
+    */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
+      lit(0L), (s, x) => s + x)
+
   def quantizedTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, rerankFactor: Int = 4): DataFrame = {
     require(k >= 1 && rerankFactor >= 1,
       s"k and rerankFactor must be >= 1, got k=$k rerankFactor=$rerankFactor")
-    def intDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
-        lit(0L), (s, x) => s + x)
     def q8(df: DataFrame, id: String, vec: String, p: String) =
       quantizeEmbeddings(df.select(col(id), col(vec)), vec)
         .select(col(id), col(vec), col("qvec"))

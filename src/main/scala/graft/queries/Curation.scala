@@ -71,6 +71,117 @@ object Curation {
   private lazy val ivfDeleteDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
 
+  /** Per-(sf dir) memoized BASE index builds, file-copied into each
+    * gate's private scratch: q143/q145/q155 all open with the SAME
+    * deterministic `buildBm25Index` over `doc_id % 3 =!= 0`, and
+    * q112/q149/q156 with the SAME `buildIvfIndex` over
+    * `vec_id % 4 =!= 0` — identical input, identical bytes-on-disk
+    * semantics, so the base build is harness SETUP shared across gates
+    * (the replayPhases memoizedWrite precedent) and each gate pays only
+    * for the MAINTENANCE operators it actually proves (append / compact
+    * / delete / probe) plus a local directory copy. The build operator
+    * itself stays fully gate-proven un-shared: q134 (bm25) and q59
+    * (ivf) run their builds every invocation. Keyed per JVM by
+    * (kind, sf dir) — the same static-testdata contract the per-JVM
+    * overwrite-first scratch dirs already assume.
+    */
+  private val baseIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def copyInto(src: String, dst: String): Unit = {
+    val d = new java.io.File(dst)
+    org.apache.commons.io.FileUtils.deleteDirectory(d)
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(src), d)
+  }
+
+  private def bm25Base(s: SparkSession, dir: String): String =
+    baseIndexes.computeIfAbsent(s"bm25|$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25-base").toString
+      Retrieval.buildBm25Index(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", p)
+      p
+    })
+
+  private def ivfBase(s: SparkSession, dir: String): String =
+    baseIndexes.computeIfAbsent(s"ivf|$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-base").toString
+      Similarity.buildIvfIndex(
+        t(s, dir, "embeddings").filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", nlist = 16, p)
+      p
+    })
+
+  /** The POST-APPEND index states, one more memoized setup rung: q155
+    * deletes from an index whose generations are exactly q143's
+    * (build 2/3 + append 1/3) and q156 from exactly q149's build + two
+    * appends — deterministic continuations of the shared bases, so the
+    * deletion gates pay only for the DELETE + probe they prove. The
+    * append operator stays gate-proven un-shared in q143/q145 (bm25)
+    * and q112/q149 (ivf).
+    */
+  private def bm25BaseAppended(s: SparkSession, dir: String): String =
+    baseIndexes.computeIfAbsent(s"bm25app|$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25-bapp").toString
+      copyInto(bm25Base(s, dir), p)
+      Retrieval.bm25Append(
+        p, t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+      p
+    })
+
+  private def ivfBaseAppended(s: SparkSession, dir: String): String =
+    baseIndexes.computeIfAbsent(s"ivfapp|$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-bapp").toString
+      copyInto(ivfBase(s, dir), p)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAppend(
+        p, emb.filter(col("vec_id") % 8 === 0), "vec_id", "embedding")
+      Similarity.ivfAppend(
+        p, emb.filter(col("vec_id") % 8 === 4), "vec_id", "embedding")
+      p
+    })
+
+  /** q158's shard bases: two independent indexes over the even / odd
+    * halves of the corpus — the per-shard parallel builds whose merge
+    * the gate proves. Memoized like the other deterministic setups.
+    */
+  private def bm25Shard(s: SparkSession, dir: String, parity: Int): String =
+    baseIndexes.computeIfAbsent(s"bm25shard$parity|$dir", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-bm25-sh$parity").toString
+      Retrieval.buildBm25Index(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === parity),
+        "doc_id", "text", p)
+      p
+    })
+
+  // q158's merge destination parent (the merge target itself must not
+  // pre-exist, so each invocation deletes and re-points a child path)
+  private lazy val bm25MergeParent: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-merge").toString
+
+  // q159's quantized-IVF index scratch, same overwrite-first contract
+  private lazy val ivfQDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivfq").toString
+
+  /** q145's variant: the same base with its 1/3 remainder appended in
+    * TWO batches (%6==0 then %6==3), so the copied state carries three
+    * real file generations per touched bucket — exactly what its
+    * compaction must collapse.
+    */
+  private def bm25BaseAppended2(s: SparkSession, dir: String): String =
+    baseIndexes.computeIfAbsent(s"bm25app2|$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25-bapp2").toString
+      copyInto(bm25Base(s, dir), p)
+      val docs = t(s, dir, "documents")
+      Retrieval.bm25Append(
+        p, docs.filter(col("doc_id") % 6 === 0), "doc_id", "text")
+      Retrieval.bm25Append(
+        p, docs.filter(col("doc_id") % 6 === 3), "doc_id", "text")
+      p
+    })
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -1626,7 +1737,7 @@ object Curation {
       val a = emb.filter(col("vec_id") % 4 =!= 0)
       val b = emb.filter(col("vec_id") % 4 === 0)
       val path = ivfAppendDir
-      Similarity.buildIvfIndex(a, "vec_id", "embedding", nlist = 16, path)
+      copyInto(ivfBase(s, dir), path)
       Similarity.ivfAppend(path, b, "vec_id", "embedding")
       // qid shifted so the probe's self-exclusion (qid != id) can't
       // filter the twin
@@ -2031,14 +2142,15 @@ object Curation {
 
     // Incremental BM25 index append (the q112 build-once/append-many
     // shape for the LEXICAL index): base index from the doc_id%3!=0
-    // corpus, the %3==0 batch appended — postings land as new files in
-    // the existing bucket partitions, only the vocabulary-sized df
-    // table rewrites — and the probe over the appended index must equal
-    // q127's full-corpus relation against q127's verbatim oracle.
+    // corpus (copied from the shared memoized build — identical
+    // deterministic setup), the %3==0 batch appended LIVE — postings
+    // land as new files in the existing bucket partitions, only the
+    // vocabulary-sized df table rewrites — and the probe over the
+    // appended index must equal q127's full-corpus relation against
+    // q127's verbatim oracle.
     "q143_bm25_append" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Retrieval.buildBm25Index(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", bm25AppendDir)
+      copyInto(bm25Base(s, dir), bm25AppendDir)
       Retrieval.bm25Append(
         bm25AppendDir, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
       Retrieval.bm25TopKIndexed(bm25AppendDir, bm25Queries(s), k = 10)
@@ -2124,23 +2236,18 @@ object Curation {
         .orderBy(col("lang"), col("pred"))
     }),
 
-    // Index compaction under the driver gate: build on 2/3 of the
-    // corpus, append the remaining 1/3 in TWO batches (so the bucket
-    // partitions genuinely hold three file generations), compact —
-    // postings rewrite clustered into a temp generation and swap in by
-    // filesystem rename, doclen file-merges shuffle-free — and the
-    // probe over the COMPACTED index must still equal q127's
-    // full-corpus relation against q127's verbatim oracle. A row lost
-    // or duplicated in the rewrite breaks a score; a bucket misfiled
-    // breaks partition pruning and therefore the result.
+    // Index compaction under the driver gate: the copied-in setup state
+    // is build on 2/3 + the remaining 1/3 appended in TWO batches
+    // (bm25BaseAppended2 — the bucket partitions genuinely hold three
+    // file generations), then compact — postings rewrite clustered into
+    // a temp generation and swap in by backup rename, doclen
+    // file-merges shuffle-free — and the probe over the COMPACTED index
+    // must still equal q127's full-corpus relation against q127's
+    // verbatim oracle. A row lost or duplicated in the rewrite breaks a
+    // score; a bucket misfiled breaks partition pruning and therefore
+    // the result.
     "q145_bm25_compact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Retrieval.buildBm25Index(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", bm25CompactDir)
-      Retrieval.bm25Append(
-        bm25CompactDir, docs.filter(col("doc_id") % 6 === 0), "doc_id", "text")
-      Retrieval.bm25Append(
-        bm25CompactDir, docs.filter(col("doc_id") % 6 === 3), "doc_id", "text")
+      copyInto(bm25BaseAppended2(s, dir), bm25CompactDir)
       Retrieval.bm25Compact(s, bm25CompactDir)
       Retrieval.bm25TopKIndexed(bm25CompactDir, bm25Queries(s), k = 10)
         .orderBy(col("query_id"), col("rnk"))
@@ -2192,21 +2299,20 @@ object Curation {
     }),
 
     // IVF compaction soundness (the q145 shape for the DENSE index):
-    // build on 3/4 of the corpus, append the rest in TWO batches (three
-    // file generations per touched cell), probe, compact, probe again —
-    // the two probe relations must be IDENTICAL (the pre-compact
-    // relation is collected to a bounded local table BEFORE the swap
-    // destroys the files it was computed from), and the compacted
-    // corpus must hold exactly every vector. Empty output = sound.
+    // the copied-in setup state is build on 3/4 + the rest appended in
+    // TWO batches (ivfBaseAppended — three file generations per touched
+    // cell); probe, compact, probe again — the two probe relations must
+    // be IDENTICAL (the pre-compact relation is collected to a bounded
+    // local table BEFORE the swap destroys the files it was computed
+    // from), and the compacted corpus must hold exactly every vector.
+    // Empty output = sound.
     "q149_ivf_compact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val a = emb.filter(col("vec_id") % 4 =!= 0)
       val b1 = emb.filter(col("vec_id") % 8 === 0)
       val b2 = emb.filter(col("vec_id") % 8 === 4)
       val path = ivfCompactDir
-      Similarity.buildIvfIndex(a, "vec_id", "embedding", nlist = 16, path)
-      Similarity.ivfAppend(path, b1, "vec_id", "embedding")
-      Similarity.ivfAppend(path, b2, "vec_id", "embedding")
+      copyInto(ivfBaseAppended(s, dir), path)
       val queries = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       def probe() = Similarity.ivfTopKIndexed(
@@ -2312,8 +2418,9 @@ object Curation {
     }),
 
     // Takedown propagated into the persisted BM25 index (q152 erases
-    // from the corpus; this erases from the DERIVED artifact): build on
-    // 2/3, append the rest (so buckets hold real file generations),
+    // from the corpus; this erases from the DERIVED artifact): the
+    // copied-in setup state is build on 2/3 + the rest appended
+    // (bm25BaseAppended — buckets hold real file generations), then
     // delete every 5th doc via bm25Delete — affected-buckets-only
     // postings rewrite, df decrements, registry + stats decrements —
     // and the probe over the post-delete index must equal the ORACLE'S
@@ -2322,10 +2429,7 @@ object Curation {
     // the hash.
     "q155_bm25_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Retrieval.buildBm25Index(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", bm25DeleteDir)
-      Retrieval.bm25Append(
-        bm25DeleteDir, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      copyInto(bm25BaseAppended(s, dir), bm25DeleteDir)
       Retrieval.bm25Delete(
         s, bm25DeleteDir,
         docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
@@ -2334,8 +2438,9 @@ object Curation {
     }),
 
     // Takedown propagated into the persisted IVF index (the q155 shape
-    // for the DENSE artifact, checked the q149 soundness way): build on
-    // 3/4, append the rest in two batches, delete every 5th vector via
+    // for the DENSE artifact, checked the q149 soundness way): the
+    // copied-in setup state is build on 3/4 + the rest appended in two
+    // batches (ivfBaseAppended), then delete every 5th vector via
     // ivfDelete (affected-cells-only rewrite, centroids untouched),
     // then (a) the corpus must equal EXACTLY the surviving vectors
     // under the index's own centroid assignment, (b) no doomed id may
@@ -2344,13 +2449,7 @@ object Curation {
     "q156_ivf_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = ivfDeleteDir
-      Similarity.buildIvfIndex(
-        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
-        nlist = 16, path)
-      Similarity.ivfAppend(
-        path, emb.filter(col("vec_id") % 8 === 0), "vec_id", "embedding")
-      Similarity.ivfAppend(
-        path, emb.filter(col("vec_id") % 8 === 4), "vec_id", "embedding")
+      copyInto(ivfBaseAppended(s, dir), path)
       val doomed = emb.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"))
       Similarity.ivfDelete(s, path, doomed, "vec_id")
@@ -2380,6 +2479,77 @@ object Curation {
         .agg(count(lit(1)).as("n")).filter(col("n") > 0)
         .select(lit("doomed_in_probe").as("kind"), col("n"))
       extra.unionByName(missing).unionByName(doomedInProbe)
+        .orderBy(col("kind"), col("n"))
+    }),
+
+    // Shard-and-merge index build (the composition that distributes a
+    // 100 TB index build): two independent shard indexes (even / odd
+    // doc ids, parallel builds touching only their own slice) merge via
+    // bm25Merge — postings and doclen union at the FILE level (no row
+    // read; both sides bucket by the same verified modulus), the
+    // vocabulary-sized df table is the one real merge job, stats add —
+    // and the probe over the MERGED index must equal q127's full-corpus
+    // relation against q127's verbatim oracle. A dropped shard file, a
+    // mis-summed df, or a modulus mismatch breaks a score.
+    "q158_bm25_merge" -> ((s, dir) => {
+      val dest = s"$bm25MergeParent/merged"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
+      Retrieval.bm25Merge(
+        s, bm25Shard(s, dir, 0), bm25Shard(s, dir, 1), dest)
+      Retrieval.bm25TopKIndexed(dest, bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Persisted QUANTIZED IVF index (the production ANN layout: int8
+    // stage-1 scan over partition-pruned cells + exact float rerank
+    // from the same cells), checked the q41/q156 soundness way: build
+    // on 3/4, APPEND the rest (the batch quantizes map-side into the
+    // same layout), probe, then independently re-verify EVERY hit —
+    // (a) its reported sim must equal the exact cosine recomputed from
+    // the raw embeddings (the int8 stage may only SELECT candidates,
+    // never alter a reported score), (b) no self-match / fabricated
+    // id, (c) the hit's vector must be assigned (under the index's own
+    // centroids) to one of its query's nprobe probed cells — a hit
+    // from an unprobed cell means partition pruning is broken. A
+    // zero-hit probe is itself a violation (non-vacuity). Empty output
+    // = sound.
+    "q159_ivfq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfQDir
+      Similarity.buildIvfQIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nlist = 16, path)
+      Similarity.ivfQAppend(
+        path, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val hits = Similarity.ivfQTopKIndexed(
+          path, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 4))
+        .transform(graft.CacheScope.persisted)
+      val unsound = annUnsoundHits(
+          hits.select(col("qid"), col("id"), col("sim")), emb, queries)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("unsound_hit").as("kind"), col("n"))
+      val cents = s.read.parquet(s"$path/centroids")
+        .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
+      val qCells = queries.select(
+        col("vec_id").as("qid"),
+        graft.functions.VecExprs.nearestCentroids(
+          col("embedding").cast("array<double>"), cents, 2).as("cells"))
+      val cCell = emb.select(
+        col("vec_id").as("id"),
+        element_at(graft.functions.VecExprs.nearestCentroids(
+          col("embedding").cast("array<double>"), cents, 1), 1).as("ccell"))
+      val unpruned = hits
+        .join(broadcast(qCells), "qid")
+        .join(cCell, "id")
+        .filter(!array_contains(col("cells"), col("ccell")))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("unpruned_hit").as("kind"), col("n"))
+      val vacuous = hits.agg(count(lit(1)).as("n")).filter(col("n") === 0)
+        .select(lit("no_hits").as("kind"), col("n"))
+      unsound.unionByName(unpruned).unionByName(vacuous)
         .orderBy(col("kind"), col("n"))
     })
   )

@@ -2333,6 +2333,17 @@ object CurationOracles {
     "q156_ivf_delete" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Shard-and-merge: the merged index must reproduce the full-corpus
+    // relation exactly — same oracle, by reference (the q134/q143/q145
+    // rationale: shard layout and merge are storage concerns, not
+    // semantics).
+    "q158_bm25_merge" -> Bm25OracleSql,
+    // Quantized-IVF soundness (the q41/q156 empty-relation shape):
+    // every hit exact-cosine-verified, cell-pruning respected,
+    // non-vacuous.
+    "q159_ivfq_index" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // The whole NB model in SQL: the q45 quality CTE labels the seed,
     // class counts + add-one log-odds weights + ln prior replicate the
     // engine's training, and scoring is the same inner-join occurrence

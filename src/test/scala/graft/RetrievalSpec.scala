@@ -291,6 +291,57 @@ class RetrievalSpec extends SparkSpec {
       spark, dir, Seq(777L).toDF("doc_id"), "doc_id") === 0L)
   }
 
+  test("bm25 merge: merged shards equal the full rebuild; sources untouched; guards hold") {
+    val dirA = java.nio.file.Files.createTempDirectory("bm25-spec-mg-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("bm25-spec-mg-b").toString
+    val parent = java.nio.file.Files.createTempDirectory("bm25-spec-mg").toString
+    val dest = s"$parent/merged"
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry"), (2L, "banana durian"))
+      .toDF("query_id", "query_text")
+    // shard A: docs 1-2; shard B: docs 3-4 (incl. the TOKENLESS doc 4 —
+    // its registry row must survive the file union so N stays exact)
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", dirA, buckets = 7)
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") > 2), "doc_id", "text", dirB, buckets = 7)
+    def fileMap(root: String): Set[String] = {
+      val b = java.nio.file.Paths.get(root)
+      val st = java.nio.file.Files.walk(b)
+      try st.toArray.map(p => b.relativize(
+        p.asInstanceOf[java.nio.file.Path]).toString).toSet
+      finally st.close()
+    }
+    val beforeA = fileMap(dirA)
+    graft.operators.Retrieval.bm25Merge(spark, dirA, dirB, dest)
+    // sources byte-layout untouched
+    assert(fileMap(dirA) === beforeA)
+    // probe == full-corpus rebuild, bit for bit
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25-spec-mg-rb").toString
+    graft.operators.Retrieval.buildBm25Index(
+      docs, "doc_id", "text", rebuilt, buckets = 7)
+    val merged = graft.operators.Retrieval.bm25TopKIndexed(dest, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.operators.Retrieval.bm25TopKIndexed(rebuilt, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged.nonEmpty && merged === want)
+    // stats are the shard sums; the registry holds every doc
+    val st = spark.read.parquet(s"$dest/stats").collect()(0)
+    assert((st.getAs[Long]("n_docs"), st.getAs[Long]("total_tokens")) === ((4L, 9L)))
+    assert(spark.read.parquet(s"$dest/doclen")
+      .select(col("id")).as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    // guards: existing dest and modulus mismatch both abort
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.bm25Merge(spark, dirA, dirB, dest)
+    }
+    val dirC = java.nio.file.Files.createTempDirectory("bm25-spec-mg-c").toString
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", dirC, buckets = 5)
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.bm25Merge(spark, dirC, dirB, s"$parent/m2")
+    }
+  }
+
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
     val docs = corpus.toDF("doc_id", "text")

@@ -411,6 +411,59 @@ class SimilaritySpec extends SparkSpec {
       spark, path, Seq(99999L).toDF("id"), "id") === 0L)
   }
 
+  test("quantized IVF index: probe == two-stage quantized scan over the probed cells; int8 stage-1 is pruned") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val all = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfq").toString
+    Similarity.buildIvfQIndex(all, "id", "vec", nlist = 8, path)
+    val queries = all.filter($"id" % 12 === 5)
+      .select(($"id" + 5000L).as("id"), $"vec")
+    val probe = Similarity.ivfQTopKIndexed(
+      path, queries, "id", "vec", k = 3, nprobe = 2, rerankFactor = 2)
+    // the stage-1 plan must prune: both corpus scans carry a cell
+    // partition filter, and the int8 scan's schema must NOT read the
+    // float vec column (the bandwidth claim, checked in the plan)
+    val plan = probe.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).length
+    assert(pruned >= 2, s"expected cell partition filters on both scans:\n$plan")
+    assert("ReadSchema: struct<id:bigint,qvec".r.findAllIn(plan).nonEmpty,
+      s"stage-1 scan reads the float vec column:\n$plan")
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).sorted.toSeq
+    // independent expectation: per query, restrict the corpus to the
+    // query's nprobe cells (assignment recomputed from the read-back
+    // centroids) and run the in-session two-stage quantized scan there
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1)).toSeq
+    val assigned = all.withColumn("cell",
+      org.apache.spark.sql.functions.element_at(
+        graft.functions.VecExprs.nearestCentroids(
+          $"vec".cast("array<double>"), cents, 1), 1))
+      .persist()
+    val qcells = queries.select($"id",
+        graft.functions.VecExprs.nearestCentroids(
+          $"vec".cast("array<double>"), cents, 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val want = qcells.toSeq.flatMap { case (qid, cells) =>
+      val sub = assigned.filter($"cell".isin(cells: _*)).select($"id", $"vec")
+      Similarity.quantizedTopK(
+          sub, "id", "vec",
+          queries.filter($"id" === qid), "id", "vec",
+          k = 3, rerankFactor = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e6) / 1e6))
+    }.sorted
+    assert(got.nonEmpty && got === want)
+  }
+
   test("ivf centroids are deterministic") {
     val df = (0L until 100L).map(i =>
       (i, Seq.tabulate(4)(d => (i % 10 + d).toDouble))).toDF("id", "vec")
