@@ -287,6 +287,29 @@ object MarketAnalytics {
         .select(col("user_id"), col("n_sessions"), col("n_events"))
         .orderBy(col("user_id"))),
 
+    // §2.7/§2.8 gate: the SAME session interval algebra on
+    // transformWithState (the third semantics on the successor API —
+    // q154 indicators, q157 TTL dedup, now sessions). Identical replay,
+    // q17's verbatim oracle by reference, RocksDB-pinned.
+    "q160_stream_sessions_tws" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try replaySnapshot(s, dir, "q160_tws",
+          stream => graft.streaming.StreamingEtl.statefulSessionsTws(
+            stream.select(col("user_id"), col("ts")),
+            gap = 1800000000000L).toDF(),
+          Seq("user_id"), "n_events")
+        .select(col("user_id"), col("n_sessions"), col("n_events"))
+        .orderBy(col("user_id"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }),
+
     // §2.7 gate #2: the CANDLE algebra's batch/stream parity, proven the
     // same way q55 proves the indicator algebra's — the events table is
     // replayed as a real multi-batch Structured Streaming run through
@@ -1297,6 +1320,9 @@ object MarketAnalytics {
     // q92 replays the same rows through the interval-algebra state
     // machine; the parity claim IS "same sessions as the batch window"
     "q92_stream_sessions" -> sessionOracle,
+    // same oracle, by reference: the state API is an implementation
+    // choice (the q154/q157 rationale, now for the session algebra)
+    "q160_stream_sessions_tws" -> sessionOracle,
     "q18_json" ->
       """SELECT event_type,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -260,6 +260,58 @@ object StreamingEtl {
       }
   }
 
+  /** [[statefulSessions]] re-expressed on `transformWithState` — the
+    * third semantics carried on the successor state API (q154
+    * indicators, q157 TTL dedup): the SAME order-invariant interval
+    * algebra (Sessionize.mergeTs), its state now a named typed
+    * ValueState. The q160 gate replays it against q17's verbatim batch
+    * oracle, RocksDB-pinned like every TWS gate.
+    */
+  def statefulSessionsTws(
+      events: DataFrame,
+      gap: Long): org.apache.spark.sql.Dataset[
+        graft.operators.Sessionize.SessionSnapshot] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+        col("user_id").cast("long").as("_1"),
+        col("ts").cast("long").as("_2")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new SessionProcessor(gap), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The [[statefulSessionsTws]] processor: one typed ValueState holds
+    * the key's disjoint session intervals (the q92 state, renamed onto
+    * the new API).
+    */
+  private class SessionProcessor(gap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), graft.operators.Sessionize.SessionSnapshot] {
+    import graft.operators.Sessionize.{mergeTs, SessionIntervals, SessionSnapshot}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionIntervals] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionIntervals](
+        "sessions",
+        org.apache.spark.sql.Encoders.product[SessionIntervals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionSnapshot] = {
+      var s = if (state.exists()) state.get()
+        else SessionIntervals(Vector.empty, Vector.empty, 0L)
+      rows.foreach { case (_, ts) => s = mergeTs(s, ts, gap) }
+      state.update(s)
+      Iterator.single(SessionSnapshot(key, s.starts.length.toLong, s.nEvents))
+    }
+  }
+
   /** Streaming deduplication on business keys, state bounded by the
     * watermark: a duplicate arriving within `watermarkDelay` of the first
     * occurrence's event time is dropped; dedup state is evicted once the

@@ -110,6 +110,29 @@ class RocksDbStateSpec extends SparkSpec {
     assert(rocks.nonEmpty && rocks === default)
   }
 
+  test("transformWithState TTL-dedup equals the dropDuplicatesWithinWatermark path") {
+    // the q157 gate (event-time-timer eviction) must reproduce the q153
+    // gate (the built-in eviction) relation exactly — same phases, same
+    // late-drop/suppress/evict contract, two state APIs
+    val dir = "/root/testdata/sf0.001"
+    val old = SparkEntry.queries("q153_stream_dedup_ttl")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val tws = SparkEntry.queries("q157_stream_dedup_ttl_tws")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tws.nonEmpty && tws === old)
+  }
+
+  test("transformWithState session replay equals the flatMapGroupsWithState path") {
+    // the q160 gate must reproduce the q92 gate relation exactly — the
+    // order-invariant interval algebra on both state APIs
+    val dir = "/root/testdata/sf0.001"
+    val old = SparkEntry.queries("q92_stream_sessions")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val tws = SparkEntry.queries("q160_stream_sessions_tws")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tws.nonEmpty && tws === old)
+  }
+
   test("q148 full-outer join eviction (both directions) is identical under RocksDB") {
     val (default, rocks) = runBoth("q148_stream_full_outer_join")
     assert(rocks.nonEmpty && rocks === default)
