@@ -407,21 +407,9 @@ object Retrieval {
         "terms differently; rebuild one side with the other's modulus")
     // corpus-sized parts: FILE-level union (copy both sides' parquet
     // parts, disambiguated by side prefix — no data pass)
-    def copyParts(srcDir: String, dstDir: String, tag: String): Unit = {
-      val src = new org.apache.hadoop.fs.Path(srcDir)
-      if (!fs.exists(src)) return
-      fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
-      fs.listStatus(src).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith("bucket="))
-          copyParts(s"$srcDir/$name", s"$dstDir/$name", tag)
-        else if (name.endsWith(".parquet"))
-          org.apache.hadoop.fs.FileUtil.copy(
-            fs, st.getPath,
-            fs, new org.apache.hadoop.fs.Path(s"$dstDir/${tag}_$name"),
-            false, hconf)
-      }
-    }
+    def copyParts(srcDir: String, dstDir: String, tag: String): Unit =
+      graft.sinks.Sinks.copyParquetParts(
+        fs, hconf, srcDir, dstDir, "bucket=", tag)
     copyParts(s"$pathA/postings", s"$dest/postings", "a")
     copyParts(s"$pathB/postings", s"$dest/postings", "b")
     copyParts(s"$pathA/doclen", s"$dest/doclen", "a")
@@ -469,6 +457,16 @@ object Retrieval {
     *   5. stats decrement by the doomed docs' registered count and
     *      token mass (dl covers tokenless docs too — the registry
     *      invariant), so N and avgdl equal a from-scratch rebuild's.
+    *
+    * Granularity caveat: the rewrite unit is the BUCKET — one doomed
+    * posting rewrites its whole bucket — and a doc's distinct terms
+    * hash-spread across buckets, so a takedown batch touches
+    * ~min(buckets, Σ distinct terms) of them. Pruning therefore pays
+    * off only when `buckets` well exceeds a typical takedown batch's
+    * term footprint: size the modulus for the TAKEDOWN batch, not just
+    * the probe (e.g. 4096 buckets prices a 100-term doc's erasure at
+    * ~2.4 % of the postings where 64 buckets rewrites nearly all of
+    * them), and batch takedowns so the per-bucket cost amortizes.
     *
     * After delete, [[bm25TopKIndexed]] scores the surviving corpus
     * bit-identically to an index rebuilt on it — the q155 gate pins

@@ -603,6 +603,72 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** Initialize an EMPTY IVF index from a pre-trained centroid table —
+    * the first step of the distributed shard-and-merge build flow
+    * ([[ivfMerge]]'s scaladoc): unlike the lexical index, IVF shards
+    * can only merge when they were assigned under the SAME quantizer,
+    * so the production flow trains centroids ONCE
+    * ([[trainIvfCentroids]] on a global sample), initializes each
+    * shard index with them, fills shards in parallel via [[ivfAppend]]
+    * (which always assigns with the index's own centroids), and merges
+    * at the file level. `path` must not already hold centroids.
+    */
+  def ivfInit(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]],
+      path: String): Unit = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p), s"ivfInit: $p already exists")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(p.toString)
+  }
+
+  /** Merge two IVF indexes that share ONE centroid table into a new
+    * index at `dest` — the dense twin of
+    * [[graft.operators.Retrieval.bm25Merge]], and the step that makes
+    * a 100 TB ANN index build distributable: shards fill in parallel
+    * (each append touches only its own slice) and the merge is pure
+    * METADATA — cell c of the merged corpus is exactly both sides'
+    * cell-c files (vectors were assigned under the same verified-equal
+    * centroids, so the cell layouts are compatible by construction; a
+    * drifted quantizer aborts). Works on both the float
+    * ([[buildIvfIndex]]) and quantized ([[buildIvfQIndex]]) layouts —
+    * the row schema is copied blind. Caller contract: id sets disjoint
+    * (the append contract). `dest` must not exist; sources are not
+    * modified.
+    */
+  def ivfMerge(
+      spark: org.apache.spark.sql.SparkSession,
+      pathA: String,
+      pathB: String,
+      dest: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(hconf)
+    require(!fs.exists(destP), s"ivfMerge: $dest already exists")
+    def cents(p: String): Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$p/centroids")
+        .orderBy(col("cell")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    require(cents(pathA) == cents(pathB),
+      "ivfMerge: centroid tables differ — the shards were assigned under " +
+        "different quantizers and their cells are not compatible; rebuild " +
+        "the shards from one ivfInit centroid table")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$pathA/centroids"),
+      fs, new org.apache.hadoop.fs.Path(s"$dest/centroids"),
+      false, hconf)
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$pathA/corpus", s"$dest/corpus", "cell=", "a")
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$pathB/corpus", s"$dest/corpus", "cell=", "b")
+  }
+
   /** Append a batch to a persisted [[buildIvfIndex]] index WITHOUT
     * retraining the quantizer — the incremental-ingest path of the
     * build-once/query-many ANN index. The batch is assigned to the

@@ -165,6 +165,11 @@ object Curation {
   private lazy val ivfQDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivfq").toString
 
+  // q161's shard/merge scratch parent (children deleted per invocation —
+  // ivfInit and ivfMerge both refuse pre-existing targets)
+  private lazy val ivfMergeParent: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-merge").toString
+
   /** q145's variant: the same base with its 1/3 remainder appended in
     * TWO batches (%6==0 then %6==3), so the copied state carries three
     * real file generations per touched bucket — exactly what its
@@ -2551,6 +2556,39 @@ object Curation {
         .select(lit("no_hits").as("kind"), col("n"))
       unsound.unionByName(unpruned).unionByName(vacuous)
         .orderBy(col("kind"), col("n"))
+    }),
+
+    // IVF shard-and-merge (the q158 composition for the DENSE index,
+    // under q35's VERBATIM oracle): centroids train ONCE on the full
+    // corpus (exactly what ivfTopK does internally), two shard indexes
+    // initialize from them and fill with the even / odd vectors in
+    // parallel appends, merge is pure metadata (cell-c files union;
+    // drifted quantizers abort) — and the probe over the MERGED index
+    // must reproduce q35's direct-form relation, Lloyd iterations and
+    // all, against the full IVF-in-SQL oracle. A lost shard file, a
+    // mis-copied cell, or a centroid mismatch breaks the hash.
+    "q161_ivf_shard_merge" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (shardA, shardB, dest) = (
+        s"$ivfMergeParent/a", s"$ivfMergeParent/b", s"$ivfMergeParent/merged")
+      Seq(shardA, shardB, dest).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      val cents = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfInit(s, cents, shardA)
+      Similarity.ivfAppend(
+        shardA, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      Similarity.ivfInit(s, cents, shardB)
+      Similarity.ivfAppend(
+        shardB, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.ivfMerge(s, shardA, shardB, dest)
+      Similarity.ivfTopKIndexed(
+          dest, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        .select(
+          col("qid"), col("id"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     })
   )
 

@@ -2344,6 +2344,11 @@ object CurationOracles {
     "q159_ivfq_index" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // IVF shard-and-merge: the merged index must reproduce q35's
+    // direct-form relation exactly — same oracle, by reference (the
+    // q59 rationale extended to the distributed build: sharding and
+    // merging are storage concerns, not semantics).
+    "q161_ivf_shard_merge" -> IvfOracleSql,
     // The whole NB model in SQL: the q45 quality CTE labels the seed,
     // class counts + add-one log-odds weights + ln prior replicate the
     // engine's training, and scoring is the same inner-join occurrence

@@ -158,6 +158,38 @@ object Sinks {
     deleted
   }
 
+  /** Copy a (possibly hive-partitioned) parquet directory's part files
+    * into `dst`, prefixing file names with `tag` so two sources cannot
+    * collide — the FILE-LEVEL union step of the index merge operators
+    * (bm25Merge / ivfMerge): rows whose tables are disjoint by
+    * construction union by metadata copy, no row is ever read.
+    * `partitionPrefix` names the hive partition directories to recurse
+    * into (e.g. "bucket=", "cell="); non-parquet files (_SUCCESS) are
+    * skipped. A missing source directory is a no-op.
+    */
+  def copyParquetParts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hconf: org.apache.hadoop.conf.Configuration,
+      srcDir: String,
+      dstDir: String,
+      partitionPrefix: String,
+      tag: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    if (!fs.exists(src)) return
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+    fs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(partitionPrefix))
+        copyParquetParts(
+          fs, hconf, s"$srcDir/$name", s"$dstDir/$name", partitionPrefix, tag)
+      else if (name.endsWith(".parquet"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath,
+          fs, new org.apache.hadoop.fs.Path(s"$dstDir/${tag}_$name"),
+          false, hconf)
+    }
+  }
+
   /** Swap a freshly-written `tmp` directory into place at `dst` via a
     * backup rename: dst -> bak, tmp -> dst, delete bak — dst is never
     * deleted before its replacement is ready, so a crash at any point

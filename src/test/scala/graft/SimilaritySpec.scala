@@ -464,6 +464,59 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("ivfMerge: merged shards equal the single build; guards reject drifted quantizers") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val all = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val parent = java.nio.file.Files.createTempDirectory("graft-ivf-mg").toString
+    val cents = Similarity.trainIvfCentroids(all, "id", "vec", nlist = 8)
+    Similarity.ivfInit(spark, cents, s"$parent/a")
+    Similarity.ivfAppend(s"$parent/a", all.filter($"id" % 2 === 0), "id", "vec")
+    Similarity.ivfInit(spark, cents, s"$parent/b")
+    Similarity.ivfAppend(s"$parent/b", all.filter($"id" % 2 === 1), "id", "vec")
+    Similarity.ivfMerge(spark, s"$parent/a", s"$parent/b", s"$parent/m")
+    // probe == the single-build index, bit for bit (same centroids by
+    // construction: buildIvfIndex trains on the same full corpus)
+    val single = s"$parent/single"
+    Similarity.buildIvfIndex(all, "id", "vec", nlist = 8, single)
+    val queries = all.filter($"id" % 9 === 0).select(($"id" + 5000L).as("id"), $"vec")
+    def probe(path: String) = Similarity.ivfTopKIndexed(
+        path, queries, "id", "vec", k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val merged = probe(s"$parent/m")
+    assert(merged.nonEmpty && merged === probe(single))
+    assert(spark.read.parquet(s"$parent/m/corpus").count() === all.count())
+    // the QUANTIZED layout merges blind the same way
+    val qa = s"$parent/qa"; val qb = s"$parent/qb"
+    Similarity.ivfInit(spark, cents, qa)
+    Similarity.ivfQAppend(qa, all.filter($"id" % 2 === 0), "id", "vec")
+    Similarity.ivfInit(spark, cents, qb)
+    Similarity.ivfQAppend(qb, all.filter($"id" % 2 === 1), "id", "vec")
+    Similarity.ivfMerge(spark, qa, qb, s"$parent/qm")
+    val qmerged = Similarity.ivfQTopKIndexed(
+        s"$parent/qm", queries, "id", "vec", k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(qmerged.nonEmpty)
+    // guards: drifted quantizer and existing destination both abort
+    val drifted = s"$parent/drift"
+    Similarity.ivfInit(spark, cents.map(_.map(_ + 0.5)), drifted)
+    Similarity.ivfAppend(drifted, all.filter($"id" % 2 === 1), "id", "vec")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMerge(spark, s"$parent/a", drifted, s"$parent/m2")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMerge(spark, s"$parent/a", s"$parent/b", s"$parent/m")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfInit(spark, cents, s"$parent/a")
+    }
+  }
+
   test("ivf centroids are deterministic") {
     val df = (0L until 100L).map(i =>
       (i, Seq.tabulate(4)(d => (i % 10 + d).toDouble))).toDF("id", "vec")
