@@ -245,6 +245,35 @@ class PlanShapeSpec extends SparkSpec {
           emb.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === 0),
           "vec_id", "embedding")
         operators.Similarity.ivfCompact(spark, ivfPath)
+        // the round-11 maintenance operators: targeted deletion on both
+        // indexes, the quantized build/append, and the merge's one df job
+        operators.Retrieval.bm25Delete(spark, path,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+            .select(org.apache.spark.sql.functions.col("doc_id")), "doc_id")
+        operators.Similarity.ivfDelete(spark, ivfPath,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0)
+            .select(org.apache.spark.sql.functions.col("vec_id")), "vec_id")
+        val qPath = java.nio.file.Files
+          .createTempDirectory("graft-ivfq-planshape").toString
+        operators.Similarity.buildIvfQIndex(
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", nlist = 8, qPath)
+        operators.Similarity.ivfQAppend(
+          qPath,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === 0),
+          "vec_id", "embedding")
+        val pathB = java.nio.file.Files
+          .createTempDirectory("graft-bm25-planshape-b").toString
+        operators.Retrieval.buildBm25Index(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+            .select(
+              (org.apache.spark.sql.functions.col("doc_id") +
+                org.apache.spark.sql.functions.lit(1000000000L)).as("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          "doc_id", "text", pathB, buckets = 8)
+        operators.Retrieval.bm25Merge(spark, path, pathB,
+          java.nio.file.Files
+            .createTempDirectory("graft-bm25-planshape-m").toString + "/m")
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
@@ -258,8 +287,9 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
     val plans = captured.synchronized(captured.toList)
     // bm25 build (4 writes) + append (4 writes + collects + checkpoint) +
-    // compact (2 rewrites), ivf build/append/compact — at least 12 actions
-    assert(plans.size >= 12, s"captured only ${plans.size} write-path plans")
+    // compact (2 rewrites), ivf build/append/compact, both deletes, the
+    // quantized build/append, the shard build + merge — at least 20 actions
+    assert(plans.size >= 20, s"captured only ${plans.size} write-path plans")
     val offenders = plans.filter(p =>
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty,

@@ -365,6 +365,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bm25Delete equals a rebuild on the surviving corpus") {
+    // random corpora (including empty texts and repeated tokens) and
+    // random doomed subsets: after delete, EVERY index table must match
+    // what buildBm25Index would produce from the anti-joined corpus —
+    // postings as a set, terms with exact df, the registry, and stats
+    val word = Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx", "gx")
+    val doc = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, word))
+    val gen = for {
+      n <- Gen.chooseNum(2, 12)
+      texts <- Gen.listOfN(n, doc)
+      doomedMask <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (texts, doomedMask)
+    forAll(gen, n = 5) { case (texts, doomedMask) =>
+      val docs = texts.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val doomedIds = doomedMask.zipWithIndex.collect { case (true, i) => i.toLong }
+      whenever(doomedIds.nonEmpty) {
+        val dir = java.nio.file.Files.createTempDirectory("prop-del").toString
+        graft.operators.Retrieval.buildBm25Index(
+          docs, "doc_id", "text", dir, buckets = 5)
+        val nDel = graft.operators.Retrieval.bm25Delete(
+          spark, dir, doomedIds.toDF("doc_id"), "doc_id")
+        assert(nDel === doomedIds.size.toLong)
+        val rebuilt = java.nio.file.Files.createTempDirectory("prop-del-rb").toString
+        graft.operators.Retrieval.buildBm25Index(
+          docs.filter(!org.apache.spark.sql.functions.col("doc_id")
+            .isin(doomedIds: _*)),
+          "doc_id", "text", rebuilt, buckets = 5)
+        def table(root: String, name: String, cols: Seq[String]): Set[String] =
+          spark.read.parquet(s"$root/$name")
+            .select(cols.map(c =>
+              org.apache.spark.sql.functions.col(c).cast("string")): _*)
+            .collect().map(_.toString).toSet
+        for ((name, cols) <- Seq(
+            ("postings", Seq("id", "term", "tf", "bucket")),
+            ("terms", Seq("term", "df", "bucket")),
+            ("doclen", Seq("id", "dl")),
+            ("stats", Seq("n_docs", "total_tokens", "buckets"))))
+          assert(table(dir, name, cols) === table(rebuilt, name, cols),
+            s"$name diverged from the rebuild (doomed=$doomedIds)")
+      }
+    }
+  }
+
   test("property: connectedComponents labels are closed under the pair relation") {
     val edgesGen = Gen.chooseNum(1, 60).flatMap(n =>
       Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))))
