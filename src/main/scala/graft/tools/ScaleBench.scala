@@ -146,6 +146,18 @@ object ScaleBench {
     // gram-explode scan + the docs x classes aggregation. q146's encode
     // is a pure map over the corpus (training collects are
     // vocabulary-sized), the q87-style linear floor with 4 chained folds.
+    // q145/q155/q158 joined in round 11 (the index-MAINTENANCE tier):
+    // each gate copies its memoized setup state (built fresh for the
+    // scaled dir — the per-dir memo key) and pays only its maintenance
+    // operator. q145's compact rewrites the whole index clustered, so
+    // its time should track the corpus decade; q155's doomed set is
+    // every 5th doc of the SCALED corpus (1e9 id-shifts preserve the
+    // mod-5 stride) with replica-suffixed vocabularies pushing the
+    // bucket footprint toward all 64 buckets — deletion work tracks the
+    // affected-bucket mass, here ~the corpus; q158's merge is the
+    // file-level union + the vocabulary-sized df job (vocabulary grows
+    // linearly under disjoint suffixes), so its time should grow well
+    // UNDER the corpus decade — the near-free-merge claim measured.
     val queries = Seq("q24_minhash_lsh", "q26_jaccard_pairs",
       "q52_train_pipeline", "q53_dedup_clusters", "q58_passage_matches",
       "q65_corpus_shuffle", "q69_chunk_dedup", "q82_cms_heavy_sound",
@@ -154,7 +166,8 @@ object ScaleBench {
       "q104_host_pagerank", "q127_bm25", "q129_postings",
       "q134_bm25_index_parity", "q135_phrase_search", "q136_backoff_lm",
       "q138_containment", "q139_cdc_chunks", "q140_bpe_merges",
-      "q143_bm25_append", "q144_lang_id", "q146_bpe_encode")
+      "q143_bm25_append", "q144_lang_id", "q146_bpe_encode",
+      "q145_bm25_compact", "q155_bm25_delete", "q158_bm25_merge")
     println(f"[scale] ${"query"}%-20s ${"base_s"}%8s ${"base_rows"}%10s ${s"${n}x_s"}%8s ${s"${n}x_rows"}%10s ${"time_ratio"}%10s")
     queries.filter(q => onlyQ.isEmpty || onlyQ.contains(q)).foreach { q =>
       val (bt, br) = bench(q, baseDir)
