@@ -494,7 +494,8 @@ object Retrieval {
       .collect()(0)
     val (nDel, tokDel) = (doomedReg.getLong(0), doomedReg.getLong(1))
     if (nDel == 0L) return 0L
-    graft.sinks.Sinks.deleteRows(spark, s"$path/postings", "bucket", "id", k)
+    graft.sinks.Sinks.deleteRows(
+      spark, s"$path/postings", "bucket", "id", k, countDeleted = false)
     // terms: decrement df in the affected buckets only (dfDec carries the
     // build's bucket values, so the bucket filter prunes partitions)
     // partition-value inference types the read-back bucket as INT —

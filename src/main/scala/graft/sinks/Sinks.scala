@@ -100,12 +100,19 @@ object Sinks {
     * difference between a takedown costing one partition's rewrite and
     * a full-corpus rewrite per request batch.
     */
+  /** @param countDeleted when false, skip the two count actions that
+    *   only serve the return value and return -1 — for callers that
+    *   account deletions elsewhere (bm25Delete reads its doc count off
+    *   the registry) every saved action matters on the maintenance
+    *   path's fixed-overhead floor.
+    */
   def deleteRows(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       partitionCol: String,
       keyCol: String,
-      keys: DataFrame): Long = {
+      keys: DataFrame,
+      countDeleted: Boolean = true): Long = {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(dir)
     val k = broadcast(keys.select(col(keyCol)).distinct())
@@ -130,7 +137,8 @@ object Sinks {
       // rule) before the rewrite
       .repartition(col(partitionCol))
       .localCheckpoint(true)
-    val deleted = affectedRows.count() - survivors.count()
+    val deleted =
+      if (countDeleted) affectedRows.count() - survivors.count() else -1L
     val keptParts =
       survivors.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
     if (keptParts.nonEmpty)
