@@ -464,6 +464,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("ivfDelete is layout-blind: quantized-index deletion keeps probes sound") {
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    val bases = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val all = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfq-del").toString
+    Similarity.buildIvfQIndex(all, "id", "vec", nlist = 8, path)
+    val doomed = all.filter($"id" < 24).select($"id")
+    val nDel = Similarity.ivfDelete(spark, path, doomed, "id")
+    assert(nDel === 24L)
+    assert(spark.read.parquet(s"$path/corpus").count() === all.count() - 24)
+    // identical-vector probes: survivors still found at sim ~ 1, doomed
+    // vectors gone
+    val sq = all.filter($"id" >= 24 && $"id" < 44)
+      .select(($"id" + 5000L).as("id"), $"vec")
+    val alive = Similarity.ivfQTopKIndexed(path, sq, "id", "vec", k = 1, nprobe = 1)
+      .filter($"rank" === 1 && $"sim" > 0.999999).count()
+    assert(alive === sq.count())
+    val dq = all.filter($"id" < 24).select(($"id" + 5000L).as("id"), $"vec")
+    val ghost = Similarity.ivfQTopKIndexed(path, dq, "id", "vec", k = 1, nprobe = 1)
+      .filter($"sim" > 0.999999).count()
+    assert(ghost === 0L, s"$ghost doomed vectors still probeable")
+  }
+
   test("ivfMerge: merged shards equal the single build; guards reject drifted quantizers") {
     val rng = new scala.util.Random(77)
     val dim = 16
