@@ -319,6 +319,200 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Exactly-once STREAMING ingest into a persisted [[buildBm25Index]]
+    * index — the composition of the engine's two proven disciplines
+    * that makes the index a live artifact: [[bm25Append]]'s
+    * batch-proportional increment, applied per micro-batch under the
+    * replay-idempotence contract of
+    * [[graft.sinks.Sinks.jdbcBatchWriter]] (foreachBatch re-delivers a
+    * crashed batch with identical data and id; the sink must converge
+    * every crash window to exactly one application). A 100 TB corpus is
+    * never static — without this path every day of new documents costs
+    * either a full rebuild or an at-least-once append that double-counts
+    * df/N on the first crash.
+    *
+    * Unlike the JDBC sink there is no transactional DELETE to wipe a
+    * partial batch, so idempotence comes from a RECOVERABLE APPLY built
+    * on the filesystem primitives the index already uses:
+    *
+    *   1. the batch's postings/doclen increments stage into a private
+    *      temp dir, then RENAME into the live partitions as files
+    *      prefixed `b<batchId>_` — so a partial apply is enumerable by
+    *      prefix and removable without touching any other generation;
+    *   2. the merged vocabulary table and stats stage as
+    *      `terms_b<id>_new` / `stats_b<id>_new`, then swap in via
+    *      backup renames (cur -> `_bak`, new -> cur) — at every instant
+    *      a complete pre- or post-batch generation exists;
+    *   3. a marker file `ingestlog/b<id>` commits the batch — created
+    *      only after every rename landed;
+    *   4. on re-delivery: marker present -> the whole batch is skipped
+    *      (only stray backups are cleaned); marker absent -> the
+    *      recovery pass restores `_bak` tables, deletes `_new` tables
+    *      and every `b<id>_`-prefixed part file, leaving EXACTLY the
+    *      pre-batch index, and the apply re-runs from scratch.
+    *
+    * Every crash window converges: before staging (clean re-run), mid
+    * move-in (tagged parts wiped), mid-swap (backup restored), after
+    * the marker (skip). Work per batch is batch-proportional plus the
+    * vocabulary-sized df merge — identical to [[bm25Append]]. Contract:
+    * ONE writer query per index with ONE checkpoint lineage (batch ids
+    * must identify payloads — the foreachBatch guarantee; a fresh
+    * checkpoint over an already-fed index would reuse ids and silently
+    * skip). Wire with
+    * `stream.writeStream.foreachBatch(bm25StreamSink(path, id, text))`;
+    * the q162 gate replays a phased corpus with a kill-restart, a
+    * manufactured mid-apply crash state, and a post-commit re-delivery,
+    * and pins the final probe against q127's full-corpus oracle.
+    */
+  def bm25StreamSink(
+      path: String,
+      idCol: String,
+      textCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      bm25IngestBatch(path, batch, idCol, textCol, batchId)
+
+  /** One recoverable, idempotent micro-batch apply — see
+    * [[bm25StreamSink]] for the protocol and contract. Public so a
+    * recovery drill (or a manual backfill replay) can drive a single
+    * batch id directly, the way the q123 gate drives its JDBC twin.
+    */
+  def bm25IngestBatch(
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"bm25IngestBatch: negative batch id $batchId")
+    val spark = docs.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val tag = s"b$batchId"
+    def sub(rel: String) = new org.apache.hadoop.fs.Path(s"$path/$rel")
+    val marker = sub(s"ingestlog/$tag")
+    def dropBak(name: String): Unit = {
+      val bak = sub(s"${name}_${tag}_bak")
+      if (fs.exists(bak))
+        require(fs.delete(bak, true), s"bm25IngestBatch: cannot drop $bak")
+    }
+    if (fs.exists(marker)) {
+      // post-commit re-delivery: the apply completed; only the backup
+      // cleanup may have been interrupted — finish it and skip whole
+      dropBak("terms"); dropBak("stats")
+      return
+    }
+    // ---- recovery: erase whatever a crashed attempt of THIS id left ----
+    def restore(name: String): Unit = {
+      val bak = sub(s"${name}_${tag}_bak")
+      val nw = sub(s"${name}_${tag}_new")
+      if (fs.exists(bak)) {
+        val cur = sub(name)
+        if (fs.exists(cur))
+          require(fs.delete(cur, true), s"bm25IngestBatch: cannot drop $cur")
+        require(fs.rename(bak, cur), s"bm25IngestBatch: restore $bak failed")
+      }
+      if (fs.exists(nw))
+        require(fs.delete(nw, true), s"bm25IngestBatch: cannot drop $nw")
+    }
+    def dropTagged(name: String): Unit = {
+      val d = sub(name)
+      if (!fs.exists(d)) return
+      fs.listStatus(d).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("bucket="))
+          fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.startsWith(tag + "_"))
+            .foreach(f => require(fs.delete(f.getPath, false),
+              s"bm25IngestBatch: cannot drop ${f.getPath}"))
+        else if (st.getPath.getName.startsWith(tag + "_"))
+          require(fs.delete(st.getPath, false),
+            s"bm25IngestBatch: cannot drop ${st.getPath}")
+      }
+    }
+    restore("terms"); restore("stats")
+    dropTagged("postings"); dropTagged("doclen")
+    val tmpRoot = sub(s"_ingest_${tag}_tmp")
+    if (fs.exists(tmpRoot))
+      require(fs.delete(tmpRoot, true), s"bm25IngestBatch: cannot drop $tmpRoot")
+    // ---- stage the batch increment (bm25Append's derivations) ----
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("total_tokens"), col("buckets"))
+      .collect()(0)
+    val (oldDocs, oldTok, buckets) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val statsObs = org.apache.spark.sql.Observation()
+    val tf = docs
+      .observe(statsObs,
+        count(lit(1)).as("n"),
+        coalesce(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("t"))
+      .select(
+        col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.persisted)
+    val bucket = pmod(xxhash64(col("term")), lit(buckets))
+    tf.withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmpRoot/postings")
+    val m = observedOrEmpty(statsObs)
+    val batchDocs = m.get("n").map(_.asInstanceOf[Long])
+      .getOrElse(docs.count())
+    def commitMarker(): Unit = {
+      fs.mkdirs(marker.getParent)
+      require(fs.createNewFile(marker),
+        s"bm25IngestBatch: cannot create marker $marker")
+    }
+    if (batchDocs == 0L) {
+      // an empty trigger is legal on a stream — commit the no-op so the
+      // id is never re-applied against future index states
+      fs.delete(tmpRoot, true)
+      commitMarker()
+      return
+    }
+    concurrently(
+      () => docs.select(
+          col(idCol).as("id"),
+          size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$tmpRoot/doclen"),
+      // merged vocabulary stages into a NEW sibling dir — reading old
+      // terms and writing elsewhere needs no localCheckpoint (nothing
+      // overwrites its own input)
+      () => spark.read.parquet(s"$path/terms")
+        .select(col("term"), col("df"))
+        .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/terms_${tag}_new"))
+    import spark.implicits._
+    Seq((oldDocs + batchDocs,
+        oldTok + m.getOrElse("t", 0L).asInstanceOf[Long],
+        buckets))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats_${tag}_new")
+    // ---- commit: rename increments in, swap tables, marker ----
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$tmpRoot/postings", s"$path/postings", "bucket=", tag,
+      move = true)
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$tmpRoot/doclen", s"$path/doclen", "bucket=", tag,
+      move = true)
+    def swapIn(name: String): Unit = {
+      val cur = sub(name)
+      val bak = sub(s"${name}_${tag}_bak")
+      val nw = sub(s"${name}_${tag}_new")
+      require(fs.rename(cur, bak), s"bm25IngestBatch: rename $cur -> $bak failed")
+      require(fs.rename(nw, cur), s"bm25IngestBatch: rename $nw -> $cur failed")
+    }
+    swapIn("terms"); swapIn("stats")
+    commitMarker()
+    dropBak("terms"); dropBak("stats")
+    fs.delete(tmpRoot, true)
+  }
+
   /** Compact a [[buildBm25Index]] index in place: every [[bm25Append]]
     * lands its batch as NEW files inside the existing bucket partitions
     * (that is what makes the append cheap), so a long-lived index
@@ -361,71 +555,109 @@ object Retrieval {
     swapRewrite("doclen", clustered = false)
   }
 
-  /** Merge two [[buildBm25Index]] indexes over DISJOINT corpora into a
+  /** Merge two [[buildBm25Index]] indexes — the pairwise convenience
+    * form of the variadic N-way merge below (one code path; see that
+    * overload for the full contract).
+    */
+  def bm25Merge(
+      spark: org.apache.spark.sql.SparkSession,
+      pathA: String,
+      pathB: String,
+      dest: String): Unit =
+    bm25Merge(spark, Seq(pathA, pathB), dest)
+
+  /** Merge N [[buildBm25Index]] indexes over DISJOINT corpora into a
     * new index at `dest` — the composition that makes a 100 TB index
     * BUILD distributable: build per-shard indexes in parallel (each
     * shard's build touches only its own corpus slice), then merge —
     * and merging is nearly free, because the corpus-sized parts union
     * at the FILE level:
     *
-    *   - postings: both sides bucket their terms with the same
+    *   - postings: every shard buckets its terms with the same
     *     `xxhash64 mod buckets` (verified from stats — a modulus
     *     mismatch aborts), so bucket b of the merged index is exactly
-    *     (A's bucket-b files + B's bucket-b files) — a metadata
-    *     copy, no row is read;
+    *     the union of all shards' bucket-b files — a metadata union,
+    *     no row is read;
     *   - doclen: disjoint doc registries — plain file union;
     *   - terms: the ONE real job, vocabulary-sized by construction —
-    *     df(A) + df(B) summed per term and rewritten clustered;
-    *   - stats: two scalars added.
+    *     all shards' df summed per term and rewritten clustered. The
+    *     N-way form is why this overload exists: a pairwise merge tree
+    *     over hundreds of production shards re-runs this job (and the
+    *     stats rewrite) at every tree level, log N times per term —
+    *     here every shard count pays exactly ONE df job;
+    *   - stats: N scalars added.
     *
-    * Caller contract: doc-id sets disjoint (the [[bm25Append]]
+    * Caller contract: doc-id sets pairwise disjoint (the [[bm25Append]]
     * contract — an overlap would double-count dl and N). A probe of
     * the merged index equals [[bm25TopK]] over the union corpus
-    * bit-for-bit (the q158 gate pins it against the full-corpus
-    * oracle; the spec pins merged == from-scratch-rebuild probes).
-    * `dest` must not exist; sources are not modified.
+    * bit-for-bit (the q158 gate pins a 4-shard merge against the
+    * full-corpus oracle; the spec pins N-way == pairwise-tree ==
+    * from-scratch-rebuild probes). `dest` must not exist.
+    *
+    * `move = false` (default) preserves the shards but streams every
+    * corpus byte through one driver thread; `move = true` renames the
+    * part files instead — O(1) metadata per file, the genuinely
+    * metadata-priced merge — and CONSUMES the shards (their husks
+    * remain; callers delete them). See
+    * [[graft.sinks.Sinks.copyParquetParts]] for the full copy-vs-move
+    * contract and the object-store caveat. SINGLE-WRITER window: the
+    * shards are read non-atomically (stats first, then parts, then
+    * terms) — a concurrent [[bm25Append]] landing in a shard mid-merge
+    * would split its batch across the stats/parts reads and corrupt
+    * the merged index's N/df; merge only quiesced shards.
     */
   def bm25Merge(
       spark: org.apache.spark.sql.SparkSession,
-      pathA: String,
-      pathB: String,
-      dest: String): Unit = {
+      paths: Seq[String],
+      dest: String,
+      move: Boolean = false): Unit = {
+    require(paths.size >= 2, s"bm25Merge: need >= 2 shards, got ${paths.size}")
     val hconf = spark.sessionState.newHadoopConf()
     val destP = new org.apache.hadoop.fs.Path(dest)
     val fs = destP.getFileSystem(hconf)
     require(!fs.exists(destP), s"bm25Merge: $dest already exists")
-    def stats(p: String) = {
+    val stats = paths.map { p =>
       val r = spark.read.parquet(s"$p/stats")
         .select(col("n_docs"), col("total_tokens"), col("buckets"))
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val (docsA, tokA, bA) = stats(pathA)
-    val (docsB, tokB, bB) = stats(pathB)
-    require(bA == bB,
-      s"bm25Merge: bucket moduli differ ($bA vs $bB) — the sides bucket " +
-        "terms differently; rebuild one side with the other's modulus")
-    // corpus-sized parts: FILE-level union (copy both sides' parquet
-    // parts, disambiguated by side prefix — no data pass)
-    def copyParts(srcDir: String, dstDir: String, tag: String): Unit =
+    val buckets = stats.head._3
+    require(stats.forall(_._3 == buckets),
+      s"bm25Merge: bucket moduli differ (${stats.map(_._3).distinct.mkString(", ")}) " +
+        "— the shards bucket terms differently; rebuild with one modulus")
+    // corpus-sized parts: FILE-level union of ALL shards at once,
+    // disambiguated by shard-index prefix — no data pass
+    paths.zipWithIndex.foreach { case (p, i) =>
       graft.sinks.Sinks.copyParquetParts(
-        fs, hconf, srcDir, dstDir, "bucket=", tag)
-    copyParts(s"$pathA/postings", s"$dest/postings", "a")
-    copyParts(s"$pathB/postings", s"$dest/postings", "b")
-    copyParts(s"$pathA/doclen", s"$dest/doclen", "a")
-    copyParts(s"$pathB/doclen", s"$dest/doclen", "b")
-    // terms: the one vocabulary-sized job — df sums, clustered write
-    val bucket = pmod(xxhash64(col("term")), lit(bA))
-    spark.read.parquet(s"$pathA/terms")
-      .select(col("term"), col("df"))
-      .unionByName(spark.read.parquet(s"$pathB/terms")
+        fs, hconf, s"$p/postings", s"$dest/postings", "bucket=", s"s$i", move)
+      graft.sinks.Sinks.copyParquetParts(
+        fs, hconf, s"$p/doclen", s"$dest/doclen", "bucket=", s"s$i", move)
+    }
+    // terms: the one vocabulary-sized job — ONE df sum over every
+    // shard's table, clustered write. (Terms tables always COPY via the
+    // read-union-write: they are vocabulary-sized, and move would break
+    // the shard for the non-move caller's replay anyway.) Explicit
+    // schema: a shard over an all-tokenless slice has an EMPTY terms
+    // table (zero part files), where schema inference aborts — its
+    // registry rows still count toward N/avgdl, so the shard is legal.
+    val termsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "term", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "df", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "bucket", org.apache.spark.sql.types.LongType)))
+    val bucket = pmod(xxhash64(col("term")), lit(buckets))
+    paths.map(p => spark.read.schema(termsSchema).parquet(s"$p/terms")
         .select(col("term"), col("df")))
+      .reduce(_.unionByName(_))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dest/terms")
     import spark.implicits._
-    Seq((docsA + docsB, tokA + tokB, bA))
+    Seq((stats.map(_._1).sum, stats.map(_._2).sum, buckets))
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/stats")

@@ -628,25 +628,48 @@ object Similarity {
       .write.mode("overwrite").parquet(p.toString)
   }
 
-  /** Merge two IVF indexes that share ONE centroid table into a new
-    * index at `dest` — the dense twin of
-    * [[graft.operators.Retrieval.bm25Merge]], and the step that makes
-    * a 100 TB ANN index build distributable: shards fill in parallel
-    * (each append touches only its own slice) and the merge is pure
-    * METADATA — cell c of the merged corpus is exactly both sides'
-    * cell-c files (vectors were assigned under the same verified-equal
-    * centroids, so the cell layouts are compatible by construction; a
-    * drifted quantizer aborts). Works on both the float
-    * ([[buildIvfIndex]]) and quantized ([[buildIvfQIndex]]) layouts —
-    * the row schema is copied blind. Caller contract: id sets disjoint
-    * (the append contract). `dest` must not exist; sources are not
-    * modified.
+  /** Merge two IVF indexes — the pairwise convenience form of the
+    * variadic N-way merge below (one code path; see that overload for
+    * the full contract).
     */
   def ivfMerge(
       spark: org.apache.spark.sql.SparkSession,
       pathA: String,
       pathB: String,
-      dest: String): Unit = {
+      dest: String): Unit =
+    ivfMerge(spark, Seq(pathA, pathB), dest)
+
+  /** Merge N IVF indexes that share ONE centroid table into a new
+    * index at `dest` — the dense twin of
+    * [[graft.operators.Retrieval.bm25Merge]], and the step that makes
+    * a 100 TB ANN index build distributable: shards fill in parallel
+    * (each append touches only its own slice) and the merge is pure
+    * METADATA — cell c of the merged corpus is exactly the union of
+    * every shard's cell-c files (vectors were assigned under the same
+    * verified-equal centroids, so the cell layouts are compatible by
+    * construction; a drifted quantizer aborts). The N-way form merges
+    * any shard count in ONE invocation — a pairwise tree re-walks the
+    * file listing per level for nothing, since there is no per-level
+    * job to amortize here at all. Works on both the float
+    * ([[buildIvfIndex]]) and quantized ([[buildIvfQIndex]]) layouts —
+    * the row schema is unioned blind. Caller contract: id sets
+    * pairwise disjoint (the append contract). `dest` must not exist.
+    *
+    * `move = false` (default) preserves the shards but streams every
+    * corpus byte through one driver thread; `move = true` renames part
+    * files instead — O(1) metadata per file — and CONSUMES the shards
+    * (see [[graft.sinks.Sinks.copyParquetParts]] for the contract and
+    * the object-store caveat). SINGLE-WRITER window: shards are read
+    * non-atomically (centroids, then parts) — a concurrent
+    * [[ivfAppend]] landing mid-merge would strand part of its batch;
+    * merge only quiesced shards.
+    */
+  def ivfMerge(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      dest: String,
+      move: Boolean = false): Unit = {
+    require(paths.size >= 2, s"ivfMerge: need >= 2 shards, got ${paths.size}")
     val hconf = spark.sessionState.newHadoopConf()
     val destP = new org.apache.hadoop.fs.Path(dest)
     val fs = destP.getFileSystem(hconf)
@@ -655,18 +678,22 @@ object Similarity {
       spark.read.parquet(s"$p/centroids")
         .orderBy(col("cell")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    require(cents(pathA) == cents(pathB),
-      "ivfMerge: centroid tables differ — the shards were assigned under " +
-        "different quantizers and their cells are not compatible; rebuild " +
-        "the shards from one ivfInit centroid table")
+    val first = cents(paths.head)
+    paths.tail.foreach(p => require(cents(p) == first,
+      s"ivfMerge: centroid tables differ (${paths.head} vs $p) — the " +
+        "shards were assigned under different quantizers and their cells " +
+        "are not compatible; rebuild the shards from one ivfInit centroid " +
+        "table"))
+    // centroids always COPY (tiny, and the husk of a moved shard keeps
+    // its quantizer intact for forensics)
     org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(s"$pathA/centroids"),
+      fs, new org.apache.hadoop.fs.Path(s"${paths.head}/centroids"),
       fs, new org.apache.hadoop.fs.Path(s"$dest/centroids"),
       false, hconf)
-    graft.sinks.Sinks.copyParquetParts(
-      fs, hconf, s"$pathA/corpus", s"$dest/corpus", "cell=", "a")
-    graft.sinks.Sinks.copyParquetParts(
-      fs, hconf, s"$pathB/corpus", s"$dest/corpus", "cell=", "b")
+    paths.zipWithIndex.foreach { case (p, i) =>
+      graft.sinks.Sinks.copyParquetParts(
+        fs, hconf, s"$p/corpus", s"$dest/corpus", "cell=", s"s$i", move)
+    }
   }
 
   /** Append a batch to a persisted [[buildIvfIndex]] index WITHOUT
@@ -704,6 +731,99 @@ object Similarity {
         graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
       .repartition(col("cell")) // one file per touched cell per append
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
+  }
+
+  /** Exactly-once STREAMING ingest into a persisted IVF index — the
+    * dense twin of [[graft.operators.Retrieval.bm25StreamSink]]: each
+    * micro-batch applies [[ivfAppend]] (or [[ivfQAppend]] when
+    * `quantized`) under the same recoverable-apply idempotence
+    * protocol, so a foreachBatch re-delivery after any crash converges
+    * to exactly one application. The IVF apply is strictly simpler
+    * than the lexical one — centroids are append-invariant and there
+    * is no vocabulary table, so the whole increment is tagged corpus
+    * part files plus the commit marker:
+    *
+    *   1. the batch assigns to the index's own centroids and stages
+    *      cell-clustered into a private temp dir;
+    *   2. parts RENAME into the live cell partitions prefixed
+    *      `b<batchId>_`;
+    *   3. marker `ingestlog/b<id>` commits; re-delivery with the
+    *      marker skips, without it deletes every `b<id>_` part and
+    *      re-applies.
+    *
+    * Same contract as the lexical sink: ONE writer query, ONE
+    * checkpoint lineage, batch-disjoint ids. Wire with
+    * `stream.writeStream.foreachBatch(ivfStreamSink(path, id, vec))`;
+    * the q163 gate replays a phased corpus with a kill-restart, a
+    * manufactured crash state, and a post-commit re-delivery, and pins
+    * the final probe against q35's full IVF-in-SQL oracle.
+    */
+  def ivfStreamSink(
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      quantized: Boolean = false): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      ivfIngestBatch(indexPath, batch, idCol, vecCol, batchId, quantized)
+
+  /** One recoverable, idempotent micro-batch apply — see
+    * [[ivfStreamSink]]. Public for recovery drills and manual replays.
+    */
+  def ivfIngestBatch(
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long,
+      quantized: Boolean = false): Unit = {
+    require(batchId >= 0, s"ivfIngestBatch: negative batch id $batchId")
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
+    val tag = s"b$batchId"
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/ingestlog/$tag")
+    if (fs.exists(marker)) return // post-commit re-delivery: skip whole
+    // recovery: drop whatever a crashed attempt of THIS id moved in
+    val corpusDir = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+    if (fs.exists(corpusDir))
+      fs.listStatus(corpusDir).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
+          fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.startsWith(tag + "_"))
+            .foreach(f => require(fs.delete(f.getPath, false),
+              s"ivfIngestBatch: cannot drop ${f.getPath}"))
+      }
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_ingest_${tag}_tmp")
+    if (fs.exists(tmpRoot))
+      require(fs.delete(tmpRoot, true), s"ivfIngestBatch: cannot drop $tmpRoot")
+    // stage the assignment (the ivfAppend / ivfQAppend body, into tmp)
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+      .toSeq
+    val prepped = batch.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val assigned =
+      (if (quantized)
+        quantizeEmbeddings(prepped, "vec")
+          .select(col("id"), col("vec"), col("qvec"),
+            intDot(col("qvec"), col("qvec")).as("qn2"))
+      else prepped)
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmpRoot/corpus")
+    // commit: rename parts in, marker
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$tmpRoot/corpus", s"$indexPath/corpus", "cell=", tag,
+      move = true)
+    fs.mkdirs(marker.getParent)
+    require(fs.createNewFile(marker),
+      s"ivfIngestBatch: cannot create marker $marker")
+    fs.delete(tmpRoot, true)
   }
 
   /** Compact a [[buildIvfIndex]] index in place — the dense-side twin of

@@ -142,16 +142,18 @@ object Curation {
       p
     })
 
-  /** q158's shard bases: two independent indexes over the even / odd
-    * halves of the corpus — the per-shard parallel builds whose merge
-    * the gate proves. Memoized like the other deterministic setups.
+  /** q158's shard bases: FOUR independent indexes over the doc_id mod-4
+    * residues of the corpus — the per-shard parallel builds whose N-way
+    * merge the gate proves. Memoized like the other deterministic
+    * setups (so the merge must NOT consume them — q158 runs the
+    * preserve-sources copy path; q161 runs move).
     */
-  private def bm25Shard(s: SparkSession, dir: String, parity: Int): String =
-    baseIndexes.computeIfAbsent(s"bm25shard$parity|$dir", _ => {
+  private def bm25Shard(s: SparkSession, dir: String, shard: Int): String =
+    baseIndexes.computeIfAbsent(s"bm25shard4_$shard|$dir", _ => {
       val p = java.nio.file.Files
-        .createTempDirectory(s"graft-bm25-sh$parity").toString
+        .createTempDirectory(s"graft-bm25-sh$shard").toString
       Retrieval.buildBm25Index(
-        t(s, dir, "documents").filter(col("doc_id") % 2 === parity),
+        t(s, dir, "documents").filter(col("doc_id") % 4 === shard),
         "doc_id", "text", p)
       p
     })
@@ -169,6 +171,111 @@ object Curation {
   // ivfInit and ivfMerge both refuse pre-existing targets)
   private lazy val ivfMergeParent: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-merge").toString
+
+  // q162's streaming-ingest index scratch (reset by copyInto per
+  // invocation, which also clears the prior run's ingestlog markers)
+  private lazy val bm25IngestDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-ing").toString
+
+  // q163's scratch parent (child index deleted per invocation —
+  // ivfInit refuses a pre-existing centroid table)
+  private lazy val ivfIngestParent: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-ing").toString
+
+  /** Stage phase frames as single parquet files `phase_NNN.parquet`
+    * with strictly increasing mod times (the MarketAnalytics
+    * writePhases discipline: a maxFilesPerTrigger=1 file stream then
+    * delivers exactly one micro-batch per phase in phase order).
+    * Memoized per key — deterministic harness SETUP, same static-
+    * testdata contract as [[baseIndexes]].
+    */
+  private val stagedPhaseWrites =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def stagePhases(key: String, phases: Seq[DataFrame]): String =
+    stagedPhaseWrites.computeIfAbsent(key, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ing-stage")
+      phases.zipWithIndex.foreach { case (df, i) =>
+        val stage = root.resolve(s"stage_$i").toString
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(root.toFile, f"phase_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+      }
+      root.toString
+    })
+
+  /** Write one frame as a single parquet part renamed to
+    * `<tag>_<part>.parquet` inside `dstDir` — manufactures the tagged
+    * increment files a crashed stream-ingest apply leaves behind (the
+    * q162/q163 crash windows).
+    */
+  private def plantTaggedPart(df: DataFrame, dstDir: String, tag: String): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-plant").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(dstDir).mkdirs()
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dstDir, s"${tag}_${part.getName}").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+  }
+
+  /** Phase-ordered foreachBatch replay with a KILL-AND-RESTART across
+    * the batch boundary after `firstRun` phases: run 1 streams the
+    * first `firstRun` phase files and stops; the remaining files are
+    * then added and run 2 RESUMES FROM THE SAME CHECKPOINT — batch ids
+    * must continue (a sink that restarted numbering would hit its own
+    * applied markers and silently drop the tail). Stream dir and
+    * checkpoint are per-invocation (fresh lineage each time — the
+    * stream-sink contract ties an index to ONE checkpoint lineage, and
+    * the gate's index is rebuilt per invocation too).
+    */
+  private def runPhasedIngest(
+      s: SparkSession,
+      stagedRoot: String,
+      schema: org.apache.spark.sql.types.StructType,
+      nPhases: Int,
+      firstRun: Int,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = Tables.configure(s)
+    val shm = new java.io.File("/dev/shm")
+    val scratch =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ing-run")
+      else java.nio.file.Files.createTempDirectory("graft-ing-run")
+    val streamDir = scratch.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    val ckpt = scratch.resolve("ckpt").toString
+    def addPhases(range: Range): Unit = range.foreach { i =>
+      val name = f"phase_$i%03d.parquet"
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(stagedRoot, name), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1000000000000L + i * 60000L)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) => sink(df, id))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      addPhases(0 until firstRun); run()
+      addPhases(firstRun until nPhases); run()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+  }
 
   /** q145's variant: the same base with its 1/3 remainder appended in
     * TWO batches (%6==0 then %6==3), so the copied state carries three
@@ -2488,19 +2595,22 @@ object Curation {
     }),
 
     // Shard-and-merge index build (the composition that distributes a
-    // 100 TB index build): two independent shard indexes (even / odd
-    // doc ids, parallel builds touching only their own slice) merge via
-    // bm25Merge — postings and doclen union at the FILE level (no row
-    // read; both sides bucket by the same verified modulus), the
-    // vocabulary-sized df table is the one real merge job, stats add —
-    // and the probe over the MERGED index must equal q127's full-corpus
-    // relation against q127's verbatim oracle. A dropped shard file, a
-    // mis-summed df, or a modulus mismatch breaks a score.
+    // 100 TB index build): FOUR independent shard indexes (doc_id mod-4
+    // residues, parallel builds touching only their own slice) merge in
+    // ONE variadic bm25Merge — postings and doclen union at the FILE
+    // level across all four shards at once (no row read; every side
+    // buckets by the same verified modulus), the vocabulary-sized df
+    // table is the ONE real merge job (the pairwise tree would run it
+    // log N times), stats add — and the probe over the MERGED index
+    // must equal q127's full-corpus relation against q127's verbatim
+    // oracle. A dropped shard file, a mis-summed df, or a modulus
+    // mismatch breaks a score. Sources are memoized setup, so this
+    // gate runs the preserve-sources copy path; q161 gates move.
     "q158_bm25_merge" -> ((s, dir) => {
       val dest = s"$bm25MergeParent/merged"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
       Retrieval.bm25Merge(
-        s, bm25Shard(s, dir, 0), bm25Shard(s, dir, 1), dest)
+        s, (0 until 4).map(bm25Shard(s, dir, _)), dest)
       Retrieval.bm25TopKIndexed(dest, bm25Queries(s), k = 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -2560,30 +2670,135 @@ object Curation {
 
     // IVF shard-and-merge (the q158 composition for the DENSE index,
     // under q35's VERBATIM oracle): centroids train ONCE on the full
-    // corpus (exactly what ivfTopK does internally), two shard indexes
-    // initialize from them and fill with the even / odd vectors in
-    // parallel appends, merge is pure metadata (cell-c files union;
-    // drifted quantizers abort) — and the probe over the MERGED index
-    // must reproduce q35's direct-form relation, Lloyd iterations and
-    // all, against the full IVF-in-SQL oracle. A lost shard file, a
-    // mis-copied cell, or a centroid mismatch breaks the hash.
+    // corpus (exactly what ivfTopK does internally), FOUR shard indexes
+    // initialize from them and fill with the vec_id mod-4 residues in
+    // parallel appends, merge is pure metadata — one variadic ivfMerge
+    // under MOVE (part files RENAME into the destination: the
+    // metadata-priced path; q158 gates the preserve-sources copy) —
+    // and the probe over the MERGED index must reproduce q35's
+    // direct-form relation, Lloyd iterations and all, against the full
+    // IVF-in-SQL oracle. A lost shard file, a mis-moved cell, or a
+    // centroid mismatch breaks the hash.
     "q161_ivf_shard_merge" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val (shardA, shardB, dest) = (
-        s"$ivfMergeParent/a", s"$ivfMergeParent/b", s"$ivfMergeParent/merged")
-      Seq(shardA, shardB, dest).foreach(p =>
+      val shards = (0 until 4).map(i => s"$ivfMergeParent/sh$i")
+      val dest = s"$ivfMergeParent/merged"
+      (shards :+ dest).foreach(p =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
       val cents = Similarity.trainIvfCentroids(
         emb, "vec_id", "embedding", nlist = 16)
-      Similarity.ivfInit(s, cents, shardA)
-      Similarity.ivfAppend(
-        shardA, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
-      Similarity.ivfInit(s, cents, shardB)
-      Similarity.ivfAppend(
-        shardB, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
-      Similarity.ivfMerge(s, shardA, shardB, dest)
+      shards.zipWithIndex.foreach { case (sh, i) =>
+        Similarity.ivfInit(s, cents, sh)
+        Similarity.ivfAppend(
+          sh, emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding")
+      }
+      Similarity.ivfMerge(s, shards, dest, move = true)
       Similarity.ivfTopKIndexed(
           dest, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        .select(
+          col("qid"), col("id"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Exactly-once STREAMING ingest into the persisted BM25 index (the
+    // production path for a never-static corpus: q123's batch-id
+    // idempotence discipline composed with q143's incremental append),
+    // under q127's VERBATIM full-corpus oracle. The replay drives the
+    // recovery machinery for real: (1) before the stream starts, the
+    // index carries a manufactured mid-apply crash of batch 0 — a
+    // bogus b0-tagged posting (id -999 scoring "spark" at tf 99) and
+    // doclen part, plus the mid-swap window (live terms CORRUPTED at
+    // df x1000, the true table in terms_b0_bak) — which batch 0's
+    // re-delivery must fully erase before applying; (2) the phased
+    // stream is KILLED after two batches and RESUMED from the same
+    // checkpoint (batch ids must continue or applied markers eat the
+    // tail); (3) after completion, batch 1 is re-delivered by hand and
+    // must skip whole (post-commit window). Any surviving junk row,
+    // unrestored table, double-applied df/N, or dropped phase breaks
+    // the probe hash.
+    "q162_bm25_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = bm25IngestDir
+      copyInto(bm25Base(s, dir), path) // base: doc_id % 3 =!= 0
+      // phases: the %3==0 remainder as four mod-12 residues
+      val phases = Seq(0L, 3L, 6L, 9L).map(r =>
+        docs.filter(col("doc_id") % 12 === r)
+          .select(col("doc_id"), col("text")))
+      val staged = stagePhases(s"ingest162|$dir", phases)
+      // manufactured batch-0 crash state (see gate comment)
+      val buckets = s.read.parquet(s"$path/stats")
+        .select(col("buckets")).collect()(0).getLong(0)
+      val sparkBucket = s.range(1)
+        .select(pmod(xxhash64(lit("spark")), lit(buckets)))
+        .collect()(0).getLong(0)
+      locally {
+        import s.implicits._
+        plantTaggedPart(Seq((-999L, "spark", 99L)).toDF("id", "term", "tf"),
+          s"$path/postings/bucket=$sparkBucket", "b0")
+        plantTaggedPart(Seq((-999L, 99L)).toDF("id", "dl"),
+          s"$path/doclen", "b0")
+      }
+      org.apache.commons.io.FileUtils.moveDirectory(
+        new java.io.File(s"$path/terms"), new java.io.File(s"$path/terms_b0_bak"))
+      s.read.parquet(s"$path/terms_b0_bak")
+        .withColumn("df", col("df") * 1000)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+      val sink = Retrieval.bm25StreamSink(path, "doc_id", "text")
+      runPhasedIngest(s, staged, phases.head.schema, nPhases = 4,
+        firstRun = 2, sink)
+      // post-commit re-delivery of batch 1: must skip whole
+      Retrieval.bm25IngestBatch(
+        path, s.read.parquet(s"$staged/phase_001.parquet"),
+        "doc_id", "text", 1L)
+      Retrieval.bm25TopKIndexed(path, bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Exactly-once streaming ingest into the persisted IVF index — the
+    // q162 composition for the DENSE artifact, under q35's VERBATIM
+    // IVF-in-SQL oracle: centroids train once on the full corpus (the
+    // q161 method), the empty index initializes from them, and the
+    // whole corpus then arrives as a 4-phase stream through
+    // ivfStreamSink. Crash windows driven the q162 way: a manufactured
+    // b0-tagged corpus part whose vector IS query 0's embedding under
+    // id -999 (if recovery fails it ranks #1 at sim 1.0), a
+    // kill-restart across the batch-2 boundary, and a post-commit
+    // re-delivery of batch 1 that must skip. The final probe must
+    // reproduce q35's direct-form relation, Lloyd iterations and all.
+    "q163_ivf_stream_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$ivfIngestParent/idx"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      val cents = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfInit(s, cents, path)
+      // manufactured batch-0 crash state: a tagged part in the junk
+      // vector's own nearest cell (where a probe for query 0 would find it)
+      val junk = emb.filter(col("vec_id") === 0)
+        .select(lit(-999L).as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), cents.map(_.toSeq).toSeq, 1), 1))
+      val junkCell = junk.select(col("cell")).collect()(0).getInt(0)
+      plantTaggedPart(junk.select(col("id"), col("vec")),
+        s"$path/corpus/cell=$junkCell", "b0")
+      val phases = (0 until 4).map(i =>
+        emb.filter(col("vec_id") % 4 === i)
+          .select(col("vec_id"), col("embedding")))
+      val staged = stagePhases(s"ingest163|$dir", phases)
+      val sink = Similarity.ivfStreamSink(path, "vec_id", "embedding")
+      runPhasedIngest(s, staged, phases.head.schema, nPhases = 4,
+        firstRun = 2, sink)
+      // post-commit re-delivery of batch 1: must skip whole
+      Similarity.ivfIngestBatch(
+        path, s.read.parquet(s"$staged/phase_001.parquet"),
+        "vec_id", "embedding", 1L)
+      Similarity.ivfTopKIndexed(
+          path, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 4)
         .select(
           col("qid"), col("id"),

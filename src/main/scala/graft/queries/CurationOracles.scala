@@ -2338,6 +2338,14 @@ object CurationOracles {
     // rationale: shard layout and merge are storage concerns, not
     // semantics).
     "q158_bm25_merge" -> Bm25OracleSql,
+    // Streaming ingest: after the phased replay (with its manufactured
+    // crash windows) the index must hold EXACTLY the full corpus once —
+    // same oracle, by reference (the q143 rationale carried to the
+    // stream: delivery is a storage/transport concern, not semantics).
+    "q162_bm25_stream_ingest" -> Bm25OracleSql,
+    // The dense twin: the streamed-in IVF index must reproduce q35's
+    // direct-form relation exactly (the q161 rationale for transport).
+    "q163_ivf_stream_ingest" -> IvfOracleSql,
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

@@ -166,14 +166,28 @@ object Sinks {
     deleted
   }
 
-  /** Copy a (possibly hive-partitioned) parquet directory's part files
+  /** Union a (possibly hive-partitioned) parquet directory's part files
     * into `dst`, prefixing file names with `tag` so two sources cannot
     * collide — the FILE-LEVEL union step of the index merge operators
     * (bm25Merge / ivfMerge): rows whose tables are disjoint by
-    * construction union by metadata copy, no row is ever read.
+    * construction union by metadata, no row is ever deserialized.
     * `partitionPrefix` names the hive partition directories to recurse
     * into (e.g. "bucket=", "cell="); non-parquet files (_SUCCESS) are
     * skipped. A missing source directory is a no-op.
+    *
+    * Copy vs move contract: with `move = false` (default) sources are
+    * PRESERVED, but every byte streams through this single driver
+    * thread (`FileUtil.copy`) — at 100 TB the union is a full
+    * sequential IO pass on one machine. With `move = true` each part
+    * file is `FileSystem.rename`d instead — O(1) metadata per file on
+    * HDFS-like stores, which is what makes an N-shard index merge
+    * genuinely metadata-priced — at the price of CONSUMING the source:
+    * its partition directories are left holding no part files (the
+    * caller owns removing the husk). Move only what the caller may
+    * destroy: shard indexes built solely to be merged, a stream batch's
+    * staged parts. On object stores rename itself is copy+delete, so
+    * `move` saves the read path but not the write; prefer native bulk
+    * copy there.
     */
   def copyParquetParts(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -181,7 +195,8 @@ object Sinks {
       srcDir: String,
       dstDir: String,
       partitionPrefix: String,
-      tag: String): Unit = {
+      tag: String,
+      move: Boolean = false): Unit = {
     val src = new org.apache.hadoop.fs.Path(srcDir)
     if (!fs.exists(src)) return
     fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
@@ -189,12 +204,16 @@ object Sinks {
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith(partitionPrefix))
         copyParquetParts(
-          fs, hconf, s"$srcDir/$name", s"$dstDir/$name", partitionPrefix, tag)
-      else if (name.endsWith(".parquet"))
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs, st.getPath,
-          fs, new org.apache.hadoop.fs.Path(s"$dstDir/${tag}_$name"),
-          false, hconf)
+          fs, hconf, s"$srcDir/$name", s"$dstDir/$name", partitionPrefix,
+          tag, move)
+      else if (name.endsWith(".parquet")) {
+        val dst = new org.apache.hadoop.fs.Path(s"$dstDir/${tag}_$name")
+        if (move)
+          require(fs.rename(st.getPath, dst),
+            s"copyParquetParts: rename ${st.getPath} -> $dst failed")
+        else
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst, false, hconf)
+      }
     }
   }
 

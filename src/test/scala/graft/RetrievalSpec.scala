@@ -342,6 +342,140 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25Merge N-way: one 4-shard merge == pairwise tree == rebuild; move consumes parts") {
+    val parent = java.nio.file.Files.createTempDirectory("bm25-spec-nway").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry"), (2L, "banana durian"))
+      .toDF("query_id", "query_text")
+    def probe(path: String) =
+      graft.operators.Retrieval.bm25TopKIndexed(path, q, 10)
+        .collect().map(_.toString).sorted.toSeq
+    val shards = (0 until 4).map { i =>
+      val p = s"$parent/sh$i"
+      graft.operators.Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 4 === i), "doc_id", "text", p, buckets = 7)
+      p
+    }
+    // ONE variadic merge vs the pairwise tree over the same shards: the
+    // df job folds N ways at once vs log N times — results must be
+    // identical, and both must equal the full single-corpus rebuild
+    graft.operators.Retrieval.bm25Merge(spark, shards, s"$parent/nway")
+    graft.operators.Retrieval.bm25Merge(spark, shards(0), shards(1), s"$parent/t01")
+    graft.operators.Retrieval.bm25Merge(spark, shards(2), shards(3), s"$parent/t23")
+    graft.operators.Retrieval.bm25Merge(spark, s"$parent/t01", s"$parent/t23", s"$parent/tree")
+    val rebuilt = s"$parent/rebuilt"
+    graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", rebuilt, buckets = 7)
+    val want = probe(rebuilt)
+    assert(want.nonEmpty)
+    assert(probe(s"$parent/nway") === want)
+    assert(probe(s"$parent/tree") === want)
+    val st = spark.read.parquet(s"$parent/nway/stats").collect()(0)
+    assert((st.getAs[Long]("n_docs"), st.getAs[Long]("total_tokens")) === ((4L, 9L)))
+    // move = true: same result from renames, and the consumed sources'
+    // corpus-sized dirs hold no part files afterwards
+    def partFiles(root: String): Seq[String] = {
+      val b = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.isDirectory(b)) Seq.empty
+      else {
+        val st = java.nio.file.Files.walk(b)
+        try st.toArray.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+        finally st.close()
+      }
+    }
+    graft.operators.Retrieval.bm25Merge(
+      spark, Seq(s"$parent/t01", s"$parent/t23"), s"$parent/moved", move = true)
+    assert(probe(s"$parent/moved") === want)
+    Seq("t01", "t23").foreach { t =>
+      assert(partFiles(s"$parent/$t/postings").isEmpty,
+        s"move left part files in $t/postings")
+      assert(partFiles(s"$parent/$t/doclen").isEmpty,
+        s"move left part files in $t/doclen")
+    }
+    // < 2 shards aborts
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.bm25Merge(spark, Seq(rebuilt), s"$parent/m1")
+    }
+  }
+
+  test("bm25 stream-ingest apply converges every crash window to exactly one application") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-ing").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry durian")).toDF("query_id", "query_text")
+    def probe(path: String) =
+      graft.operators.Retrieval.bm25TopKIndexed(path, q, 10)
+        .collect().map(_.toString).sorted.toSeq
+    def statsOf(path: String) = {
+      val r = spark.read.parquet(s"$path/stats").collect()(0)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))
+    }
+    def rebuildWant(maxId: Long): Seq[String] = {
+      val p = java.nio.file.Files.createTempDirectory("bm25-spec-ing-rb").toString
+      graft.operators.Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") <= maxId), "doc_id", "text", p, buckets = 7)
+      probe(p)
+    }
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", dir, buckets = 7)
+    // happy path: batch 0 lands docs 3+4 (4 is tokenless)
+    graft.operators.Retrieval.bm25IngestBatch(
+      dir, docs.filter(col("doc_id") > 2), "doc_id", "text", 0L)
+    val want = rebuildWant(4L)
+    assert(probe(dir) === want && statsOf(dir) === ((4L, 9L)))
+    // post-commit re-delivery: marker present -> skipped whole
+    graft.operators.Retrieval.bm25IngestBatch(
+      dir, docs.filter(col("doc_id") > 2), "doc_id", "text", 0L)
+    assert(probe(dir) === want && statsOf(dir) === ((4L, 9L)))
+    // mid-apply crash of batch 1: tagged junk parts moved in, terms
+    // mid-swap (live table corrupted, true one in _bak), stats renamed
+    // away entirely (the window between its two renames)
+    def plant(df: org.apache.spark.sql.DataFrame, dst: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("bm25-spec-plant").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(dst).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dst, s"b1_${part.getName}").toPath)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    val appleBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("apple")), lit(7L))).collect()(0).getLong(0)
+    plant(Seq((-7L, "apple", 50L)).toDF("id", "term", "tf"),
+      s"$dir/postings/bucket=$appleBucket")
+    plant(Seq((-7L, 50L)).toDF("id", "dl"), s"$dir/doclen")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/terms"),
+      new org.apache.hadoop.fs.Path(s"$dir/terms_b1_bak"))
+    spark.read.parquet(s"$dir/terms_b1_bak")
+      .withColumn("df", col("df") * 100)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),
+      new org.apache.hadoop.fs.Path(s"$dir/stats_b1_bak"))
+    // the re-delivered batch must erase all of it, then apply docs 5+6
+    val more = Seq((5L, "durian apple"), (6L, "elderberry"))
+      .toDF("doc_id", "text")
+    graft.operators.Retrieval.bm25IngestBatch(dir, more, "doc_id", "text", 1L)
+    val want2 = {
+      val p = java.nio.file.Files.createTempDirectory("bm25-spec-ing-rb2").toString
+      graft.operators.Retrieval.buildBm25Index(
+        docs.unionByName(more), "doc_id", "text", p, buckets = 7)
+      probe(p)
+    }
+    assert(probe(dir) === want2 && statsOf(dir) === ((6L, 12L)))
+    // no _bak/_new/_tmp debris survives a completed apply
+    val debris = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.contains("_bak") || n.contains("_new") || n.contains("_tmp"))
+    assert(debris.isEmpty, s"leftover apply state: ${debris.mkString(", ")}")
+    // an empty batch commits as a no-op marker: stats untouched, id burned
+    graft.operators.Retrieval.bm25IngestBatch(
+      dir, docs.filter(col("doc_id") > 100), "doc_id", "text", 2L)
+    assert(statsOf(dir) === ((6L, 12L)))
+    // (filter the local-FS .crc sidecars)
+    assert(new java.io.File(s"$dir/ingestlog").list()
+      .filterNot(_.startsWith(".")).sorted.toSeq === Seq("b0", "b1", "b2"))
+  }
+
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
     val docs = corpus.toDF("doc_id", "text")

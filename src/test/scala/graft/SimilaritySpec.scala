@@ -530,6 +530,29 @@ class SimilaritySpec extends SparkSpec {
         s"$parent/qm", queries, "id", "vec", k = 3, nprobe = 2)
       .collect().map(_.toString).sorted.toSeq
     assert(qmerged.nonEmpty)
+    // variadic: ONE 4-shard merge equals the pairwise-built single
+    // index, and a move-merge of the same shards consumes their parts
+    val s4 = (0 until 4).map { i =>
+      val p = s"$parent/s4_$i"
+      Similarity.ivfInit(spark, cents, p)
+      Similarity.ivfAppend(p, all.filter($"id" % 4 === i), "id", "vec")
+      p
+    }
+    Similarity.ivfMerge(spark, s4, s"$parent/nway")
+    assert(probe(s"$parent/nway") === probe(single))
+    Similarity.ivfMerge(spark, s4, s"$parent/moved", move = true)
+    assert(probe(s"$parent/moved") === probe(single))
+    s4.foreach { p =>
+      val b = java.nio.file.Paths.get(s"$p/corpus")
+      val st = java.nio.file.Files.walk(b)
+      val left =
+        try st.toArray.map(_.toString).count(_.endsWith(".parquet"))
+        finally st.close()
+      assert(left === 0, s"move left $left part files under $p/corpus")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMerge(spark, Seq(single), s"$parent/m1")
+    }
     // guards: drifted quantizer and existing destination both abort
     val drifted = s"$parent/drift"
     Similarity.ivfInit(spark, cents.map(_.map(_ + 0.5)), drifted)
@@ -543,6 +566,61 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.ivfInit(spark, cents, s"$parent/a")
     }
+  }
+
+  test("ivf stream-ingest apply is idempotent; quantized layout ingests the same way") {
+    val rng = new scala.util.Random(91)
+    val dim = 8
+    val all = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian()).toSeq)).toDF("id", "vec")
+    val parent = java.nio.file.Files.createTempDirectory("graft-ivf-ing-spec").toString
+    val cents = Similarity.trainIvfCentroids(all, "id", "vec", nlist = 4)
+    val path = s"$parent/idx"
+    Similarity.ivfInit(spark, cents, path)
+    // crashed batch-0 attempt: a tagged junk part that recovery must drop
+    val junk = all.filter($"id" === 0)
+      .select(lit(-999L).as("id"), $"vec".cast("array<double>").as("vec"))
+      .withColumn("cell", element_at(
+        graft.functions.VecExprs.nearestCentroids(
+          $"vec", cents.map(_.toSeq).toSeq, 1), 1))
+    val junkCell = junk.select($"cell").collect()(0).getInt(0)
+    val stage = java.nio.file.Files.createTempDirectory("graft-ivf-ing-plant").toString
+    junk.select($"id", $"vec").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$path/corpus/cell=$junkCell").mkdirs()
+    java.nio.file.Files.move(part.toPath, new java.io.File(
+      s"$path/corpus/cell=$junkCell", s"b0_${part.getName}").toPath)
+    // batch 0 (re-delivered over the crash debris), then batch 1
+    Similarity.ivfIngestBatch(path, all.filter($"id" % 2 === 0), "id", "vec", 0L)
+    Similarity.ivfIngestBatch(path, all.filter($"id" % 2 === 1), "id", "vec", 1L)
+    // post-commit re-delivery of both ids: skipped whole
+    Similarity.ivfIngestBatch(path, all.filter($"id" % 2 === 0), "id", "vec", 0L)
+    Similarity.ivfIngestBatch(path, all.filter($"id" % 2 === 1), "id", "vec", 1L)
+    assert(spark.read.parquet(s"$path/corpus").count() === 60L)
+    assert(spark.read.parquet(s"$path/corpus")
+      .filter($"id" === -999L).count() === 0L, "crash junk survived recovery")
+    // probe == the plain single build (same centroids by construction)
+    val single = s"$parent/single"
+    Similarity.buildIvfIndex(all, "id", "vec", nlist = 4, single)
+    val queries = all.filter($"id" % 11 === 0).select(($"id" + 9000L).as("id"), $"vec")
+    def probe(p: String) = Similarity.ivfTopKIndexed(
+        p, queries, "id", "vec", k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probe(path).nonEmpty && probe(path) === probe(single))
+    // quantized layout: same protocol through the quantized flag
+    val qpath = s"$parent/qidx"
+    Similarity.ivfInit(spark, cents, qpath)
+    Similarity.ivfIngestBatch(qpath, all.filter($"id" % 2 === 0), "id", "vec",
+      0L, quantized = true)
+    Similarity.ivfIngestBatch(qpath, all.filter($"id" % 2 === 1), "id", "vec",
+      1L, quantized = true)
+    Similarity.ivfIngestBatch(qpath, all.filter($"id" % 2 === 1), "id", "vec",
+      1L, quantized = true) // re-delivery skips
+    assert(spark.read.parquet(s"$qpath/corpus").count() === 60L)
+    val qhits = Similarity.ivfQTopKIndexed(qpath, queries, "id", "vec",
+      k = 3, nprobe = 2)
+    assert(qhits.count() > 0)
   }
 
   test("ivf centroids are deterministic") {
