@@ -779,6 +779,55 @@ object Retrieval {
     nDel
   }
 
+  /** Predict a takedown batch's [[bm25Delete]] footprint BEFORE
+    * executing it — the costing operator a production takedown queue
+    * calls to size its batches. [[bm25Delete]]'s scaladoc documents the
+    * economics (the rewrite unit is the BUCKET, and a doc's distinct
+    * terms hash-spread, so small batches under a small modulus rewrite
+    * nearly everything); this turns that prose into a number the queue
+    * can threshold: accumulate requests until `affected_fraction`
+    * approaches its budget (or a deadline forces a flush), then delete
+    * once — the per-bucket rewrite cost amortizes over every doc in the
+    * batch.
+    *
+    * One row: `n_doomed_docs` (registry hits — tokenless docs included,
+    * though they touch no postings bucket), `doomed_postings`,
+    * `n_affected_buckets`, `n_buckets`, `affected_fraction`. The
+    * affected set is derived from the SAME doomed-postings join
+    * [[bm25Delete]] rewrites from, so prediction == execution footprint
+    * exactly (spec-pinned against the measured per-bucket file diff of
+    * a real delete). Read-only; scan cost is one column-pruned pass
+    * over (id, bucket) of postings plus the registry semi-join —
+    * the honest price of exactness (a Bloom-sketch estimate could
+    * undercount never overcount buckets; not worth the approximation
+    * for a planning read).
+    */
+  def bm25DeleteBatchPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("buckets")).collect()(0).getLong(0)
+    // registry count rides a scalar subquery (no 1x1 join — the BNL ban)
+    val nDoomed = spark.read.parquet(s"$path/doclen").join(k, "id")
+      .agg(count(lit(1)).as("n")).scalar()
+    spark.read.parquet(s"$path/postings")
+      .select(col("id"), col("bucket"))
+      .join(k, "id")
+      .agg(
+        count(lit(1)).as("doomed_postings"),
+        count_distinct(col("bucket")).as("n_affected_buckets"))
+      .select(
+        nDoomed.as("n_doomed_docs"),
+        col("doomed_postings"),
+        col("n_affected_buckets"),
+        lit(nBuckets).as("n_buckets"),
+        (col("n_affected_buckets").cast("double") / lit(nBuckets.toDouble))
+          .as("affected_fraction"))
+  }
+
   /** Probe a [[buildBm25Index]] index: identical scoring (and therefore
     * an identical result relation) to [[bm25TopK]] over the indexed
     * corpus, but the corpus is never rescanned — the probe reads the

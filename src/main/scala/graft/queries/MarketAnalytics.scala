@@ -231,13 +231,8 @@ object MarketAnalytics {
     // contract). Both state APIs fold the identical mergePoint/finishBuf
     // algebra; this gate pins the new API's replay against q55's
     // verbatim oracle, so the engine proves one semantics on both.
-    "q154_stream_indicators_tws" -> ((s, dir) => {
-      val spark = Tables.configure(s)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try replaySnapshot(s, dir, "q154_tws",
+    "q154_stream_indicators_tws" -> ((s, dir) => withRocksDb(s) {
+      replaySnapshot(s, dir, "q154_tws",
           stream => graft.streaming.StreamingEtl.statefulIndicatorsTws(
             asTrades(stream), period = 14).toDF(),
           Seq("symbol"), "n_rows")
@@ -249,10 +244,6 @@ object MarketAnalytics {
           col("period"),
           col("n_rows"))
         .orderBy(col("event_type"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }),
 
     // Inter-arrival gap profile per event_type — the feed-health
@@ -291,23 +282,35 @@ object MarketAnalytics {
     // transformWithState (the third semantics on the successor API —
     // q154 indicators, q157 TTL dedup, now sessions). Identical replay,
     // q17's verbatim oracle by reference, RocksDB-pinned.
-    "q160_stream_sessions_tws" -> ((s, dir) => {
-      val spark = Tables.configure(s)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try replaySnapshot(s, dir, "q160_tws",
+    "q160_stream_sessions_tws" -> ((s, dir) => withRocksDb(s) {
+      replaySnapshot(s, dir, "q160_tws",
           stream => graft.streaming.StreamingEtl.statefulSessionsTws(
             stream.select(col("user_id"), col("ts")),
             gap = 1800000000000L).toDF(),
           Seq("user_id"), "n_events")
         .select(col("user_id"), col("n_sessions"), col("n_events"))
         .orderBy(col("user_id"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    }),
+
+    // §2.7/§2.8 gate: the CANDLE algebra on transformWithState — the
+    // FOURTH semantics on the successor state API (q154 indicators,
+    // q157 TTL dedup, q160 sessions): key = (symbol, window start),
+    // state = the native OhlcAggExpr.Buf itself, so batch (q80),
+    // built-in streaming aggregation (q86), and TWS fold ONE candle
+    // algebra. Identical replay, q80's verbatim batch oracle by
+    // reference, RocksDB-pinned like every TWS gate.
+    "q164_stream_ohlc_tws" -> ((s, dir) => withRocksDb(s) {
+      replaySnapshot(s, dir, "q164_tws",
+          stream => graft.streaming.StreamingEtl.statefulOhlcTws(
+            asTrades(stream)).toDF(),
+          Seq("symbol", "window_start_us"), "n_ticks")
+        .select(
+          col("symbol").as("event_type"),
+          date_format(timestamp_micros(col("window_start_us")),
+            "yyyy-MM-dd HH:00").as("hour"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_ticks"))
+        .orderBy(col("event_type"), col("hour"))
     }),
 
     // §2.7 gate #2: the CANDLE algebra's batch/stream parity, proven the
@@ -598,19 +601,10 @@ object MarketAnalytics {
     // Identical phases, identical oracle (q153's, by reference): a
     // divergence in the late-drop rule, the suppress window, or timer
     // eviction breaks a counter. RocksDB-pinned like every TWS gate.
-    "q157_stream_dedup_ttl_tws" -> ((s, dir) => {
-      val spark = Tables.configure(s)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try ttlDedupGate(s, dir,
+    "q157_stream_dedup_ttl_tws" -> ((s, dir) => withRocksDb(s) {
+      ttlDedupGate(s, dir,
         stream => graft.streaming.StreamingEtl.dedupWithinWatermarkTws(
           stream, Seq("event_id"), "ts", "2 hours"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }),
 
     // S7 gate: the run-stamped parquet sink round trip under the driver's
@@ -812,6 +806,24 @@ object MarketAnalytics {
         finally st.close()
       }
     } finally c.close()
+  }
+
+  /** Pin the RocksDB state-store provider around a transformWithState
+    * gate body (the TWS runtime requires it), restoring the prior
+    * session conf afterwards — shared by every TWS gate so the wrap
+    * cannot drift per gate.
+    */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val spark = Tables.configure(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Shared streaming-replay harness for the §2.7 parity gates: re-shard
@@ -1365,6 +1377,9 @@ object MarketAnalytics {
     // q86 replays the same rows through the streaming state machine; the
     // parity claim IS "same candles as the batch aggregate" (q55 pattern)
     "q86_stream_ohlc_parity" -> ohlcOracle,
+    // The TWS form replays the same rows through the same candle
+    // algebra — same oracle, by reference (the q154/q160 rationale).
+    "q164_stream_ohlc_tws" -> ohlcOracle,
     // q117 replays the same rows through the stream-stream join state
     // machine; the parity claim IS "same pairs as the batch interval
     // join", so the oracle is q44's verbatim (same 5-minute window, same

@@ -589,6 +589,111 @@ object StreamingEtl {
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_ticks"))
 
+  /** One tick routed to its (symbol, event-time window) candle — the
+    * [[statefulOhlcTws]] input row. `tsNs` keeps the RAW ns timestamp:
+    * open/close selection orders by (tsNs, id), exactly the tuple the
+    * native [[graft.functions.OhlcAggExpr]] orders by in
+    * [[windowedOhlc]] and the batch [[graft.operators.Ohlc.bars]].
+    */
+  final case class OhlcPoint(
+      symbol: String, tsNs: Long, id: Long, price: Double, volume: Long,
+      winStart: Long)
+
+  /** The candle buffer persisted per (symbol, window) key: the nine
+    * primitives of [[graft.functions.OhlcAggExpr.Buf]] plus the volume
+    * sum — the same 72-byte state the native aggregate ships between
+    * map and reduce, here living in the state store across batches.
+    */
+  final case class OhlcTwsState(
+      n: Long, oo1: Long, oo2: Long, open: Double,
+      co1: Long, co2: Long, close: Double, high: Double, low: Double,
+      volume: Long)
+
+  final case class OhlcTwsSnapshot(
+      symbol: String, window_start_us: Long,
+      open: Double, high: Double, low: Double, close: Double,
+      volume: Long, n_ticks: Long)
+
+  /** [[windowedOhlc]]'s candle algebra as CUSTOM KEYED STATE on Spark
+    * 4's `transformWithState` — the FOURTH semantics carried on the
+    * successor state API (q154 indicators, q157 TTL dedup, q160
+    * sessions, now OHLC): the key is (symbol, window start), the state
+    * is literally [[graft.functions.OhlcAggExpr.Buf]] reconstructed
+    * per batch — batch aggregation, built-in streaming aggregation,
+    * and TWS all fold ONE candle algebra, so a divergence anywhere is
+    * a bug by definition (the q164 gate pins this replay against q80's
+    * verbatim batch oracle, RocksDB-pinned like every TWS gate).
+    * Open/close order by the unique (ts, trade_id) tuple; prices are
+    * raw row values; volume sums longs — every output exact.
+    *
+    * Window start is µs-anchored (the [[toEventTime]] F7 bound):
+    * floor(ts/1000 / windowUs) · windowUs, identical to
+    * `window(event_time, dur)` on the µs event time. No watermark by
+    * default (the replay contract — late rows must not drop); bound
+    * production state by composing a watermark upstream and a timer
+    * eviction, or use [[windowedOhlc]] where the built-in operator's
+    * eviction suffices.
+    */
+  def statefulOhlcTws(
+      trades: DataFrame,
+      windowUs: Long = 3600000000L): org.apache.spark.sql.Dataset[OhlcTwsSnapshot] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(windowUs > 0, s"window must be positive, got $windowUs µs")
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val us = (col("timestamp").cast("decimal(38,0)") / lit(1000)).cast("long")
+    trades.select(
+        col("symbol"),
+        col("timestamp").cast("long").as("tsNs"),
+        col("trade_id").cast("long").as("id"),
+        col("price").cast("double").as("price"),
+        col("volume").cast("long").as("volume"),
+        (us - pmod(us, lit(windowUs))).as("winStart")).as[OhlcPoint]
+      .groupByKey(p => (p.symbol, p.winStart))
+      .transformWithState(
+        new OhlcProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The [[statefulOhlcTws]] processor: one typed ValueState holds the
+    * candle buffer; each batch folds through the SAME Buf.observe the
+    * native aggregate runs.
+    */
+  private class OhlcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), OhlcPoint, OhlcTwsSnapshot] {
+    @transient private var bar:
+      org.apache.spark.sql.streaming.ValueState[OhlcTwsState] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bar = getHandle.getValueState[OhlcTwsState](
+        "bar",
+        org.apache.spark.sql.Encoders.product[OhlcTwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[OhlcPoint],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[OhlcTwsSnapshot] = {
+      val b = new graft.functions.OhlcAggExpr.Buf()
+      var vol = 0L
+      if (bar.exists()) {
+        val st = bar.get()
+        b.n = st.n
+        b.openOrd1 = st.oo1; b.openOrd2 = st.oo2; b.open = st.open
+        b.closeOrd1 = st.co1; b.closeOrd2 = st.co2; b.close = st.close
+        b.high = st.high; b.low = st.low
+        vol = st.volume
+      }
+      rows.foreach { p => b.observe(p.tsNs, p.id, p.price); vol += p.volume }
+      bar.update(OhlcTwsState(
+        b.n, b.openOrd1, b.openOrd2, b.open,
+        b.closeOrd1, b.closeOrd2, b.close, b.high, b.low, vol))
+      Iterator.single(OhlcTwsSnapshot(
+        key._1, key._2, b.open, b.high, b.low, b.close, vol, b.n))
+    }
+  }
+
   /** Deterministic event-time candle bars — the streaming form of
     * [[graft.operators.Ohlc.bars]], sharing the SAME native aggregate
     * ([[graft.functions.OhlcAggExpr]]) so batch and stream run one candle

@@ -476,6 +476,53 @@ class RetrievalSpec extends SparkSpec {
       .filterNot(_.startsWith(".")).sorted.toSeq === Seq("b0", "b1", "b2"))
   }
 
+  test("bm25DeleteBatchPlan predicts exactly the buckets bm25Delete rewrites") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-plan").toString
+    // a wider corpus so doomed terms spread across several of 16 buckets
+    val docs = (1L to 24L).map(i =>
+      (i, s"w${i} w${i + 1} w${i + 2} shared")).toDF("doc_id", "text")
+    graft.operators.Retrieval.buildBm25Index(
+      docs, "doc_id", "text", dir, buckets = 16)
+    val keys = Seq(3L, 11L).toDF("doc_id")
+    val plan = graft.operators.Retrieval.bm25DeleteBatchPlan(
+      spark, dir, keys, "doc_id").collect()(0)
+    // independent prediction: the doomed docs' distinct terms, bucketed
+    // straight off the RAW corpus (never through the index)
+    val expectedBuckets = docs.filter(col("doc_id").isin(3L, 11L))
+      .select(explode(split(col("text"), " ")).as("term")).distinct()
+      .select(pmod(xxhash64(col("term")), lit(16L)).as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(plan.getAs[Long]("n_doomed_docs") === 2L)
+    assert(plan.getAs[Long]("doomed_postings") === 8L) // 4 distinct terms x 2 docs
+    assert(plan.getAs[Long]("n_affected_buckets") === expectedBuckets.size.toLong)
+    assert(plan.getAs[Long]("n_buckets") === 16L)
+    assert(plan.getAs[Double]("affected_fraction")
+      === expectedBuckets.size.toDouble / 16.0)
+    // measured footprint: per-bucket postings file state before/after a
+    // REAL delete — the changed set must be exactly the predicted set
+    def fileState(): Map[Long, Set[(String, Long)]] =
+      new java.io.File(s"$dir/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName.stripPrefix("bucket=").toLong ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length)).toSet)
+        .toMap
+    val before = fileState()
+    val nDel = graft.operators.Retrieval.bm25Delete(spark, dir, keys, "doc_id")
+    assert(nDel === plan.getAs[Long]("n_doomed_docs"))
+    val after = fileState()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed === expectedBuckets,
+      s"measured rewrite footprint $changed != predicted $expectedBuckets")
+    // planning an absent key is a zero-footprint no-op
+    val empty = graft.operators.Retrieval.bm25DeleteBatchPlan(
+      spark, dir, Seq(999L).toDF("doc_id"), "doc_id").collect()(0)
+    assert(empty.getAs[Long]("n_doomed_docs") === 0L)
+    assert(empty.getAs[Long]("n_affected_buckets") === 0L)
+    assert(empty.getAs[Double]("affected_fraction") === 0.0)
+  }
+
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
     val docs = corpus.toDF("doc_id", "text")

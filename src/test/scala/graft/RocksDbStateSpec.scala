@@ -133,6 +133,19 @@ class RocksDbStateSpec extends SparkSpec {
     assert(tws.nonEmpty && tws === old)
   }
 
+  test("transformWithState OHLC replay equals the windowed-aggregation path") {
+    // the q164 gate (candle buffers as typed ValueState, keyed by
+    // (symbol, window)) must reproduce the q86 gate (built-in windowed
+    // aggregation over the SAME native OhlcAggExpr) relation exactly —
+    // one candle algebra on a third execution substrate
+    val dir = "/root/testdata/sf0.001"
+    val win = SparkEntry.queries("q86_stream_ohlc_parity")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val tws = SparkEntry.queries("q164_stream_ohlc_tws")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tws.nonEmpty && tws === win)
+  }
+
   test("q148 full-outer join eviction (both directions) is identical under RocksDB") {
     val (default, rocks) = runBoth("q148_stream_full_outer_join")
     assert(rocks.nonEmpty && rocks === default)
