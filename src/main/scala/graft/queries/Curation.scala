@@ -2722,9 +2722,9 @@ object Curation {
       val docs = t(s, dir, "documents")
       val path = bm25IngestDir
       copyInto(bm25Base(s, dir), path) // base: doc_id % 3 =!= 0
-      // phases: the %3==0 remainder as four mod-12 residues
-      val phases = Seq(0L, 3L, 6L, 9L).map(r =>
-        docs.filter(col("doc_id") % 12 === r)
+      // phases: the %3==0 remainder as three mod-9 residues
+      val phases = Seq(0L, 3L, 6L).map(r =>
+        docs.filter(col("doc_id") % 9 === r)
           .select(col("doc_id"), col("text")))
       val staged = stagePhases(s"ingest162|$dir", phases)
       // manufactured batch-0 crash state (see gate comment)
@@ -2747,7 +2747,7 @@ object Curation {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
       val sink = Retrieval.bm25StreamSink(path, "doc_id", "text")
-      runPhasedIngest(s, staged, phases.head.schema, nPhases = 4,
+      runPhasedIngest(s, staged, phases.head.schema, nPhases = 3,
         firstRun = 2, sink)
       // post-commit re-delivery of batch 1: must skip whole
       Retrieval.bm25IngestBatch(
@@ -2761,7 +2761,7 @@ object Curation {
     // q162 composition for the DENSE artifact, under q35's VERBATIM
     // IVF-in-SQL oracle: centroids train once on the full corpus (the
     // q161 method), the empty index initializes from them, and the
-    // whole corpus then arrives as a 4-phase stream through
+    // whole corpus then arrives as a 3-phase stream through
     // ivfStreamSink. Crash windows driven the q162 way: a manufactured
     // b0-tagged corpus part whose vector IS query 0's embedding under
     // id -999 (if recovery fails it ranks #1 at sim 1.0), a
@@ -2786,12 +2786,12 @@ object Curation {
       val junkCell = junk.select(col("cell")).collect()(0).getInt(0)
       plantTaggedPart(junk.select(col("id"), col("vec")),
         s"$path/corpus/cell=$junkCell", "b0")
-      val phases = (0 until 4).map(i =>
-        emb.filter(col("vec_id") % 4 === i)
+      val phases = (0 until 3).map(i =>
+        emb.filter(col("vec_id") % 3 === i)
           .select(col("vec_id"), col("embedding")))
       val staged = stagePhases(s"ingest163|$dir", phases)
       val sink = Similarity.ivfStreamSink(path, "vec_id", "embedding")
-      runPhasedIngest(s, staged, phases.head.schema, nPhases = 4,
+      runPhasedIngest(s, staged, phases.head.schema, nPhases = 3,
         firstRun = 2, sink)
       // post-commit re-delivery of batch 1: must skip whole
       Similarity.ivfIngestBatch(

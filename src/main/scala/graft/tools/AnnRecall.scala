@@ -64,6 +64,60 @@ object AnnRecall {
         f"wall=$wall%5.2f s")
     }
 
+    // Quantized persisted-index sweep (the q159 production layout):
+    // recall vs nprobe x rerankFactor, with the stage-1 bytes-read cost
+    // reported against the float indexed probe at the same nprobe. The
+    // int8 stage only SELECTS candidates (reported sims are exact float
+    // cosines), so its only quality lever is how many survivors the
+    // rerank sees — rerankFactor buys back the int8 selection loss.
+    // Bytes are logical uncompressed per candidate row: float stage-1
+    // reads (id, vec) = 8 + 8*dim; quantized stage-1 reads (id, qvec,
+    // qn2) = 8 + dim + 8, ~1/8th at dim=64 — the probed-cell candidate
+    // count is measured, the per-row widths are schema facts.
+    locally {
+      val dim = emb.selectExpr("size(embedding)").first().getInt(0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annrecall-ivfq").toString
+      Similarity.buildIvfQIndex(
+        emb, "vec_id", "embedding", nlist = 16, idxDir)
+      val cents = spark.read.parquet(s"$idxDir/centroids")
+        .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
+      val assigned = emb.select(
+          col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(col("vec"), cents, 1), 1))
+        .persist()
+      for {
+        nprobe <- Seq(2, 4, 8)
+        rerank <- Seq(1, 2, 4, 8)
+      } {
+        val candRows = qs.select(
+            col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qvec"))
+          .select(col("qid"), explode(
+            graft.functions.VecExprs.nearestCentroids(
+              col("qvec"), cents, nprobe)).as("cell"))
+          .join(assigned, "cell").count()
+        val t0 = System.nanoTime()
+        val got = Similarity.ivfQTopKIndexed(
+            idxDir, qs, "vec_id", "embedding",
+            k = 10, nprobe = nprobe, rerankFactor = rerank)
+          .select(col("qid"), col("id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val hits = got.count(brute.contains)
+        val s1KB = candRows * (8L + dim + 8L) / 1024
+        val floatKB = candRows * (8L + 8L * dim) / 1024
+        println(f"[sweep] ivfq nprobe=$nprobe rerank=$rerank " +
+          f"recall=${hits.toDouble / brute.size}%.3f " +
+          f"stage1=${s1KB}%6d KiB (float probe ${floatKB}%6d KiB) " +
+          f"wall=$wall%5.2f s")
+      }
+      assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    }
+
     // IVF sweep: recall vs probed-cell cost — nprobe/nlist is the
     // designed corpus fraction; cand_frac is the MEASURED one (actual
     // probed-cell population / (queries x corpus)), which diverges when

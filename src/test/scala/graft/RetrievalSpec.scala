@@ -471,6 +471,10 @@ class RetrievalSpec extends SparkSpec {
     graft.operators.Retrieval.bm25IngestBatch(
       dir, docs.filter(col("doc_id") > 100), "doc_id", "text", 2L)
     assert(statsOf(dir) === ((6L, 12L)))
+    // maintenance is layout-blind over streamed generations: compaction
+    // collapses the per-batch file sets, probe bit-identical
+    graft.operators.Retrieval.bm25Compact(spark, dir)
+    assert(probe(dir) === want2)
     // (filter the local-FS .crc sidecars)
     assert(new java.io.File(s"$dir/ingestlog").list()
       .filterNot(_.startsWith(".")).sorted.toSeq === Seq("b0", "b1", "b2"))

@@ -608,6 +608,10 @@ class SimilaritySpec extends SparkSpec {
         p, queries, "id", "vec", k = 3, nprobe = 2)
       .collect().map(_.toString).sorted.toSeq
     assert(probe(path).nonEmpty && probe(path) === probe(single))
+    // maintenance is layout-blind over streamed generations: compaction
+    // collapses the per-batch file sets, probe bit-identical
+    Similarity.ivfCompact(spark, path)
+    assert(probe(path) === probe(single))
     // quantized layout: same protocol through the quantized flag
     val qpath = s"$parent/qidx"
     Similarity.ivfInit(spark, cents, qpath)
