@@ -313,6 +313,48 @@ object MarketAnalytics {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // §2.7/§2.8 gate: APPEND-MODE candles finalized by TWS event-time
+    // TIMERS (statefulOhlcTwsFinalize) — the watermark-bounded
+    // production form of q164: each (symbol, window) emits exactly
+    // once when the watermark passes its end, late rows drop, state
+    // clears per window. Driven with q116's sentinel phase design
+    // (late-drop class, accepted-late duplicate class, two
+    // watermark-advancing sentinels + an empty spacer for the
+    // one-batch watermark lag); the oracle is the batch OHLC over
+    // (events UNION accepted copies) — a double emission, a reopened
+    // finalized window, a dropped live row, or a kept late row all
+    // break rows or sums.
+    "q165_stream_ohlc_finalize" -> ((s, dir) => withRocksDb(s) {
+      val events = t(s, dir, "events")
+      val tsUs = call_function("div", col("ts"), lit(1000L))
+      val hourUs = 3600L * 1000000L
+      val maxUs = events.agg(max(tsUs)).collect()(0).getLong(0)
+      val lateDrop = events
+        .filter(col("event_id") % 9 === 0 && tsUs < maxUs - 3 * hourUs)
+      val lateKeep = events
+        .filter(col("event_id") % 4 === 1 && tsUs >= maxUs - hourUs)
+      def sentinel(offsetUs: Long) = events.sparkSession.range(1).select(
+        lit(-1L).as("event_id"),
+        lit((maxUs + offsetUs) * 1000L).as("ts"),
+        lit(0L).as("user_id"),
+        lit("wm_probe").as("event_type"),
+        lit(0.0d).as("value"),
+        lit("").as("props"))
+      replayPhases(s, "q165_ohlc_fin", dir,
+          Seq(events, events.limit(0), lateDrop.union(lateKeep),
+            sentinel(6 * hourUs), sentinel(12 * hourUs)),
+          stream => graft.streaming.StreamingEtl.statefulOhlcTwsFinalize(
+            asTrades(stream)).toDF())
+        .filter(col("symbol") =!= "wm_probe")
+        .select(
+          col("symbol").as("event_type"),
+          date_format(timestamp_micros(col("window_start_us")),
+            "yyyy-MM-dd HH:00").as("hour"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_ticks"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // §2.7 gate #2: the CANDLE algebra's batch/stream parity, proven the
     // same way q55 proves the indicator algebra's — the events table is
     // replayed as a real multi-batch Structured Streaming run through
@@ -1380,6 +1422,44 @@ object MarketAnalytics {
     // The TWS form replays the same rows through the same candle
     // algebra — same oracle, by reference (the q154/q160 rationale).
     "q164_stream_ohlc_tws" -> ohlcOracle,
+    // Timer-finalized candles under a watermark: the q116 retention
+    // contract (accepted-late copies merge, stale rows drop — the
+    // sentinels push the watermark past every real window, so all of
+    // them finalize) applied to the q80/q86 candle relation. rn ties
+    // between an original and its accepted duplicate carry the same
+    // value, so open/close are unambiguous; n_ticks and volume count
+    // the copy — exactly what the stream's merged buffer holds.
+    "q165_stream_ohlc_finalize" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+           late AS (
+             SELECT e.event_type, e.ts, e.event_id, e.value, e.user_id
+             FROM events e, m
+             WHERE e.event_id % 4 = 1
+               AND epoch_us(e.ts) >= m.max_us - 3600000000),
+           allrows AS (
+             SELECT event_type, ts, event_id, value, user_id FROM events
+             UNION ALL
+             SELECT event_type, ts, event_id, value, user_id FROM late),
+           b AS (
+             SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               value, user_id,
+               row_number() OVER w AS rn,
+               count(*) OVER (
+                 PARTITION BY event_type, date_trunc('hour', ts)) AS n
+             FROM allrows
+             WINDOW w AS (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id))
+           SELECT event_type, hour,
+             max(CASE WHEN rn = 1 THEN value END) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             max(CASE WHEN rn = n THEN value END) AS close,
+             CAST(sum(user_id) AS BIGINT) AS volume,
+             count(*) AS n_ticks
+           FROM b GROUP BY event_type, hour
+           ORDER BY event_type, hour""",
     // q117 replays the same rows through the stream-stream join state
     // machine; the parity claim IS "same pairs as the batch interval
     // join", so the oracle is q44's verbatim (same 5-minute window, same

@@ -694,6 +694,128 @@ object StreamingEtl {
     }
   }
 
+  /** [[statefulOhlcTws]]'s input row carrying the WATERMARKED event-time
+    * column (the watermark must survive into the typed stream, so the
+    * projection keeps it — the q157 Row-retention rule).
+    */
+  final case class OhlcWmPoint(
+      symbol: String, tsNs: Long, id: Long, price: Double, volume: Long,
+      winStart: Long, event_time: java.sql.Timestamp)
+
+  /** PRODUCTION-BOUNDED candles on `transformWithState`: the
+    * [[statefulOhlcTws]] algebra under a WATERMARK, with first-class
+    * EVENT-TIME TIMERS doing what the built-in windowed aggregation's
+    * eviction does in [[windowedOhlc]] — each (symbol, window) candle
+    * emits EXACTLY ONCE, when the watermark passes its window end, and
+    * its state clears (append output mode). This is the second
+    * timer-driven eviction semantics on the successor API (q157's TTL
+    * dedup evicts per KEY; this finalizes per WINDOW) and the bounded
+    * form the [[statefulOhlcTws]] scaladoc defers to:
+    *
+    *   - a row behind the current watermark drops as late (the
+    *     built-in exec's rule, checked per batch) — in particular a
+    *     row for an already-finalized window can never reopen it
+    *     (its window end is <= the watermark by construction);
+    *   - the first row of a (symbol, window) key creates the candle
+    *     buffer and registers ONE timer at the window end (ms-floored
+    *     — timers are ms-granular; a sub-ms window boundary row can
+    *     fire a timer up to 1 ms early, irrelevant at any real window
+    *     size);
+    *   - the timer fires once the watermark passes it: the candle
+    *     emits and the key's state clears — state is O(open windows),
+    *     the [[watermarkedWindowCounts]] bound, carried by explicit
+    *     timers instead of the built-in operator.
+    *
+    * The q165 gate drives it with q116's sentinel phase design (late
+    * drops, accepted late duplicates, watermark-advancing sentinels)
+    * against a batch oracle applying the same retention in SQL.
+    * RocksDB provider required (the TWS contract; gates wrap it).
+    */
+  def statefulOhlcTwsFinalize(
+      trades: DataFrame,
+      windowUs: Long = 3600000000L,
+      watermarkDelay: String = "2 hours"): org.apache.spark.sql.Dataset[OhlcTwsSnapshot] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(windowUs > 0, s"window must be positive, got $windowUs µs")
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val us = (col("timestamp").cast("decimal(38,0)") / lit(1000)).cast("long")
+    trades
+      .withColumn("event_time", toEventTime(col("timestamp")))
+      .withWatermark("event_time", watermarkDelay)
+      .select(
+        col("symbol"),
+        col("timestamp").cast("long").as("tsNs"),
+        col("trade_id").cast("long").as("id"),
+        col("price").cast("double").as("price"),
+        col("volume").cast("long").as("volume"),
+        (us - pmod(us, lit(windowUs))).as("winStart"),
+        col("event_time")).as[OhlcWmPoint]
+      .groupByKey(p => (p.symbol, p.winStart))
+      .transformWithState(
+        new OhlcFinalizeProcessor(windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[statefulOhlcTwsFinalize]] processor: candle buffer in a
+    * typed ValueState, one event-time timer per open window; emission
+    * happens ONLY in the timer handler (append semantics).
+    */
+  private class OhlcFinalizeProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), OhlcWmPoint, OhlcTwsSnapshot] {
+    @transient private var bar:
+      org.apache.spark.sql.streaming.ValueState[OhlcTwsState] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bar = getHandle.getValueState[OhlcTwsState](
+        "bar",
+        org.apache.spark.sql.Encoders.product[OhlcTwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[OhlcWmPoint],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[OhlcTwsSnapshot] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val live = rows.filter(_.event_time.getTime >= wm) // late rows drop
+      if (live.isEmpty) return Iterator.empty
+      val b = new graft.functions.OhlcAggExpr.Buf()
+      var vol = 0L
+      val existed = bar.exists()
+      if (existed) {
+        val st = bar.get()
+        b.n = st.n
+        b.openOrd1 = st.oo1; b.openOrd2 = st.oo2; b.open = st.open
+        b.closeOrd1 = st.co1; b.closeOrd2 = st.co2; b.close = st.close
+        b.high = st.high; b.low = st.low
+        vol = st.volume
+      }
+      live.foreach { p => b.observe(p.tsNs, p.id, p.price); vol += p.volume }
+      bar.update(OhlcTwsState(
+        b.n, b.openOrd1, b.openOrd2, b.open,
+        b.closeOrd1, b.closeOrd2, b.close, b.high, b.low, vol))
+      // first life of this window's state: arm its finalize timer at the
+      // window end (µs -> ms floor)
+      if (!existed)
+        getHandle.registerTimer((key._2 + windowUs) / 1000L)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(
+        key: (String, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[OhlcTwsSnapshot] = {
+      if (!bar.exists()) return Iterator.empty
+      val st = bar.get()
+      bar.clear()
+      Iterator.single(OhlcTwsSnapshot(
+        key._1, key._2, st.open, st.high, st.low, st.close,
+        st.volume, st.n))
+    }
+  }
+
   /** Deterministic event-time candle bars — the streaming form of
     * [[graft.operators.Ohlc.bars]], sharing the SAME native aggregate
     * ([[graft.functions.OhlcAggExpr]]) so batch and stream run one candle

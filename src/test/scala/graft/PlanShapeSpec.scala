@@ -274,6 +274,22 @@ class PlanShapeSpec extends SparkSpec {
         operators.Retrieval.bm25Merge(spark, path, pathB,
           java.nio.file.Files
             .createTempDirectory("graft-bm25-planshape-m").toString + "/m")
+        // the round-12 streaming-ingest applies (tagged increments +
+        // table swaps) run their write plans through the same listener
+        operators.Retrieval.bm25IngestBatch(path,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 1)
+            .select(
+              (org.apache.spark.sql.functions.col("doc_id") +
+                org.apache.spark.sql.functions.lit(2000000000L)).as("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          "doc_id", "text", 0L)
+        operators.Similarity.ivfIngestBatch(ivfPath,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 7 === 1)
+            .select(
+              (org.apache.spark.sql.functions.col("vec_id") +
+                org.apache.spark.sql.functions.lit(2000000000L)).as("vec_id"),
+              org.apache.spark.sql.functions.col("embedding")),
+          "vec_id", "embedding", 0L)
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000

@@ -150,6 +150,67 @@ class WatermarkSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("timer-finalized OHLC: one emission per window, late drop, state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    // trades arrive event-shaped; asTrades mapping done inline
+    def row(id: Long, us: Long, price: Double) =
+      (id, us * 1000L, 1L, "A", price, "")
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(
+        col("event_type").as("symbol"), col("ts").as("timestamp"),
+        col("event_id").as("trade_id"), col("value").as("price"),
+        col("user_id").as("volume"))
+    val query = StreamingEtl.statefulOhlcTwsFinalize(stream)
+      .toDF()
+      .writeStream.format("memory").queryName("ohlc_fin_unit")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // batch 0: two windows open — W0 gets 3 ticks, W1 gets 1
+      input.addData(Seq(
+        row(1, H(0), 10.0), row(2, H(0) + hourUs / 2, 30.0),
+        row(3, H(0) + hourUs / 2 + 1, 20.0), row(4, H(1), 5.0)))
+      query.processAllAvailable()
+      assert(spark.table("ohlc_fin_unit").count() === 0L,
+        "append-mode candle emitted before its window finalized")
+      // batch 1 + spacer: a far-future tick advances the watermark past
+      // both window ends; timers fire, candles emit, state clears
+      input.addData(Seq(row(99, H(30), 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq.empty[(Long, Long, Long, String, Double, String)])
+      query.processAllAvailable()
+      val emitted = spark.table("ohlc_fin_unit")
+        .select(col("window_start_us"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"), col("n_ticks"))
+        .as[(Long, Double, Double, Double, Double, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(emitted === Seq(
+        (H(0), 10.0, 30.0, 10.0, 20.0, 3L, 3L),
+        (H(1), 5.0, 5.0, 5.0, 5.0, 1L, 1L)),
+        s"finalized candles diverged: $emitted")
+      // only the far-future window's buffer remains in the timer store
+      assert(stateRows <= 2L, s"finalized window state not evicted: $stateRows")
+      // a late tick for the finalized W0 must DROP, never reopen/re-emit
+      input.addData(Seq(row(7, H(0) + 10, 999.0)))
+      query.processAllAvailable()
+      assert(spark.table("ohlc_fin_unit").count() === 2L,
+        "late tick reopened or re-emitted a finalized window")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("TTL dedup on transformWithState: same contract, timers evict state") {
     implicit val sqlCtx = spark.sqlContext
     val confKey = "spark.sql.streaming.stateStore.providerClass"
