@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prices the streaming-ingest apply (SURVEY §8): ONE fixed-size batch
+  * applied through [[graft.operators.Retrieval.bm25IngestBatch]] (and
+  * the IVF twin) against a standing index at 1x and Nx corpus scale.
+  * The claim under test — what makes the stream sink viable against a
+  * 100 TB standing index: apply work is proportional to the BATCH plus
+  * the vocabulary-sized df merge, never the index's postings mass, so
+  * the apply wall stays near-flat as the index grows. (The vocabulary
+  * itself grows sublinearly here: DeleteBench's per-doc-token model
+  * caps at ~100k extra terms.)
+  *
+  * Run: sbt "runMain graft.tools.IngestBench [replication]"
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 10
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val docs = graft.Tables.load(spark, baseDir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" u"),
+          (col("doc_id") % 100000).cast("string")).as("text"))
+    val emb = graft.Tables.load(spark, baseDir, "embeddings")
+
+    // ONE fixed batch at every scale: the base corpus's %31 slice under
+    // fresh ids (ingest requires disjoint ids)
+    val bmBatch = docs.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      .transform(graft.CacheScope.persisted)
+    val ivfBatch = emb.filter(col("vec_id") % 31 === 0)
+      .select((col("vec_id") + 5000000000L).as("vec_id"), col("embedding"))
+      .transform(graft.CacheScope.persisted)
+    val batchDocs = bmBatch.count()
+    ivfBatch.count()
+
+    def replicated(scale: Int): DataFrame =
+      (0 until scale).map(r =>
+        docs.select((col("doc_id") + lit(r * 1000000000L)).as("doc_id"),
+          col("text")))
+        .reduce(_.unionByName(_))
+        .transform(graft.CacheScope.persisted)
+
+    def run(scale: Int, warmup: Boolean = false): Unit = {
+      val corpus = replicated(scale)
+      val corpusDocs = corpus.count()
+      val bmPath = java.nio.file.Files
+        .createTempDirectory(s"graft-ingbench-bm-$scale").toString
+      graft.operators.Retrieval.buildBm25Index(
+        corpus, "doc_id", "text", bmPath)
+      val t0 = System.nanoTime()
+      graft.operators.Retrieval.bm25IngestBatch(
+        bmPath, bmBatch, "doc_id", "text", 0L)
+      val bmWall = (System.nanoTime() - t0) / 1e9
+      val ivfPath = java.nio.file.Files
+        .createTempDirectory(s"graft-ingbench-ivf-$scale").toString
+      graft.operators.Similarity.buildIvfIndex(
+        (0 until scale).map(r => emb.select(
+            (col("vec_id") + lit(r * 1000000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_.unionByName(_)),
+        "vec_id", "embedding", nlist = 16, ivfPath)
+      val t1 = System.nanoTime()
+      graft.operators.Similarity.ivfIngestBatch(
+        ivfPath, ivfBatch, "vec_id", "embedding", 0L)
+      val ivfWall = (System.nanoTime() - t1) / 1e9
+      if (!warmup)
+        println(f"[ingest-bench] scale=$scale%-3d index=$corpusDocs%8d docs  " +
+          f"batch=$batchDocs docs  bm25_apply=$bmWall%6.2f s  " +
+          f"ivf_apply=$ivfWall%6.2f s")
+      corpus.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bmPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfPath))
+    }
+    run(1, warmup = true)
+    run(1)
+    run(n)
+    spark.stop()
+  }
+}
