@@ -294,6 +294,51 @@ object Curation {
       p
     })
 
+  /** Shared q159/q166 soundness body over a PERSISTED quantized IVF
+    * index at `path`: probe with the fixed query slice, then (a) every
+    * hit must re-verify against the exact cosine on the raw embeddings
+    * (the int8 stage may only SELECT, never alter a score), (b) no
+    * self-match or fabricated id, (c) each hit's vector must be
+    * assigned (under the index's own centroids) to one of its query's
+    * nprobe probed cells — a hit from an unprobed cell means partition
+    * pruning is broken, (d) a zero-hit probe is itself a violation.
+    * Empty output = sound. ONE body for the appended (q159) and
+    * streamed-in (q166) index states, so the checks cannot drift.
+    */
+  private def ivfQSoundness(
+      s: SparkSession, emb: DataFrame, path: String): DataFrame = {
+    val queries = emb.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val hits = Similarity.ivfQTopKIndexed(
+        path, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .withColumn("sim", round(col("sim"), 4))
+      .transform(graft.CacheScope.persisted)
+    val unsound = annUnsoundHits(
+        hits.select(col("qid"), col("id"), col("sim")), emb, queries)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+      .select(lit("unsound_hit").as("kind"), col("n"))
+    val cents = s.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
+    val qCells = queries.select(
+      col("vec_id").as("qid"),
+      graft.functions.VecExprs.nearestCentroids(
+        col("embedding").cast("array<double>"), cents, 2).as("cells"))
+    val cCell = emb.select(
+      col("vec_id").as("id"),
+      element_at(graft.functions.VecExprs.nearestCentroids(
+        col("embedding").cast("array<double>"), cents, 1), 1).as("ccell"))
+    val unpruned = hits
+      .join(broadcast(qCells), "qid")
+      .join(cCell, "id")
+      .filter(!array_contains(col("cells"), col("ccell")))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+      .select(lit("unpruned_hit").as("kind"), col("n"))
+    val vacuous = hits.agg(count(lit(1)).as("n")).filter(col("n") === 0)
+      .select(lit("no_hits").as("kind"), col("n"))
+    unsound.unionByName(unpruned).unionByName(vacuous)
+      .orderBy(col("kind"), col("n"))
+  }
+
   /** ANN soundness gate body (q40/q41): the hits that are NOT real — a
     * self-match, a fabricated qid/id, or a reported similarity that
     * differs from the exact cosine recomputed on the pair's own vectors
@@ -2636,36 +2681,7 @@ object Curation {
         nlist = 16, path)
       Similarity.ivfQAppend(
         path, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
-      val queries = emb.filter(col("vec_id") % 10 === 3)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val hits = Similarity.ivfQTopKIndexed(
-          path, queries, "vec_id", "embedding", k = 5, nprobe = 2)
-        .withColumn("sim", round(col("sim"), 4))
-        .transform(graft.CacheScope.persisted)
-      val unsound = annUnsoundHits(
-          hits.select(col("qid"), col("id"), col("sim")), emb, queries)
-        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
-        .select(lit("unsound_hit").as("kind"), col("n"))
-      val cents = s.read.parquet(s"$path/centroids")
-        .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
-      val qCells = queries.select(
-        col("vec_id").as("qid"),
-        graft.functions.VecExprs.nearestCentroids(
-          col("embedding").cast("array<double>"), cents, 2).as("cells"))
-      val cCell = emb.select(
-        col("vec_id").as("id"),
-        element_at(graft.functions.VecExprs.nearestCentroids(
-          col("embedding").cast("array<double>"), cents, 1), 1).as("ccell"))
-      val unpruned = hits
-        .join(broadcast(qCells), "qid")
-        .join(cCell, "id")
-        .filter(!array_contains(col("cells"), col("ccell")))
-        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
-        .select(lit("unpruned_hit").as("kind"), col("n"))
-      val vacuous = hits.agg(count(lit(1)).as("n")).filter(col("n") === 0)
-        .select(lit("no_hits").as("kind"), col("n"))
-      unsound.unionByName(unpruned).unionByName(vacuous)
-        .orderBy(col("kind"), col("n"))
+      ivfQSoundness(s, emb, path)
     }),
 
     // IVF shard-and-merge (the q158 composition for the DENSE index,
@@ -2804,6 +2820,36 @@ object Curation {
           col("qid"), col("id"),
           round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Streaming ingest into the persisted QUANTIZED IVF index — the
+    // q163 transport composed with the q159 production layout: ivfInit
+    // from full-corpus centroids, the SAME 3-phase replay (shared
+    // staged files) through ivfStreamSink(quantized = true) — each
+    // batch quantizes map-side into the (id, vec, qvec, qn2, cell)
+    // layout — with the kill-restart and a post-commit re-delivery,
+    // then the q159 soundness body verbatim over the streamed-in
+    // index: every hit exact-cosine re-verified, probed-cell
+    // membership, non-vacuity. Empty output = sound.
+    "q166_ivfq_stream_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$ivfIngestParent/qidx"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      val cents = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfInit(s, cents, path)
+      val phases = (0 until 3).map(i =>
+        emb.filter(col("vec_id") % 3 === i)
+          .select(col("vec_id"), col("embedding")))
+      val staged = stagePhases(s"ingest163|$dir", phases)
+      val sink = Similarity.ivfStreamSink(
+        path, "vec_id", "embedding", quantized = true)
+      runPhasedIngest(s, staged, phases.head.schema, nPhases = 3,
+        firstRun = 2, sink)
+      Similarity.ivfIngestBatch(
+        path, s.read.parquet(s"$staged/phase_001.parquet"),
+        "vec_id", "embedding", 1L, quantized = true)
+      ivfQSoundness(s, emb, path)
     })
   )
 

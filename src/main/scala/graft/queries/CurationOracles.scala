@@ -2346,6 +2346,11 @@ object CurationOracles {
     // The dense twin: the streamed-in IVF index must reproduce q35's
     // direct-form relation exactly (the q161 rationale for transport).
     "q163_ivf_stream_ingest" -> IvfOracleSql,
+    // Quantized-index streaming ingest soundness (the q159
+    // empty-relation shape over a streamed-in index).
+    "q166_ivfq_stream_ingest" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.
