@@ -470,6 +470,10 @@ object Retrieval {
       commitMarker()
       return
     }
+    import spark.implicits._
+    // all three staged writes are independent once tf is materialized
+    // and the batch scalars are in hand — overlap their fixed
+    // per-action scheduler overhead (the build/append discipline)
     concurrently(
       () => docs.select(
           col(idCol).as("id"),
@@ -485,14 +489,13 @@ object Retrieval {
         .withColumn("bucket", bucket)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/terms_${tag}_new"))
-    import spark.implicits._
-    Seq((oldDocs + batchDocs,
-        oldTok + m.getOrElse("t", 0L).asInstanceOf[Long],
-        buckets))
-      .toDF("n_docs", "total_tokens", "buckets")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats_${tag}_new")
+        .parquet(s"$path/terms_${tag}_new"),
+      () => Seq((oldDocs + batchDocs,
+          oldTok + m.getOrElse("t", 0L).asInstanceOf[Long],
+          buckets))
+        .toDF("n_docs", "total_tokens", "buckets")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/stats_${tag}_new"))
     // ---- commit: rename increments in, swap tables, marker ----
     graft.sinks.Sinks.copyParquetParts(
       fs, hconf, s"$tmpRoot/postings", s"$path/postings", "bucket=", tag,

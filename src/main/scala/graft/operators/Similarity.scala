@@ -991,6 +991,41 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
+  /** Predict a takedown batch's [[ivfDelete]] footprint BEFORE
+    * executing it — the dense twin of
+    * [[graft.operators.Retrieval.bm25DeleteBatchPlan]], for the same
+    * takedown-queue batching decision. One row: `n_doomed_vectors`
+    * (corpus hits), `n_affected_cells` (the cells [[ivfDelete]] would
+    * rewrite — derived from the same corpus join deleteRows prunes
+    * by, so prediction == execution footprint), `n_cells` (live cell
+    * partitions), `affected_fraction`. Cheaper than the lexical plan
+    * by construction: a vector lives in exactly ONE cell, so a
+    * takedown batch's footprint is ≤ its vector count (a doc's terms
+    * hash-spread across many buckets; a vector never spreads). Scan
+    * cost is one column-pruned (id, cell) pass. Works on both the
+    * float and quantized layouts.
+    */
+  def ivfDeleteBatchPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .select(col("id"), col("cell"))
+    val nCells = corpus.agg(count_distinct(col("cell")).as("n")).scalar()
+    corpus.join(k, "id")
+      .agg(
+        count(lit(1)).as("n_doomed_vectors"),
+        count_distinct(col("cell")).as("n_affected_cells"))
+      .select(
+        col("n_doomed_vectors"),
+        col("n_affected_cells"),
+        nCells.as("n_cells"),
+        (col("n_affected_cells").cast("double") / nCells.cast("double"))
+          .as("affected_fraction"))
+  }
+
   /** Targeted deletion from a persisted [[buildIvfIndex]] index — the
     * dense-side twin of [[graft.operators.Retrieval.bm25Delete]]: a
     * takedown propagated into the derived ANN artifact, not just the

@@ -568,6 +568,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfDeleteBatchPlan predicts exactly the cells ivfDelete rewrites") {
+    val rng = new scala.util.Random(55)
+    val dim = 8
+    val all = (0L until 80L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian()).toSeq)).toDF("id", "vec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-plan-spec").toString
+    Similarity.buildIvfIndex(all, "id", "vec", nlist = 8, path)
+    val keys = Seq(3L, 17L, 44L).toDF("id")
+    val plan = Similarity.ivfDeleteBatchPlan(spark, path, keys, "id")
+      .collect()(0)
+    // independent prediction: the doomed vectors' cells under the
+    // index's own centroids
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1)).toSeq
+    val expectedCells = all.join(keys, "id")
+      .select(element_at(graft.functions.VecExprs.nearestCentroids(
+        $"vec".cast("array<double>"), cents, 1), 1).as("c"))
+      .distinct().as[Int].collect().map(_.toLong).toSet
+    assert(plan.getAs[Long]("n_doomed_vectors") === 3L)
+    assert(plan.getAs[Long]("n_affected_cells") === expectedCells.size.toLong)
+    assert(plan.getAs[Double]("affected_fraction") ===
+      expectedCells.size.toDouble / plan.getAs[Long]("n_cells"))
+    // measured footprint: per-cell file state before/after a real delete
+    def fileState(): Map[Long, Set[(String, Long)]] =
+      new java.io.File(s"$path/corpus").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName.stripPrefix("cell=").toLong ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length)).toSet)
+        .toMap
+    val before = fileState()
+    val nDel = Similarity.ivfDelete(spark, path, keys, "id")
+    assert(nDel === 3L)
+    val after = fileState()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(c => before.get(c) != after.get(c))
+    assert(changed === expectedCells,
+      s"measured rewrite footprint $changed != predicted $expectedCells")
+    // absent keys plan a zero footprint
+    val empty = Similarity.ivfDeleteBatchPlan(
+      spark, path, Seq(999L).toDF("id"), "id").collect()(0)
+    assert(empty.getAs[Long]("n_doomed_vectors") === 0L)
+    assert(empty.getAs[Long]("n_affected_cells") === 0L)
+  }
+
   test("ivf stream-ingest apply is idempotent; quantized layout ingests the same way") {
     val rng = new scala.util.Random(91)
     val dim = 8
