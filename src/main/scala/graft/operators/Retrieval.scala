@@ -358,7 +358,15 @@ object Retrieval {
     * ONE writer query per index with ONE checkpoint lineage (batch ids
     * must identify payloads — the foreachBatch guarantee; a fresh
     * checkpoint over an already-fed index would reuse ids and silently
-    * skip). Wire with
+    * skip). Operational notes: markers are empty files, one per batch
+    * ever applied — prune `ingestlog/` entries older than the
+    * checkpoint's retained batch range if the accumulation ever
+    * matters (a marker's absence only re-exposes a batch that can no
+    * longer be re-delivered); probes BETWEEN applies see a consistent
+    * index, but the terms/stats swap has a sub-second mid-rename
+    * window — serve live probes from a snapshot or replica, the same
+    * maintenance-window discipline every mutating index operator
+    * documents. Wire with
     * `stream.writeStream.foreachBatch(bm25StreamSink(path, id, text))`;
     * the q162 gate replays a phased corpus with a kill-restart, a
     * manufactured mid-apply crash state, and a post-commit re-delivery,

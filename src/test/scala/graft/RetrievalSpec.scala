@@ -478,6 +478,18 @@ class RetrievalSpec extends SparkSpec {
     // (filter the local-FS .crc sidecars)
     assert(new java.io.File(s"$dir/ingestlog").list()
       .filterNot(_.startsWith(".")).sorted.toSeq === Seq("b0", "b1", "b2"))
+    // ... and so is targeted deletion: a takedown from the
+    // streamed-and-compacted index equals a rebuild on the survivors
+    assert(graft.operators.Retrieval.bm25Delete(
+      spark, dir, Seq(5L).toDF("doc_id"), "doc_id") === 1L)
+    val want3 = {
+      val p = java.nio.file.Files.createTempDirectory("bm25-spec-ing-rb3").toString
+      graft.operators.Retrieval.buildBm25Index(
+        docs.unionByName(more).filter(col("doc_id") =!= 5L),
+        "doc_id", "text", p, buckets = 7)
+      probe(p)
+    }
+    assert(probe(dir) === want3)
   }
 
   test("bm25DeleteBatchPlan predicts exactly the buckets bm25Delete rewrites") {
