@@ -537,6 +537,17 @@ class RetrievalSpec extends SparkSpec {
     assert(empty.getAs[Long]("n_doomed_docs") === 0L)
     assert(empty.getAs[Long]("n_affected_buckets") === 0L)
     assert(empty.getAs[Double]("affected_fraction") === 0.0)
+    // the planning read is column-pruned: the postings scan must not
+    // read term or tf (the plan's honest cost is one (id, bucket) pass)
+    val planStr = graft.operators.Retrieval.bm25DeleteBatchPlan(
+        spark, dir, keys, "doc_id")
+      .queryExecution.executedPlan.toString
+    val postingsSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(planStr).map(_.group(1)).toSeq
+    assert(postingsSchemas.exists(s => s.contains("id") && !s.contains("term")),
+      s"postings scan not pruned to (id):\n$planStr")
+    assert(!postingsSchemas.exists(_.contains("term")),
+      s"a planning scan reads the term column:\n$planStr")
   }
 
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
