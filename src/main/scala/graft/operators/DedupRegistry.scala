@@ -1,0 +1,353 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A persisted CORPUS REGISTRY with exactly-once streaming first-arrival
+  * dedup — the ingestion-time curation artifact a 100 TB training-data
+  * pipeline keeps between crawl days: every accepted document's content
+  * digest, so an arriving stream can drop anything the corpus has ever
+  * seen before it costs downstream storage or compute. This composes the
+  * library's two proven disciplines: [[Dedup.dedupAgainstCorpus]]'s
+  * batch-vs-history membership (map-side Bloom, exact digest verify) and
+  * the recoverable-apply idempotence protocol of
+  * [[graft.operators.Retrieval.bm25IngestBatch]] (tagged part files +
+  * backup-swapped stats + commit marker), so a foreachBatch re-delivery
+  * after ANY crash window converges to exactly one application.
+  * First-arrival semantics: across batches the earlier batch wins;
+  * within a batch the smallest id wins — a deterministic, SQL-expressible
+  * total order (the q167 oracle ranks by (phase, id) over the same
+  * stream).
+  *
+  * Layout at `path/`:
+  *   - `corpus/bucket=<b>/` — accepted rows (id, text, digest), digest =
+  *     md5(text) (the [[Dedup]] exact-pass contract), bucket =
+  *     pmod(xxhash64(digest), buckets). Per-batch files land prefixed
+  *     `b<batchId>_` (enumerable, removable — the crash-recovery unit).
+  *   - `stats` — one row (n_docs, n_dropped, buckets); swapped via
+  *     `stats_b<id>_new` / `_bak` renames so a complete pre- or
+  *     post-batch generation exists at every instant.
+  *   - `ingestlog/b<id>` — empty commit markers, one per applied batch
+  *     (see [[Retrieval.bm25StreamSink]] for the retention note: prune
+  *     entries older than the checkpoint's retained batch range).
+  *
+  * Scale shape: the membership pass reads ONLY the digest column
+  * (columnar pruning — text bytes never load) of ONLY the batch's hash
+  * buckets (partition pruning, lossless because both sides bucket with
+  * the same function), and a Bloom filter over the batch's digests drops
+  * non-candidate registry rows MAP-SIDE, so what reaches the anti-join
+  * exchange is ≈ batch-sized at any registry scale (false positives die
+  * at the exact digest equi-join; no false negatives by construction).
+  * Work per batch is batch-proportional + the pruned membership read.
+  * The bucket modulus is fixed at [[init]] and never changes — it is the
+  * pruning contract; size it for the takedown/compact batch like the
+  * BM25 bucket modulus (`Retrieval.bm25Delete`'s economics note).
+  *
+  * Contract (same as the index stream sinks): ONE writer query per
+  * registry with ONE checkpoint lineage — batch ids must identify
+  * payloads; a fresh checkpoint over an already-fed registry would reuse
+  * ids and silently skip. Probes between applies see a consistent
+  * corpus; the stats swap has a sub-second mid-rename window (serve live
+  * reads from a snapshot/replica during maintenance, the standing
+  * discipline). Null text is malformed input for a content registry and
+  * fails loudly, the [[Dedup.editDistancePairs]] contract.
+  *
+  * Reference analogue: none — the reference's only uniqueness notion is
+  * the `trade_id` PRIMARY KEY PostgreSQL rebuilds after each bulk load
+  * (`/root/reference/src/database/DatabaseLoader.cpp:102,257`); this
+  * generalizes key uniqueness to content equality and moves the
+  * database's durability to the parquet + rename protocol.
+  */
+object DedupRegistry {
+
+  private def observedOrEmpty(
+      obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    scala.util.Try(obs.get).getOrElse(Map.empty)
+
+  /** Create an empty registry: zeroed stats + the corpus root. Refuses a
+    * pre-existing registry (an accidental re-init would orphan corpus
+    * generations and reset n_docs — fail loudly instead).
+    */
+  def init(spark: SparkSession, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"DedupRegistry.init: buckets must be > 0, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+    require(!fs.exists(stats),
+      s"DedupRegistry.init: a registry already exists at $path")
+    spark.range(1)
+      .select(lit(0L).as("n_docs"), lit(0L).as("n_dropped"),
+        lit(buckets.toLong).as("buckets"))
+      .coalesce(1).write.parquet(stats.toString)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/corpus"))
+  }
+
+  /** The registry's digest rows that MIGHT match the batch — bucket-
+    * pruned, digest-column-only, Bloom-prefiltered map-side (see object
+    * scaladoc). `batchDigests` must be persisted; `batchN` bounds the
+    * Bloom's expectedNumItems (an overestimate only widens the filter).
+    */
+  private def existingDigests(
+      spark: SparkSession,
+      path: String,
+      batchDigests: DataFrame,
+      batchN: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val hasData = fs.exists(corpusPath) && fs.listStatus(corpusPath)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    if (!hasData) return spark.range(0).select(lit("").as("digest"))
+    // bounded driver collect: ≤ the registry's bucket modulus
+    val batchBuckets = batchDigests.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val bloom = batchDigests.stat.bloomFilter(
+      xxhash64(col("digest")), math.max(batchN, 1L), 0.001)
+    // explicit schema: a registry whose only generation was crash-erased
+    // still has its (empty) bucket dirs, where inference would abort
+    spark.read.schema("id LONG, text STRING, digest STRING, bucket LONG")
+      .parquet(corpusPath.toString)
+      .filter(col("bucket").isin(batchBuckets: _*))
+      .filter(graft.functions.BloomExprs.bloomMightContain(
+        xxhash64(col("digest")), bloom))
+      .select(col("digest"))
+  }
+
+  /** Batch membership probe — `docs` with an `is_new` flag (false = this
+    * exact text is already registered). The read side of the registry:
+    * the decontamination / "is this in my training set" question answered
+    * from the digest artifact instead of a full corpus scan — same
+    * output contract as [[Dedup.dedupAgainstCorpus]], but the history
+    * side reads pruned buckets' digest column instead of hashing 100 TB
+    * of text. Read-only; within-batch duplicates all flag `is_new` (the
+    * probe answers membership, not first-arrival — [[ingestBatch]] owns
+    * that tiebreak).
+    */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = graft.CacheScope.scoped {
+    val buckets = spark.read.parquet(s"$path/stats")
+      .select(col("buckets")).collect()(0).getLong(0)
+    val keyed = docs
+      .withColumn("__digest",
+        when(col(textCol).isNull,
+          raise_error(lit(s"DedupRegistry.probe: null $textCol row")))
+          .otherwise(md5(col(textCol))))
+    val batchDigests = keyed
+      .select(col("__digest").as("digest"))
+      .distinct()
+      .withColumn("bucket", pmod(xxhash64(col("digest")), lit(buckets)))
+      .transform(graft.CacheScope.persisted)
+    val n = batchDigests.count()
+    val hits = existingDigests(spark, path, batchDigests, n)
+      .distinct().withColumn("__hit", lit(true))
+    keyed
+      .join(hits.withColumnRenamed("digest", "__digest"), Seq("__digest"), "left")
+      .withColumn("is_new", col("__hit").isNull)
+      .drop("__digest", "__hit")
+  }
+
+  /** Wire into `stream.writeStream.foreachBatch(streamSink(path, id,
+    * text))` — each micro-batch applies [[ingestBatch]] under the
+    * recoverable-apply protocol (object scaladoc). The q167 gate replays
+    * a duplicate-bearing phased corpus with a manufactured mid-apply
+    * crash, a kill-restart across a batch boundary, and a post-commit
+    * re-delivery, and pins the final corpus + stats against a
+    * first-arrival SQL oracle over the same stream.
+    */
+  def streamSink(
+      path: String,
+      idCol: String,
+      textCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      ingestBatch(path, batch, idCol, textCol, batchId)
+
+  /** One recoverable, idempotent micro-batch apply — see [[streamSink]].
+    * Public so recovery drills and manual backfill replays can drive a
+    * single batch id directly.
+    */
+  def ingestBatch(
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long): Unit = graft.CacheScope.scoped {
+    require(batchId >= 0, s"DedupRegistry.ingestBatch: negative batch id $batchId")
+    val spark = docs.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val tag = s"b$batchId"
+    def sub(rel: String) = new org.apache.hadoop.fs.Path(s"$path/$rel")
+    val marker = sub(s"ingestlog/$tag")
+    def dropBak(): Unit = {
+      val bak = sub(s"stats_${tag}_bak")
+      if (fs.exists(bak))
+        require(fs.delete(bak, true),
+          s"DedupRegistry.ingestBatch: cannot drop $bak")
+    }
+    if (fs.exists(marker)) {
+      // post-commit re-delivery: the apply completed; only the backup
+      // cleanup may have been interrupted — finish it and skip whole
+      dropBak()
+      return
+    }
+    // ---- recovery: erase whatever a crashed attempt of THIS id left ----
+    locally {
+      val bak = sub(s"stats_${tag}_bak")
+      val nw = sub(s"stats_${tag}_new")
+      if (fs.exists(bak)) {
+        val cur = sub("stats")
+        if (fs.exists(cur))
+          require(fs.delete(cur, true),
+            s"DedupRegistry.ingestBatch: cannot drop $cur")
+        require(fs.rename(bak, cur),
+          s"DedupRegistry.ingestBatch: restore $bak failed")
+      }
+      if (fs.exists(nw))
+        require(fs.delete(nw, true),
+          s"DedupRegistry.ingestBatch: cannot drop $nw")
+    }
+    locally {
+      val d = sub("corpus")
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("bucket="))
+          fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.startsWith(tag + "_"))
+            .foreach(f => require(fs.delete(f.getPath, false),
+              s"DedupRegistry.ingestBatch: cannot drop ${f.getPath}"))
+        else if (st.getPath.getName.startsWith(tag + "_"))
+          require(fs.delete(st.getPath, false),
+            s"DedupRegistry.ingestBatch: cannot drop ${st.getPath}")
+      }
+    }
+    val tmpRoot = sub(s"_ingest_${tag}_tmp")
+    if (fs.exists(tmpRoot))
+      require(fs.delete(tmpRoot, true),
+        s"DedupRegistry.ingestBatch: cannot drop $tmpRoot")
+    // ---- the apply ----
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("n_dropped"), col("buckets"))
+      .collect()(0)
+    val (oldDocs, oldDropped, buckets) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val obs = org.apache.spark.sql.Observation()
+    // within-batch first arrival: the smallest id per digest wins
+    val w = Window.partitionBy(col("digest")).orderBy(col("id"))
+    val firsts = docs
+      .observe(obs, count(lit(1)).as("n"))
+      .select(
+        col(idCol).as("id"),
+        when(col(textCol).isNull,
+          raise_error(lit(s"DedupRegistry.ingestBatch: null $textCol row")))
+          .otherwise(col(textCol)).as("text"))
+      .withColumn("digest", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("bucket", pmod(xxhash64(col("digest")), lit(buckets)))
+      .transform(graft.CacheScope.persisted)
+    firsts.count() // materialize: fires the raw-row observation
+    val batchN = observedOrEmpty(obs).get("n")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    def commitMarker(): Unit = {
+      fs.mkdirs(marker.getParent)
+      require(fs.createNewFile(marker),
+        s"DedupRegistry.ingestBatch: cannot create marker $marker")
+    }
+    if (batchN == 0L) {
+      // an empty trigger is legal on a stream — commit the no-op so the
+      // id is never re-applied against future registry states
+      commitMarker()
+      return
+    }
+    val survivors = firsts.join(
+      existingDigests(spark, path, firsts, batchN), Seq("digest"), "left_anti")
+    // stage the accepted rows bucket-clustered; the accepted count rides
+    // the write that runs anyway
+    val accObs = org.apache.spark.sql.Observation()
+    survivors
+      .observe(accObs, count(lit(1)).as("n"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmpRoot/corpus")
+    val accepted = observedOrEmpty(accObs).get("n")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // stage the new stats (scalars are in hand — nothing reads its input)
+    spark.range(1)
+      .select(
+        lit(oldDocs + accepted).as("n_docs"),
+        lit(oldDropped + (batchN - accepted)).as("n_dropped"),
+        lit(buckets).as("buckets"))
+      .coalesce(1).write.parquet(sub(s"stats_${tag}_new").toString)
+    // ---- commit: parts in, stats swap, marker ----
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$tmpRoot/corpus", s"$path/corpus", "bucket=", tag,
+      move = true)
+    require(fs.rename(sub("stats"), sub(s"stats_${tag}_bak")),
+      s"DedupRegistry.ingestBatch: stats backup rename failed")
+    require(fs.rename(sub(s"stats_${tag}_new"), sub("stats")),
+      s"DedupRegistry.ingestBatch: stats swap rename failed")
+    commitMarker()
+    dropBak()
+    fs.delete(tmpRoot, true)
+  }
+
+  /** Collapse the per-batch file generations — a long-fed registry
+    * accumulates one `b<id>_` file set per applied batch and membership
+    * reads decay into many small openings. Bucket-clustered rewrite into
+    * a temp generation, swapped in by
+    * [[graft.sinks.Sinks.swapByRename]] (backup-first — a crash leaves a
+    * complete old or new generation, never none). Content-blind: the
+    * membership pass and [[probe]] read the same rows either way.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compact_tmp")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(cur), s"DedupRegistry.compact: no corpus at $cur")
+    spark.read.parquet(cur.toString)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+  }
+
+  /** Targeted takedown by document id — [[graft.sinks.Sinks.deleteRows]]
+    * on the bucket partitions (affected buckets only, untouched buckets
+    * byte-identical) plus an exact stats decrement. Returns the number
+    * of rows removed. Semantics note: a removed document's digest leaves
+    * the registry with it, so the same content arriving LATER is
+    * accepted again — that is what a takedown means for a content
+    * registry (the content is gone, not blacklisted); keep a separate
+    * denylist if re-ingestion must be prevented. Same single-writer
+    * window as every mutating registry op.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCol: String): Long = {
+    val n = graft.sinks.Sinks.deleteRows(
+      spark, s"$path/corpus", "bucket", "id",
+      keys.select(col(keyCol).as("id")))
+    if (n > 0L) {
+      val st = spark.read.parquet(s"$path/stats")
+        .select(col("n_docs"), col("n_dropped"), col("buckets"))
+        .collect()(0)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_delete_tmp")
+      spark.range(1)
+        .select(
+          lit(st.getLong(0) - n).as("n_docs"),
+          lit(st.getLong(1)).as("n_dropped"),
+          lit(st.getLong(2)).as("buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      graft.sinks.Sinks.swapByRename(
+        fs, tmp, new org.apache.hadoop.fs.Path(s"$path/stats"))
+    }
+    n
+  }
+}

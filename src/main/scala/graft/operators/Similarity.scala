@@ -720,18 +720,39 @@ object Similarity {
       indexPath: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Double](1))
-      .toSeq
+    val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     batch
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("cell", element_at(
-        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+      .withColumn("cell", posToCell(element_at(
+        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1),
+        cellIds))
       .repartition(col("cell")) // one file per touched cell per append
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
   }
+
+  /** A persisted centroid table, position-aligned: the cell ids ordered
+    * by cell, and the centroid vectors in the same order. Cell ids are
+    * the contiguous 0..nlist-1 POSITIONS only until the first
+    * [[ivfSplitCells]] retires a parent and appends children — after
+    * that the table has gaps and ids above nlist. Every probe or
+    * assignment over a PERSISTED table must therefore map
+    * nearestCentroids positions through the id list ([[posToCell]]),
+    * never use a position as a cell value directly (the latent
+    * assumption the split spec caught).
+    */
+  private[graft] def loadCentroidTable(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Seq[Int], Seq[Seq[Double]]) = {
+    val rows = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+    (rows.map(_.getInt(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  /** Map a [[graft.functions.VecExprs.nearestCentroids]] POSITION
+    * (0-based rank in the position-aligned table) to its cell id.
+    */
+  private[graft] def posToCell(pos: Column, cellIds: Seq[Int]): Column =
+    element_at(typedLit(cellIds), pos + 1)
 
   /** Exactly-once STREAMING ingest into a persisted IVF index — the
     * dense twin of [[graft.operators.Retrieval.bm25StreamSink]]: each
@@ -797,11 +818,7 @@ object Similarity {
     if (fs.exists(tmpRoot))
       require(fs.delete(tmpRoot, true), s"ivfIngestBatch: cannot drop $tmpRoot")
     // stage the assignment (the ivfAppend / ivfQAppend body, into tmp)
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Double](1))
-      .toSeq
+    val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     val prepped = batch.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
     val assigned =
@@ -810,8 +827,9 @@ object Similarity {
           .select(col("id"), col("vec"), col("qvec"),
             intDot(col("qvec"), col("qvec")).as("qn2"))
       else prepped)
-        .withColumn("cell", element_at(
-          graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+        .withColumn("cell", posToCell(element_at(
+          graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1),
+          cellIds))
     assigned
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -906,18 +924,15 @@ object Similarity {
       indexPath: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Double](1))
-      .toSeq
+    val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     quantizeEmbeddings(
         batch.select(col(idCol).as("id"),
           col(vecCol).cast("array<double>").as("vec")), "vec")
       .select(col("id"), col("vec"), col("qvec"),
         intDot(col("qvec"), col("qvec")).as("qn2"))
-      .withColumn("cell", element_at(
-        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1))
+      .withColumn("cell", posToCell(element_at(
+        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1),
+        cellIds))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
   }
@@ -945,11 +960,7 @@ object Similarity {
     require(k >= 1 && rerankFactor >= 1,
       s"k and rerankFactor must be >= 1, got k=$k rerankFactor=$rerankFactor")
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Double](1))
-      .toSeq
+    val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     // the query-side float vec is named qv so quantizeEmbeddings' added
     // `qvec` column cannot collide with it
     val qs = quantizeEmbeddings(
@@ -959,9 +970,10 @@ object Similarity {
         intDot(col("qvec"), col("qvec")).as("qqn2"))
       .transform(graft.CacheScope.persisted)
     val probes = qs
-      .select(col("qid"), col("qq"), col("qqn2"), explode(
+      .select(col("qid"), col("qq"), col("qqn2"), explode(transform(
         graft.functions.VecExprs.nearestCentroids(
-          col("qv"), centroids, nprobe)).as("cell"))
+          col("qv"), centroids, nprobe),
+        p => posToCell(p, cellIds))).as("cell"))
     // bounded driver read: the probed-cell VALUES (<= queries x nprobe),
     // pushed into both corpus scans as a partition filter
     val probedCells = probes.select(col("cell")).distinct()
@@ -1053,6 +1065,142 @@ object Similarity {
       spark, s"$indexPath/corpus", "cell", "id",
       keys.select(col(keyCol).as("id")))
 
+  /** Read-only costing twin of [[ivfSplitCells]] (the
+    * [[graft.operators.Retrieval.bm25DeleteBatchPlan]] pattern): the
+    * cells a split at `maxCellRows` would rewrite, with their row
+    * counts — what a maintenance scheduler reads to decide WHEN to
+    * rebalance and how much IO it buys. One row per oversized cell
+    * (cell, n_rows), empty = balanced. Derived from the same per-cell
+    * counts the split thresholds on, so prediction == execution
+    * footprint exactly.
+    */
+  def ivfSplitPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      maxCellRows: Long): DataFrame = {
+    require(maxCellRows >= 1, s"ivfSplitPlan: maxCellRows must be >= 1")
+    spark.read.parquet(s"$indexPath/corpus")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxCellRows)
+      .orderBy(col("cell"))
+  }
+
+  /** Rebalance a persisted IVF index by SPLITTING oversized cells — the
+    * maintenance operator that completes the index lifecycle
+    * (build/append/ingest/compact/delete/merge/SPLIT). Sustained
+    * [[ivfAppend]]/[[ivfStreamSink]] churn under data drift piles new
+    * vectors into the cells nearest the drifted distribution; probe
+    * cost is `nprobe/nlist` of the corpus ONLY while cells stay
+    * balanced, so the hot cells must split WITHOUT the full retrain a
+    * 100 TB index cannot afford. Each cell with more than `maxCellRows`
+    * rows gets a local 2-means ([[trainIvfCentroids]] on that cell's
+    * own vectors, k=2), its rows reassign to the nearer child, and the
+    * parent centroid is replaced by the two children — footprint ∝ the
+    * hot cells' bytes, every balanced cell byte-identical. Probes stay
+    * sound unchanged (hits are exact-cosine-verified members of probed
+    * cells — the q168 gate runs the q159 soundness body over a split
+    * index); recall is preserved by locality (a split cell's rows stay
+    * under centroids INSIDE that cell's region, so a query probing that
+    * region probes the children; the spec pins every row to its nearer
+    * child and planted-partner recall across the split). Cells whose
+    * content is one repeated point may split lopsided — balance is
+    * content-bound; the operator guarantees footprint and soundness.
+    *
+    * Crash discipline (same recoverable shape as the ingest sinks,
+    * ordered so every instant serves a complete index): (1) ORPHAN
+    * CLEANUP — any `cell=` directory whose id is not in the centroid
+    * table is a dark remnant of a crashed split (children landed but
+    * centroids never swapped, or parents awaiting deletion after the
+    * swap) and is deleted, converging the index to a consistent state;
+    * (2) children stage to a temp dir and rename into `corpus/` while
+    * the PARENT centroid still serves probes (the new cells are dark
+    * until the swap — duplicated rows are unreachable, not double-
+    * scanned); (3) the centroid table swaps via
+    * [[graft.sinks.Sinks.swapByRename]] (backup-first), atomically
+    * retiring parents and activating children; (4) parent cell dirs
+    * delete. A crash between any two steps converges at the next
+    * split's cleanup. Same single-writer window as every mutating
+    * index op. Returns (parentCell, childA, childB) per split.
+    *
+    * Layout-blind like [[ivfDelete]]: rows rewrite with ALL their
+    * columns, so the float ([[buildIvfIndex]]) and quantized
+    * ([[buildIvfQIndex]]) layouts both split unchanged (spec-pinned).
+    */
+  def ivfSplitCells(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      maxCellRows: Long,
+      sampleN: Int = 4096): Seq[(Int, Int, Int)] = {
+    require(maxCellRows >= 1, s"ivfSplitCells: maxCellRows must be >= 1")
+    val hconf = spark.sessionState.newHadoopConf()
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+    val fs = corpusPath.getFileSystem(hconf)
+    if (!fs.exists(corpusPath)) return Seq.empty
+    // centroid table: bounded driver collect (nlist rows)
+    val current = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val known = current.map(_._1).toSet
+    // (1) orphan cleanup — see scaladoc
+    fs.listStatus(corpusPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("cell=") &&
+          !known.contains(name.stripPrefix("cell=").toInt))
+        require(fs.delete(st.getPath, true),
+          s"ivfSplitCells: cannot drop orphan ${st.getPath}")
+    }
+    val hot = spark.read.parquet(corpusPath.toString)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellRows)
+      .orderBy(col("cell"))
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist
+    if (hot.isEmpty) return Seq.empty
+    var nextId = known.max + 1
+    val splits = hot.map { parent =>
+      val rows = spark.read.parquet(corpusPath.toString)
+        .filter(col("cell") === parent) // partition-pruned slice
+      val children = trainIvfCentroids(rows, "id", "vec", 2, sampleN)
+      val (a, b) = (nextId, nextId + 1)
+      nextId += 2
+      // (2) stage the reassigned rows, rename in while parents serve
+      val tmp = s"$indexPath/_split_${parent}_tmp"
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      if (fs.exists(tmpPath))
+        require(fs.delete(tmpPath, true), s"ivfSplitCells: cannot drop $tmp")
+      rows
+        .withColumn("__child", element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), children.map(_.toSeq).toSeq, 1), 1))
+        .withColumn("cell",
+          when(col("__child") === 0, lit(a)).otherwise(lit(b)))
+        .drop("__child")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/corpus")
+      graft.sinks.Sinks.copyParquetParts(
+        fs, hconf, s"$tmp/corpus", corpusPath.toString, "cell=",
+        s"split$parent", move = true)
+      fs.delete(tmpPath, true)
+      (parent, a, b, children(0).toSeq, children(1).toSeq)
+    }
+    // (3) one centroid swap activates every split at once
+    import spark.implicits._
+    val splitSet = splits.map(_._1).toSet
+    val updated = current.filterNot(c => splitSet.contains(c._1)) ++
+      splits.flatMap(s => Seq((s._2, s._4), (s._3, s._5)))
+    val ctmp = new org.apache.hadoop.fs.Path(s"$indexPath/centroids_split_tmp")
+    updated.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(ctmp.toString)
+    graft.sinks.Sinks.swapByRename(
+      fs, ctmp, new org.apache.hadoop.fs.Path(s"$indexPath/centroids"))
+    // (4) retire the parents
+    splits.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$corpusPath/cell=${s._1}")
+      if (fs.exists(p))
+        require(fs.delete(p, true), s"ivfSplitCells: cannot drop $p")
+    }
+    splits.map(s => (s._1, s._2, s._3))
+  }
+
   /** Query a [[buildIvfIndex]] index: same semantics as [[ivfTopK]] with
     * identical parameters (the quantizer training is deterministic, so
     * the direct and indexed forms return IDENTICAL rows — spec-pinned),
@@ -1067,18 +1215,15 @@ object Similarity {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Double](1))
-      .toSeq
+    val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     val c = spark.read.parquet(s"$indexPath/corpus")
     val probes = queries
       .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qvec"))
       .select(
         col("qid"), col("qvec"),
-        explode(graft.functions.VecExprs.nearestCentroids(
-          col("qvec"), centroids, nprobe)).as("cell"))
+        explode(transform(graft.functions.VecExprs.nearestCentroids(
+          col("qvec"), centroids, nprobe),
+          p => posToCell(p, cellIds))).as("cell"))
     val candidates = probes.join(c, "cell")
       .filter(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CurationFilters, Dedup, LinkGraph, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Similarity, Skew, SnapshotDiff, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, DedupRegistry, LinkGraph, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Similarity, Skew, SnapshotDiff, TextAnalysis}
 import graft.sources.DocJsonl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -182,6 +182,15 @@ object Curation {
   private lazy val ivfIngestParent: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-ing").toString
 
+  // q167's registry scratch parent (child deleted per invocation —
+  // DedupRegistry.init refuses a pre-existing registry)
+  private lazy val regIngestParent: String =
+    java.nio.file.Files.createTempDirectory("graft-reg-ing").toString
+
+  // q168's split-index scratch parent (child deleted per invocation)
+  private lazy val ivfSplitParent: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-split").toString
+
   /** Stage phase frames as single parquet files `phase_NNN.parquet`
     * with strictly increasing mod times (the MarketAnalytics
     * writePhases discipline: a maxFilesPerTrigger=1 file stream then
@@ -317,16 +326,22 @@ object Curation {
         hits.select(col("qid"), col("id"), col("sim")), emb, queries)
       .agg(count(lit(1)).as("n")).filter(col("n") > 0)
       .select(lit("unsound_hit").as("kind"), col("n"))
-    val cents = s.read.parquet(s"$path/centroids")
-      .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
+    // position-aligned load + posToCell mapping: after ivfSplitCells the
+    // centroid table has gaps, so positions are NOT cell ids (q168)
+    val (cellIds, cents) = Similarity.loadCentroidTable(s, path)
     val qCells = queries.select(
       col("vec_id").as("qid"),
-      graft.functions.VecExprs.nearestCentroids(
-        col("embedding").cast("array<double>"), cents, 2).as("cells"))
-    val cCell = emb.select(
-      col("vec_id").as("id"),
-      element_at(graft.functions.VecExprs.nearestCentroids(
-        col("embedding").cast("array<double>"), cents, 1), 1).as("ccell"))
+      transform(graft.functions.VecExprs.nearestCentroids(
+        col("embedding").cast("array<double>"), cents, 2),
+        p => Similarity.posToCell(p, cellIds)).as("cells"))
+    // the hit's STORED cell, straight from the index partitions — equal
+    // to the recomputed nearest-centroid assignment for build/append/
+    // ingest states, but after ivfSplitCells a row legitimately sits
+    // with the nearer CHILD of its retired parent, which need not be
+    // its globally-nearest centroid; partition-pruning soundness means
+    // "the hit came from a probed partition", which is exactly this
+    val cCell = s.read.parquet(s"$path/corpus")
+      .select(col("id"), col("cell").cast("int").as("ccell"))
     val unpruned = hits
       .join(broadcast(qCells), "qid")
       .join(cCell, "id")
@@ -2850,6 +2865,116 @@ object Curation {
         path, s.read.parquet(s"$staged/phase_001.parquet"),
         "vec_id", "embedding", 1L, quantized = true)
       ivfQSoundness(s, emb, path)
+    }),
+
+    // Exactly-once streaming FIRST-ARRIVAL DEDUP into a persisted corpus
+    // registry (DedupRegistry) — ingestion-time curation under the same
+    // recoverable-apply protocol as q162/q163, gated end-to-end: the
+    // phased stream carries planted duplicates WITHIN a batch (min id
+    // must win), ACROSS batches (the earlier batch must win), and the
+    // documents table's own pre-existing exact dups; crash windows
+    // driven the q162 way (a tagged junk part + the mid-swap stats
+    // window before batch 0, a kill-restart across the batch-2
+    // boundary, a post-commit re-delivery of batch 1 that must skip —
+    // a re-run would double-count its rows as drops, which the stats
+    // rows in the output would expose). Output = accepted ids + the
+    // registry's own (n_docs, n_dropped) vs a SQL first-arrival
+    // ranking over the identical stream.
+    "q167_dedup_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"$regIngestParent/reg"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      DedupRegistry.init(s, path, buckets = 16)
+      val p0 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val p1 = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val p2 = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val staged = stagePhases(s"ingest167|$dir", Seq(p0, p1, p2))
+      // manufactured batch-0 crash state: a tagged junk part in its
+      // digest's own bucket (if recovery fails the row survives into the
+      // output) + the mid-swap stats window (live stats corrupted, the
+      // true zeroed table in stats_b0_bak)
+      locally {
+        import s.implicits._
+        val junk = Seq((-999L, "__GRAFT_JUNK__")).toDF("id", "text")
+          .withColumn("digest", md5(col("text")))
+        val junkBucket = junk
+          .select(pmod(xxhash64(col("digest")), lit(16L)))
+          .collect()(0).getLong(0)
+        plantTaggedPart(junk, s"$path/corpus/bucket=$junkBucket", "b0")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), s.sessionState.newHadoopConf())
+        fs.rename(new org.apache.hadoop.fs.Path(s"$path/stats"),
+          new org.apache.hadoop.fs.Path(s"$path/stats_b0_bak"))
+        s.range(1)
+          .select(lit(777777L).as("n_docs"), lit(777777L).as("n_dropped"),
+            lit(16L).as("buckets"))
+          .coalesce(1).write.parquet(s"$path/stats")
+      }
+      val sink = DedupRegistry.streamSink(path, "doc_id", "text")
+      runPhasedIngest(s, staged, p0.schema, nPhases = 3, firstRun = 2, sink)
+      // post-commit re-delivery of batch 1: must skip whole
+      DedupRegistry.ingestBatch(
+        path, s.read.parquet(s"$staged/phase_001.parquet"),
+        "doc_id", "text", 1L)
+      val st = s.read.parquet(s"$path/stats")
+      s.read.parquet(s"$path/corpus")
+        .select(col("id").as("doc_id"), lit("doc").as("kind"))
+        .unionByName(st.select(
+          col("n_docs").as("doc_id"), lit("n_docs").as("kind")))
+        .unionByName(st.select(
+          col("n_dropped").as("doc_id"), lit("n_dropped").as("kind")))
+        .orderBy(col("kind"), col("doc_id"))
+    }),
+
+    // IVF cell-split rebalance on the production (quantized) layout —
+    // the maintenance operator for drift: build, split every cell above
+    // half the average population (guaranteeing real splits: the max
+    // cell is at least the average), then (a) the q159 soundness body
+    // verbatim over the REBALANCED index — exact-cosine re-verified
+    // hits, probed-cell membership, non-vacuity — and (b) exact row
+    // preservation: no id lost, duplicated, or fabricated by the
+    // reassignment, and the operator actually split (a threshold that
+    // silently no-ops would gate nothing). Empty output = sound.
+    "q168_ivfq_cell_split" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$ivfSplitParent/qidx"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      Similarity.buildIvfQIndex(emb, "vec_id", "embedding", nlist = 8, path)
+      val total = emb.count()
+      val splits = Similarity.ivfSplitCells(
+        s, path, maxCellRows = math.max(total / 16L, 1L))
+      val ids = emb.select(col("vec_id").as("id"))
+      val corpusIds = s.read.parquet(s"$path/corpus").select(col("id"))
+      val lost = ids.join(corpusIds, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("lost_row").as("kind"), col("n"))
+      val dup = corpusIds.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("dup_row").as("kind"), col("n"))
+      val alien = corpusIds.join(ids, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("alien_row").as("kind"), col("n"))
+      val noSplit =
+        if (splits.nonEmpty) s.range(0)
+          .select(lit("no_split").as("kind"), col("id").as("n"))
+        else s.range(1).select(lit("no_split").as("kind"), lit(0L).as("n"))
+      ivfQSoundness(s, emb, path)
+        .unionByName(lost).unionByName(dup).unionByName(alien)
+        .unionByName(noSplit)
+        .orderBy(col("kind"), col("n"))
     })
   )
 

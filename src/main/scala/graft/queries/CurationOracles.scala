@@ -2351,6 +2351,49 @@ object CurationOracles {
     "q166_ivfq_stream_ingest" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Cell-split rebalance soundness (the q159 empty-relation shape
+    // over a rebalanced index, plus exact row-preservation and
+    // did-actually-split checks): sound output = empty.
+    "q168_ivfq_cell_split" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
+    // Streaming first-arrival dedup into the corpus registry: rebuild
+    // the gate's exact phased stream (originals by doc_id mod 3, the
+    // planted within-batch and cross-batch duplicate re-keys), rank
+    // every row by arrival order (phase, then id — the registry's
+    // documented tiebreak), keep rank 1 per content digest. The
+    // registry's own stats rows ride along so a double-applied or
+    // skipped-on-marker-failure batch is caught even when the corpus
+    // row set converges.
+    "q167_dedup_stream_ingest" ->
+      """WITH stream AS (
+           SELECT doc_id, text, 0 AS ph FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 1000000, text, 1 FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id, text, 2 FROM documents WHERE doc_id % 3 = 2
+           UNION ALL
+           SELECT doc_id + 2000000, text, 2 FROM documents
+           WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 3000000, text, 2 FROM documents
+           WHERE doc_id % 3 = 1 AND doc_id % 4 = 0),
+         ranked AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY ph, doc_id)
+               AS rn
+           FROM stream),
+         acc AS (SELECT doc_id FROM ranked WHERE rn = 1)
+         SELECT doc_id, 'doc' AS kind FROM acc
+         UNION ALL
+         SELECT (SELECT count(*) FROM acc), 'n_docs'
+         UNION ALL
+         SELECT (SELECT count(*) FROM ranked) - (SELECT count(*) FROM acc),
+           'n_dropped'
+         ORDER BY kind, doc_id""",
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Prices the streaming-ingest apply (SURVEY §8): ONE fixed-size batch
   * applied through [[graft.operators.Retrieval.bm25IngestBatch]] (and
-  * the IVF twin) against a standing index at 1x and Nx corpus scale.
-  * The claim under test — what makes the stream sink viable against a
-  * 100 TB standing index: apply work is proportional to the BATCH plus
-  * the vocabulary-sized df merge, never the index's postings mass, so
-  * the apply wall stays near-flat as the index grows. (The vocabulary
-  * itself grows sublinearly here: DeleteBench's per-doc-token model
-  * caps at ~100k extra terms.)
+  * the IVF twin, and [[graft.operators.DedupRegistry.ingestBatch]])
+  * against a standing index at 1x and Nx corpus scale. The claim under
+  * test — what makes the stream sinks viable against a 100 TB standing
+  * artifact: apply work is proportional to the BATCH plus a
+  * vocabulary-sized df merge (bm25) / a bucket-pruned digest-column
+  * membership read (registry), never the standing mass, so the apply
+  * wall stays near-flat as the index grows. (The vocabulary itself
+  * grows sublinearly here: DeleteBench's per-doc-token model caps at
+  * ~100k extra terms.) The registry batch carries 50% planted
+  * duplicates of standing content so the membership join does real
+  * dropping work.
   *
   * Run: sbt "runMain graft.tools.IngestBench [replication]"
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
@@ -43,8 +47,15 @@ object IngestBench {
     val ivfBatch = emb.filter(col("vec_id") % 31 === 0)
       .select((col("vec_id") + 5000000000L).as("vec_id"), col("embedding"))
       .transform(graft.CacheScope.persisted)
+    // registry batch: half verbatim standing texts (must drop), half new
+    val regBatch = docs.filter(col("doc_id") % 62 === 0)
+      .select((col("doc_id") + 6000000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 62 === 31)
+        .select((col("doc_id") + 7000000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+      .transform(graft.CacheScope.persisted)
     val batchDocs = bmBatch.count()
-    ivfBatch.count()
+    ivfBatch.count(); regBatch.count()
 
     def replicated(scale: Int): DataFrame =
       (0 until scale).map(r =>
@@ -76,13 +87,24 @@ object IngestBench {
       graft.operators.Similarity.ivfIngestBatch(
         ivfPath, ivfBatch, "vec_id", "embedding", 0L)
       val ivfWall = (System.nanoTime() - t1) / 1e9
+      val regRoot = java.nio.file.Files
+        .createTempDirectory(s"graft-ingbench-reg-$scale").toString
+      val regPath = s"$regRoot/reg"
+      graft.operators.DedupRegistry.init(spark, regPath, buckets = 64)
+      graft.operators.DedupRegistry.ingestBatch(
+        regPath, corpus, "doc_id", "text", 0L)
+      val t2 = System.nanoTime()
+      graft.operators.DedupRegistry.ingestBatch(
+        regPath, regBatch, "doc_id", "text", 1L)
+      val regWall = (System.nanoTime() - t2) / 1e9
       if (!warmup)
         println(f"[ingest-bench] scale=$scale%-3d index=$corpusDocs%8d docs  " +
           f"batch=$batchDocs docs  bm25_apply=$bmWall%6.2f s  " +
-          f"ivf_apply=$ivfWall%6.2f s")
+          f"ivf_apply=$ivfWall%6.2f s  reg_apply=$regWall%6.2f s")
       corpus.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bmPath))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(regRoot))
     }
     run(1, warmup = true)
     run(1)

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The persisted corpus registry: first-arrival semantics, every
+  * recoverable-apply crash window, the read-side probe, and the
+  * maintenance lifecycle (compact/delete) over streamed generations.
+  */
+class DedupRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reg = graft.operators.DedupRegistry
+
+  private def corpusIds(path: String): Seq[Long] =
+    spark.read.parquet(s"$path/corpus")
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+
+  private def statsOf(path: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$path/stats").collect()(0)
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"))
+  }
+
+  test("first arrival wins within and across batches; stats exact") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec").toString
+    reg.init(spark, dir, buckets = 8)
+    // batch 0: one within-batch dup pair (2 and 3 share text; min id wins)
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha"), (3L, "beta"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    assert(corpusIds(dir) === Seq(1L, 2L) && statsOf(dir) === ((2L, 1L)))
+    // batch 1: a cross-batch dup (text "alpha" again) drops; new text lands
+    reg.ingestBatch(dir,
+      Seq((9L, "alpha"), (4L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    assert(corpusIds(dir) === Seq(1L, 2L, 4L) && statsOf(dir) === ((3L, 2L)))
+    // the registered copy keeps ITS text, not the loser's id
+    val kept = spark.read.parquet(s"$dir/corpus")
+      .filter(col("digest") === md5(lit("beta")))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L))
+  }
+
+  test("digest bucketing is the membership pruning contract") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-b").toString
+    reg.init(spark, dir, buckets = 4)
+    val docs = (1L to 20L).map(i => (i, s"text number $i")).toDF("doc_id", "text")
+    reg.ingestBatch(dir, docs, "doc_id", "text", 0L)
+    // every row sits in the bucket its digest hashes to
+    val misplaced = spark.read.parquet(s"$dir/corpus")
+      .filter(col("bucket") =!= pmod(xxhash64(md5(col("text"))), lit(4L)))
+      .count()
+    assert(misplaced === 0L)
+  }
+
+  test("every crash window converges to exactly one application") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-c").toString
+    reg.init(spark, dir, buckets = 8)
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    // ---- manufactured mid-apply crash of batch 1 ----
+    val junk = Seq((-999L, "__JUNK__")).toDF("id", "text")
+      .withColumn("digest", md5(col("text")))
+    val junkBucket = junk
+      .select(pmod(xxhash64(col("digest")), lit(8L))).collect()(0).getLong(0)
+    locally { // a tagged part a crashed move-in left behind
+      val stage = java.nio.file.Files.createTempDirectory("reg-spec-plant").toString
+      junk.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/corpus/bucket=$junkBucket")
+      dst.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dst, s"b1_${part.getName}").toPath)
+    }
+    // ... plus the mid-swap window: live stats corrupted, truth in _bak
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),
+      new org.apache.hadoop.fs.Path(s"$dir/stats_b1_bak"))
+    spark.range(1)
+      .select(lit(777777L).as("n_docs"), lit(777777L).as("n_dropped"),
+        lit(8L).as("buckets"))
+      .coalesce(1).write.parquet(s"$dir/stats")
+    // the re-delivered batch must erase all of it, then apply
+    reg.ingestBatch(dir,
+      Seq((5L, "beta"), (6L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    assert(corpusIds(dir) === Seq(1L, 2L, 6L) && statsOf(dir) === ((3L, 1L)))
+    // post-commit re-delivery: marker present -> skipped whole (a re-run
+    // would recount batch 1's rows as drops)
+    reg.ingestBatch(dir,
+      Seq((5L, "beta"), (6L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    assert(corpusIds(dir) === Seq(1L, 2L, 6L) && statsOf(dir) === ((3L, 1L)))
+    // no _bak/_new/_tmp debris survives a completed apply
+    val debris = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.contains("_bak") || n.contains("_new") || n.contains("_tmp"))
+    assert(debris.isEmpty, s"leftover apply state: ${debris.mkString(", ")}")
+    // an empty batch commits as a no-op marker: stats untouched, id burned
+    reg.ingestBatch(dir, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", 2L)
+    assert(statsOf(dir) === ((3L, 1L)))
+    assert(new java.io.File(s"$dir/ingestlog").list()
+      .filterNot(_.startsWith(".")).sorted.toSeq === Seq("b0", "b1", "b2"))
+  }
+
+  test("a crash-erased generation on an EMPTY registry still applies cleanly") {
+    // the membership read must survive a corpus whose only bucket dirs
+    // are husks left by recovery (no parquet files -> no inference)
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-e").toString
+    reg.init(spark, dir, buckets = 8)
+    val junk = Seq((-999L, "__JUNK__")).toDF("id", "text")
+      .withColumn("digest", md5(col("text")))
+    val junkBucket = junk
+      .select(pmod(xxhash64(col("digest")), lit(8L))).collect()(0).getLong(0)
+    val stage = java.nio.file.Files.createTempDirectory("reg-spec-e-pl").toString
+    junk.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$dir/corpus/bucket=$junkBucket")
+    dst.mkdirs()
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dst, s"b0_${part.getName}").toPath)
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", 0L)
+    assert(corpusIds(dir) === Seq(1L) && statsOf(dir) === ((1L, 0L)))
+  }
+
+  test("probe answers membership without mutating; loud-fail on null text") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-p").toString
+    reg.init(spark, dir, buckets = 8)
+    // probe against an EMPTY registry: everything is new
+    val pre = reg.probe(spark, dir,
+        Seq((9L, "alpha")).toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("is_new")).collect()
+    assert(pre.map(r => (r.getLong(0), r.getBoolean(1))).toSeq === Seq((9L, true)))
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    val flags = reg.probe(spark, dir,
+        Seq((10L, "alpha"), (11L, "new text"), (12L, "new text"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("is_new")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    // membership only: both copies of the unseen text flag new
+    assert(flags === Seq((10L, false), (11L, true), (12L, true)))
+    assert(statsOf(dir) === ((2L, 0L))) // probe mutated nothing
+    val ex = intercept[Exception] {
+      reg.probe(spark, dir,
+        Seq((13L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+          .collect()
+    }
+    assert(ex.getMessage.contains("null text"))
+    val ex2 = intercept[Exception] {
+      reg.ingestBatch(dir,
+        Seq((14L, null: String)).toDF("doc_id", "text"), "doc_id", "text", 1L)
+    }
+    assert(ex2.getMessage.contains("null text"))
+  }
+
+  test("maintenance is layout-blind over streamed generations") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-m").toString
+    reg.init(spark, dir, buckets = 4)
+    (0 until 3).foreach { b =>
+      reg.ingestBatch(dir,
+        (1L to 12L).filter(_ % 3 == b.toLong)
+          .map(i => (i + 100L * b, s"doc number $i")).toDF("doc_id", "text"),
+        "doc_id", "text", b.toLong)
+    }
+    // cross-batch dups dropped: batch 1's "doc number 3k" ids never collide
+    val before = corpusIds(dir)
+    val (nd, _) = statsOf(dir)
+    assert(before.size.toLong === nd)
+    // compact collapses the per-batch file sets; content identical
+    reg.compact(spark, dir)
+    assert(corpusIds(dir) === before)
+    val multi = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multi.isEmpty, s"uncompacted buckets: ${multi.mkString(", ")}")
+    // takedown: rows out, stats decremented, content re-acceptable
+    val doomed = before.head
+    assert(reg.delete(spark, dir, Seq(doomed).toDF("doc_id"), "doc_id") === 1L)
+    assert(corpusIds(dir) === before.tail)
+    assert(statsOf(dir)._1 === nd - 1)
+    // the deleted content's digest left with it: the same text re-ingests
+    val textOf = spark.read.parquet(s"$dir/corpus").count() // corpus readable
+    assert(textOf === nd - 1)
+    // absent key: zero-footprint no-op
+    assert(reg.delete(spark, dir, Seq(99999L).toDF("doc_id"), "doc_id") === 0L)
+  }
+
+  test("init refuses a pre-existing registry and bad moduli") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-i").toString
+    reg.init(spark, dir, buckets = 2)
+    intercept[IllegalArgumentException] { reg.init(spark, dir, 2) }
+    intercept[IllegalArgumentException] {
+      reg.init(spark, dir + "-x", buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      reg.ingestBatch(dir, Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", -1L)
+    }
+  }
+}

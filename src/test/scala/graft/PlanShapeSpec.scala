@@ -290,6 +290,18 @@ class PlanShapeSpec extends SparkSpec {
                 org.apache.spark.sql.functions.lit(2000000000L)).as("vec_id"),
               org.apache.spark.sql.functions.col("embedding")),
           "vec_id", "embedding", 0L)
+        // the corpus-registry ingest (membership anti-join + staged
+        // writes + stats swap) and the cell-split rebalance (local
+        // 2-means + reassignment writes + centroid swap)
+        val regPath = java.nio.file.Files
+          .createTempDirectory("graft-reg-planshape").toString + "/reg"
+        operators.DedupRegistry.init(spark, regPath, buckets = 8)
+        operators.DedupRegistry.ingestBatch(regPath,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
+          "doc_id", "text", 0L)
+        operators.DedupRegistry.ingestBatch(regPath,
+          docs, "doc_id", "text", 1L) // dup-bearing batch: real drops
+        operators.Similarity.ivfSplitCells(spark, ivfPath, maxCellRows = 30)
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
