@@ -98,7 +98,10 @@ object DedupRegistry {
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val hasData = fs.exists(corpusPath) && fs.listStatus(corpusPath)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
-    if (!hasData) return spark.range(0).select(lit("").as("digest"))
+    // attribute-derived (not lit) digest: a constant key would fold the
+    // downstream anti-join's equi-condition away and plan a BNL join
+    if (!hasData)
+      return spark.range(0).select(col("id").cast("string").as("digest"))
     // bounded driver collect: ≤ the registry's bucket modulus
     val batchBuckets = batchDigests.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
