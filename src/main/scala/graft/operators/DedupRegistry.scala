@@ -298,6 +298,77 @@ object DedupRegistry {
     fs.delete(tmpRoot, true)
   }
 
+  /** The rows batch `batchId` COMMITTED into the registry — read back
+    * from its `b<id>_`-tagged corpus part files. The recoverable-apply
+    * enumeration doubles as an exactly-once HANDOFF: a committed
+    * batch's accepted slice is a deterministic artifact any downstream
+    * apply can re-derive on re-delivery ([[dedupIndexStreamSink]]).
+    * Empty relation when the batch accepted nothing. Valid until
+    * [[compact]] collapses the tagged generations — the same retention
+    * bound as the ingest log (prune only past the checkpoint's retained
+    * batch range).
+    */
+  def batchRows(
+      spark: SparkSession,
+      path: String,
+      batchId: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val tag = s"b${batchId}_"
+    val files =
+      if (!fs.exists(corpus)) Seq.empty[String]
+      else fs.listStatus(corpus).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        .flatMap(d => fs.listStatus(d.getPath).toSeq)
+        .filter(_.getPath.getName.startsWith(tag))
+        .map(_.getPath.toString)
+    if (files.isEmpty)
+      spark.range(0).select(col("id"),
+        col("id").cast("string").as("text"),
+        col("id").cast("string").as("digest"))
+    else
+      spark.read.schema("id LONG, text STRING, digest STRING")
+        .parquet(files: _*)
+  }
+
+  /** Exactly-once CURATE-THEN-INDEX ingest — the production composition:
+    * one foreachBatch sink that first-arrival-dedups each micro-batch
+    * against the registry and lands ONLY the accepted rows in a
+    * persisted BM25 index ([[graft.operators.Retrieval.bm25IngestBatch]]),
+    * exactly-once across BOTH artifacts under one batch id. Why the
+    * composition is sound: each apply is individually idempotent, and
+    * the second's input is a deterministic function of the first's
+    * COMMITTED state ([[batchRows]]) — so every crash re-delivery
+    * converges: registry marker present → skip and hand the committed
+    * slice to the index apply (which recovers-and-reapplies or skips on
+    * its OWN marker); marker absent → the registry re-applies first
+    * (same accepted slice, since batch `b`'s pre-state is exactly the
+    * committed batches `< b`) and hands over the identical rows.
+    * Contract: both artifacts fed by THIS sink only, ONE checkpoint
+    * lineage, and no registry [[compact]] between a batch's two commits
+    * (the sink holds both applies inside one call; compaction between
+    * BATCHES is fine — a committed pair never re-delivers). Start the
+    * index empty with [[graft.operators.Retrieval.bm25Init]] when the
+    * whole corpus arrives through the stream. The q169 gate replays a
+    * duplicate-bearing phased corpus with crash states planted on BOTH
+    * artifacts and pins the final probe against the BM25 oracle over
+    * the first-arrival-deduped corpus.
+    */
+  def dedupIndexStreamSink(
+      regPath: String,
+      indexPath: String,
+      idCol: String,
+      textCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      ingestBatch(regPath, batch, idCol, textCol, batchId)
+      val accepted = batchRows(batch.sparkSession, regPath, batchId)
+      graft.operators.Retrieval.bm25IngestBatch(
+        indexPath,
+        accepted.select(col("id").as(idCol), col("text").as(textCol)),
+        idCol, textCol, batchId)
+    }
+
   /** Collapse the per-batch file generations — a long-fed registry
     * accumulates one `b<id>_` file set per applied batch and membership
     * reads decay into many small openings. Bucket-clustered rewrite into

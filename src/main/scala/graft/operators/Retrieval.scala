@@ -228,6 +228,62 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  // Explicit index-table schemas: a LEGAL index state can carry an
+  // EMPTY table with zero part files — a [[bm25Init]] index before its
+  // first streamed batch, or a shard over an all-tokenless slice —
+  // where parquet schema inference aborts. Internal reads that must
+  // survive those states declare the schema instead (the q167
+  // crash-erased-registry lesson applied to the lexical index).
+  private[graft] val termsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(
+      "df", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(
+      "bucket", org.apache.spark.sql.types.LongType)))
+  private[graft] val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(
+      "term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(
+      "tf", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(
+      "bucket", org.apache.spark.sql.types.LongType)))
+  private[graft] val doclenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(
+      "dl", org.apache.spark.sql.types.LongType)))
+
+  /** Initialize an EMPTY BM25 index — the lexical twin of
+    * [[graft.operators.Similarity.ivfInit]], and the entry point for a
+    * corpus that arrives ENTIRELY through [[bm25StreamSink]]: stats at
+    * (0, 0, buckets) plus empty table directories, ready for the first
+    * micro-batch. A probe of the empty index returns the empty relation
+    * (no candidate survives the postings join; the NaN avgdl of a
+    * zero-doc corpus never reaches a scored row). Size `buckets` for
+    * the corpus the stream will GROW INTO — the modulus is fixed for
+    * the index's lifetime ([[bm25Delete]]'s batching economics).
+    * Refuses a pre-existing index.
+    */
+  def bm25Init(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"bm25Init: buckets must be positive, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+    require(!fs.exists(stats), s"bm25Init: an index already exists at $path")
+    import spark.implicits._
+    Seq((0L, 0L, buckets.toLong))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .coalesce(1).write.parquet(stats.toString)
+    Seq("terms", "postings", "doclen").foreach(t =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$t")))
+  }
+
   /** Incrementally append a document batch to a [[buildBm25Index]]
     * index — the build-once/APPEND-many shape ([[graft.operators.Similarity.ivfAppend]]
     * is the dense-side twin). New-doc ids must be disjoint from the
@@ -301,7 +357,8 @@ object Retrieval {
           col(idCol).as("id"),
           size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
         .write.mode("append").parquet(s"$path/doclen"),
-      () => mergedTerms = spark.read.parquet(s"$path/terms")
+      () => mergedTerms = spark.read.schema(termsSchema)
+        .parquet(s"$path/terms")
         .select(col("term"), col("df"))
         .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -490,7 +547,7 @@ object Retrieval {
       // merged vocabulary stages into a NEW sibling dir — reading old
       // terms and writing elsewhere needs no localCheckpoint (nothing
       // overwrites its own input)
-      () => spark.read.parquet(s"$path/terms")
+      () => spark.read.schema(termsSchema).parquet(s"$path/terms")
         .select(col("term"), col("df"))
         .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -649,16 +706,9 @@ object Retrieval {
     // shard's table, clustered write. (Terms tables always COPY via the
     // read-union-write: they are vocabulary-sized, and move would break
     // the shard for the non-move caller's replay anyway.) Explicit
-    // schema: a shard over an all-tokenless slice has an EMPTY terms
-    // table (zero part files), where schema inference aborts — its
+    // termsSchema read: a shard over an all-tokenless slice has an
+    // EMPTY terms table (zero part files), where inference aborts — its
     // registry rows still count toward N/avgdl, so the shard is legal.
-    val termsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "term", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField(
-        "df", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(
-        "bucket", org.apache.spark.sql.types.LongType)))
     val bucket = pmod(xxhash64(col("term")), lit(buckets))
     paths.map(p => spark.read.schema(termsSchema).parquet(s"$p/terms")
         .select(col("term"), col("df")))
@@ -877,11 +927,12 @@ object Retrieval {
       .distinct()
       .collect().map(_.getLong(0)).sorted
     val avgdl = totTok.toDouble / nDocs.toDouble
-    val terms = spark.read.parquet(s"$path/terms")
+    // explicit schemas: a bm25Init index probes as the empty relation
+    val terms = spark.read.schema(termsSchema).parquet(s"$path/terms")
       .filter(col("bucket").isin(qbuckets: _*))
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = spark.read.schema(postingsSchema).parquet(s"$path/postings")
       .filter(col("bucket").isin(qbuckets: _*))
-    val dl = spark.read.parquet(s"$path/doclen")
+    val dl = spark.read.schema(doclenSchema).parquet(s"$path/doclen")
     val qdf = terms.join(broadcast(qterms), "term")
       .select(col("query_id"), col("term"), col("df"))
     val idf = log(

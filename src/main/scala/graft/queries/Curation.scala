@@ -191,6 +191,35 @@ object Curation {
   private lazy val ivfSplitParent: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-split").toString
 
+  /** q167/q169's duplicate-bearing phases — MUST mirror the oracles'
+    * shared DedupStreamSql fragment (CurationOracles): documents in
+    * three phases with cross-batch re-keys (+1M of phase-0 texts into
+    * phase 1, +3M of phase-1 texts into phase 2) and within-batch
+    * re-keys (+2M of phase-2 texts into phase 2). ONE construction for
+    * both gates so the engine stream cannot drift from the oracle
+    * stream.
+    */
+  private def dedupStreamPhases(
+      s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = t(s, dir, "documents")
+    val p0 = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val p1 = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val p2 = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 1 && col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    Seq(p0, p1, p2)
+  }
+
   /** Stage phase frames as single parquet files `phase_NNN.parquet`
     * with strictly increasing mod times (the MarketAnalytics
     * writePhases discipline: a maxFilesPerTrigger=1 file stream then
@@ -2881,26 +2910,11 @@ object Curation {
     // registry's own (n_docs, n_dropped) vs a SQL first-arrival
     // ranking over the identical stream.
     "q167_dedup_stream_ingest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
       val path = s"$regIngestParent/reg"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
       DedupRegistry.init(s, path, buckets = 16)
-      val p0 = docs.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text"))
-      val p1 = docs.filter(col("doc_id") % 3 === 1)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs
-          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val p2 = docs.filter(col("doc_id") % 3 === 2)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs
-          .filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-        .unionByName(docs
-          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 4 === 0)
-          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-      val staged = stagePhases(s"ingest167|$dir", Seq(p0, p1, p2))
+      val phases = dedupStreamPhases(s, dir)
+      val staged = stagePhases(s"ingest167|$dir", phases)
       // manufactured batch-0 crash state: a tagged junk part in its
       // digest's own bucket (if recovery fails the row survives into the
       // output) + the mid-swap stats window (live stats corrupted, the
@@ -2923,7 +2937,8 @@ object Curation {
           .coalesce(1).write.parquet(s"$path/stats")
       }
       val sink = DedupRegistry.streamSink(path, "doc_id", "text")
-      runPhasedIngest(s, staged, p0.schema, nPhases = 3, firstRun = 2, sink)
+      runPhasedIngest(s, staged, phases.head.schema,
+        nPhases = 3, firstRun = 2, sink)
       // post-commit re-delivery of batch 1: must skip whole
       DedupRegistry.ingestBatch(
         path, s.read.parquet(s"$staged/phase_001.parquet"),
@@ -2975,6 +2990,57 @@ object Curation {
         .unionByName(lost).unionByName(dup).unionByName(alien)
         .unionByName(noSplit)
         .orderBy(col("kind"), col("n"))
+    }),
+
+    // CURATE-THEN-INDEX: the q167 registry dedup COMPOSED with the q162
+    // index ingest in one exactly-once foreachBatch sink — each batch
+    // dedups against the registry and only the accepted slice (read
+    // back from the registry's committed tagged parts) lands in a
+    // bm25Init-empty standing index. The same duplicate-bearing phased
+    // stream (shared staged files with q167), with crash states planted
+    // on BOTH artifacts before batch 0 (a tagged junk registry part AND
+    // tagged junk posting/doclen parts — both recoveries must fire), a
+    // kill-restart across the batch-2 boundary, and a post-commit
+    // re-delivery of batch 1 through the composed apply (both markers
+    // must skip). Final probe == the BM25 oracle over the
+    // first-arrival-DEDUPED corpus: any surviving junk, double-applied
+    // df/N, un-dropped duplicate, or dropped original breaks the hash.
+    "q169_dedup_index_stream" -> ((s, dir) => {
+      val regPath = s"$regIngestParent/reg169"
+      val idxPath = s"$regIngestParent/idx169"
+      Seq(regPath, idxPath).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      DedupRegistry.init(s, regPath, buckets = 16)
+      Retrieval.bm25Init(s, idxPath, buckets = 64)
+      val phases = dedupStreamPhases(s, dir)
+      val staged = stagePhases(s"ingest167|$dir", phases)
+      locally {
+        import s.implicits._
+        val junk = Seq((-999L, "__GRAFT_JUNK__")).toDF("id", "text")
+          .withColumn("digest", md5(col("text")))
+        val junkBucket = junk
+          .select(pmod(xxhash64(col("digest")), lit(16L)))
+          .collect()(0).getLong(0)
+        plantTaggedPart(junk, s"$regPath/corpus/bucket=$junkBucket", "b0")
+        val sparkBucket = s.range(1)
+          .select(pmod(xxhash64(lit("spark")), lit(64L)))
+          .collect()(0).getLong(0)
+        plantTaggedPart(Seq((-999L, "spark", 99L)).toDF("id", "term", "tf"),
+          s"$idxPath/postings/bucket=$sparkBucket", "b0")
+        plantTaggedPart(Seq((-999L, 99L)).toDF("id", "dl"),
+          s"$idxPath/doclen", "b0")
+      }
+      val sink = DedupRegistry.dedupIndexStreamSink(
+        regPath, idxPath, "doc_id", "text")
+      runPhasedIngest(s, staged, phases.head.schema,
+        nPhases = 3, firstRun = 2, sink)
+      // post-commit re-delivery of batch 1 through the composed apply:
+      // the registry must skip whole, and the index apply it hands the
+      // committed slice to must skip on its own marker
+      DedupRegistry.dedupIndexStreamSink(regPath, idxPath, "doc_id", "text")(
+        s.read.parquet(s"$staged/phase_001.parquet"), 1L)
+      Retrieval.bm25TopKIndexed(idxPath, bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
     })
   )
 

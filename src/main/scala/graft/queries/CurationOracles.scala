@@ -84,7 +84,14 @@ object CurationOracles {
     * corpus with the verbatim scoring arithmetic.
     */
   private def bm25OracleOver(where: String): String =
-    s"""WITH corpus AS (SELECT * FROM documents WHERE $where),
+    bm25OracleOverCorpus(s"SELECT * FROM documents WHERE $where")
+
+  /** The same relation over an ARBITRARY (doc_id, text) corpus SQL —
+    * the q169 curate-then-index gate scores the first-arrival-deduped
+    * stream with the verbatim arithmetic.
+    */
+  private def bm25OracleOverCorpus(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
          toks AS (
            SELECT doc_id, unnest(list_filter(
              regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
@@ -127,6 +134,39 @@ object CurationOracles {
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
 
   private val Bm25OracleSql: String = bm25OracleOver("true")
+
+  /** The q167/q169 duplicate-bearing stream: documents in three phases
+    * with planted cross-batch (phase-1/2 re-keys of earlier-phase
+    * texts) and within-batch (phase-2 re-keys of phase-2 texts)
+    * duplicates — ONE fragment shared by both oracles so the stream
+    * construction cannot drift between the registry gate and the
+    * curate-then-index gate.
+    */
+  private val DedupStreamSql: String =
+    """SELECT doc_id, text, 0 AS ph FROM documents WHERE doc_id % 3 = 0
+       UNION ALL
+       SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 1
+       UNION ALL
+       SELECT doc_id + 1000000, text, 1 FROM documents
+       WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+       UNION ALL
+       SELECT doc_id, text, 2 FROM documents WHERE doc_id % 3 = 2
+       UNION ALL
+       SELECT doc_id + 2000000, text, 2 FROM documents
+       WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
+       UNION ALL
+       SELECT doc_id + 3000000, text, 2 FROM documents
+       WHERE doc_id % 3 = 1 AND doc_id % 4 = 0"""
+
+  /** First-arrival survivors of [[DedupStreamSql]] — the registry's
+    * documented total order: phase (batch) first, then id.
+    */
+  private val DedupAcceptedSql: String =
+    s"""SELECT doc_id, text FROM (
+         SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY ph, doc_id)
+             AS rn
+         FROM ($DedupStreamSql)) WHERE rn = 1"""
 
 
 
@@ -2366,21 +2406,7 @@ object CurationOracles {
     // skipped-on-marker-failure batch is caught even when the corpus
     // row set converges.
     "q167_dedup_stream_ingest" ->
-      """WITH stream AS (
-           SELECT doc_id, text, 0 AS ph FROM documents WHERE doc_id % 3 = 0
-           UNION ALL
-           SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 1
-           UNION ALL
-           SELECT doc_id + 1000000, text, 1 FROM documents
-           WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
-           UNION ALL
-           SELECT doc_id, text, 2 FROM documents WHERE doc_id % 3 = 2
-           UNION ALL
-           SELECT doc_id + 2000000, text, 2 FROM documents
-           WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
-           UNION ALL
-           SELECT doc_id + 3000000, text, 2 FROM documents
-           WHERE doc_id % 3 = 1 AND doc_id % 4 = 0),
+      s"""WITH stream AS ($DedupStreamSql),
          ranked AS (
            SELECT doc_id,
              row_number() OVER (PARTITION BY md5(text) ORDER BY ph, doc_id)
@@ -2394,6 +2420,10 @@ object CurationOracles {
          SELECT (SELECT count(*) FROM ranked) - (SELECT count(*) FROM acc),
            'n_dropped'
          ORDER BY kind, doc_id""",
+    // Curate-then-index: the BM25 relation over the first-arrival
+    // survivors of the SAME stream — what the composed sink's standing
+    // index must score after dedup dropped every planted duplicate.
+    "q169_dedup_index_stream" -> bm25OracleOverCorpus(DedupAcceptedSql),
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

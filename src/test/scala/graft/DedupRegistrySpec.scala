@@ -192,6 +192,77 @@ class DedupRegistrySpec extends SparkSpec {
     assert(reg.delete(spark, dir, Seq(99999L).toDF("doc_id"), "doc_id") === 0L)
   }
 
+  test("batchRows reads back exactly the committed accepted slice") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-br").toString
+    reg.init(spark, dir, buckets = 4)
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    reg.ingestBatch(dir,
+      Seq((5L, "beta"), (6L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    def rows(b: Long) = reg.batchRows(spark, dir, b)
+      .select(col("id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows(0L) === Seq((1L, "alpha"), (2L, "beta")))
+    assert(rows(1L) === Seq((6L, "gamma"))) // the dup never committed
+    assert(rows(7L) === Seq.empty)          // unknown batch: empty
+  }
+
+  test("curate-then-index composition converges with crashes on BOTH artifacts") {
+    val regDir = java.nio.file.Files.createTempDirectory("reg-spec-ci").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("reg-spec-ci-idx").toString + "/idx"
+    reg.init(spark, regDir, buckets = 8)
+    graft.operators.Retrieval.bm25Init(spark, idxDir, buckets = 7)
+    val sink = reg.dedupIndexStreamSink(regDir, idxDir, "doc_id", "text")
+    val q = Seq((1L, "apple cherry")).toDF("query_id", "query_text")
+    def probe(path: String) =
+      graft.operators.Retrieval.bm25TopKIndexed(path, q, 10)
+        .collect().map(_.toString).sorted.toSeq
+    // batch 0 through the composed sink
+    sink(Seq((1L, "apple banana"), (2L, "cherry")).toDF("doc_id", "text"), 0L)
+    // crash windows for batch 1 on BOTH artifacts: a tagged registry
+    // part and tagged index parts
+    val junk = Seq((-9L, "__J__")).toDF("id", "text")
+      .withColumn("digest", md5(col("text")))
+    val jb = junk.select(pmod(xxhash64(col("digest")), lit(8L)))
+      .collect()(0).getLong(0)
+    def plant(df: org.apache.spark.sql.DataFrame, dst: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("reg-ci-pl").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(dst).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dst, s"b1_${part.getName}").toPath)
+    }
+    plant(junk, s"$regDir/corpus/bucket=$jb")
+    val appleBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("apple")), lit(7L))).collect()(0).getLong(0)
+    plant(Seq((-9L, "apple", 50L)).toDF("id", "term", "tf"),
+      s"$idxDir/postings/bucket=$appleBucket")
+    plant(Seq((-9L, 50L)).toDF("id", "dl"), s"$idxDir/doclen")
+    // batch 1: one dup (dropped) + one new doc; both recoveries fire
+    sink(Seq((5L, "cherry"), (6L, "apple durian")).toDF("doc_id", "text"), 1L)
+    // the standing index == a from-scratch build over the deduped corpus
+    val want = {
+      val p = java.nio.file.Files.createTempDirectory("reg-ci-rb").toString
+      graft.operators.Retrieval.buildBm25Index(
+        Seq((1L, "apple banana"), (2L, "cherry"), (6L, "apple durian"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", p, buckets = 7)
+      probe(p)
+    }
+    assert(probe(idxDir) === want)
+    // post-commit re-delivery of batch 1 through the composed apply:
+    // both markers skip, nothing changes
+    sink(Seq((5L, "cherry"), (6L, "apple durian")).toDF("doc_id", "text"), 1L)
+    assert(probe(idxDir) === want)
+    assert(statsOf(regDir) === ((3L, 1L)))
+    val idxStats = spark.read.parquet(s"$idxDir/stats").collect()(0)
+    assert(idxStats.getAs[Long]("n_docs") === 3L)
+  }
+
   test("init refuses a pre-existing registry and bad moduli") {
     val dir = java.nio.file.Files.createTempDirectory("reg-spec-i").toString
     reg.init(spark, dir, buckets = 2)

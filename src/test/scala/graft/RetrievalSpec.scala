@@ -550,6 +550,32 @@ class RetrievalSpec extends SparkSpec {
       s"a planning scan reads the term column:\n$planStr")
   }
 
+  test("bm25Init: empty index probes as the empty relation, then grows by ingest") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-spec-init").toString + "/idx"
+    graft.operators.Retrieval.bm25Init(spark, dir, buckets = 7)
+    val q = Seq((1L, "apple banana")).toDF("query_id", "query_text")
+    // a probe of the empty index is empty, not an inference abort
+    assert(graft.operators.Retrieval.bm25TopKIndexed(dir, q, 10).collect().isEmpty)
+    // the first streamed batch applies against the empty generation
+    graft.operators.Retrieval.bm25IngestBatch(
+      dir, Seq((1L, "apple"), (2L, "banana apple")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    val want = {
+      val p = java.nio.file.Files.createTempDirectory("bm25-spec-init-rb").toString
+      graft.operators.Retrieval.buildBm25Index(
+        Seq((1L, "apple"), (2L, "banana apple")).toDF("doc_id", "text"),
+        "doc_id", "text", p, buckets = 7)
+      graft.operators.Retrieval.bm25TopKIndexed(p, q, 10)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(graft.operators.Retrieval.bm25TopKIndexed(dir, q, 10)
+      .collect().map(_.toString).sorted.toSeq === want)
+    // refuses a double init
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.bm25Init(spark, dir, 7)
+    }
+  }
+
   test("indexed bm25 probe partition-prunes the postings scan to the query buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-spec-prune").toString
     val docs = corpus.toDF("doc_id", "text")
