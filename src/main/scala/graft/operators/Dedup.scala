@@ -391,7 +391,7 @@ object Dedup {
     * self-join and incremental forms, whose agreement depends on computing
     * byte-identical keys.
     */
-  private def bandedKeys(docs: DataFrame, numHashes: Int, bands: Int) = {
+  private[graft] def bandedKeys(docs: DataFrame, numHashes: Int, bands: Int) = {
     val rowsPerBand = numHashes / bands
     docs
       .withColumn("sig", minhashSignature(col("sh"), numHashes))

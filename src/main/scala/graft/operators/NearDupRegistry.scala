@@ -1,0 +1,443 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A persisted NEAR-duplicate registry with exactly-once streaming
+  * dedup — [[DedupRegistry]]'s fuzzy sibling, and the hard half of
+  * ingestion-time curation: a crawl's near-copies (boilerplate
+  * re-wraps, trailing-junk variants, template clones) hash to different
+  * digests, so the exact registry passes them all. This registry keeps,
+  * for every ACCEPTED document, its MinHash band keys (the LSH
+  * candidate structure, [[Dedup.minhashNearDuplicates]]'s banding) and
+  * its hashed shingle set (the exact-verification structure), both at
+  * rest; an arriving batch is dropped per-row iff an LSH candidate pair
+  * VERIFIES at Jaccard ≥ threshold against an already-registered doc or
+  * a smaller-id row of the same batch.
+  *
+  * Semantics (deterministic, documented — near-dup is not transitive,
+  * so the policy matters): a row drops iff some CANDIDATE partner
+  * (sharing at least one band key) verifies ≥ threshold, where partners
+  * are (a) registered docs — accepted members of strictly earlier
+  * batches — and (b) same-batch rows with a SMALLER id, whether or not
+  * those rows themselves survive. Conservative streaming dedup: a
+  * dropped row's content is NOT registered, so a later doc similar only
+  * to dropped rows is accepted (use the batch operators'
+  * [[Dedup.connectedComponents]] clustering when global survivorship is
+  * the requirement; this is the single-pass ingest contract).
+  * Rows with an EMPTY shingle set (fewer tokens than the shingle size)
+  * carry no similarity evidence and are always accepted — route them
+  * through the exact [[DedupRegistry]], which is the right tool for
+  * tiny texts. Completeness: only LSH-candidate pairs are ever
+  * verified, so recall below Jaccard 1.0 is the banding curve's; for
+  * IDENTICAL shingle sets every band agrees, so exact near-copies are
+  * dropped with certainty (the q170 gate's planted-copy check).
+  *
+  * Layout at `path/` (the [[DedupRegistry]] recoverable-apply protocol
+  * with TWO partitioned tables):
+  *   - `corpus/bucket=<b>/` — (id, text, hs), b = pmod(xxhash64(id),
+  *     buckets): the verification fetch prunes to the candidate ids'
+  *     buckets and reads (id, hs) only.
+  *   - `bands/pk=<k>/` — (band, bkey, id), k = pmod(bkey, buckets):
+  *     the candidate join prunes to the batch's key partitions and a
+  *     map-side Bloom over the batch's (band, bkey) hashes drops
+  *     non-candidate registry keys before the exchange — what moves is
+  *     ≈ batch-sized at any registry scale.
+  *   - `stats` — (n_docs, n_dropped, buckets, shingle_size, num_hashes,
+  *     bands, threshold): the SKETCH PARAMETERS are part of the
+  *     registry's identity — every batch must band identically — so
+  *     they are fixed at [[init]] and read back, never trusted to a
+  *     caller.
+  *   - `ingestlog/b<id>` — commit markers (same retention note as the
+  *     exact registry).
+  *
+  * Same contract as every stream sink: ONE writer, ONE checkpoint
+  * lineage, null text fails loudly, maintenance never concurrent with
+  * ingest. Reference analogue: none (see [[DedupRegistry]]); the
+  * sketch side follows Broder's MinHash and the banded-LSH construction
+  * as in Mining of Massive Datasets.
+  */
+object NearDupRegistry {
+
+  private def observedOrEmpty(
+      obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    scala.util.Try(obs.get).getOrElse(Map.empty)
+
+  private val corpusSchema = "id LONG, text STRING, hs ARRAY<LONG>, bucket LONG"
+  private val bandsSchema = "band INT, bkey INT, id LONG, pk LONG"
+
+  /** Create an empty registry; refuses a pre-existing one. */
+  def init(
+      spark: SparkSession,
+      path: String,
+      buckets: Int = 64,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): Unit = {
+    require(buckets > 0, s"NearDupRegistry.init: buckets must be > 0")
+    require(numHashes % bands == 0,
+      s"NearDupRegistry.init: numHashes must divide into bands")
+    require(threshold > 0 && threshold <= 1,
+      s"NearDupRegistry.init: threshold must be in (0, 1], got $threshold")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+    require(!fs.exists(stats),
+      s"NearDupRegistry.init: a registry already exists at $path")
+    spark.range(1)
+      .select(lit(0L).as("n_docs"), lit(0L).as("n_dropped"),
+        lit(buckets.toLong).as("buckets"),
+        lit(shingleSize.toLong).as("shingle_size"),
+        lit(numHashes.toLong).as("num_hashes"),
+        lit(bands.toLong).as("bands"),
+        lit(threshold).as("threshold"))
+      .coalesce(1).write.parquet(stats.toString)
+    Seq("corpus", "bands").foreach(t =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$t")))
+  }
+
+  private case class Params(
+      nDocs: Long, nDropped: Long, buckets: Long,
+      shingleSize: Int, numHashes: Int, bands: Int, threshold: Double)
+
+  private def readParams(spark: SparkSession, path: String): Params = {
+    val r = spark.read.parquet(s"$path/stats").collect()(0)
+    Params(r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+      r.getAs[Long]("buckets"), r.getAs[Long]("shingle_size").toInt,
+      r.getAs[Long]("num_hashes").toInt, r.getAs[Long]("bands").toInt,
+      r.getAs[Double]("threshold"))
+  }
+
+  /** Exact hashed-set Jaccard verification of candidate (idA, idB)
+    * pairs: ONE arithmetic for the within-batch, vs-registry, and probe
+    * paths (the drift-free-shared-body discipline). `hsA`/`hsB` are
+    * (id, hs) frames keyed by the candidate columns' names.
+    */
+  private def verified(
+      cands: DataFrame, idA: String, idB: String,
+      hsA: DataFrame, hsB: DataFrame, threshold: Double): DataFrame = {
+    val inter = graft.functions.HashExprs.sortedIntersectSize(
+      col("hs_a"), col("hs_b"))
+    cands
+      .join(hsA.select(col("id").as(idA), col("hs").as("hs_a")), idA)
+      .join(hsB.select(col("id").as(idB), col("hs").as("hs_b")), idB)
+      .withColumn("inter", inter)
+      .filter(col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")) >= threshold)
+      .select(col(idA), col(idB))
+  }
+
+  /** The registry's candidate partners for a batch's band keys —
+    * pk-pruned, Bloom-prefiltered map-side (object scaladoc). `keys`
+    * must be persisted; returns (band, bkey, reg_id) or an empty frame
+    * when the registry holds no sketches.
+    */
+  private def registryCandidateKeys(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      nKeys: Long,
+      buckets: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val hasData = fs.exists(bandsPath) && fs.listStatus(bandsPath)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("pk="))
+    if (!hasData)
+      // attribute-derived columns (not lits): constant join keys would
+      // fold the equi-join away and plan a BNL (the DedupRegistry lesson)
+      return spark.range(0).select(
+        col("id").cast("int").as("band"), col("id").cast("int").as("bkey"),
+        col("id").as("reg_id"))
+    val batchPks = keys.select(pmod(col("bkey"), lit(buckets)).as("pk"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ the modulus
+    val bloom = keys.stat.bloomFilter(
+      xxhash64(col("band"), col("bkey")), math.max(nKeys, 1L), 0.001)
+    spark.read.schema(bandsSchema).parquet(bandsPath.toString)
+      .filter(col("pk").isin(batchPks: _*))
+      .filter(graft.functions.BloomExprs.bloomMightContain(
+        xxhash64(col("band"), col("bkey")), bloom))
+      .select(col("band"), col("bkey"), col("id").as("reg_id"))
+  }
+
+  /** The registered (reg_id, hs) rows for a candidate set — corpus read
+    * pruned to the candidates' id-hash buckets, (id, hs) columns only.
+    */
+  private def registryHs(
+      spark: SparkSession,
+      path: String,
+      cands: DataFrame,
+      buckets: Long): DataFrame = {
+    val idBuckets = cands
+      .select(pmod(xxhash64(col("reg_id")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ the modulus
+    spark.read.schema(corpusSchema).parquet(s"$path/corpus")
+      .filter(col("bucket").isin(idBuckets: _*))
+      .select(col("id"), col("hs"))
+  }
+
+  /** Batch membership probe: `docs` with `is_new` = false iff a
+    * registered document verifies at Jaccard ≥ the registry's threshold
+    * (read-only; within-batch similarity is [[ingestBatch]]'s business,
+    * and empty-shingle rows always flag new — object scaladoc).
+    */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = graft.CacheScope.scoped {
+    val p = readParams(spark, path)
+    val prepped = docs
+      .withColumn("__sh", when(col(textCol).isNull,
+          raise_error(lit(s"NearDupRegistry.probe: null $textCol row")))
+        .otherwise(Dedup.shingles(col(textCol), p.shingleSize)))
+      .withColumn("__hs", graft.functions.HashExprs.hashedSortedSet(col("__sh")))
+      .transform(graft.CacheScope.persisted)
+    val keys = Dedup.bandedKeys(
+        prepped.filter(size(col("__sh")) > 0)
+          .select(col(idCol).as("id"), col("__sh").as("sh")),
+        p.numHashes, p.bands)
+      .withColumnRenamed("bucket", "bkey")
+      .transform(graft.CacheScope.persisted)
+    val nKeys = keys.count()
+    val cands = keys
+      .join(registryCandidateKeys(spark, path, keys, nKeys, p.buckets),
+        Seq("band", "bkey"))
+      .select(col("id").as("new_id"), col("reg_id"))
+      .distinct()
+      .transform(graft.CacheScope.persisted)
+    val hit = verified(cands, "new_id", "reg_id",
+        prepped.select(col(idCol).as("id"), col("__hs").as("hs")),
+        registryHs(spark, path, cands, p.buckets), p.threshold)
+      .select(col("new_id")).distinct()
+      .withColumn("__hit", lit(true))
+    docs
+      .join(hit.withColumnRenamed("new_id", idCol), Seq(idCol), "left")
+      .withColumn("is_new", col("__hit").isNull)
+      .drop("__hit")
+  }
+
+  /** Wire into `writeStream.foreachBatch(streamSink(path, id, text))` —
+    * see [[ingestBatch]] and the object scaladoc; gated by q170.
+    */
+  def streamSink(
+      path: String,
+      idCol: String,
+      textCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      ingestBatch(path, batch, idCol, textCol, batchId)
+
+  /** One recoverable, idempotent micro-batch apply — the
+    * [[DedupRegistry.ingestBatch]] protocol over corpus + bands + stats
+    * (every table either tagged-enumerable or backup-swapped; the
+    * marker commits; re-delivery skips or restores-and-reapplies).
+    */
+  def ingestBatch(
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long): Unit = graft.CacheScope.scoped {
+    require(batchId >= 0,
+      s"NearDupRegistry.ingestBatch: negative batch id $batchId")
+    val spark = docs.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val tag = s"b$batchId"
+    def sub(rel: String) = new org.apache.hadoop.fs.Path(s"$path/$rel")
+    val marker = sub(s"ingestlog/$tag")
+    def dropBak(): Unit = {
+      val bak = sub(s"stats_${tag}_bak")
+      if (fs.exists(bak))
+        require(fs.delete(bak, true),
+          s"NearDupRegistry.ingestBatch: cannot drop $bak")
+    }
+    if (fs.exists(marker)) { dropBak(); return }
+    // ---- recovery ----
+    locally {
+      val bak = sub(s"stats_${tag}_bak")
+      val nw = sub(s"stats_${tag}_new")
+      if (fs.exists(bak)) {
+        val cur = sub("stats")
+        if (fs.exists(cur))
+          require(fs.delete(cur, true),
+            s"NearDupRegistry.ingestBatch: cannot drop $cur")
+        require(fs.rename(bak, cur),
+          s"NearDupRegistry.ingestBatch: restore $bak failed")
+      }
+      if (fs.exists(nw))
+        require(fs.delete(nw, true),
+          s"NearDupRegistry.ingestBatch: cannot drop $nw")
+    }
+    def dropTagged(name: String, prefix: String): Unit = {
+      val d = sub(name)
+      if (!fs.exists(d)) return
+      fs.listStatus(d).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(prefix))
+          fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.startsWith(tag + "_"))
+            .foreach(f => require(fs.delete(f.getPath, false),
+              s"NearDupRegistry.ingestBatch: cannot drop ${f.getPath}"))
+        else if (st.getPath.getName.startsWith(tag + "_"))
+          require(fs.delete(st.getPath, false),
+            s"NearDupRegistry.ingestBatch: cannot drop ${st.getPath}")
+      }
+    }
+    dropTagged("corpus", "bucket=")
+    dropTagged("bands", "pk=")
+    val tmpRoot = sub(s"_ingest_${tag}_tmp")
+    if (fs.exists(tmpRoot))
+      require(fs.delete(tmpRoot, true),
+        s"NearDupRegistry.ingestBatch: cannot drop $tmpRoot")
+    // ---- the apply ----
+    val p = readParams(spark, path)
+    val obs = org.apache.spark.sql.Observation()
+    val prepped = docs
+      .observe(obs, count(lit(1)).as("n"))
+      .select(
+        col(idCol).as("id"),
+        when(col(textCol).isNull,
+          raise_error(lit(s"NearDupRegistry.ingestBatch: null $textCol row")))
+          .otherwise(col(textCol)).as("text"))
+      .withColumn("sh", Dedup.shingles(col("text"), p.shingleSize))
+      .withColumn("hs", graft.functions.HashExprs.hashedSortedSet(col("sh")))
+      .transform(graft.CacheScope.persisted)
+    prepped.count() // materialize: fires the raw-row observation
+    val batchN = observedOrEmpty(obs).get("n")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    def commitMarker(): Unit = {
+      fs.mkdirs(marker.getParent)
+      require(fs.createNewFile(marker),
+        s"NearDupRegistry.ingestBatch: cannot create marker $marker")
+    }
+    if (batchN == 0L) { commitMarker(); return }
+    val keys = Dedup.bandedKeys(
+        prepped.filter(size(col("sh")) > 0).select(col("id"), col("sh")),
+        p.numHashes, p.bands)
+      .withColumnRenamed("bucket", "bkey")
+      .transform(graft.CacheScope.persisted)
+    val nKeys = keys.count()
+    val batchHs = prepped.select(col("id"), col("hs"))
+    // within-batch: a row drops against ANY smaller-id candidate
+    val selfCands = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val selfDrops = verified(
+        selfCands, "id_a", "id_b", batchHs, batchHs, p.threshold)
+      .select(col("id_b").as("id")).distinct()
+    // vs the registered corpus
+    val regCands = keys
+      .join(registryCandidateKeys(spark, path, keys, nKeys, p.buckets),
+        Seq("band", "bkey"))
+      .select(col("id").as("new_id"), col("reg_id"))
+      .distinct()
+      .transform(graft.CacheScope.persisted)
+    val regDrops = verified(regCands, "new_id", "reg_id",
+        batchHs, registryHs(spark, path, regCands, p.buckets), p.threshold)
+      .select(col("new_id").as("id")).distinct()
+    val accepted = prepped
+      .join(selfDrops.unionByName(regDrops).distinct(), Seq("id"), "left_anti")
+      .transform(graft.CacheScope.persisted)
+    // ---- stage ----
+    val accObs = org.apache.spark.sql.Observation()
+    accepted
+      .observe(accObs, count(lit(1)).as("n"))
+      .select(col("id"), col("text"), col("hs"),
+        pmod(xxhash64(col("id")), lit(p.buckets)).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmpRoot/corpus")
+    val nAccepted = observedOrEmpty(accObs).get("n")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    keys.join(accepted.select(col("id")), Seq("id"))
+      .select(col("band"), col("bkey"), col("id"),
+        pmod(col("bkey"), lit(p.buckets)).as("pk"))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk")
+      .parquet(s"$tmpRoot/bands")
+    spark.range(1)
+      .select(
+        lit(p.nDocs + nAccepted).as("n_docs"),
+        lit(p.nDropped + (batchN - nAccepted)).as("n_dropped"),
+        lit(p.buckets).as("buckets"),
+        lit(p.shingleSize.toLong).as("shingle_size"),
+        lit(p.numHashes.toLong).as("num_hashes"),
+        lit(p.bands.toLong).as("bands"),
+        lit(p.threshold).as("threshold"))
+      .coalesce(1).write.parquet(sub(s"stats_${tag}_new").toString)
+    // ---- commit ----
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$tmpRoot/corpus", s"$path/corpus", "bucket=", tag,
+      move = true)
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$tmpRoot/bands", s"$path/bands", "pk=", tag,
+      move = true)
+    require(fs.rename(sub("stats"), sub(s"stats_${tag}_bak")),
+      s"NearDupRegistry.ingestBatch: stats backup rename failed")
+    require(fs.rename(sub(s"stats_${tag}_new"), sub("stats")),
+      s"NearDupRegistry.ingestBatch: stats swap rename failed")
+    commitMarker()
+    dropBak()
+    fs.delete(tmpRoot, true)
+  }
+
+  /** Collapse per-batch file generations in BOTH tables —
+    * [[DedupRegistry.compact]] over corpus and bands.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(("corpus", corpusSchema, "bucket"), ("bands", bandsSchema, "pk"))
+      .foreach { case (name, schema, part) =>
+        val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
+        require(fs.exists(cur), s"NearDupRegistry.compact: no $name at $cur")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_compact_tmp")
+        spark.read.schema(schema).parquet(cur.toString)
+          .repartition(col(part))
+          .write.mode("overwrite").partitionBy(part).parquet(tmp.toString)
+        graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+      }
+  }
+
+  /** Targeted takedown by id: [[graft.sinks.Sinks.deleteRows]] on the
+    * corpus buckets AND the bands partitions (a retired doc must stop
+    * being a dedup witness — its band keys leave with it), plus an
+    * exact stats decrement. Same takedown-vs-denylist semantics note as
+    * [[DedupRegistry.delete]].
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCol: String): Long = {
+    val k = keys.select(col(keyCol).as("id"))
+    val n = graft.sinks.Sinks.deleteRows(
+      spark, s"$path/corpus", "bucket", "id", k)
+    graft.sinks.Sinks.deleteRows(
+      spark, s"$path/bands", "pk", "id", k, countDeleted = false)
+    if (n > 0L) {
+      val p = readParams(spark, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_delete_tmp")
+      spark.range(1)
+        .select(
+          lit(p.nDocs - n).as("n_docs"),
+          lit(p.nDropped).as("n_dropped"),
+          lit(p.buckets).as("buckets"),
+          lit(p.shingleSize.toLong).as("shingle_size"),
+          lit(p.numHashes.toLong).as("num_hashes"),
+          lit(p.bands.toLong).as("bands"),
+          lit(p.threshold).as("threshold"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      graft.sinks.Sinks.swapByRename(
+        fs, tmp, new org.apache.hadoop.fs.Path(s"$path/stats"))
+    }
+    n
+  }
+}

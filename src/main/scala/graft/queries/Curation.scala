@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CurationFilters, Dedup, DedupRegistry, LinkGraph, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Similarity, Skew, SnapshotDiff, TextAnalysis}
+import graft.operators.{CurationFilters, Dedup, DedupRegistry, LinkGraph, Multimodal, NearDupRegistry, Packing, RangeJoin, Retrieval, Sampling, Similarity, Skew, SnapshotDiff, TextAnalysis}
 import graft.sources.DocJsonl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3041,6 +3041,137 @@ object Curation {
         s.read.parquet(s"$staged/phase_001.parquet"), 1L)
       Retrieval.bm25TopKIndexed(idxPath, bm25Queries(s), k = 10)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Streaming NEAR-dup dedup into the persisted LSH registry — the
+    // fuzzy sibling of q167, soundness-gated (MinHash banding is
+    // engine-defined, so like q38/q40 the gate output is a VIOLATION
+    // relation and the oracle is empty): over a phased stream with
+    // planted exact copies (within-batch AND cross-batch) and planted
+    // trailing-junk near-copies, plus the full crash drill (junk tagged
+    // parts in BOTH tables + the stats mid-swap window, kill-restart,
+    // post-commit re-delivery), the final registry must satisfy:
+    // (a) no alien/duplicated registered id; (b) stats count exactly;
+    // (c) every planted WITHIN-batch exact copy dropped (its identical
+    // smaller-id batch-mate is a certain candidate whatever its own
+    // fate); (d) every planted CROSS-batch exact copy whose original
+    // was registered dropped (identical sketches collide in every
+    // band); (e) every dropped row verifies at true shingle-Jaccard
+    // >= threshold against an eligible partner — a registered
+    // earlier-phase row or a smaller-id same-phase row — recomputed by
+    // the independent PPJoin-exact path (Dedup.jaccardJoin), not the
+    // LSH path that made the decision. Empty output = sound.
+    "q170_neardup_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"$regIngestParent/ndreg"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      NearDupRegistry.init(s, path, buckets = 16)
+      val p0 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val p1 = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val p2 = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" qq17 qq18 qq19")).as("text")))
+      val staged = stagePhases(s"ingest170|$dir", Seq(p0, p1, p2))
+      locally { // manufactured batch-0 crash state on BOTH tables + stats
+        import s.implicits._
+        plantTaggedPart(
+          Seq((-999L, "__GRAFT_JUNK__", Seq(1L, 2L))).toDF("id", "text", "hs"),
+          s"$path/corpus/bucket=3", "b0")
+        plantTaggedPart(Seq((0, 12345, -999L)).toDF("band", "bkey", "id"),
+          s"$path/bands/pk=1", "b0")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), s.sessionState.newHadoopConf())
+        fs.rename(new org.apache.hadoop.fs.Path(s"$path/stats"),
+          new org.apache.hadoop.fs.Path(s"$path/stats_b0_bak"))
+        s.range(1)
+          .select(lit(777777L).as("n_docs"), lit(777777L).as("n_dropped"),
+            lit(16L).as("buckets"), lit(3L).as("shingle_size"),
+            lit(64L).as("num_hashes"), lit(16L).as("bands"),
+            lit(0.5).as("threshold"))
+          .coalesce(1).write.parquet(s"$path/stats")
+      }
+      runPhasedIngest(s, staged, p0.schema, nPhases = 3, firstRun = 2,
+        NearDupRegistry.streamSink(path, "doc_id", "text"))
+      // post-commit re-delivery of batch 1: must skip whole
+      NearDupRegistry.ingestBatch(
+        path, s.read.parquet(s"$staged/phase_001.parquet"),
+        "doc_id", "text", 1L)
+      // ---- the violation relation ----
+      val stream = p0.withColumn("ph", lit(0))
+        .unionByName(p1.withColumn("ph", lit(1)))
+        .unionByName(p2.withColumn("ph", lit(2)))
+        .transform(graft.CacheScope.persisted)
+      val acc = s.read.parquet(s"$path/corpus")
+        .select(col("id"), col("text"))
+        .transform(graft.CacheScope.persisted)
+      val accIds = acc.select(col("id"))
+      def cnt(df: DataFrame, kind: String): DataFrame =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+          .select(lit(kind).as("kind"), col("n"))
+      val alien = cnt(accIds.join(
+        stream.select(col("doc_id").as("id")), Seq("id"), "left_anti"),
+        "alien_id")
+      val dupReg = cnt(acc.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), "dup_registered_id")
+      val sketchable = size(Dedup.shingles(col("text"), 3)) > 0
+      // (c) within-batch exact copies must always have dropped
+      val withinViol = cnt(stream
+        .filter(col("doc_id") >= 2000000L && col("doc_id") < 3000000L &&
+          sketchable)
+        .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id")),
+        "planted_within_batch_copy_survived")
+      // (d) cross-batch exact copies whose original registered
+      val crossViol = cnt(stream
+        .filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L &&
+          sketchable)
+        .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .withColumn("orig", col("doc_id") - 1000000L)
+        .join(accIds.withColumnRenamed("id", "orig"), Seq("orig")),
+        "planted_cross_batch_copy_survived")
+      // (e) each dropped row has an ELIGIBLE true-Jaccard partner,
+      // recomputed via the exhaustive PPJoin-exact relation
+      val dropped = stream
+        .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left_anti")
+        .transform(graft.CacheScope.persisted)
+      val pairs = Dedup.jaccardJoin(
+          dropped.select(col("doc_id").as("id"), col("text")),
+          stream.select(col("doc_id").as("id"), col("text")),
+          "id", "text", Seq.empty, shingleSize = 3, threshold = 0.5)
+        .filter(col("id_a") =!= col("id_b"))
+      val phOf = stream.select(col("doc_id"), col("ph"))
+      val witnessed = pairs
+        .join(phOf.select(col("doc_id").as("id_a"), col("ph").as("ph_a")), "id_a")
+        .join(phOf.select(col("doc_id").as("id_b"), col("ph").as("ph_b")), "id_b")
+        .join(accIds.withColumnRenamed("id", "id_b")
+          .withColumn("__reg", lit(true)), Seq("id_b"), "left")
+        .filter((col("ph_b") < col("ph_a") && col("__reg")) ||
+          (col("ph_b") === col("ph_a") && col("id_b") < col("id_a")))
+        .select(col("id_a").as("doc_id")).distinct()
+      val unsound = cnt(
+        dropped.join(witnessed, Seq("doc_id"), "left_anti"), "unwitnessed_drop")
+      // (b) stats count exactly
+      val st = s.read.parquet(s"$path/stats").collect()(0)
+      val (accN, streamN) = (acc.count(), stream.count())
+      val statsViol =
+        if (st.getAs[Long]("n_docs") == accN &&
+            st.getAs[Long]("n_dropped") == streamN - accN)
+          s.range(0).select(lit("stats_mismatch").as("kind"), col("id").as("n"))
+        else s.range(1).select(lit("stats_mismatch").as("kind"), lit(1L).as("n"))
+      alien.unionByName(dupReg).unionByName(withinViol)
+        .unionByName(crossViol).unionByName(unsound).unionByName(statsViol)
+        .orderBy(col("kind"), col("n"))
     })
   )
 

@@ -2424,6 +2424,13 @@ object CurationOracles {
     // survivors of the SAME stream — what the composed sink's standing
     // index must score after dedup dropped every planted duplicate.
     "q169_dedup_index_stream" -> bm25OracleOverCorpus(DedupAcceptedSql),
+    // Streaming near-dup registry soundness (the q38/q40 shape: the
+    // banding is engine-defined, so the gate emits a VIOLATION relation
+    // — planted-copy survival, unwitnessed drops, alien/dup ids, stats
+    // drift — and the oracle is the empty relation).
+    "q170_neardup_stream_ingest" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Prices the streaming-ingest apply (SURVEY §8): ONE fixed-size batch
   * applied through [[graft.operators.Retrieval.bm25IngestBatch]] (and
-  * the IVF twin, and [[graft.operators.DedupRegistry.ingestBatch]])
-  * against a standing index at 1x and Nx corpus scale. The claim under
+  * the IVF twin, [[graft.operators.DedupRegistry.ingestBatch]], and
+  * [[graft.operators.NearDupRegistry.ingestBatch]]) against a standing
+  * index at 1x and Nx corpus scale. The claim under
   * test — what makes the stream sinks viable against a 100 TB standing
   * artifact: apply work is proportional to the BATCH plus a
   * vocabulary-sized df merge (bm25) / a bucket-pruned digest-column
-  * membership read (registry), never the standing mass, so the apply
-  * wall stays near-flat as the index grows. (The vocabulary itself
-  * grows sublinearly here: DeleteBench's per-doc-token model caps at
-  * ~100k extra terms.) The registry batch carries 50% planted
-  * duplicates of standing content so the membership join does real
-  * dropping work.
+  * membership read (registry) / a band-key-pruned candidate join plus
+  * a candidate-bucket (id, hs) fetch (near-dup registry), never the
+  * standing mass, so the apply wall stays near-flat as the index
+  * grows. (The vocabulary itself grows sublinearly here: DeleteBench's
+  * per-doc-token model caps at ~100k extra terms.) The registry
+  * batches carry 50% planted duplicates (exact for the digest
+  * registry, trailing-junk near-copies for the LSH registry) of
+  * standing content so the membership/candidate joins do real
+  * dropping work; the other 50% (reversed texts for the LSH registry —
+  * disjoint shingle sets) must land.
   *
   * Run: sbt "runMain graft.tools.IngestBench [replication]"
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
@@ -54,13 +59,36 @@ object IngestBench {
         .select((col("doc_id") + 7000000000L).as("doc_id"),
           concat(col("text"), lit(" fresh")).as("text")))
       .transform(graft.CacheScope.persisted)
+    // near-dup registry: replica r's texts get a marker token spliced at
+    // EVERY word boundary — every 3-shingle of replica r contains m<r>,
+    // so shingle sets are DISJOINT across replicas (a trailing suffix
+    // would leave replicas near-dups of each other and batch 0 would
+    // collapse the standing corpus back to 1x)
+    def ndDocs(r: Int): DataFrame =
+      docs.select((col("doc_id") + lit(r * 1000000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit(" "), lit(s" m$r ")).as("text"))
+    // batch: half trailing-junk NEAR-copies of standing replica-0 texts
+    // (must verify and drop), half reversed texts (disjoint shingles,
+    // must land)
+    val ndBatch = ndDocs(0).filter(col("doc_id") % 62 === 0)
+      .select((col("doc_id") + 6000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz98 zz99")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 62 === 31)
+        .select((col("doc_id") + 7000000000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+      .transform(graft.CacheScope.persisted)
     val batchDocs = bmBatch.count()
-    ivfBatch.count(); regBatch.count()
+    ivfBatch.count(); regBatch.count(); ndBatch.count()
 
     def replicated(scale: Int): DataFrame =
       (0 until scale).map(r =>
         docs.select((col("doc_id") + lit(r * 1000000000L)).as("doc_id"),
           col("text")))
+        .reduce(_.unionByName(_))
+        .transform(graft.CacheScope.persisted)
+
+    def ndReplicated(scale: Int): DataFrame =
+      (0 until scale).map(ndDocs)
         .reduce(_.unionByName(_))
         .transform(graft.CacheScope.persisted)
 
@@ -97,14 +125,28 @@ object IngestBench {
       graft.operators.DedupRegistry.ingestBatch(
         regPath, regBatch, "doc_id", "text", 1L)
       val regWall = (System.nanoTime() - t2) / 1e9
+      val ndRoot = java.nio.file.Files
+        .createTempDirectory(s"graft-ingbench-nd-$scale").toString
+      val ndPath = s"$ndRoot/reg"
+      val ndCorpus = ndReplicated(scale)
+      graft.operators.NearDupRegistry.init(spark, ndPath, buckets = 64)
+      graft.operators.NearDupRegistry.ingestBatch(
+        ndPath, ndCorpus, "doc_id", "text", 0L)
+      val ndStanding = spark.read.parquet(s"$ndPath/corpus").count()
+      val t3 = System.nanoTime()
+      graft.operators.NearDupRegistry.ingestBatch(
+        ndPath, ndBatch, "doc_id", "text", 1L)
+      val ndWall = (System.nanoTime() - t3) / 1e9
       if (!warmup)
         println(f"[ingest-bench] scale=$scale%-3d index=$corpusDocs%8d docs  " +
           f"batch=$batchDocs docs  bm25_apply=$bmWall%6.2f s  " +
-          f"ivf_apply=$ivfWall%6.2f s  reg_apply=$regWall%6.2f s")
-      corpus.unpersist()
+          f"ivf_apply=$ivfWall%6.2f s  reg_apply=$regWall%6.2f s  " +
+          f"ndreg_apply=$ndWall%6.2f s (standing=$ndStanding)")
+      corpus.unpersist(); ndCorpus.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bmPath))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfPath))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(regRoot))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ndRoot))
     }
     run(1, warmup = true)
     run(1)

@@ -302,6 +302,16 @@ class PlanShapeSpec extends SparkSpec {
         operators.DedupRegistry.ingestBatch(regPath,
           docs, "doc_id", "text", 1L) // dup-bearing batch: real drops
         operators.Similarity.ivfSplitCells(spark, ivfPath, maxCellRows = 30)
+        // the NEAR-dup registry ingest: LSH candidate joins, hashed-set
+        // verification fetches, and the two staged partitioned writes
+        val ndPath = java.nio.file.Files
+          .createTempDirectory("graft-ndreg-planshape").toString + "/reg"
+        operators.NearDupRegistry.init(spark, ndPath, buckets = 8)
+        operators.NearDupRegistry.ingestBatch(ndPath,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
+          "doc_id", "text", 0L)
+        operators.NearDupRegistry.ingestBatch(ndPath,
+          docs, "doc_id", "text", 1L)
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
