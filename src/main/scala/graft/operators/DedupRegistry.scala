@@ -369,6 +369,76 @@ object DedupRegistry {
         idCol, textCol, batchId)
     }
 
+  /** Merge N registries into a new registry at `dest` — the distributed
+    * BOOTSTRAP step the index families already have
+    * ([[Retrieval.bm25Merge]] / [[graft.operators.Similarity.ivfMerge]])
+    * carried to the exact registry: a 100 TB corpus backfills as
+    * independent shard registries built in parallel (each a one-batch
+    * [[ingestBatch]] over its slice), then merges into the standing
+    * artifact a stream keeps feeding. Digest equality is TRANSITIVE, so
+    * unlike the near-dup sibling the merged result is EXACTLY what a
+    * single-batch build over the union would produce: the globally
+    * smallest id per digest survives (each shard already kept its
+    * slice's smallest, and the global winner is among the shard
+    * winners — [[MergeSpec]] pins merged == one-batch bit-for-bit).
+    * Stats conserve the raw stream: n_docs = survivors, n_dropped =
+    * Σ_shards (n_docs + n_dropped) − survivors.
+    *
+    * Scale shape: ONE digest-keyed shuffle of the shard survivors (the
+    * unavoidable cross-shard tiebreak — already deduped within shards,
+    * so it moves the merged corpus once, never the raw stream) + the
+    * bucket-clustered write of the winners. Shards must share the
+    * bucket modulus (the pruning contract travels with the digests);
+    * a mismatch aborts. `dest` must not exist. Same single-writer
+    * window as the index merges: shards are read non-atomically —
+    * merge only quiesced shards.
+    */
+  def merge(
+      spark: SparkSession,
+      paths: Seq[String],
+      dest: String): Unit = {
+    require(paths.size >= 2, s"DedupRegistry.merge: need >= 2 shards, got ${paths.size}")
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/stats")),
+      s"DedupRegistry.merge: a registry already exists at $dest")
+    val stats = paths.map { p =>
+      val r = spark.read.parquet(s"$p/stats")
+        .select(col("n_docs"), col("n_dropped"), col("buckets")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val buckets = stats.head._3
+    paths.zip(stats).foreach { case (p, (_, _, b)) =>
+      require(b == buckets,
+        s"DedupRegistry.merge: bucket modulus differs (${paths.head}=$buckets " +
+          s"vs $p=$b) — the shards' pruning contracts are incompatible; " +
+          "rebuild with one modulus") }
+    val union = paths
+      .map(p => spark.read
+        .schema("id LONG, text STRING, digest STRING, bucket LONG")
+        .parquet(s"$p/corpus")
+        .select(col("id"), col("text"), col("digest")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("digest")).orderBy(col("id"))
+    val winners = union
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("bucket", pmod(xxhash64(col("digest")), lit(buckets)))
+    val obs = org.apache.spark.sql.Observation()
+    winners
+      .observe(obs, count(lit(1)).as("n"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dest/corpus")
+    val nDocs = observedOrEmpty(obs).get("n")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val rawTotal = stats.map { case (d, r, _) => d + r }.sum
+    spark.range(1)
+      .select(lit(nDocs).as("n_docs"),
+        lit(rawTotal - nDocs).as("n_dropped"),
+        lit(buckets).as("buckets"))
+      .coalesce(1).write.parquet(s"$dest/stats")
+  }
+
   /** Collapse the per-batch file generations — a long-fed registry
     * accumulates one `b<id>_` file set per applied batch and membership
     * reads decay into many small openings. Bucket-clustered rewrite into

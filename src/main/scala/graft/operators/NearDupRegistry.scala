@@ -386,6 +386,106 @@ object NearDupRegistry {
     fs.delete(tmpRoot, true)
   }
 
+  /** Merge N near-dup registries into a new registry at `dest` — the
+    * distributed bootstrap for the LSH registry: shard registries build
+    * in parallel over corpus slices (each a one-batch [[ingestBatch]]),
+    * then merge with CROSS-SHARD near-dup resolution computed entirely
+    * from the sketches at rest — no text is re-shingled and no
+    * signature re-hashed; the bands tables ARE the candidate structure
+    * and the hs columns ARE the verification structure.
+    *
+    * Semantics (deterministic, the conservative registered-witness
+    * policy): a shard-registered row drops iff a SMALLER-ID
+    * shard-registered row (any shard, its own included — same-shard
+    * survivor pairs never verify, by the shards' own construction)
+    * verifies at Jaccard ≥ the shared threshold among its LSH
+    * candidates. Near-dup is NOT transitive, so unlike
+    * [[DedupRegistry.merge]] this can differ from a one-batch build:
+    * a row a one-batch build would drop via a partner that was itself
+    * dropped INSIDE a shard survives the merge (the dropped partner's
+    * sketch is gone — exactly the streaming contract, where dropped
+    * rows never witness). [[MergeSpec]] pins equality on chain-free
+    * corpora and certainty for identical texts (same sketches collide
+    * in every band, so exact copies always resolve).
+    *
+    * Sketch parameters are part of the registry identity — all shards
+    * must agree exactly (else the band keys are incomparable); a
+    * mismatch aborts, as does an existing `dest`. Stats conserve the
+    * raw stream: n_docs = survivors, n_dropped = Σ_shards (n_docs +
+    * n_dropped) − survivors. Scale shape: the candidate join is a
+    * self-join of the unioned bands tables — O(corpus × bands) rows of
+    * (int, int, long), the q24 banded-LSH exchange shape, never text
+    * or signatures; verification joins (id, hs) by candidate id only.
+    * Single-writer: merge only quiesced shards.
+    */
+  def merge(
+      spark: SparkSession,
+      paths: Seq[String],
+      dest: String): Unit = graft.CacheScope.scoped {
+    require(paths.size >= 2,
+      s"NearDupRegistry.merge: need >= 2 shards, got ${paths.size}")
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/stats")),
+      s"NearDupRegistry.merge: a registry already exists at $dest")
+    val params = paths.map(p => readParams(spark, p))
+    val first = params.head
+    paths.zip(params).foreach { case (p, q) =>
+      require((q.buckets, q.shingleSize, q.numHashes, q.bands, q.threshold) ==
+          (first.buckets, first.shingleSize, first.numHashes, first.bands,
+            first.threshold),
+        s"NearDupRegistry.merge: sketch parameters differ (${paths.head} " +
+          s"vs $p) — band keys from different sketch configurations are " +
+          "incomparable; rebuild the shards from one init configuration") }
+    val corpus = paths
+      .map(p => spark.read.schema(corpusSchema).parquet(s"$p/corpus")
+        .select(col("id"), col("text"), col("hs")))
+      .reduce(_.unionByName(_))
+      .transform(graft.CacheScope.persisted)
+    val bands = paths
+      .map(p => spark.read.schema(bandsSchema).parquet(s"$p/bands")
+        .select(col("band"), col("bkey"), col("id")))
+      .reduce(_.unionByName(_))
+      .transform(graft.CacheScope.persisted)
+    // cross-shard candidates from the at-rest band keys: global
+    // smaller-id policy (same-shard survivor pairs are no-ops — they
+    // already failed verification inside their shard)
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val hs = corpus.select(col("id"), col("hs"))
+    val dropped = verified(cands, "id_a", "id_b", hs, hs, first.threshold)
+      .select(col("id_b").as("id")).distinct()
+    val survivors = corpus.join(dropped, Seq("id"), "left_anti")
+      .transform(graft.CacheScope.persisted)
+    val obs = org.apache.spark.sql.Observation()
+    survivors
+      .observe(obs, count(lit(1)).as("n"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(first.buckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dest/corpus")
+    val nDocs = observedOrEmpty(obs).get("n")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    bands.join(survivors.select(col("id")), Seq("id"))
+      .select(col("band"), col("bkey"), col("id"),
+        pmod(col("bkey"), lit(first.buckets)).as("pk"))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(s"$dest/bands")
+    val rawTotal = params.map(p => p.nDocs + p.nDropped).sum
+    spark.range(1)
+      .select(lit(nDocs).as("n_docs"),
+        lit(rawTotal - nDocs).as("n_dropped"),
+        lit(first.buckets).as("buckets"),
+        lit(first.shingleSize.toLong).as("shingle_size"),
+        lit(first.numHashes.toLong).as("num_hashes"),
+        lit(first.bands.toLong).as("bands"),
+        lit(first.threshold).as("threshold"))
+      .coalesce(1).write.parquet(s"$dest/stats")
+  }
+
   /** Collapse per-batch file generations in BOTH tables —
     * [[DedupRegistry.compact]] over corpus and bands.
     */

@@ -935,6 +935,26 @@ object Retrieval {
     val dl = spark.read.schema(doclenSchema).parquet(s"$path/doclen")
     val qdf = terms.join(broadcast(qterms), "term")
       .select(col("query_id"), col("term"), col("df"))
+    bm25ScoreTail(qdf, postings, dl, nDocs, avgdl, k, k1, b)
+  }
+
+  /** The ONE BM25 scoring arithmetic over pre-pruned index reads —
+    * shared verbatim by [[bm25TopKIndexed]] and [[bm25TopKFederated]]
+    * (the drift-free-shared-body discipline: the federated probe cannot
+    * diverge from the single-index probe because there is exactly one
+    * idf/norm/top-k body to diverge in). `qdf` carries the per-query
+    * term dfs under whatever df notion the caller owns (single index:
+    * the terms table; federated: the cross-index sum).
+    */
+  private def bm25ScoreTail(
+      qdf: DataFrame, // columns: query_id, term, df
+      postings: DataFrame,
+      dl: DataFrame,
+      nDocs: Long,
+      avgdl: Double,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
     val idf = log(
       lit(1.0) +
         (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
@@ -958,6 +978,80 @@ object Retrieval {
         col("rnk"),
         col("id").as("doc_id"),
         round(col("score"), 4).as("score"))
+  }
+
+  /** BM25 top-k over the UNION of N persisted indexes WITHOUT merging
+    * them — the main+delta serving architecture: a standing base index
+    * plus the small fresh index a stream is feeding, queried as one
+    * corpus. This is what lets a 100 TB index absorb ingest
+    * continuously — [[bm25Merge]] runs on maintenance windows, not on
+    * the query path.
+    *
+    * Correctness is exact, not approximate: BM25's only cross-document
+    * coupling is the global statistics, so the probe sums n_docs /
+    * total_tokens across indexes, sums each query term's df across the
+    * indexes' (pruned) term tables, and scores the unioned postings
+    * with the shared [[bm25ScoreTail]] — every row of the score input
+    * is identical to what a probe of the MERGED index would read, so
+    * the result is bit-for-bit the merged probe ([[FederatedProbeSpec]]
+    * pins both that and the N=1 == [[bm25TopKIndexed]] identity; the
+    * q173 gate pins 4 shards against the full-corpus oracle).
+    *
+    * Scale: per-index work is exactly a [[bm25TopKIndexed]] probe's
+    * pruned reads — each index prunes by its OWN modulus (read from its
+    * own stats; the indexes need not agree on buckets) — and the only
+    * cross-index work is the query-terms-sized df sum. Caller
+    * contract: id sets pairwise disjoint (the merge/append contract).
+    */
+  def bm25TopKFederated(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      queries: DataFrame, // columns: query_id, query_text
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(paths.nonEmpty, "bm25TopKFederated: need >= 1 index path")
+    require(k > 0, s"top-k must be positive, got $k")
+    require(k1 > 0.0, s"k1 must be positive, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1], got $b")
+    val qterms = queries
+      .select(
+        col("query_id"),
+        explode(TextAnalysis.tokens(col("query_text"))).as("term"))
+      .distinct()
+      .transform(graft.CacheScope.persisted)
+    val stats = paths.map { p =>
+      val r = spark.read.parquet(s"$p/stats")
+        .select(col("n_docs"), col("total_tokens"), col("buckets"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val nDocs = stats.map(_._1).sum
+    val avgdl = stats.map(_._2).sum.toDouble / nDocs.toDouble
+    val pruned = paths.zip(stats).map { case (p, (_, _, nBuckets)) =>
+      // each index prunes with its OWN modulus, re-derived per probe
+      // (read from the index, never trusted to a caller argument)
+      val qbuckets = qterms
+        .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
+        .distinct()
+        .collect().map(_.getLong(0)).sorted
+      (spark.read.schema(termsSchema).parquet(s"$p/terms")
+          .filter(col("bucket").isin(qbuckets: _*)),
+        spark.read.schema(postingsSchema).parquet(s"$p/postings")
+          .filter(col("bucket").isin(qbuckets: _*)),
+        spark.read.schema(doclenSchema).parquet(s"$p/doclen"))
+    }
+    // the global df of a query term is the sum of its per-index dfs —
+    // a query-terms-bounded aggregation, the one genuinely cross-index job
+    val qdf = pruned.map(_._1).reduce(_.unionByName(_))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("df")).as("df"))
+    bm25ScoreTail(
+      qdf,
+      pruned.map(_._2).reduce(_.unionByName(_)),
+      pruned.map(_._3).reduce(_.unionByName(_)),
+      nDocs, avgdl, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (RRF) of two rankings — the standard hybrid

@@ -1214,6 +1214,26 @@ object Similarity {
       qvecCol: String,
       k: Int,
       nprobe: Int = 4): DataFrame = {
+    val candidates = ivfProbeCandidates(indexPath, queries, qidCol, qvecCol, nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
+  /** The exact-cosine-scored candidates of ONE index's nprobe-pruned
+    * cells — the shared probe body of [[ivfTopKIndexed]] and
+    * [[ivfTopKFederated]] (one candidate arithmetic, so the federated
+    * form cannot drift from the single-index form). Float layout
+    * ([[buildIvfIndex]]); probes with the index's OWN centroid table.
+    */
+  private def ivfProbeCandidates(
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     val c = spark.read.parquet(s"$indexPath/corpus")
@@ -1224,11 +1244,46 @@ object Similarity {
         explode(transform(graft.functions.VecExprs.nearestCentroids(
           col("qvec"), centroids, nprobe),
           p => posToCell(p, cellIds))).as("cell"))
-    val candidates = probes.join(c, "cell")
+    probes.join(c, "cell")
       .filter(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")
       .withColumn("sim", cosine(col("vec"), col("qvec")))
       .filter(col("sim").isNotNull)
+  }
+
+  /** IVF top-k over the UNION of N persisted float-layout indexes
+    * WITHOUT merging them — the dense twin of
+    * [[graft.operators.Retrieval.bm25TopKFederated]] and the
+    * main+delta ANN serving architecture: queries see a standing base
+    * index plus the fresh delta a stream is feeding as one corpus,
+    * while [[ivfMerge]] stays a maintenance-window operator off the
+    * query path.
+    *
+    * Each index is probed with its OWN centroid table (nprobe cells
+    * each), candidates union, and ONE global top-k ranks the exact
+    * cosines. The indexes need NOT share a quantizer for the probe to
+    * be sound — every candidate is exact-scored — but when they DO
+    * share one (the [[ivfInit]] shard flow), the probed cells and
+    * therefore the candidate set are IDENTICAL to a probe of the
+    * merged index, so the result is bit-for-bit the merged probe
+    * ([[FederatedProbeSpec]] pins that and the N=1 ==
+    * [[ivfTopKIndexed]] identity; the q174 gate pins 4 shared-quantizer
+    * shards against the full-IVF-in-SQL oracle). Under distinct
+    * quantizers recall follows each index's own banding curve. Caller
+    * contract: id sets pairwise disjoint.
+    */
+  def ivfTopKFederated(
+      paths: Seq[String],
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(paths.nonEmpty, "ivfTopKFederated: need >= 1 index path")
+    val candidates = paths
+      .map(p => ivfProbeCandidates(p, queries, qidCol, qvecCol, nprobe))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("qid", "id")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     candidates
       .withColumn("rank", row_number().over(w))

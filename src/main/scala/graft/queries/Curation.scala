@@ -191,6 +191,90 @@ object Curation {
   private lazy val ivfSplitParent: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-split").toString
 
+  /** q171's shard registries: the three [[dedupStreamPhases]] slices
+    * each one-batch-ingested into its own registry — the parallel
+    * bootstrap whose merge the gate proves. Memoized deterministic
+    * SETUP (the bm25Shard contract); the merge reads, never consumes.
+    */
+  private def regShard(s: SparkSession, dir: String, shard: Int): String =
+    baseIndexes.computeIfAbsent(s"regsh3_$shard|$dir", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-reg-sh$shard").toString + "/reg"
+      DedupRegistry.init(s, p, buckets = 16)
+      DedupRegistry.ingestBatch(
+        p, dedupStreamPhases(s, dir)(shard), "doc_id", "text", 0L)
+      p
+    })
+
+  // q171's merge destination parent (dest must not pre-exist)
+  private lazy val regMergeParent: String =
+    java.nio.file.Files.createTempDirectory("graft-reg-merge").toString
+
+  /** q172's corpus slices with planted CROSS-SHARD duplicates: exact
+    * re-keys of shard-0 content into shard 1 (+1M) and of shard-1
+    * content into shard 2 (+2M), plus trailing-junk NEAR-copies of
+    * shard-0 content into shard 2 (+3M) — the duplicates a partitioned
+    * bootstrap cannot see until the merge.
+    */
+  private def ndMergeSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = t(s, dir, "documents")
+    val s0 = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val s1 = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val s2 = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 1 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" qq17 qq18 qq19")).as("text")))
+    Seq(s0, s1, s2)
+  }
+
+  /** q172's shard near-dup registries over [[ndMergeSlices]] — memoized
+    * like [[regShard]]; the merge reads, never consumes.
+    */
+  private def ndregShard(s: SparkSession, dir: String, shard: Int): String =
+    baseIndexes.computeIfAbsent(s"ndregsh3_$shard|$dir", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-ndreg-sh$shard").toString + "/reg"
+      NearDupRegistry.init(s, p, buckets = 16)
+      NearDupRegistry.ingestBatch(
+        p, ndMergeSlices(s, dir)(shard), "doc_id", "text", 0L)
+      p
+    })
+
+  // q172's merge destination parent (dest must not pre-exist)
+  private lazy val ndregMergeParent: String =
+    java.nio.file.Files.createTempDirectory("graft-ndreg-merge").toString
+
+  /** q174's shared-quantizer IVF shards — the q161 construction (train
+    * ONCE, ivfInit each shard, parallel fills) memoized as SETUP: the
+    * federated gate proves the PROBE; the shard build itself stays
+    * gate-proven un-shared in q161.
+    */
+  private def ivfFedShards(s: SparkSession, dir: String): Seq[String] =
+    baseIndexes.computeIfAbsent(s"ivffedsh4|$dir", _ => {
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-fed").toString
+      val cents = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 16)
+      (0 until 4).foreach { i =>
+        val sh = s"$root/sh$i"
+        Similarity.ivfInit(s, cents, sh)
+        Similarity.ivfAppend(
+          sh, emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding")
+      }
+      root
+    }) match { case root => (0 until 4).map(i => s"$root/sh$i") }
+
   /** q167/q169's duplicate-bearing phases — MUST mirror the oracles'
     * shared DedupStreamSql fragment (CurationOracles): documents in
     * three phases with cross-batch re-keys (+1M of phase-0 texts into
@@ -3172,6 +3256,136 @@ object Curation {
       alien.unionByName(dupReg).unionByName(withinViol)
         .unionByName(crossViol).unionByName(unsound).unionByName(statsViol)
         .orderBy(col("kind"), col("n"))
+    }),
+
+    // Distributed registry bootstrap: the three dedup-stream slices
+    // built as INDEPENDENT shard registries (parallel one-batch
+    // ingests), merged by DedupRegistry.merge. Digest equality is
+    // transitive, so the merged registry must equal a single-batch
+    // build over the union exactly: globally smallest id per digest
+    // survives, stats conserve the raw stream. Output = the q167 shape
+    // (accepted ids + the merged registry's own stats) vs a global
+    // min-id-per-digest SQL ranking over the identical union.
+    "q171_dedup_registry_merge" -> ((s, dir) => {
+      val shards = (0 until 3).map(i => regShard(s, dir, i))
+      val dest = s"$regMergeParent/merged"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
+      DedupRegistry.merge(s, shards, dest)
+      val st = s.read.parquet(s"$dest/stats")
+      s.read.parquet(s"$dest/corpus")
+        .select(col("id").as("doc_id"), lit("doc").as("kind"))
+        .unionByName(st.select(
+          col("n_docs").as("doc_id"), lit("n_docs").as("kind")))
+        .unionByName(st.select(
+          col("n_dropped").as("doc_id"), lit("n_dropped").as("kind")))
+        .orderBy(col("kind"), col("doc_id"))
+    }),
+
+    // Distributed NEAR-dup registry bootstrap: corpus slices with
+    // planted cross-shard exact copies and near-copies built as
+    // independent shard registries, merged with cross-shard LSH
+    // resolution computed from the sketches at rest. Near-dup is not
+    // transitive, so like q170 the gate is a VIOLATION relation vs the
+    // empty oracle: (a) no alien/duplicated id and no band row for an
+    // unregistered id; (b) stats count exactly and conserve the raw
+    // stream across shards; (c) every planted cross-shard EXACT copy
+    // whose original is shard-registered dropped (identical sketches
+    // collide in every band); (d) every merge-dropped row re-verifies
+    // at true shingle-Jaccard >= threshold against a smaller-id
+    // shard-registered row through the independent PPJoin-exact path,
+    // not the LSH path that made the decision. Empty output = sound.
+    "q172_neardup_registry_merge" -> ((s, dir) => {
+      val shards = (0 until 3).map(i => ndregShard(s, dir, i))
+      val dest = s"$ndregMergeParent/merged"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
+      NearDupRegistry.merge(s, shards, dest)
+      val pre = shards
+        .map(p => s.read.parquet(s"$p/corpus").select(col("id"), col("text")))
+        .reduce(_.unionByName(_))
+        .transform(graft.CacheScope.persisted)
+      val merged = s.read.parquet(s"$dest/corpus")
+        .select(col("id"), col("text"))
+        .transform(graft.CacheScope.persisted)
+      val mergedIds = merged.select(col("id"))
+      def cnt(df: DataFrame, kind: String): DataFrame =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+          .select(lit(kind).as("kind"), col("n"))
+      val alien = cnt(
+        mergedIds.join(pre.select(col("id")), Seq("id"), "left_anti"),
+        "alien_id")
+      val dup = cnt(merged.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), "dup_registered_id")
+      val bandOrphan = cnt(
+        s.read.schema("band INT, bkey INT, id LONG, pk LONG")
+          .parquet(s"$dest/bands").select(col("id")).distinct()
+          .join(mergedIds, Seq("id"), "left_anti"),
+        "band_for_unregistered_id")
+      val sketchable = size(Dedup.shingles(col("text"), 3)) > 0
+      // (c) planted cross-shard exact copies whose original registered
+      val exactViol = cnt(merged
+        .filter(col("id") >= 1000000L && col("id") < 3000000L && sketchable)
+        .withColumn("orig",
+          when(col("id") < 2000000L, col("id") - 1000000L)
+            .otherwise(col("id") - 2000000L))
+        .join(pre.select(col("id").as("orig")), Seq("orig")),
+        "planted_cross_shard_copy_survived")
+      // (d) every merge-dropped row has an eligible smaller-id witness,
+      // recomputed via the exhaustive PPJoin-exact relation
+      val dropped = pre.join(mergedIds, Seq("id"), "left_anti")
+        .transform(graft.CacheScope.persisted)
+      val witnessed = Dedup.jaccardJoin(
+          dropped, pre, "id", "text", Seq.empty,
+          shingleSize = 3, threshold = 0.5)
+        .filter(col("id_b") < col("id_a"))
+        .select(col("id_a").as("id")).distinct()
+      val unsound = cnt(
+        dropped.join(witnessed, Seq("id"), "left_anti"), "unwitnessed_drop")
+      // (b) stats: merged counts exactly; raw stream conserved
+      val shardRaw = shards.map { p =>
+        val r = s.read.parquet(s"$p/stats").collect()(0)
+        r.getAs[Long]("n_docs") + r.getAs[Long]("n_dropped")
+      }.sum
+      val st = s.read.parquet(s"$dest/stats").collect()(0)
+      val statsOk =
+        st.getAs[Long]("n_docs") == merged.count() &&
+          st.getAs[Long]("n_docs") + st.getAs[Long]("n_dropped") == shardRaw
+      val statsViol =
+        if (statsOk)
+          s.range(0).select(lit("stats_mismatch").as("kind"), col("id").as("n"))
+        else s.range(1).select(lit("stats_mismatch").as("kind"), lit(1L).as("n"))
+      alien.unionByName(dup).unionByName(bandOrphan).unionByName(exactViol)
+        .unionByName(unsound).unionByName(statsViol)
+        .orderBy(col("kind"), col("n"))
+    }),
+
+    // Federated (main+delta) BM25 serving: the four mod-4 shard indexes
+    // queried as ONE corpus by bm25TopKFederated — no merge on the
+    // query path; global df/N summed across shards, postings unioned,
+    // one shared scoring body. BM25's only cross-document coupling is
+    // the global statistics, so the federated probe must be EXACTLY
+    // the full-corpus ranking: gated against q127's verbatim oracle.
+    "q173_bm25_federated" -> ((s, dir) => {
+      val shards = (0 until 4).map(i => bm25Shard(s, dir, i))
+      Retrieval.bm25TopKFederated(s, shards, bm25Queries(s), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Federated (main+delta) IVF ANN serving: four shared-quantizer
+    // shards (the q161 ivfInit flow) probed as ONE index by
+    // ivfTopKFederated — per-shard nprobe cell pruning, exact-cosine
+    // candidates unioned, one global top-k. Under a shared quantizer
+    // the probed cells partition identically to the merged index, so
+    // the federated result is the full-IVF ranking: gated against
+    // q35's verbatim full-IVF-in-SQL oracle.
+    "q174_ivf_federated" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKFederated(
+          ivfFedShards(s, dir), emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(
+          col("qid"), col("id"),
+          round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     })
   )
 

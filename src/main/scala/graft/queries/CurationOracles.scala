@@ -2431,6 +2431,37 @@ object CurationOracles {
     "q170_neardup_stream_ingest" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Distributed exact-registry bootstrap (shard-and-merge): digest
+    // equality is transitive, so the merged registry must equal the
+    // single-batch build over the union — globally smallest id per
+    // digest, stats conserving the raw stream (the q167 output shape,
+    // global min-id ranking instead of first-arrival-by-phase).
+    "q171_dedup_registry_merge" ->
+      s"""WITH stream AS ($DedupStreamSql),
+           winners AS (
+             SELECT doc_id FROM (
+               SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS rn
+               FROM stream) WHERE rn = 1),
+           st AS (SELECT count(*) AS n FROM stream),
+           w AS (SELECT count(*) AS n FROM winners)
+         SELECT doc_id, 'doc' AS kind FROM winners
+         UNION ALL SELECT n, 'n_docs' FROM w
+         UNION ALL SELECT st.n - w.n, 'n_dropped' FROM st, w
+         ORDER BY kind, doc_id""",
+    // Near-dup registry shard-and-merge soundness (the q170 shape:
+    // banding is engine-defined, the gate emits a violation relation,
+    // the oracle is the empty relation).
+    "q172_neardup_registry_merge" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
+    // Federated BM25 over 4 shard indexes == the full-corpus ranking
+    // (q127's verbatim oracle — global stats are the only coupling).
+    "q173_bm25_federated" -> Bm25OracleSql,
+    // Federated IVF over 4 shared-quantizer shards == the full-IVF
+    // ranking (q35's verbatim full-IVF-in-SQL oracle).
+    "q174_ivf_federated" -> IvfOracleSql,
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

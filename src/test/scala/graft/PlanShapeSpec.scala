@@ -312,6 +312,38 @@ class PlanShapeSpec extends SparkSpec {
           "doc_id", "text", 0L)
         operators.NearDupRegistry.ingestBatch(ndPath,
           docs, "doc_id", "text", 1L)
+        // the registry merges (cross-shard tiebreak/resolution writes)
+        // and the federated probes (union scoring bodies)
+        val regB = java.nio.file.Files
+          .createTempDirectory("graft-reg-planshape-b").toString + "/reg"
+        operators.DedupRegistry.init(spark, regB, buckets = 8)
+        operators.DedupRegistry.ingestBatch(regB,
+          docs.select(
+            (org.apache.spark.sql.functions.col("doc_id") +
+              org.apache.spark.sql.functions.lit(3000000000L)).as("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+          "doc_id", "text", 0L)
+        operators.DedupRegistry.merge(spark, Seq(regPath, regB),
+          java.nio.file.Files
+            .createTempDirectory("graft-reg-planshape-m").toString + "/m")
+        val ndB = java.nio.file.Files
+          .createTempDirectory("graft-ndreg-planshape-b").toString + "/reg"
+        operators.NearDupRegistry.init(spark, ndB, buckets = 8)
+        operators.NearDupRegistry.ingestBatch(ndB,
+          docs.select(
+            (org.apache.spark.sql.functions.col("doc_id") +
+              org.apache.spark.sql.functions.lit(3000000000L)).as("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+          "doc_id", "text", 0L)
+        operators.NearDupRegistry.merge(spark, Seq(ndPath, ndB),
+          java.nio.file.Files
+            .createTempDirectory("graft-ndreg-planshape-m").toString + "/m")
+        operators.Retrieval.bm25TopKFederated(spark, Seq(path, pathB),
+          spark.createDataFrame(Seq((1L, "spark data"))).toDF("query_id", "query_text"),
+          k = 5).collect()
+        operators.Similarity.ivfTopKFederated(Seq(ivfPath),
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+          "vec_id", "embedding", k = 5).collect()
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
