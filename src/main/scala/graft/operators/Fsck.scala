@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Integrity audits (fsck) for every persisted artifact family — the
+  * "trust but verify" operator a production pipeline runs on its 100 TB
+  * index estate before promoting a maintenance window's output, after a
+  * suspicious crash, or on a schedule. Each audit recomputes the
+  * artifact's INVARIANTS from its own rows — derived tables re-derived
+  * from base tables, hash/partition placement re-hashed, stats scalars
+  * re-counted, per-row derived columns re-computed with the SAME
+  * codegen'd expressions the writers used (one arithmetic, so the check
+  * cannot drift from the writer) — and returns a (kind, n) VIOLATION
+  * relation, empty iff the artifact is internally consistent.
+  *
+  * Scale shape: an fsck is a deliberate FULL SCAN of the artifact (that
+  * is its job — unlike probes, nothing is pruned); every check is a
+  * linear aggregation or an equi-join keyed by the artifact's own keys
+  * (term/id/digest), so it distributes like the build that wrote the
+  * artifact and costs about one build's shuffle. Run it in maintenance
+  * windows, never on the query path. All four audits are read-only and
+  * safe to run concurrently with probes (they read one file listing,
+  * same snapshot semantics as a probe); like every reader they must not
+  * overlap a WRITER's swap windows.
+  *
+  * Reference analogue: none — the reference trusts PostgreSQL's
+  * constraints (`/root/reference/src/database/DatabaseLoader.cpp:102`);
+  * parquet artifacts have no engine to enforce invariants, so this
+  * operator IS that enforcement, run on demand.
+  */
+object Fsck {
+
+  private def cnt(df: DataFrame, kind: String): DataFrame =
+    df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+      .select(lit(kind).as("kind"), col("n"))
+
+  private def scalarViol(ok: Boolean, kind: String, spark: SparkSession): DataFrame =
+    if (ok) spark.range(0).select(lit(kind).as("kind"), col("id").as("n"))
+    else spark.range(1).select(lit(kind).as("kind"), lit(1L).as("n"))
+
+  /** Audit a [[Retrieval.buildBm25Index]]-layout index. Invariants:
+    * doclen ids unique; postings (id, term) unique with tf >= 1 and
+    * every posted id registered in doclen; per-doc sum(tf) == dl (a
+    * token is a posting, including dl = 0 <=> no postings); the terms
+    * table == the df relation recomputed from postings (both
+    * directions, df values exact); postings/terms rows sit in the
+    * bucket their term hashes to under the stats modulus (a misplaced
+    * row is invisible to every pruned probe — silent recall loss, the
+    * worst failure class); stats n_docs == doclen count and
+    * total_tokens == sum(dl).
+    */
+  def bm25Fsck(spark: SparkSession, path: String): DataFrame =
+    graft.CacheScope.scoped {
+      val st = spark.read.parquet(s"$path/stats")
+        .select(col("n_docs"), col("total_tokens"), col("buckets"))
+        .collect()(0)
+      val (nDocs, totTok, buckets) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val terms = spark.read.schema(Retrieval.termsSchema)
+        .parquet(s"$path/terms")
+      val postings = spark.read.schema(Retrieval.postingsSchema)
+        .parquet(s"$path/postings")
+        .transform(graft.CacheScope.persisted)
+      val dl = spark.read.schema(Retrieval.doclenSchema)
+        .parquet(s"$path/doclen")
+        .transform(graft.CacheScope.persisted)
+      val dupDoc = cnt(dl.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), "bm25_dup_doclen_id")
+      val dupPost = cnt(postings.groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1), "bm25_dup_posting")
+      val badTf = cnt(postings.filter(col("tf") < 1), "bm25_nonpositive_tf")
+      val orphan = cnt(postings.select(col("id")).distinct()
+        .join(dl.select(col("id")), Seq("id"), "left_anti"),
+        "bm25_posting_for_unregistered_doc")
+      val dlMismatch = cnt(dl
+        .join(postings.groupBy(col("id")).agg(sum(col("tf")).as("s")),
+          Seq("id"), "left")
+        .filter(coalesce(col("s"), lit(0L)) =!= col("dl")),
+        "bm25_doclen_tf_mismatch")
+      val dfRecomputed = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df2")) // (id, term) unique -> count == df
+      val dfMismatch = cnt(terms
+        .join(dfRecomputed, Seq("term"), "full_outer")
+        .filter(coalesce(col("df"), lit(-1L)) =!= coalesce(col("df2"), lit(-1L))),
+        "bm25_df_mismatch")
+      val bucketOf = pmod(xxhash64(col("term")), lit(buckets))
+      val misTerm = cnt(terms.filter(col("bucket") =!= bucketOf),
+        "bm25_misbucketed_term")
+      val misPost = cnt(postings.filter(col("bucket") =!= bucketOf),
+        "bm25_misbucketed_posting")
+      val nOk = scalarViol(dl.count() == nDocs, "bm25_stats_ndocs", spark)
+      val tokSum = dl.agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
+      val tokOk = scalarViol(tokSum == totTok, "bm25_stats_tokens", spark)
+      dupDoc.unionByName(dupPost).unionByName(badTf).unionByName(orphan)
+        .unionByName(dlMismatch).unionByName(dfMismatch)
+        .unionByName(misTerm).unionByName(misPost)
+        .unionByName(nOk).unionByName(tokOk)
+    }
+
+  /** Audit a [[Similarity.buildIvfIndex]] / [[Similarity.buildIvfQIndex]]
+    * layout index (layout detected from the corpus schema). Invariants:
+    * ids unique; every row's cell exists in the centroid table; on the
+    * quantized layout, qvec == the row's vec re-quantized and qn2 ==
+    * the exact int self-dot (one shared arithmetic with the writers).
+    * `strictAssignment` additionally requires every row to sit in the
+    * cell of its NEAREST centroid — true for build/append/ingest/merge
+    * states, deliberately NOT an invariant after [[Similarity.ivfSplitCells]]
+    * (split reassigns a parent's rows among its own children only; a
+    * row may be globally nearer another cell — correct by the split's
+    * documented contract, so audit post-split states with
+    * strictAssignment = false).
+    */
+  def ivfFsck(
+      spark: SparkSession,
+      path: String,
+      strictAssignment: Boolean = true): DataFrame = graft.CacheScope.scoped {
+    val (cellIds, centroids) = Similarity.loadCentroidTable(spark, path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .transform(graft.CacheScope.persisted)
+    val dupId = cnt(corpus.groupBy(col("id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1), "ivf_dup_id")
+    val alien = cnt(corpus.filter(!col("cell").isin(cellIds: _*)),
+      "ivf_alien_cell")
+    val assigned = cnt(
+      if (!strictAssignment) spark.range(0).select(col("id"))
+      else corpus.filter(col("cell") =!= Similarity.posToCell(element_at(
+        graft.functions.VecExprs.nearestCentroids(
+          col("vec").cast("array<double>"), centroids, 1), 1), cellIds)),
+      "ivf_not_nearest_cell")
+    val quant =
+      if (!corpus.columns.contains("qvec"))
+        spark.range(0).select(lit("ivf_quantization_mismatch").as("kind"),
+          col("id").as("n"))
+      else cnt(
+        Similarity.quantizeEmbeddings(
+            corpus.select(col("id"), col("qvec").as("stored_q"),
+              col("qn2").as("stored_n2"), col("vec")), "vec")
+          .filter(col("qvec") =!= col("stored_q") ||
+            Similarity.intDot(col("qvec"), col("qvec")) =!= col("stored_n2")),
+        "ivf_quantization_mismatch")
+    dupId.unionByName(alien).unionByName(assigned).unionByName(quant)
+  }
+
+  /** Audit a [[DedupRegistry]]: digests == md5(text) (a corrupted
+    * digest silently stops deduping its content); rows in their
+    * digest-hash bucket under the stats modulus; ids unique; digests
+    * unique (first-arrival keeps exactly one doc per digest — two rows
+    * sharing a digest mean a dropped row leaked through); stats n_docs
+    * == corpus count.
+    */
+  def registryFsck(spark: SparkSession, path: String): DataFrame =
+    graft.CacheScope.scoped {
+      val st = spark.read.parquet(s"$path/stats")
+        .select(col("n_docs"), col("buckets")).collect()(0)
+      val (nDocs, buckets) = (st.getLong(0), st.getLong(1))
+      val corpus = spark.read
+        .schema("id LONG, text STRING, digest STRING, bucket LONG")
+        .parquet(s"$path/corpus")
+        .transform(graft.CacheScope.persisted)
+      val dupId = cnt(corpus.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), "reg_dup_id")
+      val dupDigest = cnt(corpus.groupBy(col("digest"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1), "reg_dup_digest")
+      val badDigest = cnt(corpus.filter(col("digest") =!= md5(col("text"))),
+        "reg_digest_mismatch")
+      val misBucket = cnt(corpus.filter(
+        col("bucket") =!= pmod(xxhash64(col("digest")), lit(buckets))),
+        "reg_misbucketed_row")
+      val nOk = scalarViol(corpus.count() == nDocs, "reg_stats_ndocs", spark)
+      dupId.unionByName(dupDigest).unionByName(badDigest)
+        .unionByName(misBucket).unionByName(nOk)
+    }
+
+  /** Audit a [[NearDupRegistry]]: ids unique; corpus rows in their
+    * id-hash bucket; every hs == the row's text re-shingled and
+    * re-hashed under the registry's OWN sketch parameters; the bands
+    * table == the banding recomputed from the corpus texts, exactly
+    * (both directions, pk placement included — a lost band key is
+    * silent dedup-recall loss, an alien one resurrects a removed
+    * witness); stats n_docs == corpus count; and the SEMANTIC
+    * invariant: no two registered docs verify at Jaccard >= the
+    * threshold among LSH candidates (every ingest/merge enforced it,
+    * so a violating pair proves a corrupted apply).
+    */
+  def nearDupRegistryFsck(spark: SparkSession, path: String): DataFrame =
+    graft.CacheScope.scoped {
+      val st = spark.read.parquet(s"$path/stats").collect()(0)
+      val (nDocs, buckets) = (st.getAs[Long]("n_docs"), st.getAs[Long]("buckets"))
+      val (shingleSize, numHashes, bands, threshold) = (
+        st.getAs[Long]("shingle_size").toInt, st.getAs[Long]("num_hashes").toInt,
+        st.getAs[Long]("bands").toInt, st.getAs[Double]("threshold"))
+      val corpus = spark.read
+        .schema("id LONG, text STRING, hs ARRAY<LONG>, bucket LONG")
+        .parquet(s"$path/corpus")
+        .withColumn("sh", Dedup.shingles(col("text"), shingleSize))
+        .transform(graft.CacheScope.persisted)
+      val bandRows = spark.read
+        .schema("band INT, bkey INT, id LONG, pk LONG")
+        .parquet(s"$path/bands")
+        .transform(graft.CacheScope.persisted)
+      val dupId = cnt(corpus.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), "ndreg_dup_id")
+      val misBucket = cnt(corpus.filter(
+        col("bucket") =!= pmod(xxhash64(col("id")), lit(buckets))),
+        "ndreg_misbucketed_row")
+      val badHs = cnt(corpus.filter(
+        col("hs") =!= graft.functions.HashExprs.hashedSortedSet(col("sh"))),
+        "ndreg_hs_mismatch")
+      val expected = Dedup.bandedKeys(
+          corpus.filter(size(col("sh")) > 0).select(col("id"), col("sh")),
+          numHashes, bands)
+        .withColumnRenamed("bucket", "bkey")
+        .withColumn("pk", pmod(col("bkey"), lit(buckets)))
+      val bandCols = Seq("band", "bkey", "id", "pk").map(col)
+      val missingBand = cnt(expected.select(bandCols: _*)
+        .join(bandRows, Seq("band", "bkey", "id", "pk"), "left_anti"),
+        "ndreg_missing_band_key")
+      val alienBand = cnt(bandRows
+        .join(expected.select(bandCols: _*),
+          Seq("band", "bkey", "id", "pk"), "left_anti"),
+        "ndreg_alien_band_key")
+      val nOk = scalarViol(corpus.count() == nDocs, "ndreg_stats_ndocs", spark)
+      // semantic invariant: registered docs are pairwise non-near-dup
+      // under LSH candidacy (the same candidate+verify arithmetic the
+      // writers used)
+      val cands = bandRows.as("a")
+        .join(bandRows.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val hs = corpus.select(col("id"), col("hs"))
+      val nearDupPair = cnt(
+        NearDupRegistry.verified(cands, "id_a", "id_b", hs, hs, threshold),
+        "ndreg_registered_near_dup_pair")
+      dupId.unionByName(misBucket).unionByName(badHs)
+        .unionByName(missingBand).unionByName(alienBand)
+        .unionByName(nOk).unionByName(nearDupPair)
+    }
+}

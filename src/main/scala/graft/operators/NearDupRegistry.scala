@@ -114,7 +114,7 @@ object NearDupRegistry {
     * paths (the drift-free-shared-body discipline). `hsA`/`hsB` are
     * (id, hs) frames keyed by the candidate columns' names.
     */
-  private def verified(
+  private[graft] def verified(
       cands: DataFrame, idA: String, idB: String,
       hsA: DataFrame, hsB: DataFrame, threshold: Double): DataFrame = {
     val inter = graft.functions.HashExprs.sortedIntersectSize(

@@ -1475,7 +1475,7 @@ object Similarity {
     * -> per-term <= 16129: no overflow at any realistic dim). Shared by
     * [[quantizedTopK]] and the persisted [[ivfQTopKIndexed]] probe.
     */
-  private def intDot(a: Column, b: Column): Column =
+  private[graft] def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
       lit(0L), (s, x) => s + x)
 

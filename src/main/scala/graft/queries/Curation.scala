@@ -3386,6 +3386,26 @@ object Curation {
           col("qid"), col("id"),
           round(col("sim"), 4).as("sim"), col("rank").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Artifact integrity audit (fsck) across all four persisted
+    // families — each audit recomputes the artifact's invariants from
+    // its own rows (derived tables re-derived, hash placement
+    // re-hashed, stats re-counted, the near-dup registry's pairwise
+    // non-near-dup SEMANTIC invariant re-verified through the shared
+    // candidate+verify arithmetic) and emits violations. Run over real
+    // multi-generation states: the appended BM25 index, the
+    // twice-appended IVF index, and one shard of each registry family.
+    // Empty output = every artifact internally consistent. (FsckSpec
+    // proves the teeth: each corruption class planted on purpose is
+    // caught by its named check.)
+    "q175_index_fsck" -> ((s, dir) => {
+      graft.operators.Fsck.bm25Fsck(s, bm25BaseAppended(s, dir))
+        .unionByName(graft.operators.Fsck.ivfFsck(s, ivfBaseAppended(s, dir)))
+        .unionByName(graft.operators.Fsck.registryFsck(s, regShard(s, dir, 0)))
+        .unionByName(
+          graft.operators.Fsck.nearDupRegistryFsck(s, ndregShard(s, dir, 0)))
+        .orderBy(col("kind"), col("n"))
     })
   )
 

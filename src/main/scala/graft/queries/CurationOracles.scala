@@ -2462,6 +2462,12 @@ object CurationOracles {
     // Federated IVF over 4 shared-quantizer shards == the full-IVF
     // ranking (q35's verbatim full-IVF-in-SQL oracle).
     "q174_ivf_federated" -> IvfOracleSql,
+    // Artifact fsck over healthy multi-generation states: the audits
+    // emit a violation relation and the oracle is the empty relation
+    // (FsckSpec proves each check fires on planted corruption).
+    "q175_index_fsck" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.
