@@ -956,45 +956,81 @@ object Similarity {
       qvecCol: String,
       k: Int,
       nprobe: Int = 4,
+      rerankFactor: Int = 4): DataFrame =
+    ivfQTopKFederated(Seq(indexPath), queries, qidCol, qvecCol,
+      k, nprobe, rerankFactor)
+
+  /** Quantized-IVF top-k over the UNION of N persisted
+    * [[buildIvfQIndex]] indexes WITHOUT merging — the production-layout
+    * form of [[ivfTopKFederated]] (main+delta serving on the int8
+    * index). [[ivfQTopKIndexed]] IS this at N=1: one body, so the
+    * federated probe cannot drift from the single-index probe.
+    *
+    * Per index: probe with its OWN centroids, prune its corpus to the
+    * probed cells (partition filter), score the int8 candidates. Then
+    * ONE global stage-1 ranking keeps k·rerankFactor per query across
+    * ALL indexes' candidates — the rerank budget is global, exactly as
+    * a merged index would spend it, NOT per-index (a per-index budget
+    * would over-fetch N·k·rerankFactor and change the result) — and
+    * stage 2 reranks those survivors on the exact float cosine fetched
+    * from their home indexes' pruned cells. Under a shared quantizer
+    * ([[ivfInit]] shards) the probed cells and candidate pools are
+    * identical to the merged index's, so the result is bit-for-bit the
+    * merged probe ([[FederatedProbeSpec]]); under distinct quantizers
+    * every reported sim is still an exact cosine. Caller contract: id
+    * sets pairwise disjoint.
+    */
+  def ivfQTopKFederated(
+      paths: Seq[String],
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nprobe: Int = 4,
       rerankFactor: Int = 4): DataFrame = {
+    require(paths.nonEmpty, "ivfQTopKFederated: need >= 1 index path")
     require(k >= 1 && rerankFactor >= 1,
       s"k and rerankFactor must be >= 1, got k=$k rerankFactor=$rerankFactor")
     val spark = queries.sparkSession
-    val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     // the query-side float vec is named qv so quantizeEmbeddings' added
-    // `qvec` column cannot collide with it
+    // `qvec` column cannot collide with it; quantized ONCE for all indexes
     val qs = quantizeEmbeddings(
         queries.select(col(qidCol).as("qid"),
           col(qvecCol).cast("array<double>").as("qv")), "qv")
       .select(col("qid"), col("qv"), col("qvec").as("qq"),
         intDot(col("qvec"), col("qvec")).as("qqn2"))
       .transform(graft.CacheScope.persisted)
-    val probes = qs
-      .select(col("qid"), col("qq"), col("qqn2"), explode(transform(
-        graft.functions.VecExprs.nearestCentroids(
-          col("qv"), centroids, nprobe),
-        p => posToCell(p, cellIds))).as("cell"))
-    // bounded driver read: the probed-cell VALUES (<= queries x nprobe),
-    // pushed into both corpus scans as a partition filter
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0).toLong).sorted
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
-      .filter(col("cell").isin(probedCells: _*))
-    val stage1 = corpus.select(col("id"), col("qvec").as("cq"),
-        col("qn2").as("cn2"), col("cell"))
-      .join(broadcast(probes), "cell")
-      .filter(col("qid") =!= col("id") && col("cn2") > 0 && col("qqn2") > 0)
-      .withColumn("ascore",
-        intDot(col("cq"), col("qq")).cast("double") /
-          (sqrt(col("cn2").cast("double")) * sqrt(col("qqn2").cast("double"))))
+    val perIndex = paths.map { indexPath =>
+      val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
+      val probes = qs
+        .select(col("qid"), col("qq"), col("qqn2"), explode(transform(
+          graft.functions.VecExprs.nearestCentroids(
+            col("qv"), centroids, nprobe),
+          p => posToCell(p, cellIds))).as("cell"))
+      // bounded driver read: the probed-cell VALUES (<= queries x nprobe),
+      // pushed into both corpus scans as a partition filter
+      val probedCells = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0).toLong).sorted
+      val corpus = spark.read.parquet(s"$indexPath/corpus")
+        .filter(col("cell").isin(probedCells: _*))
+      val stage1 = corpus.select(col("id"), col("qvec").as("cq"),
+          col("qn2").as("cn2"), col("cell"))
+        .join(broadcast(probes), "cell")
+        .filter(col("qid") =!= col("id") && col("cn2") > 0 && col("qqn2") > 0)
+        .withColumn("ascore",
+          intDot(col("cq"), col("qq")).cast("double") /
+            (sqrt(col("cn2").cast("double")) * sqrt(col("qqn2").cast("double"))))
+        .select(col("qid"), col("id"), col("ascore"))
+      (stage1, corpus.select(col("id"), col("vec")))
+    }
     val wa = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("id"))
-    val cands = stage1
+    val cands = perIndex.map(_._1).reduce(_.unionByName(_))
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= k * rerankFactor)
       .select(col("qid"), col("id"))
     val we = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     cands
-      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(perIndex.map(_._2).reduce(_.unionByName(_)), Seq("id"))
       .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
       .withColumn("sim", cosine(col("vec"), col("qv")))
       .filter(col("sim").isNotNull)

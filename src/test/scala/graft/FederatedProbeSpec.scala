@@ -119,4 +119,39 @@ class FederatedProbeSpec extends SparkSpec {
       Similarity.ivfTopKFederated(Seq.empty, qdf, "id", "vec", k = 3)
     }
   }
+
+  test("federated QUANTIZED ivf == merged probe; global rerank budget, not per-index") {
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val bases = Array.fill(6)(Array.fill(dim)(rng.nextGaussian()))
+    val all = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 12L + j, b.map(_ + rng.nextGaussian() * 0.02).toSeq))
+      .toSeq.toDF("id", "vec")
+    val parent = java.nio.file.Files.createTempDirectory("ivfq-fed").toString
+    val cents = Similarity.trainIvfCentroids(all, "id", "vec", nlist = 4)
+    val shards = (0 until 3).map { i =>
+      val p = s"$parent/sh$i"
+      Similarity.ivfInit(spark, cents, p)
+      Similarity.ivfQAppend(p, all.filter($"id" % 3 === i), "id", "vec")
+      p
+    }
+    val merged = s"$parent/merged"
+    Similarity.ivfMerge(spark, shards, merged)
+    val qdf = all.filter($"id" % 13 === 0).select(($"id" + 9000L).as("id"), $"vec")
+    def res(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // a TIGHT rerank budget (rerankFactor=1) makes any per-index
+    // over-fetch visible: the federated stage-1 pool must be the global
+    // k-per-query cut, exactly the merged index's
+    val fed = res(Similarity.ivfQTopKFederated(
+      shards, qdf, "id", "vec", k = 3, nprobe = 2, rerankFactor = 1))
+    assert(fed.nonEmpty && fed === res(Similarity.ivfQTopKIndexed(
+      merged, qdf, "id", "vec", k = 3, nprobe = 2, rerankFactor = 1)))
+    // and the N=1 delegation is definitional (one body)
+    assert(res(Similarity.ivfQTopKFederated(
+      Seq(merged), qdf, "id", "vec", k = 3, nprobe = 2)) ===
+      res(Similarity.ivfQTopKIndexed(merged, qdf, "id", "vec", k = 3, nprobe = 2)))
+  }
 }
