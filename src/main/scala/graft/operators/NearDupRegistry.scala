@@ -386,6 +386,67 @@ object NearDupRegistry {
     fs.delete(tmpRoot, true)
   }
 
+  /** The rows batch `batchId` COMMITTED into the registry — read back
+    * from its `b<id>_`-tagged corpus part files, the
+    * [[DedupRegistry.batchRows]] exactly-once handoff contract verbatim:
+    * a committed batch's accepted slice is a deterministic artifact any
+    * downstream apply can re-derive on re-delivery. Valid until
+    * [[compact]] collapses the tagged generations.
+    */
+  def batchRows(
+      spark: SparkSession,
+      path: String,
+      batchId: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val tag = s"b${batchId}_"
+    val files =
+      if (!fs.exists(corpus)) Seq.empty[String]
+      else fs.listStatus(corpus).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        .flatMap(d => fs.listStatus(d.getPath).toSeq)
+        .filter(_.getPath.getName.startsWith(tag))
+        .map(_.getPath.toString)
+    if (files.isEmpty)
+      spark.range(0).select(col("id"), col("id").cast("string").as("text"))
+    else
+      spark.read.schema("id LONG, text STRING, hs ARRAY<LONG>")
+        .parquet(files: _*)
+        .select(col("id"), col("text"))
+  }
+
+  /** Exactly-once CURATE-THEN-INDEX with FUZZY dedup — the full
+    * production ingest pipeline: each micro-batch is near-dup-deduped
+    * against this registry ([[ingestBatch]]) and ONLY the accepted
+    * slice (read back from the committed tagged parts, [[batchRows]])
+    * lands in a persisted BM25 index, exactly-once across both
+    * artifacts under one batch id. The composition-soundness argument
+    * is [[DedupRegistry.dedupIndexStreamSink]]'s verbatim: each apply
+    * is individually idempotent and the second's input is a
+    * deterministic function of the first's COMMITTED state, so every
+    * crash re-delivery converges. Same contract: both artifacts fed by
+    * THIS sink only, ONE checkpoint lineage, no [[compact]] between a
+    * batch's two commits. The q176 gate replays a near-dup-bearing
+    * phased stream with crash states on BOTH artifacts and pins the
+    * final index's postings/doclen/stats ROW-FOR-ROW against a
+    * re-derivation from the registry's own corpus, plus the q170
+    * registry-soundness relation.
+    */
+  def dedupIndexStreamSink(
+      regPath: String,
+      indexPath: String,
+      idCol: String,
+      textCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      ingestBatch(regPath, batch, idCol, textCol, batchId)
+      val accepted = batchRows(batch.sparkSession, regPath, batchId)
+      graft.operators.Retrieval.bm25IngestBatch(
+        indexPath,
+        accepted.select(col("id").as(idCol), col("text").as(textCol)),
+        idCol, textCol, batchId)
+    }
+
   /** Merge N near-dup registries into a new registry at `dest` — the
     * distributed bootstrap for the LSH registry: shard registries build
     * in parallel over corpus slices (each a one-batch [[ingestBatch]]),

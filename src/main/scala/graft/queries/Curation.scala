@@ -237,6 +237,108 @@ object Curation {
     Seq(s0, s1, s2)
   }
 
+  /** q170/q176's near-dup-bearing stream phases: documents in three
+    * phases with planted CROSS-batch exact copies (+1M of phase-0 texts
+    * into phase 1), WITHIN-batch exact copies (+2M of phase-2 texts
+    * into phase 2), and trailing-junk NEAR-copies (+3M of phase-1
+    * texts into phase 2). ONE construction for both gates — and the id
+    * ranges are [[ndregSoundness]]'s contract.
+    */
+  private def ndStreamPhases(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = t(s, dir, "documents")
+    val p0 = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val p1 = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val p2 = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(docs
+        .filter(col("doc_id") % 3 === 1 && col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" qq17 qq18 qq19")).as("text")))
+    Seq(p0, p1, p2)
+  }
+
+  /** The q170 registry-soundness relation over a replayed
+    * [[ndStreamPhases]] stream — ONE body shared by q170 and q176 so
+    * the composed gate cannot drift from the standalone gate: (a) no
+    * alien/duplicated registered id; (b) stats count exactly; (c) every
+    * planted within-batch exact copy dropped; (d) every planted
+    * cross-batch exact copy whose original registered dropped; (e)
+    * every dropped row re-verifies at true shingle-Jaccard >= threshold
+    * against an eligible partner through the independent PPJoin-exact
+    * path. `stream` carries (doc_id, text, ph).
+    */
+  private def ndregSoundness(
+      s: SparkSession, streamRaw: DataFrame, path: String): DataFrame = {
+    val stream = streamRaw.transform(graft.CacheScope.persisted)
+    val acc = s.read.parquet(s"$path/corpus")
+      .select(col("id"), col("text"))
+      .transform(graft.CacheScope.persisted)
+    val accIds = acc.select(col("id"))
+    def cnt(df: DataFrame, kind: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit(kind).as("kind"), col("n"))
+    val alien = cnt(accIds.join(
+      stream.select(col("doc_id").as("id")), Seq("id"), "left_anti"),
+      "alien_id")
+    val dupReg = cnt(acc.groupBy(col("id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1), "dup_registered_id")
+    val sketchable = size(Dedup.shingles(col("text"), 3)) > 0
+    // (c) within-batch exact copies must always have dropped
+    val withinViol = cnt(stream
+      .filter(col("doc_id") >= 2000000L && col("doc_id") < 3000000L &&
+        sketchable)
+      .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id")),
+      "planted_within_batch_copy_survived")
+    // (d) cross-batch exact copies whose original registered
+    val crossViol = cnt(stream
+      .filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L &&
+        sketchable)
+      .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .withColumn("orig", col("doc_id") - 1000000L)
+      .join(accIds.withColumnRenamed("id", "orig"), Seq("orig")),
+      "planted_cross_batch_copy_survived")
+    // (e) each dropped row has an ELIGIBLE true-Jaccard partner,
+    // recomputed via the exhaustive PPJoin-exact relation
+    val dropped = stream
+      .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left_anti")
+      .transform(graft.CacheScope.persisted)
+    val pairs = Dedup.jaccardJoin(
+        dropped.select(col("doc_id").as("id"), col("text")),
+        stream.select(col("doc_id").as("id"), col("text")),
+        "id", "text", Seq.empty, shingleSize = 3, threshold = 0.5)
+      .filter(col("id_a") =!= col("id_b"))
+    val phOf = stream.select(col("doc_id"), col("ph"))
+    val witnessed = pairs
+      .join(phOf.select(col("doc_id").as("id_a"), col("ph").as("ph_a")), "id_a")
+      .join(phOf.select(col("doc_id").as("id_b"), col("ph").as("ph_b")), "id_b")
+      .join(accIds.withColumnRenamed("id", "id_b")
+        .withColumn("__reg", lit(true)), Seq("id_b"), "left")
+      .filter((col("ph_b") < col("ph_a") && col("__reg")) ||
+        (col("ph_b") === col("ph_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("doc_id")).distinct()
+    val unsound = cnt(
+      dropped.join(witnessed, Seq("doc_id"), "left_anti"), "unwitnessed_drop")
+    // (b) stats count exactly
+    val st = s.read.parquet(s"$path/stats").collect()(0)
+    val (accN, streamN) = (acc.count(), stream.count())
+    val statsViol =
+      if (st.getAs[Long]("n_docs") == accN &&
+          st.getAs[Long]("n_dropped") == streamN - accN)
+        s.range(0).select(lit("stats_mismatch").as("kind"), col("id").as("n"))
+      else s.range(1).select(lit("stats_mismatch").as("kind"), lit(1L).as("n"))
+    alien.unionByName(dupReg).unionByName(withinViol)
+      .unionByName(crossViol).unionByName(unsound).unionByName(statsViol)
+  }
+
   /** q172's shard near-dup registries over [[ndMergeSlices]] — memoized
     * like [[regShard]]; the merge reads, never consumes.
     */
@@ -3146,27 +3248,12 @@ object Curation {
     // the independent PPJoin-exact path (Dedup.jaccardJoin), not the
     // LSH path that made the decision. Empty output = sound.
     "q170_neardup_stream_ingest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
       val path = s"$regIngestParent/ndreg"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
       NearDupRegistry.init(s, path, buckets = 16)
-      val p0 = docs.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text"))
-      val p1 = docs.filter(col("doc_id") % 3 === 1)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs
-          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val p2 = docs.filter(col("doc_id") % 3 === 2)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs
-          .filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-        .unionByName(docs
-          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 4 === 0)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            concat(col("text"), lit(" qq17 qq18 qq19")).as("text")))
-      val staged = stagePhases(s"ingest170|$dir", Seq(p0, p1, p2))
+      val phases = ndStreamPhases(s, dir)
+      val Seq(p0, p1, p2) = phases
+      val staged = stagePhases(s"ingest170|$dir", phases)
       locally { // manufactured batch-0 crash state on BOTH tables + stats
         import s.implicits._
         plantTaggedPart(
@@ -3191,70 +3278,12 @@ object Curation {
       NearDupRegistry.ingestBatch(
         path, s.read.parquet(s"$staged/phase_001.parquet"),
         "doc_id", "text", 1L)
-      // ---- the violation relation ----
-      val stream = p0.withColumn("ph", lit(0))
-        .unionByName(p1.withColumn("ph", lit(1)))
-        .unionByName(p2.withColumn("ph", lit(2)))
-        .transform(graft.CacheScope.persisted)
-      val acc = s.read.parquet(s"$path/corpus")
-        .select(col("id"), col("text"))
-        .transform(graft.CacheScope.persisted)
-      val accIds = acc.select(col("id"))
-      def cnt(df: DataFrame, kind: String): DataFrame =
-        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
-          .select(lit(kind).as("kind"), col("n"))
-      val alien = cnt(accIds.join(
-        stream.select(col("doc_id").as("id")), Seq("id"), "left_anti"),
-        "alien_id")
-      val dupReg = cnt(acc.groupBy(col("id")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1), "dup_registered_id")
-      val sketchable = size(Dedup.shingles(col("text"), 3)) > 0
-      // (c) within-batch exact copies must always have dropped
-      val withinViol = cnt(stream
-        .filter(col("doc_id") >= 2000000L && col("doc_id") < 3000000L &&
-          sketchable)
-        .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id")),
-        "planted_within_batch_copy_survived")
-      // (d) cross-batch exact copies whose original registered
-      val crossViol = cnt(stream
-        .filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L &&
-          sketchable)
-        .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
-        .withColumn("orig", col("doc_id") - 1000000L)
-        .join(accIds.withColumnRenamed("id", "orig"), Seq("orig")),
-        "planted_cross_batch_copy_survived")
-      // (e) each dropped row has an ELIGIBLE true-Jaccard partner,
-      // recomputed via the exhaustive PPJoin-exact relation
-      val dropped = stream
-        .join(accIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
-          "left_anti")
-        .transform(graft.CacheScope.persisted)
-      val pairs = Dedup.jaccardJoin(
-          dropped.select(col("doc_id").as("id"), col("text")),
-          stream.select(col("doc_id").as("id"), col("text")),
-          "id", "text", Seq.empty, shingleSize = 3, threshold = 0.5)
-        .filter(col("id_a") =!= col("id_b"))
-      val phOf = stream.select(col("doc_id"), col("ph"))
-      val witnessed = pairs
-        .join(phOf.select(col("doc_id").as("id_a"), col("ph").as("ph_a")), "id_a")
-        .join(phOf.select(col("doc_id").as("id_b"), col("ph").as("ph_b")), "id_b")
-        .join(accIds.withColumnRenamed("id", "id_b")
-          .withColumn("__reg", lit(true)), Seq("id_b"), "left")
-        .filter((col("ph_b") < col("ph_a") && col("__reg")) ||
-          (col("ph_b") === col("ph_a") && col("id_b") < col("id_a")))
-        .select(col("id_a").as("doc_id")).distinct()
-      val unsound = cnt(
-        dropped.join(witnessed, Seq("doc_id"), "left_anti"), "unwitnessed_drop")
-      // (b) stats count exactly
-      val st = s.read.parquet(s"$path/stats").collect()(0)
-      val (accN, streamN) = (acc.count(), stream.count())
-      val statsViol =
-        if (st.getAs[Long]("n_docs") == accN &&
-            st.getAs[Long]("n_dropped") == streamN - accN)
-          s.range(0).select(lit("stats_mismatch").as("kind"), col("id").as("n"))
-        else s.range(1).select(lit("stats_mismatch").as("kind"), lit(1L).as("n"))
-      alien.unionByName(dupReg).unionByName(withinViol)
-        .unionByName(crossViol).unionByName(unsound).unionByName(statsViol)
+      // ---- the violation relation (ONE body, shared with q176) ----
+      ndregSoundness(s,
+          p0.withColumn("ph", lit(0))
+            .unionByName(p1.withColumn("ph", lit(1)))
+            .unionByName(p2.withColumn("ph", lit(2))),
+          path)
         .orderBy(col("kind"), col("n"))
     }),
 
@@ -3405,6 +3434,120 @@ object Curation {
         .unionByName(graft.operators.Fsck.registryFsck(s, regShard(s, dir, 0)))
         .unionByName(
           graft.operators.Fsck.nearDupRegistryFsck(s, ndregShard(s, dir, 0)))
+        .orderBy(col("kind"), col("n"))
+    }),
+
+    // FUZZY CURATE-THEN-INDEX: q170's near-dup registry dedup COMPOSED
+    // with the q162 index ingest in one exactly-once foreachBatch sink
+    // — the full production pipeline (a crawl's near-copies dropped at
+    // ingest, only accepted content pays indexing). The q170 stream
+    // (shared staged files) with crash states planted on BOTH artifacts
+    // before batch 0 (junk tagged parts in the registry's two tables +
+    // its stats mid-swap window, junk tagged posting/doclen parts in
+    // the index), the kill-restart across the batch-2 boundary, and a
+    // post-commit re-delivery through the composed apply. LSH
+    // acceptance is engine-defined, so the gate is a violation relation
+    // (empty oracle) with three arms: (1) the q170 registry-soundness
+    // body VERBATIM (one shared helper); (2) the index pinned
+    // ROW-FOR-ROW to a re-derivation from the registry's committed
+    // corpus — postings == the re-tokenized (id, term, tf) relation,
+    // doclen == re-counted lengths, stats == re-summed scalars — so a
+    // dropped batch, double-applied df, or unerased junk row all
+    // surface as concrete row mismatches; (3) bm25Fsck over the final
+    // index (placement/derived-table invariants) plus a non-vacuity
+    // probe. Empty output = the composition is sound end to end.
+    "q176_neardup_index_stream" -> ((s, dir) => {
+      val regPath = s"$regIngestParent/ndreg176"
+      val idxPath = s"$regIngestParent/ndidx176"
+      Seq(regPath, idxPath).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      NearDupRegistry.init(s, regPath, buckets = 16)
+      Retrieval.bm25Init(s, idxPath, buckets = 64)
+      val phases = ndStreamPhases(s, dir)
+      val Seq(p0, p1, p2) = phases
+      val staged = stagePhases(s"ingest170|$dir", phases)
+      locally { // manufactured batch-0 crash on BOTH artifacts
+        import s.implicits._
+        plantTaggedPart(
+          Seq((-999L, "__GRAFT_JUNK__", Seq(1L, 2L))).toDF("id", "text", "hs"),
+          s"$regPath/corpus/bucket=3", "b0")
+        plantTaggedPart(Seq((0, 12345, -999L)).toDF("band", "bkey", "id"),
+          s"$regPath/bands/pk=1", "b0")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(regPath), s.sessionState.newHadoopConf())
+        fs.rename(new org.apache.hadoop.fs.Path(s"$regPath/stats"),
+          new org.apache.hadoop.fs.Path(s"$regPath/stats_b0_bak"))
+        s.range(1)
+          .select(lit(777777L).as("n_docs"), lit(777777L).as("n_dropped"),
+            lit(16L).as("buckets"), lit(3L).as("shingle_size"),
+            lit(64L).as("num_hashes"), lit(16L).as("bands"),
+            lit(0.5).as("threshold"))
+          .coalesce(1).write.parquet(s"$regPath/stats")
+        val sparkBucket = s.range(1)
+          .select(pmod(xxhash64(lit("spark")), lit(64L)))
+          .collect()(0).getLong(0)
+        plantTaggedPart(Seq((-999L, "spark", 99L)).toDF("id", "term", "tf"),
+          s"$idxPath/postings/bucket=$sparkBucket", "b0")
+        plantTaggedPart(Seq((-999L, 99L)).toDF("id", "dl"),
+          s"$idxPath/doclen", "b0")
+      }
+      val sink = NearDupRegistry.dedupIndexStreamSink(
+        regPath, idxPath, "doc_id", "text")
+      runPhasedIngest(s, staged, p0.schema, nPhases = 3, firstRun = 2, sink)
+      // post-commit re-delivery of batch 1 through the composed apply:
+      // both markers must hold
+      NearDupRegistry.dedupIndexStreamSink(regPath, idxPath, "doc_id", "text")(
+        s.read.parquet(s"$staged/phase_001.parquet"), 1L)
+      // ---- arm 1: the registry soundness body, verbatim ----
+      val reg = ndregSoundness(s,
+        p0.withColumn("ph", lit(0))
+          .unionByName(p1.withColumn("ph", lit(1)))
+          .unionByName(p2.withColumn("ph", lit(2))),
+        regPath)
+      // ---- arm 2: the index row-for-row == derivation from the corpus
+      val acc = s.read.parquet(s"$regPath/corpus")
+        .select(col("id"), col("text"))
+        .transform(graft.CacheScope.persisted)
+      def cnt(df: DataFrame, kind: String): DataFrame =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+          .select(lit(kind).as("kind"), col("n"))
+      val expectedTf = acc
+        .select(col("id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("etf"))
+      val postings = s.read.schema(Retrieval.postingsSchema)
+        .parquet(s"$idxPath/postings")
+      val postingsViol = cnt(postings
+        .join(expectedTf, Seq("id", "term"), "full_outer")
+        .filter(coalesce(col("tf"), lit(-1L)) =!= coalesce(col("etf"), lit(-1L))),
+        "postings_derivation_mismatch")
+      val expectedDl = acc.select(col("id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("edl"))
+      val doclen = s.read.schema(Retrieval.doclenSchema)
+        .parquet(s"$idxPath/doclen")
+      val doclenViol = cnt(doclen
+        .join(expectedDl, Seq("id"), "full_outer")
+        .filter(coalesce(col("dl"), lit(-1L)) =!= coalesce(col("edl"), lit(-1L))),
+        "doclen_derivation_mismatch")
+      val ist = s.read.parquet(s"$idxPath/stats").collect()(0)
+      val expTok = expectedDl.agg(coalesce(sum(col("edl")), lit(0L)))
+        .collect()(0).getLong(0)
+      val statsViol =
+        if (ist.getAs[Long]("n_docs") == acc.count() &&
+            ist.getAs[Long]("total_tokens") == expTok)
+          s.range(0).select(lit("index_stats_mismatch").as("kind"),
+            col("id").as("n"))
+        else s.range(1).select(lit("index_stats_mismatch").as("kind"),
+          lit(1L).as("n"))
+      // ---- arm 3: internal invariants + non-vacuity ----
+      val fsck = graft.operators.Fsck.bm25Fsck(s, idxPath)
+      val vacuous =
+        if (Retrieval.bm25TopKIndexed(idxPath, bm25Queries(s), k = 10)
+            .limit(1).count() > 0)
+          s.range(0).select(lit("vacuous_probe").as("kind"), col("id").as("n"))
+        else s.range(1).select(lit("vacuous_probe").as("kind"), lit(1L).as("n"))
+      reg.unionByName(postingsViol).unionByName(doclenViol)
+        .unionByName(statsViol).unionByName(fsck).unionByName(vacuous)
         .orderBy(col("kind"), col("n"))
     })
   )

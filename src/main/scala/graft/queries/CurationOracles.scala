@@ -2468,6 +2468,13 @@ object CurationOracles {
     "q175_index_fsck" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Fuzzy curate-then-index composition soundness (the q170 shape:
+    // the registry-soundness body verbatim + the index pinned
+    // row-for-row to a re-derivation from the registry's corpus +
+    // bm25Fsck + non-vacuity; empty oracle).
+    "q176_neardup_index_stream" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

@@ -190,6 +190,38 @@ class NearDupRegistrySpec extends SparkSpec {
     assert(corpusIds(dir) === Seq(2L, 7L)) // re-accepted: witness gone
   }
 
+  test("batchRows hands back exactly the committed slice; composed sink is idempotent") {
+    val parent = java.nio.file.Files.createTempDirectory("ndreg-spec-bx").toString
+    val dir = s"$parent/reg"; val idx = s"$parent/idx"
+    reg.init(spark, dir, buckets = 8)
+    graft.operators.Retrieval.bm25Init(spark, idx, buckets = 7)
+    val sink = reg.dedupIndexStreamSink(dir, idx, "doc_id", "text")
+    sink(Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "rho sigma tau upsilon")).toDF("doc_id", "text"), 0L)
+    // the committed slice excludes the dropped near-dup
+    val b0 = reg.batchRows(spark, dir, 0L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(b0 === Seq(1L, 3L))
+    assert(reg.batchRows(spark, dir, 9L).collect().isEmpty) // unknown batch
+    // only accepted rows were indexed
+    val indexed = spark.read
+      .schema(graft.operators.Retrieval.doclenSchema)
+      .parquet(s"$idx/doclen")
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed === Seq(1L, 3L))
+    // post-commit re-delivery through the COMPOSED apply: both markers
+    // hold, nothing double-applies
+    val q = Seq((1L, "alpha gamma")).toDF("query_id", "query_text")
+    val before = graft.operators.Retrieval.bm25TopKIndexed(idx, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    sink(Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "rho sigma tau upsilon")).toDF("doc_id", "text"), 0L)
+    val after = graft.operators.Retrieval.bm25TopKIndexed(idx, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.nonEmpty && after === before)
+    assert(statsOf(dir) === ((2L, 1L)))
+  }
+
   test("init rejects bad parameters") {
     val dir = java.nio.file.Files.createTempDirectory("ndreg-spec-i").toString
     reg.init(spark, dir, buckets = 2)
