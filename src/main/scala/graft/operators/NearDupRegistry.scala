@@ -354,22 +354,27 @@ object NearDupRegistry {
       .parquet(s"$tmpRoot/corpus")
     val nAccepted = observedOrEmpty(accObs).get("n")
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    keys.join(accepted.select(col("id")), Seq("id"))
-      .select(col("band"), col("bkey"), col("id"),
-        pmod(col("bkey"), lit(p.buckets)).as("pk"))
-      .repartition(col("pk"))
-      .write.mode("overwrite").partitionBy("pk")
-      .parquet(s"$tmpRoot/bands")
-    spark.range(1)
-      .select(
-        lit(p.nDocs + nAccepted).as("n_docs"),
-        lit(p.nDropped + (batchN - nAccepted)).as("n_dropped"),
-        lit(p.buckets).as("buckets"),
-        lit(p.shingleSize.toLong).as("shingle_size"),
-        lit(p.numHashes.toLong).as("num_hashes"),
-        lit(p.bands.toLong).as("bands"),
-        lit(p.threshold).as("threshold"))
-      .coalesce(1).write.parquet(sub(s"stats_${tag}_new").toString)
+    // bands + stats stage concurrently: both read only the now-cached
+    // accepted/keys frames and in-hand scalars (the corpus write ran
+    // first ALONE — it materializes the persist; concurrent first
+    // actions would race to compute the dedup twice)
+    graft.operators.Retrieval.concurrently(
+      () => keys.join(accepted.select(col("id")), Seq("id"))
+        .select(col("band"), col("bkey"), col("id"),
+          pmod(col("bkey"), lit(p.buckets)).as("pk"))
+        .repartition(col("pk"))
+        .write.mode("overwrite").partitionBy("pk")
+        .parquet(s"$tmpRoot/bands"),
+      () => spark.range(1)
+        .select(
+          lit(p.nDocs + nAccepted).as("n_docs"),
+          lit(p.nDropped + (batchN - nAccepted)).as("n_dropped"),
+          lit(p.buckets).as("buckets"),
+          lit(p.shingleSize.toLong).as("shingle_size"),
+          lit(p.numHashes.toLong).as("num_hashes"),
+          lit(p.bands.toLong).as("bands"),
+          lit(p.threshold).as("threshold"))
+        .coalesce(1).write.parquet(sub(s"stats_${tag}_new").toString))
     // ---- commit ----
     graft.sinks.Sinks.copyParquetParts(
       fs, hconf, s"$tmpRoot/corpus", s"$path/corpus", "bucket=", tag,

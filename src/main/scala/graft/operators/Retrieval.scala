@@ -29,7 +29,7 @@ object Retrieval {
     * over already-materialized (persisted) inputs — concurrent first
     * actions would race to fill a cache.
     */
-  private def concurrently(actions: (() => Unit)*): Unit = {
+  private[graft] def concurrently(actions: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global

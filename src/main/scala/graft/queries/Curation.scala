@@ -120,20 +120,28 @@ object Curation {
     * append operator stays gate-proven un-shared in q143/q145 (bm25)
     * and q112/q149 (ivf).
     */
-  private def bm25BaseAppended(s: SparkSession, dir: String): String =
+  private def bm25BaseAppended(s: SparkSession, dir: String): String = {
+    // materialize the base rung BEFORE the dependent memoization:
+    // ConcurrentHashMap.computeIfAbsent inside computeIfAbsent on the
+    // SAME map throws "Recursive update" whenever the two keys land in
+    // one hash bin — which key set (and so which gate order) triggers
+    // it is table-layout luck (q175-first at sf0.1 found it)
+    val base = bm25Base(s, dir)
     baseIndexes.computeIfAbsent(s"bm25app|$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-bm25-bapp").toString
-      copyInto(bm25Base(s, dir), p)
+      copyInto(base, p)
       Retrieval.bm25Append(
         p, t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
         "doc_id", "text")
       p
     })
+  }
 
-  private def ivfBaseAppended(s: SparkSession, dir: String): String =
+  private def ivfBaseAppended(s: SparkSession, dir: String): String = {
+    val base = ivfBase(s, dir) // outside: no nested computeIfAbsent
     baseIndexes.computeIfAbsent(s"ivfapp|$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-ivf-bapp").toString
-      copyInto(ivfBase(s, dir), p)
+      copyInto(base, p)
       val emb = t(s, dir, "embeddings")
       Similarity.ivfAppend(
         p, emb.filter(col("vec_id") % 8 === 0), "vec_id", "embedding")
@@ -141,6 +149,7 @@ object Curation {
         p, emb.filter(col("vec_id") % 8 === 4), "vec_id", "embedding")
       p
     })
+  }
 
   /** q158's shard bases: FOUR independent indexes over the doc_id mod-4
     * residues of the corpus — the per-shard parallel builds whose N-way
@@ -506,10 +515,11 @@ object Curation {
     * real file generations per touched bucket — exactly what its
     * compaction must collapse.
     */
-  private def bm25BaseAppended2(s: SparkSession, dir: String): String =
+  private def bm25BaseAppended2(s: SparkSession, dir: String): String = {
+    val base = bm25Base(s, dir) // outside: no nested computeIfAbsent
     baseIndexes.computeIfAbsent(s"bm25app2|$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-bm25-bapp2").toString
-      copyInto(bm25Base(s, dir), p)
+      copyInto(base, p)
       val docs = t(s, dir, "documents")
       Retrieval.bm25Append(
         p, docs.filter(col("doc_id") % 6 === 0), "doc_id", "text")
@@ -517,6 +527,7 @@ object Curation {
         p, docs.filter(col("doc_id") % 6 === 3), "doc_id", "text")
       p
     })
+  }
 
   /** Shared q159/q166 soundness body over a PERSISTED quantized IVF
     * index at `path`: probe with the fixed query slice, then (a) every
