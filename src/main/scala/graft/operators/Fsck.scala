@@ -91,11 +91,33 @@ object Fsck {
       val nOk = scalarViol(dl.count() == nDocs, "bm25_stats_ndocs", spark)
       val tokSum = dl.agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
       val tokOk = scalarViol(tokSum == totTok, "bm25_stats_tokens", spark)
+      // soft-delete overlay: ids unique and registered (a stray
+      // tombstone is a typo'd takedown — auditable, not fatal at probe)
+      val tomb = tombstoneChecks(spark,
+        Tombstones.read(spark, path), dl.select(col("id")), "bm25")
       dupDoc.unionByName(dupPost).unionByName(badTf).unionByName(orphan)
         .unionByName(dlMismatch).unionByName(dfMismatch)
         .unionByName(misTerm).unionByName(misPost)
-        .unionByName(nOk).unionByName(tokOk)
+        .unionByName(nOk).unionByName(tokOk).unionByName(tomb)
     }
+
+  /** Overlay invariants shared by the index audits: tombstone ids
+    * unique, every tombstone naming a registered doc/vector.
+    */
+  private def tombstoneChecks(
+      spark: SparkSession,
+      overlay: Option[DataFrame],
+      registered: DataFrame, // one (id) column
+      prefix: String): DataFrame = overlay match {
+    case None =>
+      spark.range(0).select(lit(s"${prefix}_tombstone").as("kind"),
+        col("id").as("n"))
+    case Some(t) =>
+      cnt(t.groupBy(col("id")).agg(count(lit(1)).as("c")).filter(col("c") > 1),
+        s"${prefix}_dup_tombstone")
+        .unionByName(cnt(t.join(registered, Seq("id"), "left_anti"),
+          s"${prefix}_tombstone_for_unknown_doc"))
+  }
 
   /** Audit a [[Similarity.buildIvfIndex]] / [[Similarity.buildIvfQIndex]]
     * layout index (layout detected from the corpus schema). Invariants:
@@ -138,7 +160,10 @@ object Fsck {
           .filter(col("qvec") =!= col("stored_q") ||
             Similarity.intDot(col("qvec"), col("qvec")) =!= col("stored_n2")),
         "ivf_quantization_mismatch")
+    val tomb = tombstoneChecks(spark,
+      Tombstones.read(spark, path), corpus.select(col("id")), "ivf")
     dupId.unionByName(alien).unionByName(assigned).unionByName(quant)
+      .unionByName(tomb)
   }
 
   /** Audit a [[DedupRegistry]]: digests == md5(text) (a corrupted

@@ -837,6 +837,10 @@ object Retrieval {
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats")
+    // a physical delete IS the compaction of any soft-delete overlay
+    // covering these ids — clear them so probes return to the
+    // zero-overhead path (Tombstones scaladoc)
+    Tombstones.clear(spark, path, keys, keyCol)
     nDel
   }
 
@@ -935,7 +939,57 @@ object Retrieval {
     val dl = spark.read.schema(doclenSchema).parquet(s"$path/doclen")
     val qdf = terms.join(broadcast(qterms), "term")
       .select(col("query_id"), col("term"), col("df"))
-    bm25ScoreTail(qdf, postings, dl, nDocs, avgdl, k, k1, b)
+    val (qdfF, postingsF, nF, avgF) =
+      applyTombstones(spark, Seq(path), qdf, postings, dl, nDocs, totTok)
+    bm25ScoreTail(qdfF, postingsF, dl, nF, avgF, k, k1, b)
+  }
+
+  /** EXACT soft-delete adjustment of a probe's score inputs under the
+    * indexes' [[graft.operators.Tombstones]] overlays — what makes the
+    * tombstoned probe bit-for-bit the probe of a survivors-only rebuild
+    * (Lucene-style soft deletes adjust nothing until merge; BM25's
+    * coupling is ONLY the global statistics, so adjusting them exactly
+    * is cheap): N drops by the doomed-doc count, total tokens by their
+    * doclen sum (ONE small job joining doclen to the broadcast
+    * overlay), each query term's df by its doomed postings (computed
+    * from the ALREADY-PRUNED postings — no extra scan), and doomed
+    * postings leave via a broadcast anti-join. No overlay (the common
+    * case) short-circuits on a file listing: zero added work.
+    */
+  private def applyTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      qdf: DataFrame,
+      postings: DataFrame,
+      dl: DataFrame,
+      nDocs: Long,
+      totTok: Long): (DataFrame, DataFrame, Long, Double) = {
+    val overlays = paths.flatMap(p => Tombstones.read(spark, p))
+    if (overlays.isEmpty)
+      return (qdf, postings, nDocs, totTok.toDouble / nDocs.toDouble)
+    // NEVER cache the overlay read: a persisted same-path read would be
+    // rewritten onto a STALE InMemoryRelation after add/clear mutate the
+    // directory (Spark's cache matches file relations by path) — a probe
+    // after a partial physical delete would silently adjust with the
+    // pre-delete overlay. The overlay is one small file; the extra reads
+    // are free. (TombstoneSpec's partial-clear sequence caught this.)
+    val doomed = broadcast(
+      overlays.reduce(_.unionByName(_)).distinct())
+    val sc = dl.join(doomed, "id")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .collect()(0)
+    val (nDoomed, tokDoomed) = (sc.getLong(0), sc.getLong(1))
+    val doomedDf = postings.join(doomed, "id")
+      .groupBy(col("term")).agg(count(lit(1)).as("__ddf"))
+    val qdfEff = qdf.join(doomedDf, Seq("term"), "left")
+      .select(col("query_id"), col("term"),
+        (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+      .filter(col("df") >= 1)
+    val nEff = nDocs - nDoomed
+    (qdfEff,
+      postings.join(doomed, Seq("id"), "left_anti"),
+      nEff,
+      (totTok - tokDoomed).toDouble / nEff.toDouble)
   }
 
   /** The ONE BM25 scoring arithmetic over pre-pruned index reads —
@@ -1047,11 +1101,12 @@ object Retrieval {
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("term"))
       .agg(sum(col("df")).as("df"))
-    bm25ScoreTail(
-      qdf,
-      pruned.map(_._2).reduce(_.unionByName(_)),
-      pruned.map(_._3).reduce(_.unionByName(_)),
-      nDocs, avgdl, k, k1, b)
+    val postingsU = pruned.map(_._2).reduce(_.unionByName(_))
+    val dlU = pruned.map(_._3).reduce(_.unionByName(_))
+    val (qdfF, postingsF, nF, avgF) =
+      applyTombstones(spark, paths, qdf, postingsU, dlU, nDocs,
+        stats.map(_._2).sum)
+    bm25ScoreTail(qdfF, postingsF, dlU, nF, avgF, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (RRF) of two rankings — the standard hybrid

@@ -1011,8 +1011,12 @@ object Similarity {
       // pushed into both corpus scans as a partition filter
       val probedCells = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0).toLong).sorted
-      val corpus = spark.read.parquet(s"$indexPath/corpus")
+      val corpus0 = spark.read.parquet(s"$indexPath/corpus")
         .filter(col("cell").isin(probedCells: _*))
+      // soft-delete overlay: doomed ids leave BOTH stages' scans
+      val corpus = Tombstones.read(spark, indexPath)
+        .map(d => corpus0.join(broadcast(d), Seq("id"), "left_anti"))
+        .getOrElse(corpus0)
       val stage1 = corpus.select(col("id"), col("qvec").as("cq"),
           col("qn2").as("cn2"), col("cell"))
         .join(broadcast(probes), "cell")
@@ -1096,10 +1100,15 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       keys: DataFrame,
-      keyCol: String): Long =
-    graft.sinks.Sinks.deleteRows(
+      keyCol: String): Long = {
+    val n = graft.sinks.Sinks.deleteRows(
       spark, s"$indexPath/corpus", "cell", "id",
       keys.select(col(keyCol).as("id")))
+    // a physical delete compacts any soft-delete overlay covering
+    // these ids (Tombstones scaladoc)
+    Tombstones.clear(spark, indexPath, keys, keyCol)
+    n
+  }
 
   /** Read-only costing twin of [[ivfSplitCells]] (the
     * [[graft.operators.Retrieval.bm25DeleteBatchPlan]] pattern): the
@@ -1272,7 +1281,13 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
-    val c = spark.read.parquet(s"$indexPath/corpus")
+    // soft-deleted vectors leave the candidate set via a broadcast
+    // anti-join (exact trivially — cosine has no global statistics);
+    // no overlay = no added work (Tombstones scaladoc)
+    val c0 = spark.read.parquet(s"$indexPath/corpus")
+    val c = Tombstones.read(spark, indexPath)
+      .map(d => c0.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(c0)
     val probes = queries
       .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qvec"))
       .select(

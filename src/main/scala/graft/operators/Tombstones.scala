@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Soft-delete overlays for the persisted indexes — INSTANT takedown
+  * visibility with DEFERRED physical erasure. A physical delete
+  * ([[Retrieval.bm25Delete]] / [[Similarity.ivfDelete]]) rewrites the
+  * doomed rows' partitions: footprint-proportional, but still a
+  * maintenance-window job. A takedown queue needs the doc GONE FROM
+  * RESULTS now. The tombstone list is that overlay: an O(batch) append
+  * of doomed ids beside the index, honored by every probe (single,
+  * federated, quantized), and CLEARED by the physical delete that later
+  * applies it — the familiar soft-delete architecture (Lucene's deleted
+  * docs, Delta/Iceberg delete files), except the lexical probe adjusts
+  * the GLOBAL STATISTICS exactly (Lucene famously does not until merge):
+  * N/avgdl drop by the doomed docs' counts and each query term's df by
+  * its doomed postings, all computable from the probe's ALREADY-PRUNED
+  * reads plus one broadcast of the (small, by contract) tombstone list —
+  * so a soft-deleted probe is BIT-FOR-BIT the probe of a physically
+  * rebuilt survivors-only index (the q177 gate pins soft == hard ==
+  * oracle in one hash).
+  *
+  * Contract: the tombstone list is a BOUNDED overlay — it is takedown
+  * state awaiting compaction, not a second corpus; run the physical
+  * delete when it grows past the broadcast threshold. Same single-writer
+  * discipline as every index mutation. Layout: `<indexPath>/tombstones/`
+  * parquet of (id LONG), distinct; absent dir == empty overlay (zero
+  * probe overhead — probes check the file listing, not a job).
+  */
+object Tombstones {
+
+  private def dirOf(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+
+  /** Add doomed ids to the index's overlay (distinct union, swapped in
+    * by rename — a crash leaves a complete old or new list). Returns
+    * the overlay's total id count after the add. Unknown ids are
+    * tolerated (no-ops at probe time); [[Fsck]] flags them so a typo'd
+    * takedown batch is auditable.
+    */
+  def add(
+      spark: SparkSession,
+      indexPath: String,
+      keys: DataFrame,
+      keyCol: String): Long = {
+    val cur = dirOf(indexPath)
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = read(spark, indexPath)
+      .getOrElse(spark.range(0).select(col("id")))
+    val merged = existing
+      .unionByName(keys.select(col(keyCol).cast("long").as("id")))
+      .distinct()
+      .transform(graft.CacheScope.persisted)
+    val n = merged.count()
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones_add_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(cur)) graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+    else require(fs.rename(tmp, cur), s"Tombstones.add: rename to $cur failed")
+    n
+  }
+
+  /** The overlay as an (id) frame — None when absent or empty (callers
+    * skip all adjustment work; the check is a file listing, not a job).
+    */
+  def read(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val p = dirOf(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val has = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!has) None
+    else Some(spark.read.schema("id LONG").parquet(p.toString))
+  }
+
+  /** Remove physically-applied ids from the overlay (the tail step of
+    * [[Retrieval.bm25Delete]] / [[Similarity.ivfDelete]]): overlay
+    * anti-join applied keys; an emptied overlay's dir is removed, so
+    * probes return to the zero-overhead path.
+    */
+  def clear(
+      spark: SparkSession,
+      indexPath: String,
+      applied: DataFrame,
+      keyCol: String): Unit = {
+    val cur = dirOf(indexPath)
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    read(spark, indexPath).foreach { existing =>
+      val remaining = existing
+        .join(applied.select(col(keyCol).cast("long").as("id")),
+          Seq("id"), "left_anti")
+        .transform(graft.CacheScope.persisted)
+      if (remaining.count() == 0L)
+        require(fs.delete(cur, true), s"Tombstones.clear: cannot drop $cur")
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones_clear_tmp")
+        remaining.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+      }
+    }
+  }
+}

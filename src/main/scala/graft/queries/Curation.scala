@@ -71,6 +71,12 @@ object Curation {
   private lazy val ivfDeleteDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
 
+  // q177/q178's soft-delete (tombstone) scratches, same contract
+  private lazy val bm25TombDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-tomb").toString
+  private lazy val ivfTombDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-tomb").toString
+
   /** Per-(sf dir) memoized BASE index builds, file-copied into each
     * gate's private scratch: q143/q145/q155 all open with the SAME
     * deterministic `buildBm25Index` over `doc_id % 3 =!= 0`, and
@@ -3559,6 +3565,96 @@ object Curation {
         else s.range(1).select(lit("vacuous_probe").as("kind"), lit(1L).as("n"))
       reg.unionByName(postingsViol).unionByName(doclenViol)
         .unionByName(statsViol).unionByName(fsck).unionByName(vacuous)
+        .orderBy(col("kind"), col("n"))
+    }),
+
+    // SOFT DELETE (tombstone overlay) on the BM25 index — instant
+    // takedown visibility, deferred physical erasure (the Lucene
+    // soft-delete architecture, but with EXACT global-statistics
+    // adjustment: N, avgdl, and each query term's df drop by the
+    // doomed docs' contributions, computed from the probe's
+    // already-pruned reads + one broadcast of the overlay). The gate
+    // pins the whole lifecycle in ONE hash: phase 'soft' = probe with
+    // every 5th doc tombstoned (NO rewrite has happened), phase 'hard'
+    // = probe after bm25Delete physically applies the same keys (which
+    // also clears the overlay) — BOTH must equal the q155 oracle (BM25
+    // over the anti-joined corpus), emitted twice with phase labels.
+    // A soft probe with Lucene's stale-stats shortcut, an unadjusted
+    // df, or an uncleared overlay (double exclusion after the hard
+    // delete would be harmless — but a stale overlay after a FUTURE
+    // re-ingest of the ids would not) all break the hash.
+    "q177_bm25_tombstone" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      copyInto(bm25BaseAppended(s, dir), bm25TombDir)
+      val keys = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      graft.operators.Tombstones.add(s, bm25TombDir, keys, "doc_id")
+      // materialize the soft probe BEFORE the physical delete mutates
+      // the directory (lazy evaluation would read post-delete state)
+      val soft = Retrieval.bm25TopKIndexed(bm25TombDir, bm25Queries(s), k = 10)
+        .localCheckpoint(true)
+      Retrieval.bm25Delete(s, bm25TombDir, keys, "doc_id")
+      val cleared = graft.operators.Tombstones.read(s, bm25TombDir).isEmpty
+      val hard = Retrieval.bm25TopKIndexed(bm25TombDir, bm25Queries(s), k = 10)
+      soft.withColumn("phase",
+          lit(if (cleared) "soft" else "soft_overlay_not_cleared"))
+        .unionByName(hard.withColumn("phase", lit("hard")))
+        .orderBy(col("phase"), col("query_id"), col("rnk"))
+    }),
+
+    // Soft delete on the IVF index (violation relation, empty oracle —
+    // cosine has no global statistics, so exactness is an exclusion
+    // property): tombstone every 5th vector on the q156 setup state,
+    // then (a) no doomed id may appear in a DEEP soft probe; (b) the
+    // soft probe is non-vacuous; (c) every soft hit re-verifies
+    // against the exact cosine on the raw embeddings; (d) after
+    // ivfDelete physically applies the same keys, the overlay is
+    // cleared and (e) the hard probe equals the soft probe EXACTLY
+    // (symmetric difference empty) — the overlay and the rewrite must
+    // be the same takedown.
+    "q178_ivf_tombstone" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      copyInto(ivfBaseAppended(s, dir), ivfTombDir)
+      val keys = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+      graft.operators.Tombstones.add(s, ivfTombDir, keys, "vec_id")
+      def probe() = Similarity.ivfTopKIndexed(
+        ivfTombDir, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 20, nprobe = 4)
+      val soft = probe().localCheckpoint(true)
+      def cnt(df: DataFrame, kind: String): DataFrame =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+          .select(lit(kind).as("kind"), col("n"))
+      val doomedHit = cnt(soft
+        .join(keys.withColumnRenamed("vec_id", "id"), Seq("id")),
+        "doomed_id_in_soft_probe")
+      val vacuous =
+        if (soft.limit(1).count() > 0)
+          s.range(0).select(lit("vacuous_soft_probe").as("kind"),
+            col("id").as("n"))
+        else s.range(1).select(lit("vacuous_soft_probe").as("kind"),
+          lit(1L).as("n"))
+      val unverified = cnt(soft
+        .join(emb.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv")), Seq("qid"))
+        .join(emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("cv")), Seq("id"))
+        .filter(abs(Similarity.cosine(col("cv"), col("qv")) - col("sim")) >
+          lit(1e-12)),
+        "soft_hit_cosine_mismatch")
+      Similarity.ivfDelete(s, ivfTombDir, keys, "vec_id")
+      val overlayViol =
+        if (graft.operators.Tombstones.read(s, ivfTombDir).isEmpty)
+          s.range(0).select(lit("overlay_not_cleared").as("kind"),
+            col("id").as("n"))
+        else s.range(1).select(lit("overlay_not_cleared").as("kind"),
+          lit(1L).as("n"))
+      val hard = probe()
+      val drift = cnt(
+        soft.unionByName(hard).groupBy(col("qid"), col("id"),
+            col("sim"), col("rank"))
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2),
+        "soft_hard_probe_drift")
+      doomedHit.unionByName(vacuous).unionByName(unverified)
+        .unionByName(overlayViol).unionByName(drift)
         .orderBy(col("kind"), col("n"))
     })
   )

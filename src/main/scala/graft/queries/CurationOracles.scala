@@ -2475,6 +2475,21 @@ object CurationOracles {
     "q176_neardup_index_stream" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Soft-delete lifecycle on the BM25 index: the tombstoned probe
+    // (phase 'soft', NO rewrite) and the post-physical-delete probe
+    // (phase 'hard') must BOTH equal the q155 relation — the verbatim
+    // BM25 arithmetic over the anti-joined corpus, emitted twice.
+    "q177_bm25_tombstone" ->
+      s"""WITH r AS (${bm25OracleOver("doc_id % 5 <> 0")})
+         SELECT query_id, rnk, doc_id, score, 'hard' AS phase FROM r
+         UNION ALL
+         SELECT query_id, rnk, doc_id, score, 'soft' FROM r
+         ORDER BY phase, query_id, rnk""",
+    // Soft-delete on the IVF index (exclusion property — violation
+    // relation, empty oracle).
+    "q178_ivf_tombstone" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prices the round-12 maintenance operators (SURVEY §8): the artifact
+  * fscks (bm25 + near-dup registry, the two audit-heaviest families) and
+  * the registry shard-and-merges, at 1x and Nx corpus. Unlike the stream
+  * applies (IngestBench: batch-sized work, FLAT walls), these are
+  * deliberately CORPUS-SIZED operators — fsck is a full re-derivation
+  * scan and a bootstrap merge shuffles the shard survivors once — so the
+  * honest claim under test is LINEARITY: wall ∝ corpus with no
+  * super-linear term (a quadratic candidate blow-up in the near-dup
+  * audit's self-join, say, would surface here first). Linear full-scan
+  * jobs distribute; that is the 100 TB contract for maintenance-window
+  * work.
+  *
+  * Scaling model: IngestBench's marker-spliced replicas — replica r
+  * splices `m<r>` at every word boundary, so replica shingle sets are
+  * DISJOINT (no cross-replica near-dups: the registry masses grow
+  * linearly) and digests differ.
+  *
+  * Run: sbt "runMain graft.tools.AuditBench [replication]"
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+  */
+object AuditBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 10
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val docs = graft.Tables.load(spark, baseDir, "documents")
+      .select(col("doc_id"), col("text"))
+
+    def replica(r: Int): DataFrame =
+      docs.select((col("doc_id") + lit(r * 1000000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit(" "), lit(s" m$r ")).as("text"))
+
+    def replicated(scale: Int): DataFrame =
+      (0 until scale).map(replica).reduce(_.unionByName(_))
+        .transform(graft.CacheScope.persisted)
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    def run(scale: Int, warmup: Boolean = false): Unit = {
+      val corpus = replicated(scale)
+      val nDocs = corpus.count()
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-auditbench-$scale").toString
+      // ---- fsck arms (artifacts built untimed) ----
+      graft.operators.Retrieval.buildBm25Index(
+        corpus, "doc_id", "text", s"$root/bm25")
+      val bmFsck = timed {
+        assert(graft.operators.Fsck.bm25Fsck(spark, s"$root/bm25")
+          .collect().isEmpty)
+      }
+      graft.operators.NearDupRegistry.init(spark, s"$root/ndreg", buckets = 64)
+      graft.operators.NearDupRegistry.ingestBatch(
+        s"$root/ndreg", corpus, "doc_id", "text", 0L)
+      val ndFsck = timed {
+        assert(graft.operators.Fsck.nearDupRegistryFsck(spark, s"$root/ndreg")
+          .collect().isEmpty)
+      }
+      // ---- registry shard-and-merge arms (shards built untimed) ----
+      (0 until 3).foreach { i =>
+        graft.operators.DedupRegistry.init(spark, s"$root/rsh$i", buckets = 64)
+        graft.operators.DedupRegistry.ingestBatch(
+          s"$root/rsh$i", corpus.filter(col("doc_id") % 3 === i),
+          "doc_id", "text", 0L)
+        graft.operators.NearDupRegistry.init(spark, s"$root/nsh$i", buckets = 64)
+        graft.operators.NearDupRegistry.ingestBatch(
+          s"$root/nsh$i", corpus.filter(col("doc_id") % 3 === i),
+          "doc_id", "text", 0L)
+      }
+      val regMerge = timed {
+        graft.operators.DedupRegistry.merge(
+          spark, (0 until 3).map(i => s"$root/rsh$i"), s"$root/rmerged")
+      }
+      val ndMerge = timed {
+        graft.operators.NearDupRegistry.merge(
+          spark, (0 until 3).map(i => s"$root/nsh$i"), s"$root/nmerged")
+      }
+      if (!warmup)
+        println(f"[audit-bench] scale=$scale%-3d corpus=$nDocs%8d docs  " +
+          f"bm25_fsck=$bmFsck%6.2f s  ndreg_fsck=$ndFsck%6.2f s  " +
+          f"reg_merge=$regMerge%6.2f s  ndreg_merge=$ndMerge%6.2f s")
+      corpus.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    run(1, warmup = true)
+    run(1)
+    run(n)
+    spark.stop()
+  }
+}

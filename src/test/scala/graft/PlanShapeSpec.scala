@@ -344,6 +344,19 @@ class PlanShapeSpec extends SparkSpec {
         operators.Similarity.ivfTopKFederated(Seq(ivfPath),
           emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
           "vec_id", "embedding", k = 5).collect()
+        // soft-delete overlay: the add rewrite + the adjusted probes
+        operators.Tombstones.add(spark, path,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 === 0)
+            .select(org.apache.spark.sql.functions.col("doc_id")), "doc_id")
+        operators.Tombstones.add(spark, ivfPath,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 11 === 0)
+            .select(org.apache.spark.sql.functions.col("vec_id")), "vec_id")
+        operators.Retrieval.bm25TopKIndexed(path,
+          spark.createDataFrame(Seq((1L, "spark data"))).toDF("query_id", "query_text"),
+          k = 5).collect()
+        operators.Similarity.ivfTopKIndexed(ivfPath,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+          "vec_id", "embedding", k = 5).collect()
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
