@@ -722,6 +722,22 @@ object Retrieval {
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/stats")
+    // soft-delete overlays travel with the merge: dropping them would
+    // RESURRECT tombstoned docs in the merged index (TombstoneSpec)
+    mergeOverlays(spark, paths, dest)
+  }
+
+  /** Union the shards' [[Tombstones]] overlays into a merged index's —
+    * shared by [[bm25Merge]] and [[graft.operators.Similarity.ivfMerge]].
+    */
+  private[graft] def mergeOverlays(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      dest: String): Unit = {
+    val overlays = paths.flatMap(p => Tombstones.read(spark, p))
+    if (overlays.nonEmpty)
+      overlays.reduce(_.unionByName(_)).distinct()
+        .coalesce(1).write.parquet(s"$dest/tombstones")
   }
 
   /** Targeted deletion from a persisted [[buildBm25Index]] index — the

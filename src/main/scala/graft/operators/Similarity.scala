@@ -694,6 +694,8 @@ object Similarity {
       graft.sinks.Sinks.copyParquetParts(
         fs, hconf, s"$p/corpus", s"$dest/corpus", "cell=", s"s$i", move)
     }
+    // soft-delete overlays travel with the merge (bm25Merge's contract)
+    graft.operators.Retrieval.mergeOverlays(spark, paths, dest)
   }
 
   /** Append a batch to a persisted [[buildIvfIndex]] index WITHOUT

@@ -76,6 +76,17 @@ class TombstoneSpec extends SparkSpec {
       docs.filter(!$"doc_id".isin(2L, 6L)), "doc_id", "text", rebuilt, buckets = 7)
     val fed = res(Retrieval.bm25TopKFederated(spark, Seq(shA, shB), q, 10))
     assert(fed.nonEmpty && fed === res(Retrieval.bm25TopKIndexed(rebuilt, q, 10)))
+    // overlays travel with the physical merge too — a merge that
+    // dropped them would resurrect the tombstoned docs
+    val shC = s"$parent/shC"
+    Retrieval.buildBm25Index(
+      docs.filter($"doc_id" > 3), "doc_id", "text", shC, buckets = 7)
+    Tombstones.add(spark, shC, Seq(6L).toDF("doc_id"), "doc_id")
+    val merged = s"$parent/merged"
+    Retrieval.bm25Merge(spark, shA, shC, merged)
+    assert(Tombstones.read(spark, merged).get
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 6L))
+    assert(res(Retrieval.bm25TopKIndexed(merged, q, 10)) === fed)
   }
 
   test("ivf: tombstoned probes (float, quantized-federated) == physical-delete probes") {
