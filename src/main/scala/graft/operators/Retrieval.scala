@@ -802,7 +802,13 @@ object Retrieval {
         coalesce(sum(col("dl")), lit(0L)).as("t"))
       .collect()(0)
     val (nDel, tokDel) = (doomedReg.getLong(0), doomedReg.getLong(1))
-    if (nDel == 0L) return 0L
+    if (nDel == 0L) {
+      // still clear any overlay entries for these keys: an id with no
+      // index rows can never be physically removed — its tombstone is a
+      // satisfied no-op, not pending work (the stray-only-vacuum case)
+      Tombstones.clear(spark, path, keys, keyCol)
+      return 0L
+    }
     graft.sinks.Sinks.deleteRows(
       spark, s"$path/postings", "bucket", "id", k, countDeleted = false)
     // terms: decrement df in the affected buckets only (dfDec carries the
@@ -859,6 +865,21 @@ object Retrieval {
     Tombstones.clear(spark, path, keys, keyCol)
     nDel
   }
+
+  /** Physically apply the index's ENTIRE soft-delete overlay — the
+    * vacuum step a takedown queue schedules when the overlay approaches
+    * its broadcast budget ([[Tombstones]] scaladoc): one [[bm25Delete]]
+    * over the overlay's ids, which also clears it, returning probes to
+    * the zero-overhead path. Returns docs physically removed (0 when
+    * no overlay). Size the batch with [[bm25DeleteBatchPlan]] first if
+    * the rewrite window matters.
+    */
+  def bm25Vacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    Tombstones.read(spark, path)
+      .map(t => bm25Delete(spark, path, t, "id"))
+      .getOrElse(0L)
 
   /** Predict a takedown batch's [[bm25Delete]] footprint BEFORE
     * executing it — the costing operator a production takedown queue

@@ -1112,6 +1112,18 @@ object Similarity {
     n
   }
 
+  /** Physically apply the index's entire soft-delete overlay — the
+    * dense twin of [[graft.operators.Retrieval.bm25Vacuum]]: one
+    * [[ivfDelete]] over the overlay's ids, which also clears it.
+    * Returns vectors removed (0 when no overlay).
+    */
+  def ivfVacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Long =
+    graft.operators.Tombstones.read(spark, indexPath)
+      .map(t => ivfDelete(spark, indexPath, t, "id"))
+      .getOrElse(0L)
+
   /** Read-only costing twin of [[ivfSplitCells]] (the
     * [[graft.operators.Retrieval.bm25DeleteBatchPlan]] pattern): the
     * cells a split at `maxCellRows` would rewrite, with their row

@@ -3656,6 +3656,67 @@ object Curation {
       doomedHit.unionByName(vacuous).unionByName(unverified)
         .unionByName(overlayViol).unionByName(drift)
         .orderBy(col("kind"), col("n"))
+    }),
+
+    // Read-side membership probe of the NEAR-dup registry — the
+    // decontamination question ("is this text already in my training
+    // set, up to near-duplication?") answered from the persisted
+    // sketches. Violation relation, empty oracle (the q170 family):
+    // over a probe batch of re-keyed EXACT copies of registered
+    // content plus reversed-text fresh docs, (a) every sketchable
+    // exact copy must flag is_new = false (identical sketches collide
+    // in every band and verify at J = 1); (b) every row flagged
+    // non-new must re-verify at true shingle-Jaccard >= threshold
+    // against some REGISTERED doc through the independent PPJoin-exact
+    // path; (c) non-vacuity both ways (some row flagged new AND some
+    // flagged non-new — a probe that answers one constant gates
+    // nothing); (d) the probe is read-only (registry stats unchanged).
+    "q179_neardup_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = ndregShard(s, dir, 0) // registered: doc_id % 3 == 0
+      val statsBefore = s.read.parquet(s"$path/stats").collect()(0).toSeq
+      val batch = docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .transform(graft.CacheScope.persisted)
+      val probed = NearDupRegistry.probe(s, path, batch, "doc_id", "text")
+        .select(col("doc_id"), col("text"), col("is_new"))
+        .transform(graft.CacheScope.persisted)
+      def cnt(df: DataFrame, kind: String): DataFrame =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+          .select(lit(kind).as("kind"), col("n"))
+      val sketchable = size(Dedup.shingles(col("text"), 3)) > 0
+      val copyMissed = cnt(probed
+        .filter(col("doc_id") < 2000000L && sketchable && col("is_new")),
+        "registered_copy_flagged_new")
+      val registered = s.read.parquet(s"$path/corpus")
+        .select(col("id"), col("text"))
+      val witnessed = Dedup.jaccardJoin(
+          probed.filter(!col("is_new"))
+            .select(col("doc_id").as("id"), col("text")),
+          registered, "id", "text", Seq.empty,
+          shingleSize = 3, threshold = 0.5)
+        .select(col("id_a").as("doc_id")).distinct()
+      val unsound = cnt(probed.filter(!col("is_new"))
+        .join(witnessed, Seq("doc_id"), "left_anti"),
+        "non_new_without_registered_witness")
+      val vacuity =
+        if (probed.filter(col("is_new")).limit(1).count() > 0 &&
+            probed.filter(!col("is_new")).limit(1).count() > 0)
+          s.range(0).select(lit("vacuous_probe").as("kind"), col("id").as("n"))
+        else s.range(1).select(lit("vacuous_probe").as("kind"), lit(1L).as("n"))
+      val mutated =
+        if (s.read.parquet(s"$path/stats").collect()(0).toSeq == statsBefore)
+          s.range(0).select(lit("probe_mutated_registry").as("kind"),
+            col("id").as("n"))
+        else s.range(1).select(lit("probe_mutated_registry").as("kind"),
+          lit(1L).as("n"))
+      copyMissed.unionByName(unsound).unionByName(vacuity)
+        .unionByName(mutated)
+        .orderBy(col("kind"), col("n"))
     })
   )
 

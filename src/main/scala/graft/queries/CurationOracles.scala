@@ -2490,6 +2490,11 @@ object CurationOracles {
     "q178_ivf_tombstone" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Near-dup registry read-side probe soundness (the q170 family:
+    // violation relation, empty oracle).
+    "q179_neardup_probe" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

@@ -119,6 +119,30 @@ class TombstoneSpec extends SparkSpec {
       === soft)
   }
 
+  test("vacuum applies the whole overlay and returns probes to the fast path") {
+    val parent = java.nio.file.Files.createTempDirectory("tomb-vac").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry")).toDF("query_id", "query_text")
+    val idx = s"$parent/idx"
+    Retrieval.buildBm25Index(docs, "doc_id", "text", idx, buckets = 7)
+    assert(Retrieval.bm25Vacuum(spark, idx) === 0L) // no overlay: no-op
+    Tombstones.add(spark, idx, Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    val soft = res(Retrieval.bm25TopKIndexed(idx, q, 10))
+    assert(Retrieval.bm25Vacuum(spark, idx) === 2L)
+    assert(Tombstones.read(spark, idx).isEmpty)
+    assert(res(Retrieval.bm25TopKIndexed(idx, q, 10)) === soft)
+    val rng = new scala.util.Random(9)
+    val all = (0 until 30)
+      .map(i => (i.toLong, Seq.fill(8)(rng.nextGaussian()))).toDF("id", "vec")
+    val ivf = s"$parent/ivf"
+    Similarity.buildIvfIndex(all, "id", "vec", nlist = 3, ivf)
+    assert(Similarity.ivfVacuum(spark, ivf) === 0L)
+    Tombstones.add(spark, ivf, Seq(5L).toDF("id"), "id")
+    assert(Similarity.ivfVacuum(spark, ivf) === 1L)
+    assert(Tombstones.read(spark, ivf).isEmpty)
+    assert(spark.read.parquet(s"$ivf/corpus").count() === 29L)
+  }
+
   test("fsck audits the overlay: stray and duplicated tombstones flagged") {
     val parent = java.nio.file.Files.createTempDirectory("tomb-fsck").toString
     val idx = s"$parent/idx"
