@@ -95,10 +95,15 @@ object Fsck {
       // tombstone is a typo'd takedown — auditable, not fatal at probe)
       val tomb = tombstoneChecks(spark,
         Tombstones.read(spark, path), dl.select(col("id")), "bm25")
+      // materialize INSIDE the scope (the CacheScope.consuming
+      // contract): the violation relation is tiny, but a lazy return
+      // would recompute every full-scan branch per caller action after
+      // the scope released the shared postings/doclen caches
       dupDoc.unionByName(dupPost).unionByName(badTf).unionByName(orphan)
         .unionByName(dlMismatch).unionByName(dfMismatch)
         .unionByName(misTerm).unionByName(misPost)
         .unionByName(nOk).unionByName(tokOk).unionByName(tomb)
+        .localCheckpoint(true)
     }
 
   /** Overlay invariants shared by the index audits: tombstone ids
@@ -164,6 +169,7 @@ object Fsck {
       Tombstones.read(spark, path), corpus.select(col("id")), "ivf")
     dupId.unionByName(alien).unionByName(assigned).unionByName(quant)
       .unionByName(tomb)
+      .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
   }
 
   /** Audit a [[DedupRegistry]]: digests == md5(text) (a corrupted
@@ -194,6 +200,7 @@ object Fsck {
       val nOk = scalarViol(corpus.count() == nDocs, "reg_stats_ndocs", spark)
       dupId.unionByName(dupDigest).unionByName(badDigest)
         .unionByName(misBucket).unionByName(nOk)
+        .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
     }
 
   /** Audit a [[NearDupRegistry]]: ids unique; corpus rows in their
@@ -261,5 +268,6 @@ object Fsck {
       dupId.unionByName(misBucket).unionByName(badHs)
         .unionByName(missingBand).unionByName(alienBand)
         .unionByName(nOk).unionByName(nearDupPair)
+        .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
     }
 }

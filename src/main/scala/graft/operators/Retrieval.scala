@@ -967,7 +967,6 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
       .distinct()
       .collect().map(_.getLong(0)).sorted
-    val avgdl = totTok.toDouble / nDocs.toDouble
     // explicit schemas: a bm25Init index probes as the empty relation
     val terms = spark.read.schema(termsSchema).parquet(s"$path/terms")
       .filter(col("bucket").isin(qbuckets: _*))
@@ -1118,7 +1117,6 @@ object Retrieval {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val nDocs = stats.map(_._1).sum
-    val avgdl = stats.map(_._2).sum.toDouble / nDocs.toDouble
     val pruned = paths.zip(stats).map { case (p, (_, _, nBuckets)) =>
       // each index prunes with its OWN modulus, re-derived per probe
       // (read from the index, never trusted to a caller argument)

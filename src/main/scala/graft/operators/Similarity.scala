@@ -1002,6 +1002,9 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qvec").as("qq"),
         intDot(col("qvec"), col("qvec")).as("qqn2"))
       .transform(graft.CacheScope.persisted)
+    // pooled soft-delete overlay: the merged-probe contract (see
+    // pooledOverlay) applies to the quantized layout identically
+    val overlay = pooledOverlay(spark, paths)
     val perIndex = paths.map { indexPath =>
       val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
       val probes = qs
@@ -1016,7 +1019,7 @@ object Similarity {
       val corpus0 = spark.read.parquet(s"$indexPath/corpus")
         .filter(col("cell").isin(probedCells: _*))
       // soft-delete overlay: doomed ids leave BOTH stages' scans
-      val corpus = Tombstones.read(spark, indexPath)
+      val corpus = overlay
         .map(d => corpus0.join(broadcast(d), Seq("id"), "left_anti"))
         .getOrElse(corpus0)
       val stage1 = corpus.select(col("id"), col("qvec").as("cq"),
@@ -1273,12 +1276,28 @@ object Similarity {
       qvecCol: String,
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    val candidates = ivfProbeCandidates(indexPath, queries, qidCol, qvecCol, nprobe)
+    val candidates = ivfProbeCandidates(indexPath, queries, qidCol, qvecCol,
+      nprobe, Tombstones.read(queries.sparkSession, indexPath))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
+  /** The POOLED soft-delete overlay of a federated index set: the union
+    * of every path's [[Tombstones]] list — mirroring
+    * [[graft.operators.Retrieval.bm25TopKFederated]]'s semantics and
+    * [[ivfMerge]]'s overlay carry, so a stray tombstone recorded in one
+    * shard for an id living in another is honored federated exactly as
+    * it would be by the merged index (the bit-for-bit contract).
+    */
+  private def pooledOverlay(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Option[DataFrame] = {
+    val overlays = paths.flatMap(p => Tombstones.read(spark, p))
+    if (overlays.isEmpty) None
+    else Some(overlays.reduce(_.unionByName(_)).distinct())
   }
 
   /** The exact-cosine-scored candidates of ONE index's nprobe-pruned
@@ -1292,14 +1311,17 @@ object Similarity {
       queries: DataFrame,
       qidCol: String,
       qvecCol: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      overlay: Option[DataFrame]): DataFrame = {
     val spark = queries.sparkSession
     val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     // soft-deleted vectors leave the candidate set via a broadcast
     // anti-join (exact trivially — cosine has no global statistics);
-    // no overlay = no added work (Tombstones scaladoc)
+    // no overlay = no added work (Tombstones scaladoc). The overlay is
+    // the CALLER's: the single-index probe passes its own list, the
+    // federated probe the pooled union ([[pooledOverlay]]).
     val c0 = spark.read.parquet(s"$indexPath/corpus")
-    val c = Tombstones.read(spark, indexPath)
+    val c = overlay
       .map(d => c0.join(broadcast(d), Seq("id"), "left_anti"))
       .getOrElse(c0)
     val probes = queries
@@ -1345,8 +1367,9 @@ object Similarity {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     require(paths.nonEmpty, "ivfTopKFederated: need >= 1 index path")
+    val overlay = pooledOverlay(queries.sparkSession, paths)
     val candidates = paths
-      .map(p => ivfProbeCandidates(p, queries, qidCol, qvecCol, nprobe))
+      .map(p => ivfProbeCandidates(p, queries, qidCol, qvecCol, nprobe, overlay))
       .reduce(_.unionByName(_))
       .dropDuplicates("qid", "id")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))

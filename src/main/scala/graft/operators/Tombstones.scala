@@ -33,8 +33,40 @@ object Tombstones {
   private def dirOf(indexPath: String) =
     new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
 
+  private def bakOf(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/tombstones_swap_bak")
+
+  /** Converge any crashed swap BEFORE mutating (the recoverable-apply
+    * discipline): a [[graft.sinks.Sinks.swapByRename]] crash window can
+    * leave the overlay only in `tombstones_swap_bak` — and for THIS
+    * artifact an absent dir is a VALID state (empty overlay), so unlike
+    * doclen the loss would be silent resurrection of every tombstoned
+    * doc at probe time, with nothing on the query path to notice.
+    * bak-without-cur restores the bak; bak-beside-cur (crash after the
+    * second rename) drops the bak; stale tmp dirs drop. Mutating ops
+    * call this under the single-writer window; [[read]] stays
+    * read-only and instead FALLS BACK to the bak when the live dir is
+    * missing (the pre-swap list — complete, since the interrupted
+    * mutation never acknowledged).
+    */
+  private def recover(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): Unit = {
+    val (cur, bak) = (dirOf(indexPath), bakOf(indexPath))
+    if (fs.exists(bak)) {
+      if (!fs.exists(cur))
+        require(fs.rename(bak, cur), s"Tombstones: restore $bak failed")
+      else require(fs.delete(bak, true), s"Tombstones: cannot drop $bak")
+    }
+    Seq("tombstones_add_tmp", "tombstones_clear_tmp").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
+      if (fs.exists(p))
+        require(fs.delete(p, true), s"Tombstones: cannot drop $p")
+    }
+  }
+
   /** Add doomed ids to the index's overlay (distinct union, swapped in
-    * by rename — a crash leaves a complete old or new list). Returns
+    * by rename; a crashed prior swap converges first, so a crash never
+    * loses the overlay — TombstoneSpec drives the window). Returns
     * the overlay's total id count after the add. Unknown ids are
     * tolerated (no-ops at probe time); [[Fsck]] flags them so a typo'd
     * takedown batch is auditable.
@@ -43,9 +75,10 @@ object Tombstones {
       spark: SparkSession,
       indexPath: String,
       keys: DataFrame,
-      keyCol: String): Long = {
+      keyCol: String): Long = graft.CacheScope.scoped {
     val cur = dirOf(indexPath)
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    recover(fs, indexPath)
     val existing = read(spark, indexPath)
       .getOrElse(spark.range(0).select(col("id")))
     val merged = existing
@@ -62,14 +95,20 @@ object Tombstones {
 
   /** The overlay as an (id) frame — None when absent or empty (callers
     * skip all adjustment work; the check is a file listing, not a job).
+    * Read-only: a live dir lost to a swap crash is served from the
+    * backup until the next mutating op converges it ([[recover]]).
     */
   def read(spark: SparkSession, indexPath: String): Option[DataFrame] = {
-    val p = dirOf(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val has = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-    if (!has) None
-    else Some(spark.read.schema("id LONG").parquet(p.toString))
+    val fs = dirOf(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetIn(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    val src =
+      if (parquetIn(dirOf(indexPath))) Some(dirOf(indexPath))
+      else if (parquetIn(bakOf(indexPath))) Some(bakOf(indexPath))
+      else None
+    src.map(p => spark.read.schema("id LONG").parquet(p.toString))
   }
 
   /** Remove physically-applied ids from the overlay (the tail step of
@@ -81,9 +120,10 @@ object Tombstones {
       spark: SparkSession,
       indexPath: String,
       applied: DataFrame,
-      keyCol: String): Unit = {
+      keyCol: String): Unit = graft.CacheScope.scoped {
     val cur = dirOf(indexPath)
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    recover(fs, indexPath)
     read(spark, indexPath).foreach { existing =>
       val remaining = existing
         .join(applied.select(col(keyCol).cast("long").as("id")),

@@ -3689,11 +3689,17 @@ object Curation {
         df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
           .select(lit(kind).as("kind"), col("n"))
       val sketchable = size(Dedup.shingles(col("text"), 3)) > 0
-      val copyMissed = cnt(probed
-        .filter(col("doc_id") < 2000000L && sketchable && col("is_new")),
-        "registered_copy_flagged_new")
       val registered = s.read.parquet(s"$path/corpus")
         .select(col("id"), col("text"))
+      // condition on the ORIGINAL being registered (the q170/q172
+      // discipline): the shard's own ingest may have dropped an
+      // original through a witness chain, in which case its copy owes
+      // nothing — only a copy of REGISTERED content must flag non-new
+      val copyMissed = cnt(probed
+        .filter(col("doc_id") < 2000000L && sketchable && col("is_new"))
+        .withColumn("orig", col("doc_id") - 1000000L)
+        .join(registered.select(col("id").as("orig")), Seq("orig")),
+        "registered_copy_flagged_new")
       val witnessed = Dedup.jaccardJoin(
           probed.filter(!col("is_new"))
             .select(col("doc_id").as("id"), col("text")),

@@ -119,6 +119,65 @@ class TombstoneSpec extends SparkSpec {
       === soft)
   }
 
+  test("a crashed overlay swap never loses tombstones; mutations converge it") {
+    val parent = java.nio.file.Files.createTempDirectory("tomb-crash").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, "apple cherry")).toDF("query_id", "query_text")
+    val idx = s"$parent/idx"
+    Retrieval.buildBm25Index(docs, "doc_id", "text", idx, buckets = 7)
+    Tombstones.add(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    val excluded = res(Retrieval.bm25TopKIndexed(idx, q, 10))
+    // crash window: the swap's first rename completed, the second never
+    // ran — the overlay exists ONLY in the backup
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/tombstones"),
+      new org.apache.hadoop.fs.Path(s"$idx/tombstones_swap_bak")))
+    // read-only fallback: probes still exclude doc 2 (NO resurrection)
+    assert(Tombstones.read(spark, idx).get
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(res(Retrieval.bm25TopKIndexed(idx, q, 10)) === excluded)
+    // the next mutating op converges the crash, then applies
+    assert(Tombstones.add(spark, idx, Seq(3L).toDF("doc_id"), "doc_id") === 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones_swap_bak")))
+    assert(Tombstones.read(spark, idx).get
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // bak-beside-cur window (crash after the second rename, before the
+    // backup delete): the stale bak drops, the live list wins
+    Seq(7L).toDF("id").coalesce(1).write.parquet(s"$idx/tombstones_swap_bak")
+    Tombstones.add(spark, idx, Seq(5L).toDF("doc_id"), "doc_id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones_swap_bak")))
+    assert(Tombstones.read(spark, idx).get
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 5L))
+  }
+
+  test("federated ivf honors a stray tombstone recorded in a sibling shard") {
+    val rng = new scala.util.Random(21)
+    val all = (0 until 40)
+      .map(i => (i.toLong, Seq.fill(8)(rng.nextGaussian()))).toDF("id", "vec")
+    val parent = java.nio.file.Files.createTempDirectory("tomb-stray").toString
+    val cents = Similarity.trainIvfCentroids(all, "id", "vec", nlist = 3)
+    val shards = (0 until 2).map { i =>
+      val p = s"$parent/sh$i"
+      Similarity.ivfInit(spark, cents, p)
+      Similarity.ivfAppend(p, all.filter($"id" % 2 === i), "id", "vec")
+      p
+    }
+    // id 1 lives in shard 1; the takedown landed in shard 0's overlay
+    Tombstones.add(spark, shards(0), Seq(1L).toDF("id"), "id")
+    val qdf = all.filter($"id" % 13 === 0).select(($"id" + 900L).as("id"), $"vec")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(1)).toSet
+    val fed = Similarity.ivfTopKFederated(
+      shards, qdf, "id", "vec", k = 40, nprobe = 3)
+    assert(!ids(fed).contains(1L), "stray tombstone ignored by federated probe")
+    // and the merged index agrees (overlays carry through the merge)
+    val merged = s"$parent/merged"
+    Similarity.ivfMerge(spark, shards, merged)
+    assert(!ids(Similarity.ivfTopKIndexed(
+      merged, qdf, "id", "vec", k = 40, nprobe = 3)).contains(1L))
+  }
+
   test("vacuum applies the whole overlay and returns probes to the fast path") {
     val parent = java.nio.file.Files.createTempDirectory("tomb-vac").toString
     val docs = corpus.toDF("doc_id", "text")
