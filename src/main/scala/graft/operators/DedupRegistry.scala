@@ -53,6 +53,17 @@ import org.apache.spark.sql.functions._
   * discipline). Null text is malformed input for a content registry and
   * fails loudly, the [[Dedup.editDistancePairs]] contract.
   *
+  * Soft-delete overlay ([[Tombstones]], round 13): a takedown queue
+  * adds doomed ids to `path/tombstones` and the doc stops WITNESSING
+  * instantly — its digest no longer blocks arrivals ([[ingestBatch]])
+  * or answers membership ([[probe]]); the same content arriving later
+  * is accepted, exactly as after the physical [[delete]] (which clears
+  * applied ids from the overlay; [[vacuum]] applies the whole overlay).
+  * [[merge]] carries overlay unions and tombstoned rows verbatim —
+  * they do not compete in the winner ranking ([[merge]] scaladoc).
+  * [[Fsck.registryFsck]] audits digest uniqueness over the registry AS
+  * SERVED (overlay-filtered) and the overlay itself.
+  *
   * Reference analogue: none — the reference's only uniqueness notion is
   * the `trade_id` PRIMARY KEY PostgreSQL rebuilds after each bulk load
   * (`/root/reference/src/database/DatabaseLoader.cpp:102,257`); this
@@ -109,11 +120,22 @@ object DedupRegistry {
       xxhash64(col("digest")), math.max(batchN, 1L), 0.001)
     // explicit schema: a registry whose only generation was crash-erased
     // still has its (empty) bucket dirs, where inference would abort
-    spark.read.schema("id LONG, text STRING, digest STRING, bucket LONG")
+    val candidates = spark.read
+      .schema("id LONG, text STRING, digest STRING, bucket LONG")
       .parquet(corpusPath.toString)
       .filter(col("bucket").isin(batchBuckets: _*))
       .filter(graft.functions.BloomExprs.bloomMightContain(
         xxhash64(col("digest")), bloom))
+    // soft-deleted docs stop WITNESSING instantly (the takedown-queue
+    // semantics of Tombstones carried to the registry): a tombstoned
+    // row's digest no longer blocks arrivals or answers membership —
+    // same content arriving later is accepted, exactly as after the
+    // physical delete. Broadcast anti-join on the (small, by contract)
+    // overlay; absent overlay = zero overhead. Never cached (the
+    // overlay file mutates in place — the TombstoneSpec lesson).
+    Tombstones.read(spark, path)
+      .map(t => candidates.join(broadcast(t), Seq("id"), "left_anti"))
+      .getOrElse(candidates)
       .select(col("digest"))
   }
 
@@ -382,7 +404,13 @@ object DedupRegistry {
     * slice's smallest, and the global winner is among the shard
     * winners — [[MergeSpec]] pins merged == one-batch bit-for-bit).
     * Stats conserve the raw stream: n_docs = survivors, n_dropped =
-    * Σ_shards (n_docs + n_dropped) − survivors.
+    * Σ_shards (n_docs + n_dropped) − survivors. That conservation
+    * assumes PRISTINE built-to-merge shards: [[delete]] decrements
+    * n_docs but not n_dropped (a taken-down doc was never "dropped as a
+    * duplicate"), so merging a shard after a takedown counts the
+    * removed docs into the merged n_dropped — the bootstrap contract is
+    * build-shards-then-merge-then-maintain, never merge after
+    * maintenance. Same assumption in [[NearDupRegistry.merge]].
     *
     * Scale shape: ONE digest-keyed shuffle of the shard survivors (the
     * unavoidable cross-shard tiebreak — already deduped within shards,
@@ -402,6 +430,7 @@ object DedupRegistry {
       .getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/stats")),
       s"DedupRegistry.merge: a registry already exists at $dest")
+    paths.foreach(requireCommitted(spark, _, "DedupRegistry.merge"))
     val stats = paths.map { p =>
       val r = spark.read.parquet(s"$p/stats")
         .select(col("n_docs"), col("n_dropped"), col("buckets")).collect()(0)
@@ -419,10 +448,23 @@ object DedupRegistry {
         .parquet(s"$p/corpus")
         .select(col("id"), col("text"), col("digest")))
       .reduce(_.unionByName(_))
+    // soft-deleted shard docs are CARRIED verbatim (physically present,
+    // pending their delete, overlay union travels below) but do not
+    // COMPETE in the winner ranking — a tombstoned doc stopped
+    // witnessing, so it must not evict a live duplicate that would then
+    // vanish with the vacuum
+    val pooledOverlay = paths.flatMap(p => Tombstones.read(spark, p))
+      .reduceOption(_.unionByName(_)).map(t => broadcast(t.distinct()))
+    val (live, carried) = pooledOverlay match {
+      case Some(t) =>
+        (union.join(t, Seq("id"), "left_anti"), union.join(t, Seq("id"), "left_semi"))
+      case None => (union, union.limit(0))
+    }
     val w = Window.partitionBy(col("digest")).orderBy(col("id"))
-    val winners = union
+    val winners = live
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(carried)
       .withColumn("bucket", pmod(xxhash64(col("digest")), lit(buckets)))
     val obs = org.apache.spark.sql.Observation()
     winners
@@ -437,7 +479,19 @@ object DedupRegistry {
         lit(rawTotal - nDocs).as("n_dropped"),
         lit(buckets).as("buckets"))
       .coalesce(1).write.parquet(s"$dest/stats")
+    // overlays travel with the merge (a merge that dropped them would
+    // resurrect tombstoned witnesses — the bm25Merge contract)
+    Retrieval.mergeOverlays(spark, paths, dest)
   }
+
+  /** Physically apply the registry's entire soft-delete overlay in one
+    * [[delete]] (which also clears it) — the registry twin of
+    * [[Retrieval.bm25Vacuum]]. Returns rows removed (0 = no overlay).
+    */
+  def vacuum(spark: SparkSession, path: String): Long =
+    Tombstones.read(spark, path)
+      .map(t => delete(spark, path, t, "id"))
+      .getOrElse(0L)
 
   /** Collapse the per-batch file generations — a long-fed registry
     * accumulates one `b<id>_` file set per applied batch and membership
@@ -447,7 +501,21 @@ object DedupRegistry {
     * complete old or new generation, never none). Content-blind: the
     * membership pass and [[probe]] read the same rows either way.
     */
+  /** Maintenance-safety guard: mutating maintenance ops refuse a
+    * registry with an UNCOMMITTED [[ingestBatch]] pending recovery — a
+    * rewrite would erase the `b<id>_` tags and strand the stats swap
+    * debris the batch's re-delivery needs to converge. See
+    * [[graft.sinks.Sinks.requireNoPendingIngest]].
+    */
+  private def requireCommitted(
+      spark: SparkSession, path: String, opName: String): Unit =
+    graft.sinks.Sinks.requireNoPendingIngest(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      path, Seq(("corpus", "bucket=")), Seq("stats"), opName)
+
   def compact(spark: SparkSession, path: String): Unit = {
+    requireCommitted(spark, path, "DedupRegistry.compact")
     val cur = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compact_tmp")
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
@@ -466,26 +534,40 @@ object DedupRegistry {
     * accepted again — that is what a takedown means for a content
     * registry (the content is gone, not blacklisted); keep a separate
     * denylist if re-ingestion must be prevented. Same single-writer
-    * window as every mutating registry op.
+    * window as every mutating registry op. The crash window between the
+    * corpus rewrite and the stats swap converges the way
+    * [[NearDupRegistry.delete]]'s does: the stats write is self-healing
+    * (n_docs recounted from the surviving corpus — a zero-column,
+    * footer-priced scan) and rewritten whenever the stored scalar
+    * disagrees, so re-running the same delete — or any later delete —
+    * lands exact stats; [[Fsck.registryFsck]]'s reg_stats_ndocs detects
+    * the interim state.
     */
   def delete(
       spark: SparkSession,
       path: String,
       keys: DataFrame,
       keyCol: String): Long = {
+    requireCommitted(spark, path, "DedupRegistry.delete")
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$path/corpus", "bucket", "id",
       keys.select(col(keyCol).as("id")))
-    if (n > 0L) {
-      val st = spark.read.parquet(s"$path/stats")
-        .select(col("n_docs"), col("n_dropped"), col("buckets"))
-        .collect()(0)
+    // a physical delete compacts any soft-delete overlay covering these
+    // ids (the Tombstones contract, same as the index deletes)
+    Tombstones.clear(spark, path, keys, keyCol)
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("n_dropped"), col("buckets"))
+      .collect()(0)
+    val live = spark.read
+      .schema("id LONG, text STRING, digest STRING, bucket LONG")
+      .parquet(s"$path/corpus").count()
+    if (live != st.getLong(0)) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_delete_tmp")
       spark.range(1)
         .select(
-          lit(st.getLong(0) - n).as("n_docs"),
+          lit(live).as("n_docs"),
           lit(st.getLong(1)).as("n_dropped"),
           lit(st.getLong(2)).as("buckets"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -190,7 +190,16 @@ object Fsck {
         .transform(graft.CacheScope.persisted)
       val dupId = cnt(corpus.groupBy(col("id")).agg(count(lit(1)).as("c"))
         .filter(col("c") > 1), "reg_dup_id")
-      val dupDigest = cnt(corpus.groupBy(col("digest"))
+      // digest uniqueness holds over the registry AS SERVED: a
+      // tombstoned row stopped witnessing, so the same content
+      // re-ingested while it awaits vacuum is a LEGITIMATE second row —
+      // audit the overlay-filtered corpus (physical dup ids above stay
+      // strict; the overlay itself is audited below)
+      val overlay = Tombstones.read(spark, path)
+      val served = overlay
+        .map(t => corpus.join(broadcast(t), Seq("id"), "left_anti"))
+        .getOrElse(corpus)
+      val dupDigest = cnt(served.groupBy(col("digest"))
         .agg(count(lit(1)).as("c")).filter(col("c") > 1), "reg_dup_digest")
       val badDigest = cnt(corpus.filter(col("digest") =!= md5(col("text"))),
         "reg_digest_mismatch")
@@ -198,8 +207,9 @@ object Fsck {
         col("bucket") =!= pmod(xxhash64(col("digest")), lit(buckets))),
         "reg_misbucketed_row")
       val nOk = scalarViol(corpus.count() == nDocs, "reg_stats_ndocs", spark)
+      val tomb = tombstoneChecks(spark, overlay, corpus.select(col("id")), "reg")
       dupId.unionByName(dupDigest).unionByName(badDigest)
-        .unionByName(misBucket).unionByName(nOk)
+        .unionByName(misBucket).unionByName(nOk).unionByName(tomb)
         .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
     }
 
@@ -254,9 +264,16 @@ object Fsck {
       val nOk = scalarViol(corpus.count() == nDocs, "ndreg_stats_ndocs", spark)
       // semantic invariant: registered docs are pairwise non-near-dup
       // under LSH candidacy (the same candidate+verify arithmetic the
-      // writers used)
-      val cands = bandRows.as("a")
-        .join(bandRows.as("b"),
+      // writers used) — over the registry AS SERVED: a tombstoned doc
+      // stopped witnessing, so a near-copy legitimately accepted while
+      // it awaits vacuum is not a violation (the overlay itself is
+      // audited below)
+      val overlay = Tombstones.read(spark, path)
+      val liveBandRows = overlay
+        .map(t => bandRows.join(broadcast(t), Seq("id"), "left_anti"))
+        .getOrElse(bandRows)
+      val cands = liveBandRows.as("a")
+        .join(liveBandRows.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -265,9 +282,82 @@ object Fsck {
       val nearDupPair = cnt(
         NearDupRegistry.verified(cands, "id_a", "id_b", hs, hs, threshold),
         "ndreg_registered_near_dup_pair")
+      val tomb = tombstoneChecks(spark, overlay, corpus.select(col("id")), "ndreg")
       dupId.unionByName(misBucket).unionByName(badHs)
         .unionByName(missingBand).unionByName(alienBand)
-        .unionByName(nOk).unionByName(nearDupPair)
+        .unionByName(nOk).unionByName(nearDupPair).unionByName(tomb)
         .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
     }
+
+  /** CROSS-ARTIFACT audit for a curate-then-index composition
+    * ([[DedupRegistry.dedupIndexStreamSink]] /
+    * [[NearDupRegistry.dedupIndexStreamSink]]): the per-artifact audits
+    * above check each artifact INTERNALLY; what they cannot see is
+    * drift BETWEEN the two — a batch committed to the registry but
+    * dropped by the index apply (or vice versa), a maintenance op run
+    * on one artifact only, junk rows erased from one but not the
+    * other. This audit re-derives the ENTIRE index from the registry's
+    * committed corpus with the same expressions the sink's index apply
+    * used, so any divergence surfaces as a concrete row:
+    *
+    *   - doc registries equal BOTH directions (a registry doc the
+    *     index missed = a dropped index apply; an index doc not in the
+    *     registry = a dropped registry apply or an unerased junk row);
+    *   - postings == the re-tokenized (id, term, tf) relation of the
+    *     registry corpus, row for row;
+    *   - doclen == the re-counted token lengths;
+    *   - index stats == the re-summed scalars of the derivation.
+    *
+    * Works over either registry family (both persist (id, text) in
+    * `corpus/`). Same full-scan economics and read-only contract as the
+    * per-artifact audits; run both sides' internal audits too — this
+    * one checks only the cross-artifact function. Composed states must
+    * not have had SINGLE-SIDED maintenance (a registry-only delete is
+    * exactly the drift this catches — by design, a takedown against a
+    * composed pair must run against BOTH artifacts).
+    */
+  def composedFsck(
+      spark: SparkSession,
+      regPath: String,
+      idxPath: String): DataFrame = graft.CacheScope.scoped {
+    val acc = spark.read.schema("id LONG, text STRING")
+      .parquet(s"$regPath/corpus")
+      .transform(graft.CacheScope.persisted)
+    val doclen = spark.read.schema(Retrieval.doclenSchema)
+      .parquet(s"$idxPath/doclen")
+      .transform(graft.CacheScope.persisted)
+    val missingFromIdx = cnt(acc.select(col("id"))
+      .join(doclen.select(col("id")), Seq("id"), "left_anti"),
+      "composed_registry_doc_missing_from_index")
+    val alienInIdx = cnt(doclen.select(col("id"))
+      .join(acc.select(col("id")), Seq("id"), "left_anti"),
+      "composed_index_doc_not_in_registry")
+    val expectedTf = acc
+      .select(col("id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("etf"))
+      .transform(graft.CacheScope.persisted)
+    val postings = spark.read.schema(Retrieval.postingsSchema)
+      .parquet(s"$idxPath/postings")
+    val postingsViol = cnt(postings
+      .join(expectedTf, Seq("id", "term"), "full_outer")
+      .filter(coalesce(col("tf"), lit(-1L)) =!= coalesce(col("etf"), lit(-1L))),
+      "composed_postings_derivation_mismatch")
+    val expectedDl = acc.select(col("id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("edl"))
+    val doclenViol = cnt(doclen
+      .join(expectedDl, Seq("id"), "full_outer")
+      .filter(coalesce(col("dl"), lit(-1L)) =!= coalesce(col("edl"), lit(-1L))),
+      "composed_doclen_derivation_mismatch")
+    val ist = spark.read.parquet(s"$idxPath/stats").collect()(0)
+    val expTok = expectedTf.agg(coalesce(sum(col("etf")), lit(0L)))
+      .collect()(0).getLong(0)
+    val statsViol = scalarViol(
+      ist.getAs[Long]("n_docs") == acc.count() &&
+        ist.getAs[Long]("total_tokens") == expTok,
+      "composed_index_stats_mismatch", spark)
+    missingFromIdx.unionByName(alienInIdx).unionByName(postingsViol)
+      .unionByName(doclenViol).unionByName(statsViol)
+      .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
+  }
 }

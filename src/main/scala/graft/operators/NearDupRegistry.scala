@@ -53,7 +53,15 @@ import org.apache.spark.sql.functions._
   *
   * Same contract as every stream sink: ONE writer, ONE checkpoint
   * lineage, null text fails loudly, maintenance never concurrent with
-  * ingest. Reference analogue: none (see [[DedupRegistry]]); the
+  * ingest. Soft-delete overlay ([[Tombstones]], round 13): a takedown
+  * adds doomed ids to `path/tombstones` and the doc stops WITNESSING
+  * instantly — its band keys stay physically until [[delete]] rewrites
+  * them but produce no candidates for [[ingestBatch]]/[[probe]];
+  * [[merge]] carries overlay unions (tombstoned rows neither witness
+  * nor get resolved — carried verbatim, pending their delete);
+  * [[vacuum]] applies the whole overlay; [[Fsck.nearDupRegistryFsck]]
+  * audits the pairwise invariant over the registry AS SERVED.
+  * Reference analogue: none (see [[DedupRegistry]]); the
   * sketch side follows Broder's MinHash and the banded-LSH construction
   * as in Mining of Massive Datasets.
   */
@@ -154,10 +162,19 @@ object NearDupRegistry {
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ the modulus
     val bloom = keys.stat.bloomFilter(
       xxhash64(col("band"), col("bkey")), math.max(nKeys, 1L), 0.001)
-    spark.read.schema(bandsSchema).parquet(bandsPath.toString)
+    val cands = spark.read.schema(bandsSchema).parquet(bandsPath.toString)
       .filter(col("pk").isin(batchPks: _*))
       .filter(graft.functions.BloomExprs.bloomMightContain(
         xxhash64(col("band"), col("bkey")), bloom))
+    // soft-deleted docs stop WITNESSING instantly (the Tombstones
+    // takedown semantics carried to the LSH registry): a tombstoned
+    // row's band keys stay physically until the delete rewrites them
+    // but produce no candidates — broadcast anti-join on the (small,
+    // by contract) overlay; absent overlay = zero overhead; never
+    // cached (the overlay mutates in place — the TombstoneSpec lesson)
+    Tombstones.read(spark, path)
+      .map(t => cands.join(broadcast(t), Seq("id"), "left_anti"))
+      .getOrElse(cands)
       .select(col("band"), col("bkey"), col("id").as("reg_id"))
   }
 
@@ -478,7 +495,11 @@ object NearDupRegistry {
     * must agree exactly (else the band keys are incomparable); a
     * mismatch aborts, as does an existing `dest`. Stats conserve the
     * raw stream: n_docs = survivors, n_dropped = Σ_shards (n_docs +
-    * n_dropped) − survivors. Scale shape: the candidate join is a
+    * n_dropped) − survivors — which assumes PRISTINE built-to-merge
+    * shards ([[DedupRegistry.merge]]'s note: [[delete]] decrements
+    * n_docs but not n_dropped, so a post-takedown shard inflates the
+    * merged n_dropped; build-then-merge-then-maintain, never merge
+    * after maintenance). Scale shape: the candidate join is a
     * self-join of the unioned bands tables — O(corpus × bands) rows of
     * (int, int, long), the q24 banded-LSH exchange shape, never text
     * or signatures; verification joins (id, hs) by candidate id only.
@@ -513,11 +534,20 @@ object NearDupRegistry {
         .select(col("band"), col("bkey"), col("id")))
       .reduce(_.unionByName(_))
       .transform(graft.CacheScope.persisted)
+    // soft-deleted shard docs neither witness nor get resolved (they
+    // are pending deletion — carried physically with the overlay union
+    // below, invisible to the candidate structure, exactly as at
+    // ingest/probe time)
+    val pooledOverlay = paths.flatMap(p => Tombstones.read(spark, p))
+      .reduceOption(_.unionByName(_)).map(t => broadcast(t.distinct()))
+    val liveBands = pooledOverlay
+      .map(t => bands.join(t, Seq("id"), "left_anti"))
+      .getOrElse(bands)
     // cross-shard candidates from the at-rest band keys: global
     // smaller-id policy (same-shard survivor pairs are no-ops — they
     // already failed verification inside their shard)
-    val cands = bands.as("a")
-      .join(bands.as("b"),
+    val cands = liveBands.as("a")
+      .join(liveBands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -550,12 +580,38 @@ object NearDupRegistry {
         lit(first.bands.toLong).as("bands"),
         lit(first.threshold).as("threshold"))
       .coalesce(1).write.parquet(s"$dest/stats")
+    // overlays travel with the merge (a merge that dropped them would
+    // resurrect tombstoned witnesses — the bm25Merge contract)
+    graft.operators.Retrieval.mergeOverlays(spark, paths, dest)
   }
+
+  /** Physically apply the registry's entire soft-delete overlay in one
+    * [[delete]] (which also clears it) — the registry twin of
+    * [[Retrieval.bm25Vacuum]]. Returns rows removed (0 = no overlay).
+    */
+  def vacuum(spark: SparkSession, path: String): Long =
+    Tombstones.read(spark, path)
+      .map(t => delete(spark, path, t, "id"))
+      .getOrElse(0L)
 
   /** Collapse per-batch file generations in BOTH tables —
     * [[DedupRegistry.compact]] over corpus and bands.
     */
+  /** Maintenance-safety guard: mutating maintenance ops refuse a
+    * registry with an UNCOMMITTED [[ingestBatch]] pending recovery — a
+    * rewrite would erase the `b<id>_` tags and strand the stats swap
+    * debris the batch's re-delivery needs to converge. See
+    * [[graft.sinks.Sinks.requireNoPendingIngest]].
+    */
+  private def requireCommitted(
+      spark: SparkSession, path: String, opName: String): Unit =
+    graft.sinks.Sinks.requireNoPendingIngest(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      path, Seq(("corpus", "bucket="), ("bands", "pk=")), Seq("stats"), opName)
+
   def compact(spark: SparkSession, path: String): Unit = {
+    requireCommitted(spark, path, "NearDupRegistry.compact")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Seq(("corpus", corpusSchema, "bucket"), ("bands", bandsSchema, "pk"))
@@ -575,25 +631,52 @@ object NearDupRegistry {
     * being a dedup witness — its band keys leave with it), plus an
     * exact stats decrement. Same takedown-vs-denylist semantics note as
     * [[DedupRegistry.delete]].
+    *
+    * CRASH WINDOW (named, converging): a crash after the table rewrites
+    * but before the stats swap leaves n_docs overcounting by the rows
+    * already removed (the rewrites themselves are individually safe —
+    * each partition swaps whole via deleteRows' rename discipline; a
+    * crash BETWEEN the corpus and bands rewrites additionally leaves
+    * the removed docs' band keys as dedup witnesses). This single-writer
+    * maintenance op carries no commit marker; instead the stats write is
+    * SELF-HEALING — n_docs is recounted from the surviving corpus (a
+    * zero-column, footer-priced scan) and rewritten whenever it
+    * disagrees — so re-running the SAME delete converges every window:
+    * already-removed corpus keys match nothing, the orphaned band keys
+    * (still id-matched) are removed, and the recount lands the exact
+    * stats. [[Fsck.nearDupRegistryFsck]] detects the interim state
+    * (ndreg_stats_ndocs; orphaned band keys as ndreg_alien_band_key).
+    * NearDupRegistrySpec drives both windows explicitly.
     */
   def delete(
       spark: SparkSession,
       path: String,
       keys: DataFrame,
       keyCol: String): Long = {
+    requireCommitted(spark, path, "NearDupRegistry.delete")
     val k = keys.select(col(keyCol).as("id"))
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$path/corpus", "bucket", "id", k)
     graft.sinks.Sinks.deleteRows(
       spark, s"$path/bands", "pk", "id", k, countDeleted = false)
-    if (n > 0L) {
-      val p = readParams(spark, path)
+    // a physical delete compacts any soft-delete overlay covering these
+    // ids (the Tombstones contract, same as the index deletes)
+    Tombstones.clear(spark, path, keys, keyCol)
+    // stats heal (the named crash window's convergence): n_docs is
+    // RECOUNTED from the surviving corpus — a zero-column parquet scan,
+    // O(files) metadata, never text bytes — and rewritten whenever the
+    // stored scalar disagrees. A normal delete lands the exact
+    // decrement (live == n_docs − n); a crash-interrupted prior delete
+    // heals here even when THIS call's keys match nothing (n == 0).
+    val p = readParams(spark, path)
+    val live = spark.read.schema(corpusSchema).parquet(s"$path/corpus").count()
+    if (live != p.nDocs) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_delete_tmp")
       spark.range(1)
         .select(
-          lit(p.nDocs - n).as("n_docs"),
+          lit(live).as("n_docs"),
           lit(p.nDropped).as("n_dropped"),
           lit(p.buckets).as("buckets"),
           lit(p.shingleSize.toLong).as("shingle_size"),

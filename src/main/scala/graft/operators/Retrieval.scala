@@ -446,7 +446,7 @@ object Retrieval {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit = graft.CacheScope.scoped {
     require(batchId >= 0, s"bm25IngestBatch: negative batch id $batchId")
     val spark = docs.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
@@ -599,7 +599,26 @@ object Retrieval {
     * a probe after compact equals the probe before bit-for-bit (spec +
     * the q145 gate pin it against q127's verbatim oracle).
     */
+  /** Maintenance-safety guard for the recoverable-apply protocol: every
+    * mutating maintenance op (compact/delete/merge/vacuum) refuses an
+    * index with an UNCOMMITTED [[bm25IngestBatch]] pending recovery —
+    * rewriting the live tables would erase the `b<id>_` tags and strand
+    * the swap debris the batch's re-delivery needs to converge, baking
+    * junk rows in and then re-applying the batch on top. See
+    * [[graft.sinks.Sinks.requireNoPendingIngest]].
+    */
+  private def requireCommitted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      opName: String): Unit =
+    graft.sinks.Sinks.requireNoPendingIngest(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      path, Seq(("postings", "bucket="), ("doclen", "")),
+      Seq("terms", "stats"), opName)
+
   def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    requireCommitted(spark, path, "bm25Compact")
     val buckets = spark.read.parquet(s"$path/stats")
       .select(col("buckets")).collect()(0).getLong(0)
     val hconf = spark.sessionState.newHadoopConf()
@@ -684,6 +703,7 @@ object Retrieval {
     val destP = new org.apache.hadoop.fs.Path(dest)
     val fs = destP.getFileSystem(hconf)
     require(!fs.exists(destP), s"bm25Merge: $dest already exists")
+    paths.foreach(requireCommitted(spark, _, "bm25Merge"))
     val stats = paths.map { p =>
       val r = spark.read.parquet(s"$p/stats")
         .select(col("n_docs"), col("total_tokens"), col("buckets"))
@@ -788,19 +808,25 @@ object Retrieval {
       path: String,
       keys: DataFrame,
       keyCol: String): Long = {
+    requireCommitted(spark, path, "bm25Delete")
     val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
-    // vocabulary-bounded and EAGER: derived from postings files the
-    // deleteRows rewrite below will replace
-    val dfDec = spark.read.parquet(s"$path/postings")
-      .join(k, "id")
-      .groupBy(col("term"), col("bucket"))
-      .agg(count(lit(1)).as("dec"))
-      .localCheckpoint(true)
+    // the two read-only derivations scan disjoint tables — overlap them
+    val dfDecF = scala.concurrent.Future {
+      // vocabulary-bounded and EAGER: derived from postings files the
+      // deleteRows rewrite below will replace
+      spark.read.parquet(s"$path/postings")
+        .join(k, "id")
+        .groupBy(col("term"), col("bucket"))
+        .agg(count(lit(1)).as("dec"))
+        .localCheckpoint(true)
+    }(scala.concurrent.ExecutionContext.global)
     // doomed registry rows -> exact doc/token decrements (one bounded row)
     val doomedReg = spark.read.parquet(s"$path/doclen").join(k, "id")
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("t"))
       .collect()(0)
+    val dfDec = scala.concurrent.Await.result(
+      dfDecF, scala.concurrent.duration.Duration.Inf)
     val (nDel, tokDel) = (doomedReg.getLong(0), doomedReg.getLong(1))
     if (nDel == 0L) {
       // still clear any overlay entries for these keys: an id with no
@@ -809,56 +835,65 @@ object Retrieval {
       Tombstones.clear(spark, path, keys, keyCol)
       return 0L
     }
-    graft.sinks.Sinks.deleteRows(
-      spark, s"$path/postings", "bucket", "id", k, countDeleted = false)
-    // terms: decrement df in the affected buckets only (dfDec carries the
-    // build's bucket values, so the bucket filter prunes partitions)
-    // partition-value inference types the read-back bucket as INT —
-    // normalize to long for the path arithmetic below
-    val affB = dfDec.select(col("bucket").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-    val hconf = spark.sessionState.newHadoopConf()
-    if (affB.nonEmpty) {
-      val newTerms = spark.read.parquet(s"$path/terms")
-        .filter(col("bucket").isin(affB: _*))
-        .join(dfDec, Seq("term", "bucket"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("dec"), lit(0L))).as("df"),
-          col("bucket"))
-        .filter(col("df") > 0)
-        .repartition(col("bucket"))
-        .localCheckpoint(true)
-      val keptB = newTerms.select(col("bucket").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      if (keptB.nonEmpty)
-        newTerms.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(s"$path/terms")
-      affB.filterNot(keptB).foreach { b =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/terms/bucket=$b")
-        val fs = p.getFileSystem(hconf)
-        require(fs.exists(p) && fs.delete(p, true),
-          s"bm25Delete: could not remove emptied terms bucket $p")
-      }
-    }
-    // doclen: filtered registry rewrite, swap-by-rename (never
-    // read-and-overwrite in one job)
-    val dlCur = new org.apache.hadoop.fs.Path(s"$path/doclen")
-    val dlTmp = new org.apache.hadoop.fs.Path(s"$path/doclen_delete_tmp")
-    spark.read.parquet(dlCur.toString)
-      .join(k, Seq("id"), "left_anti")
-      .coalesce(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(dlTmp.toString)
-    graft.sinks.Sinks.swapByRename(dlCur.getFileSystem(hconf), dlTmp, dlCur)
+    // stats scalars read ONCE, before the rewrites (the new stats are a
+    // pure function of scalars already in hand — nothing reads its input)
     val st = spark.read.parquet(s"$path/stats")
       .select(col("n_docs"), col("total_tokens"), col("buckets"))
       .collect()(0)
+    // terms-decrement inputs derived BEFORE any rewrite; partition-value
+    // inference types the read-back bucket as INT — normalize to long
+    val affB = dfDec.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val hconf = spark.sessionState.newHadoopConf()
     import spark.implicits._
-    Seq((st.getLong(0) - nDel, st.getLong(1) - tokDel, st.getLong(2)))
-      .toDF("n_docs", "total_tokens", "buckets")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats")
+    // the four table rewrites are pairwise independent (disjoint tables,
+    // all inputs materialized above) — overlap their fixed per-action
+    // scheduler floors (the ingest-apply discipline; q155 is the most
+    // action-dense maintenance gate)
+    concurrently(
+      () => graft.sinks.Sinks.deleteRows(
+        spark, s"$path/postings", "bucket", "id", k, countDeleted = false),
+      () => if (affB.nonEmpty) {
+        // terms: decrement df in the affected buckets only (dfDec
+        // carries the build's bucket values -> partition pruning)
+        val newTerms = spark.read.parquet(s"$path/terms")
+          .filter(col("bucket").isin(affB: _*))
+          .join(dfDec, Seq("term", "bucket"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("dec"), lit(0L))).as("df"),
+            col("bucket"))
+          .filter(col("df") > 0)
+          .repartition(col("bucket"))
+          .localCheckpoint(true)
+        val keptB = newTerms.select(col("bucket").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        if (keptB.nonEmpty)
+          newTerms.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(s"$path/terms")
+        affB.filterNot(keptB).foreach { b =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/terms/bucket=$b")
+          val fs = p.getFileSystem(hconf)
+          require(fs.exists(p) && fs.delete(p, true),
+            s"bm25Delete: could not remove emptied terms bucket $p")
+        }
+      },
+      () => {
+        // doclen: filtered registry rewrite, swap-by-rename (never
+        // read-and-overwrite in one job)
+        val dlCur = new org.apache.hadoop.fs.Path(s"$path/doclen")
+        val dlTmp = new org.apache.hadoop.fs.Path(s"$path/doclen_delete_tmp")
+        spark.read.parquet(dlCur.toString)
+          .join(k, Seq("id"), "left_anti")
+          .coalesce(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(dlTmp.toString)
+        graft.sinks.Sinks.swapByRename(dlCur.getFileSystem(hconf), dlTmp, dlCur)
+      },
+      () => Seq((st.getLong(0) - nDel, st.getLong(1) - tokDel, st.getLong(2)))
+        .toDF("n_docs", "total_tokens", "buckets")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/stats"))
     // a physical delete IS the compaction of any soft-delete overlay
     // covering these ids — clear them so probes return to the
     // zero-overhead path (Tombstones scaladoc)

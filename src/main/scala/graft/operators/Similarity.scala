@@ -674,6 +674,7 @@ object Similarity {
     val destP = new org.apache.hadoop.fs.Path(dest)
     val fs = destP.getFileSystem(hconf)
     require(!fs.exists(destP), s"ivfMerge: $dest already exists")
+    paths.foreach(requireCommitted(spark, _, "ivfMerge"))
     def cents(p: String): Seq[(Int, Seq[Double])] =
       spark.read.parquet(s"$p/centroids")
         .orderBy(col("cell")).collect()
@@ -860,8 +861,25 @@ object Similarity {
     * after compact equals the probe before bit-for-bit (the q149 gate
     * pins it).
     */
+  /** Maintenance-safety guard: mutating maintenance ops (compact/delete/
+    * merge/split/vacuum) refuse an index with an UNCOMMITTED
+    * [[ivfIngestBatch]] pending recovery — a rewrite would erase the
+    * `b<id>_` tags the batch's re-delivery needs to converge, baking
+    * junk rows in and re-applying on top. See
+    * [[graft.sinks.Sinks.requireNoPendingIngest]].
+    */
+  private def requireCommitted(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      opName: String): Unit =
+    graft.sinks.Sinks.requireNoPendingIngest(
+      new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      indexPath, Seq(("corpus", "cell=")), Seq.empty, opName)
+
   def ivfCompact(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    requireCommitted(spark, indexPath, "ivfCompact")
     val cur = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/corpus_compact_tmp")
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1106,6 +1124,7 @@ object Similarity {
       indexPath: String,
       keys: DataFrame,
       keyCol: String): Long = {
+    requireCommitted(spark, indexPath, "ivfDelete")
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$indexPath/corpus", "cell", "id",
       keys.select(col(keyCol).as("id")))
@@ -1194,6 +1213,7 @@ object Similarity {
       maxCellRows: Long,
       sampleN: Int = 4096): Seq[(Int, Int, Int)] = {
     require(maxCellRows >= 1, s"ivfSplitCells: maxCellRows must be >= 1")
+    requireCommitted(spark, indexPath, "ivfSplitCells")
     val hconf = spark.sessionState.newHadoopConf()
     val corpusPath = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
     val fs = corpusPath.getFileSystem(hconf)

@@ -77,6 +77,17 @@ object Curation {
   private lazy val ivfTombDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-tomb").toString
 
+  // q180/q181's vacuum scratches, same overwrite-first contract
+  private lazy val bm25VacDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-vac").toString
+  private lazy val ivfVacDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-vac").toString
+
+  // q182's serving-stack scratch parent (base reset by copyInto, delta
+  // deleted per invocation — bm25Init refuses a pre-existing index)
+  private lazy val servParent: String =
+    java.nio.file.Files.createTempDirectory("graft-serv").toString
+
   /** Per-(sf dir) memoized BASE index builds, file-copied into each
     * gate's private scratch: q143/q145/q155 all open with the SAME
     * deterministic `buildBm25Index` over `doc_id % 3 =!= 0`, and
@@ -225,6 +236,27 @@ object Curation {
   private lazy val regMergeParent: String =
     java.nio.file.Files.createTempDirectory("graft-reg-merge").toString
 
+  /** q175's composed curate-then-index pair: the q169 composition
+    * driven as three direct sink applies over [[dedupStreamPhases]] —
+    * deterministic memoized SETUP (the sink operator itself stays
+    * stream-gate-proven with full crash drills in q169/q176); gives the
+    * cross-artifact [[graft.operators.Fsck.composedFsck]] audit a real
+    * multi-batch composed state.
+    */
+  private def composedPair(s: SparkSession, dir: String): (String, String) = {
+    val phases = dedupStreamPhases(s, dir) // outside the memoization
+    val root = baseIndexes.computeIfAbsent(s"composed|$dir", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-composed").toString
+      DedupRegistry.init(s, s"$r/reg", buckets = 16)
+      Retrieval.bm25Init(s, s"$r/idx", buckets = 32)
+      val sink = DedupRegistry.dedupIndexStreamSink(
+        s"$r/reg", s"$r/idx", "doc_id", "text")
+      phases.zipWithIndex.foreach { case (df, i) => sink(df, i.toLong) }
+      r
+    })
+    (s"$root/reg", s"$root/idx")
+  }
+
   /** q172's corpus slices with planted CROSS-SHARD duplicates: exact
     * re-keys of shard-0 content into shard 1 (+1M) and of shard-1
     * content into shard 2 (+2M), plus trailing-junk NEAR-copies of
@@ -371,6 +403,11 @@ object Curation {
   private lazy val ndregMergeParent: String =
     java.nio.file.Files.createTempDirectory("graft-ndreg-merge").toString
 
+  // q179's tombstone-arm scratch (reset by copyInto per invocation —
+  // the memoized shard must never be mutated)
+  private lazy val ndregProbeTombParent: String =
+    java.nio.file.Files.createTempDirectory("graft-ndreg-ptomb").toString
+
   /** q174's shared-quantizer IVF shards — the q161 construction (train
     * ONCE, ivfInit each shard, parallel fills) memoized as SETUP: the
     * federated gate proves the PROBE; the shard build itself stays
@@ -511,6 +548,50 @@ object Curation {
     try {
       addPhases(0 until firstRun); run()
       addPhases(firstRun until nPhases); run()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+  }
+
+  /** [[runPhasedIngest]]'s PHASE-STEPPED variant for the q182 serving
+    * drill: the stream is started, drained, and STOPPED around every
+    * single phase file, resuming the SAME checkpoint each time — a real
+    * kill-restart at every batch boundary — and `between(i)` runs with
+    * the stream DOWN after phase i commits (where a production takedown
+    * queue or probe runs: between micro-batches, never inside one).
+    */
+  private def runPhasedIngestStepped(
+      s: SparkSession,
+      stagedRoot: String,
+      schema: org.apache.spark.sql.types.StructType,
+      nPhases: Int,
+      sink: (DataFrame, Long) => Unit)(between: Int => Unit): Unit = {
+    val spark = Tables.configure(s)
+    val shm = new java.io.File("/dev/shm")
+    val scratch =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft-serv-run")
+      else java.nio.file.Files.createTempDirectory("graft-serv-run")
+    val streamDir = scratch.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    val ckpt = scratch.resolve("ckpt").toString
+    try {
+      (0 until nPhases).foreach { i =>
+        val name = f"phase_$i%03d.parquet"
+        val dst = streamDir.resolve(name)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(stagedRoot, name), dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1000000000000L + i * 60000L)
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+          .writeStream
+          .foreachBatch((df: DataFrame, id: Long) => sink(df, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        between(i)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
     }
@@ -2950,11 +3031,15 @@ object Curation {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
       val cents = Similarity.trainIvfCentroids(
         emb, "vec_id", "embedding", nlist = 16)
-      shards.zipWithIndex.foreach { case (sh, i) =>
+      // the four shard fills touch disjoint paths — overlap their fixed
+      // per-action floors (the gate rebuilds all four per invocation
+      // because the MOVE merge consumes them; round-12's A/B traced the
+      // gate's regression to exactly these serial action floors)
+      Retrieval.concurrently(shards.zipWithIndex.map { case (sh, i) => () => {
         Similarity.ivfInit(s, cents, sh)
         Similarity.ivfAppend(
           sh, emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding")
-      }
+      }}: _*)
       Similarity.ivfMerge(s, shards, dest, move = true)
       Similarity.ivfTopKIndexed(
           dest, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -3446,11 +3531,18 @@ object Curation {
     // proves the teeth: each corruption class planted on purpose is
     // caught by its named check.)
     "q175_index_fsck" -> ((s, dir) => {
+      val (regP, idxP) = composedPair(s, dir)
       graft.operators.Fsck.bm25Fsck(s, bm25BaseAppended(s, dir))
         .unionByName(graft.operators.Fsck.ivfFsck(s, ivfBaseAppended(s, dir)))
         .unionByName(graft.operators.Fsck.registryFsck(s, regShard(s, dir, 0)))
         .unionByName(
           graft.operators.Fsck.nearDupRegistryFsck(s, ndregShard(s, dir, 0)))
+        // cross-artifact audit over a real multi-batch composed
+        // curate-then-index pair (internal audits of its two sides ride
+        // along so the composed state is fully covered)
+        .unionByName(graft.operators.Fsck.composedFsck(s, regP, idxP))
+        .unionByName(graft.operators.Fsck.registryFsck(s, regP))
+        .unionByName(graft.operators.Fsck.bm25Fsck(s, idxP))
         .orderBy(col("kind"), col("n"))
     }),
 
@@ -3521,41 +3613,11 @@ object Curation {
           .unionByName(p1.withColumn("ph", lit(1)))
           .unionByName(p2.withColumn("ph", lit(2))),
         regPath)
-      // ---- arm 2: the index row-for-row == derivation from the corpus
-      val acc = s.read.parquet(s"$regPath/corpus")
-        .select(col("id"), col("text"))
-        .transform(graft.CacheScope.persisted)
-      def cnt(df: DataFrame, kind: String): DataFrame =
-        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
-          .select(lit(kind).as("kind"), col("n"))
-      val expectedTf = acc
-        .select(col("id"),
-          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
-        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("etf"))
-      val postings = s.read.schema(Retrieval.postingsSchema)
-        .parquet(s"$idxPath/postings")
-      val postingsViol = cnt(postings
-        .join(expectedTf, Seq("id", "term"), "full_outer")
-        .filter(coalesce(col("tf"), lit(-1L)) =!= coalesce(col("etf"), lit(-1L))),
-        "postings_derivation_mismatch")
-      val expectedDl = acc.select(col("id"),
-        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("edl"))
-      val doclen = s.read.schema(Retrieval.doclenSchema)
-        .parquet(s"$idxPath/doclen")
-      val doclenViol = cnt(doclen
-        .join(expectedDl, Seq("id"), "full_outer")
-        .filter(coalesce(col("dl"), lit(-1L)) =!= coalesce(col("edl"), lit(-1L))),
-        "doclen_derivation_mismatch")
-      val ist = s.read.parquet(s"$idxPath/stats").collect()(0)
-      val expTok = expectedDl.agg(coalesce(sum(col("edl")), lit(0L)))
-        .collect()(0).getLong(0)
-      val statsViol =
-        if (ist.getAs[Long]("n_docs") == acc.count() &&
-            ist.getAs[Long]("total_tokens") == expTok)
-          s.range(0).select(lit("index_stats_mismatch").as("kind"),
-            col("id").as("n"))
-        else s.range(1).select(lit("index_stats_mismatch").as("kind"),
-          lit(1L).as("n"))
+      // ---- arm 2: the index row-for-row == derivation from the
+      // registry's committed corpus — the CROSS-ARTIFACT audit, now the
+      // shared Fsck.composedFsck body (one implementation for the gate
+      // and the standalone operator, so they cannot drift)
+      val composed = graft.operators.Fsck.composedFsck(s, regPath, idxPath)
       // ---- arm 3: internal invariants + non-vacuity ----
       val fsck = graft.operators.Fsck.bm25Fsck(s, idxPath)
       val vacuous =
@@ -3563,8 +3625,7 @@ object Curation {
             .limit(1).count() > 0)
           s.range(0).select(lit("vacuous_probe").as("kind"), col("id").as("n"))
         else s.range(1).select(lit("vacuous_probe").as("kind"), lit(1L).as("n"))
-      reg.unionByName(postingsViol).unionByName(doclenViol)
-        .unionByName(statsViol).unionByName(fsck).unionByName(vacuous)
+      reg.unionByName(composed).unionByName(fsck).unionByName(vacuous)
         .orderBy(col("kind"), col("n"))
     }),
 
@@ -3720,9 +3781,194 @@ object Curation {
             col("id").as("n"))
         else s.range(1).select(lit("probe_mutated_registry").as("kind"),
           lit(1L).as("n"))
+      // ---- tombstone arm (round 13): a registry takedown must suspend
+      // the witness role INSTANTLY — tombstone every probed copy's
+      // original on a scratch COPY of the registry (the memoized shard
+      // is shared setup), re-probe the same copies: every sketchable
+      // exact copy that flagged non-new against a now-tombstoned
+      // registered original must flag is_new, while the registry is
+      // physically unchanged (rows still present, overlay the only
+      // delta). Violation rows join the same empty-oracle relation.
+      val tombPath = s"$ndregProbeTombParent/reg"
+      copyInto(path, tombPath)
+      graft.operators.Tombstones.add(s, tombPath,
+        docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .select(col("doc_id")), "doc_id")
+      val probedTomb = NearDupRegistry
+        .probe(s, tombPath,
+          batch.filter(col("doc_id") < 2000000L), "doc_id", "text")
+        .select(col("doc_id"), col("text"), col("is_new"))
+      val tombStillWitnessing = cnt(probedTomb
+        .filter(sketchable && !col("is_new"))
+        .withColumn("orig", col("doc_id") - 1000000L)
+        .join(registered.select(col("id").as("orig")), Seq("orig")),
+        "tombstoned_original_still_witnessing")
+      val tombPhysical =
+        if (s.read.parquet(s"$tombPath/corpus").count() ==
+            s.read.parquet(s"$path/corpus").count())
+          s.range(0).select(lit("tombstone_rewrote_corpus").as("kind"),
+            col("id").as("n"))
+        else s.range(1).select(lit("tombstone_rewrote_corpus").as("kind"),
+          lit(1L).as("n"))
       copyMissed.unionByName(unsound).unionByName(vacuity)
-        .unionByName(mutated)
+        .unionByName(mutated).unionByName(tombStillWitnessing)
+        .unionByName(tombPhysical)
         .orderBy(col("kind"), col("n"))
+    }),
+
+    // VACUUM on the BM25 index — the overlay-compaction step a takedown
+    // queue schedules when the tombstone list nears its broadcast
+    // budget, gated under the q155 oracle: tombstone every 5th doc on
+    // the q155 setup state, physically delete a SUBSET first (every
+    // 10th — which must clear ONLY those ids from the overlay: the
+    // TombstoneSpec partial-clear sequence promoted to the oracle
+    // surface), then bm25Vacuum applies the exact remainder and removes
+    // the overlay dir. The probe must equal the q155 relation and the
+    // phase label encodes the overlay invariants (remainder pending
+    // after the partial apply, exact vacuum count, dir gone after) —
+    // a wrong overlay state breaks the hash, not just a probe row.
+    "q180_bm25_vacuum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      copyInto(bm25BaseAppended(s, dir), bm25VacDir)
+      graft.operators.Tombstones.add(s, bm25VacDir,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
+      Retrieval.bm25Delete(s, bm25VacDir,
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), "doc_id")
+      val pending = graft.operators.Tombstones.read(s, bm25VacDir)
+        .map(_.count()).getOrElse(0L)
+      val expectedPending = docs
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0).count()
+      val removed = Retrieval.bm25Vacuum(s, bm25VacDir)
+      val cleared = graft.operators.Tombstones.read(s, bm25VacDir).isEmpty
+      val ok = pending == expectedPending && removed == expectedPending &&
+        expectedPending > 0L && cleared
+      Retrieval.bm25TopKIndexed(bm25VacDir, bm25Queries(s), k = 10)
+        .withColumn("phase", lit(if (ok) "vacuumed" else "overlay_violation"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // VACUUM on the IVF index — the dense twin, checked the q156
+    // soundness way (violation relation, empty oracle): tombstone every
+    // 5th vector on the q156 setup state, partially apply every 10th
+    // via ivfDelete (must clear only those from the overlay), then
+    // ivfVacuum applies the exact remainder; the surviving corpus must
+    // equal EXACTLY the non-doomed vectors under the index's own
+    // centroid assignment, no doomed id may probe, and the overlay dir
+    // must be gone.
+    "q181_ivf_vacuum" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfVacDir
+      copyInto(ivfBaseAppended(s, dir), path)
+      val doomed = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+      graft.operators.Tombstones.add(s, path, doomed, "vec_id")
+      Similarity.ivfDelete(s, path,
+        emb.filter(col("vec_id") % 10 === 0).select(col("vec_id")), "vec_id")
+      val pending = graft.operators.Tombstones.read(s, path)
+        .map(_.count()).getOrElse(0L)
+      val expectedPending = emb
+        .filter(col("vec_id") % 5 === 0 && col("vec_id") % 10 =!= 0).count()
+      val removed = Similarity.ivfVacuum(s, path)
+      val cleared = graft.operators.Tombstones.read(s, path).isEmpty
+      def scalarViol(bad: Boolean, kind: String): DataFrame =
+        if (!bad) s.range(0).select(lit(kind).as("kind"), col("id").as("n"))
+        else s.range(1).select(lit(kind).as("kind"), lit(1L).as("n"))
+      val overlayViol = scalarViol(
+        pending != expectedPending || expectedPending == 0L,
+        "partial_clear_wrong")
+        .unionByName(scalarViol(removed != expectedPending, "vacuum_count_wrong"))
+        .unionByName(scalarViol(!cleared, "overlay_not_cleared"))
+      val centroids = s.read.parquet(s"$path/centroids")
+        .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
+      val expected = emb
+        .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+        .select(
+          col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1),
+          1))
+      val actual = s.read.parquet(s"$path/corpus")
+        .select(col("id"), col("vec"), col("cell"))
+      def cnt2(df: DataFrame, kind: String): DataFrame =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+          .select(lit(kind).as("kind"), col("n"))
+      val extra = cnt2(actual.exceptAll(expected), "extra_rows")
+      val missing = cnt2(expected.exceptAll(actual), "missing_rows")
+      val queries = emb.filter(col("vec_id") % 10 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val doomedInProbe = cnt2(Similarity.ivfTopKIndexed(
+          path, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        .join(broadcast(doomed.select(col("vec_id").as("id"))), "id"),
+        "doomed_in_probe")
+      overlayViol.unionByName(extra).unionByName(missing)
+        .unionByName(doomedInProbe)
+        .orderBy(col("kind"), col("n"))
+    }),
+
+    // THE LIVE SERVING-STACK DRILL — ingest, takedown, and serve as ONE
+    // SYSTEM under production concurrency (round-13's composition gate;
+    // every piece is gate-proven in isolation: q162 streaming ingest,
+    // q173 federated serving, q177 tombstones, q180 vacuum — what no
+    // per-family gate can see is a cross-component window between
+    // them): a standing BASE index (2/3 of the corpus) serves while a
+    // streaming DELTA (the remaining third, under a DIFFERENT bucket
+    // modulus — federation must not assume agreement) is fed one
+    // micro-batch per phase with a REAL kill-and-restart of the stream
+    // at every batch boundary, tombstoned takedowns land BETWEEN
+    // micro-batches on whichever index owns the doc, and a federated
+    // main+delta probe fires after every event. EVERY probe —
+    // including the two fired in the window AFTER a takedown but
+    // BEFORE anything physically applies it — must hash-equal the
+    // survivors-only full-corpus BM25 relation at that instant (the
+    // q177 phase method x the q162 replay method). The final phase
+    // vacuums BOTH indexes (physical apply + overlay clear) and probes
+    // again: soft must have equaled hard all along. The reference
+    // analogue is the trades-parallel-indicators write discipline of
+    // /root/reference/src/threading/PipelineExecutor.hpp:80-184,
+    // carried to the index estate.
+    "q182_bm25_serving_stack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = s"$servParent/base"; val delta = s"$servParent/delta"
+      copyInto(bm25Base(s, dir), base) // doc_id % 3 =!= 0, buckets 64
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+      Retrieval.bm25Init(s, delta, buckets = 31) // mixed moduli on purpose
+      val phases = Seq(0L, 3L, 6L).map(r =>
+        docs.filter(col("doc_id") % 9 === r)
+          .select(col("doc_id"), col("text")))
+      val staged = stagePhases(s"serv182|$dir", phases)
+      val probes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def probe(phase: String): Unit = probes +=
+        Retrieval.bm25TopKFederated(s, Seq(base, delta), bm25Queries(s), k = 10)
+          .withColumn("phase", lit(phase))
+          .localCheckpoint(true) // materialize BEFORE the next mutation
+      runPhasedIngestStepped(s, staged, phases.head.schema, nPhases = 3,
+        Retrieval.bm25StreamSink(delta, "doc_id", "text")) {
+        case 0 =>
+          probe("p0")
+          // takedown T1, between micro-batches: base-owned + delta-owned
+          graft.operators.Tombstones.add(s, base,
+            docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+              .select(col("doc_id")), "doc_id")
+          graft.operators.Tombstones.add(s, delta,
+            docs.filter(col("doc_id") % 9 === 0 && col("doc_id") % 4 === 0)
+              .select(col("doc_id")), "doc_id")
+          probe("t1_window") // soft: nothing physically applied yet
+        case 1 =>
+          graft.operators.Tombstones.add(s, delta,
+            docs.filter(col("doc_id") % 9 === 3 && col("doc_id") % 5 === 0)
+              .select(col("doc_id")), "doc_id")
+          probe("t2_window")
+        case _ =>
+          probe("p2")
+      }
+      // physical apply: vacuum both indexes, overlays must clear
+      Retrieval.bm25Vacuum(s, base)
+      Retrieval.bm25Vacuum(s, delta)
+      val cleared = graft.operators.Tombstones.read(s, base).isEmpty &&
+        graft.operators.Tombstones.read(s, delta).isEmpty
+      probe(if (cleared) "z_hard" else "z_overlay_not_cleared")
+      probes.reduce(_.unionByName(_))
+        .orderBy(col("phase"), col("query_id"), col("rnk"))
     })
   )
 

@@ -2495,6 +2495,49 @@ object CurationOracles {
     "q179_neardup_probe" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Vacuum on the BM25 index: after the partial physical apply and
+    // the vacuum of the remainder, the probe must equal the q155
+    // relation (verbatim BM25 arithmetic over the anti-joined corpus);
+    // the engine encodes the overlay invariants in the phase label, so
+    // a wrong overlay state surfaces as a phase mismatch.
+    "q180_bm25_vacuum" ->
+      s"""WITH r AS (${bm25OracleOver("doc_id % 5 <> 0")})
+         SELECT query_id, rnk, doc_id, score, 'vacuumed' AS phase FROM r
+         ORDER BY query_id, rnk""",
+    // Vacuum on the IVF index (exclusion property — violation relation,
+    // empty oracle).
+    "q181_ivf_vacuum" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
+    // The live serving-stack drill: five federated main+delta probes,
+    // each the verbatim BM25 arithmetic over the corpus AS OF that
+    // instant of the replay — streamed-in phases added, tombstoned
+    // takedowns removed (including the two probes fired in the window
+    // AFTER a takedown landed but BEFORE anything physically applied
+    // it), the final probe after both vacuums. Survivor predicates are
+    // pure doc_id arithmetic, so each phase is an exact corpus CTE.
+    "q182_bm25_serving_stack" -> {
+      val t1 = "(doc_id % 3 <> 0 AND doc_id % 5 = 0) OR " +
+        "(doc_id % 9 = 0 AND doc_id % 4 = 0)"
+      val t2 = "(doc_id % 9 = 3 AND doc_id % 5 = 0)"
+      def corpus(phasePred: String, minus: Seq[String]): String =
+        s"SELECT doc_id, text FROM documents WHERE ($phasePred)" +
+          minus.map(m => s" AND NOT ($m)").mkString
+      val phases = Seq(
+        ("p0", corpus("doc_id % 3 <> 0 OR doc_id % 9 = 0", Seq.empty)),
+        ("t1_window",
+          corpus("doc_id % 3 <> 0 OR doc_id % 9 = 0", Seq(t1))),
+        ("t2_window",
+          corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3)", Seq(t1, t2))),
+        ("p2",
+          corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3, 6)", Seq(t1, t2))),
+        ("z_hard",
+          corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3, 6)", Seq(t1, t2))))
+      phases.map { case (label, corpusSql) =>
+        s"""SELECT query_id, rnk, doc_id, score, '$label' AS phase
+           FROM (${bm25OracleOverCorpus(corpusSql)})"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY phase, query_id, rnk")
+    },
     // Quantized-IVF soundness (the q41/q156 empty-relation shape):
     // every hit exact-cosine-verified, cell-pruning respected,
     // non-vacuous.

@@ -217,6 +217,82 @@ object Sinks {
     }
   }
 
+  /** Refuse to run a maintenance rewrite over an artifact with an
+    * UNCOMMITTED streaming-ingest batch pending recovery. The
+    * recoverable-apply protocol (bm25IngestBatch and its twins) relies
+    * on three enumerable kinds of debris to converge a crash window on
+    * re-delivery: `_ingest_<tag>_tmp` staging dirs, `<table>_b<id>_new`
+    * / `_bak` swap dirs, and `b<id>_`-prefixed part files inside the
+    * partitioned tables. A compact/split/merge/delete that rewrites the
+    * live table FIRST erases the tags (junk rows get baked into
+    * untagged files) and strands the swap debris, so the batch's
+    * re-delivery finds nothing to drop and re-applies — duplicated rows
+    * or corrupted stats. Hence the contract: maintenance only runs on a
+    * fully-committed artifact; a pending batch converges by restarting
+    * its ingest stream (whose recovery pass is the ONLY code that knows
+    * how to undo it), never by maintenance.
+    *
+    * `partitionedTables` are (dirName, partitionPrefix) pairs to scan
+    * for tagged parts (prefix "" = flat directory); `swapTables` are the
+    * backup-swapped table names. Only `b<digits>_` tags are ingest
+    * batches (merge tags `s<i>_` and split tags `split<p>_` are
+    * committed the instant their one activating rename lands, so they
+    * never pend). The one converging action taken here: a `_bak` whose
+    * marker EXISTS is a committed batch's stray backup (crash between
+    * marker and cleanup) — dropped, exactly as its re-delivery would.
+    */
+  def requireNoPendingIngest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      partitionedTables: Seq[(String, String)],
+      swapTables: Seq[String],
+      opName: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    def committed(tag: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/ingestlog/$tag"))
+    def refuse(what: String, tag: String): Nothing =
+      throw new IllegalStateException(
+        s"$opName: uncommitted ingest batch $tag pending recovery at " +
+          s"$path ($what) — restart the ingest stream so its recovery " +
+          "pass converges the crash window, then re-run maintenance")
+    val swapRe = ("^(" + swapTables.map(java.util.regex.Pattern.quote)
+      .mkString("|") + ")_(b\\d+)_(new|bak)$").r
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_ingest_") && name.endsWith("_tmp"))
+        refuse(name, name.stripPrefix("_ingest_").stripSuffix("_tmp"))
+      if (swapTables.nonEmpty) name match {
+        case swapRe(_, tag, kind) =>
+          if (!committed(tag)) refuse(name, tag)
+          else if (kind == "bak")
+            require(fs.delete(st.getPath, true),
+              s"$opName: cannot drop stray committed backup $name")
+          else refuse(s"$name beside a commit marker", tag)
+        case _ =>
+      }
+    }
+    val tagRe = "^(b\\d+)_.*".r
+    partitionedTables.foreach { case (table, prefix) =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$table")
+      if (fs.exists(d)) {
+        val parts = fs.listStatus(d).flatMap { st =>
+          if (st.isDirectory && prefix.nonEmpty &&
+              st.getPath.getName.startsWith(prefix))
+            fs.listStatus(st.getPath)
+          else Array(st)
+        }
+        parts.foreach { f =>
+          f.getPath.getName match {
+            case tagRe(tag) if !committed(tag) =>
+              refuse(s"$table/.../${f.getPath.getName}", tag)
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
   /** Swap a freshly-written `tmp` directory into place at `dst` via a
     * backup rename: dst -> bak, tmp -> dst, delete bak — dst is never
     * deleted before its replacement is ready, so a crash at any point

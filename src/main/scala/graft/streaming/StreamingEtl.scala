@@ -797,9 +797,13 @@ object StreamingEtl {
         b.n, b.openOrd1, b.openOrd2, b.open,
         b.closeOrd1, b.closeOrd2, b.close, b.high, b.low, vol))
       // first life of this window's state: arm its finalize timer at the
-      // window end (µs -> ms floor)
+      // window end — µs -> ms CEILING, never floor: a floored timer on a
+      // non-ms-multiple window fires before the window truly ends, and a
+      // row in the last sub-ms sliver (event_time_ms == watermark) would
+      // pass the late filter after the state cleared, recreating the key
+      // and emitting a SECOND candle for the same window in append mode
       if (!existed)
-        getHandle.registerTimer((key._2 + windowUs) / 1000L)
+        getHandle.registerTimer((key._2 + windowUs + 999L) / 1000L)
       Iterator.empty
     }
     override def handleExpiredTimer(

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   * DISJOINT (no cross-replica near-dups: the registry masses grow
   * linearly) and digests differ.
   *
-  * Run: sbt "runMain graft.tools.AuditBench [replication]"
+  * Run: sbt "runMain graft.tools.AuditBench [replication...]" — each
+  * argument is one tier beyond the 1x base (e.g. `10 100` prices the
+  * second decade: ~500k docs at sf0.1, the ScaleBench method).
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
   */
 object AuditBench {
   def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toInt else 10
+    val tiers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.configure(SparkSession.builder()
@@ -98,7 +100,7 @@ object AuditBench {
     }
     run(1, warmup = true)
     run(1)
-    run(n)
+    tiers.foreach(run(_))
     spark.stop()
   }
 }

@@ -263,6 +263,48 @@ class DedupRegistrySpec extends SparkSpec {
     assert(idxStats.getAs[Long]("n_docs") === 3L)
   }
 
+  test("tombstone overlay: digest stops blocking instantly, carried by merge, cleared by delete") {
+    val dir = java.nio.file.Files.createTempDirectory("reg-spec-t").toString
+    reg.init(spark, dir, buckets = 8)
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    // membership blocks while doc 1 is live
+    assert(!reg.probe(spark, dir, Seq((9L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text").select(col("is_new")).collect()(0).getBoolean(0))
+    // tombstone doc 1: instant, no rewrite; content re-acceptable NOW
+    graft.operators.Tombstones.add(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(corpusIds(dir) === Seq(1L, 2L))
+    assert(reg.probe(spark, dir, Seq((9L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text").select(col("is_new")).collect()(0).getBoolean(0))
+    reg.ingestBatch(dir, Seq((7L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    assert(corpusIds(dir) === Seq(1L, 2L, 7L))
+    // fsck: dup digest across (tombstoned, re-accepted) is legitimate
+    // in the served registry; overlay audited
+    assert(graft.operators.Fsck.registryFsck(spark, dir).count() === 0L)
+    // merge: tombstoned doc must NOT evict the live duplicate via the
+    // min-id ranking — it is carried verbatim with the overlay
+    val dir2 = java.nio.file.Files.createTempDirectory("reg-spec-t2").toString
+    reg.init(spark, dir2, buckets = 8)
+    reg.ingestBatch(dir2, Seq((50L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    val merged = java.nio.file.Files
+      .createTempDirectory("reg-spec-tm").toString + "/m"
+    reg.merge(spark, Seq(dir, dir2), merged)
+    assert(corpusIds(merged).toSet === Set(1L, 2L, 7L, 50L),
+      "merge must carry the tombstoned row and keep the live duplicate")
+    assert(graft.operators.Tombstones.read(spark, merged)
+      .exists(_.collect().map(_.getLong(0)).toSeq === Seq(1L)))
+    // vacuum applies + clears; the re-accepted content keeps serving
+    assert(reg.vacuum(spark, merged) === 1L)
+    assert(corpusIds(merged).toSet === Set(2L, 7L, 50L))
+    assert(graft.operators.Tombstones.read(spark, merged).isEmpty)
+    assert(!reg.probe(spark, merged, Seq((9L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text").select(col("is_new")).collect()(0).getBoolean(0))
+    assert(graft.operators.Fsck.registryFsck(spark, merged).count() === 0L)
+  }
+
   test("init refuses a pre-existing registry and bad moduli") {
     val dir = java.nio.file.Files.createTempDirectory("reg-spec-i").toString
     reg.init(spark, dir, buckets = 2)

@@ -164,4 +164,47 @@ class FsckSpec extends SparkSpec {
     assert(kinds(Fsck.nearDupRegistryFsck(spark, dir))
       .contains("ndreg_registered_near_dup_pair"))
   }
+
+  test("composed fsck: clean pair passes; every cross-artifact drift class caught") {
+    val parent = java.nio.file.Files.createTempDirectory("fsck-comp").toString
+    val reg = s"$parent/reg"; val idx = s"$parent/idx"
+    DedupRegistry.init(spark, reg, buckets = 4)
+    Retrieval.bm25Init(spark, idx, buckets = 7)
+    val sink = DedupRegistry.dedupIndexStreamSink(reg, idx, "doc_id", "text")
+    sink(Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple banana apple")).toDF("doc_id", "text"), 0L) // 3 dups vs 1
+    sink(Seq((4L, "durian fig"), (5L, "banana cherry")).toDF("doc_id", "text"), 1L)
+    assert(Fsck.composedFsck(spark, reg, idx).collect().isEmpty)
+
+    // drift class 1: a registry doc the index missed (single-sided
+    // index takedown) — membership + derivation + stats fire
+    Retrieval.bm25Delete(spark, idx, Seq(4L).toDF("doc_id"), "doc_id")
+    val got1 = kinds(Fsck.composedFsck(spark, reg, idx))
+    assert(got1.contains("composed_registry_doc_missing_from_index"), s"got $got1")
+    assert(got1.contains("composed_index_stats_mismatch"), s"got $got1")
+    assert(!got1.contains("composed_index_doc_not_in_registry"))
+
+    // drift class 2: an index doc not in the registry (single-sided
+    // registry takedown — the doc keeps serving but lost its dedup
+    // witness; a re-crawl would duplicate it in the index)
+    DedupRegistry.delete(spark, reg, Seq(1L).toDF("doc_id"), "doc_id")
+    val got2 = kinds(Fsck.composedFsck(spark, reg, idx))
+    assert(got2.contains("composed_index_doc_not_in_registry"), s"got $got2")
+
+    // drift class 3: a postings tf lie on a doc BOTH sides know —
+    // membership is silent, only the row-for-row derivation sees it
+    val parent2 = java.nio.file.Files.createTempDirectory("fsck-comp2").toString
+    val reg2 = s"$parent2/reg"; val idx2 = s"$parent2/idx"
+    DedupRegistry.init(spark, reg2, buckets = 4)
+    Retrieval.bm25Init(spark, idx2, buckets = 7)
+    DedupRegistry.dedupIndexStreamSink(reg2, idx2, "doc_id", "text")(
+      Seq((1L, "apple banana apple")).toDF("doc_id", "text"), 0L)
+    assert(Fsck.composedFsck(spark, reg2, idx2).collect().isEmpty)
+    val b = spark.range(1)
+      .select(pmod(xxhash64(lit("zebra")), lit(7L))).collect()(0).getLong(0)
+    plant(Seq((1L, "zebra", 1L)).toDF("id", "term", "tf"),
+      s"$idx2/postings/bucket=$b")
+    val got3 = kinds(Fsck.composedFsck(spark, reg2, idx2))
+    assert(got3.contains("composed_postings_derivation_mismatch"), s"got $got3")
+  }
 }

@@ -190,6 +190,98 @@ class NearDupRegistrySpec extends SparkSpec {
     assert(corpusIds(dir) === Seq(2L, 7L)) // re-accepted: witness gone
   }
 
+  test("tombstone overlay: witness suspended instantly, carried by merge, cleared by delete") {
+    val dir = java.nio.file.Files.createTempDirectory("ndreg-spec-t").toString
+    reg.init(spark, dir, buckets = 4)
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    // an exact copy of doc 1 is blocked while doc 1 witnesses
+    val pre = reg.probe(spark, dir,
+        Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("is_new")).collect()(0).getBoolean(0)
+    assert(!pre)
+    // tombstone doc 1: the witness role suspends INSTANTLY — no rewrite
+    graft.operators.Tombstones.add(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(corpusIds(dir) === Seq(1L, 2L)) // physically still present
+    val post = reg.probe(spark, dir,
+        Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("is_new")).collect()(0).getBoolean(0)
+    assert(post, "tombstoned doc still witnessing at probe time")
+    // ingest of the same content is now ACCEPTED (takedown semantics)
+    reg.ingestBatch(dir,
+      Seq((7L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    assert(corpusIds(dir) === Seq(1L, 2L, 7L))
+    // fsck: the served-registry semantic invariant tolerates the
+    // (tombstoned, re-accepted) near-pair; the overlay itself audits
+    assert(graft.operators.Fsck.nearDupRegistryFsck(spark, dir)
+      .count() === 0L)
+    // merge carries the overlay and the tombstoned doc does not witness
+    // cross-shard either
+    val dir2 = java.nio.file.Files.createTempDirectory("ndreg-spec-t2").toString
+    reg.init(spark, dir2, buckets = 4)
+    reg.ingestBatch(dir2,
+      Seq((50L, "iota kappa lambda mu")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    val merged = java.nio.file.Files
+      .createTempDirectory("ndreg-spec-tm").toString + "/m"
+    reg.merge(spark, Seq(dir, dir2), merged)
+    assert(corpusIds(merged).toSet === Set(1L, 2L, 7L, 50L))
+    val mOverlay = graft.operators.Tombstones.read(spark, merged)
+    assert(mOverlay.exists(_.collect().map(_.getLong(0)).toSeq === Seq(1L)))
+    // vacuum physically applies and clears
+    assert(reg.vacuum(spark, merged) === 1L)
+    assert(corpusIds(merged).toSet === Set(2L, 7L, 50L))
+    assert(bandIds(merged).toSet === Set(2L, 7L, 50L))
+    assert(graft.operators.Tombstones.read(spark, merged).isEmpty)
+    assert(graft.operators.Fsck.nearDupRegistryFsck(spark, merged)
+      .count() === 0L)
+  }
+
+  test("delete crash windows converge: orphan bands removed, stats self-heal") {
+    val dir = java.nio.file.Files.createTempDirectory("ndreg-spec-dw").toString
+    reg.init(spark, dir, buckets = 4)
+    reg.ingestBatch(dir,
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    // manufacture the between-rewrites crash: the corpus rewrite landed
+    // but the bands rewrite and the stats swap did not
+    graft.sinks.Sinks.deleteRows(
+      spark, s"$dir/corpus", "bucket", "id", Seq(1L).toDF("id"))
+    // interim state is detected, not silent
+    val kinds = graft.operators.Fsck.nearDupRegistryFsck(spark, dir)
+      .select(col("kind")).collect().map(_.getString(0)).toSet
+    assert(kinds.contains("ndreg_stats_ndocs"), s"got $kinds")
+    assert(kinds.contains("ndreg_alien_band_key"), s"got $kinds")
+    // re-running the SAME delete converges every table: the corpus key
+    // matches nothing (n == 0), the orphaned band keys leave, and the
+    // self-healing stats write recounts
+    assert(reg.delete(spark, dir, Seq(1L).toDF("doc_id"), "doc_id") === 0L)
+    assert(corpusIds(dir) === Seq(2L) && bandIds(dir) === Seq(2L))
+    assert(statsOf(dir)._1 === 1L)
+    assert(graft.operators.Fsck.nearDupRegistryFsck(spark, dir).count() === 0L)
+    // stats-only window: a crash after both rewrites left stale stats;
+    // ANY later delete heals them, even one whose keys match nothing
+    val st = spark.read.parquet(s"$dir/stats").collect()(0)
+    spark.range(1).select(
+        lit(99L).as("n_docs"),
+        lit(st.getAs[Long]("n_dropped")).as("n_dropped"),
+        lit(st.getAs[Long]("buckets")).as("buckets"),
+        lit(st.getAs[Long]("shingle_size")).as("shingle_size"),
+        lit(st.getAs[Long]("num_hashes")).as("num_hashes"),
+        lit(st.getAs[Long]("bands")).as("bands"),
+        lit(st.getAs[Double]("threshold")).as("threshold"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    assert(statsOf(dir)._1 === 99L)
+    assert(reg.delete(spark, dir, Seq(777L).toDF("doc_id"), "doc_id") === 0L)
+    assert(statsOf(dir)._1 === 1L)
+  }
+
   test("batchRows hands back exactly the committed slice; composed sink is idempotent") {
     val parent = java.nio.file.Files.createTempDirectory("ndreg-spec-bx").toString
     val dir = s"$parent/reg"; val idx = s"$parent/idx"
