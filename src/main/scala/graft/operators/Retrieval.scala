@@ -810,7 +810,10 @@ object Retrieval {
       keyCol: String): Long = {
     requireCommitted(spark, path, "bm25Delete")
     val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
-    // the two read-only derivations scan disjoint tables — overlap them
+    // the two read-only derivations scan disjoint tables — overlap them;
+    // the affected-buckets set rides observe() on the checkpoint that
+    // materializes dfDec anyway (zero extra jobs)
+    val affObs = org.apache.spark.sql.Observation()
     val dfDecF = scala.concurrent.Future {
       // vocabulary-bounded and EAGER: derived from postings files the
       // deleteRows rewrite below will replace
@@ -818,6 +821,7 @@ object Retrieval {
         .join(k, "id")
         .groupBy(col("term"), col("bucket"))
         .agg(count(lit(1)).as("dec"))
+        .observe(affObs, collect_set(col("bucket")).as("bs"))
         .localCheckpoint(true)
     }(scala.concurrent.ExecutionContext.global)
     // doomed registry rows -> exact doc/token decrements (one bounded row)
@@ -840,10 +844,15 @@ object Retrieval {
     val st = spark.read.parquet(s"$path/stats")
       .select(col("n_docs"), col("total_tokens"), col("buckets"))
       .collect()(0)
-    // terms-decrement inputs derived BEFORE any rewrite; partition-value
-    // inference types the read-back bucket as INT — normalize to long
-    val affB = dfDec.select(col("bucket").cast("long")).distinct()
-      .collect().map(_.getLong(0))
+    // terms-decrement inputs derived BEFORE any rewrite (rode the dfDec
+    // checkpoint's observation; absent = zero doomed postings, i.e.
+    // tokenless doomed docs only). Partition-value inference types the
+    // read-back bucket as INT — normalize to long for the isin/path
+    // arithmetic below
+    val affB = scala.util.Try(affObs.get("bs"))
+      .map(_.asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Number].longValue()))
+      .getOrElse(Seq.empty).toArray
     val hconf = spark.sessionState.newHadoopConf()
     import spark.implicits._
     // the four table rewrites are pairwise independent (disjoint tables,
@@ -851,11 +860,19 @@ object Retrieval {
     // scheduler floors (the ingest-apply discipline; q155 is the most
     // action-dense maintenance gate)
     concurrently(
+      // affected-buckets hint: dfDec already grouped the doomed
+      // postings by bucket, so deleteRows skips its own keys×postings
+      // scan. INT values on purpose — partition-value inference types
+      // the read-back bucket column as INT, and the hint must compare
+      // equal to deleteRows' own collected partition values
       () => graft.sinks.Sinks.deleteRows(
-        spark, s"$path/postings", "bucket", "id", k, countDeleted = false),
+        spark, s"$path/postings", "bucket", "id", k, countDeleted = false,
+        affectedHint = Some(affB.map(_.toInt).toSeq)),
       () => if (affB.nonEmpty) {
         // terms: decrement df in the affected buckets only (dfDec
-        // carries the build's bucket values -> partition pruning)
+        // carries the build's bucket values -> partition pruning);
+        // the kept-buckets set rides the checkpoint's observation
+        val keptObs = org.apache.spark.sql.Observation()
         val newTerms = spark.read.parquet(s"$path/terms")
           .filter(col("bucket").isin(affB: _*))
           .join(dfDec, Seq("term", "bucket"), "left")
@@ -864,9 +881,12 @@ object Retrieval {
             col("bucket"))
           .filter(col("df") > 0)
           .repartition(col("bucket"))
+          .observe(keptObs, collect_set(col("bucket")).as("bs"))
           .localCheckpoint(true)
-        val keptB = newTerms.select(col("bucket").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSet
+        val keptB = scala.util.Try(keptObs.get("bs"))
+          .map(_.asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Number].longValue()))
+          .getOrElse(Seq.empty).toSet
         if (keptB.nonEmpty)
           newTerms.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -3961,14 +3961,132 @@ object Curation {
         case _ =>
           probe("p2")
       }
-      // physical apply: vacuum both indexes, overlays must clear
-      Retrieval.bm25Vacuum(s, base)
-      Retrieval.bm25Vacuum(s, delta)
+      // physical apply: vacuum both indexes (independent paths —
+      // overlap their action floors), overlays must clear
+      Retrieval.concurrently(
+        () => { Retrieval.bm25Vacuum(s, base); () },
+        () => { Retrieval.bm25Vacuum(s, delta); () })
       val cleared = graft.operators.Tombstones.read(s, base).isEmpty &&
         graft.operators.Tombstones.read(s, delta).isEmpty
       probe(if (cleared) "z_hard" else "z_overlay_not_cleared")
       probes.reduce(_.unionByName(_))
         .orderBy(col("phase"), col("query_id"), col("rnk"))
+    }),
+
+    // The DENSE serving-stack drill — q182's composition for the IVF
+    // estate, checked the q178 exclusion way (cosine has no global
+    // statistics, so a violation relation with an empty oracle): a
+    // standing base index and a streamed delta share ONE quantizer (the
+    // q161 ivfInit flow — under a shared quantizer the federated probe
+    // is bit-for-bit the merged probe), the delta is fed one micro-batch
+    // per phase with a kill-restart at every boundary, tombstoned
+    // takedowns land between micro-batches on the owning index, and a
+    // federated probe fires after every event — including in the
+    // window after a takedown but before its physical apply. Per probe:
+    // (a) no doomed-so-far id may surface; (b) every hit must be a
+    // corpus-so-far member; (c) every hit's sim must re-verify against
+    // the exact cosine on the raw embeddings; (d) non-vacuity. The
+    // final phase vacuums BOTH indexes and the hard probe must equal
+    // the last soft probe EXACTLY (the overlay and the rewrite must be
+    // the same takedown).
+    "q183_ivf_serving_stack" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = s"$servParent/ivfbase"; val delta = s"$servParent/ivfdelta"
+      Seq(base, delta).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      val cents = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfInit(s, cents, base)
+      Similarity.ivfAppend(s"$base",
+        emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding")
+      Similarity.ivfInit(s, cents, delta)
+      val phases = Seq(0L, 3L, 6L).map(r =>
+        emb.filter(col("vec_id") % 9 === r)
+          .select(col("vec_id"), col("embedding")))
+      val staged = stagePhases(s"serv183|$dir", phases)
+      val queries = emb.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      def cnt(df: DataFrame, kind: String): DataFrame =
+        df.agg(count(lit(1)).as("n")).filter(col("n") > 0)
+          .select(lit(kind).as("kind"), col("n"))
+      val viols = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var lastSoft: DataFrame = null
+      def probe(phase: String, corpusPred: org.apache.spark.sql.Column,
+          doomedPred: org.apache.spark.sql.Column): Unit = {
+        val hits = Similarity.ivfTopKFederated(
+            Seq(base, delta), queries, "vec_id", "embedding",
+            k = 10, nprobe = 4)
+          .localCheckpoint(true) // materialize BEFORE the next mutation
+        lastSoft = hits
+        val doomed = emb.filter(doomedPred).select(col("vec_id").as("id"))
+        viols += cnt(hits.join(broadcast(doomed), "id"),
+          s"${phase}_doomed_in_probe")
+        val member = emb.filter(corpusPred).select(col("vec_id").as("id"))
+        viols += cnt(hits.join(broadcast(member), Seq("id"), "left_anti"),
+          s"${phase}_hit_outside_corpus")
+        viols += cnt(hits
+          .join(queries.select((col("vec_id")).as("qid"),
+            col("embedding").cast("array<double>").as("qv")), Seq("qid"))
+          .join(emb.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("cv")), Seq("id"))
+          .filter(abs(Similarity.cosine(col("cv"), col("qv")) - col("sim")) >
+            lit(1e-12)),
+          s"${phase}_cosine_mismatch")
+        viols += (
+          if (hits.limit(1).count() > 0)
+            s.range(0).select(lit(s"${phase}_vacuous").as("kind"),
+              col("id").as("n"))
+          else s.range(1).select(lit(s"${phase}_vacuous").as("kind"),
+            lit(1L).as("n")))
+      }
+      val t1 = (col("vec_id") % 3 =!= 0 && col("vec_id") % 5 === 0) ||
+        (col("vec_id") % 9 === 0 && col("vec_id") % 4 === 0)
+      val t2 = col("vec_id") % 9 === 3 && col("vec_id") % 5 === 0
+      runPhasedIngestStepped(s, staged, phases.head.schema, nPhases = 3,
+        Similarity.ivfStreamSink(delta, "vec_id", "embedding")) {
+        case 0 =>
+          graft.operators.Tombstones.add(s, base,
+            emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 5 === 0)
+              .select(col("vec_id")), "vec_id")
+          graft.operators.Tombstones.add(s, delta,
+            emb.filter(col("vec_id") % 9 === 0 && col("vec_id") % 4 === 0)
+              .select(col("vec_id")), "vec_id")
+          probe("t1_window",
+            (col("vec_id") % 3 =!= 0 || col("vec_id") % 9 === 0) && !t1,
+            t1)
+        case 1 =>
+          graft.operators.Tombstones.add(s, delta,
+            emb.filter(t2).select(col("vec_id")), "vec_id")
+          probe("t2_window",
+            (col("vec_id") % 3 =!= 0 || col("vec_id") % 9 === 0 ||
+              col("vec_id") % 9 === 3) && !t1 && !t2,
+            t1 || t2)
+        case _ =>
+          probe("p2",
+            (col("vec_id") % 3 =!= 0 || col("vec_id") % 9 === 0 ||
+              col("vec_id") % 9 === 3 || col("vec_id") % 9 === 6) &&
+              !t1 && !t2,
+            t1 || t2)
+      }
+      val soft = lastSoft
+      Retrieval.concurrently(
+        () => { Similarity.ivfVacuum(s, base); () },
+        () => { Similarity.ivfVacuum(s, delta); () })
+      viols += (
+        if (graft.operators.Tombstones.read(s, base).isEmpty &&
+            graft.operators.Tombstones.read(s, delta).isEmpty)
+          s.range(0).select(lit("z_overlay_not_cleared").as("kind"),
+            col("id").as("n"))
+        else s.range(1).select(lit("z_overlay_not_cleared").as("kind"),
+          lit(1L).as("n")))
+      val hard = Similarity.ivfTopKFederated(
+        Seq(base, delta), queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      viols += cnt(
+        soft.unionByName(hard).groupBy(col("qid"), col("id"),
+            col("sim"), col("rank"))
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2),
+        "z_soft_hard_drift")
+      viols.reduce(_.unionByName(_)).orderBy(col("kind"), col("n"))
     })
   )
 

@@ -2509,6 +2509,11 @@ object CurationOracles {
     "q181_ivf_vacuum" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Dense serving-stack drill (exclusion property per probe phase —
+    // violation relation, empty oracle).
+    "q183_ivf_serving_stack" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // The live serving-stack drill: five federated main+delta probes,
     // each the verbatim BM25 arithmetic over the corpus AS OF that
     // instant of the replay — streamed-in phases added, tombstoned

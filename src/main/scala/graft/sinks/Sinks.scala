@@ -112,13 +112,22 @@ object Sinks {
       partitionCol: String,
       keyCol: String,
       keys: DataFrame,
-      countDeleted: Boolean = true): Long = {
+      countDeleted: Boolean = true,
+      affectedHint: Option[Seq[Any]] = None): Long = {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(dir)
     val k = broadcast(keys.select(col(keyCol)).distinct())
-    val affected = corpus.join(k, keyCol)
-      .select(col(partitionCol)).distinct()
-      .collect().map(_.get(0))
+    // affectedHint: callers that already derived the doomed rows'
+    // partition values (bm25Delete's df-decrement table groups by the
+    // same join) pass them instead of paying a second keys×table scan —
+    // the values must be EXACTLY the partitions containing doomed rows
+    // (a superset would rewrite untouched partitions; a subset would
+    // leave doomed rows live)
+    val affected = affectedHint
+      .map(_.toArray[Any])
+      .getOrElse(corpus.join(k, keyCol)
+        .select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)))
     if (affected.isEmpty) return 0L
     // null-safe membership: isin drops a null partition value (the
     // __HIVE_DEFAULT_PARTITION__ directory) from the predicate, which
@@ -130,17 +139,38 @@ object Sinks {
         else lit(false)
       if (affected.exists(_ == null)) base || col(partitionCol).isNull else base
     }
+    // the in/out row counts and the surviving partition-value set all
+    // ride observe() on the ONE checkpoint action that scans both frames
+    // anyway — zero extra jobs (collect_set drops nulls, so the hive
+    // default partition is tracked by its own null-row count)
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
     val affectedRows = corpus.filter(inAffected)
+      .observe(obsIn, count(lit(1)).as("n"))
     val survivors = affectedRows
       .join(k, Seq(keyCol), "left_anti")
       // partition-clustered (small-files rule) and EAGER (self-overwrite
       // rule) before the rewrite
       .repartition(col(partitionCol))
+      .observe(obsOut,
+        count(lit(1)).as("n"),
+        collect_set(col(partitionCol)).as("parts"),
+        count(when(col(partitionCol).isNull, 1)).as("nulls"))
       .localCheckpoint(true)
+    // an all-doomed partition set checkpoints ZERO tasks and the
+    // observations never fill — absent metrics mean empty survivors
+    def metrics(o: org.apache.spark.sql.Observation): Map[String, Any] =
+      scala.util.Try(o.get).getOrElse(Map.empty)
+    val mOut = metrics(obsOut)
     val deleted =
-      if (countDeleted) affectedRows.count() - survivors.count() else -1L
-    val keptParts =
-      survivors.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
+      if (countDeleted)
+        metrics(obsIn).get("n").map(_.asInstanceOf[Long]).getOrElse(0L) -
+          mOut.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+      else -1L
+    val keptParts: Set[Any] =
+      mOut.get("parts").map(_.asInstanceOf[Seq[Any]].toSet).getOrElse(Set.empty) ++
+        (if (mOut.get("nulls").exists(_.asInstanceOf[Long] > 0L))
+          Set(null.asInstanceOf[Any]) else Set.empty)
     if (keptParts.nonEmpty)
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
