@@ -3798,6 +3798,9 @@ object Curation {
         .probe(s, tombPath,
           batch.filter(col("doc_id") < 2000000L), "doc_id", "text")
         .select(col("doc_id"), col("text"), col("is_new"))
+        // materialize BEFORE the vacuum below mutates the registry —
+        // a lazy plan would re-read the deleted overlay files
+        .localCheckpoint(true)
       val tombStillWitnessing = cnt(probedTomb
         .filter(sketchable && !col("is_new"))
         .withColumn("orig", col("doc_id") - 1000000L)
@@ -3810,9 +3813,25 @@ object Curation {
             col("id").as("n"))
         else s.range(1).select(lit("tombstone_rewrote_corpus").as("kind"),
           lit(1L).as("n"))
+      // registry VACUUM (round 13): physically apply the whole overlay —
+      // must remove exactly the overlay's registered ids, clear the
+      // overlay dir, and leave the registry fsck-clean
+      val overlayN = graft.operators.Tombstones.read(s, tombPath)
+        .map(_.join(s.read.parquet(s"$tombPath/corpus")
+          .select(col("id")), Seq("id")).count()).getOrElse(0L)
+      val removed = NearDupRegistry.vacuum(s, tombPath)
+      val vacViol =
+        if (removed == overlayN && overlayN > 0L &&
+            graft.operators.Tombstones.read(s, tombPath).isEmpty &&
+            graft.operators.Fsck.nearDupRegistryFsck(s, tombPath)
+              .limit(1).count() == 0L)
+          s.range(0).select(lit("registry_vacuum_violation").as("kind"),
+            col("id").as("n"))
+        else s.range(1).select(lit("registry_vacuum_violation").as("kind"),
+          lit(1L).as("n"))
       copyMissed.unionByName(unsound).unionByName(vacuity)
         .unionByName(mutated).unionByName(tombStillWitnessing)
-        .unionByName(tombPhysical)
+        .unionByName(tombPhysical).unionByName(vacViol)
         .orderBy(col("kind"), col("n"))
     }),
 
@@ -3951,6 +3970,14 @@ object Curation {
               .select(col("doc_id")), "doc_id")
           graft.operators.Tombstones.add(s, delta,
             docs.filter(col("doc_id") % 9 === 0 && col("doc_id") % 4 === 0)
+              .select(col("doc_id")), "doc_id")
+          // ... plus a PRE-REGISTERED takedown naming phase-2 docs that
+          // have not arrived yet: a stray no-op for the t1/t2 probes
+          // (absent from every doclen — zero statistics impact), but it
+          // must suppress those docs FROM THE MOMENT phase 2 lands (the
+          // takedown-queue-ahead-of-the-crawl race)
+          graft.operators.Tombstones.add(s, delta,
+            docs.filter(col("doc_id") % 9 === 6 && col("doc_id") % 7 === 0)
               .select(col("doc_id")), "doc_id")
           probe("t1_window") // soft: nothing physically applied yet
         case 1 =>

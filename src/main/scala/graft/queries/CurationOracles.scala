@@ -2525,6 +2525,10 @@ object CurationOracles {
       val t1 = "(doc_id % 3 <> 0 AND doc_id % 5 = 0) OR " +
         "(doc_id % 9 = 0 AND doc_id % 4 = 0)"
       val t2 = "(doc_id % 9 = 3 AND doc_id % 5 = 0)"
+      // the pre-registered takedown: recorded at the t1 step, naming
+      // phase-2 docs — a no-op while they are absent (excluding an
+      // absent doc changes nothing), binding the instant they arrive
+      val t3 = "(doc_id % 9 = 6 AND doc_id % 7 = 0)"
       def corpus(phasePred: String, minus: Seq[String]): String =
         s"SELECT doc_id, text FROM documents WHERE ($phasePred)" +
           minus.map(m => s" AND NOT ($m)").mkString
@@ -2535,9 +2539,11 @@ object CurationOracles {
         ("t2_window",
           corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3)", Seq(t1, t2))),
         ("p2",
-          corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3, 6)", Seq(t1, t2))),
+          corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3, 6)",
+            Seq(t1, t2, t3))),
         ("z_hard",
-          corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3, 6)", Seq(t1, t2))))
+          corpus("doc_id % 3 <> 0 OR doc_id % 9 IN (0, 3, 6)",
+            Seq(t1, t2, t3))))
       phases.map { case (label, corpusSql) =>
         s"""SELECT query_id, rnk, doc_id, score, '$label' AS phase
            FROM (${bm25OracleOverCorpus(corpusSql)})"""
