@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prices the FEDERATION PREMIUM of main+delta serving (q173/q174/q182/
+  * q183): the federated probe is bit-for-bit the merged probe (spec- and
+  * gate-pinned), so the only open question is COST — what does skipping
+  * the merge cost per query? Per index the probe does the same pruned
+  * reads; the extra work is one stats read per index, per-index bucket
+  * pruning of the query terms, and the cross-index df sum (query-terms-
+  * sized). The honest claim under test: the premium is a fixed
+  * per-index floor, NOT corpus-proportional — so serving N indexes is
+  * viable until N grows past the maintenance window that merges them.
+  *
+  * Run: sbt "runMain graft.tools.FedBench"
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+  */
+object FedBench {
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    import spark.implicits._
+
+    val docs = graft.Tables.load(spark, baseDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = graft.Tables.load(spark, baseDir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-fedbench").toString
+
+    // ---- lexical estate (builds untimed) ----
+    graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", s"$root/merged")
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", s"$root/b2_base")
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", s"$root/b2_delta",
+      buckets = 31) // mixed moduli on purpose (the federated contract)
+    (0 until 4).foreach(i => graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") % 4 === i), "doc_id", "text", s"$root/b4_$i"))
+    val queries = Seq(
+      (1L, "spark window merge"), (2L, "customer filter join"),
+      (3L, "hash scan order batch"), (4L, "vector data stream data"),
+      (5L, "slow query table")).toDF("query_id", "query_text")
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf3(body: => Unit): Double =
+      (1 to 3).map(_ => timed(body)).min
+
+    val single = minOf3 {
+      graft.operators.Retrieval.bm25TopKIndexed(s"$root/merged", queries, 10)
+        .collect() }
+    val fed2 = minOf3 {
+      graft.operators.Retrieval.bm25TopKFederated(
+        spark, Seq(s"$root/b2_base", s"$root/b2_delta"), queries, 10)
+        .collect() }
+    val fed4 = minOf3 {
+      graft.operators.Retrieval.bm25TopKFederated(
+        spark, (0 until 4).map(i => s"$root/b4_$i"), queries, 10)
+        .collect() }
+    println(f"[fed-bench] bm25 probe: merged=$single%6.2f s  " +
+      f"federated2=$fed2%6.2f s  federated4=$fed4%6.2f s  " +
+      f"premium/index=${(fed4 - single) / 3}%5.2f s")
+
+    // ---- dense estate (shared quantizer, builds untimed) ----
+    val cents = graft.operators.Similarity.trainIvfCentroids(
+      emb, "vec_id", "embedding", nlist = 16)
+    graft.operators.Similarity.ivfInit(spark, cents, s"$root/ivf_merged")
+    graft.operators.Similarity.ivfAppend(
+      s"$root/ivf_merged", emb, "vec_id", "embedding")
+    (0 until 4).foreach { i =>
+      graft.operators.Similarity.ivfInit(spark, cents, s"$root/ivf4_$i")
+      graft.operators.Similarity.ivfAppend(
+        s"$root/ivf4_$i", emb.filter(col("vec_id") % 4 === i),
+        "vec_id", "embedding")
+    }
+    val probeQ = emb.filter(col("vec_id") < 5)
+    val ivfSingle = minOf3 {
+      graft.operators.Similarity.ivfTopKIndexed(
+        s"$root/ivf_merged", probeQ, "vec_id", "embedding", 10, 4).collect() }
+    val ivfFed4 = minOf3 {
+      graft.operators.Similarity.ivfTopKFederated(
+        (0 until 4).map(i => s"$root/ivf4_$i"), probeQ,
+        "vec_id", "embedding", 10, 4).collect() }
+    println(f"[fed-bench] ivf probe:  merged=$ivfSingle%6.2f s  " +
+      f"federated4=$ivfFed4%6.2f s  premium/index=${(ivfFed4 - ivfSingle) / 3}%5.2f s")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    spark.stop()
+  }
+}
