@@ -357,6 +357,43 @@ class PlanShapeSpec extends SparkSpec {
         operators.Similarity.ivfTopKIndexed(ivfPath,
           emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
           "vec_id", "embedding", k = 5).collect()
+        // round 13: registry tombstones (overlay-filtered membership /
+        // candidate joins on the ingest path), registry vacuum (the
+        // delete rewrite + self-healing stats recount), the vacuums,
+        // and the cross-artifact fsck's re-derivation joins
+        operators.Tombstones.add(spark, regPath,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 13 === 0)
+            .select(org.apache.spark.sql.functions.col("doc_id")), "doc_id")
+        operators.DedupRegistry.ingestBatch(regPath,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+            .select(
+              (org.apache.spark.sql.functions.col("doc_id") +
+                org.apache.spark.sql.functions.lit(5000000000L)).as("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          "doc_id", "text", 2L)
+        operators.DedupRegistry.vacuum(spark, regPath)
+        operators.Tombstones.add(spark, ndPath,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 13 === 0)
+            .select(org.apache.spark.sql.functions.col("doc_id")), "doc_id")
+        operators.NearDupRegistry.ingestBatch(ndPath,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+            .select(
+              (org.apache.spark.sql.functions.col("doc_id") +
+                org.apache.spark.sql.functions.lit(5000000000L)).as("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          "doc_id", "text", 2L)
+        operators.NearDupRegistry.vacuum(spark, ndPath)
+        operators.Retrieval.bm25Vacuum(spark, path)
+        operators.Similarity.ivfVacuum(spark, ivfPath)
+        val compRoot = java.nio.file.Files
+          .createTempDirectory("graft-comp-planshape").toString
+        operators.DedupRegistry.init(spark, s"$compRoot/reg", buckets = 8)
+        operators.Retrieval.bm25Init(spark, s"$compRoot/idx", buckets = 8)
+        operators.DedupRegistry.dedupIndexStreamSink(
+          s"$compRoot/reg", s"$compRoot/idx", "doc_id", "text")(
+          docs.limit(40), 0L)
+        operators.Fsck.composedFsck(
+          spark, s"$compRoot/reg", s"$compRoot/idx").collect()
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
