@@ -473,15 +473,20 @@ object DedupRegistry {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dest/corpus")
     val nDocs = observedOrEmpty(obs).get("n")
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // overlays travel with the merge (a merge that dropped them would
+    // resurrect tombstoned witnesses — the bm25Merge contract) and land
+    // BEFORE stats: stats existence is this merge's re-run refusal
+    // marker, so writing it first would turn a crash in the gap into a
+    // permanently tombstone-less merged registry that also refuses the
+    // re-run. Overlay-then-stats keeps every window re-runnable (the
+    // overlay write is idempotent — overwrite mode).
+    Retrieval.mergeOverlays(spark, paths, dest)
     val rawTotal = stats.map { case (d, r, _) => d + r }.sum
     spark.range(1)
       .select(lit(nDocs).as("n_docs"),
         lit(rawTotal - nDocs).as("n_dropped"),
         lit(buckets).as("buckets"))
       .coalesce(1).write.parquet(s"$dest/stats")
-    // overlays travel with the merge (a merge that dropped them would
-    // resurrect tombstoned witnesses — the bm25Merge contract)
-    Retrieval.mergeOverlays(spark, paths, dest)
   }
 
   /** Physically apply the registry's entire soft-delete overlay in one

@@ -570,6 +570,13 @@ object NearDupRegistry {
         pmod(col("bkey"), lit(first.buckets)).as("pk"))
       .repartition(col("pk"))
       .write.mode("overwrite").partitionBy("pk").parquet(s"$dest/bands")
+    // overlays travel with the merge (a merge that dropped them would
+    // resurrect tombstoned witnesses — the bm25Merge contract) and land
+    // BEFORE stats: stats existence is the re-run refusal marker, so a
+    // crash between a stats-first write and the overlay copy would both
+    // resurrect tombstoned witnesses and refuse the re-run
+    // ([[DedupRegistry.merge]]'s ordering note).
+    graft.operators.Retrieval.mergeOverlays(spark, paths, dest)
     val rawTotal = params.map(p => p.nDocs + p.nDropped).sum
     spark.range(1)
       .select(lit(nDocs).as("n_docs"),
@@ -580,9 +587,6 @@ object NearDupRegistry {
         lit(first.bands.toLong).as("bands"),
         lit(first.threshold).as("threshold"))
       .coalesce(1).write.parquet(s"$dest/stats")
-    // overlays travel with the merge (a merge that dropped them would
-    // resurrect tombstoned witnesses — the bm25Merge contract)
-    graft.operators.Retrieval.mergeOverlays(spark, paths, dest)
   }
 
   /** Physically apply the registry's entire soft-delete overlay in one

@@ -756,8 +756,11 @@ object Retrieval {
       dest: String): Unit = {
     val overlays = paths.flatMap(p => Tombstones.read(spark, p))
     if (overlays.nonEmpty)
+      // overwrite: the registry merges write the overlay BEFORE their
+      // stats commit marker, so a crash-interrupted merge re-runs
+      // through this write (RegistryMergeSpec's overlay-window test)
       overlays.reduce(_.unionByName(_)).distinct()
-        .coalesce(1).write.parquet(s"$dest/tombstones")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dest/tombstones")
   }
 
   /** Targeted deletion from a persisted [[buildBm25Index]] index — the
@@ -769,23 +772,48 @@ object Retrieval {
     * to avoid. Work is proportional to the doomed docs' FOOTPRINT,
     * never the index:
     *
-    *   1. the doomed postings project to a vocabulary-bounded per-term
-    *      df-decrement table (eagerly materialized BEFORE any rewrite
-    *      destroys the files it derives from — the df-merge precedent);
-    *   2. postings rewrite through [[graft.sinks.Sinks.deleteRows]]:
-    *      only the hash buckets that actually contain doomed postings
-    *      are rewritten, untouched buckets keep their physical files,
-    *      fully-doomed buckets are removed;
-    *   3. the terms table decrements df in those same buckets (a term
-    *      whose df reaches 0 drops — probes must not join it), via the
-    *      same clustered + eager + dynamic-overwrite discipline;
+    *   1. the doomed postings project to the affected hash-bucket set
+    *      (eagerly collected BEFORE any rewrite destroys the files it
+    *      derives from — the df-merge precedent; bounded by the
+    *      modulus);
+    *   2. the terms table is RECOMPUTED for exactly those buckets from
+    *      the surviving postings (a term whose last posting dies drops
+    *      — probes must not join it): recompute, not decrement, so the
+    *      rewrite is idempotent given the key set — the crash-window
+    *      convergence below depends on it. Sequenced strictly BEFORE
+    *      the postings rewrite (it reads the files that rewrite
+    *      replaces);
+    *   3. postings rewrite through [[graft.sinks.Sinks.deleteRows]]:
+    *      only the affected buckets are rewritten, untouched buckets
+    *      keep their physical files, fully-doomed buckets are removed;
     *   4. doclen — the doc registry, one narrow row per doc — rewrites
     *      filtered through a [[graft.sinks.Sinks.swapByRename]] swap
     *      (it is unpartitioned; the rewrite is O(docs), ~16 bytes each,
-    *      noise next to the postings it spares);
-    *   5. stats decrement by the doomed docs' registered count and
-    *      token mass (dl covers tokenless docs too — the registry
-    *      invariant), so N and avgdl equal a from-scratch rebuild's.
+    *      noise next to the postings it spares), concurrent with 2+3
+    *      (disjoint tables);
+    *   5. stats are SELF-HEALING and written strictly AFTER every table
+    *      rewrite completes — never concurrently with them: n_docs and
+    *      total_tokens are recounted from the surviving doclen (the
+    *      registry of record — dl covers tokenless docs too) and
+    *      swap-rewritten only when the stored scalars disagree, exactly
+    *      the [[DedupRegistry.delete]]/[[NearDupRegistry.delete]]
+    *      discipline.
+    *
+    * CRASH WINDOWS (named, all converging — [[graft.Bm25DeleteCrashSpec]]
+    * manufactures each): this single-writer maintenance op carries no
+    * commit marker; instead re-running the SAME delete converges every
+    * reachable partial-commit state. Terms-committed-only: the affected
+    * set re-derives identically (postings still doomed) and the
+    * recompute is idempotent. Postings+terms committed: the affected
+    * set is empty, doclen still lists the keys, so only the doclen
+    * rewrite and the stats heal run. Doclen-committed-only (the
+    * concurrent sibling landed first): the registry no longer lists the
+    * keys but the affected set is non-empty, so the terms+postings
+    * chain still runs. All-rewrites-committed (stale stats): ANY later
+    * delete — including one whose keys match nothing — recounts and
+    * heals; [[Fsck.bm25Fsck]] detects the interim state
+    * (bm25_stats_ndocs / bm25_stats_tokens). A stats-only window cannot
+    * exist by construction (stats write last).
     *
     * Granularity caveat: the rewrite unit is the BUCKET — one doomed
     * posting rewrites its whole bucket — and a doc's distinct terms
@@ -810,76 +838,45 @@ object Retrieval {
       keyCol: String): Long = {
     requireCommitted(spark, path, "bm25Delete")
     val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
-    // the two read-only derivations scan disjoint tables — overlap them;
-    // the affected-buckets set rides observe() on the checkpoint that
-    // materializes dfDec anyway (zero extra jobs)
-    val affObs = org.apache.spark.sql.Observation()
-    val dfDecF = scala.concurrent.Future {
-      // vocabulary-bounded and EAGER: derived from postings files the
-      // deleteRows rewrite below will replace
-      spark.read.parquet(s"$path/postings")
+    // the two read-only derivations scan disjoint tables — overlap
+    // them. The affected-bucket set is modulus-bounded (a driver-safe
+    // collect) and EAGER: derived from postings files the deleteRows
+    // rewrite below will replace
+    val affF = scala.concurrent.Future {
+      spark.read.schema(postingsSchema).parquet(s"$path/postings")
         .join(k, "id")
-        .groupBy(col("term"), col("bucket"))
-        .agg(count(lit(1)).as("dec"))
-        .observe(affObs, collect_set(col("bucket")).as("bs"))
-        .localCheckpoint(true)
+        .select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).sorted
     }(scala.concurrent.ExecutionContext.global)
-    // doomed registry rows -> exact doc/token decrements (one bounded row)
-    val doomedReg = spark.read.parquet(s"$path/doclen").join(k, "id")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("t"))
-      .collect()(0)
-    val dfDec = scala.concurrent.Await.result(
-      dfDecF, scala.concurrent.duration.Duration.Inf)
-    val (nDel, tokDel) = (doomedReg.getLong(0), doomedReg.getLong(1))
-    if (nDel == 0L) {
-      // still clear any overlay entries for these keys: an id with no
-      // index rows can never be physically removed — its tombstone is a
-      // satisfied no-op, not pending work (the stray-only-vacuum case)
-      Tombstones.clear(spark, path, keys, keyCol)
-      return 0L
-    }
-    // stats scalars read ONCE, before the rewrites (the new stats are a
-    // pure function of scalars already in hand — nothing reads its input)
-    val st = spark.read.parquet(s"$path/stats")
-      .select(col("n_docs"), col("total_tokens"), col("buckets"))
-      .collect()(0)
-    // terms-decrement inputs derived BEFORE any rewrite (rode the dfDec
-    // checkpoint's observation; absent = zero doomed postings, i.e.
-    // tokenless doomed docs only). Partition-value inference types the
-    // read-back bucket as INT — normalize to long for the isin/path
-    // arithmetic below
-    val affB = scala.util.Try(affObs.get("bs"))
-      .map(_.asInstanceOf[Seq[Any]]
-        .map(_.asInstanceOf[Number].longValue()))
-      .getOrElse(Seq.empty).toArray
+    // doomed registry rows -> the deleted-doc count (one bounded row)
+    val nDel = spark.read.schema(doclenSchema).parquet(s"$path/doclen")
+      .join(k, "id")
+      .agg(count(lit(1)).as("n"))
+      .collect()(0).getLong(0)
+    val affB = scala.concurrent.Await.result(
+      affF, scala.concurrent.duration.Duration.Inf)
     val hconf = spark.sessionState.newHadoopConf()
-    import spark.implicits._
-    // the four table rewrites are pairwise independent (disjoint tables,
-    // all inputs materialized above) — overlap their fixed per-action
-    // scheduler floors (the ingest-apply discipline; q155 is the most
-    // action-dense maintenance gate)
-    concurrently(
-      // affected-buckets hint: dfDec already grouped the doomed
-      // postings by bucket, so deleteRows skips its own keys×postings
-      // scan. INT values on purpose — partition-value inference types
-      // the read-back bucket column as INT, and the hint must compare
-      // equal to deleteRows' own collected partition values
-      () => graft.sinks.Sinks.deleteRows(
-        spark, s"$path/postings", "bucket", "id", k, countDeleted = false,
-        affectedHint = Some(affB.map(_.toInt).toSeq)),
+    if (nDel > 0L || affB.nonEmpty) concurrently(
+      // terms-then-postings chain: the terms recompute reads the
+      // postings files the deleteRows rewrite replaces, so it is
+      // SEQUENCED first inside one thunk; the doclen rewrite touches a
+      // disjoint table and overlaps both (the ingest-apply discipline;
+      // q155 is the most action-dense maintenance gate)
       () => if (affB.nonEmpty) {
-        // terms: decrement df in the affected buckets only (dfDec
-        // carries the build's bucket values -> partition pruning);
-        // the kept-buckets set rides the checkpoint's observation
+        // terms: RECOMPUTE df for the affected buckets from the
+        // surviving postings — idempotent given the key set (the df
+        // decrement it replaces depended on pre-rewrite postings and
+        // could not converge a re-run), exact because a term's postings
+        // all live in its own hash bucket. The kept-buckets set rides
+        // the checkpoint's observation
         val keptObs = org.apache.spark.sql.Observation()
-        val newTerms = spark.read.parquet(s"$path/terms")
+        val newTerms = spark.read.schema(postingsSchema)
+          .parquet(s"$path/postings")
           .filter(col("bucket").isin(affB: _*))
-          .join(dfDec, Seq("term", "bucket"), "left")
-          .select(col("term"),
-            (col("df") - coalesce(col("dec"), lit(0L))).as("df"),
-            col("bucket"))
-          .filter(col("df") > 0)
+          .join(k, Seq("id"), "left_anti")
+          .groupBy(col("term"), col("bucket"))
+          .agg(count(lit(1)).as("df"))
+          .select(col("term"), col("df"), col("bucket"))
           .repartition(col("bucket"))
           .observe(keptObs, collect_set(col("bucket")).as("bs"))
           .localCheckpoint(true)
@@ -895,30 +892,73 @@ object Retrieval {
         affB.filterNot(keptB).foreach { b =>
           val p = new org.apache.hadoop.fs.Path(s"$path/terms/bucket=$b")
           val fs = p.getFileSystem(hconf)
-          require(fs.exists(p) && fs.delete(p, true),
-            s"bm25Delete: could not remove emptied terms bucket $p")
+          // absence is legal mid-convergence: a re-run after a partial
+          // terms write finds some emptied buckets already gone
+          if (fs.exists(p))
+            require(fs.delete(p, true),
+              s"bm25Delete: could not remove emptied terms bucket $p")
         }
+        // affected-buckets hint: the set was already derived above, so
+        // deleteRows skips its own keys×postings scan. INT values on
+        // purpose — partition-value inference types the read-back
+        // bucket column as INT, and the hint must compare equal to
+        // deleteRows' own collected partition values
+        graft.sinks.Sinks.deleteRows(
+          spark, s"$path/postings", "bucket", "id", k, countDeleted = false,
+          affectedHint = Some(affB.map(_.toInt).toSeq))
       },
-      () => {
+      () => if (nDel > 0L) {
         // doclen: filtered registry rewrite, swap-by-rename (never
         // read-and-overwrite in one job)
         val dlCur = new org.apache.hadoop.fs.Path(s"$path/doclen")
         val dlTmp = new org.apache.hadoop.fs.Path(s"$path/doclen_delete_tmp")
-        spark.read.parquet(dlCur.toString)
+        spark.read.schema(doclenSchema).parquet(dlCur.toString)
           .join(k, Seq("id"), "left_anti")
           .coalesce(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(dlTmp.toString)
         graft.sinks.Sinks.swapByRename(dlCur.getFileSystem(hconf), dlTmp, dlCur)
-      },
-      () => Seq((st.getLong(0) - nDel, st.getLong(1) - tokDel, st.getLong(2)))
-        .toDF("n_docs", "total_tokens", "buckets")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/stats"))
+      })
+    // stats heal LAST, never concurrent with the rewrites it observes —
+    // runs on every call (a key-miss delete still heals a prior
+    // crash-stranded window, the registry-delete contract)
+    bm25HealStats(spark, path)
     // a physical delete IS the compaction of any soft-delete overlay
     // covering these ids — clear them so probes return to the
     // zero-overhead path (Tombstones scaladoc)
     Tombstones.clear(spark, path, keys, keyCol)
     nDel
+  }
+
+  /** Self-healing stats write shared by [[bm25Delete]]'s tail and its
+    * crash-window re-runs: n_docs and total_tokens are recounted from
+    * the surviving doclen — the registry of record (dl covers tokenless
+    * docs; sum(dl) == total_tokens is the build/append/merge invariant)
+    * — and the stats table swap-rewritten only when the stored scalars
+    * disagree. One narrow-column scan of doclen; the modulus is
+    * preserved verbatim.
+    */
+  private def bm25HealStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("total_tokens"), col("buckets"))
+      .collect()(0)
+    val live = spark.read.schema(doclenSchema).parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .collect()(0)
+    if (live.getLong(0) != st.getLong(0) || live.getLong(1) != st.getLong(1)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_delete_tmp")
+      Seq((live.getLong(0), live.getLong(1), st.getLong(2)))
+        .toDF("n_docs", "total_tokens", "buckets")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      graft.sinks.Sinks.swapByRename(
+        tmp.getFileSystem(hconf), tmp,
+        new org.apache.hadoop.fs.Path(s"$path/stats"))
+    }
   }
 
   /** Physically apply the index's ENTIRE soft-delete overlay — the

@@ -710,6 +710,71 @@ object MarketAnalytics {
         .orderBy(col("nation_key"))
     }),
 
+    // S1+S3+P1/P2+F2/F3 gate: the CSV wire format's SILENT-DEFAULT parse
+    // under the driver's DuckDB hash — the one §2 row family that until
+    // round 15 carried only golden-fixture specs. The seeded generator
+    // (S3, reference src/tools/DataGenerator.hpp:49-228) produces the
+    // corpus; deterministic per-id corruption classes then plant every
+    // malformed-field shape the reference's from_chars zero-default
+    // tolerates (reference src/parser/CsvParser.cpp:169-249): garbage
+    // price, empty volume/timestamp/trade_id (numeric -> 0), lowercase
+    // symbol, junk and EMPTY side/type (-> 'N'/'M', CsvParser.cpp:231,237),
+    // empty is_pro (-> false). The corrupted frame is written as REAL CSV
+    // files, read back through TradeCsv (S1: PERMISSIVE + coalesce
+    // defaults), validated with the 6 ordered first-failure rules
+    // (P1/P2, TradeValidator.hpp:98-182), and profiled with integer-exact
+    // and decimal-anchored aggregates per (outcome, symbol, side, type,
+    // is_pro). The oracle re-reads the SAME csv files with DuckDB's own
+    // parser and re-implements parse defaults + rule order in SQL — the
+    // two sides share only the bytes on disk. Corruption uses fully
+    // non-numeric tokens only: from_chars' partial-prefix parse ("12abc"
+    // -> 12) is the one reference behavior Spark's PERMISSIVE null cannot
+    // express, and the fixture keeps both semantics identical by never
+    // planting it (SURVEY §2.1 S1 documents the divergence).
+    // The gate is generator-seeded, not sf-scaled: `dir` is unused, the
+    // wire-format contract doesn't change with scale (1M rows, the
+    // BASELINE.md corpus size).
+    "q184_csv_silent_defaults" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val base = graft.sources.TradeGenerator.generate(spark, 1000000L, seed = 42L)
+      val m = col("trade_id")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val corrupted = base.select(
+        when(m % 149 === 0, lit("")).otherwise(str(col("trade_id"))).as("trade_id"),
+        str(col("order_id")).as("order_id"),
+        when(m % 127 === 0, lit("")).otherwise(str(col("timestamp"))).as("timestamp"),
+        when(m % 107 === 0, lower(col("symbol"))).otherwise(col("symbol")).as("symbol"),
+        when(m % 101 === 0, lit("garbage")).otherwise(str(col("price"))).as("price"),
+        when(m % 103 === 0, lit("")).otherwise(str(col("volume"))).as("volume"),
+        when(m % 109 === 0, lit("X"))
+          .when(m % 131 === 0, lit(""))
+          .otherwise(col("side")).as("side"),
+        when(m % 113 === 0, lit("Q"))
+          .when(m % 137 === 0, lit(""))
+          .otherwise(col("type")).as("type"),
+        when(m % 139 === 0, lit(""))
+          .otherwise(when(col("is_pro"), lit("1")).otherwise(lit("0")))
+          .as("is_pro"))
+      corrupted.coalesce(8)
+        .write.mode("overwrite").option("header", "true").csv(csvGateDir)
+      val parsed = graft.sources.TradeCsv.read(spark, csvGateDir)
+      graft.operators.Validation
+        .withReason(parsed, graft.operators.TradeRules.rules)
+        .groupBy(
+          coalesce(col("reason"), lit("ok")).as("outcome"),
+          col("symbol"), col("side"), col("type"), col("is_pro"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("volume").cast("long")).as("vol_sum"),
+          sum(col("trade_id")).as("id_sum"),
+          min(col("timestamp")).as("min_ts"),
+          max(col("timestamp")).as("max_ts"),
+          round(sum(col("price").cast("decimal(18,2)")), 2)
+            .cast("double").as("price_sum"))
+        .orderBy(col("outcome"), col("symbol"), col("side"),
+          col("type"), col("is_pro"))
+    }),
+
     // §2.7 × S4 composed gate: exactly-once STREAMING delivery into the
     // JDBC sink (the reference's live leg: websocket feed -> indicators ->
     // postgres, src/tools/websocket_demo.cpp:130-220 +

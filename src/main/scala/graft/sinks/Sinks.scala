@@ -129,6 +129,32 @@ object Sinks {
         .select(col(partitionCol)).distinct()
         .collect().map(_.get(0)))
     if (affected.isEmpty) return 0L
+    // hint validation, metadata-only: every hinted value must resolve to
+    // a LISTED partition directory. This cannot prove the hint covers
+    // every doomed row (that proof IS the keys×corpus scan the hint
+    // exists to skip), but it catches the stale/mistyped-hint class —
+    // a value naming no directory would make the isin filter, the
+    // rewrite, and the emptied-dir removal all silently skip it
+    affectedHint.foreach { _ =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val listed = root.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(root)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$partitionCol="))
+        .toSet
+      val unlisted = affected.filter { v =>
+        !listed.contains(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(
+              partitionCol, if (v == null) null else v.toString))
+      }
+      require(unlisted.isEmpty,
+        s"deleteRows: affectedHint value(s) ${unlisted.mkString(", ")} match " +
+          s"no $partitionCol= directory under $dir — a stale or mistyped " +
+          "hint silently leaves doomed rows live; pass the exact partition " +
+          "values or drop the hint to let deleteRows derive the set")
+    }
     // null-safe membership: isin drops a null partition value (the
     // __HIVE_DEFAULT_PARTITION__ directory) from the predicate, which
     // would silently skip its rewrite

@@ -140,4 +140,53 @@ class RegistryMergeSpec extends SparkSpec {
     assert(ids(merged) === Seq(1L, 3L))
     assert(stats(merged) === ((2L, 1L))) // raw 3 conserved
   }
+
+  test("interrupted merge re-runs without losing tombstones (overlay lands before stats)") {
+    val parent = java.nio.file.Files.createTempDirectory("reg-merge-ov").toString
+    val slices = Seq(Seq((1L, "alpha"), (2L, "beta")), Seq((11L, "gamma")))
+    val shards = slices.zipWithIndex.map { case (sl, i) =>
+      val p = s"$parent/sh$i"
+      reg.init(spark, p, buckets = 8)
+      reg.ingestBatch(p, sl.toDF("doc_id", "text"), "doc_id", "text", 0L)
+      p
+    }
+    // a pending takedown on shard 0 must travel with the merge
+    graft.operators.Tombstones.add(spark, shards(0), Seq(2L).toDF("id"), "id")
+    val dest = s"$parent/merged"
+    reg.merge(spark, shards, dest)
+    // stats is the merge's re-run refusal marker, and the overlay is
+    // written BEFORE it — so the deepest interruptible state a crash can
+    // leave (everything but stats) must both carry the tombstones and
+    // accept a re-run. Manufacture it by removing stats from a completed
+    // merge.
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.operators.Tombstones.read(spark, dest).isDefined,
+      "completed merge lost the shard overlay")
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$dest/stats"), true))
+    reg.merge(spark, shards, dest) // re-run accepted, not refused
+    assert(ids(dest) === Seq(1L, 2L, 11L))
+    assert(stats(dest) === ((3L, 0L)))
+    val ov = graft.operators.Tombstones.read(spark, dest)
+    assert(ov.map(_.select(col("id")).collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty) === Seq(2L),
+      "re-run merge resurrected the tombstoned witness")
+    // same window on the near-dup family
+    val ndShards = Seq("a", "b").zipWithIndex.map { case (t, i) =>
+      val p = s"$parent/nd$i"
+      ndreg.init(spark, p, buckets = 4, numHashes = 16, bands = 16)
+      ndreg.ingestBatch(
+        p, Seq((i * 10 + 1L, s"text $t one two three")).toDF("doc_id", "text"),
+        "doc_id", "text", 0L)
+      p
+    }
+    graft.operators.Tombstones.add(spark, ndShards(0), Seq(1L).toDF("id"), "id")
+    val ndDest = s"$parent/nd-merged"
+    ndreg.merge(spark, ndShards, ndDest)
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$ndDest/stats"), true))
+    ndreg.merge(spark, ndShards, ndDest)
+    assert(graft.operators.Tombstones.read(spark, ndDest)
+      .map(_.select(col("id")).collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty) === Seq(1L))
+  }
 }
