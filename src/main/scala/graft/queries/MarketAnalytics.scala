@@ -1273,6 +1273,14 @@ object MarketAnalytics {
   // (MBs) and disposable — exactly what tmpfs is for. On a cluster the
   // equivalent knob is a local-SSD/ramdisk checkpoint volume for TEST
   // harnesses only; production checkpoints go to durable storage.
+  /** q184's CSV landing zone. FIXED path (not a temp dir): the oracle SQL
+    * is static text that must name the same files DuckDB will read, so
+    * the gate and its oracle rendezvous on a deterministic location. The
+    * write is mode=overwrite with fully deterministic content (seeded
+    * generator + id-keyed corruption), so re-runs land identical bytes.
+    */
+  private val csvGateDir: String = "/tmp/graft-csv-gate"
+
   private lazy val replayDir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite)
@@ -1647,6 +1655,54 @@ object MarketAnalytics {
            CAST(sum(event_id) AS BIGINT) AS id_sum,
            CAST(sum(user_id) AS BIGINT) AS vol_sum
          FROM events GROUP BY event_type ORDER BY symbol""",
+    // Independent re-derivation of the CSV wire contract: DuckDB's own
+    // csv reader over the SAME files (all_varchar -- the raw tokens),
+    // then the silent defaults (TRY_CAST+COALESCE == from_chars
+    // zero-init; ''->'N'/'M'/false char defaults) and the 6 ordered
+    // first-failure rules in one CASE. regexp_full_match == the
+    // reference's CTRE full match == Spark's anchored rlike.
+    "q184_csv_silent_defaults" ->
+      """WITH raw AS (
+           SELECT * FROM read_csv('/tmp/graft-csv-gate/*.csv',
+                                  header=true, all_varchar=true)
+         ), parsed AS (
+           SELECT COALESCE(TRY_CAST(trade_id AS BIGINT), 0) AS trade_id,
+                  COALESCE(TRY_CAST("timestamp" AS BIGINT), 0) AS ts,
+                  COALESCE(trim(symbol), '') AS symbol,
+                  COALESCE(TRY_CAST(price AS DOUBLE), 0.0) AS price,
+                  COALESCE(TRY_CAST(volume AS INTEGER), 0) AS volume,
+                  CASE WHEN side IS NULL OR trim(side) = '' THEN 'N'
+                       ELSE trim(side) END AS side,
+                  CASE WHEN "type" IS NULL OR trim("type") = '' THEN 'M'
+                       ELSE trim("type") END AS type,
+                  COALESCE(lower(trim(is_pro)) IN ('1', 'true'), FALSE)
+                    AS is_pro
+           FROM raw
+         ), flagged AS (
+           SELECT *,
+             CASE
+               WHEN NOT regexp_full_match(symbol, '[A-Z]{1,10}')
+                 THEN 'invalid_symbol'
+               WHEN NOT (price > 0 AND price < 1000000)
+                 THEN 'invalid_price'
+               WHEN NOT (volume > 0) THEN 'invalid_volume'
+               WHEN side NOT IN ('B', 'S', 'N') THEN 'invalid_side'
+               WHEN type NOT IN ('M', 'L', 'I') THEN 'invalid_type'
+               WHEN NOT (ts > 0) THEN 'invalid_timestamp'
+               ELSE 'ok' END AS outcome
+           FROM parsed
+         )
+         SELECT outcome, symbol, side, type, is_pro,
+                count(*) AS n,
+                CAST(sum(volume) AS BIGINT) AS vol_sum,
+                CAST(sum(trade_id) AS BIGINT) AS id_sum,
+                CAST(min(ts) AS BIGINT) AS min_ts,
+                CAST(max(ts) AS BIGINT) AS max_ts,
+                CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS price_sum
+         FROM flagged
+         GROUP BY outcome, symbol, side, type, is_pro
+         ORDER BY outcome, symbol, side, type, is_pro""",
     "q120_jdbc_sink_roundtrip" ->
       """SELECT CAST(c_nationkey AS INTEGER) AS nation_key,
            count(*) AS n_customers,
