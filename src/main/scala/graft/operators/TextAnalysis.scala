@@ -522,10 +522,14 @@ object TextAnalysis {
   /** Apply a TRAINED merge table to a corpus — the tokenizer-SERVICE
     * half of BPE: [[bpeMerges]] elects merges once (on a sample at
     * 100 TB); this operator applies them, in training order, to every
-    * document. Each round is the same left-to-right non-overlapping
-    * fold as training (shared [[mergeFold]] — the two cannot drift),
-    * chained as `merges.length` codegen'd expressions: encoding is a
-    * PURE MAP — no shuffle, no UDF, no driver round-trips — which is
+    * document. The whole table applies as ONE codegen'd expression
+    * ([[graft.functions.BpeExprs.BpeEncodeApply]]): plan size is O(1)
+    * in the merge count, so a production-scale table (32k merges) costs
+    * the same analyzer/codegen work as a toy one — the chained
+    * one-fold-per-merge form this replaced was linear in plan nodes and
+    * capped at 64 rounds by codegen method limits
+    * ([[bpeEncodeChained]], kept as the spec cross-check). Encoding is
+    * a PURE MAP — no shuffle, no UDF, no driver round-trips — which is
     * exactly what lets it run inline in a 100 TB ingest pass. U+001F is
     * folded to a space before tokenizing (the training-side guarantee,
     * applied identically so trained merges see the same token stream).
@@ -537,17 +541,37 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    require(merges.nonEmpty && merges.length <= 64,
-      s"merge table must have 1..64 rounds (each is a chained fold " +
-        s"expression), got ${merges.length}")
+    require(merges.nonEmpty, "merge table must be non-empty")
     val base = tokens(translate(col(textCol), BpeSep, " "))
-    // BIND each round's input once: mergeFold references its argument
-    // several times (size/slice/seed), so naively chaining rounds
-    // re-evaluates round k-1's whole fold ~5x inside round k — ~5^n
-    // evaluations of the base tokenization by round n (measured 71 s at
-    // sf0.1 for 4 rounds). The one-element-array transform is the
-    // library's standard binder (the cdcChunks defense): array(l)
-    // evaluates l exactly once and the lambda variable is a free read.
+    df.select(
+      col(idCol).as("id"),
+      graft.functions.BpeExprs.bpeEncode(base, merges).as("tokens"))
+  }
+
+  /** The pre-round-15 chained-fold encode: `merges.length` nested
+    * [[mergeFold]] expressions, one per training round, each bound once
+    * with the one-element-array transform (the cdcChunks defense —
+    * without it round k re-evaluates round k-1 ~5x, 5^n total).
+    * SUPERSEDED by [[bpeEncode]]'s single-expression form for
+    * production but kept package-private as the independent semantic
+    * model: [[graft.functions.BpeExprs]] must stay fold-for-fold equal
+    * to it, and the spec pins that equality on every corpus shape.
+    * Cap note: the historical cap claimed 64 rounds, but nested
+    * higher-order functions cost one analyzer Resolution pass per
+    * nesting level and the analyzer's own iteration cap (100) trips
+    * near ~40 rounds (BpeBench measured chain64 failing resolution) —
+    * the honest cap is 32, one more reason the expression form is the
+    * production path.
+    */
+  private[graft] def bpeEncodeChained(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.length <= 32,
+      s"merge table must have 1..32 rounds (each is a chained fold " +
+        s"expression costing an analyzer pass), got ${merges.length}")
+    val base = tokens(translate(col(textCol), BpeSep, " "))
     val encoded = merges.foldLeft(base) { case (l, (a, b)) =>
       element_at(transform(array(l), x => mergeFold(x, a, b)), 1)
     }
