@@ -554,6 +554,10 @@ object DedupRegistry {
       keys: DataFrame,
       keyCol: String): Long = {
     requireCommitted(spark, path, "DedupRegistry.delete")
+    // reader-isolation marker ([[graft.operators.StableRead]]): the
+    // rewrite + overlay clear + stats heal are steps a concurrent
+    // stable probe must not straddle
+    StableRead.withMaintenanceMarker(spark, path) {
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$path/corpus", "bucket", "id",
       keys.select(col(keyCol).as("id")))
@@ -580,5 +584,6 @@ object DedupRegistry {
         fs, tmp, new org.apache.hadoop.fs.Path(s"$path/stats"))
     }
     n
+    }
   }
 }

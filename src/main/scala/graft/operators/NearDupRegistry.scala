@@ -658,6 +658,10 @@ object NearDupRegistry {
       keys: DataFrame,
       keyCol: String): Long = {
     requireCommitted(spark, path, "NearDupRegistry.delete")
+    // reader-isolation marker ([[graft.operators.StableRead]]): the
+    // corpus/bands rewrites + overlay clear + stats heal are steps a
+    // concurrent stable probe must not straddle
+    StableRead.withMaintenanceMarker(spark, path) {
     val k = keys.select(col(keyCol).as("id"))
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$path/corpus", "bucket", "id", k)
@@ -692,5 +696,6 @@ object NearDupRegistry {
         fs, tmp, new org.apache.hadoop.fs.Path(s"$path/stats"))
     }
     n
+    }
   }
 }

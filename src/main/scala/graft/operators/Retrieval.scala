@@ -837,6 +837,12 @@ object Retrieval {
       keys: DataFrame,
       keyCol: String): Long = {
     requireCommitted(spark, path, "bm25Delete")
+    // reader isolation: the rewrites below open cross-table windows a
+    // concurrent probe could read as a blend even between jobs — the
+    // marker keeps StableRead probes out until the op completes (and
+    // stays behind on a crash, exactly as long as the re-run the
+    // crash-window contract already requires)
+    StableRead.withMaintenanceMarker(spark, path) {
     val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
     // the two read-only derivations scan disjoint tables — overlap
     // them. The affected-bucket set is modulus-bounded (a driver-safe
@@ -927,6 +933,7 @@ object Retrieval {
     // zero-overhead path (Tombstones scaladoc)
     Tombstones.clear(spark, path, keys, keyCol)
     nDel
+    }
   }
 
   /** Self-healing stats write shared by [[bm25Delete]]'s tail and its

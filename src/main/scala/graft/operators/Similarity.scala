@@ -1125,13 +1125,18 @@ object Similarity {
       keys: DataFrame,
       keyCol: String): Long = {
     requireCommitted(spark, indexPath, "ivfDelete")
-    val n = graft.sinks.Sinks.deleteRows(
-      spark, s"$indexPath/corpus", "cell", "id",
-      keys.select(col(keyCol).as("id")))
-    // a physical delete compacts any soft-delete overlay covering
-    // these ids (Tombstones scaladoc)
-    Tombstones.clear(spark, indexPath, keys, keyCol)
-    n
+    // reader-isolation marker: the corpus rewrite + overlay clear are
+    // two steps a concurrent StableRead probe must not straddle
+    // (bm25Delete's marker note)
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      val n = graft.sinks.Sinks.deleteRows(
+        spark, s"$indexPath/corpus", "cell", "id",
+        keys.select(col(keyCol).as("id")))
+      // a physical delete compacts any soft-delete overlay covering
+      // these ids (Tombstones scaladoc)
+      Tombstones.clear(spark, indexPath, keys, keyCol)
+      n
+    }
   }
 
   /** Physically apply the index's entire soft-delete overlay — the

@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators.{Retrieval, Similarity, StableRead, Tombstones}
+import org.apache.spark.sql.functions._
+
+/** The reader-racing-maintenance drill the round-14 verdict asked for:
+  * federated probes fire from a second thread WHILE compact/vacuum
+  * swaps churn the estate, and every returned relation must equal the
+  * survivors-only oracle — never a blend, never an exception. The
+  * tombstone-exactness contract makes pre-vacuum == post-vacuum
+  * bit-for-bit (applyTombstones adjusts df/N/avgdl exactly; compact is
+  * content-blind), so ONE expected relation covers every instant; the
+  * probes run under [[StableRead.stable]], whose fingerprint
+  * validation + maintenance marker are the mechanism under test.
+  */
+class ReaderMaintenanceRaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+    rows.map(_.toString).sorted.toSeq
+
+  test("bm25 federated probes racing compact+vacuum churn read only pre/post states") {
+    val parent = java.nio.file.Files
+      .createTempDirectory("race-spec-bm25").toString
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docs = (0L until 240L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    val a = s"$parent/a"; val b = s"$parent/b"
+    // mixed moduli on purpose (the federated contract)
+    Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", a, buckets = 8)
+    Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", b, buckets = 31)
+    // pending takedowns on shard a: every probe below must already
+    // exclude them (tombstone-first serving), and the mid-race vacuum
+    // physically applies them without moving any probe
+    Tombstones.add(spark, a,
+      (0L until 240L by 10L).toDF("id"), "id")
+    val queries = Seq(
+      (1L, "alpha gamma"), (2L, "beta zeta kappa"),
+      (3L, "mu iota"), (4L, "theta theta delta"))
+      .toDF("query_id", "query_text").localCheckpoint(true)
+    def probe() = StableRead.stable(spark, Seq(a, b), maxAttempts = 200) {
+      Retrieval.bm25TopKFederated(spark, Seq(a, b), queries, 10)
+    }
+    val expected = norm(probe().collect())
+    assert(expected.nonEmpty)
+    // the oracle relation: a federated probe over SURVIVORS-ONLY
+    // rebuilt shards — pins the expected snapshot to first principles,
+    // not to the implementation's own pre-state
+    val aClean = s"$parent/a_clean"
+    Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 0),
+      "doc_id", "text", aClean, buckets = 8)
+    assert(norm(Retrieval.bm25TopKFederated(
+      spark, Seq(aClean, b), queries, 10).collect()) === expected,
+      "tombstoned probe diverged from the survivors-only oracle")
+
+    // churn: finite maintenance burst on a second thread — compacts
+    // (content-blind swaps) around a mid-burst vacuum (the real
+    // cross-table rewrite)
+    val writer = scala.concurrent.Future {
+      (1 to 3).foreach { i =>
+        Retrieval.bm25Compact(spark, a)
+        Retrieval.bm25Compact(spark, b)
+        if (i == 2) assert(Retrieval.bm25Vacuum(spark, a) === 24L)
+      }
+    }(scala.concurrent.ExecutionContext.global)
+    var raced = 0
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (!writer.isCompleted || raced < 3) {
+      val got = norm(probe().collect())
+      if (got != expected)
+        bad += s"probe $raced diverged (${got.size} vs ${expected.size} rows)"
+      raced += 1
+    }
+    scala.concurrent.Await.result(
+      writer, scala.concurrent.duration.Duration.Inf)
+    assert(bad.isEmpty, bad.mkString("; "))
+    assert(raced >= 3)
+    // post-churn: overlay gone (vacuum cleared it), relation unmoved
+    assert(Tombstones.read(spark, a).isEmpty)
+    assert(norm(probe().collect()) === expected)
+  }
+
+  test("ivf federated probes racing compact+vacuum churn read only pre/post states") {
+    val parent = java.nio.file.Files
+      .createTempDirectory("race-spec-ivf").toString
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 160L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian()).toSeq)
+    }.toDF("id", "vec").localCheckpoint(true)
+    val a = s"$parent/a"; val b = s"$parent/b"
+    Similarity.buildIvfIndex(
+      vecs.filter(col("id") % 2 === 0), "id", "vec", nlist = 4, a)
+    Similarity.buildIvfIndex(
+      vecs.filter(col("id") % 2 =!= 0), "id", "vec", nlist = 4, b)
+    Tombstones.add(spark, a, (0L until 160L by 8L).toDF("id"), "id")
+    val queries = (101L to 104L).map { q =>
+      val r2 = new scala.util.Random(q)
+      (q, Array.fill(8)(r2.nextGaussian()).toSeq)
+    }.toDF("qid", "qvec").localCheckpoint(true)
+    // nprobe == nlist: exhaustive cells, so the relation is exact and
+    // vacuum/compact cannot move it
+    def probe() = StableRead.stable(spark, Seq(a, b), maxAttempts = 200) {
+      Similarity.ivfTopKFederated(Seq(a, b), queries, "qid", "qvec", 10,
+        nprobe = 4)
+    }
+    val expected = norm(probe().collect())
+    assert(expected.nonEmpty)
+    val writer = scala.concurrent.Future {
+      (1 to 3).foreach { i =>
+        Similarity.ivfCompact(spark, a)
+        Similarity.ivfCompact(spark, b)
+        if (i == 2) assert(Similarity.ivfVacuum(spark, a) === 20L)
+      }
+    }(scala.concurrent.ExecutionContext.global)
+    var raced = 0
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (!writer.isCompleted || raced < 3) {
+      val got = norm(probe().collect())
+      if (got != expected)
+        bad += s"probe $raced diverged (${got.size} vs ${expected.size} rows)"
+      raced += 1
+    }
+    scala.concurrent.Await.result(
+      writer, scala.concurrent.duration.Duration.Inf)
+    assert(bad.isEmpty, bad.mkString("; "))
+    assert(raced >= 3)
+    assert(norm(probe().collect()) === expected)
+  }
+
+  test("stable read refuses a stranded maintenance marker loudly") {
+    val parent = java.nio.file.Files
+      .createTempDirectory("race-spec-marker").toString
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val idx = s"$parent/idx"
+    Retrieval.buildBm25Index(docs, "doc_id", "text", idx, buckets = 4)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+    // a crashed delete leaves its marker standing; stable probes must
+    // fail loudly, not return the partial state
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$idx/${StableRead.MarkerName}")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(marker, true).close()
+    val e = intercept[IllegalStateException] {
+      StableRead.stable(spark, Seq(idx), maxAttempts = 3) {
+        Retrieval.bm25TopKIndexed(idx, q, 5)
+      }
+    }
+    assert(e.getMessage.contains("no consistent read"))
+    // the interrupted op's re-run clears it (bm25Delete on the same —
+    // here empty — key set), and probes resume
+    assert(Retrieval.bm25Delete(spark, idx, Seq(99L).toDF("id"), "id") === 0L)
+    assert(StableRead.stable(spark, Seq(idx)) {
+      Retrieval.bm25TopKIndexed(idx, q, 5)
+    }.count() === 1L)
+  }
+}
