@@ -431,6 +431,7 @@ object DedupRegistry {
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/stats")),
       s"DedupRegistry.merge: a registry already exists at $dest")
     paths.foreach(requireCommitted(spark, _, "DedupRegistry.merge"))
+    paths.foreach(requirePristine(spark, _, "DedupRegistry.merge"))
     val stats = paths.map { p =>
       val r = spark.read.parquet(s"$p/stats")
         .select(col("n_docs"), col("n_dropped"), col("buckets")).collect()(0)
@@ -519,6 +520,33 @@ object DedupRegistry {
         .getFileSystem(spark.sessionState.newHadoopConf()),
       path, Seq(("corpus", "bucket=")), Seq("stats"), opName)
 
+  /** Permanent maintenance-history flag shared by both registry
+    * families: [[delete]]/[[NearDupRegistry.delete]] stamp it on the
+    * first physical removal, and the merges refuse a stamped shard —
+    * the structural form of the build-shards-then-merge-then-maintain
+    * contract (a post-takedown shard's n_docs decrement without an
+    * n_dropped one would silently count the removed docs into the
+    * merged n_dropped).
+    */
+  private[graft] val MaintainedMarker = "_maintained"
+
+  private[graft] def markMaintained(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MaintainedMarker")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true).close()
+  }
+
+  private[graft] def requirePristine(
+      spark: SparkSession, path: String, opName: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MaintainedMarker")
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      throw new IllegalStateException(
+        s"$opName: shard $path has maintenance history (a physical delete " +
+          "ran on it), so its stats no longer conserve the raw stream — " +
+          "merging it would misstate the merged n_dropped. Merge pristine " +
+          "built-to-merge shards, then maintain the merged registry " +
+          "(build-then-merge-then-maintain).")
+  }
+
   def compact(spark: SparkSession, path: String): Unit = {
     requireCommitted(spark, path, "DedupRegistry.compact")
     val cur = new org.apache.hadoop.fs.Path(s"$path/corpus")
@@ -561,6 +589,12 @@ object DedupRegistry {
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$path/corpus", "bucket", "id",
       keys.select(col(keyCol).as("id")))
+    // permanent maintenance-history flag: a physical removal breaks the
+    // merge stats' raw-stream conservation (n_docs drops, n_dropped
+    // doesn't — the doc was taken down, not dropped as a duplicate), so
+    // [[merge]] structurally refuses this shard from now on instead of
+    // trusting the scaladoc's build-then-merge-then-maintain contract
+    if (n > 0L) markMaintained(spark, path)
     // a physical delete compacts any soft-delete overlay covering these
     // ids (the Tombstones contract, same as the index deletes)
     Tombstones.clear(spark, path, keys, keyCol)

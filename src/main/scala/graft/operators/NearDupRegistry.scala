@@ -515,6 +515,8 @@ object NearDupRegistry {
       .getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/stats")),
       s"NearDupRegistry.merge: a registry already exists at $dest")
+    paths.foreach(
+      DedupRegistry.requirePristine(spark, _, "NearDupRegistry.merge"))
     val params = paths.map(p => readParams(spark, p))
     val first = params.head
     paths.zip(params).foreach { case (p, q) =>
@@ -665,6 +667,9 @@ object NearDupRegistry {
     val k = keys.select(col(keyCol).as("id"))
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$path/corpus", "bucket", "id", k)
+    // maintenance-history flag: merge refuses this shard from now on
+    // ([[DedupRegistry.requirePristine]]'s conservation rationale)
+    if (n > 0L) DedupRegistry.markMaintained(spark, path)
     graft.sinks.Sinks.deleteRows(
       spark, s"$path/bands", "pk", "id", k, countDeleted = false)
     // a physical delete compacts any soft-delete overlay covering these

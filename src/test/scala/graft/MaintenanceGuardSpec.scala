@@ -130,4 +130,50 @@ class MaintenanceGuardSpec extends SparkSpec {
     rm(nd, "bands/pk=0/b3_junk.parquet")
     graft.operators.NearDupRegistry.compact(spark, nd)
   }
+
+  test("merge refuses a shard with maintenance history (n_dropped conservation)") {
+    // exact-dedup family: a shard that ran a physical delete no longer
+    // conserves the raw stream in its stats — merge must refuse it
+    // structurally, not by scaladoc
+    val parent = java.nio.file.Files.createTempDirectory("guard-merge").toString
+    val reg = graft.operators.DedupRegistry
+    Seq("a", "b").foreach { t =>
+      reg.init(spark, s"$parent/$t", buckets = 4)
+      reg.ingestBatch(s"$parent/$t",
+        Seq((if (t == "a") 1L else 11L, s"text $t")).toDF("doc_id", "text"),
+        "doc_id", "text", 0L)
+    }
+    // a KEY-MISS delete removes nothing and must NOT poison the shard
+    assert(reg.delete(spark, s"$parent/a", Seq(99L).toDF("id"), "id") === 0L)
+    reg.merge(spark, Seq(s"$parent/a", s"$parent/b"), s"$parent/m0")
+    // a real delete stamps the history flag; merge now refuses
+    assert(reg.delete(spark, s"$parent/a", Seq(1L).toDF("id"), "id") === 1L)
+    val e = intercept[IllegalStateException] {
+      reg.merge(spark, Seq(s"$parent/a", s"$parent/b"), s"$parent/m1")
+    }
+    assert(e.getMessage.contains("maintenance history"))
+
+    // near-dup family: same contract (vacuum routes through delete)
+    val nd = graft.operators.NearDupRegistry
+    Seq("c", "d").foreach { t =>
+      nd.init(spark, s"$parent/$t", buckets = 4)
+      nd.ingestBatch(s"$parent/$t",
+        Seq((if (t == "c") 1L else 11L, s"words $t one two three"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 0L)
+    }
+    graft.operators.Tombstones.add(
+      spark, s"$parent/c", Seq(1L).toDF("id"), "id")
+    assert(nd.vacuum(spark, s"$parent/c") === 1L)
+    val e2 = intercept[IllegalStateException] {
+      nd.merge(spark, Seq(s"$parent/c", s"$parent/d"), s"$parent/m2")
+    }
+    assert(e2.getMessage.contains("maintenance history"))
+    // the untouched shard still merges with a fresh pristine sibling
+    nd.init(spark, s"$parent/e", buckets = 4)
+    nd.ingestBatch(s"$parent/e",
+      Seq((21L, "more words four five six")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    nd.merge(spark, Seq(s"$parent/d", s"$parent/e"), s"$parent/m3")
+  }
 }
