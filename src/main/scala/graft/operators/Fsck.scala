@@ -106,6 +106,168 @@ object Fsck {
         .localCheckpoint(true)
     }
 
+  /** Committed ingest-batch ids newer than `sinceBatch`, from the
+    * artifact's `ingestlog/` markers — the recorded cursor the
+    * incremental audits key on.
+    */
+  private[graft] def batchesSince(
+      spark: SparkSession, path: String, sinceBatch: Long): Seq[Long] = {
+    val log = new org.apache.hadoop.fs.Path(s"$path/ingestlog")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("b\\d+") => s.drop(1).toLong }
+      .filter(_ > sinceBatch)
+      .sorted
+  }
+
+  /** Part files tagged by any of `tags` under `table` (recursing into
+    * `partitionPrefix` dirs — the [[graft.sinks.Sinks.copyParquetParts]]
+    * layout the ingest applies land in).
+    */
+  private def taggedFiles(
+      spark: SparkSession, path: String, table: String,
+      partitionPrefix: String, tags: Seq[Long]): Seq[String] = {
+    val prefixes = tags.map(t => s"b${t}_")
+    val d = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(partitionPrefix))
+        fs.listStatus(st.getPath).toSeq
+      else Seq(st)
+    }.filter(f => prefixes.exists(f.getPath.getName.startsWith))
+      .map(_.getPath.toString)
+  }
+
+  /** INCREMENTAL audit of a [[Retrieval.bm25Init]]-lifecycle index: the
+    * nightly-affordable form of [[bm25Fsck]] at 100 TB, auditing only
+    * what the ingest stream touched since the caller's recorded cursor
+    * (`sinceBatch` = last audited batch id; -1 audits everything ever
+    * ingested). Scope, derived from the `ingestlog/` markers and the
+    * batches' `b<id>_` part tags:
+    *
+    *   - postings/terms checks (dup, tf >= 1, df == recount, bucket
+    *     placement) run over exactly the hash buckets holding a new
+    *     batch's files — PARTITION-PRUNED reads, untouched buckets'
+    *     files never open (the spec pins inputFiles);
+    *   - new docs' registration (dup ids, orphaned postings) and their
+    *     sum(tf) == dl joins read the new batches' TAGGED FILES plus
+    *     the narrow full doclen id column;
+    *   - stats recount: the narrow full doclen scan (id, dl) — cheap
+    *     at any scale and the invariant most maintenance windows bend.
+    *
+    * NOT covered (the full fsck's job, run after maintenance windows):
+    * old buckets' placement/df, old docs' tf sums. Tag lifetime is the
+    * boundary: [[Retrieval.bm25Compact]] rewrites tags away, so run the
+    * incremental audit at ingest cadence BEFORE compaction; after any
+    * maintenance rewrite, run [[bm25Fsck]] once and restart the cursor.
+    *
+    * Granularity economics (the [[Retrieval.bm25Delete]] caveat in
+    * audit form): the pruning unit is the BUCKET, and a text delta's
+    * DISTINCT TERMS hash-spread, so a broad-vocabulary delta touches
+    * ~min(buckets, delta vocabulary) of them — AuditBench's replicated
+    * corpus measures incr ~== full for exactly that reason. The audit
+    * is priced by the touched buckets' total volume, so it wins when
+    * (a) the cursor has no new batches (the common idle-index night —
+    * one listing, zero scans), (b) the delta's vocabulary is narrow
+    * relative to the modulus (per-source or per-shard streams), or
+    * (c) old buckets dominate the volume and the delta's terms skew
+    * hot (Zipf head re-touches few buckets' worth of new volume). The
+    * tagged-file checks (new docs' registration/derivation) and the
+    * stats recount are delta-sized and narrow regardless.
+    */
+  def bm25FsckIncremental(
+      spark: SparkSession, path: String, sinceBatch: Long): DataFrame =
+    graft.CacheScope.scoped {
+      val tags = batchesSince(spark, path, sinceBatch)
+      val empty = spark.range(0)
+        .select(lit("bm25_incr").as("kind"), col("id").as("n"))
+      if (tags.isEmpty) empty.localCheckpoint(true)
+      else {
+        val st = spark.read.parquet(s"$path/stats")
+          .select(col("n_docs"), col("total_tokens"), col("buckets"))
+          .collect()(0)
+        val (nDocs, totTok, buckets) = (st.getLong(0), st.getLong(1), st.getLong(2))
+        // touched postings buckets: any bucket dir holding a new tag's file
+        val prefixes = tags.map(t => s"b${t}_")
+        val postRoot = new org.apache.hadoop.fs.Path(s"$path/postings")
+        val fs = postRoot.getFileSystem(spark.sessionState.newHadoopConf())
+        val touched =
+          if (!fs.exists(postRoot)) Array.empty[Long]
+          else fs.listStatus(postRoot)
+            .filter(st2 => st2.isDirectory &&
+              st2.getPath.getName.startsWith("bucket="))
+            .filter(d => fs.listStatus(d.getPath)
+              .exists(f => prefixes.exists(f.getPath.getName.startsWith)))
+            .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+            .sorted
+        val postings = spark.read.schema(Retrieval.postingsSchema)
+          .parquet(s"$path/postings")
+          .filter(col("bucket").isin(touched: _*))
+          .transform(graft.CacheScope.persisted)
+        val terms = spark.read.schema(Retrieval.termsSchema)
+          .parquet(s"$path/terms")
+          .filter(col("bucket").isin(touched: _*))
+        val dl = spark.read.schema(Retrieval.doclenSchema)
+          .parquet(s"$path/doclen")
+          .transform(graft.CacheScope.persisted)
+        val dupPost = cnt(postings.groupBy(col("id"), col("term"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1), "bm25_dup_posting")
+        val badTf = cnt(postings.filter(col("tf") < 1), "bm25_nonpositive_tf")
+        val dfRecomputed = postings.groupBy(col("term"), col("bucket"))
+          .agg(count(lit(1)).as("df2"))
+        val dfMismatch = cnt(terms
+          .join(dfRecomputed, Seq("term", "bucket"), "full_outer")
+          .filter(coalesce(col("df"), lit(-1L)) =!= coalesce(col("df2"), lit(-1L))),
+          "bm25_df_mismatch")
+        val bucketOf = pmod(xxhash64(col("term")), lit(buckets))
+        val misTerm = cnt(terms.filter(col("bucket") =!= bucketOf),
+          "bm25_misbucketed_term")
+        val misPost = cnt(postings.filter(col("bucket") =!= bucketOf),
+          "bm25_misbucketed_posting")
+        // the new batches' own rows, read at FILE granularity
+        val dlFiles = taggedFiles(spark, path, "doclen", "bucket=", tags)
+        val postFiles = taggedFiles(spark, path, "postings", "bucket=", tags)
+        val newDl =
+          (if (dlFiles.isEmpty)
+            spark.range(0).select(col("id"), col("id").as("dl"))
+          else spark.read.schema(Retrieval.doclenSchema)
+            .parquet(dlFiles: _*))
+            .transform(graft.CacheScope.persisted)
+        val newPostings =
+          if (postFiles.isEmpty)
+            spark.range(0).select(col("id"),
+              col("id").cast("string").as("term"), col("id").as("tf"))
+          else spark.read
+            .schema("id LONG, term STRING, tf LONG") // no partition col at file grain
+            .parquet(postFiles: _*)
+        val dupDoc = cnt(dl.join(newDl.select(col("id")), Seq("id"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), "bm25_dup_doclen_id")
+        val orphan = cnt(postings.select(col("id")).distinct()
+          .join(dl.select(col("id")), Seq("id"), "left_anti"),
+          "bm25_posting_for_unregistered_doc")
+        val dlMismatch = cnt(newDl
+          .join(newPostings.groupBy(col("id")).agg(sum(col("tf")).as("s")),
+            Seq("id"), "left")
+          .filter(coalesce(col("s"), lit(0L)) =!= col("dl")),
+          "bm25_doclen_tf_mismatch")
+        val nOk = scalarViol(dl.count() == nDocs, "bm25_stats_ndocs", spark)
+        val tokSum = dl.agg(coalesce(sum(col("dl")), lit(0L)))
+          .collect()(0).getLong(0)
+        val tokOk = scalarViol(tokSum == totTok, "bm25_stats_tokens", spark)
+        val tomb = tombstoneChecks(spark,
+          Tombstones.read(spark, path), dl.select(col("id")), "bm25")
+        dupDoc.unionByName(dupPost).unionByName(badTf).unionByName(orphan)
+          .unionByName(dlMismatch).unionByName(dfMismatch)
+          .unionByName(misTerm).unionByName(misPost)
+          .unionByName(nOk).unionByName(tokOk).unionByName(tomb)
+          .localCheckpoint(true)
+      }
+    }
+
   /** Overlay invariants shared by the index audits: tombstone ids
     * unique, every tombstone naming a registered doc/vector.
     */
@@ -359,5 +521,81 @@ object Fsck {
     missingFromIdx.unionByName(alienInIdx).unionByName(postingsViol)
       .unionByName(doclenViol).unionByName(statsViol)
       .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
+  }
+
+  /** INCREMENTAL cross-artifact audit for a curate-then-index
+    * composition — [[composedFsck]] scoped to the batches committed
+    * since the caller's cursor. Both artifacts are fed by ONE sink
+    * under one batch id, so the delta is well-defined on each side:
+    * the registry's accepted slice and the index's applied rows carry
+    * the same `b<id>_` file tags. The audit reads ONLY those tagged
+    * files (file-granularity pruning — the registry corpus and the
+    * index postings/doclen never full-scan) and re-derives the delta's
+    * postings/doclen with the writers' own expressions:
+    *
+    *   - registry-delta docs all registered in the index delta and
+    *     vice versa (a one-sided apply surfaces immediately);
+    *   - the delta's postings == the re-tokenized relation, row for
+    *     row; its doclen == the re-counted lengths.
+    *
+    * The global stats cross-check stays with [[composedFsck]] (it
+    * needs the full-corpus token re-derivation by definition);
+    * [[bm25FsckIncremental]]'s narrow recount covers index-side stats
+    * drift cheaply. Same tag-lifetime boundary: run at ingest cadence,
+    * full [[composedFsck]] after any compact/maintenance window.
+    */
+  def composedFsckIncremental(
+      spark: SparkSession,
+      regPath: String,
+      idxPath: String,
+      sinceBatch: Long): DataFrame = graft.CacheScope.scoped {
+    val tags = batchesSince(spark, idxPath, sinceBatch)
+    val empty = spark.range(0)
+      .select(lit("composed_incr").as("kind"), col("id").as("n"))
+    if (tags.isEmpty) empty.localCheckpoint(true)
+    else {
+      def readOr(files: Seq[String], schema: String, fallback: DataFrame) =
+        if (files.isEmpty) fallback
+        else spark.read.schema(schema).parquet(files: _*)
+      val acc = readOr(
+        taggedFiles(spark, regPath, "corpus", "bucket=", tags),
+        "id LONG, text STRING",
+        spark.range(0).select(col("id"), col("id").cast("string").as("text")))
+        .select(col("id"), col("text"))
+        .transform(graft.CacheScope.persisted)
+      val doclen = readOr(
+        taggedFiles(spark, idxPath, "doclen", "bucket=", tags),
+        "id LONG, dl LONG",
+        spark.range(0).select(col("id"), col("id").as("dl")))
+        .transform(graft.CacheScope.persisted)
+      val postings = readOr(
+        taggedFiles(spark, idxPath, "postings", "bucket=", tags),
+        "id LONG, term STRING, tf LONG",
+        spark.range(0).select(col("id"),
+          col("id").cast("string").as("term"), col("id").as("tf")))
+      val missingFromIdx = cnt(acc.select(col("id"))
+        .join(doclen.select(col("id")), Seq("id"), "left_anti"),
+        "composed_registry_doc_missing_from_index")
+      val alienInIdx = cnt(doclen.select(col("id"))
+        .join(acc.select(col("id")), Seq("id"), "left_anti"),
+        "composed_index_doc_not_in_registry")
+      val expectedTf = acc
+        .select(col("id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("etf"))
+      val postingsViol = cnt(postings
+        .join(expectedTf, Seq("id", "term"), "full_outer")
+        .filter(coalesce(col("tf"), lit(-1L)) =!= coalesce(col("etf"), lit(-1L))),
+        "composed_postings_derivation_mismatch")
+      val expectedDl = acc.select(col("id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("edl"))
+      val doclenViol = cnt(doclen
+        .join(expectedDl, Seq("id"), "full_outer")
+        .filter(coalesce(col("dl"), lit(-1L)) =!= coalesce(col("edl"), lit(-1L))),
+        "composed_doclen_derivation_mismatch")
+      missingFromIdx.unionByName(alienInIdx).unionByName(postingsViol)
+        .unionByName(doclenViol)
+        .localCheckpoint(true)
+    }
   }
 }

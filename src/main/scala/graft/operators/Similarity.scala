@@ -877,6 +877,73 @@ object Similarity {
         .getFileSystem(spark.sessionState.newHadoopConf()),
       indexPath, Seq(("corpus", "cell=")), Seq.empty, opName)
 
+  /** Retrain the coarse quantizer IN PLACE — the drift repair
+    * [[ivfAppend]]'s scaladoc promises: appends assign to the index's
+    * ORIGINAL centroids, so a corpus whose distribution moves (new
+    * sources, new embedding regimes) piles its tail into a few giant
+    * cells and the probe's COST MODEL decays — AnnRecall's drift arm
+    * measures probes scanning 62% of the corpus against a designed 25%
+    * (recall looks deceptively perfect exactly because the probe
+    * degenerates toward a full scan; at equal cost it collapses).
+    * Requantize
+    * retrains on an md5(id)-ordered sample of the CURRENT corpus (the
+    * same deterministic draw as [[trainIvfCentroids]] — id-order drift
+    * is exactly what it must not mirror), re-assigns every row
+    * cell-clustered into a temp generation, and swaps corpus +
+    * centroid table in via [[graft.sinks.Sinks.swapByRename]]. Both
+    * layouts work unchanged (the quantized columns are per-vector,
+    * independent of cells); cell ids come out contiguous 0..nlist-1,
+    * collapsing any [[ivfSplitCells]] gaps.
+    *
+    * Guards: [[graft.sinks.Sinks.requireNoPendingIngest]] (a rewrite
+    * would erase pending batch tags) and the [[StableRead]] maintenance
+    * marker (the corpus and centroid swaps are two steps a concurrent
+    * probe must not straddle — rows placed by the new quantizer probed
+    * through the old centroids silently lose recall). A crash leaves
+    * the marker standing; the re-run retrains from the same rows (the
+    * corpus CONTENT never changes here), reproduces the same centroids
+    * deterministically, and converges both swaps.
+    *
+    * Cost: one full corpus read + cell-clustered write (a compact's
+    * price) + the driver-side k-means on `sampleN` vectors. Schedule
+    * with the drift, not the calendar: AnnRecall's drift arm measures
+    * recall before/after on a deliberately drifted corpus.
+    */
+  def ivfRequantize(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      nlist: Int,
+      sampleN: Int = 4096,
+      iters: Int = 8): Unit = {
+    requireCommitted(spark, indexPath, "ivfRequantize")
+    require(nlist > 0, s"ivfRequantize: nlist must be positive, got $nlist")
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      import spark.implicits._
+      val hconf = spark.sessionState.newHadoopConf()
+      val corpusCur = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+      val fs = corpusCur.getFileSystem(hconf)
+      require(fs.exists(corpusCur), s"ivfRequantize: no corpus at $corpusCur")
+      val corpus = spark.read.parquet(corpusCur.toString)
+      val centroids = trainIvfCentroids(corpus, "id", "vec", nlist, sampleN, iters)
+      val corpusTmp = new org.apache.hadoop.fs.Path(
+        s"$indexPath/corpus_requant_tmp")
+      corpus.drop("cell")
+        .withColumn("cell", ivfCell(col("vec"), centroids))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(corpusTmp.toString)
+      val centTmp = new org.apache.hadoop.fs.Path(
+        s"$indexPath/centroids_requant_tmp")
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(centTmp.toString)
+      graft.sinks.Sinks.swapByRename(fs, corpusTmp, corpusCur)
+      graft.sinks.Sinks.swapByRename(fs, centTmp,
+        new org.apache.hadoop.fs.Path(s"$indexPath/centroids"))
+    }
+  }
+
   def ivfCompact(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
     requireCommitted(spark, indexPath, "ivfCompact")

@@ -193,6 +193,10 @@ object Curation {
   private lazy val ivfQDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivfq").toString
 
+  // q185's requantize scratch, same overwrite-first contract
+  private lazy val ivfRqDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivfrq").toString
+
   // q161's shard/merge scratch parent (children deleted per invocation —
   // ivfInit and ivfMerge both refuse pre-existing targets)
   private lazy val ivfMergeParent: String =
@@ -3024,6 +3028,33 @@ object Curation {
       Similarity.ivfQAppend(
         path, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
       ivfQSoundness(s, emb, path)
+    }),
+
+    // Quantizer REFRESH under q159's soundness body: the index is built
+    // DRIFTED on purpose — centroids train on a quarter of the corpus,
+    // then three appends pile the rest onto those stale cells (the
+    // ivfAppend scaladoc's documented decay) — and ivfRequantize
+    // retrains + re-assigns in place. The soundness body then requires:
+    // hits real (exact cosines re-verified), hits partition-pruned
+    // under the NEW centroid table (an unswapped or half-swapped
+    // quantizer breaks unpruned_hit immediately), and non-vacuous
+    // (no_hits fires if the probe returns nothing). ivfFsck's strict
+    // assignment also holds after requantize (every row in its
+    // globally-nearest cell) — appended to the same relation, so any
+    // misassigned row is a violation row here, not a silent state.
+    "q185_ivfq_requantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfRqDir
+      Similarity.buildIvfQIndex(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        nlist = 16, path)
+      (1 to 3).foreach(i => Similarity.ivfQAppend(
+        path, emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
+      Similarity.ivfRequantize(s, path, nlist = 16)
+      ivfQSoundness(s, emb, path)
+        .unionByName(
+          graft.operators.Fsck.ivfFsck(s, path, strictAssignment = true)
+            .orderBy(col("kind")))
     }),
 
     // IVF shard-and-merge (the q158 composition for the DENSE index,

@@ -2397,6 +2397,12 @@ object CurationOracles {
     "q168_ivfq_cell_split" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // Quantizer-refresh soundness (the q159 empty-relation shape over a
+    // deliberately drifted-then-requantized index, plus strict-
+    // assignment fsck): sound output = empty.
+    "q185_ivfq_requantize" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // Streaming first-arrival dedup into the corpus registry: rebuild
     // the gate's exact phased stream (originals by doc_id mod 3, the
     // planted within-batch and cross-batch duplicate re-keys), rank

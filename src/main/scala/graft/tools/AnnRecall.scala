@@ -156,6 +156,62 @@ object AnnRecall {
         f"designed=${nprobe.toDouble / nlist}%.3f cand_frac=$candFrac%.3f " +
         f"wall=$wall%5.2f s")
     }
+
+    // Drift-then-requantize arm (the ivfRequantize evidence): the index
+    // trains on the ORIGINAL distribution, then an equal-sized batch
+    // from 8 shifted clusters appends onto those stale centroids — the
+    // ivfAppend scaladoc's decay. Measured shape (sf0.01): the drifted
+    // mass piles into a few giant cells, so probes "recall" 1.000 only
+    // by scanning 62% of the corpus against a designed 25% — the COST
+    // MODEL is what drift destroys (equivalently, at equal cost the
+    // recall collapses). ivfRequantize retrains on the merged corpus
+    // and restores the designed cost-recall point: cand_frac back near
+    // designed, recall back at the undrifted sweep's level.
+    locally {
+      val drifted = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(6.0) * ((col("vec_id") % 8) + lit(1.0)))
+          .as("embedding"))
+      val union = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(drifted).persist()
+      val nAll = union.count()
+      val qd = drifted.filter(col("vec_id") < 1000030).persist()
+      val bruteD = Similarity.bruteForceTopK(
+          union, "vec_id", "embedding", qd, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-annrecall-drift").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, idx)
+      Similarity.ivfAppend(idx, drifted, "vec_id", "embedding")
+      def arm(tag: String): Unit = {
+        val (cellIds, cents) = Similarity.loadCentroidTable(spark, idx)
+        val sizes = spark.read.parquet(s"$idx/corpus")
+          .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+        val probedRows = qd.select(
+            col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qvec"))
+          .select(col("qid"), explode(transform(
+            graft.functions.VecExprs.nearestCentroids(col("qvec"), cents, 4),
+            p => Similarity.posToCell(p, cellIds))).as("cell"))
+          .join(sizes, "cell")
+          .agg(coalesce(sum(col("sz")), lit(0L))).collect()(0).getLong(0)
+        val candFrac = probedRows.toDouble / (qd.count() * nAll)
+        val got = Similarity.ivfTopKIndexed(
+            idx, qd, "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("qid"), col("id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val hits = got.count(bruteD.contains)
+        println(f"[drift] $tag%-12s recall=${hits.toDouble / bruteD.size}%.3f " +
+          f"designed=${4.0 / 16}%.3f cand_frac=$candFrac%.3f")
+      }
+      arm("stale-cells")
+      Similarity.ivfRequantize(spark, idx, nlist = 16)
+      arm("requantized")
+      union.unpersist(); qd.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    }
     spark.stop()
   }
 }

@@ -65,6 +65,20 @@ object AuditBench {
         assert(graft.operators.Fsck.bm25Fsck(spark, s"$root/bm25")
           .collect().isEmpty)
       }
+      // incremental-audit arm: a streamed index whose LAST batch is one
+      // replica-sized slice — the nightly audit reads only that batch's
+      // touched buckets + tagged files, so its cost tracks the DELTA
+      // while the full fsck above tracks the corpus
+      graft.operators.Retrieval.bm25Init(spark, s"$root/bm25i", buckets = 64)
+      graft.operators.Retrieval.bm25IngestBatch(s"$root/bm25i",
+        corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 0L)
+      graft.operators.Retrieval.bm25IngestBatch(s"$root/bm25i",
+        corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 1L)
+      val bmFsckIncr = timed {
+        assert(graft.operators.Fsck
+          .bm25FsckIncremental(spark, s"$root/bm25i", 0L)
+          .collect().isEmpty)
+      }
       graft.operators.NearDupRegistry.init(spark, s"$root/ndreg", buckets = 64)
       graft.operators.NearDupRegistry.ingestBatch(
         s"$root/ndreg", corpus, "doc_id", "text", 0L)
@@ -93,7 +107,8 @@ object AuditBench {
       }
       if (!warmup)
         println(f"[audit-bench] scale=$scale%-3d corpus=$nDocs%8d docs  " +
-          f"bm25_fsck=$bmFsck%6.2f s  ndreg_fsck=$ndFsck%6.2f s  " +
+          f"bm25_fsck=$bmFsck%6.2f s  bm25_fsck_incr=$bmFsckIncr%6.2f s  " +
+          f"ndreg_fsck=$ndFsck%6.2f s  " +
           f"reg_merge=$regMerge%6.2f s  ndreg_merge=$ndMerge%6.2f s")
       corpus.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
