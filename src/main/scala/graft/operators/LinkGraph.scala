@@ -85,18 +85,25 @@ object LinkGraph {
     * float power iteration's ±1 ulp summation noise cannot flip a rank
     * comparison, because there are no floats. Per iteration each host
     * sends `rank div outdeg` along its out-edges and every host
-    * receives `((den-num)·scale) div den + (num·Σcontrib) div den`
-    * (hosts without in-links keep the base term). Dangling hosts leak
-    * rank mass as in the textbook simplified formulation — relative
-    * ordering, the curation signal, is unaffected; documented, not
-    * redistributed.
+    * receives `((den-num)·scale) div den + (num·(Σcontrib + share))
+    * div den` (hosts without in-links keep the base term), where
+    * `share` is the DANGLING MASS redistribution: hosts with no
+    * out-edges would otherwise leak their rank out of the system each
+    * round (the textbook simplified formulation's known defect — total
+    * mass decays toward N·base and long-iteration rankings skew toward
+    * the base term), so their summed rank is divided uniformly across
+    * all hosts, `share = (Σ dangling rank) div N` — the standard
+    * dangling-node treatment in integral form. Total mass is conserved
+    * up to integral-division truncation (< 1 micro-unit per div).
     *
     * Scale: the iterate is a host-sized frame; each of the `iters`
-    * rounds is one equi-join with the (persisted) edge relation plus a
-    * hash aggregate on dst. `iters` is a plan-depth constant (default 3
-    * — link-spam scoring wants a few diffusion steps, not convergence),
-    * so the lazy plan stays linear in `iters` and needs no
-    * checkpointing.
+    * rounds is one equi-join with the (persisted) edge relation, a hash
+    * aggregate on dst, and the one-row dangling sum riding a scalar
+    * subquery. The iterate is eagerly localCheckpoint'd per round: the
+    * dangling term references the previous iterate a second time, so a
+    * lazy chain would recompute (and re-analyze) 2^iters subtrees —
+    * the checkpoint keeps both plan and runtime linear in `iters` (the
+    * Dedup.connectedComponents driver-loop precedent).
     */
   def pageRankInt(
       edges: DataFrame, iters: Int = 3, scale: Long = 1000000L,
@@ -114,21 +121,31 @@ object LinkGraph {
       .transform(graft.CacheScope.persisted)
     val outdeg = e.groupBy(col("src").as("host"))
       .agg(count(lit(1)).as("outdeg"))
+      .transform(graft.CacheScope.persisted)
     val base = (scale * (dampDen - dampNum)) / dampDen
+    val nTotal = nodes.agg(count(lit(1)).as("n")).scalar()
     var ranks = nodes.select(col("host"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
-      val contribs = ranks
+      val cur = ranks.localCheckpoint(true)
+      val contribs = cur
         .join(outdeg, Seq("host"))
         .select(col("host"),
           call_function("div", col("rank"), col("outdeg")).as("contrib"))
         .join(e, col("host") === col("src"))
         .groupBy(col("dst").as("host"))
         .agg(sum(col("contrib")).as("in_sum"))
+      // dangling mass: hosts with no out-edges, their rank shared
+      // uniformly — one bounded row riding a scalar subquery
+      val share = call_function("div",
+        cur.join(outdeg, Seq("host"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("d")).scalar(),
+        nTotal)
       ranks = nodes
         .join(contribs, Seq("host"), "left")
         .select(col("host"),
           (lit(base) + call_function("div",
-            lit(dampNum.toLong) * coalesce(col("in_sum"), lit(0L)),
+            lit(dampNum.toLong) *
+              (coalesce(col("in_sum"), lit(0L)) + share),
             lit(dampDen.toLong))).as("rank"))
     }
     ranks

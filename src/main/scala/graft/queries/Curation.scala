@@ -2094,7 +2094,9 @@ object Curation {
     // Fixed-point integer PageRank over the same host graph: ranks in
     // micro-units, every step integral division, so the quantized
     // 3-iteration fixpoint is engine-portable and the oracle unrolls the
-    // SAME three iterations in SQL — the gate pins the whole diffusion,
+    // SAME three iterations in SQL — dangling-mass redistribution
+    // included (the cdnN.net hosts are sinks; each round's share term
+    // appears in both engines) — the gate pins the whole diffusion,
     // not a rounded summary.
     "q104_host_pagerank" -> ((s, dir) =>
       LinkGraph.pageRankInt(plantedHostEdges(t(s, dir, "documents")),

@@ -2007,33 +2007,49 @@ object CurationOracles {
          nodes AS (
            SELECT src AS host FROM e UNION SELECT dst AS host FROM e),
          outdeg AS (SELECT src AS host, count(*) AS od FROM e GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM nodes),
          r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM nodes),
          c1 AS (
            SELECT e.dst AS host, CAST(sum(r0.rank // od.od) AS BIGINT) AS s
            FROM e JOIN r0 ON r0.host = e.src
            JOIN outdeg od ON od.host = e.src GROUP BY e.dst),
+         d1 AS (
+           SELECT CAST(COALESCE(sum(r.rank), 0) // (SELECT n FROM nn)
+             AS BIGINT) AS share
+           FROM r0 r LEFT JOIN outdeg od ON od.host = r.host
+           WHERE od.host IS NULL),
          r1 AS (
            SELECT n.host,
-             CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
-               AS rank
+             CAST(150000 + (85 * (COALESCE(c1.s, 0)
+               + (SELECT share FROM d1))) // 100 AS BIGINT) AS rank
            FROM nodes n LEFT JOIN c1 ON c1.host = n.host),
          c2 AS (
            SELECT e.dst AS host, CAST(sum(r1.rank // od.od) AS BIGINT) AS s
            FROM e JOIN r1 ON r1.host = e.src
            JOIN outdeg od ON od.host = e.src GROUP BY e.dst),
+         d2 AS (
+           SELECT CAST(COALESCE(sum(r.rank), 0) // (SELECT n FROM nn)
+             AS BIGINT) AS share
+           FROM r1 r LEFT JOIN outdeg od ON od.host = r.host
+           WHERE od.host IS NULL),
          r2 AS (
            SELECT n.host,
-             CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
-               AS rank
+             CAST(150000 + (85 * (COALESCE(c2.s, 0)
+               + (SELECT share FROM d2))) // 100 AS BIGINT) AS rank
            FROM nodes n LEFT JOIN c2 ON c2.host = n.host),
          c3 AS (
            SELECT e.dst AS host, CAST(sum(r2.rank // od.od) AS BIGINT) AS s
            FROM e JOIN r2 ON r2.host = e.src
            JOIN outdeg od ON od.host = e.src GROUP BY e.dst),
+         d3 AS (
+           SELECT CAST(COALESCE(sum(r.rank), 0) // (SELECT n FROM nn)
+             AS BIGINT) AS share
+           FROM r2 r LEFT JOIN outdeg od ON od.host = r.host
+           WHERE od.host IS NULL),
          r3 AS (
            SELECT n.host,
-             CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT)
-               AS rank
+             CAST(150000 + (85 * (COALESCE(c3.s, 0)
+               + (SELECT share FROM d3))) // 100 AS BIGINT) AS rank
            FROM nodes n LEFT JOIN c3 ON c3.host = n.host)
          SELECT host, rank AS pr FROM r3 ORDER BY pr DESC, host""",
     // Same tokenization as q68 (\s+ split, empties dropped) lowercased;

@@ -33,21 +33,43 @@ class LinkGraphSpec extends SparkSpec {
       ("a", 2L, 1L), ("b", 1L, 2L), ("c", 2L, 2L), ("d", 0L, 0L)))
   }
 
-  test("pageRankInt: hand-computed integer fixpoint, one and two iterations") {
-    // a->b, a->c, b->c: outdeg a=2, b=1; ranks start at 1,000,000
+  test("pageRankInt: hand-computed integer fixpoint with dangling redistribution") {
+    // a->b, a->c, b->c: outdeg a=2, b=1; c is DANGLING; ranks start at
+    // 1,000,000 each; every round redistributes share = D div 3
     val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
     val r1 = LinkGraph.pageRankInt(e, iters = 1)
       .as[(String, Long)].collect().sortBy(_._1).toSeq
-    // a: base only = 150000
-    // b: 150000 + 85*(1000000 div 2) div 100 = 150000 + 425000
-    // c: 150000 + 85*(500000 + 1000000) div 100 = 150000 + 1275000
-    assert(r1 === Seq(("a", 150000L), ("b", 575000L), ("c", 1425000L)))
+    // round 1: D = rank(c) = 1000000, share = 333333
+    // a: 150000 + 85*(0       + 333333) div 100 = 150000 +  283333
+    // b: 150000 + 85*(500000  + 333333) div 100 = 150000 +  708333
+    // c: 150000 + 85*(1500000 + 333333) div 100 = 150000 + 1558333
+    assert(r1 === Seq(("a", 433333L), ("b", 858333L), ("c", 1708333L)))
     val r2 = LinkGraph.pageRankInt(e, iters = 2)
       .as[(String, Long)].collect().sortBy(_._1).toSeq
-    // second round from (150000, 575000, ...): a stays base;
-    // b: 150000 + 85*(150000 div 2) div 100 = 150000 + 63750
-    // c: 150000 + 85*(75000 + 575000) div 100 = 150000 + 552500
-    assert(r2 === Seq(("a", 150000L), ("b", 213750L), ("c", 702500L)))
+    // round 2: D = 1708333, share = 569444; contribs b = 433333 div 2 =
+    // 216666, c = 216666 + 858333 = 1074999
+    // a: 150000 + 85*(0       + 569444) div 100 = 150000 + 484027
+    // b: 150000 + 85*(216666  + 569444) div 100 = 150000 + 668193
+    // c: 150000 + 85*(1074999 + 569444) div 100 = 150000 + 1397776
+    assert(r2 === Seq(("a", 634027L), ("b", 818193L), ("c", 1547776L)))
+  }
+
+  test("pageRankInt conserves total mass under dangling nodes (up to div truncation)") {
+    // the leaking formulation this replaced decayed a->b's total mass
+    // toward 2*base = 600000 over iterations; redistribution holds it
+    // at 2*scale minus sub-micro-unit truncation
+    val e = edges("a" -> "b")
+    (1 to 8).foreach { it =>
+      val total = LinkGraph.pageRankInt(e, iters = it)
+        .agg(org.apache.spark.sql.functions.sum("rank"))
+        .as[Long].head()
+      assert(total <= 2000000L && total >= 2000000L - 4L * it,
+        s"iters=$it total=$total")
+    }
+    // iters=3 exact values: share3 = 1244375 div 2 = 622187
+    val r3 = LinkGraph.pageRankInt(e, iters = 3)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(r3 === Seq(("a", 678858L), ("b", 1321140L)))
   }
 
   test("pageRankInt rejects degenerate damping and iteration counts") {
