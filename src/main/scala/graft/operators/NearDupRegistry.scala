@@ -256,9 +256,23 @@ object NearDupRegistry {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      batchId: Long): Unit = graft.CacheScope.scoped {
+      batchId: Long): Unit = {
     require(batchId >= 0,
       s"NearDupRegistry.ingestBatch: negative batch id $batchId")
+    // reader isolation (the bm25IngestBatch marker note): corpus parts,
+    // bands parts, and the stats swap cross quiet inter-job gaps a
+    // StableRead probe could otherwise validate inside
+    StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+      ingestApply(path, docs, idCol, textCol, batchId)
+    }
+  }
+
+  private def ingestApply(
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long): Unit = graft.CacheScope.scoped {
     val spark = docs.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)

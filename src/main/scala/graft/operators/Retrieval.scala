@@ -446,8 +446,26 @@ object Retrieval {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      batchId: Long): Unit = graft.CacheScope.scoped {
+      batchId: Long): Unit = {
     require(batchId >= 0, s"bm25IngestBatch: negative batch id $batchId")
+    // reader isolation (the bm25Delete marker note): the apply's part
+    // renames and terms/stats swaps cross several QUIET inter-job gaps
+    // a StableRead probe could otherwise validate inside — new postings
+    // against old stats is a state that never existed. The marker keeps
+    // stable probes out for the batch's applying window; a crashed
+    // apply leaves it standing exactly until the stream's re-delivery
+    // converges (which re-brackets and clears it).
+    StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+      bm25IngestApply(path, docs, idCol, textCol, batchId)
+    }
+  }
+
+  private def bm25IngestApply(
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long): Unit = graft.CacheScope.scoped {
     val spark = docs.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)

@@ -801,6 +801,21 @@ object Similarity {
       batchId: Long,
       quantized: Boolean = false): Unit = {
     require(batchId >= 0, s"ivfIngestBatch: negative batch id $batchId")
+    // reader isolation (the bm25IngestBatch marker note): the per-file
+    // rename loop is a half-applied-batch window no committed state
+    // ever equals — stable probes wait the batch out
+    StableRead.withMaintenanceMarker(batch.sparkSession, indexPath) {
+      ivfIngestApply(indexPath, batch, idCol, vecCol, batchId, quantized)
+    }
+  }
+
+  private def ivfIngestApply(
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long,
+      quantized: Boolean): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)

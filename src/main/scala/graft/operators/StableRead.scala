@@ -87,16 +87,25 @@ object StableRead {
   def signature(spark: SparkSession, roots: Seq[String]): String = {
     val hconf = spark.sessionState.newHadoopConf()
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          // ingest STAGING trees are private to the writer — probes
+          // never read them, so their churn must not invalidate (and
+          // their mid-delete listing races must not abort) a read; the
+          // probe-visible effects all land via renames into live tables
+          if (!(n.startsWith("_ingest_") && n.endsWith("_tmp")))
+            walk(fs, st.getPath)
+        } else
+          entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
     roots.sorted.foreach { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(hconf)
-      if (fs.exists(root)) {
-        val it = fs.listFiles(root, true)
-        while (it.hasNext) {
-          val f = it.next()
-          entries += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
-        }
-      } else entries += s"$r|ABSENT"
+      if (fs.exists(root)) walk(fs, root)
+      else entries += s"$r|ABSENT"
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
@@ -111,8 +120,12 @@ object StableRead {
         case _: java.io.FileNotFoundException => return true
         case _ =>
           val m = cur.getMessage
+          // the last clause: RawLocalFileSystem shells out `ls` for
+          // permissions and wraps a vanished file in a bare
+          // RuntimeException rather than FileNotFoundException
           if (m != null && (m.contains("FAILED_READ_FILE") ||
-            m.contains("PATH_NOT_FOUND"))) return true
+            m.contains("PATH_NOT_FOUND") ||
+            m.contains("No such file or directory"))) return true
       }
       cur = if (cur.getCause eq cur) null else cur.getCause
       depth += 1

@@ -134,6 +134,66 @@ class ReaderMaintenanceRaceSpec extends SparkSpec {
     assert(norm(probe().collect()) === expected)
   }
 
+  test("probes racing a live ingest stream read only committed prefix states") {
+    // the serving question the compact/vacuum arms don't cover: a stack
+    // probing CONTINUOUSLY while batches apply. Every stable probe must
+    // equal the relation of the index after SOME batch prefix — never a
+    // half-applied batch (new postings against old stats), which the
+    // ingest apply's maintenance marker + fingerprint validation forbid.
+    val parent = java.nio.file.Files
+      .createTempDirectory("race-spec-ingest").toString
+    val idx = s"$parent/idx"
+    Retrieval.bm25Init(spark, idx, buckets = 8)
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val batches = (0 until 4).map { b =>
+      (0 until 30).map { i =>
+        // per-doc padding makes dl (and so every BM25 norm) distinct
+        // enough that no two docs tie at the rounded score — a tie's
+        // ORDER depends on the raw sum's low bits, which legitimately
+        // differ between the direct and indexed plans' addition orders
+        (b * 100L + i,
+          (Seq.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length))) ++
+            Seq.fill((b * 30 + i) % 17)("pad")).mkString(" "))
+      }
+    }
+    val queries = Seq((1L, "alpha gamma"), (2L, "beta zeta epsilon"))
+      .toDF("query_id", "query_text").localCheckpoint(true)
+    // expected prefix relations from FIRST PRINCIPLES: the direct-scan
+    // bm25TopK over each committed prefix corpus (indexed probe parity
+    // is pinned elsewhere — q134)
+    val expected: Seq[Seq[String]] = (0 to 4).map { k =>
+      if (k == 0) Seq.empty
+      else norm(Retrieval.bm25TopK(
+        batches.take(k).flatten.toDF("doc_id", "text"),
+        "doc_id", "text", queries, 10).collect())
+    }
+    val writer = scala.concurrent.Future {
+      batches.zipWithIndex.foreach { case (docs, b) =>
+        Retrieval.bm25IngestBatch(
+          idx, docs.toDF("doc_id", "text"), "doc_id", "text", b.toLong)
+        Thread.sleep(30L)
+      }
+    }(scala.concurrent.ExecutionContext.global)
+    var raced = 0
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (!writer.isCompleted || raced < 3) {
+      val got = norm(StableRead.stable(spark, Seq(idx), maxAttempts = 200) {
+        Retrieval.bm25TopKIndexed(idx, queries, 10)
+      }.collect())
+      if (!expected.contains(got))
+        bad += s"probe $raced matched no committed prefix (${got.size} rows)"
+      raced += 1
+    }
+    scala.concurrent.Await.result(
+      writer, scala.concurrent.duration.Duration.Inf)
+    assert(bad.isEmpty, bad.mkString("; "))
+    assert(raced >= 3)
+    assert(norm(StableRead.stable(spark, Seq(idx)) {
+      Retrieval.bm25TopKIndexed(idx, queries, 10)
+    }.collect()) === expected(4), "final state is not the full corpus")
+  }
+
   test("stable read refuses a stranded maintenance marker loudly") {
     val parent = java.nio.file.Files
       .createTempDirectory("race-spec-marker").toString
