@@ -39,6 +39,19 @@ object Fsck {
     if (ok) spark.range(0).select(lit(kind).as("kind"), col("id").as("n"))
     else spark.range(1).select(lit(kind).as("kind"), lit(1L).as("n"))
 
+  /** A stranded [[StableRead]] maintenance marker is an AUDITABLE
+    * operational state: some delete/ingest apply crashed (or threw)
+    * mid-window and its re-run has not happened yet — probes under
+    * StableRead are refusing the artifact, and the partial state may
+    * fail the other checks here too. Every per-artifact audit reports
+    * it so the nightly fsck surfaces the pending re-run, not just its
+    * symptoms.
+    */
+  private def markerViol(
+      spark: SparkSession, path: String, prefix: String): DataFrame =
+    scalarViol(!StableRead.markerPresent(spark, Seq(path)),
+      s"${prefix}_stranded_maintenance_marker", spark)
+
   /** Audit a [[Retrieval.buildBm25Index]]-layout index. Invariants:
     * doclen ids unique; postings (id, term) unique with tf >= 1 and
     * every posted id registered in doclen; per-doc sum(tf) == dl (a
@@ -103,6 +116,7 @@ object Fsck {
         .unionByName(dlMismatch).unionByName(dfMismatch)
         .unionByName(misTerm).unionByName(misPost)
         .unionByName(nOk).unionByName(tokOk).unionByName(tomb)
+        .unionByName(markerViol(spark, path, "bm25"))
         .localCheckpoint(true)
     }
 
@@ -191,18 +205,7 @@ object Fsck {
           .collect()(0)
         val (nDocs, totTok, buckets) = (st.getLong(0), st.getLong(1), st.getLong(2))
         // touched postings buckets: any bucket dir holding a new tag's file
-        val prefixes = tags.map(t => s"b${t}_")
-        val postRoot = new org.apache.hadoop.fs.Path(s"$path/postings")
-        val fs = postRoot.getFileSystem(spark.sessionState.newHadoopConf())
-        val touched =
-          if (!fs.exists(postRoot)) Array.empty[Long]
-          else fs.listStatus(postRoot)
-            .filter(st2 => st2.isDirectory &&
-              st2.getPath.getName.startsWith("bucket="))
-            .filter(d => fs.listStatus(d.getPath)
-              .exists(f => prefixes.exists(f.getPath.getName.startsWith)))
-            .map(_.getPath.getName.stripPrefix("bucket=").toLong)
-            .sorted
+        val touched = touchedPartitions(spark, path, "postings", "bucket=", tags)
         val postings = spark.read.schema(Retrieval.postingsSchema)
           .parquet(s"$path/postings")
           .filter(col("bucket").isin(touched: _*))
@@ -331,7 +334,84 @@ object Fsck {
       Tombstones.read(spark, path), corpus.select(col("id")), "ivf")
     dupId.unionByName(alien).unionByName(assigned).unionByName(quant)
       .unionByName(tomb)
+      .unionByName(markerViol(spark, path, "ivf"))
       .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
+  }
+
+  /** Partition-directory values under `table` holding any of `tags`'
+    * files — the touched-partition set the incremental audits prune to.
+    */
+  private def touchedPartitions(
+      spark: SparkSession, path: String, table: String,
+      partitionPrefix: String, tags: Seq[Long]): Seq[Long] = {
+    val prefixes = tags.map(t => s"b${t}_")
+    val d = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partitionPrefix))
+      .filter(dir => fs.listStatus(dir.getPath)
+        .exists(f => prefixes.exists(f.getPath.getName.startsWith)))
+      .map(_.getPath.getName.stripPrefix(partitionPrefix).toLong)
+      .sorted
+  }
+
+  /** INCREMENTAL audit of an IVF index — [[ivfFsck]] scoped to the
+    * cells the ingest stream touched since the cursor (the
+    * [[bm25FsckIncremental]] discipline and tag-lifetime boundary). The
+    * per-row checks (centroid membership, strict assignment,
+    * quantization re-derivation) run over exactly the touched cells'
+    * partition-pruned reads; id uniqueness of the new rows is checked
+    * against the full corpus's narrow id column. Cell pruning is
+    * GENUINELY effective here, unlike the lexical index's bucket
+    * pruning: a batch touches only the cells its vectors land in, and
+    * embedding batches cluster (that is the index's whole premise).
+    */
+  def ivfFsckIncremental(
+      spark: SparkSession,
+      path: String,
+      sinceBatch: Long,
+      strictAssignment: Boolean = true): DataFrame = graft.CacheScope.scoped {
+    val tags = batchesSince(spark, path, sinceBatch)
+    val empty = spark.range(0)
+      .select(lit("ivf_incr").as("kind"), col("id").as("n"))
+    if (tags.isEmpty) empty.localCheckpoint(true)
+    else {
+      val (cellIds, centroids) = Similarity.loadCentroidTable(spark, path)
+      val touched = touchedPartitions(spark, path, "corpus", "cell=", tags)
+      val corpus = spark.read.parquet(s"$path/corpus")
+        .filter(col("cell").isin(touched: _*))
+        .transform(graft.CacheScope.persisted)
+      // global id uniqueness of the touched rows: the narrow full id
+      // column against the touched-cell ids
+      val dupId = cnt(spark.read.parquet(s"$path/corpus").select(col("id"))
+        .join(corpus.select(col("id")), Seq("id"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), "ivf_dup_id")
+      val alien = cnt(corpus.filter(!col("cell").isin(cellIds: _*)),
+        "ivf_alien_cell")
+      val assigned = cnt(
+        if (!strictAssignment) spark.range(0).select(col("id"))
+        else corpus.filter(col("cell") =!= Similarity.posToCell(element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec").cast("array<double>"), centroids, 1), 1), cellIds)),
+        "ivf_not_nearest_cell")
+      val quant =
+        if (!corpus.columns.contains("qvec"))
+          spark.range(0).select(lit("ivf_quantization_mismatch").as("kind"),
+            col("id").as("n"))
+        else cnt(
+          Similarity.quantizeEmbeddings(
+              corpus.select(col("id"), col("qvec").as("stored_q"),
+                col("qn2").as("stored_n2"), col("vec")), "vec")
+            .filter(col("qvec") =!= col("stored_q") ||
+              Similarity.intDot(col("qvec"), col("qvec")) =!= col("stored_n2")),
+          "ivf_quantization_mismatch")
+      dupId.unionByName(alien).unionByName(assigned).unionByName(quant)
+        .unionByName(markerViol(spark, path, "ivf"))
+        .localCheckpoint(true)
+    }
   }
 
   /** Audit a [[DedupRegistry]]: digests == md5(text) (a corrupted
@@ -372,6 +452,7 @@ object Fsck {
       val tomb = tombstoneChecks(spark, overlay, corpus.select(col("id")), "reg")
       dupId.unionByName(dupDigest).unionByName(badDigest)
         .unionByName(misBucket).unionByName(nOk).unionByName(tomb)
+        .unionByName(markerViol(spark, path, "reg"))
         .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
     }
 
@@ -448,7 +529,190 @@ object Fsck {
       dupId.unionByName(misBucket).unionByName(badHs)
         .unionByName(missingBand).unionByName(alienBand)
         .unionByName(nOk).unionByName(nearDupPair).unionByName(tomb)
+        .unionByName(markerViol(spark, path, "ndreg"))
         .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
+    }
+
+  /** INCREMENTAL audit of a [[DedupRegistry]] — [[registryFsck]] scoped
+    * to the batches committed since the cursor. Per-row checks (digest
+    * == md5, bucket placement) run over the touched buckets'
+    * partition-pruned reads; the DELTA ids' global uniqueness and the
+    * delta digests' as-served uniqueness read the full corpus's narrow
+    * (id) and (digest) columns (old-vs-old collisions were audited
+    * before the cursor); stats recount is a footer-priced count.
+    */
+  def registryFsckIncremental(
+      spark: SparkSession, path: String, sinceBatch: Long): DataFrame =
+    graft.CacheScope.scoped {
+      val tags = batchesSince(spark, path, sinceBatch)
+      val empty = spark.range(0)
+        .select(lit("reg_incr").as("kind"), col("id").as("n"))
+      if (tags.isEmpty) empty.localCheckpoint(true)
+      else {
+        val st = spark.read.parquet(s"$path/stats")
+          .select(col("n_docs"), col("buckets")).collect()(0)
+        val (nDocs, buckets) = (st.getLong(0), st.getLong(1))
+        val touched = touchedPartitions(spark, path, "corpus", "bucket=", tags)
+        val corpusT = spark.read
+          .schema("id LONG, text STRING, digest STRING, bucket LONG")
+          .parquet(s"$path/corpus")
+          .filter(col("bucket").isin(touched: _*))
+          .transform(graft.CacheScope.persisted)
+        // the delta rows proper, at file granularity (an old row in a
+        // touched bucket was audited before the cursor)
+        val dFiles = taggedFiles(spark, path, "corpus", "bucket=", tags)
+        val delta =
+          (if (dFiles.isEmpty)
+            spark.range(0).select(col("id"),
+              col("id").cast("string").as("digest"))
+          else spark.read.schema("id LONG, text STRING, digest STRING")
+            .parquet(dFiles: _*).select(col("id"), col("digest")))
+            .transform(graft.CacheScope.persisted)
+        val allCorpus = spark.read
+          .schema("id LONG, text STRING, digest STRING, bucket LONG")
+          .parquet(s"$path/corpus")
+        val dupId = cnt(allCorpus.select(col("id"))
+          .join(delta.select(col("id")), Seq("id"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), "reg_dup_id")
+        // as-served digest uniqueness for the delta's digests (the
+        // registryFsck overlay rationale)
+        val overlay = Tombstones.read(spark, path)
+        val served = overlay
+          .map(t => allCorpus.join(broadcast(t), Seq("id"), "left_anti"))
+          .getOrElse(allCorpus)
+        val dupDigest = cnt(served.select(col("digest"))
+          .join(delta.select(col("digest")).distinct(),
+            Seq("digest"), "left_semi")
+          .groupBy(col("digest")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), "reg_dup_digest")
+        val badDigest = cnt(corpusT.filter(col("digest") =!= md5(col("text"))),
+          "reg_digest_mismatch")
+        val misBucket = cnt(corpusT.filter(
+          col("bucket") =!= pmod(xxhash64(col("digest")), lit(buckets))),
+          "reg_misbucketed_row")
+        val nOk = scalarViol(
+          allCorpus.count() == nDocs, "reg_stats_ndocs", spark)
+        dupId.unionByName(dupDigest).unionByName(badDigest)
+          .unionByName(misBucket).unionByName(nOk)
+          .unionByName(markerViol(spark, path, "reg"))
+          .localCheckpoint(true)
+      }
+    }
+
+  /** INCREMENTAL audit of a [[NearDupRegistry]] —
+    * [[nearDupRegistryFsck]] scoped to the batches since the cursor.
+    * Per-row checks (bucket placement, hs re-derivation) run over the
+    * touched corpus buckets; the band-key equivalence runs for exactly
+    * the DELTA ids (their stored band rows are the touched pk
+    * partitions' tagged content, so both sides of the comparison are
+    * delta-sized); the SEMANTIC check verifies delta-vs-live candidate
+    * pairs only — the delta's band keys join the touched pk partitions
+    * (a new pair must share a band key with the new rows, and old-old
+    * pairs were audited before the cursor). The partner hs lookup is
+    * the one corpus-wide read: a narrow (id, hs) column join, the
+    * honest price of verifying against the whole standing registry.
+    */
+  def nearDupRegistryFsckIncremental(
+      spark: SparkSession, path: String, sinceBatch: Long): DataFrame =
+    graft.CacheScope.scoped {
+      val tags = batchesSince(spark, path, sinceBatch)
+      val empty = spark.range(0)
+        .select(lit("ndreg_incr").as("kind"), col("id").as("n"))
+      if (tags.isEmpty) empty.localCheckpoint(true)
+      else {
+        val st = spark.read.parquet(s"$path/stats").collect()(0)
+        val (nDocs, buckets) =
+          (st.getAs[Long]("n_docs"), st.getAs[Long]("buckets"))
+        val (shingleSize, numHashes, bands, threshold) = (
+          st.getAs[Long]("shingle_size").toInt,
+          st.getAs[Long]("num_hashes").toInt,
+          st.getAs[Long]("bands").toInt, st.getAs[Double]("threshold"))
+        val touchedB = touchedPartitions(spark, path, "corpus", "bucket=", tags)
+        val touchedPk = touchedPartitions(spark, path, "bands", "pk=", tags)
+        val corpusT = spark.read
+          .schema("id LONG, text STRING, hs ARRAY<LONG>, bucket LONG")
+          .parquet(s"$path/corpus")
+          .filter(col("bucket").isin(touchedB: _*))
+          .withColumn("sh", Dedup.shingles(col("text"), shingleSize))
+          .transform(graft.CacheScope.persisted)
+        val dFiles = taggedFiles(spark, path, "corpus", "bucket=", tags)
+        val deltaIds =
+          (if (dFiles.isEmpty) spark.range(0).select(col("id"))
+          else spark.read.schema("id LONG, text STRING, hs ARRAY<LONG>")
+            .parquet(dFiles: _*).select(col("id")))
+            .transform(graft.CacheScope.persisted)
+        val bandsT = spark.read
+          .schema("band INT, bkey INT, id LONG, pk LONG")
+          .parquet(s"$path/bands")
+          .filter(col("pk").isin(touchedPk: _*))
+          .transform(graft.CacheScope.persisted)
+        val misBucket = cnt(corpusT.filter(
+          col("bucket") =!= pmod(xxhash64(col("id")), lit(buckets))),
+          "ndreg_misbucketed_row")
+        val badHs = cnt(corpusT.filter(
+          col("hs") =!= graft.functions.HashExprs.hashedSortedSet(col("sh"))),
+          "ndreg_hs_mismatch")
+        // delta ids' global uniqueness: narrow full id column
+        val dupId = cnt(spark.read
+          .schema("id LONG, text STRING, hs ARRAY<LONG>, bucket LONG")
+          .parquet(s"$path/corpus").select(col("id"))
+          .join(deltaIds, Seq("id"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), "ndreg_dup_id")
+        // band-key equivalence for the delta ids, both directions —
+        // their stored rows all live in the touched pk partitions (the
+        // batch wrote them there)
+        val expectedD = Dedup.bandedKeys(
+            corpusT.join(deltaIds, Seq("id"), "left_semi")
+              .filter(size(col("sh")) > 0).select(col("id"), col("sh")),
+            numHashes, bands)
+          .withColumnRenamed("bucket", "bkey")
+          .withColumn("pk", pmod(col("bkey"), lit(buckets)))
+        val storedD = bandsT.join(deltaIds, Seq("id"), "left_semi")
+        val bandCols = Seq("band", "bkey", "id", "pk").map(col)
+        val missingBand = cnt(expectedD.select(bandCols: _*)
+          .join(storedD, Seq("band", "bkey", "id", "pk"), "left_anti"),
+          "ndreg_missing_band_key")
+        val alienBand = cnt(storedD
+          .join(expectedD.select(bandCols: _*),
+            Seq("band", "bkey", "id", "pk"), "left_anti"),
+          "ndreg_alien_band_key")
+        // semantic: no delta row verifies against ANY live row among
+        // LSH candidates (as served — tombstoned rows don't witness)
+        val overlay = Tombstones.read(spark, path)
+        val liveBandsT = overlay
+          .map(t => bandsT.join(broadcast(t), Seq("id"), "left_anti"))
+          .getOrElse(bandsT)
+        val liveStoredD = overlay
+          .map(t => storedD.join(broadcast(t), Seq("id"), "left_anti"))
+          .getOrElse(storedD)
+        val cands = liveStoredD.as("a")
+          .join(liveBandsT.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bkey") === col("b.bkey") && col("a.id") =!= col("b.id"))
+          .select(
+            least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"))
+          .distinct()
+        val allHs = spark.read
+          .schema("id LONG, text STRING, hs ARRAY<LONG>, bucket LONG")
+          .parquet(s"$path/corpus").select(col("id"), col("hs"))
+        val nearDupPair = cnt(
+          NearDupRegistry.verified(cands, "id_a", "id_b", allHs, allHs,
+            threshold),
+          "ndreg_registered_near_dup_pair")
+        val nOk = scalarViol(
+          spark.read
+            .schema("id LONG, text STRING, hs ARRAY<LONG>, bucket LONG")
+            .parquet(s"$path/corpus").count() == nDocs,
+          "ndreg_stats_ndocs", spark)
+        dupId.unionByName(misBucket).unionByName(badHs)
+          .unionByName(missingBand).unionByName(alienBand)
+          .unionByName(nOk).unionByName(nearDupPair)
+          .unionByName(markerViol(spark, path, "ndreg"))
+          .localCheckpoint(true)
+      }
     }
 
   /** CROSS-ARTIFACT audit for a curate-then-index composition

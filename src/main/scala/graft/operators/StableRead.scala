@@ -71,7 +71,8 @@ object StableRead {
     out
   }
 
-  private def markerPresent(spark: SparkSession, roots: Seq[String]): Boolean = {
+  private[graft] def markerPresent(
+      spark: SparkSession, roots: Seq[String]): Boolean = {
     val hconf = spark.sessionState.newHadoopConf()
     roots.exists { r =>
       val p = new org.apache.hadoop.fs.Path(s"$r/$MarkerName")

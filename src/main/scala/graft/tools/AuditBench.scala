@@ -81,9 +81,22 @@ object AuditBench {
       }
       graft.operators.NearDupRegistry.init(spark, s"$root/ndreg", buckets = 64)
       graft.operators.NearDupRegistry.ingestBatch(
-        s"$root/ndreg", corpus, "doc_id", "text", 0L)
+        s"$root/ndreg", corpus.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", 0L)
+      graft.operators.NearDupRegistry.ingestBatch(
+        s"$root/ndreg", corpus.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", 1L)
       val ndFsck = timed {
         assert(graft.operators.Fsck.nearDupRegistryFsck(spark, s"$root/ndreg")
+          .collect().isEmpty)
+      }
+      // incremental near-dup audit over the last (1/97) batch: the
+      // expensive semantic check shrinks from the full candidate
+      // self-join to delta-vs-live — the family where the cursor pays
+      // most (the full audit is the estate's costliest)
+      val ndFsckIncr = timed {
+        assert(graft.operators.Fsck
+          .nearDupRegistryFsckIncremental(spark, s"$root/ndreg", 0L)
           .collect().isEmpty)
       }
       // ---- registry shard-and-merge arms (shards built untimed) ----
@@ -108,7 +121,7 @@ object AuditBench {
       if (!warmup)
         println(f"[audit-bench] scale=$scale%-3d corpus=$nDocs%8d docs  " +
           f"bm25_fsck=$bmFsck%6.2f s  bm25_fsck_incr=$bmFsckIncr%6.2f s  " +
-          f"ndreg_fsck=$ndFsck%6.2f s  " +
+          f"ndreg_fsck=$ndFsck%6.2f s  ndreg_fsck_incr=$ndFsckIncr%6.2f s  " +
           f"reg_merge=$regMerge%6.2f s  ndreg_merge=$ndMerge%6.2f s")
       corpus.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

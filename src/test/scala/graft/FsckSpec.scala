@@ -207,4 +207,55 @@ class FsckSpec extends SparkSpec {
     val got3 = kinds(Fsck.composedFsck(spark, reg2, idx2))
     assert(got3.contains("composed_postings_derivation_mismatch"), s"got $got3")
   }
+
+  test("a stranded maintenance marker is an audited state in every family") {
+    val parent = java.nio.file.Files.createTempDirectory("fsck-marker").toString
+    def markerOf(p: String) = new org.apache.hadoop.fs.Path(
+      s"$p/${graft.operators.StableRead.MarkerName}")
+    def plant(p: String): Unit = markerOf(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .create(markerOf(p), true).close()
+    def unplant(p: String): Unit = markerOf(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(markerOf(p), false)
+    // bm25
+    val bm = s"$parent/bm"
+    Retrieval.buildBm25Index(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text", bm,
+      buckets = 4)
+    plant(bm)
+    assert(kinds(Fsck.bm25Fsck(spark, bm)) ===
+      Set("bm25_stranded_maintenance_marker"))
+    unplant(bm)
+    assert(Fsck.bm25Fsck(spark, bm).count() === 0L)
+    // ivf
+    val ivf = s"$parent/ivf"
+    graft.operators.Similarity.buildIvfIndex(
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "vec"),
+      "id", "vec", nlist = 2, ivf)
+    plant(ivf)
+    assert(kinds(Fsck.ivfFsck(spark, ivf)) ===
+      Set("ivf_stranded_maintenance_marker"))
+    unplant(ivf)
+    // exact registry
+    val reg = s"$parent/reg"
+    graft.operators.DedupRegistry.init(spark, reg, buckets = 4)
+    graft.operators.DedupRegistry.ingestBatch(reg,
+      Seq((1L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", 0L)
+    plant(reg)
+    assert(kinds(Fsck.registryFsck(spark, reg)) ===
+      Set("reg_stranded_maintenance_marker"))
+    unplant(reg)
+    // near-dup registry
+    val nd = s"$parent/nd"
+    graft.operators.NearDupRegistry.init(spark, nd, buckets = 4)
+    graft.operators.NearDupRegistry.ingestBatch(nd,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    plant(nd)
+    assert(kinds(Fsck.nearDupRegistryFsck(spark, nd)) ===
+      Set("ndreg_stranded_maintenance_marker"))
+    unplant(nd)
+    assert(Fsck.nearDupRegistryFsck(spark, nd).count() === 0L)
+  }
 }
