@@ -394,6 +394,15 @@ class PlanShapeSpec extends SparkSpec {
           docs.limit(40), 0L)
         operators.Fsck.composedFsck(
           spark, s"$compRoot/reg", s"$compRoot/idx").collect()
+        // round 15: the quantizer refresh (retrain + reassignment +
+        // swaps) and the incremental audits' pruned/delta join plans
+        operators.Similarity.ivfRequantize(spark, ivfPath, nlist = 8)
+        operators.Fsck.bm25FsckIncremental(spark, path, -1L).collect()
+        operators.Fsck.registryFsckIncremental(spark, regPath, -1L).collect()
+        operators.Fsck.nearDupRegistryFsckIncremental(spark, ndPath, -1L)
+          .collect()
+        operators.Fsck.composedFsckIncremental(
+          spark, s"$compRoot/reg", s"$compRoot/idx", -1L).collect()
       }
       // listener delivery is async on the bus — wait for it to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
