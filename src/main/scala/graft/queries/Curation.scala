@@ -3989,6 +3989,62 @@ object Curation {
     // analogue is the trades-parallel-indicators write discipline of
     // /root/reference/src/threading/PipelineExecutor.hpp:80-184,
     // carried to the index estate.
+    // Reader-racing-maintenance under the DRIVER's oracle: two shards
+    // (mixed bucket moduli — the federated contract), a pending
+    // takedown on shard A, and federated STABLE probes firing while
+    // compact churn and the vacuum swap run on a second thread. Every
+    // concurrent probe must equal the first (tombstone-exactness makes
+    // pre-vacuum == post-vacuum bit-for-bit), and the final relation is
+    // hash-pinned against the survivors-only BM25-in-SQL oracle. The
+    // probes run under StableRead — fingerprint validation plus the
+    // maintenance markers the delete/ingest applies hold — which is
+    // what makes "probe during maintenance" a legal operation at all;
+    // a blend, a mid-swap exception, or a starved probe fails the GATE,
+    // not just a spec (ReaderMaintenanceRaceSpec is the spec-level
+    // twin with the kill-grade arms).
+    "q186_stable_probe_race" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val parent = java.nio.file.Files
+        .createTempDirectory("graft-q186").toString
+      val a = s"$parent/a"; val b = s"$parent/b"
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", a,
+        buckets = 64)
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", b,
+        buckets = 31)
+      // every multiple of 10 is even, so the takedown lands wholly on
+      // shard a and survivors-only == doc_id % 10 <> 0
+      graft.operators.Tombstones.add(spark, a,
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+        "doc_id")
+      def probe() = graft.operators.StableRead.stable(
+        spark, Seq(a, b), maxAttempts = 300) {
+        Retrieval.bm25TopKFederated(spark, Seq(a, b), bm25Queries(s), 10)
+      }
+      val expected = probe().collect().map(_.toString).sorted.toSeq
+      val churn = scala.concurrent.Future {
+        (1 to 2).foreach { i =>
+          Retrieval.bm25Compact(spark, a)
+          Retrieval.bm25Compact(spark, b)
+          if (i == 1) require(Retrieval.bm25Vacuum(spark, a) > 0L,
+            "q186: vacuum applied nothing")
+        }
+      }(scala.concurrent.ExecutionContext.global)
+      var raced = 0
+      while (!churn.isCompleted || raced < 2) {
+        val got = probe().collect().map(_.toString).sorted.toSeq
+        require(got == expected,
+          s"q186: stable probe diverged mid-churn (${got.size} rows)")
+        raced += 1
+      }
+      scala.concurrent.Await.result(
+        churn, scala.concurrent.duration.Duration.Inf)
+      probe().orderBy(col("query_id"), col("rnk"))
+    }),
+
     "q182_bm25_serving_stack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val base = s"$servParent/base"; val delta = s"$servParent/delta"

@@ -2364,6 +2364,11 @@ object CurationOracles {
     // (1.2 + 1.0) folds to the same double both sides. The per-(q, d)
     // sum is ≤ |query| = 4 terms, the q74 summation precedent.
     "q127_bm25" -> Bm25OracleSql,
+    // The race gate's final stable probe: the survivors-only relation
+    // (every multiple of 10 tombstoned then vacuumed) under the
+    // verbatim BM25 arithmetic — equality here plus the gate's own
+    // probe-vs-probe requires pins "pre == mid-churn == post".
+    "q186_stable_probe_race" -> bm25OracleOver("doc_id % 10 <> 0"),
     // The appended index must reproduce the full-corpus relation
     // exactly — same oracle, by reference (the q134 rationale:
     // persistence, pruning, and now INCREMENTAL MAINTENANCE are
