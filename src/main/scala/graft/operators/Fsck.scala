@@ -206,6 +206,24 @@ object Fsck {
         val (nDocs, totTok, buckets) = (st.getLong(0), st.getLong(1), st.getLong(2))
         // touched postings buckets: any bucket dir holding a new tag's file
         val touched = touchedPartitions(spark, path, "postings", "bucket=", tags)
+        val allBuckets = {
+          val d = new org.apache.hadoop.fs.Path(s"$path/postings")
+          val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(d)) 0
+          else fs.listStatus(d).count(s2 => s2.isDirectory &&
+            s2.getPath.getName.startsWith("bucket="))
+        }
+        // footprint escape hatch (measured, AuditBench 100x: incr
+        // 10.5 s vs full 5.9 s when a broad-vocabulary delta touches
+        // nearly every bucket): the pruned path reads the touched
+        // buckets' postings WITHOUT the full audit's one shared
+        // persisted scan, plus the tagged re-reads — past ~half the
+        // modulus the full audit is cheaper AND strictly more complete,
+        // so delegate instead of paying pruning that prunes (almost)
+        // nothing
+        if (allBuckets > 0 && touched.size * 2 >= allBuckets)
+          bm25Fsck(spark, path)
+        else {
         val postings = spark.read.schema(Retrieval.postingsSchema)
           .parquet(s"$path/postings")
           .filter(col("bucket").isin(touched: _*))
@@ -267,7 +285,9 @@ object Fsck {
           .unionByName(dlMismatch).unionByName(dfMismatch)
           .unionByName(misTerm).unionByName(misPost)
           .unionByName(nOk).unionByName(tokOk).unionByName(tomb)
+          .unionByName(markerViol(spark, path, "bm25"))
           .localCheckpoint(true)
+        }
       }
     }
 

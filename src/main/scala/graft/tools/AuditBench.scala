@@ -74,9 +74,17 @@ object AuditBench {
         corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 0L)
       graft.operators.Retrieval.bm25IngestBatch(s"$root/bm25i",
         corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 1L)
+      // time BOTH audits on the SAME streamed index, incremental first
+      // (the two indexes differ in layout and the arms differ in JVM
+      // cache state — comparing incr(bm25i) against full(bm25) mixes
+      // those into the pruning signal)
       val bmFsckIncr = timed {
         assert(graft.operators.Fsck
           .bm25FsckIncremental(spark, s"$root/bm25i", 0L)
+          .collect().isEmpty)
+      }
+      val bmFsckI = timed {
+        assert(graft.operators.Fsck.bm25Fsck(spark, s"$root/bm25i")
           .collect().isEmpty)
       }
       graft.operators.NearDupRegistry.init(spark, s"$root/ndreg", buckets = 64)
@@ -120,7 +128,8 @@ object AuditBench {
       }
       if (!warmup)
         println(f"[audit-bench] scale=$scale%-3d corpus=$nDocs%8d docs  " +
-          f"bm25_fsck=$bmFsck%6.2f s  bm25_fsck_incr=$bmFsckIncr%6.2f s  " +
+          f"bm25_fsck=$bmFsck%6.2f s  bm25i_full=$bmFsckI%6.2f s  " +
+          f"bm25_fsck_incr=$bmFsckIncr%6.2f s  " +
           f"ndreg_fsck=$ndFsck%6.2f s  ndreg_fsck_incr=$ndFsckIncr%6.2f s  " +
           f"reg_merge=$regMerge%6.2f s  ndreg_merge=$ndMerge%6.2f s")
       corpus.unpersist()
