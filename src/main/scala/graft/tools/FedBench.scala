@@ -92,6 +92,25 @@ object FedBench {
     println(f"[fed-bench] ivf probe:  merged=$ivfSingle%6.2f s  " +
       f"federated4=$ivfFed4%6.2f s  premium/index=${(ivfFed4 - ivfSingle) / 3}%5.2f s")
 
+    // ---- StableRead premium: what optimistic validation costs a
+    // federated probe (two driver-side metadata fingerprints + the
+    // marker existence checks per read, zero data reads) — the price
+    // of "probe during maintenance" being legal at all. On a quiesced
+    // estate the retry loop never fires, so this IS the steady-state
+    // serving overhead.
+    val fedPlain = minOf3 {
+      graft.operators.Retrieval.bm25TopKFederated(
+        spark, Seq(s"$root/b2_base", s"$root/b2_delta"), queries, 10)
+        .collect() }
+    val fedStable = minOf3 {
+      graft.operators.StableRead.stable(
+        spark, Seq(s"$root/b2_base", s"$root/b2_delta")) {
+        graft.operators.Retrieval.bm25TopKFederated(
+          spark, Seq(s"$root/b2_base", s"$root/b2_delta"), queries, 10)
+      }.count() }
+    println(f"[fed-bench] stable-read premium: plain=$fedPlain%6.2f s  " +
+      f"stable=$fedStable%6.2f s  validation=${fedStable - fedPlain}%5.2f s")
+
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }
