@@ -87,11 +87,13 @@ object DedupRegistry {
     val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
     require(!fs.exists(stats),
       s"DedupRegistry.init: a registry already exists at $path")
-    spark.range(1)
-      .select(lit(0L).as("n_docs"), lit(0L).as("n_dropped"),
-        lit(buckets.toLong).as("buckets"))
-      .coalesce(1).write.parquet(stats.toString)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/corpus"))
+    StableRead.withMaintenanceMarker(spark, path) {
+      spark.range(1)
+        .select(lit(0L).as("n_docs"), lit(0L).as("n_dropped"),
+          lit(buckets.toLong).as("buckets"))
+        .coalesce(1).write.parquet(stats.toString)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/corpus"))
+    }
   }
 
   /** The registry's digest rows that MIGHT match the batch — bucket-
@@ -446,6 +448,9 @@ object DedupRegistry {
       s"DedupRegistry.merge: a registry already exists at $dest")
     paths.foreach(requireCommitted(spark, _, "DedupRegistry.merge"))
     paths.foreach(requirePristine(spark, _, "DedupRegistry.merge"))
+    // reader-isolation bracket + manifest commit ([[StableRead]]) on
+    // the destination (sources are read-only here)
+    StableRead.withMaintenanceMarker(spark, dest) {
     val stats = paths.map { p =>
       val r = spark.read.parquet(s"$p/stats")
         .select(col("n_docs"), col("n_dropped"), col("buckets")).collect()(0)
@@ -502,6 +507,7 @@ object DedupRegistry {
         lit(rawTotal - nDocs).as("n_dropped"),
         lit(buckets).as("buckets"))
       .coalesce(1).write.parquet(s"$dest/stats")
+    }
   }
 
   /** Physically apply the registry's entire soft-delete overlay in one
@@ -567,10 +573,13 @@ object DedupRegistry {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compact_tmp")
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(cur), s"DedupRegistry.compact: no corpus at $cur")
-    spark.read.parquet(cur.toString)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-    graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+    // reader-isolation bracket + manifest commit ([[StableRead]])
+    StableRead.withMaintenanceMarker(spark, path) {
+      spark.read.parquet(cur.toString)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+    }
   }
 
   /** Targeted takedown by document id — [[graft.sinks.Sinks.deleteRows]]
@@ -600,15 +609,25 @@ object DedupRegistry {
     // rewrite + overlay clear + stats heal are steps a concurrent
     // stable probe must not straddle
     StableRead.withMaintenanceMarker(spark, path) {
-    val n = graft.sinks.Sinks.deleteRows(
-      spark, s"$path/corpus", "bucket", "id",
-      keys.select(col(keyCol).as("id")))
     // permanent maintenance-history flag: a physical removal breaks the
     // merge stats' raw-stream conservation (n_docs drops, n_dropped
     // doesn't — the doc was taken down, not dropped as a duplicate), so
     // [[merge]] structurally refuses this shard from now on instead of
-    // trusting the scaladoc's build-then-merge-then-maintain contract
-    if (n > 0L) markMaintained(spark, path)
+    // trusting the scaladoc's build-then-merge-then-maintain contract.
+    // Stamped BEFORE the rewrite, crash-safe: a crash after the rewrite
+    // but before a post-hoc stamp, followed by the contract-mandated
+    // re-run (which then removes 0 rows), would otherwise converge to a
+    // physically-maintained shard with no flag — the exact state the
+    // guard exists to refuse (MaintenanceGuardSpec drives the window)
+    val doomed = spark.read
+      .schema("id LONG, text STRING, digest STRING, bucket LONG")
+      .parquet(s"$path/corpus")
+      .join(keys.select(col(keyCol).as("id")), Seq("id"), "left_semi")
+      .limit(1).count() > 0L
+    if (doomed) markMaintained(spark, path)
+    val n = graft.sinks.Sinks.deleteRows(
+      spark, s"$path/corpus", "bucket", "id",
+      keys.select(col(keyCol).as("id")))
     // a physical delete compacts any soft-delete overlay covering these
     // ids (the Tombstones contract, same as the index deletes)
     Tombstones.clear(spark, path, keys, keyCol)

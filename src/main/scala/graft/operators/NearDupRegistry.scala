@@ -93,16 +93,18 @@ object NearDupRegistry {
     val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
     require(!fs.exists(stats),
       s"NearDupRegistry.init: a registry already exists at $path")
-    spark.range(1)
-      .select(lit(0L).as("n_docs"), lit(0L).as("n_dropped"),
-        lit(buckets.toLong).as("buckets"),
-        lit(shingleSize.toLong).as("shingle_size"),
-        lit(numHashes.toLong).as("num_hashes"),
-        lit(bands.toLong).as("bands"),
-        lit(threshold).as("threshold"))
-      .coalesce(1).write.parquet(stats.toString)
-    Seq("corpus", "bands").foreach(t =>
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$t")))
+    StableRead.withMaintenanceMarker(spark, path) {
+      spark.range(1)
+        .select(lit(0L).as("n_docs"), lit(0L).as("n_dropped"),
+          lit(buckets.toLong).as("buckets"),
+          lit(shingleSize.toLong).as("shingle_size"),
+          lit(numHashes.toLong).as("num_hashes"),
+          lit(bands.toLong).as("bands"),
+          lit(threshold).as("threshold"))
+        .coalesce(1).write.parquet(stats.toString)
+      Seq("corpus", "bands").foreach(t =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$t")))
+    }
   }
 
   private case class Params(
@@ -531,6 +533,9 @@ object NearDupRegistry {
       s"NearDupRegistry.merge: a registry already exists at $dest")
     paths.foreach(
       DedupRegistry.requirePristine(spark, _, "NearDupRegistry.merge"))
+    // reader-isolation bracket + manifest commit ([[StableRead]]) on
+    // the destination (sources are read-only here)
+    StableRead.withMaintenanceMarker(spark, dest) {
     val params = paths.map(p => readParams(spark, p))
     val first = params.head
     paths.zip(params).foreach { case (p, q) =>
@@ -603,6 +608,7 @@ object NearDupRegistry {
         lit(first.bands.toLong).as("bands"),
         lit(first.threshold).as("threshold"))
       .coalesce(1).write.parquet(s"$dest/stats")
+    }
   }
 
   /** Physically apply the registry's entire soft-delete overlay in one
@@ -634,16 +640,22 @@ object NearDupRegistry {
     requireCommitted(spark, path, "NearDupRegistry.compact")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq(("corpus", corpusSchema, "bucket"), ("bands", bandsSchema, "pk"))
-      .foreach { case (name, schema, part) =>
-        val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
-        require(fs.exists(cur), s"NearDupRegistry.compact: no $name at $cur")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_compact_tmp")
-        spark.read.schema(schema).parquet(cur.toString)
-          .repartition(col(part))
-          .write.mode("overwrite").partitionBy(part).parquet(tmp.toString)
-        graft.sinks.Sinks.swapByRename(fs, tmp, cur)
-      }
+    // reader-isolation bracket + manifest commit ([[StableRead]]): two
+    // table swaps a concurrent stable probe must not straddle
+    StableRead.withMaintenanceMarker(spark, path) {
+      Seq(("corpus", corpusSchema, "bucket"), ("bands", bandsSchema, "pk"))
+        .foreach { case (name, schema, part) =>
+          val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
+          require(fs.exists(cur),
+            s"NearDupRegistry.compact: no $name at $cur")
+          val tmp =
+            new org.apache.hadoop.fs.Path(s"$path/${name}_compact_tmp")
+          spark.read.schema(schema).parquet(cur.toString)
+            .repartition(col(part))
+            .write.mode("overwrite").partitionBy(part).parquet(tmp.toString)
+          graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+        }
+    }
   }
 
   /** Targeted takedown by id: [[graft.sinks.Sinks.deleteRows]] on the
@@ -679,11 +691,18 @@ object NearDupRegistry {
     // concurrent stable probe must not straddle
     StableRead.withMaintenanceMarker(spark, path) {
     val k = keys.select(col(keyCol).as("id"))
+    // maintenance-history flag: merge refuses this shard from now on
+    // ([[DedupRegistry.requirePristine]]'s conservation rationale).
+    // Stamped BEFORE the rewrite, crash-safe: a crash after the rewrite
+    // but before a post-hoc stamp, followed by the contract-mandated
+    // re-run (which then removes 0 rows), would otherwise converge to a
+    // physically-maintained shard with no flag — the exact state the
+    // guard exists to refuse (MaintenanceGuardSpec drives the window)
+    val doomed = spark.read.schema(corpusSchema).parquet(s"$path/corpus")
+      .join(k, Seq("id"), "left_semi").limit(1).count() > 0L
+    if (doomed) DedupRegistry.markMaintained(spark, path)
     val n = graft.sinks.Sinks.deleteRows(
       spark, s"$path/corpus", "bucket", "id", k)
-    // maintenance-history flag: merge refuses this shard from now on
-    // ([[DedupRegistry.requirePristine]]'s conservation rationale)
-    if (n > 0L) DedupRegistry.markMaintained(spark, path)
     graft.sinks.Sinks.deleteRows(
       spark, s"$path/bands", "pk", "id", k, countDeleted = false)
     // a physical delete compacts any soft-delete overlay covering these

@@ -164,6 +164,10 @@ object Retrieval {
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
+    // reader-isolation bracket + manifest commit ([[StableRead]]): a
+    // (re)build into a live root must not validate mid-write, and the
+    // finished index starts its commit-generation history here
+    StableRead.withMaintenanceMarker(spark, path) {
     // the two stats scalars ride ONE observe() on the docs scan, filled
     // for free when the postings write materializes tf (the q140
     // precedent; the observation sits BELOW the persist, so it sees the
@@ -226,6 +230,7 @@ object Retrieval {
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats")
+    }
   }
 
   // Explicit index-table schemas: a LEGAL index state can carry an
@@ -276,12 +281,14 @@ object Retrieval {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
     require(!fs.exists(stats), s"bm25Init: an index already exists at $path")
-    import spark.implicits._
-    Seq((0L, 0L, buckets.toLong))
-      .toDF("n_docs", "total_tokens", "buckets")
-      .coalesce(1).write.parquet(stats.toString)
-    Seq("terms", "postings", "doclen").foreach(t =>
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$t")))
+    StableRead.withMaintenanceMarker(spark, path) {
+      import spark.implicits._
+      Seq((0L, 0L, buckets.toLong))
+        .toDF("n_docs", "total_tokens", "buckets")
+        .coalesce(1).write.parquet(stats.toString)
+      Seq("terms", "postings", "doclen").foreach(t =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$t")))
+    }
   }
 
   /** Incrementally append a document batch to a [[buildBm25Index]]
@@ -315,6 +322,10 @@ object Retrieval {
       .collect()(0)
     val (oldDocs, oldTok, buckets) =
       (st.getLong(0), st.getLong(1), st.getLong(2))
+    // reader-isolation bracket + manifest commit ([[StableRead]]): the
+    // postings append / df merge / stats rewrite are steps a concurrent
+    // stable probe must not straddle
+    StableRead.withMaintenanceMarker(spark, path) {
     // batch stats ride ONE observe() on the batch scan (the
     // buildBm25Index shape): no extra batch rescan, no 1-row crossJoin.
     // An all-tokenless batch is legal (tokenless docs count toward N
@@ -374,6 +385,7 @@ object Retrieval {
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats")
+    }
   }
 
   /** Exactly-once STREAMING ingest into a persisted [[buildBm25Index]]
@@ -637,6 +649,9 @@ object Retrieval {
 
   def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     requireCommitted(spark, path, "bm25Compact")
+    // reader-isolation bracket + manifest commit ([[StableRead]]): two
+    // table swaps a concurrent stable probe must not straddle
+    StableRead.withMaintenanceMarker(spark, path) {
     val buckets = spark.read.parquet(s"$path/stats")
       .select(col("buckets")).collect()(0).getLong(0)
     val hconf = spark.sessionState.newHadoopConf()
@@ -658,6 +673,7 @@ object Retrieval {
     require(buckets > 0, s"bm25Compact: corrupt stats at $path")
     swapRewrite("postings", clustered = true)
     swapRewrite("doclen", clustered = false)
+    }
   }
 
   /** Merge two [[buildBm25Index]] indexes — the pairwise convenience
@@ -722,6 +738,11 @@ object Retrieval {
     val fs = destP.getFileSystem(hconf)
     require(!fs.exists(destP), s"bm25Merge: $dest already exists")
     paths.foreach(requireCommitted(spark, _, "bm25Merge"))
+    // reader-isolation brackets + manifest commits ([[StableRead]]):
+    // dest always — and with move=true the source shards too, since the
+    // part-file renames CONSUME them under any reader still probing
+    StableRead.withMaintenanceMarkers(
+      spark, dest +: (if (move) paths else Seq.empty)) {
     val stats = paths.map { p =>
       val r = spark.read.parquet(s"$p/stats")
         .select(col("n_docs"), col("total_tokens"), col("buckets"))
@@ -763,6 +784,7 @@ object Retrieval {
     // soft-delete overlays travel with the merge: dropping them would
     // RESURRECT tombstoned docs in the merged index (TombstoneSpec)
     mergeOverlays(spark, paths, dest)
+    }
   }
 
   /** Union the shards' [[Tombstones]] overlays into a merged index's —

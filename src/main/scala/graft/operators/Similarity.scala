@@ -586,6 +586,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleN)
+    // reader-isolation bracket + manifest commit ([[StableRead]]): a
+    // (re)build into a live root must not validate mid-write
+    StableRead.withMaintenanceMarker(spark, path) {
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -601,6 +604,7 @@ object Similarity {
       // writes a file into every cell directory)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    }
   }
 
   /** Initialize an EMPTY IVF index from a pre-trained centroid table —
@@ -621,11 +625,13 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(p), s"ivfInit: $p already exists")
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(p.toString)
+    StableRead.withMaintenanceMarker(spark, path) {
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(p.toString)
+    }
   }
 
   /** Merge two IVF indexes — the pairwise convenience form of the
@@ -675,6 +681,11 @@ object Similarity {
     val fs = destP.getFileSystem(hconf)
     require(!fs.exists(destP), s"ivfMerge: $dest already exists")
     paths.foreach(requireCommitted(spark, _, "ivfMerge"))
+    // reader-isolation brackets + manifest commits ([[StableRead]]):
+    // dest always — and with move=true the source shards too, since the
+    // part-file renames CONSUME them under any reader still probing
+    StableRead.withMaintenanceMarkers(
+      spark, dest +: (if (move) paths else Seq.empty)) {
     def cents(p: String): Seq[(Int, Seq[Double])] =
       spark.read.parquet(s"$p/centroids")
         .orderBy(col("cell")).collect()
@@ -697,6 +708,7 @@ object Similarity {
     }
     // soft-delete overlays travel with the merge (bm25Merge's contract)
     graft.operators.Retrieval.mergeOverlays(spark, paths, dest)
+    }
   }
 
   /** Append a batch to a persisted [[buildIvfIndex]] index WITHOUT
@@ -724,13 +736,19 @@ object Similarity {
       idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
     val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
-    batch
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("cell", posToCell(element_at(
-        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1),
-        cellIds))
-      .repartition(col("cell")) // one file per touched cell per append
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
+    // reader-isolation bracket + manifest commit ([[StableRead]])
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      batch
+        .select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
+        .withColumn("cell", posToCell(element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), centroids, 1), 1),
+          cellIds))
+        .repartition(col("cell")) // one file per touched cell per append
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexPath/corpus")
+    }
   }
 
   /** A persisted centroid table, position-aligned: the cell ids ordered
@@ -966,10 +984,13 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/corpus_compact_tmp")
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(cur), s"ivfCompact: no corpus at $cur")
-    spark.read.parquet(cur.toString)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+    // reader-isolation bracket + manifest commit ([[StableRead]])
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      spark.read.parquet(cur.toString)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+    }
   }
 
   /** Build the QUANTIZED IVF index — [[buildIvfIndex]]'s cell layout
@@ -997,6 +1018,8 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleN)
+    // reader-isolation bracket + manifest commit ([[StableRead]])
+    StableRead.withMaintenanceMarker(spark, path) {
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -1012,6 +1035,7 @@ object Similarity {
           col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    }
   }
 
   /** Append a batch to a persisted [[buildIvfQIndex]] index —
@@ -1027,16 +1051,21 @@ object Similarity {
       idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
     val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
-    quantizeEmbeddings(
-        batch.select(col(idCol).as("id"),
-          col(vecCol).cast("array<double>").as("vec")), "vec")
-      .select(col("id"), col("vec"), col("qvec"),
-        intDot(col("qvec"), col("qvec")).as("qn2"))
-      .withColumn("cell", posToCell(element_at(
-        graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1),
-        cellIds))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/corpus")
+    // reader-isolation bracket + manifest commit ([[StableRead]])
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      quantizeEmbeddings(
+          batch.select(col(idCol).as("id"),
+            col(vecCol).cast("array<double>").as("vec")), "vec")
+        .select(col("id"), col("vec"), col("qvec"),
+          intDot(col("qvec"), col("qvec")).as("qn2"))
+        .withColumn("cell", posToCell(element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), centroids, 1), 1),
+          cellIds))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexPath/corpus")
+    }
   }
 
   /** Probe a [[buildIvfQIndex]] index: [[ivfTopKIndexed]]'s cell
@@ -1305,6 +1334,10 @@ object Similarity {
     val corpusPath = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
     val fs = corpusPath.getFileSystem(hconf)
     if (!fs.exists(corpusPath)) return Seq.empty
+    // reader-isolation bracket + manifest commit ([[StableRead]]) —
+    // from the orphan cleanup on, the op mutates live tables (no
+    // non-local returns inside: the empty cases fall through as values)
+    StableRead.withMaintenanceMarker(spark, indexPath) {
     // centroid table: bounded driver collect (nlist rows)
     val current = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
@@ -1323,7 +1356,7 @@ object Similarity {
       .filter(col("n") > maxCellRows)
       .orderBy(col("cell"))
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist
-    if (hot.isEmpty) return Seq.empty
+    if (hot.isEmpty) Seq.empty else {
     var nextId = known.max + 1
     val splits = hot.map { parent =>
       val rows = spark.read.parquet(corpusPath.toString)
@@ -1368,6 +1401,8 @@ object Similarity {
         require(fs.delete(p, true), s"ivfSplitCells: cannot drop $p")
     }
     splits.map(s => (s._1, s._2, s._3))
+    }
+    }
   }
 
   /** Query a [[buildIvfIndex]] index: same semantics as [[ivfTopK]] with

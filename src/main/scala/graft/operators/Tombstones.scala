@@ -75,23 +75,28 @@ object Tombstones {
       spark: SparkSession,
       indexPath: String,
       keys: DataFrame,
-      keyCol: String): Long = graft.CacheScope.scoped {
-    val cur = dirOf(indexPath)
-    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
-    recover(fs, indexPath)
-    val existing = read(spark, indexPath)
-      .getOrElse(spark.range(0).select(col("id")))
-    val merged = existing
-      .unionByName(keys.select(col(keyCol).cast("long").as("id")))
-      .distinct()
-      .transform(graft.CacheScope.persisted)
-    val n = merged.count()
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones_add_tmp")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(cur)) graft.sinks.Sinks.swapByRename(fs, tmp, cur)
-    else require(fs.rename(tmp, cur), s"Tombstones.add: rename to $cur failed")
-    n
-  }
+      keyCol: String): Long =
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      graft.CacheScope.scoped {
+        val cur = dirOf(indexPath)
+        val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+        recover(fs, indexPath)
+        val existing = read(spark, indexPath)
+          .getOrElse(spark.range(0).select(col("id")))
+        val merged = existing
+          .unionByName(keys.select(col(keyCol).cast("long").as("id")))
+          .distinct()
+          .transform(graft.CacheScope.persisted)
+        val n = merged.count()
+        val tmp =
+          new org.apache.hadoop.fs.Path(s"$indexPath/tombstones_add_tmp")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(cur)) graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+        else require(fs.rename(tmp, cur),
+          s"Tombstones.add: rename to $cur failed")
+        n
+      }
+    }
 
   /** The overlay as an (id) frame — None when absent or empty (callers
     * skip all adjustment work; the check is a file listing, not a job).
@@ -120,22 +125,28 @@ object Tombstones {
       spark: SparkSession,
       indexPath: String,
       applied: DataFrame,
-      keyCol: String): Unit = graft.CacheScope.scoped {
-    val cur = dirOf(indexPath)
-    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
-    recover(fs, indexPath)
-    read(spark, indexPath).foreach { existing =>
-      val remaining = existing
-        .join(applied.select(col(keyCol).cast("long").as("id")),
-          Seq("id"), "left_anti")
-        .transform(graft.CacheScope.persisted)
-      if (remaining.count() == 0L)
-        require(fs.delete(cur, true), s"Tombstones.clear: cannot drop $cur")
-      else {
-        val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones_clear_tmp")
-        remaining.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+      keyCol: String): Unit =
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      graft.CacheScope.scoped {
+        val cur = dirOf(indexPath)
+        val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+        recover(fs, indexPath)
+        read(spark, indexPath).foreach { existing =>
+          val remaining = existing
+            .join(applied.select(col(keyCol).cast("long").as("id")),
+              Seq("id"), "left_anti")
+            .transform(graft.CacheScope.persisted)
+          if (remaining.count() == 0L)
+            require(fs.delete(cur, true),
+              s"Tombstones.clear: cannot drop $cur")
+          else {
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$indexPath/tombstones_clear_tmp")
+            remaining.coalesce(1).write.mode("overwrite")
+              .parquet(tmp.toString)
+            graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+          }
+        }
       }
     }
-  }
 }

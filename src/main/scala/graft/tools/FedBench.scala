@@ -111,6 +111,50 @@ object FedBench {
     println(f"[fed-bench] stable-read premium: plain=$fedPlain%6.2f s  " +
       f"stable=$fedStable%6.2f s  validation=${fedStable - fedPlain}%5.2f s")
 
+    // ---- manifest validation scaling: O(roots), not O(files) ----
+    // The round-16 commit-manifest protocol prices a probe's validation
+    // at ONE small-file read per root. The claim that matters at a
+    // 100 TB estate (millions of part files): that cost is INDEPENDENT
+    // of the estate's file count. Construction: age a twin of b2_base
+    // into a many-files estate via repeated small appends (an aged,
+    // uncompacted index — the realistic worst case), then time the
+    // manifest token read against the LEGACY recursive-listing
+    // fingerprint (rounds <= 15's per-probe cost) on both estates.
+    val freshIdx = s"$root/b2_base"
+    val agedIdx = s"$root/aged"
+    graft.operators.Retrieval.buildBm25Index(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", agedIdx)
+    val extra = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).limit(128).collect()
+    extra.grouped(8).foreach { g =>
+      graft.operators.Retrieval.bm25Append(
+        agedIdx,
+        g.toSeq.map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    def countFiles(p: String): Long = {
+      val b = java.nio.file.Paths.get(p)
+      val st = java.nio.file.Files.walk(b)
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .count(q => java.nio.file.Files.isRegularFile(q)).toLong
+      finally st.close()
+    }
+    def minOf5(body: => Unit): Double = (1 to 5).map(_ => timed(body)).min
+    val (nFresh, nAged) = (countFiles(freshIdx), countFiles(agedIdx))
+    val vFresh = minOf5 {
+      graft.operators.StableRead.validationToken(spark, freshIdx); () }
+    val vAged = minOf5 {
+      graft.operators.StableRead.validationToken(spark, agedIdx); () }
+    val sFresh = minOf5 {
+      graft.operators.StableRead.signature(spark, Seq(freshIdx)); () }
+    val sAged = minOf5 {
+      graft.operators.StableRead.signature(spark, Seq(agedIdx)); () }
+    println(f"[fed-bench] manifest-validate: files $nFresh -> $nAged " +
+      f"(${nAged.toDouble / nFresh}%.1fx)  manifest token " +
+      f"${vFresh * 1000}%6.2f -> ${vAged * 1000}%6.2f ms (flat)  " +
+      f"legacy listing ${sFresh * 1000}%6.2f -> ${sAged * 1000}%6.2f ms " +
+      "(O(files))")
+
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }

@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators.{Retrieval, StableRead, Tombstones}
+import org.apache.spark.sql.functions._
+
+/** The commit-manifest protocol behind [[StableRead]]'s O(1) probe
+  * validation: every bracketed mutation bumps the root's one-file
+  * `_commit_manifest` generation (bump BEFORE marker removal), and a
+  * probe validates by comparing that one file's content before/after —
+  * never by listing the estate. These tests pin the protocol pieces
+  * the race specs exercise only indirectly: generation monotonicity
+  * across every op family, reentrancy (nested brackets = ONE commit,
+  * marker held to the outermost exit), the manifest-vs-listing
+  * mechanism itself, the legacy-root fallback, and the retry path's
+  * checkpoint release (a serving process under churn must not
+  * accumulate dead cached blocks).
+  */
+class StableReadManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def gen(path: String): Long =
+    StableRead.manifestGeneration(spark, path).getOrElse(
+      fail(s"no manifest at $path"))
+
+  test("every mutating op commits a new manifest generation") {
+    val dir = s"${tmpDir("manifest-gen")}/idx"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val g0 = gen(dir)
+    assert(g0 >= 1L)
+    Retrieval.bm25Append(dir, Seq((4L, "alpha zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val g1 = gen(dir)
+    assert(g1 > g0, "append did not bump the generation")
+    Retrieval.bm25Compact(spark, dir)
+    val g2 = gen(dir)
+    assert(g2 > g1, "compact did not bump the generation")
+    Tombstones.add(spark, dir, Seq(2L).toDF("id"), "id")
+    val g3 = gen(dir)
+    assert(g3 > g2, "tombstone add did not bump the generation")
+    // vacuum = delete + tombstone clear + heal, all nested under ONE
+    // outermost bracket per op — generations advance but the marker
+    // never flickers mid-op (the reentrancy test below pins that)
+    assert(Retrieval.bm25Vacuum(spark, dir) === 1L)
+    assert(gen(dir) > g3, "vacuum did not bump the generation")
+  }
+
+  test("nested brackets hold the marker to the outermost exit and commit once") {
+    val dir = s"${tmpDir("manifest-nest")}/root"
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/${StableRead.MarkerName}")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    StableRead.withMaintenanceMarker(spark, dir) {
+      assert(fs.exists(marker), "outer bracket did not raise the marker")
+      StableRead.withMaintenanceMarker(spark, dir) {
+        assert(fs.exists(marker))
+      }
+      // the inner exit must NOT remove the marker or commit — the outer
+      // op's mutation window is still open
+      assert(fs.exists(marker), "inner exit dropped the outer marker")
+      assert(StableRead.manifestGeneration(spark, dir).isEmpty,
+        "inner exit committed while the outer window was open")
+    }
+    assert(!fs.exists(marker))
+    assert(gen(dir) === 1L, "nested brackets must commit exactly once")
+  }
+
+  test("a failed bracket leaves the marker standing; the re-run clears it") {
+    val dir = s"${tmpDir("manifest-fail")}/root"
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/${StableRead.MarkerName}")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    intercept[RuntimeException] {
+      StableRead.withMaintenanceMarker(spark, dir) {
+        throw new RuntimeException("op crashed mid-window")
+      }
+    }
+    assert(fs.exists(marker), "a crashed op must leave its marker")
+    assert(StableRead.manifestGeneration(spark, dir).isEmpty,
+      "a crashed op must not commit")
+    // the contract-mandated re-run (same bracket, now succeeding)
+    // clears the marker and commits — including from a FRESH process
+    // (the depth map is per-JVM; a standing marker with depth 0 is
+    // exactly the crash-recovery state)
+    StableRead.withMaintenanceMarker(spark, dir) { () }
+    assert(!fs.exists(marker))
+    assert(gen(dir) === 1L)
+  }
+
+  test("validation is manifest-based: one file read, not a listing") {
+    val dir = s"${tmpDir("manifest-o1")}/idx"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val t0 = StableRead.validationToken(spark, dir)
+    assert(t0.startsWith("M:"), s"expected manifest token, got $t0")
+    // the mechanism, pinned: touching an UNBRACKETED stray file changes
+    // the listing but not the manifest — the token must not move (this
+    // is what makes validation O(1): the probe trusts the commit
+    // protocol, it does not walk the estate). Mutations outside the
+    // bracketed ops are outside the estate contract by definition.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/stray_file"), true).close()
+    assert(StableRead.validationToken(spark, dir) === t0,
+      "manifest token must not depend on the file listing")
+    // ...while a bracketed commit moves it
+    Tombstones.add(spark, dir, Seq(1L).toDF("id"), "id")
+    assert(StableRead.validationToken(spark, dir) !== t0)
+  }
+
+  test("legacy roots without a manifest fall back to the listing fingerprint") {
+    val dir = s"${tmpDir("manifest-legacy")}/legacy"
+    // hand-built root: parquet files, no manifest (pre-round-16 estate)
+    Seq((1L, "x")).toDF("id", "text")
+      .write.parquet(s"$dir/corpus")
+    val t0 = StableRead.validationToken(spark, dir)
+    assert(t0.startsWith("S:"), s"expected listing token, got $t0")
+    // listing-based: ANY file change moves the token (the old, sound,
+    // O(files) behavior survives for exactly these roots)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/stray_file"), true).close()
+    assert(StableRead.validationToken(spark, dir) !== t0)
+    // first bracketed op upgrades the root to manifest validation
+    StableRead.withMaintenanceMarker(spark, dir) { () }
+    assert(StableRead.validationToken(spark, dir).startsWith("M:"))
+  }
+
+  test("stable probes stay consistent under churn and release discarded checkpoints") {
+    val dir = s"${tmpDir("manifest-release")}/idx"
+    val docs = (0L until 60L)
+      .map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+      .localCheckpoint(true)
+    val first = StableRead.stable(spark, Seq(dir)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    }
+    val expected = first.collect().map(_.toString).sorted.toSeq
+    StableRead.release(first)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // churn loop: every probe races a compact, forcing validation
+    // failures and retries; discarded attempts must unpersist their
+    // localCheckpoint blocks rather than park them until GC
+    (1 to 4).foreach { _ =>
+      val churn = scala.concurrent.Future {
+        Retrieval.bm25Compact(spark, dir)
+      }(scala.concurrent.ExecutionContext.global)
+      val got = StableRead.stable(spark, Seq(dir), maxAttempts = 200) {
+        Retrieval.bm25TopKIndexed(dir, q, 5)
+      }
+      assert(got.collect().map(_.toString).sorted.toSeq === expected)
+      StableRead.release(got) // consumed — free the checkpoint blocks
+      scala.concurrent.Await.result(
+        churn, scala.concurrent.duration.Duration.Inf)
+    }
+    // allow the explicit unpersists to settle; only the RETAINED
+    // baseline blocks may remain (plus the one query-side checkpoint)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= baseline + 1,
+      s"retried probes leaked cached blocks: $baseline -> $after")
+  }
+}
