@@ -52,6 +52,42 @@ object Fsck {
     scalarViol(!StableRead.markerPresent(spark, Seq(path)),
       s"${prefix}_stranded_maintenance_marker", spark)
 
+  /** Audit a [[TextAnalysis.bpeSave]] tokenizer artifact. Invariants:
+    * ranks contiguous from 1 (a gap silently re-orders every later
+    * merge at load time), no duplicate (pair_a, pair_b) rows (a
+    * duplicate is not a valid BPE history — the pair could not win two
+    * rounds), stats n_merges == table rows (a torn republish), plus
+    * the stranded-marker check every per-artifact audit carries.
+    * Driver-free single pass over a vocabulary-sized table.
+    */
+  def bpeFsck(spark: SparkSession, path: String): DataFrame =
+    graft.CacheScope.scoped {
+      val merges = spark.read
+        .schema("round LONG, pair_a STRING, pair_b STRING, " +
+          "pair_count LONG, tokens_after LONG")
+        .parquet(s"$path/merges")
+        .transform(graft.CacheScope.persisted)
+      val n = spark.read.parquet(s"$path/stats")
+        .select(col("n_merges")).collect()(0).getLong(0)
+      val rankGap = cnt(
+        merges.select(col("round"))
+          .unionByName(merges.select(
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("round")))).cast("long").as("round")))
+          .groupBy(col("round")).agg(count(lit(1)).as("c"))
+          .filter(col("c") =!= 2),
+        "bpe_rank_gap")
+      val dupPair = cnt(
+        merges.groupBy(col("pair_a"), col("pair_b"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1),
+        "bpe_duplicate_pair")
+      val statsViol = scalarViol(
+        merges.count() == n, "bpe_stats_nmerges", spark)
+      rankGap.unionByName(dupPair).unionByName(statsViol)
+        .unionByName(markerViol(spark, path, "bpe"))
+        .localCheckpoint(true)
+    }
+
   /** Audit a [[Retrieval.buildBm25Index]]-layout index. Invariants:
     * doclen ids unique; postings (id, term) unique with tf >= 1 and
     * every posted id registered in doclen; per-doc sum(tf) == dl (a
@@ -198,7 +234,14 @@ object Fsck {
       val tags = batchesSince(spark, path, sinceBatch)
       val empty = spark.range(0)
         .select(lit("bm25_incr").as("kind"), col("id").as("n"))
-      if (tags.isEmpty) empty.localCheckpoint(true)
+      // an idle cursor still audits for a STRANDED maintenance marker:
+      // a crashed delete/vacuum on an otherwise-idle index leaves
+      // probes refusing the artifact while new-batch work is zero —
+      // the nightly incremental must surface the pending re-run, not
+      // report clean (markerViol's every-per-artifact-audit contract)
+      if (tags.isEmpty)
+        empty.unionByName(markerViol(spark, path, "bm25"))
+          .localCheckpoint(true)
       else {
         val st = spark.read.parquet(s"$path/stats")
           .select(col("n_docs"), col("total_tokens"), col("buckets"))
@@ -396,7 +439,11 @@ object Fsck {
     val tags = batchesSince(spark, path, sinceBatch)
     val empty = spark.range(0)
       .select(lit("ivf_incr").as("kind"), col("id").as("n"))
-    if (tags.isEmpty) empty.localCheckpoint(true)
+    // idle cursor still audits for a stranded maintenance marker (the
+    // bm25FsckIncremental note)
+    if (tags.isEmpty)
+      empty.unionByName(markerViol(spark, path, "ivf"))
+        .localCheckpoint(true)
     else {
       val (cellIds, centroids) = Similarity.loadCentroidTable(spark, path)
       val touched = touchedPartitions(spark, path, "corpus", "cell=", tags)
@@ -567,7 +614,11 @@ object Fsck {
       val tags = batchesSince(spark, path, sinceBatch)
       val empty = spark.range(0)
         .select(lit("reg_incr").as("kind"), col("id").as("n"))
-      if (tags.isEmpty) empty.localCheckpoint(true)
+      // idle cursor still audits for a stranded maintenance marker (the
+      // bm25FsckIncremental note)
+      if (tags.isEmpty)
+        empty.unionByName(markerViol(spark, path, "reg"))
+          .localCheckpoint(true)
       else {
         val st = spark.read.parquet(s"$path/stats")
           .select(col("n_docs"), col("buckets")).collect()(0)
@@ -639,7 +690,11 @@ object Fsck {
       val tags = batchesSince(spark, path, sinceBatch)
       val empty = spark.range(0)
         .select(lit("ndreg_incr").as("kind"), col("id").as("n"))
-      if (tags.isEmpty) empty.localCheckpoint(true)
+      // idle cursor still audits for a stranded maintenance marker (the
+      // bm25FsckIncremental note)
+      if (tags.isEmpty)
+        empty.unionByName(markerViol(spark, path, "ndreg"))
+          .localCheckpoint(true)
       else {
         val st = spark.read.parquet(s"$path/stats").collect()(0)
         val (nDocs, buckets) =
@@ -836,7 +891,12 @@ object Fsck {
     val tags = batchesSince(spark, idxPath, sinceBatch)
     val empty = spark.range(0)
       .select(lit("composed_incr").as("kind"), col("id").as("n"))
-    if (tags.isEmpty) empty.localCheckpoint(true)
+    // idle cursor still audits BOTH roots for a stranded maintenance
+    // marker (the bm25FsckIncremental note)
+    if (tags.isEmpty)
+      empty.unionByName(markerViol(spark, regPath, "composed_reg"))
+        .unionByName(markerViol(spark, idxPath, "composed_idx"))
+        .localCheckpoint(true)
     else {
       def readOr(files: Seq[String], schema: String, fallback: DataFrame) =
         if (files.isEmpty) fallback
@@ -879,6 +939,8 @@ object Fsck {
         "composed_doclen_derivation_mismatch")
       missingFromIdx.unionByName(alienInIdx).unionByName(postingsViol)
         .unionByName(doclenViol)
+        .unionByName(markerViol(spark, regPath, "composed_reg"))
+        .unionByName(markerViol(spark, idxPath, "composed_idx"))
         .localCheckpoint(true)
     }
   }

@@ -657,6 +657,79 @@ object TextAnalysis {
     stats.toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
   }
 
+  /** Persist a trained BPE merge table as an ESTATE ARTIFACT — the
+    * production half of the [[bpeMerges]]/[[bpeEncode]] pair: training
+    * elects merges once (on a sample, at 100 TB), but every ingest pass
+    * from then on must encode with the SAME table, by generation — an
+    * in-session Seq dies with the session and silently retrains on the
+    * next one (vocabulary drift between pipeline runs is a
+    * train-corpus-poisoning bug, not a tuning knob). Layout follows the
+    * index estates: `<path>/merges` parquet (round, pair_a, pair_b,
+    * pair_count, tokens_after — the training provenance rides along),
+    * `<path>/stats` one row (n_merges), written under the
+    * [[StableRead]] commit bracket so the artifact carries a manifest
+    * generation and probes/loads can run against live republishes.
+    * Refuses a malformed table loudly BEFORE writing (contiguous
+    * 1..n rounds, no duplicate pairs — [[graft.operators.Fsck.bpeFsck]]
+    * audits the same invariants at rest).
+    */
+  def bpeSave(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: DataFrame,
+      path: String): Unit = {
+    val rows = merges
+      .select(col("round").cast("long"), col("pair_a"), col("pair_b"),
+        col("pair_count").cast("long"), col("tokens_after").cast("long"))
+      .orderBy(col("round"))
+      .collect() // vocabulary-sized by construction (<= rounds rows)
+    require(rows.nonEmpty, "bpeSave: empty merge table")
+    val ranks = rows.map(_.getLong(0)).toSeq
+    require(ranks == (1L to rows.length.toLong),
+      s"bpeSave: rounds must be contiguous 1..n, got ${ranks.mkString(",")}")
+    val pairs = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    require(pairs.distinct.size == pairs.size,
+      "bpeSave: duplicate merge pair — the table is not a valid BPE history")
+    StableRead.withMaintenanceMarker(spark, path) {
+      import spark.implicits._
+      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+        .toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/merges")
+      Seq(rows.length.toLong).toDF("n_merges")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
+  }
+
+  /** Load a [[bpeSave]] artifact as the merge Seq [[bpeEncode]] takes,
+    * in training order. Validates what a silent corruption would break:
+    * contiguous ranks (a missing round re-orders every later merge),
+    * no duplicate pairs, and the stats scalar matching the table (a
+    * torn republish). Fails loudly — an encoder running on a corrupt
+    * table poisons every document it touches.
+    */
+  def bpeLoad(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(s"$path/merges")
+      .select(col("round").cast("long"), col("pair_a"), col("pair_b"))
+      .orderBy(col("round"))
+      .collect()
+    require(rows.nonEmpty, s"bpeLoad: empty merge table at $path")
+    val ranks = rows.map(_.getLong(0)).toSeq
+    require(ranks == (1L to rows.length.toLong),
+      s"bpeLoad: non-contiguous rounds at $path (${ranks.mkString(",")})")
+    val pairs = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    require(pairs.distinct.size == pairs.size,
+      s"bpeLoad: duplicate merge pair at $path")
+    val n = spark.read.parquet(s"$path/stats")
+      .select(col("n_merges")).collect()(0).getLong(0)
+    require(n == pairs.size,
+      s"bpeLoad: stats claim $n merges, table holds ${pairs.size} at $path")
+    pairs
+  }
+
   /** URL references per document: full matches and their host domains,
     * extracted with one RE2-compatible pattern (provenance/outlink
     * analysis for web corpora — link-farm detection, per-domain corpus

@@ -22,6 +22,28 @@ object Curation {
   private val enProfile: Map[String, Seq[String]] =
     Map("en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "for"))
 
+  /** q146/q188 shared relation: encode `documents` with a merge table
+    * (in-session for q146, loaded from the persisted artifact for
+    * q188) and aggregate per language — both gates must land the SAME
+    * relation under the SAME oracle.
+    */
+  private def bpeEncodeRelation(
+      s: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      .select(col("lang"), col("id"), explode(col("tokens")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_vocab"),
+        sum(when(col("tok").contains("_"), 1L).otherwise(0L))
+          .as("merged_occurrences"))
+      .orderBy(col("lang"))
+  }
+
   // q59's persisted-index scratch, one per JVM (every write inside it is
   // mode=overwrite, so reuse is safe and bounded)
   private lazy val ivfIndexDir: String =
@@ -2771,17 +2793,30 @@ object Curation {
         .orderBy(col("round"))
         .select(col("pair_a"), col("pair_b"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
-        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
-        .select(col("lang"), col("id"), explode(col("tokens")).as("tok"))
-        .groupBy(col("lang"))
-        .agg(
-          countDistinct(col("id")).as("n_docs"),
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("tok")).as("n_vocab"),
-          sum(when(col("tok").contains("_"), 1L).otherwise(0L))
-            .as("merged_occurrences"))
-        .orderBy(col("lang"))
+      bpeEncodeRelation(s, dir, merges)
+    }),
+
+    // The persisted-tokenizer lifecycle: train the SAME 4 merges, save
+    // them as an estate artifact (stats + manifest generation), audit it
+    // (bpeFsck must be clean — its violation rows ride the relation, so
+    // a malformed table breaks the hash, not just a spec), LOAD the
+    // table back, and encode with the LOADED merges. Oracle = q146's
+    // verbatim (persistence is a storage concern, not semantics): a
+    // lost, reordered, or truncated merge row moves the encoding.
+    "q188_bpe_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = s"${java.nio.file.Files
+        .createTempDirectory("graft-q188").toString}/bpe"
+      TextAnalysis.bpeSave(
+        s, TextAnalysis.bpeMerges(docs, "text", rounds = 4), tok)
+      val loaded = TextAnalysis.bpeLoad(s, tok)
+      bpeEncodeRelation(s, dir, loaded)
+        .unionByName(graft.operators.Fsck.bpeFsck(s, tok)
+          .select(col("kind").as("lang"),
+            col("n").as("n_docs"),
+            col("n").as("n_tokens"),
+            col("n").as("n_vocab"),
+            col("n").as("merged_occurrences")))
     }),
 
     // Margin-based bitext mining (the CCMatrix/LASER ratio-margin
@@ -3053,10 +3088,36 @@ object Curation {
       (1 to 3).foreach(i => Similarity.ivfQAppend(
         path, emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
       Similarity.ivfRequantize(s, path, nlist = 16)
+      // non-vacuity payload (the empty==empty hash alone would also
+      // pass on an index that was never requantized): three observable
+      // scalars the oracle pins as literals. centroids_match is the
+      // load-bearing one — the stored table must equal an in-session
+      // retrain on the FULL corpus exactly (trainIvfCentroids is
+      // deterministic: md5-ordered sample, fixed iterations), which the
+      // build's quarter-corpus quantizer cannot — so a skipped or
+      // half-swapped requantize breaks the hash even when drift happens
+      // to produce zero strict-assignment violations at this SF.
+      val trained = Similarity.trainIvfCentroids(
+        emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec")),
+        "id", "vec", nlist = 16)
+      val (storedCells, storedCents) = Similarity.loadCentroidTable(s, path)
+      val matchN = storedCents.zip(trained.map(_.toSeq))
+        .count { case (a, b) => a == b }.toLong
+      val obs = {
+        import s.implicits._
+        Seq(
+          ("post_requantize_cells", storedCells.size.toLong),
+          ("post_requantize_corpus_rows",
+            s.read.parquet(s"$path/corpus").count()),
+          ("post_requantize_centroids_match", matchN))
+          .toDF("kind", "n")
+      }
       ivfQSoundness(s, emb, path)
         .unionByName(
           graft.operators.Fsck.ivfFsck(s, path, strictAssignment = true)
             .orderBy(col("kind")))
+        .unionByName(obs)
     }),
 
     // IVF shard-and-merge (the q158 composition for the DENSE index,
@@ -4043,6 +4104,67 @@ object Curation {
       scala.concurrent.Await.result(
         churn, scala.concurrent.duration.Duration.Inf)
       probe().orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // q186's drill shape for the REGISTRY family, under the driver's
+    // oracle (ReaderMaintenanceRaceSpec is the spec-level twin): a
+    // persisted exact-dedup registry takes a tombstoned takedown, then
+    // STABLE membership probes fire while a second thread runs compact
+    // churn, a LIVE second ingest batch, and the vacuum that physically
+    // applies the takedown. Exactly two relations are legal mid-race —
+    // the committed batch-0 state and the batch-0+1 state (tombstone
+    // exactness makes overlay == post-vacuum bit-for-bit; compact is
+    // content-blind) — and every raced probe must equal one of them; a
+    // blend (new corpus rows against pre-ingest stats, or a half-swapped
+    // compact) fails the GATE. The final relation is hash-pinned against
+    // a first-arrival-with-takedown-timing SQL oracle: the tombstone
+    // lands BEFORE batch 1, so a batch-1 arrival whose digest matches a
+    // tombstoned batch-0 winner is ACCEPTED (tombstoned docs stop
+    // witnessing instantly — the registry's takedown semantics).
+    "q187_registry_probe_race" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val reg = s"${java.nio.file.Files
+        .createTempDirectory("graft-q187").toString}/reg"
+      DedupRegistry.init(spark, reg, buckets = 64)
+      DedupRegistry.ingestBatch(
+        reg, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0L)
+      // takedown BEFORE batch 1 (all multiples of 10 are even, so the
+      // doomed set lands wholly in batch 0's rows)
+      graft.operators.Tombstones.add(spark, reg,
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+        "doc_id")
+      val probeDocs = docs.filter(col("doc_id") % 3 === 0)
+      def probe() = graft.operators.StableRead.stable(
+        spark, Seq(reg), maxAttempts = 300) {
+        DedupRegistry.probe(spark, reg, probeDocs, "doc_id", "text")
+          .select(col("doc_id"), col("is_new").cast("int").as("is_new"))
+      }
+      def rel(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val expected0 = rel(probe())
+      val churn = scala.concurrent.Future {
+        DedupRegistry.compact(spark, reg)
+        DedupRegistry.ingestBatch(
+          reg, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 1L)
+        DedupRegistry.compact(spark, reg)
+        require(DedupRegistry.vacuum(spark, reg) > 0L,
+          "q187: vacuum applied nothing")
+      }(scala.concurrent.ExecutionContext.global)
+      val raced = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      while (!churn.isCompleted || raced.size < 2) {
+        raced += rel(probe())
+      }
+      scala.concurrent.Await.result(
+        churn, scala.concurrent.duration.Duration.Inf)
+      val expected1 = rel(probe())
+      raced.zipWithIndex.foreach { case (r, i) =>
+        require(r == expected0 || r == expected1,
+          s"q187: raced probe $i matched neither committed state " +
+            s"(${r.size} rows)")
+      }
+      probe().orderBy(col("doc_id"))
     }),
 
     "q182_bm25_serving_stack" -> ((s, dir) => {

@@ -354,7 +354,7 @@ object CurationOracles {
              count(DISTINCT md5(clean)) AS n_distinct_clean
            FROM per_doc GROUP BY source ORDER BY source"""
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q20_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(round(CAST(CAST(sum(len(list_filter(
@@ -2369,6 +2369,43 @@ object CurationOracles {
     // verbatim BM25 arithmetic — equality here plus the gate's own
     // probe-vs-probe requires pins "pre == mid-churn == post".
     "q186_stable_probe_race" -> bm25OracleOver("doc_id % 10 <> 0"),
+    // Registry reader-race (q186's shape for the registry family): the
+    // final stable membership probe must equal first-arrival-with-
+    // takedown-timing semantics. The tombstone lands between batches, so
+    // the live digest set is: batch-0 winners surviving the takedown,
+    // plus batch-1 first arrivals whose digest was NOT witnessed at
+    // batch-1 time (a digest whose tombstoned batch-0 winner stopped
+    // witnessing is re-accepted — the registry's takedown contract).
+    "q187_registry_probe_race" ->
+      """WITH b0 AS (
+           SELECT doc_id, md5(text) AS digest FROM documents
+           WHERE doc_id % 2 = 0),
+         b0w AS (
+           SELECT doc_id, digest FROM (
+             SELECT doc_id, digest,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+             FROM b0) WHERE rn = 1),
+         b0live AS (SELECT digest FROM b0w WHERE doc_id % 10 <> 0),
+         b1 AS (
+           SELECT doc_id, md5(text) AS digest FROM documents
+           WHERE doc_id % 2 = 1),
+         b1w AS (
+           SELECT doc_id, digest FROM (
+             SELECT doc_id, digest,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+             FROM b1) WHERE rn = 1),
+         b1stored AS (
+           SELECT digest FROM b1w
+           WHERE digest NOT IN (SELECT digest FROM b0live)),
+         live AS (
+           SELECT digest FROM b0live
+           UNION SELECT digest FROM b1stored)
+         SELECT d.doc_id AS doc_id,
+           CAST(md5(d.text) NOT IN (SELECT digest FROM live) AS INT)
+             AS is_new
+         FROM documents d
+         WHERE d.doc_id % 3 = 0
+         ORDER BY doc_id""",
     // The appended index must reproduce the full-corpus relation
     // exactly — same oracle, by reference (the q134 rationale:
     // persistence, pruning, and now INCREMENTAL MAINTENANCE are
@@ -2420,10 +2457,20 @@ object CurationOracles {
          WHERE false""",
     // Quantizer-refresh soundness (the q159 empty-relation shape over a
     // deliberately drifted-then-requantized index, plus strict-
-    // assignment fsck): sound output = empty.
+    // assignment fsck) UNION a non-vacuity payload: the violation rows
+    // stay expected-empty, and three pinned scalars make the hash
+    // load-bearing on its own — cells and centroids_match are exactly
+    // nlist=16 only when the refresh retrained on the FULL corpus
+    // (centroids_match counts stored-vs-in-session-retrain equality;
+    // the build's quarter-corpus quantizer matches 0), corpus_rows
+    // pins row preservation through the rewrite.
     "q185_ivfq_requantize" ->
-      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
-         WHERE false""",
+      """SELECT 'post_requantize_cells' AS kind, CAST(16 AS BIGINT) AS n
+         UNION ALL
+         SELECT 'post_requantize_corpus_rows',
+           (SELECT count(*) FROM embeddings)
+         UNION ALL
+         SELECT 'post_requantize_centroids_match', 16""",
     // Streaming first-arrival dedup into the corpus registry: rebuild
     // the gate's exact phased stream (originals by doc_id mod 3, the
     // planted within-batch and cross-batch duplicate re-keys), rank
@@ -3309,4 +3356,15 @@ object CurationOracles {
            round(margin, 4) AS margin
          FROM best ORDER BY src_id"""
   )
+
+  /** q188 trains the same 4 merges, round-trips them through the
+    * PERSISTED tokenizer artifact ([[graft.operators.TextAnalysis
+    * .bpeSave]]/[[graft.operators.TextAnalysis.bpeLoad]]), and encodes
+    * with the LOADED table — same oracle as q146 by reference (the
+    * q134/q143 rationale: persistence is a storage concern, not
+    * semantics; a lost, reordered, or truncated merge row would move
+    * the encoded relation and break the hash).
+    */
+  val sql: Map[String, String] =
+    base + ("q188_bpe_artifact" -> base("q146_bpe_encode"))
 }

@@ -1273,13 +1273,17 @@ object MarketAnalytics {
   // (MBs) and disposable — exactly what tmpfs is for. On a cluster the
   // equivalent knob is a local-SSD/ramdisk checkpoint volume for TEST
   // harnesses only; production checkpoints go to durable storage.
-  /** q184's CSV landing zone. FIXED path (not a temp dir): the oracle SQL
-    * is static text that must name the same files DuckDB will read, so
-    * the gate and its oracle rendezvous on a deterministic location. The
-    * write is mode=overwrite with fully deterministic content (seeded
-    * generator + id-keyed corruption), so re-runs land identical bytes.
+  /** q184's CSV landing zone. PER-SESSION temp dir: the oracle SQL is
+    * rendered from this same value in this same JVM (the oracles map is
+    * built lazily), so the gate and the DuckDB reader always rendezvous
+    * on one location — and two concurrent harness runs on one machine
+    * can no longer interleave one run's mode=overwrite write with the
+    * other's oracle read (they each get a private dir). Content stays
+    * fully deterministic (seeded generator + id-keyed corruption), so
+    * re-runs within a session land identical bytes.
     */
-  private val csvGateDir: String = "/tmp/graft-csv-gate"
+  private lazy val csvGateDir: String =
+    java.nio.file.Files.createTempDirectory("graft-csv-gate").toString
 
   private lazy val replayDir: String = {
     val shm = new java.io.File("/dev/shm")
@@ -1662,8 +1666,8 @@ object MarketAnalytics {
     // first-failure rules in one CASE. regexp_full_match == the
     // reference's CTRE full match == Spark's anchored rlike.
     "q184_csv_silent_defaults" ->
-      """WITH raw AS (
-           SELECT * FROM read_csv('/tmp/graft-csv-gate/*.csv',
+      s"""WITH raw AS (
+           SELECT * FROM read_csv('$csvGateDir/*.csv',
                                   header=true, all_varchar=true)
          ), parsed AS (
            SELECT COALESCE(TRY_CAST(trade_id AS BIGINT), 0) AS trade_id,
