@@ -567,6 +567,37 @@ object DedupRegistry {
           "(build-then-merge-then-maintain).")
   }
 
+  /** Predict a takedown batch's [[delete]] footprint BEFORE executing
+    * it — [[graft.operators.Retrieval.bm25DeleteBatchPlan]]'s registry
+    * twin, read by [[graft.operators.TakedownQueue.registryFlushIfDue]]
+    * to size flushes. One row: registry hits, affected corpus buckets,
+    * modulus, exact affected fraction. Derived from the same key join
+    * [[delete]] rewrites from, so prediction == execution footprint.
+    */
+  def deleteBatchPlan(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
+    val buckets = spark.read.parquet(s"$path/stats")
+      .select(col("buckets")).collect()(0).getLong(0)
+    spark.read
+      .schema("id LONG, text STRING, digest STRING, bucket LONG")
+      .parquet(s"$path/corpus")
+      .select(col("id"), col("bucket"))
+      .join(k, "id")
+      .agg(
+        count(lit(1)).as("n_doomed_docs"),
+        count_distinct(col("bucket")).as("n_affected_buckets"))
+      .select(
+        col("n_doomed_docs"),
+        col("n_affected_buckets"),
+        lit(buckets).as("n_buckets"),
+        (col("n_affected_buckets").cast("double") / lit(buckets.toDouble))
+          .as("affected_fraction"))
+  }
+
   def compact(spark: SparkSession, path: String): Unit = {
     requireCommitted(spark, path, "DedupRegistry.compact")
     val cur = new org.apache.hadoop.fs.Path(s"$path/corpus")

@@ -636,6 +636,47 @@ object NearDupRegistry {
         .getFileSystem(spark.sessionState.newHadoopConf()),
       path, Seq(("corpus", "bucket="), ("bands", "pk=")), Seq("stats"), opName)
 
+  /** Predict a takedown batch's [[delete]] footprint BEFORE executing
+    * it — [[DedupRegistry.deleteBatchPlan]] extended to this family's
+    * TWO rewritten tables: the delete prunes corpus bucket partitions
+    * AND bands pk partitions, so the plan reports both footprints and
+    * `affected_fraction` is the BINDING one (the greater — the flush
+    * rewrites the union of both partition sets). Derived from the same
+    * key joins [[delete]] rewrites from.
+    */
+  def deleteBatchPlan(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
+    val buckets = readParams(spark, path).buckets
+    val corpusRow = spark.read.schema(corpusSchema)
+      .parquet(s"$path/corpus")
+      .select(col("id"), col("bucket"))
+      .join(k, "id")
+      .agg(
+        count(lit(1)).as("n_doomed_docs"),
+        count_distinct(col("bucket")).as("n_affected_buckets"))
+    // the pk count rides a scalar subquery (no 1x1 join — the BNL ban)
+    val nPks = spark.read.schema(bandsSchema)
+      .parquet(s"$path/bands")
+      .select(col("id"), col("pk"))
+      .join(k, "id")
+      .agg(count_distinct(col("pk")).as("n"))
+      .scalar()
+    corpusRow
+      .select(
+        col("n_doomed_docs"),
+        col("n_affected_buckets"),
+        nPks.as("n_affected_pks"),
+        lit(buckets).as("n_buckets"),
+        greatest(
+          col("n_affected_buckets").cast("double") / lit(buckets.toDouble),
+          nPks.cast("double") / lit(buckets.toDouble))
+          .as("affected_fraction"))
+  }
+
   def compact(spark: SparkSession, path: String): Unit = {
     requireCommitted(spark, path, "NearDupRegistry.compact")
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -121,6 +121,48 @@ object TakedownQueue {
       },
       vacuum = () => Similarity.ivfVacuum(spark, indexPath))
 
+  /** [[bm25FlushIfDue]] for the exact-dedup registry (corpus buckets as
+    * the rewrite unit; the vacuum also stamps the `_maintained` merge
+    * guard on the first physical removal, as any registry delete does).
+    */
+  def registryFlushIfDue(
+      spark: SparkSession,
+      indexPath: String,
+      budgetFraction: Double = 0.5,
+      maxPending: Long = Long.MaxValue,
+      force: Boolean = false): FlushDecision =
+    flushIfDue(spark, indexPath, budgetFraction, maxPending, force,
+      plan = t => {
+        val r = DedupRegistry.deleteBatchPlan(spark, indexPath, t, "id")
+          .select(col("n_affected_buckets"), col("n_buckets"),
+            col("affected_fraction"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      },
+      vacuum = () => DedupRegistry.vacuum(spark, indexPath))
+
+  /** [[bm25FlushIfDue]] for the near-dup registry. The reported
+    * fraction is the BINDING one across the family's two rewritten
+    * tables (corpus buckets vs bands pk partitions — see
+    * [[NearDupRegistry.deleteBatchPlan]]); `nAffectedBuckets` reports
+    * the corpus-side footprint.
+    */
+  def nearDupFlushIfDue(
+      spark: SparkSession,
+      indexPath: String,
+      budgetFraction: Double = 0.5,
+      maxPending: Long = Long.MaxValue,
+      force: Boolean = false): FlushDecision =
+    flushIfDue(spark, indexPath, budgetFraction, maxPending, force,
+      plan = t => {
+        val r = NearDupRegistry.deleteBatchPlan(spark, indexPath, t, "id")
+          .select(col("n_affected_buckets"), col("n_buckets"),
+            col("affected_fraction"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      },
+      vacuum = () => NearDupRegistry.vacuum(spark, indexPath))
+
   private def flushIfDue(
       spark: SparkSession,
       indexPath: String,

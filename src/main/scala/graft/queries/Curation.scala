@@ -89,6 +89,10 @@ object Curation {
   private lazy val bm25DeleteDir: String =
     java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
 
+  // q189's takedown-queue scratch, same overwrite-first contract
+  private lazy val bm25QueueDir: String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-queue").toString
+
   // q156's IVF index-deletion scratch, same overwrite-first contract
   private lazy val ivfDeleteDir: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
@@ -2967,6 +2971,42 @@ object Curation {
     // BM25 over the anti-joined corpus. A surviving doomed posting, a
     // stale df, or an undecremented N/avgdl all shift a score and break
     // the hash.
+    // The takedown QUEUE lifecycle under the driver's oracle (q155
+    // gates the raw delete; this gates the POLICY a production pipeline
+    // actually runs): enqueue every 7th doc — instantly probe-invisible
+    // — assert the sub-budget flush refuses (its costing still reports
+    // the exact footprint), probe SOFT (the overlay relation must
+    // already equal the survivors-only oracle), then force the flush
+    // (the deadline trigger) and return the HARD probe: overlay and
+    // rewrite must be the same takedown (soft == hard bit-for-bit) and
+    // the queue must drain exactly once.
+    "q189_takedown_queue" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      copyInto(bm25BaseAppended(s, dir), bm25QueueDir)
+      graft.operators.TakedownQueue.enqueue(
+        s, bm25QueueDir,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        "doc_id")
+      val sub = graft.operators.TakedownQueue.bm25FlushIfDue(
+        s, bm25QueueDir, budgetFraction = 1.0)
+      require(!sub.flushed && sub.pending > 0L && sub.affectedFraction > 0.0,
+        "q189: sub-budget flush must refuse and still cost the batch")
+      val soft = Retrieval
+        .bm25TopKIndexed(bm25QueueDir, bm25Queries(s), k = 10)
+        .localCheckpoint(true) // materialize BEFORE the flush mutates
+      val d = graft.operators.TakedownQueue.bm25FlushIfDue(
+        s, bm25QueueDir, budgetFraction = 1.0, force = true)
+      require(d.flushed && d.removed > 0L,
+        "q189: forced flush applied nothing")
+      require(graft.operators.TakedownQueue.pending(s, bm25QueueDir) == 0L,
+        "q189: queue did not drain with the flush")
+      val hard = Retrieval.bm25TopKIndexed(bm25QueueDir, bm25Queries(s), k = 10)
+      require(soft.collect().map(_.toString).sorted.toSeq ==
+        hard.collect().map(_.toString).sorted.toSeq,
+        "q189: soft (overlay) and hard (rewritten) relations diverged")
+      hard.orderBy(col("query_id"), col("rnk"))
+    }),
+
     "q155_bm25_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       copyInto(bm25BaseAppended(s, dir), bm25DeleteDir)
@@ -4085,7 +4125,12 @@ object Curation {
         spark, Seq(a, b), maxAttempts = 300) {
         Retrieval.bm25TopKFederated(spark, Seq(a, b), bm25Queries(s), 10)
       }
-      val expected = probe().collect().map(_.toString).sorted.toSeq
+      def rel186(df: DataFrame): Seq[String] = {
+        val out = df.collect().map(_.toString).sorted.toSeq
+        graft.operators.StableRead.release(df) // consumed probe
+        out
+      }
+      val expected = rel186(probe())
       val churn = scala.concurrent.Future {
         (1 to 2).foreach { i =>
           Retrieval.bm25Compact(spark, a)
@@ -4096,7 +4141,7 @@ object Curation {
       }(scala.concurrent.ExecutionContext.global)
       var raced = 0
       while (!churn.isCompleted || raced < 2) {
-        val got = probe().collect().map(_.toString).sorted.toSeq
+        val got = rel186(probe())
         require(got == expected,
           s"q186: stable probe diverged mid-churn (${got.size} rows)")
         raced += 1
@@ -4141,8 +4186,11 @@ object Curation {
         DedupRegistry.probe(spark, reg, probeDocs, "doc_id", "text")
           .select(col("doc_id"), col("is_new").cast("int").as("is_new"))
       }
-      def rel(df: DataFrame): Seq[String] =
-        df.collect().map(_.toString).sorted.toSeq
+      def rel(df: DataFrame): Seq[String] = {
+        val out = df.collect().map(_.toString).sorted.toSeq
+        graft.operators.StableRead.release(df) // consumed probe
+        out
+      }
       val expected0 = rel(probe())
       val churn = scala.concurrent.Future {
         DedupRegistry.compact(spark, reg)

@@ -2426,6 +2426,11 @@ object CurationOracles {
     // derives from the surviving docs, exactly what a from-scratch
     // rebuild would compute).
     "q155_bm25_delete" -> bm25OracleOver("doc_id % 5 <> 0"),
+    // Takedown queue: after the forced flush the probe must equal the
+    // survivors-only scoring; the gate additionally requires the SOFT
+    // (pre-flush, overlay-suppressed) relation to equal the same rows —
+    // tombstone exactness under the queue's policy layer.
+    "q189_takedown_queue" -> bm25OracleOver("doc_id % 7 <> 0"),
     // IVF deletion soundness (the q149 empty-relation shape): corpus ==
     // surviving assignment, no doomed id in any probe.
     "q156_ivf_delete" ->

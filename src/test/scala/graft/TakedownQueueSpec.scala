@@ -108,6 +108,55 @@ class TakedownQueueSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/doclen").count() === 118L)
   }
 
+  test("registry twin: enqueue, cost, flush; the flush stamps the merge guard") {
+    val dir = s"${java.nio.file.Files
+      .createTempDirectory("tdq-reg").toString}/reg"
+    graft.operators.DedupRegistry.init(spark, dir, buckets = 8)
+    val docs = (0L until 60L).map(i => (i, s"registry doc body $i"))
+      .toDF("id", "text")
+    graft.operators.DedupRegistry.ingestBatch(dir, docs, "id", "text", 0L)
+    TakedownQueue.enqueue(spark, dir, (0L until 60L by 12L).toDF("id"), "id")
+    val sub = TakedownQueue.registryFlushIfDue(spark, dir, budgetFraction = 1.0)
+    assert(!sub.flushed && sub.pending === 5L && sub.nBuckets === 8L)
+    assert(sub.affectedFraction > 0.0)
+    val d = TakedownQueue.registryFlushIfDue(
+      spark, dir, budgetFraction = 1.0, force = true)
+    assert(d.flushed && d.removed === 5L)
+    assert(spark.read.parquet(s"$dir/corpus").count() === 55L)
+    assert(TakedownQueue.pending(spark, dir) === 0L)
+    // the physical removal breaks merge-stats conservation — the flush
+    // must leave the permanent guard standing like any registry delete
+    intercept[IllegalStateException] {
+      graft.operators.DedupRegistry.requirePristine(spark, dir, "spec")
+    }
+  }
+
+  test("neardup twin: binding fraction spans corpus and bands tables") {
+    val dir = s"${java.nio.file.Files
+      .createTempDirectory("tdq-ndreg").toString}/ndreg"
+    // 64 pk partitions: at modulus 8 even one doc's 16 band keys touch
+    // every pk and the binding fraction is legitimately 1.0 (flush
+    // always due — the honest economics of this family at tiny moduli)
+    graft.operators.NearDupRegistry.init(spark, dir, buckets = 64)
+    val docs = (0L until 40L)
+      .map(i => (i, s"shingled document body number $i with padding words"))
+      .toDF("id", "text")
+    graft.operators.NearDupRegistry.ingestBatch(dir, docs, "id", "text", 0L)
+    TakedownQueue.enqueue(spark, dir, Seq(3L, 17L, 31L).toDF("id"), "id")
+    val sub = TakedownQueue.nearDupFlushIfDue(spark, dir, budgetFraction = 1.0)
+    assert(!sub.flushed && sub.pending === 3L && sub.affectedFraction < 1.0)
+    // binding fraction: at least the corpus-side share, possibly the
+    // bands side (every doc spreads band keys across pk partitions)
+    assert(sub.affectedFraction >=
+      sub.nAffectedBuckets.toDouble / sub.nBuckets)
+    val d = TakedownQueue.nearDupFlushIfDue(spark, dir, force = true)
+    assert(d.flushed && d.removed === 3L)
+    assert(spark.read.schema(
+        "id LONG, text STRING, hs ARRAY<LONG>, bucket LONG")
+      .parquet(s"$dir/corpus").count() === 37L)
+    assert(TakedownQueue.pending(spark, dir) === 0L)
+  }
+
   test("ivf twin: enqueue, cost, flush") {
     val parent = java.nio.file.Files.createTempDirectory("tdq-ivf").toString
     val dir = s"$parent/ivf"
