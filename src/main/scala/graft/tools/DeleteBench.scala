@@ -103,6 +103,50 @@ object DeleteBench {
     run(1, warmup = true) // JIT/codegen warmup — first build is cold
     run(1)
     run(n)
+
+    // ---- queue amortization: K requests, one-at-a-time vs one flush —
+    // the economics [[graft.operators.TakedownQueue]] exists to buy.
+    // K planted takedown-shaped docs (disjoint 80-term vocabularies, so
+    // each request's footprint matches the single-doc arm above); arm A
+    // deletes them one bm25Delete per request, arm B enqueues all K
+    // (instant probe invisibility — the compliance clock stops at
+    // enqueue, not at flush) and pays ONE forced flush. Same corpus,
+    // two identical fresh indexes; enqueue time is charged to arm B.
+    val K = 16
+    val planted = (0 until K).map(k =>
+      (900000000L + k, (1 to 80).map(i => s"tdq${k}x$i").mkString(" ")))
+    val corpusQ = graft.Tables.load(spark, baseDir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(" u"),
+        (col("doc_id") % 100000).cast("string")).as("text"))
+      .unionByName(planted.toDF("doc_id", "text"))
+      .transform(graft.CacheScope.persisted)
+    corpusQ.count()
+    def freshIdx(tag: String): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-delbench-$tag").toString
+      graft.operators.Retrieval.buildBm25Index(
+        corpusQ, "doc_id", "text", p, buckets = buckets)
+      p
+    }
+    val ids = planted.map(_._1)
+    val (pA, pB) = (freshIdx("onebyone"), freshIdx("batched"))
+    val tA = System.nanoTime()
+    ids.foreach(id => graft.operators.Retrieval.bm25Delete(
+      spark, pA, Seq(id).toDF("doc_id"), "doc_id"))
+    val oneWall = (System.nanoTime() - tA) / 1e9
+    val tB = System.nanoTime()
+    graft.operators.TakedownQueue.enqueue(
+      spark, pB, ids.toDF("doc_id"), "doc_id")
+    val dec = graft.operators.TakedownQueue.bm25FlushIfDue(
+      spark, pB, force = true)
+    val batchWall = (System.nanoTime() - tB) / 1e9
+    require(dec.removed == K.toLong, s"amortization arm lost requests: $dec")
+    println(f"[delete-bench] queue amortization: K=$K  " +
+      f"one-per-request=$oneWall%7.2f s  enqueue+flush=$batchWall%6.2f s  " +
+      f"(${oneWall / batchWall}%.1fx)  " +
+      f"flush_footprint=${dec.nAffectedBuckets}/${dec.nBuckets} buckets")
+    Seq(pA, pB).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     spark.stop()
   }
 }
