@@ -122,6 +122,24 @@ object GraftExtensions {
         case Seq(o1, o2, price) => graft.functions.OhlcAggExpr(o1, o2, price)
         case _ => throw new IllegalArgumentException(
           "ohlc_bar(ord1 long, ord2 long, price double)")
+      }),
+    (FunctionIdentifier("image_stats"),
+      new ExpressionInfo(
+        classOf[graft.functions.ImageExprs.ImageStats].getName,
+        "image_stats"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bin) => graft.functions.ImageExprs.ImageStats(bin)
+        case _ => throw new IllegalArgumentException(
+          "image_stats(payload binary)")
+      }),
+    (FunctionIdentifier("wav_stats"),
+      new ExpressionInfo(
+        classOf[graft.functions.ImageExprs.WavStats].getName,
+        "wav_stats"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bin) => graft.functions.ImageExprs.WavStats(bin)
+        case _ => throw new IllegalArgumentException(
+          "wav_stats(payload binary)")
       }))
 
   /** Register on a live session (idempotent). */

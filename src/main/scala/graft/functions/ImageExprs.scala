@@ -1,0 +1,330 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** REAL media decode for the formats the JVM itself speaks — the
+  * round-16 closure of the multimodal decode seam for everything that
+  * does NOT need an external codec library: PNG/JPEG/GIF/BMP pixels via
+  * `javax.imageio.ImageIO` (part of every JDK since 1.4), and WAV PCM
+  * samples via a plain RIFF parse (no library at all). Compressed
+  * audio/video (mp3/h264/...) remain the documented environment-blocked
+  * seam — those genuinely need codec libraries this container lacks.
+  *
+  * All heavy work happens in a static codec object called from
+  * codegen'd expressions (the [[BpeExprs.BpeEncodeApply]] pattern: one
+  * plan node, doGenCode emits a call on the bound reference object, no
+  * UDF, no shuffle) — decode is a pure per-row map that runs inline in
+  * an ingest pass. Stats expressions return EXACT INTEGER sums
+  * (sum_r/sum_g/sum_b, sum/sum_sq) rather than float means, so gate
+  * oracles pin them with integer arithmetic and zero float-comparison
+  * risk; callers derive means when they want them.
+  *
+  * Decode determinism: PNG is lossless, so pixel values round-trip
+  * exactly and the q190 oracle recomputes them analytically from the
+  * synthesizer's closed-form pattern. JPEG decode is deterministic
+  * within one JVM but implementation-defined across decoders — specs
+  * pin JPEG round-trips with tolerance, gates pin PNG exactly.
+  * Synthesized PNG BYTES are never pinned either (the compressor may
+  * change across JDKs); only decoded content is.
+  */
+object ImageExprs {
+
+  /** Static codec: every expression below delegates here. Pure JDK. */
+  object Codec {
+    /** Deterministic full PNG: pixel (x, y) of a (w x h) RGB image is
+      * r=(7x+3y+s)%256, g=(5x+11y+2s)%256, b=(13x+y+5s)%256 — a
+      * closed-form pattern an oracle can re-derive per pixel in SQL.
+      */
+    def encodePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+      require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096,
+        s"png_synth: dimensions out of range ($w x $h)")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = java.lang.Math.floorMod(7 * x + 3 * y + seed, 256)
+          val g = java.lang.Math.floorMod(5 * x + 11 * y + 2 * seed, 256)
+          val b = java.lang.Math.floorMod(13 * x + y + 5 * seed, 256)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload (PNG/JPEG/GIF/BMP) and
+      * return (width, height, n_px, sum_r, sum_g, sum_b) — null for
+      * payloads no reader accepts (the undecodable-row contract: a
+      * null row, never an exception, so a corrupt blob in a 100 TB
+      * scan is a filterable fact, not a job kill).
+      */
+    def stats(bytes: Array[Byte]): InternalRow = {
+      val img = decode(bytes)
+      if (img == null) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      new GenericInternalRow(
+        Array[Any](w, h, w.toLong * h, sr, sg, sb))
+    }
+
+    /** Nearest-neighbor resize, re-encoded as PNG. Manual raster
+      * resample (src index = dst index * src / dst, floor) — bitwise
+      * deterministic on every JVM, unlike Graphics2D interpolation.
+      * Null for undecodable payloads.
+      */
+    def resizeNn(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
+      val img = decode(bytes)
+      if (img == null) return null
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dh) {
+        val sy = (y.toLong * sh / dh).toInt
+        var x = 0
+        while (x < dw) {
+          out.setRGB(x, y, img.getRGB((x.toLong * sw / dw).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+
+    private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+
+    /** Deterministic full WAV: mono 16-bit PCM square wave of period 4
+      * (2 samples at +amp, 2 at -amp) — sum, sum-of-squares, and peak
+      * are closed-form integers for the oracle whenever n % 4 == 0.
+      */
+    def encodeWavSquare(rate: Int, amp: Int, n: Int): Array[Byte] = {
+      require(rate >= 1 && amp >= 0 && amp <= 32767 && n >= 0 &&
+        n <= (1 << 24), s"wav_synth: out of range (rate=$rate amp=$amp n=$n)")
+      val data = new Array[Byte](44 + 2 * n)
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        bb.putShort(if (i % 4 < 2) amp.toShort else (-amp).toShort)
+        i += 1
+      }
+      data
+    }
+
+    /** Parse canonical mono/stereo 16-bit PCM WAV (44-byte header,
+      * "fmt " first — the [[graft.operators.Multimodal.wavMeta]]
+      * guard) and return (sample_rate, channels, n_samples, peak, sum,
+      * sum_sq) over ALL channel samples. Null for anything else —
+      * compressed audio stays the documented env-blocked seam.
+      */
+    def wavStats(bytes: Array[Byte]): InternalRow = {
+      if (bytes == null || bytes.length < 44) return null
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(pos: Int, n: Int) =
+        new String(bytes, pos, n, "US-ASCII")
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE" ||
+        ascii(12, 4) != "fmt " || bb.getShort(20) != 1 ||
+        bb.getShort(34) != 16 || ascii(36, 4) != "data") return null
+      val channels = bb.getShort(22).toInt
+      val rate = bb.getInt(24)
+      val dataLen = math.min(bb.getInt(40).toLong,
+        (bytes.length - 44).toLong).toInt
+      val n = dataLen / 2
+      var (sum, sumSq, peak) = (0L, 0L, 0)
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(44 + 2 * i).toInt
+        sum += s; sumSq += s.toLong * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        i += 1
+      }
+      if (channels < 1) return null
+      new GenericInternalRow(
+        Array[Any](rate, channels, n.toLong / channels, peak, sum, sumSq))
+    }
+  }
+
+  val ImageStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  val WavStatsType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("peak", IntegerType),
+    StructField("sum", LongType),
+    StructField("sum_sq", LongType)))
+
+  case class PngSynth(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "png_synth"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(width int, height int, seed int)")
+    override def nullSafeEval(w: Any, h: Any, s: Any): Any =
+      Codec.encodePng(w.asInstanceOf[Int], h.asInstanceOf[Int],
+        s.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val codec = ImageExprs.Codec.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, (w, h, s) =>
+        s"${ev.value} = $codec$$.MODULE$$.encodePng($w, $h, $s);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): PngSynth =
+      copy(first = f, second = s, third = t)
+  }
+
+  case class ImageStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ImageStatsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_stats"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary, got $other")
+      }
+    override def nullSafeEval(input: Any): Any =
+      Codec.stats(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val codec = ImageExprs.Codec.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $codec$$.MODULE$$.stats($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): ImageStats = copy(child = newChild)
+  }
+
+  case class ImageResizeNn(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_resize_nn"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (BinaryType, IntegerType, IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(payload binary, width int, height int), got $other")
+      }
+    override def nullSafeEval(bin: Any, w: Any, h: Any): Any =
+      Codec.resizeNn(bin.asInstanceOf[Array[Byte]],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val codec = ImageExprs.Codec.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+        ${ev.value} = $codec$$.MODULE$$.resizeNn($b, $w, $h);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ImageResizeNn =
+      copy(first = f, second = s, third = t)
+  }
+
+  case class WavSynth(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "wav_synth"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(sample_rate int, amplitude int, n_samples int)")
+    override def nullSafeEval(r: Any, a: Any, n: Any): Any =
+      Codec.encodeWavSquare(r.asInstanceOf[Int], a.asInstanceOf[Int],
+        n.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val codec = ImageExprs.Codec.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, (r, a, n) =>
+        s"${ev.value} = $codec$$.MODULE$$.encodeWavSquare($r, $a, $n);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): WavSynth =
+      copy(first = f, second = s, third = t)
+  }
+
+  case class WavStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = WavStatsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "wav_stats"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary, got $other")
+      }
+    override def nullSafeEval(input: Any): Any =
+      Codec.wavStats(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val codec = ImageExprs.Codec.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $codec$$.MODULE$$.wavStats($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): WavStats = copy(child = newChild)
+  }
+
+  /** Column forms. */
+  def pngSynth(w: Column, h: Column, seed: Column): Column =
+    ColumnBridge.column(PngSynth(ColumnBridge.expression(w),
+      ColumnBridge.expression(h), ColumnBridge.expression(seed)))
+  def imageStats(bin: Column): Column =
+    ColumnBridge.column(ImageStats(ColumnBridge.expression(bin)))
+  def imageResizeNn(bin: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(ImageResizeNn(ColumnBridge.expression(bin),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def wavSynth(rate: Column, amp: Column, n: Column): Column =
+    ColumnBridge.column(WavSynth(ColumnBridge.expression(rate),
+      ColumnBridge.expression(amp), ColumnBridge.expression(n)))
+  def wavStats(bin: Column): Column =
+    ColumnBridge.column(WavStats(ColumnBridge.expression(bin)))
+}

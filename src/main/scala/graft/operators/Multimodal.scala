@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extract runs
   * per-partition close to the data.
   *
-  * The actual media decode is STUBBED (no codec libraries in this
-  * environment): `stubFeatures` derives a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, batching, partitioning,
-  * metadata extraction — is the real Spark plumbing a production decode UDF
-  * would drop into.
+  * Decode status by format (round 16): formats the JVM itself speaks
+  * decode FOR REAL — PNG/JPEG/GIF/BMP pixels via ImageIO and WAV PCM
+  * samples via a RIFF parse, as codegen'd expressions in
+  * [[graft.functions.ImageExprs]] (pixel-exact stats, deterministic
+  * nearest-neighbor resize; oracle-gated by q190/q191). Only formats
+  * that genuinely need external codec libraries (mp3/h264/...) remain
+  * STUBBED: `stubFeatures` derives a deterministic fake feature vector
+  * from the bytes, and everything around it — schema, batching,
+  * partitioning, metadata extraction — is the real Spark plumbing a
+  * production codec call drops into.
   */
 object Multimodal {
 

@@ -2823,6 +2823,68 @@ object Curation {
             col("n").as("merged_occurrences")))
     }),
 
+    // REAL image decode (round-16 closure of the decode seam for
+    // JVM-native formats): synthesize complete, decodable PNGs with a
+    // closed-form pixel pattern (id-derived dimensions/seed), decode
+    // them back through ImageIO (`image_stats` — exact integer channel
+    // sums, no float risk), and nearest-neighbor resize each to 8x6 and
+    // decode THAT (src index = dst*src/dst floor — the same arithmetic
+    // the oracle runs). The oracle re-derives every pixel of both the
+    // original and the resized raster from the pattern formula alone —
+    // the two sides share NOTHING but the closed form: any codec,
+    // raster, or resample deviation breaks the hash. PNG is lossless,
+    // which is what makes exact pixel pinning possible (JPEG decode is
+    // spec-tested with tolerance instead).
+    "q190_image_decode" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      val imgs = t(s, dir, "documents")
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          ImageExprs.pngSynth(
+            (lit(16) + col("doc_id") % 8).cast("int"),
+            (lit(12) + col("doc_id") % 5).cast("int"),
+            (col("doc_id") % 256).cast("int")).as("payload"))
+      imgs.select(col("doc_id"),
+          graft.operators.Multimodal.sniffType(col("payload")).as("fmt"),
+          ImageExprs.imageStats(col("payload")).as("st"),
+          ImageExprs.imageStats(ImageExprs.imageResizeNn(
+            col("payload"), lit(8), lit(6))).as("rs"))
+        .select(col("doc_id"), col("fmt"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"),
+          col("rs.sum_r").as("rs_sum_r"), col("rs.sum_g").as("rs_sum_g"),
+          col("rs.sum_b").as("rs_sum_b"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL audio decode: synthesize complete mono 16-bit PCM WAVs
+    // (square wave, id-derived rate/amplitude/length with n % 4 == 0 so
+    // sum/sum_sq/peak are closed-form integers), parse the RIFF layout
+    // and fold every sample (`wav_stats`). Oracle = pure arithmetic on
+    // the id-derived parameters.
+    "q191_audio_decode" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id"),
+          ImageExprs.wavSynth(
+            (lit(8000) + (col("doc_id") % 4) * 4000).cast("int"),
+            (lit(500) + col("doc_id") % 997).cast("int"),
+            (lit(256) + (col("doc_id") % 32) * 4).cast("int")).as("payload"))
+        .select(col("doc_id"),
+          graft.operators.Multimodal.sniffType(col("payload")).as("fmt"),
+          ImageExprs.wavStats(col("payload")).as("st"))
+        .select(col("doc_id"), col("fmt"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"),
+          col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.sum").as("sum_pcm"),
+          col("st.sum_sq").as("sum_sq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Margin-based bitext mining (the CCMatrix/LASER ratio-margin
     // criterion): en->de translation-pair candidates over the aligned
     // embeddings — each en vector's best de target by cos normalized

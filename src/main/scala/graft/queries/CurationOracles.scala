@@ -3362,6 +3362,48 @@ object CurationOracles {
          FROM best ORDER BY src_id"""
   )
 
+  /** q190: the decode side read the pixels back through ImageIO; the
+    * oracle never touches a codec — it re-derives every pixel of both
+    * the original (w x h) raster and the 8x6 nearest-neighbor resample
+    * from the synthesizer's closed-form pattern (r=(7x+3y+s)%256,
+    * g=(5x+11y+2s)%256, b=(13x+y+5s)%256; resample src index =
+    * dst*src/dst floor). Fixed series + filter instead of correlated
+    * generate_series bounds (version-proof lateral).
+    */
+  private val ImageDecodeOracleSql: String =
+    """WITH d AS (
+           SELECT doc_id,
+             CAST(16 + doc_id % 8 AS INT) AS w,
+             CAST(12 + doc_id % 5 AS INT) AS h,
+             CAST(doc_id % 256 AS INT) AS s
+           FROM documents WHERE doc_id % 37 = 0),
+         px AS (
+           SELECT d.doc_id,
+             CAST(sum((7*gx.x + 3*gy.y + d.s) % 256) AS BIGINT) AS sum_r,
+             CAST(sum((5*gx.x + 11*gy.y + 2*d.s) % 256) AS BIGINT) AS sum_g,
+             CAST(sum((13*gx.x + gy.y + 5*d.s) % 256) AS BIGINT) AS sum_b
+           FROM d, generate_series(0, 22) AS gx(x),
+                generate_series(0, 15) AS gy(y)
+           WHERE gx.x < d.w AND gy.y < d.h
+           GROUP BY d.doc_id),
+         rs AS (
+           SELECT d.doc_id,
+             CAST(sum((7*((gx.x*d.w)//8) + 3*((gy.y*d.h)//6) + d.s) % 256)
+               AS BIGINT) AS rs_sum_r,
+             CAST(sum((5*((gx.x*d.w)//8) + 11*((gy.y*d.h)//6) + 2*d.s) % 256)
+               AS BIGINT) AS rs_sum_g,
+             CAST(sum((13*((gx.x*d.w)//8) + ((gy.y*d.h)//6) + 5*d.s) % 256)
+               AS BIGINT) AS rs_sum_b
+           FROM d, generate_series(0, 7) AS gx(x),
+                generate_series(0, 5) AS gy(y)
+           GROUP BY d.doc_id)
+         SELECT d.doc_id AS doc_id, 'png' AS fmt,
+           d.w AS width, d.h AS height,
+           px.sum_r, px.sum_g, px.sum_b,
+           rs.rs_sum_r, rs.rs_sum_g, rs.rs_sum_b
+         FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)
+         ORDER BY doc_id"""
+
   /** q188 trains the same 4 merges, round-trips them through the
     * PERSISTED tokenizer artifact ([[graft.operators.TextAnalysis
     * .bpeSave]]/[[graft.operators.TextAnalysis.bpeLoad]]), and encodes
@@ -3371,5 +3413,25 @@ object CurationOracles {
     * the encoded relation and break the hash).
     */
   val sql: Map[String, String] =
-    base + ("q188_bpe_artifact" -> base("q146_bpe_encode"))
+    base ++ Map(
+      "q188_bpe_artifact" -> base("q146_bpe_encode"),
+      "q190_image_decode" -> ImageDecodeOracleSql,
+      // q191: the decode side parsed RIFF and folded every PCM sample;
+      // the oracle is pure arithmetic on the id-derived square-wave
+      // parameters (n % 4 == 0 by construction, so sum = 0 exactly,
+      // sum_sq = n * amp^2, peak = amp).
+      "q191_audio_decode" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+               CAST(500 + doc_id % 997 AS INT) AS amp,
+               CAST(256 + (doc_id % 32) * 4 AS INT) AS n
+             FROM documents WHERE doc_id % 41 = 0)
+           SELECT doc_id, 'wav' AS fmt, rate AS sample_rate,
+             CAST(1 AS INT) AS channels,
+             CAST(n AS BIGINT) AS n_samples,
+             amp AS peak,
+             CAST(0 AS BIGINT) AS sum_pcm,
+             CAST(n AS BIGINT) * amp * amp AS sum_sq
+           FROM d ORDER BY doc_id""")
 }

@@ -1,0 +1,153 @@
+package graft
+
+import graft.functions.ImageExprs
+import org.apache.spark.sql.functions._
+
+/** Real JVM-native media decode: PNG pixel exactness against a
+  * plain-Scala recompute of the synthesizer's closed form, JPEG decode
+  * within lossy tolerance, deterministic nearest-neighbor resize, WAV
+  * PCM parse round-trips, null-not-throw on corrupt payloads, and SQL
+  * registration parity.
+  */
+class ImageExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r(x: Int, y: Int, s: Int) = Math.floorMod(7 * x + 3 * y + s, 256)
+  private def g(x: Int, y: Int, s: Int) = Math.floorMod(5 * x + 11 * y + 2 * s, 256)
+  private def b(x: Int, y: Int, s: Int) = Math.floorMod(13 * x + y + 5 * s, 256)
+
+  test("png synth -> decode round-trips every pixel sum exactly") {
+    val rows = Seq((17, 9, 3), (23, 16, 250), (1, 1, 0), (64, 48, 77))
+    val got = rows.toDF("w", "h", "s")
+      .select(col("w"), col("h"), col("s"),
+        ImageExprs.imageStats(
+          ImageExprs.pngSynth(col("w"), col("h"), col("s"))).as("st"))
+      .select(col("w"), col("h"), col("s"),
+        col("st.width"), col("st.height"), col("st.n_px"),
+        col("st.sum_r"), col("st.sum_g"), col("st.sum_b"))
+      .collect()
+    got.foreach { row =>
+      val (w, h, s) = (row.getInt(0), row.getInt(1), row.getInt(2))
+      val px = for { x <- 0 until w; y <- 0 until h } yield (x, y)
+      assert(row.getInt(3) === w && row.getInt(4) === h)
+      assert(row.getLong(5) === w.toLong * h)
+      assert(row.getLong(6) === px.map { case (x, y) => r(x, y, s).toLong }.sum)
+      assert(row.getLong(7) === px.map { case (x, y) => g(x, y, s).toLong }.sum)
+      assert(row.getLong(8) === px.map { case (x, y) => b(x, y, s).toLong }.sum)
+    }
+  }
+
+  test("nearest-neighbor resize == the index arithmetic, pixel-exact") {
+    val (w, h, s, dw, dh) = (23, 16, 250, 8, 6)
+    val st = Seq((w, h, s)).toDF("w", "h", "s")
+      .select(ImageExprs.imageStats(ImageExprs.imageResizeNn(
+        ImageExprs.pngSynth(col("w"), col("h"), col("s")),
+        lit(dw), lit(dh))).as("st"))
+      .select(col("st.*")).collect()(0)
+    val px = for { x <- 0 until dw; y <- 0 until dh }
+      yield ((x.toLong * w / dw).toInt, (y.toLong * h / dh).toInt)
+    assert(st.getInt(0) === dw && st.getInt(1) === dh)
+    assert(st.getLong(3) === px.map { case (x, y) => r(x, y, s).toLong }.sum)
+    assert(st.getLong(4) === px.map { case (x, y) => g(x, y, s).toLong }.sum)
+    assert(st.getLong(5) === px.map { case (x, y) => b(x, y, s).toLong }.sum)
+  }
+
+  test("jpeg decodes for real: exact dimensions, lossy-tolerant content") {
+    // encode a pattern image as JPEG with the JDK's own writer — decode
+    // must see the exact dimensions and channel MEANS within lossy
+    // tolerance of the source pattern (JPEG is the one JVM-native
+    // format where exact pixel pinning is impossible by design)
+    val (w, h, s) = (32, 24, 11)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { x <- 0 until w; y <- 0 until h }
+      img.setRGB(x, y, (r(x, y, s) << 16) | (g(x, y, s) << 8) | b(x, y, s))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val st = Seq(Tuple1(baos.toByteArray)).toDF("payload")
+      .select(ImageExprs.imageStats(col("payload")).as("st"))
+      .select(col("st.*")).collect()(0)
+    assert(st.getInt(0) === w && st.getInt(1) === h)
+    val px = for { x <- 0 until w; y <- 0 until h } yield (x, y)
+    def meanOf(f: (Int, Int, Int) => Int) =
+      px.map { case (x, y) => f(x, y, s).toDouble }.sum / (w * h)
+    assert(math.abs(st.getLong(3).toDouble / (w * h) - meanOf(r)) < 16.0)
+    assert(math.abs(st.getLong(4).toDouble / (w * h) - meanOf(g)) < 16.0)
+    assert(math.abs(st.getLong(5).toDouble / (w * h) - meanOf(b)) < 16.0)
+  }
+
+  test("wav synth -> parse round-trips the square wave exactly") {
+    val (rate, amp, n) = (16000, 1234, 400) // n % 4 == 0
+    val st = Seq((rate, amp, n)).toDF("r", "a", "n")
+      .select(ImageExprs.wavStats(
+        ImageExprs.wavSynth(col("r"), col("a"), col("n"))).as("st"))
+      .select(col("st.*")).collect()(0)
+    assert(st.getInt(0) === rate && st.getInt(1) === 1)
+    assert(st.getLong(2) === n.toLong)
+    assert(st.getInt(3) === amp)
+    assert(st.getLong(4) === 0L)
+    assert(st.getLong(5) === n.toLong * amp * amp)
+  }
+
+  test("stereo wav: frames = samples / channels, fold spans all samples") {
+    // hand-built 2-channel PCM wav: 6 frames, L=+100, R=-50
+    val n = 12
+    val bytes = new Array[Byte](44 + 2 * n)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    (0 until n).foreach(i =>
+      bb.putShort(if (i % 2 == 0) 100.toShort else (-50).toShort))
+    val st = Seq(Tuple1(bytes)).toDF("payload")
+      .select(ImageExprs.wavStats(col("payload")).as("st"))
+      .select(col("st.*")).collect()(0)
+    assert(st.getInt(1) === 2)
+    assert(st.getLong(2) === 6L) // frames, not raw samples
+    assert(st.getInt(3) === 100)
+    assert(st.getLong(4) === 6L * 100 - 6L * 50)
+    assert(st.getLong(5) === 6L * 100 * 100 + 6L * 50 * 50)
+  }
+
+  test("corrupt payloads yield null rows, never exceptions") {
+    val junk = Seq(
+      Tuple1(Array[Byte](1, 2, 3)),
+      Tuple1("definitely not media".getBytes("UTF-8")),
+      Tuple1(Array.empty[Byte])).toDF("payload")
+    assert(junk.select(ImageExprs.imageStats(col("payload")).as("st"))
+      .filter(col("st").isNotNull).count() === 0L)
+    assert(junk.select(ImageExprs.wavStats(col("payload")).as("st"))
+      .filter(col("st").isNotNull).count() === 0L)
+    // a TRUNCATED but signature-valid wav header is also a null, not a read
+    // past the buffer
+    val trunc = graft.functions.ImageExprs.Codec
+      .encodeWavSquare(8000, 10, 8).take(30)
+    assert(Seq(Tuple1(trunc)).toDF("payload")
+      .select(ImageExprs.wavStats(col("payload")).as("st"))
+      .filter(col("st").isNotNull).count() === 0L)
+  }
+
+  test("SQL registration parity: image_stats / wav_stats") {
+    graft.GraftExtensions.register(spark)
+    Seq((20, 10, 5)).toDF("w", "h", "s")
+      .select(ImageExprs.pngSynth(col("w"), col("h"), col("s")).as("p"))
+      .createOrReplaceTempView("imgs_sql_parity")
+    val viaSql = spark.sql(
+      "SELECT image_stats(p).sum_r AS sr FROM imgs_sql_parity")
+      .collect()(0).getLong(0)
+    val viaCol = spark.table("imgs_sql_parity")
+      .select(ImageExprs.imageStats(col("p")).getField("sum_r"))
+      .collect()(0).getLong(0)
+    assert(viaSql === viaCol)
+    Seq((8000, 7, 16)).toDF("r", "a", "n")
+      .select(ImageExprs.wavSynth(col("r"), col("a"), col("n")).as("p"))
+      .createOrReplaceTempView("wavs_sql_parity")
+    assert(spark.sql(
+      "SELECT wav_stats(p).sum_sq AS q FROM wavs_sql_parity")
+      .collect()(0).getLong(0) === 16L * 49)
+  }
+}
