@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -113,6 +114,58 @@ object ImageExprs {
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", baos)
       baos.toByteArray
+    }
+
+    /** Per-cell brightness sums over a (gx x gy) grid — the tiny
+      * visual descriptor that feeds the ANN path (cosine over grid
+      * vectors finds images with similar spatial light distribution —
+      * the classic pre-embedding baseline). EXACT integers: cell of
+      * pixel (x, y) = (y*gy/h)*gx + (x*gx/w) (floor division — the
+      * same closed form the oracle runs), value = sum of r+g+b over
+      * the cell's pixels. Null for undecodable payloads.
+      */
+    def gridSums(bytes: Array[Byte], gx: Int, gy: Int): Array[Long] = {
+      val img = decode(bytes)
+      if (img == null) return null
+      if (img.getWidth < gx || img.getHeight < gy) return null // empty cells
+      gridSumsOf(img, gx, gy)
+    }
+
+    /** [[gridSums]] normalized per cell by its EXACT pixel count (the
+      * same floor-division arithmetic assigns pixels and sizes cells,
+      * so the counts are derived, not re-scanned). Null like gridSums.
+      */
+    def gridMeans(bytes: Array[Byte], gx: Int, gy: Int): Array[Double] = {
+      val img = decode(bytes)
+      if (img == null) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < gx || h < gy) return null
+      val sums = gridSumsOf(img, gx, gy)
+      def span(c: Int, g: Int, n: Int): Long =
+        (c + 1).toLong * n / g - c.toLong * n / g
+      Array.tabulate(gx * gy) { i =>
+        val (cx, cy) = (i % gx, i / gx)
+        sums(i).toDouble / (span(cx, gx, w) * span(cy, gy, h)).toDouble
+      }
+    }
+
+    private def gridSumsOf(
+        img: java.awt.image.BufferedImage, gx: Int, gy: Int): Array[Long] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Long](gx * gy)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * gy / h).toInt
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          out((cy * gx) + (x.toLong * gx / w).toInt) +=
+            ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
     private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
@@ -313,6 +366,37 @@ object ImageExprs {
         newChild: Expression): WavStats = copy(child = newChild)
   }
 
+  case class ImageGridSums(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_grid_sums"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (BinaryType, IntegerType, IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(payload binary, grid_x int, grid_y int), got $other")
+      }
+    override def nullSafeEval(bin: Any, gx: Any, gy: Any): Any = {
+      val a = Codec.gridSums(bin.asInstanceOf[Array[Byte]],
+        gx.asInstanceOf[Int], gy.asInstanceOf[Int])
+      if (a == null) null else new GenericArrayData(a)
+    }
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("imageGridSums", this,
+        classOf[ImageGridSums].getName)
+      nullSafeCodeGen(ctx, ev, (b, gx, gy) => s"""
+        ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+          $ref.nullSafeEval($b, $gx, $gy);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ImageGridSums =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Column forms. */
   def pngSynth(w: Column, h: Column, seed: Column): Column =
     ColumnBridge.column(PngSynth(ColumnBridge.expression(w),
@@ -327,4 +411,51 @@ object ImageExprs {
       ColumnBridge.expression(amp), ColumnBridge.expression(n)))
   def wavStats(bin: Column): Column =
     ColumnBridge.column(WavStats(ColumnBridge.expression(bin)))
+  def imageGridSums(bin: Column, gx: Column, gy: Column): Column =
+    ColumnBridge.column(ImageGridSums(ColumnBridge.expression(bin),
+      ColumnBridge.expression(gx), ColumnBridge.expression(gy)))
+
+  /** Grid descriptor as an ANN-ready vector: per-cell brightness MEANS
+    * (cell sum / exact cell pixel count — cells of an unevenly divided
+    * grid differ by one row/column of pixels, so sums alone would skew
+    * the cosine). ONE decode per row, inside the codec; double-valued
+    * and deterministic (exact int / exact int). Feeds
+    * [[graft.operators.Similarity]]'s cosine/IVF path directly —
+    * images become first-class citizens of the dedup/retrieval estate.
+    */
+  def imageGridFeatures(bin: Column, gx: Column, gy: Column): Column =
+    ColumnBridge.column(ImageGridFeatures(ColumnBridge.expression(bin),
+      ColumnBridge.expression(gx), ColumnBridge.expression(gy)))
+
+  case class ImageGridFeatures(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_grid_features"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (BinaryType, IntegerType, IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(payload binary, grid_x int, grid_y int), got $other")
+      }
+    override def nullSafeEval(bin: Any, gx: Any, gy: Any): Any = {
+      val a = Codec.gridMeans(bin.asInstanceOf[Array[Byte]],
+        gx.asInstanceOf[Int], gy.asInstanceOf[Int])
+      if (a == null) null else new GenericArrayData(a)
+    }
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("imageGridFeatures", this,
+        classOf[ImageGridFeatures].getName)
+      nullSafeCodeGen(ctx, ev, (b, gx, gy) => s"""
+        ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+          $ref.nullSafeEval($b, $gx, $gy);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ImageGridFeatures =
+      copy(first = f, second = s, third = t)
+  }
 }

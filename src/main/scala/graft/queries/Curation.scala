@@ -2885,6 +2885,30 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // Image FEATURE extraction (the descriptor that makes images
+    // first-class in the ANN/dedup estate): decode real PNGs and fold
+    // each into a 4x3 grid of per-cell brightness sums — exact
+    // integers the oracle re-derives per pixel from the pattern's
+    // closed form, including the floor-division cell assignment
+    // (cell = (y*3/h)*4 + x*4/w). One wrong pixel, one off-by-one cell
+    // boundary, or a flipped raster breaks the hash.
+    // ImageExprsSpec composes the double-valued twin
+    // (imageGridFeatures) into cosine ANN end-to-end.
+    "q192_image_grid_features" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id"),
+          ImageExprs.imageGridSums(
+            ImageExprs.pngSynth(
+              (lit(16) + col("doc_id") % 8).cast("int"),
+              (lit(12) + col("doc_id") % 5).cast("int"),
+              (col("doc_id") % 256).cast("int")),
+            lit(4), lit(3)).as("cells"))
+        .select(col("doc_id"), posexplode(col("cells")).as(Seq("cell", "sum_rgb")))
+        .orderBy(col("doc_id"), col("cell"))
+    }),
+
     // Margin-based bitext mining (the CCMatrix/LASER ratio-margin
     // criterion): en->de translation-pair candidates over the aligned
     // embeddings — each en vector's best de target by cos normalized

@@ -3433,5 +3433,28 @@ object CurationOracles {
              amp AS peak,
              CAST(0 AS BIGINT) AS sum_pcm,
              CAST(n AS BIGINT) * amp * amp AS sum_sq
-           FROM d ORDER BY doc_id""")
+           FROM d ORDER BY doc_id""",
+      // q192: per-pixel re-derivation of the 4x3 grid descriptor — the
+      // pattern channels summed into cells assigned by the SAME floor
+      // arithmetic ((y*3)//h * 4 + (x*4)//w). posexplode is 0-based.
+      "q192_image_grid_features" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CAST(16 + doc_id % 8 AS INT) AS w,
+               CAST(12 + doc_id % 5 AS INT) AS h,
+               CAST(doc_id % 256 AS INT) AS s
+             FROM documents WHERE doc_id % 29 = 0),
+           px AS (
+             SELECT d.doc_id,
+               ((gy.y * 3) // d.h) * 4 + (gx.x * 4) // d.w AS cell,
+               (7*gx.x + 3*gy.y + d.s) % 256 +
+                 (5*gx.x + 11*gy.y + 2*d.s) % 256 +
+                 (13*gx.x + gy.y + 5*d.s) % 256 AS v
+             FROM d, generate_series(0, 22) AS gx(x),
+                  generate_series(0, 15) AS gy(y)
+             WHERE gx.x < d.w AND gy.y < d.h)
+           SELECT doc_id, CAST(cell AS INT) AS cell,
+             CAST(sum(v) AS BIGINT) AS sum_rgb
+           FROM px GROUP BY doc_id, cell
+           ORDER BY doc_id, cell""")
 }

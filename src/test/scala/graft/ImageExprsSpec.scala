@@ -113,6 +113,54 @@ class ImageExprsSpec extends SparkSpec {
     assert(st.getLong(5) === 6L * 100 * 100 + 6L * 50 * 50)
   }
 
+  test("grid sums == per-pixel recompute with floor-division cells") {
+    val (w, h, s, gx, gy) = (23, 16, 77, 4, 3)
+    val got = Seq((w, h, s)).toDF("w", "h", "s")
+      .select(ImageExprs.imageGridSums(
+        ImageExprs.pngSynth(col("w"), col("h"), col("s")),
+        lit(gx), lit(gy)).as("cells"))
+      .collect()(0).getSeq[Long](0)
+    val expect = Array.fill(gx * gy)(0L)
+    for { x <- 0 until w; y <- 0 until h }
+      expect((y * gy / h) * gx + (x * gx / w)) +=
+        (r(x, y, s) + g(x, y, s) + b(x, y, s)).toLong
+    assert(got === expect.toSeq)
+    // a grid wider than the image is a null (empty cells), not garbage
+    assert(Seq((2, 2, 1)).toDF("w", "h", "s")
+      .select(ImageExprs.imageGridSums(
+        ImageExprs.pngSynth(col("w"), col("h"), col("s")),
+        lit(4), lit(3)).as("cells"))
+      .filter(col("cells").isNotNull).count() === 0L)
+  }
+
+  test("grid features feed the ANN path: duplicate image is the top hit") {
+    // corpus: 12 distinct patterns, each present TWICE (ids i and
+    // i+100 share (w, h, seed)); cosine over grid features must return
+    // the twin as every query's top-1 at sim == 1.0
+    val imgs = (0 until 12).flatMap(i => Seq(
+        (i.toLong, 16 + i % 5, 12 + i % 4, i * 13),
+        (i.toLong + 100, 16 + i % 5, 12 + i % 4, i * 13)))
+      .toDF("id", "w", "h", "s")
+      .select(col("id"),
+        ImageExprs.imageGridFeatures(
+          ImageExprs.pngSynth(
+            col("w").cast("int"), col("h").cast("int"), col("s").cast("int")),
+          lit(4), lit(3)).as("feat"))
+      .localCheckpoint(true)
+    val hits = graft.operators.Similarity.bruteForceTopK(
+        imgs, "id", "feat",
+        imgs.filter(col("id") < 100)
+          .select(col("id").as("qid2"), col("feat").as("qf")),
+        "qid2", "qf", k = 1)
+      .collect()
+    assert(hits.length === 12)
+    hits.foreach { row =>
+      val (qid, id) = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+      assert(id === qid + 100, s"query $qid's top hit was $id, not its twin")
+      assert(math.abs(row.getAs[Double]("sim") - 1.0) < 1e-12)
+    }
+  }
+
   test("corrupt payloads yield null rows, never exceptions") {
     val junk = Seq(
       Tuple1(Array[Byte](1, 2, 3)),
