@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -172,6 +172,151 @@ object ImageExprs {
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
+
+    /** Deterministic full AVI: an uncompressed-DIB video (the RIFF
+      * container + 24-bit bottom-up BGR frames per the public
+      * BITMAPINFOHEADER layout — the one video codec that needs no
+      * codec at all). Frame f's pixel (x, y) extends the PNG pattern
+      * with a per-frame term: r=(7x+3y+s+11f)%256, g=(5x+11y+2s+17f)%256,
+      * b=(13x+y+5s+23f)%256 — closed-form for the oracle. Carries a
+      * minimal-but-honest hdrl (avih + strl/strh/strf) ahead of movi.
+      */
+    def encodeAviDib(w: Int, h: Int, nFrames: Int, seed: Int): Array[Byte] = {
+      require(w >= 1 && h >= 1 && w <= 1024 && h <= 1024 &&
+        nFrames >= 1 && nFrames <= 256,
+        s"avi_synth: out of range ($w x $h x $nFrames)")
+      val rowBytes = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+      val frameBytes = rowBytes * h
+      def frame(f: Int): Array[Byte] = {
+        val d = new Array[Byte](frameBytes)
+        var y = 0
+        while (y < h) {
+          val base = (h - 1 - y) * rowBytes // bottom-up raster
+          var x = 0
+          while (x < w) {
+            d(base + 3 * x) =
+              java.lang.Math.floorMod(13 * x + y + 5 * seed + 23 * f, 256).toByte
+            d(base + 3 * x + 1) =
+              java.lang.Math.floorMod(5 * x + 11 * y + 2 * seed + 17 * f, 256).toByte
+            d(base + 3 * x + 2) =
+              java.lang.Math.floorMod(7 * x + 3 * y + seed + 11 * f, 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        d
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def le32(v: Int): Array[Byte] = Array(
+        v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(ascii(id)); b.write(le32(body.length)); b.write(body)
+        if (body.length % 2 == 1) b.write(0) // RIFF chunks pad to even
+        b.toByteArray
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(ascii("LIST")); b.write(le32(body.length + 4))
+        b.write(ascii(kind)); b.write(body)
+        b.toByteArray
+      }
+      // avih: us/frame, maxbytes, pad, flags, totalframes, init, streams,
+      // bufsize, w, h, 4 reserved — 56 bytes of LE uint32
+      val avih = chunk("avih", Array(40000, frameBytes, 0, 0, nFrames,
+        0, 1, frameBytes, w, h, 0, 0, 0, 0).flatMap(le32))
+      // strh: fccType 'vids', handler 'DIB ', then 44 bytes of fields
+      val strhBody = new java.io.ByteArrayOutputStream()
+      strhBody.write(ascii("vids")); strhBody.write(ascii("DIB "))
+      Seq(0, 0, 0, 1, 25, 0, nFrames, frameBytes, -1, 0)
+        .foreach(v => strhBody.write(le32(v)))
+      strhBody.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)) // rcFrame
+      // strf: BITMAPINFOHEADER (40 bytes)
+      val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
+        Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(frameBytes) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl",
+        avih ++ list("strl", chunk("strh", strhBody.toByteArray) ++ strf))
+      val movi = list("movi",
+        (0 until nFrames).map(f => chunk("00db", frame(f)))
+          .reduce(_ ++ _))
+      val payload = ascii("AVI ") ++ hdrl ++ movi
+      out.write(ascii("RIFF")); out.write(le32(payload.length))
+      out.write(payload)
+      out.toByteArray
+    }
+
+    /** Decode every `stride`-th uncompressed-DIB frame of an AVI (the
+      * REAL frame-boundary walk: RIFF chunks to the movi list, '00db'
+      * chunks within) into (frame_idx, sum_r, sum_g, sum_b) rows.
+      * Bottom-up BGR per the public DIB spec (orientation and channel
+      * order spec-pinned against a hand-laid fixture). Null for
+      * payloads that are not RIFF/AVI with a 24-bit DIB video stream —
+      * compressed video stays the documented codec-blocked seam.
+      */
+    def aviFrameStats(bytes: Array[Byte], stride: Int): Array[InternalRow] = {
+      if (bytes == null || bytes.length < 12 || stride < 1) return null
+      def ascii(pos: Int, n: Int): String =
+        if (pos + n > bytes.length) ""
+        else new String(bytes, pos, n, "US-ASCII")
+      def le32(pos: Int): Int =
+        if (pos + 4 > bytes.length) -1
+        else (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+          ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return null
+      // find strf's BITMAPINFOHEADER for dimensions/bpp, then movi
+      var (w, h, bpp) = (-1, -1, -1)
+      var moviStart = -1
+      var moviEnd = -1
+      def walk(pos0: Int, end: Int): Unit = {
+        var pos = pos0
+        while (pos + 8 <= end) {
+          val id = ascii(pos, 4); val len = le32(pos + 4)
+          if (len < 0 || pos + 8 + len > end) return
+          if (id == "LIST") {
+            val kind = ascii(pos + 8, 4)
+            if (kind == "movi") { moviStart = pos + 12; moviEnd = pos + 8 + len }
+            else walk(pos + 12, pos + 8 + len)
+          } else if (id == "strf" && len >= 40) {
+            w = le32(pos + 8 + 4); h = le32(pos + 8 + 8)
+            bpp = (bytes(pos + 8 + 14) & 0xff) | ((bytes(pos + 8 + 15) & 0xff) << 8)
+          }
+          pos += 8 + len + (len % 2) // even padding
+        }
+      }
+      walk(12, bytes.length)
+      if (w <= 0 || h <= 0 || bpp != 24 || moviStart < 0) return null
+      val rowBytes = (w * 3 + 3) & ~3
+      val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var (pos, idx) = (moviStart, 0)
+      while (pos + 8 <= moviEnd) {
+        val id = ascii(pos, 4); val len = le32(pos + 4)
+        if (len < 0 || pos + 8 + len > moviEnd) return null // torn container
+        if (id == "00db" || id == "00dc") {
+          if (idx % stride == 0) {
+            if (len < rowBytes * h) return null // truncated frame
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              val base = pos + 8 + (h - 1 - y) * rowBytes
+              var x = 0
+              while (x < w) {
+                sb += bytes(base + 3 * x) & 0xff
+                sg += bytes(base + 3 * x + 1) & 0xff
+                sr += bytes(base + 3 * x + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            rows += new GenericInternalRow(Array[Any](idx, sr, sg, sb))
+          }
+          idx += 1
+        }
+        pos += 8 + len + (len % 2)
+      }
+      if (rows.isEmpty) null else rows.toArray
+    }
 
     /** Deterministic full WAV: mono 16-bit PCM square wave of period 4
       * (2 samples at +amp, 2 at -amp) — sum, sum-of-squares, and peak
@@ -397,6 +542,66 @@ object ImageExprs {
       copy(first = f, second = s, third = t)
   }
 
+  val AviFrameStatsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType))), containsNull = false)
+
+  case class AviSynthDib(first: Expression, second: Expression,
+      third: Expression, fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "avi_synth_dib"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(width int, height int, n_frames int, seed int)")
+    override def nullSafeEval(w: Any, h: Any, n: Any, s: Any): Any =
+      Codec.encodeAviDib(w.asInstanceOf[Int], h.asInstanceOf[Int],
+        n.asInstanceOf[Int], s.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val codec = ImageExprs.Codec.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, (w, h, n, s) =>
+        s"${ev.value} = $codec$$.MODULE$$.encodeAviDib($w, $h, $n, $s);")
+    }
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression, q: Expression): AviSynthDib =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  case class AviFrameStats(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = AviFrameStatsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "avi_frame_stats"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(payload binary, stride int), got $other")
+      }
+    override def nullSafeEval(bin: Any, stride: Any): Any = {
+      val a = Codec.aviFrameStats(bin.asInstanceOf[Array[Byte]],
+        stride.asInstanceOf[Int])
+      if (a == null) null
+      else new GenericArrayData(a.map(identity[Any]))
+    }
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("aviFrameStats", this,
+        classOf[AviFrameStats].getName)
+      nullSafeCodeGen(ctx, ev, (b, st) => s"""
+        ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+          $ref.nullSafeEval($b, $st);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): AviFrameStats =
+      copy(left = l, right = r)
+  }
+
   /** Column forms. */
   def pngSynth(w: Column, h: Column, seed: Column): Column =
     ColumnBridge.column(PngSynth(ColumnBridge.expression(w),
@@ -414,6 +619,13 @@ object ImageExprs {
   def imageGridSums(bin: Column, gx: Column, gy: Column): Column =
     ColumnBridge.column(ImageGridSums(ColumnBridge.expression(bin),
       ColumnBridge.expression(gx), ColumnBridge.expression(gy)))
+  def aviSynthDib(w: Column, h: Column, n: Column, seed: Column): Column =
+    ColumnBridge.column(AviSynthDib(ColumnBridge.expression(w),
+      ColumnBridge.expression(h), ColumnBridge.expression(n),
+      ColumnBridge.expression(seed)))
+  def aviFrameStats(bin: Column, stride: Column): Column =
+    ColumnBridge.column(AviFrameStats(ColumnBridge.expression(bin),
+      ColumnBridge.expression(stride)))
 
   /** Grid descriptor as an ANN-ready vector: per-cell brightness MEANS
     * (cell sum / exact cell pixel count — cells of an unevenly divided

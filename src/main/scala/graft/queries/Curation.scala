@@ -2909,6 +2909,39 @@ object Curation {
         .orderBy(col("doc_id"), col("cell"))
     }),
 
+    // REAL video frame sampling + decode, for the one video codec that
+    // needs no codec: uncompressed-DIB AVI (RIFF container, 24-bit
+    // bottom-up BGR frames — public BITMAPINFOHEADER layout).
+    // Synthesize id-parameterized clips, walk the movi list's ACTUAL
+    // chunk boundaries (not byte offsets — the upgrade over
+    // sampleChunks), decode every 2nd frame, and pin each sampled
+    // frame's exact channel sums against the per-pixel analytic oracle.
+    // Orientation and BGR channel order are pinned against a hand-laid
+    // spec fixture (a flipped raster or swapped channel here would
+    // still satisfy a self-consistent encode/decode pair — the spec
+    // fixture breaks that symmetry). Compressed video stays the
+    // documented codec-blocked seam.
+    "q193_video_frame_decode" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"),
+          ImageExprs.aviFrameStats(
+            ImageExprs.aviSynthDib(
+              (lit(16) + col("doc_id") % 6).cast("int"),
+              (lit(12) + col("doc_id") % 4).cast("int"),
+              (lit(3) + col("doc_id") % 4).cast("int"),
+              (col("doc_id") % 256).cast("int")),
+            lit(2)).as("frames"))
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"),
+          col("f.frame_idx").as("frame_idx"),
+          col("f.sum_r").as("sum_r"),
+          col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Margin-based bitext mining (the CCMatrix/LASER ratio-margin
     // criterion): en->de translation-pair candidates over the aligned
     // embeddings — each en vector's best de target by cos normalized

@@ -3456,5 +3456,33 @@ object CurationOracles {
            SELECT doc_id, CAST(cell AS INT) AS cell,
              CAST(sum(v) AS BIGINT) AS sum_rgb
            FROM px GROUP BY doc_id, cell
-           ORDER BY doc_id, cell""")
+           ORDER BY doc_id, cell""",
+      // q193: every 2nd frame of the DIB clip, channel sums re-derived
+      // per pixel from the frame-extended pattern (f series bounded by
+      // the max 3 + 3 frames; stride = even frame indexes).
+      "q193_video_frame_decode" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CAST(16 + doc_id % 6 AS INT) AS w,
+               CAST(12 + doc_id % 4 AS INT) AS h,
+               CAST(3 + doc_id % 4 AS INT) AS nf,
+               CAST(doc_id % 256 AS INT) AS s
+             FROM documents WHERE doc_id % 31 = 0),
+           px AS (
+             SELECT d.doc_id, gf.f AS frame_idx,
+               CAST(sum((7*gx.x + 3*gy.y + d.s + 11*gf.f) % 256) AS BIGINT)
+                 AS sum_r,
+               CAST(sum((5*gx.x + 11*gy.y + 2*d.s + 17*gf.f) % 256) AS BIGINT)
+                 AS sum_g,
+               CAST(sum((13*gx.x + gy.y + 5*d.s + 23*gf.f) % 256) AS BIGINT)
+                 AS sum_b
+             FROM d, generate_series(0, 5) AS gf(f),
+                  generate_series(0, 21) AS gx(x),
+                  generate_series(0, 15) AS gy(y)
+             WHERE gf.f < d.nf AND gf.f % 2 = 0
+               AND gx.x < d.w AND gy.y < d.h
+             GROUP BY d.doc_id, gf.f)
+           SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             sum_r, sum_g, sum_b
+           FROM px ORDER BY doc_id, frame_idx""")
 }

@@ -161,6 +161,63 @@ class ImageExprsSpec extends SparkSpec {
     }
   }
 
+  test("avi dib frames decode at real chunk boundaries with stride") {
+    val (w, h, nf, s) = (18, 13, 6, 95)
+    def fr(x: Int, y: Int, s: Int, f: Int) = Math.floorMod(7*x + 3*y + s + 11*f, 256)
+    def fg(x: Int, y: Int, s: Int, f: Int) = Math.floorMod(5*x + 11*y + 2*s + 17*f, 256)
+    def fb(x: Int, y: Int, s: Int, f: Int) = Math.floorMod(13*x + y + 5*s + 23*f, 256)
+    val rows = Seq((w, h, nf, s)).toDF("w", "h", "nf", "s")
+      .select(ImageExprs.aviFrameStats(
+        ImageExprs.aviSynthDib(col("w"), col("h"), col("nf"), col("s")),
+        lit(2)).as("fs"))
+      .select(explode(col("fs")).as("f")).select(col("f.*"))
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 2, 4)) // stride 2 of 6
+    rows.foreach { row =>
+      val f = row.getInt(0)
+      val px = for { x <- 0 until w; y <- 0 until h } yield (x, y)
+      assert(row.getLong(1) === px.map { case (x, y) => fr(x, y, s, f).toLong }.sum)
+      assert(row.getLong(2) === px.map { case (x, y) => fg(x, y, s, f).toLong }.sum)
+      assert(row.getLong(3) === px.map { case (x, y) => fb(x, y, s, f).toLong }.sum)
+    }
+  }
+
+  test("dib BGR channel order pinned by a hand-laid fixture") {
+    // a self-consistent encode/decode pair could swap channels and
+    // still agree with itself — this fixture is laid out byte-by-byte
+    // per the PUBLIC spec (BGR sample order, 4-byte row padding) and
+    // breaks that symmetry with three DISTINCT per-channel totals.
+    // (Raster orientation is unobservable through channel sums — both
+    // row orders cover the same pixel set — so only the channel
+    // mapping needs an external pin.) 1x2 image: pixel A
+    // (r=200,g=150,b=100), pixel B (r=10,g=20,b=30).
+    val base = graft.functions.ImageExprs.Codec.encodeAviDib(1, 2, 1, 0)
+    // frame payload starts right after the '00db' header inside movi;
+    // find it and overwrite the 2 rows (rowBytes = 4 for w=1)
+    val idx = {
+      var i = 0
+      var at = -1
+      while (at < 0 && i < base.length - 4) {
+        if (base(i) == '0' && base(i + 1) == '0' &&
+          base(i + 2) == 'd' && base(i + 3) == 'b') at = i + 8
+        i += 1
+      }
+      at
+    }
+    assert(idx > 0)
+    // bottom row first: (b=30, g=20, r=10), then top row (b=100,150,200)
+    val fixed = base.clone()
+    fixed(idx) = 30; fixed(idx + 1) = 20; fixed(idx + 2) = 10
+    fixed(idx + 4) = 100.toByte; fixed(idx + 5) = 150.toByte
+    fixed(idx + 6) = 200.toByte
+    val row = Seq(Tuple1(fixed)).toDF("payload")
+      .select(ImageExprs.aviFrameStats(col("payload"), lit(1)).as("fs"))
+      .select(explode(col("fs")).as("f")).select(col("f.*")).collect()(0)
+    assert(row.getLong(1) === 210L, "red channel mis-mapped") // 200 + 10
+    assert(row.getLong(2) === 170L, "green channel mis-mapped")
+    assert(row.getLong(3) === 130L, "blue channel mis-mapped")
+  }
+
   test("corrupt payloads yield null rows, never exceptions") {
     val junk = Seq(
       Tuple1(Array[Byte](1, 2, 3)),
