@@ -265,8 +265,10 @@ object ImageExprs {
         else (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
           ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
       if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return null
-      // find strf's BITMAPINFOHEADER for dimensions/bpp, then movi
+      // find strf's BITMAPINFOHEADER for dimensions/bpp/compression,
+      // then movi
       var (w, h, bpp) = (-1, -1, -1)
+      var compression = -1
       var moviStart = -1
       var moviEnd = -1
       def walk(pos0: Int, end: Int): Unit = {
@@ -281,12 +283,17 @@ object ImageExprs {
           } else if (id == "strf" && len >= 40) {
             w = le32(pos + 8 + 4); h = le32(pos + 8 + 8)
             bpp = (bytes(pos + 8 + 14) & 0xff) | ((bytes(pos + 8 + 15) & 0xff) << 8)
+            compression = le32(pos + 8 + 16)
           }
           pos += 8 + len + (len % 2) // even padding
         }
       }
       walk(12, bytes.length)
-      if (w <= 0 || h <= 0 || bpp != 24 || moviStart < 0) return null
+      // biCompression must be BI_RGB (0): a compressed stream (MJPG,
+      // h264 fourcc, ...) must refuse EXPLICITLY, not by the accident
+      // of its frames being smaller than a raw raster
+      if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 ||
+        moviStart < 0) return null
       val rowBytes = (w * 3 + 3) & ~3
       val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       var (pos, idx) = (moviStart, 0)
@@ -316,6 +323,59 @@ object ImageExprs {
         pos += 8 + len + (len % 2)
       }
       if (rows.isEmpty) null else rows.toArray
+    }
+
+    /** Container metadata WITHOUT touching pixel data — the video twin
+      * of [[graft.operators.Multimodal.pngDimensions]]: dimensions, bit
+      * depth, compression fourcc (0 = BI_RGB uncompressed), and the
+      * frame count from a chunk-header-only walk of the movi list
+      * (O(frames) header reads, zero frame bytes). The
+      * resolution/length filter a 100 TB video pipeline runs BEFORE
+      * deciding what to decode. Null for non-RIFF/AVI payloads; unlike
+      * [[aviFrameStats]] it reports compressed streams rather than
+      * refusing them (their metadata is exactly what triage needs).
+      */
+    def aviMeta(bytes: Array[Byte]): InternalRow = {
+      if (bytes == null || bytes.length < 12) return null
+      def ascii(pos: Int, n: Int): String =
+        if (pos + n > bytes.length) ""
+        else new String(bytes, pos, n, "US-ASCII")
+      def le32(pos: Int): Int =
+        if (pos + 4 > bytes.length) -1
+        else (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+          ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return null
+      var (w, h, bpp, compression) = (-1, -1, -1, -1)
+      var nFrames = 0L
+      def walk(pos0: Int, end: Int): Unit = {
+        var pos = pos0
+        while (pos + 8 <= end) {
+          val id = ascii(pos, 4); val len = le32(pos + 4)
+          if (len < 0 || pos + 8 + len > end) return
+          if (id == "LIST") {
+            val kind = ascii(pos + 8, 4)
+            if (kind == "movi") {
+              var p = pos + 12
+              val e = pos + 8 + len
+              while (p + 8 <= e) {
+                val cid = ascii(p, 4); val clen = le32(p + 4)
+                if (clen < 0 || p + 8 + clen > e) return
+                if (cid.endsWith("db") || cid.endsWith("dc")) nFrames += 1
+                p += 8 + clen + (clen % 2)
+              }
+            } else walk(pos + 12, pos + 8 + len)
+          } else if (id == "strf" && len >= 40) {
+            w = le32(pos + 8 + 4); h = le32(pos + 8 + 8)
+            bpp = (bytes(pos + 8 + 14) & 0xff) |
+              ((bytes(pos + 8 + 15) & 0xff) << 8)
+            compression = le32(pos + 8 + 16)
+          }
+          pos += 8 + len + (len % 2)
+        }
+      }
+      walk(12, bytes.length)
+      if (w <= 0 || h <= 0) return null
+      new GenericInternalRow(Array[Any](w, h, bpp, compression, nFrames))
     }
 
     /** Deterministic full WAV: mono 16-bit PCM square wave of period 4
@@ -542,6 +602,36 @@ object ImageExprs {
       copy(first = f, second = s, third = t)
   }
 
+  val AviMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bpp", IntegerType),
+    StructField("compression", IntegerType),
+    StructField("n_frames", LongType)))
+
+  case class AviMeta(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = AviMetaType
+    override def nullable: Boolean = true
+    override def prettyName: String = "avi_meta"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary, got $other")
+      }
+    override def nullSafeEval(input: Any): Any =
+      Codec.aviMeta(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val codec = ImageExprs.Codec.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $codec$$.MODULE$$.aviMeta($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): AviMeta = copy(child = newChild)
+  }
+
   val AviFrameStatsType: ArrayType = ArrayType(StructType(Seq(
     StructField("frame_idx", IntegerType),
     StructField("sum_r", LongType),
@@ -626,6 +716,8 @@ object ImageExprs {
   def aviFrameStats(bin: Column, stride: Column): Column =
     ColumnBridge.column(AviFrameStats(ColumnBridge.expression(bin),
       ColumnBridge.expression(stride)))
+  def aviMeta(bin: Column): Column =
+    ColumnBridge.column(AviMeta(ColumnBridge.expression(bin)))
 
   /** Grid descriptor as an ANN-ready vector: per-cell brightness MEANS
     * (cell sum / exact cell pixel count — cells of an unevenly divided

@@ -2942,6 +2942,30 @@ object Curation {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Video container TRIAGE without touching pixel data (the
+    // pngDimensions contract for the video modality): dimensions, bit
+    // depth, compression fourcc, and a chunk-header-only frame count —
+    // what a 100 TB pipeline reads to decide WHAT to decode. Oracle =
+    // arithmetic on the same id-derived clip parameters.
+    "q194_video_meta" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"),
+          ImageExprs.aviMeta(
+            ImageExprs.aviSynthDib(
+              (lit(16) + col("doc_id") % 6).cast("int"),
+              (lit(12) + col("doc_id") % 4).cast("int"),
+              (lit(3) + col("doc_id") % 4).cast("int"),
+              (col("doc_id") % 256).cast("int"))).as("m"))
+        .select(col("doc_id"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.bpp").as("bpp"),
+          col("m.compression").as("compression"),
+          col("m.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Margin-based bitext mining (the CCMatrix/LASER ratio-margin
     // criterion): en->de translation-pair candidates over the aligned
     // embeddings — each en vector's best de target by cos normalized

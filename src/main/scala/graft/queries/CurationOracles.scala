@@ -3484,5 +3484,16 @@ object CurationOracles {
              GROUP BY d.doc_id, gf.f)
            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
              sum_r, sum_g, sum_b
-           FROM px ORDER BY doc_id, frame_idx""")
+           FROM px ORDER BY doc_id, frame_idx""",
+      // q194: container triage metadata — id-derived clip parameters
+      // straight back (BI_RGB uncompressed = fourcc 0, 24 bpp).
+      "q194_video_meta" ->
+        """SELECT doc_id,
+             CAST(16 + doc_id % 6 AS INT) AS width,
+             CAST(12 + doc_id % 4 AS INT) AS height,
+             CAST(24 AS INT) AS bpp,
+             CAST(0 AS INT) AS compression,
+             CAST(3 + doc_id % 4 AS BIGINT) AS n_frames
+           FROM documents WHERE doc_id % 31 = 0
+           ORDER BY doc_id""")
 }

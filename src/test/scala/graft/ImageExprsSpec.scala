@@ -218,6 +218,43 @@ class ImageExprsSpec extends SparkSpec {
     assert(row.getLong(3) === 130L, "blue channel mis-mapped")
   }
 
+  test("avi meta triages the container without reading frames") {
+    val meta = Seq((20, 14, 5, 9)).toDF("w", "h", "nf", "s")
+      .select(ImageExprs.aviMeta(ImageExprs.aviSynthDib(
+        col("w"), col("h"), col("nf"), col("s"))).as("m"))
+      .select(col("m.*")).collect()(0)
+    assert(meta.getInt(0) === 20 && meta.getInt(1) === 14)
+    assert(meta.getInt(2) === 24 && meta.getInt(3) === 0)
+    assert(meta.getLong(4) === 5L)
+  }
+
+  test("compressed fourcc refuses decode explicitly but still triages") {
+    // flip strf's biCompression from BI_RGB (0) to the 'MJPG' fourcc:
+    // frame decode must refuse by the FIELD (not by the accident of
+    // compressed frames being smaller than a raw raster), while meta
+    // still reports the stream — compressed metadata is exactly what
+    // triage needs
+    val base = graft.functions.ImageExprs.Codec.encodeAviDib(6, 4, 2, 1)
+    var at = -1
+    var i = 0
+    while (at < 0 && i < base.length - 4) {
+      if (base(i) == 's' && base(i + 1) == 't' &&
+        base(i + 2) == 'r' && base(i + 3) == 'f') at = i + 8
+      i += 1
+    }
+    assert(at > 0)
+    val mjpg = base.clone()
+    "MJPG".getBytes("US-ASCII").zipWithIndex
+      .foreach { case (b, j) => mjpg(at + 16 + j) = b }
+    val df = Seq(Tuple1(mjpg)).toDF("payload")
+    assert(df.select(ImageExprs.aviFrameStats(col("payload"), lit(1)).as("f"))
+      .filter(col("f").isNotNull).count() === 0L)
+    val meta = df.select(ImageExprs.aviMeta(col("payload")).as("m"))
+      .select(col("m.*")).collect()(0)
+    assert(meta.getInt(3) !== 0, "compression fourcc lost")
+    assert(meta.getLong(4) === 2L)
+  }
+
   test("corrupt payloads yield null rows, never exceptions") {
     val junk = Seq(
       Tuple1(Array[Byte](1, 2, 3)),
