@@ -2942,6 +2942,56 @@ object Curation {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // The multimodal pipeline END-TO-END under the driver's oracle:
+    // real PNGs -> decoded grid features -> a persisted IVF index ->
+    // an exhaustive probe, with a planted TWIN per query image (ids i
+    // and i+1000000 share the pattern; the slice caps at doc_id < 1280
+    // because the pattern space repeats mod lcm(8,5,256) = 1280 — a
+    // collision would legitimately outrank a twin on the ascending-id
+    // tie-break). Every query's top-2 must contain its twin at
+    // cosine 1.0 (self ranks first on the tie-break); a violation row
+    // fires per query whose twin is missing, and the queries_probed
+    // scalar (pinned by the oracle) makes the empty violation set
+    // non-vacuous. One wrong pixel, feature, cell assignment, or probe
+    // pruning bug anywhere in the chain surfaces as a violation.
+    "q195_image_ann_pipeline" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 23 === 0 && col("doc_id") < 1280)
+        .select(col("doc_id"))
+      val both = base
+        .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id")))
+      val bid = pmod(col("doc_id"), lit(1000000L))
+      val feats = both.select(col("doc_id"),
+          ImageExprs.imageGridFeatures(
+            ImageExprs.pngSynth(
+              (lit(16) + bid % 8).cast("int"),
+              (lit(12) + bid % 5).cast("int"),
+              (bid % 256).cast("int")),
+            lit(4), lit(3)).as("feat"))
+        .localCheckpoint(true)
+      val idx = s"${java.nio.file.Files
+        .createTempDirectory("graft-q195").toString}/ivf"
+      Similarity.buildIvfIndex(feats, "doc_id", "feat", nlist = 4, idx)
+      val queries = feats.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("img_id"), col("feat").as("qf"))
+      val hits = Similarity.ivfTopKIndexed(
+          idx, queries, "img_id", "qf", k = 2, nprobe = 4)
+        .transform(graft.CacheScope.persisted)
+      val ok = hits
+        .filter(col("id") === col("qid") + 1000000L &&
+          round(col("sim"), 6) === 1.0)
+        .select(col("qid")).distinct()
+      val missing = queries.select(col("img_id").as("qid"))
+        .join(ok, Seq("qid"), "left_anti")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("twin_not_in_top2").as("kind"), col("n"))
+      val probed = queries
+        .agg(count(lit(1)).as("n"))
+        .select(lit("queries_probed").as("kind"), col("n"))
+      missing.unionByName(probed).orderBy(col("kind"))
+    }),
+
     // Video container TRIAGE without touching pixel data (the
     // pngDimensions contract for the video modality): dimensions, bit
     // depth, compression fourcc, and a chunk-header-only frame count —

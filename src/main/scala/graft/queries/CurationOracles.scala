@@ -3485,6 +3485,12 @@ object CurationOracles {
            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
              sum_r, sum_g, sum_b
            FROM px ORDER BY doc_id, frame_idx""",
+      // q195: the image->features->IVF->probe chain's violation set is
+      // expected empty; queries_probed pins non-vacuity (count over the
+      // same capped slice).
+      "q195_image_ann_pipeline" ->
+        """SELECT 'queries_probed' AS kind, CAST(count(*) AS BIGINT) AS n
+           FROM documents WHERE doc_id % 23 = 0 AND doc_id < 1280""",
       // q194: container triage metadata — id-derived clip parameters
       // straight back (BI_RGB uncompressed = fourcc 0, 24 bpp).
       "q194_video_meta" ->
