@@ -109,8 +109,15 @@ object DedupRegistry {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val hasData = fs.exists(corpusPath) && fs.listStatus(corpusPath)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    // pin-aware data check: inside a pinned scope the snapshot answers,
+    // outside the live listing does (empty bucket dirs after a
+    // crash-erased generation still count as data-less)
+    val hasData = StableRead.pinnedSnapshotFor(path) match {
+      case Some(snap) => snap.tables.get("corpus").exists(_.files.nonEmpty)
+      case None => fs.exists(corpusPath) && fs.listStatus(corpusPath)
+        .exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    }
     // attribute-derived (not lit) digest: a constant key would fold the
     // downstream anti-join's equi-condition away and plan a BNL join
     if (!hasData)
@@ -122,9 +129,9 @@ object DedupRegistry {
       xxhash64(col("digest")), math.max(batchN, 1L), 0.001)
     // explicit schema: a registry whose only generation was crash-erased
     // still has its (empty) bucket dirs, where inference would abort
-    val candidates = spark.read
-      .schema("id LONG, text STRING, digest STRING, bucket LONG")
-      .parquet(corpusPath.toString)
+    val candidates = StableRead.readTable(spark, path, "corpus",
+        Some(org.apache.spark.sql.types.StructType.fromDDL(
+          "id LONG, text STRING, digest STRING, bucket LONG")))
       .filter(col("bucket").isin(batchBuckets: _*))
       .filter(graft.functions.BloomExprs.bloomMightContain(
         xxhash64(col("digest")), bloom))
@@ -157,7 +164,7 @@ object DedupRegistry {
       docs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = graft.CacheScope.scoped {
-    val buckets = spark.read.parquet(s"$path/stats")
+    val buckets = StableRead.readTable(spark, path, "stats")
       .select(col("buckets")).collect()(0).getLong(0)
     val keyed = docs
       .withColumn("__digest",
@@ -226,9 +233,17 @@ object DedupRegistry {
     val marker = sub(s"ingestlog/$tag")
     def dropBak(): Unit = {
       val bak = sub(s"stats_${tag}_bak")
-      if (fs.exists(bak))
-        require(fs.delete(bak, true),
+      if (fs.exists(bak)) {
+        // pre-ingest committed stats: retire on manifest-managed roots
+        // (pinned readers resolve them there), drop on legacy roots
+        if (StableRead.manifestManaged(
+            fs, new org.apache.hadoop.fs.Path(path))) {
+          StableRead.mergeMove(fs, bak, StableRead.retiredDirOf(
+            path, "stats", StableRead.currentTableVersion(fs, path, "stats")))
+          StableRead.noteSwapped(path, "stats")
+        } else require(fs.delete(bak, true),
           s"DedupRegistry.ingestBatch: cannot drop $bak")
+      }
     }
     if (fs.exists(marker)) {
       // post-commit re-delivery: the apply completed; only the backup

@@ -112,7 +112,8 @@ object NearDupRegistry {
       shingleSize: Int, numHashes: Int, bands: Int, threshold: Double)
 
   private def readParams(spark: SparkSession, path: String): Params = {
-    val r = spark.read.parquet(s"$path/stats").collect()(0)
+    // pin-aware (verbatim live read outside a pinned scope)
+    val r = StableRead.readTable(spark, path, "stats").collect()(0)
     Params(r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
       r.getAs[Long]("buckets"), r.getAs[Long]("shingle_size").toInt,
       r.getAs[Long]("num_hashes").toInt, r.getAs[Long]("bands").toInt,
@@ -152,8 +153,11 @@ object NearDupRegistry {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val bandsPath = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val hasData = fs.exists(bandsPath) && fs.listStatus(bandsPath)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("pk="))
+    val hasData = StableRead.pinnedSnapshotFor(path) match {
+      case Some(snap) => snap.tables.get("bands").exists(_.files.nonEmpty)
+      case None => fs.exists(bandsPath) && fs.listStatus(bandsPath)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("pk="))
+    }
     if (!hasData)
       // attribute-derived columns (not lits): constant join keys would
       // fold the equi-join away and plan a BNL (the DedupRegistry lesson)
@@ -164,7 +168,8 @@ object NearDupRegistry {
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ the modulus
     val bloom = keys.stat.bloomFilter(
       xxhash64(col("band"), col("bkey")), math.max(nKeys, 1L), 0.001)
-    val cands = spark.read.schema(bandsSchema).parquet(bandsPath.toString)
+    val cands = StableRead.readTable(spark, path, "bands",
+        Some(org.apache.spark.sql.types.StructType.fromDDL(bandsSchema)))
       .filter(col("pk").isin(batchPks: _*))
       .filter(graft.functions.BloomExprs.bloomMightContain(
         xxhash64(col("band"), col("bkey")), bloom))
@@ -191,7 +196,8 @@ object NearDupRegistry {
     val idBuckets = cands
       .select(pmod(xxhash64(col("reg_id")), lit(buckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ the modulus
-    spark.read.schema(corpusSchema).parquet(s"$path/corpus")
+    StableRead.readTable(spark, path, "corpus",
+        Some(org.apache.spark.sql.types.StructType.fromDDL(corpusSchema)))
       .filter(col("bucket").isin(idBuckets: _*))
       .select(col("id"), col("hs"))
   }
@@ -283,9 +289,17 @@ object NearDupRegistry {
     val marker = sub(s"ingestlog/$tag")
     def dropBak(): Unit = {
       val bak = sub(s"stats_${tag}_bak")
-      if (fs.exists(bak))
-        require(fs.delete(bak, true),
+      if (fs.exists(bak)) {
+        // pre-ingest committed stats: retire on manifest-managed roots
+        // (pinned readers resolve them there), drop on legacy roots
+        if (StableRead.manifestManaged(
+            fs, new org.apache.hadoop.fs.Path(path))) {
+          StableRead.mergeMove(fs, bak, StableRead.retiredDirOf(
+            path, "stats", StableRead.currentTableVersion(fs, path, "stats")))
+          StableRead.noteSwapped(path, "stats")
+        } else require(fs.delete(bak, true),
           s"NearDupRegistry.ingestBatch: cannot drop $bak")
+      }
     }
     if (fs.exists(marker)) { dropBak(); return }
     // ---- recovery ----

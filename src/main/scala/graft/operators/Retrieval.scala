@@ -486,8 +486,18 @@ object Retrieval {
     val marker = sub(s"ingestlog/$tag")
     def dropBak(name: String): Unit = {
       val bak = sub(s"${name}_${tag}_bak")
-      if (fs.exists(bak))
-        require(fs.delete(bak, true), s"bm25IngestBatch: cannot drop $bak")
+      if (fs.exists(bak)) {
+        // the bak holds the pre-ingest COMMITTED table: manifest-managed
+        // roots retire it (pinned readers resolve it there) and note the
+        // swap so the commit bumps the table's version; legacy roots drop
+        if (StableRead.manifestManaged(
+            fs, new org.apache.hadoop.fs.Path(path))) {
+          StableRead.mergeMove(fs, bak, StableRead.retiredDirOf(
+            path, name, StableRead.currentTableVersion(fs, path, name)))
+          StableRead.noteSwapped(path, name)
+        } else require(fs.delete(bak, true),
+          s"bm25IngestBatch: cannot drop $bak")
+      }
     }
     if (fs.exists(marker)) {
       // post-commit re-delivery: the apply completed; only the backup
@@ -744,7 +754,7 @@ object Retrieval {
     StableRead.withMaintenanceMarkers(
       spark, dest +: (if (move) paths else Seq.empty)) {
     val stats = paths.map { p =>
-      val r = spark.read.parquet(s"$p/stats")
+      val r = StableRead.readTable(spark, p, "stats")
         .select(col("n_docs"), col("total_tokens"), col("buckets"))
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -930,6 +940,14 @@ object Retrieval {
           .map(_.asInstanceOf[Seq[Any]]
             .map(_.asInstanceOf[Number].longValue()))
           .getOrElse(Seq.empty).toSet
+        // retire the affected buckets' current terms files first (the
+        // deleteRows retention discipline): pinned readers keep them
+        val termsFs = new org.apache.hadoop.fs.Path(s"$path/terms")
+          .getFileSystem(hconf)
+        if (StableRead.manifestManaged(
+            termsFs, new org.apache.hadoop.fs.Path(path)))
+          StableRead.retirePartitions(termsFs, path, "terms",
+            affB.map(b => s"bucket=$b").toSeq)
         if (keptB.nonEmpty)
           newTerms.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1097,7 +1115,7 @@ object Retrieval {
         explode(TextAnalysis.tokens(col("query_text"))).as("term"))
       .distinct()
       .transform(graft.CacheScope.persisted)
-    val statsRow = spark.read.parquet(s"$path/stats")
+    val statsRow = StableRead.readTable(spark, path, "stats")
       .select(col("n_docs"), col("total_tokens"), col("buckets"))
       .collect()(0)
     val (nDocs, totTok, nBuckets) =
@@ -1109,12 +1127,16 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
       .distinct()
       .collect().map(_.getLong(0)).sorted
-    // explicit schemas: a bm25Init index probes as the empty relation
-    val terms = spark.read.schema(termsSchema).parquet(s"$path/terms")
+    // explicit schemas: a bm25Init index probes as the empty relation.
+    // pin-aware reads: inside a StableRead.pinned scope these resolve
+    // the pinned generation's exact files, outside they are verbatim
+    // live-directory reads
+    val terms = StableRead.readTable(spark, path, "terms", Some(termsSchema))
       .filter(col("bucket").isin(qbuckets: _*))
-    val postings = spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    val postings = StableRead
+      .readTable(spark, path, "postings", Some(postingsSchema))
       .filter(col("bucket").isin(qbuckets: _*))
-    val dl = spark.read.schema(doclenSchema).parquet(s"$path/doclen")
+    val dl = StableRead.readTable(spark, path, "doclen", Some(doclenSchema))
     val qdf = terms.join(broadcast(qterms), "term")
       .select(col("query_id"), col("term"), col("df"))
     val (qdfF, postingsF, nF, avgF) =
@@ -1253,7 +1275,7 @@ object Retrieval {
       .distinct()
       .transform(graft.CacheScope.persisted)
     val stats = paths.map { p =>
-      val r = spark.read.parquet(s"$p/stats")
+      val r = StableRead.readTable(spark, p, "stats")
         .select(col("n_docs"), col("total_tokens"), col("buckets"))
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -1266,11 +1288,11 @@ object Retrieval {
         .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
         .distinct()
         .collect().map(_.getLong(0)).sorted
-      (spark.read.schema(termsSchema).parquet(s"$p/terms")
+      (StableRead.readTable(spark, p, "terms", Some(termsSchema))
           .filter(col("bucket").isin(qbuckets: _*)),
-        spark.read.schema(postingsSchema).parquet(s"$p/postings")
+        StableRead.readTable(spark, p, "postings", Some(postingsSchema))
           .filter(col("bucket").isin(qbuckets: _*)),
-        spark.read.schema(doclenSchema).parquet(s"$p/doclen"))
+        StableRead.readTable(spark, p, "doclen", Some(doclenSchema)))
     }
     // the global df of a query term is the sum of its per-index dfs —
     // a query-terms-bounded aggregation, the one genuinely cross-index job

@@ -764,7 +764,9 @@ object Similarity {
   private[graft] def loadCentroidTable(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Seq[Int], Seq[Seq[Double]]) = {
-    val rows = spark.read.parquet(s"$indexPath/centroids")
+    // pin-aware (StableRead.readTable is a verbatim live read outside a
+    // pinned scope, so writer-side callers are untouched)
+    val rows = StableRead.readTable(spark, indexPath, "centroids")
       .orderBy(col("cell")).collect()
     (rows.map(_.getInt(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq)
   }
@@ -1145,7 +1147,7 @@ object Similarity {
       // pushed into both corpus scans as a partition filter
       val probedCells = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0).toLong).sorted
-      val corpus0 = spark.read.parquet(s"$indexPath/corpus")
+      val corpus0 = StableRead.readTable(spark, indexPath, "corpus")
         .filter(col("cell").isin(probedCells: _*))
       // soft-delete overlay: doomed ids leave BOTH stages' scans
       val corpus = overlay
@@ -1394,8 +1396,14 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(ctmp.toString)
     graft.sinks.Sinks.swapByRename(
       fs, ctmp, new org.apache.hadoop.fs.Path(s"$indexPath/centroids"))
-    // (4) retire the parents
-    splits.foreach { s =>
+    // (4) retire the parents — to the pinned-reader retention area on
+    // manifest-managed estates (a reader pinned pre-split still probes
+    // the parent cells), plain delete on legacy roots
+    if (StableRead.manifestManaged(
+        fs, new org.apache.hadoop.fs.Path(indexPath)))
+      StableRead.retirePartitions(fs, indexPath, "corpus",
+        splits.map(s => s"cell=${s._1}"))
+    else splits.foreach { s =>
       val p = new org.apache.hadoop.fs.Path(s"$corpusPath/cell=${s._1}")
       if (fs.exists(p))
         require(fs.delete(p, true), s"ivfSplitCells: cannot drop $p")
@@ -1462,7 +1470,7 @@ object Similarity {
     // no overlay = no added work (Tombstones scaladoc). The overlay is
     // the CALLER's: the single-index probe passes its own list, the
     // federated probe the pooled union ([[pooledOverlay]]).
-    val c0 = spark.read.parquet(s"$indexPath/corpus")
+    val c0 = StableRead.readTable(spark, indexPath, "corpus")
     val c = overlay
       .map(d => c0.join(broadcast(d), Seq("id"), "left_anti"))
       .getOrElse(c0)

@@ -72,6 +72,38 @@ object StableRead {
     */
   val MarkerName = "_maintenance"
 
+  /** Directory (under an index root) holding RETIRED table versions:
+    * every physical removal of committed files — a whole-table swap, a
+    * partition-level rewrite, an emptied-partition cleanup — MOVES the
+    * files here (preserving their table-relative paths) instead of
+    * deleting them, under `<table>__g<lastRewriteGen>`. That is what
+    * makes a [[pinned]] read MVCC: a reader pinned at generation G can
+    * always find every file of G's snapshot either live or retired,
+    * no matter how many commits landed since. Reclaimed by
+    * [[expireRetired]] (the Iceberg `expire_snapshots` role).
+    */
+  val RetiredDirName = "_retired"
+
+  /** Directory holding one immutable snapshot file per committed
+    * generation (`g<N>`): the per-table exact data-file list plus each
+    * table's `lastRewriteGen` (the generation its current directory
+    * version was created — the retired-dir name key). Written BEFORE
+    * the manifest that names it, so a manifest generation always has
+    * its snapshot.
+    */
+  val SnapshotsDirName = "_snapshots"
+
+  /** One table's pinned state inside a [[RootSnapshot]]: `files` are
+    * table-relative data-file paths (partition dirs included); the
+    * retired location for any of them is
+    * `_retired/<table>__g<lastRewriteGen>/<relpath>`.
+    */
+  final case class TableSnap(lastRewriteGen: Long, files: Vector[String])
+
+  /** A root's committed generation, resolvable to exact files. */
+  final case class RootSnapshot(
+      root: String, gen: Long, tables: Map[String, TableSnap])
+
   /** Name of the per-root commit manifest: ONE small file whose
     * content (generation counter + a random nonce) changes on every
     * committed mutation. Readers validate a probe by comparing this
@@ -92,6 +124,26 @@ object StableRead {
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def depthKey(path: String): String = path.stripSuffix("/")
+
+  /** Tables whose DIRECTORY VERSION was replaced inside the current
+    * bracket (a [[swapRetire]] or an ingest's stats/terms swap) — the
+    * commit reads and clears this to bump those tables'
+    * `lastRewriteGen` in the new snapshot. In-place mutations
+    * (partition rewrites, appends) deliberately do NOT note here: their
+    * retired files keep landing in the CURRENT version's retired dir,
+    * which is exactly where readers pinned at any generation of that
+    * version look. Crash before commit loses the note with the commit
+    * itself — the re-run re-swaps and re-notes (convergence contract).
+    */
+  private val swappedTables =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[String]]()
+
+  private[graft] def noteSwapped(root: String, table: String): Unit =
+    swappedTables
+      .computeIfAbsent(depthKey(root),
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(table)
 
   /** Bracket a mutating estate op with the reader-isolation marker and
     * commit a new manifest generation on success. Ordering is the
@@ -157,6 +209,10 @@ object StableRead {
         scala.util.Try(c.split('|')(0).toLong).getOrElse(0L) + 1L
       case _ => 1L
     }
+    // snapshot FIRST, manifest second: a manifest generation always has
+    // its snapshot (a crash between the two leaves an orphan snapshot
+    // the re-run overwrites — never a dangling manifest)
+    writeSnapshot(fs, path, gen)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/$ManifestName.tmp")
     val out = fs.create(tmp, true)
     out.write(s"$gen|${java.util.UUID.randomUUID()}|#".getBytes("UTF-8"))
@@ -164,6 +220,258 @@ object StableRead {
     if (fs.exists(cur)) fs.delete(cur, false)
     require(fs.rename(tmp, cur),
       s"commitManifest: rename $tmp -> $cur failed")
+  }
+
+  /** True when `root` carries a commit manifest — the switch that turns
+    * every physical-removal primitive from delete-mode to retire-mode
+    * (manifest-less roots keep the legacy backup-and-delete protocol).
+    */
+  private[graft] def manifestManaged(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean =
+    root != null && fs.exists(
+      new org.apache.hadoop.fs.Path(root, ManifestName))
+
+  /** Transient sibling dirs that are NOT pinnable tables: swap backups,
+    * staging/tmp trees, and every `_`-prefixed house dir. */
+  private def isTransientName(n: String): Boolean =
+    n.startsWith("_") || n.startsWith(".") ||
+      n.endsWith("_bak") || n.endsWith("_tmp") || n.endsWith("_new")
+
+  /** Recursive table-relative data-file listing (skips `_`/`.` files —
+    * _SUCCESS and friends). */
+  private def listFilesRel(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    def walk(p: org.apache.hadoop.fs.Path, prefix: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!(n.startsWith("_") || n.startsWith("."))) {
+          if (st.isDirectory) walk(st.getPath, s"$prefix$n/")
+          else out += s"$prefix$n"
+        }
+      }
+    if (fs.exists(base)) walk(base, "")
+    out.result()
+  }
+
+  /** Write generation `gen`'s snapshot: per table, the exact data-file
+    * list and its `lastRewriteGen` ([[swappedTables]] notes bump it to
+    * `gen`; new tables start at `gen`; everything else inherits).
+    * Tmp-write + rename; immutable once the manifest names it.
+    */
+  private def writeSnapshot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val prev = readSnapshotFs(fs, path)
+    val swapped: Set[String] = Option(
+      swappedTables.remove(depthKey(path))) match {
+      case Some(s) => scala.jdk.CollectionConverters
+        .SetHasAsScala(s).asScala.toSet
+      case None => Set.empty
+    }
+    val tables = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !isTransientName(st.getPath.getName))
+      .map { st =>
+        val t = st.getPath.getName
+        val lrg =
+          if (swapped.contains(t)) gen
+          else prev.flatMap(_.tables.get(t)).map(_.lastRewriteGen)
+            .getOrElse(gen)
+        (t, lrg, listFilesRel(fs, st.getPath))
+      }
+    val sb = new StringBuilder(s"1|$gen\n")
+    tables.foreach { case (t, lrg, files) =>
+      sb.append(s"T|$t|$lrg|${files.size}\n")
+      files.foreach(f => sb.append(s"F|$f\n"))
+    }
+    sb.append("#END\n")
+    val dir = new org.apache.hadoop.fs.Path(root, SnapshotsDirName)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"g$gen.tmp")
+    val out = fs.create(tmp, true)
+    out.write(sb.toString.getBytes("UTF-8"))
+    out.close()
+    val fin = new org.apache.hadoop.fs.Path(dir, s"g$gen")
+    if (fs.exists(fin)) fs.delete(fin, false) // crashed prior attempt
+    require(fs.rename(tmp, fin),
+      s"writeSnapshot: rename $tmp -> $fin failed")
+  }
+
+  /** The root's CURRENT committed snapshot (manifest generation ->
+    * `_snapshots/g<N>`), None for legacy roots or a torn/missing file.
+    */
+  private[graft] def readSnapshotFs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[RootSnapshot] = {
+    val m = new org.apache.hadoop.fs.Path(s"$path/$ManifestName")
+    readManifest(fs, m) match {
+      case Some(c) if c.endsWith("#") =>
+        scala.util.Try(c.split('|')(0).toLong).toOption
+          .flatMap(g => readSnapshotGen(fs, path, g))
+      case _ => None
+    }
+  }
+
+  private def readSnapshotGen(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long): Option[RootSnapshot] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$path/$SnapshotsDirName/g$gen")
+    readManifest(fs, p).flatMap { content =>
+      val lines = content.split('\n')
+      if (lines.isEmpty || !lines.head.startsWith("1|") ||
+        lines.last != "#END") None
+      else {
+        val tables = Map.newBuilder[String, TableSnap]
+        var curTable: String = null
+        var curLrg = 0L
+        var curFiles = Vector.newBuilder[String]
+        def flush(): Unit = if (curTable != null)
+          tables += curTable -> TableSnap(curLrg, curFiles.result())
+        lines.iterator.drop(1).takeWhile(_ != "#END").foreach { l =>
+          if (l.startsWith("T|")) {
+            flush()
+            val parts = l.split('|')
+            curTable = parts(1); curLrg = parts(2).toLong
+            curFiles = Vector.newBuilder[String]
+          } else if (l.startsWith("F|")) curFiles += l.substring(2)
+        }
+        flush()
+        Some(RootSnapshot(path, gen, tables.result()))
+      }
+    }
+  }
+
+  def readSnapshot(
+      spark: SparkSession, path: String): Option[RootSnapshot] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    readSnapshotFs(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  /** A PAST generation's snapshot (time travel via [[pinnedAt]]) —
+    * None once [[expireRetired]] reclaimed it. */
+  def readSnapshotAt(
+      spark: SparkSession, path: String, gen: Long): Option[RootSnapshot] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    readSnapshotGen(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), path, gen)
+  }
+
+  /** The generation `table`'s current directory version was created —
+    * the retired-dir name key ([[TableSnap.lastRewriteGen]] of the
+    * CURRENT snapshot). Tables absent from the snapshot (created inside
+    * the open bracket, never committed) default to the current
+    * generation: their retire target is never referenced by any
+    * snapshot, so the name only needs uniqueness.
+    */
+  private[graft] def currentTableVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, table: String): Long = currentLrgFs(fs, root, table)
+
+  private def currentLrgFs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, table: String): Long =
+    readSnapshotFs(fs, root) match {
+      case Some(s) => s.tables.get(table).map(_.lastRewriteGen)
+        .getOrElse(s.gen)
+      case None => 0L
+    }
+
+  private[graft] def retiredDirOf(
+      root: String, table: String, lrg: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$root/$RetiredDirName/${table}__g$lrg")
+
+  /** Move `src`'s contents into `dst` preserving relative paths, then
+    * drop the emptied husk. Fast path: a plain rename when `dst` does
+    * not exist. Merge path (partial retires already present): per-entry
+    * renames; a FILE collision keeps the existing dst file and drops
+    * the src one — committed files can never collide (part-file names
+    * are write-unique), so a collision is a crashed run's uncommitted
+    * duplicate, and wedging recovery over junk would be worse than
+    * dropping it.
+    */
+  private[graft] def mergeMove(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(src)) return
+    if (!fs.exists(dst)) {
+      fs.mkdirs(dst.getParent)
+      if (fs.rename(src, dst)) return
+    }
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
+      if (st.isDirectory) mergeMove(fs, st.getPath, target)
+      else if (fs.exists(target))
+        require(fs.delete(st.getPath, false),
+          s"mergeMove: cannot drop duplicate ${st.getPath}")
+      else require(fs.rename(st.getPath, target),
+        s"mergeMove: rename ${st.getPath} -> $target failed")
+    }
+    fs.delete(src, true) // emptied husk (tolerates stray _SUCCESS)
+  }
+
+  /** Retire-mode table swap (manifest-managed roots): (1) MERGE the old
+    * live dir into `_retired/<table>__g<lrg>` — its final immutable
+    * location, where every reader pinned at a generation of that
+    * version looks; (2) rename `tmp` in. The old version is at its
+    * retired path BEFORE the new data becomes live, so a pinned reader
+    * can never silently read the wrong version — at worst it races a
+    * rename into a FileNotFound and re-resolves (bounded: a pinned
+    * version moves live->retired at most once). Crash between the two
+    * steps: live absent, retired complete; the re-run finds nothing to
+    * merge and just swaps its rebuilt tmp in (tolerated dst-absent,
+    * unlike the legacy protocol's loud refusal — absence here is a
+    * recoverable crash window, not debris).
+    */
+  private[graft] def swapRetire(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val root = dst.getParent.toString
+    val table = dst.getName
+    if (fs.exists(dst))
+      mergeMove(fs, dst, retiredDirOf(root, table, currentLrgFs(fs, root, table)))
+    require(fs.rename(tmp, dst),
+      s"swapRetire: rename $tmp -> $dst failed")
+    noteSwapped(root, table)
+  }
+
+  /** Retire selected PARTITION directories of a live table (the
+    * partition-level rewrite path: deleteRows / bm25Delete's terms
+    * rewrite / ivfSplitCells' parent retirement) into the current
+    * version's retired dir. In-place mutation: does NOT bump
+    * lastRewriteGen — readers pinned at any generation of this version
+    * keep resolving against the same retired dir, which accumulates
+    * every file the version ever shed.
+    */
+  private[graft] def retirePartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, table: String, partDirNames: Seq[String]): Unit = {
+    val retired = retiredDirOf(root, table, currentLrgFs(fs, root, table))
+    partDirNames.foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(s"$root/$table/$d")
+      if (fs.exists(src))
+        mergeMove(fs, src, new org.apache.hadoop.fs.Path(retired, d))
+    }
+  }
+
+  /** Retire a WHOLE live table dir without replacement (the emptied
+    * tombstone overlay). The table drops out of the next snapshot;
+    * readers pinned before it keep finding the files retired.
+    */
+  private[graft] def retireTree(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, table: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$root/$table")
+    if (fs.exists(src))
+      mergeMove(fs, src, retiredDirOf(root, table, currentLrgFs(fs, root, table)))
   }
 
   private def readManifest(
@@ -236,8 +544,11 @@ object StableRead {
           // ingest STAGING trees are private to the writer — probes
           // never read them, so their churn must not invalidate (and
           // their mid-delete listing races must not abort) a read; the
-          // probe-visible effects all land via renames into live tables
-          if (!(n.startsWith("_ingest_") && n.endsWith("_tmp")))
+          // probe-visible effects all land via renames into live tables.
+          // _retired/_snapshots hold PAST generations only — live reads
+          // never touch them, so their growth must not churn the token
+          if (!(n.startsWith("_ingest_") && n.endsWith("_tmp")) &&
+            n != RetiredDirName && n != SnapshotsDirName)
             walk(fs, st.getPath)
         } else
           entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
@@ -289,6 +600,217 @@ object StableRead {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     } catch { case _: Throwable => () }
+
+  // ---------------------------------------------------------------------
+  // Snapshot-PINNED reads (MVCC): resolve a committed generation ONCE,
+  // read exactly its files, never retry on churn.
+  // ---------------------------------------------------------------------
+
+  /** The calling thread's active pin set ([[pinned]] scope). Estate
+    * table reads routed through [[readTable]] resolve against it;
+    * maintenance ops on other threads are untouched (thread-local).
+    */
+  private val pinContext =
+    new ThreadLocal[Map[String, RootSnapshot]]()
+
+  private[graft] def pinnedSnapshotFor(root: String): Option[RootSnapshot] =
+    Option(pinContext.get).flatMap(_.get(depthKey(root)))
+
+  /** Pin-aware "does this estate table hold parquet data" — the
+    * listing-based existence checks probes run before pruned reads.
+    */
+  def tableHasParquet(
+      spark: SparkSession, root: String, table: String): Boolean =
+    pinnedSnapshotFor(root) match {
+      case Some(snap) =>
+        snap.tables.get(table).exists(_.files.exists(_.endsWith(".parquet")))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$table")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.exists(p)
+    }
+
+  /** Read an estate table: the live directory when unpinned (exactly
+    * today's `spark.read.parquet(root/table)`), the pinned generation's
+    * EXACT file list inside a [[pinned]] scope. Pinned resolution per
+    * table: files still live read from the live dir, files the estate
+    * has since shed read from the version's retired dir (and, for the
+    * ingest protocol's swap window, its `<table>_*_bak` siblings) — one
+    * existence check plus a shed-files-bounded listing, never an
+    * estate-wide walk. The two reads union under the same basePath
+    * semantics, so partition columns resolve identically to a live read.
+    */
+  def readTable(
+      spark: SparkSession, root: String, table: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def plain(path: String, paths: Seq[String] = Seq.empty,
+        basePath: Option[String] = None): DataFrame = {
+      var r = spark.read
+      schema.foreach(s => r = r.schema(s))
+      basePath.foreach(b => r = r.option("basePath", b))
+      if (paths.isEmpty) r.parquet(path) else r.parquet(paths: _*)
+    }
+    pinnedSnapshotFor(root) match {
+      case None => plain(s"$root/$table")
+      case Some(snap) =>
+        val ts = snap.tables.getOrElse(table, TableSnap(0L, Vector.empty))
+        if (ts.files.isEmpty) schema match {
+          case Some(s) =>
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+          case None => plain(s"$root/$table") // legacy error modes
+        } else {
+          val rootP = new org.apache.hadoop.fs.Path(root)
+          val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+          val live = s"$root/$table"
+          // shed-file locations, priority order: the immutable retired
+          // dir, then any in-flight ingest-swap backup siblings
+          val shed = scala.collection.mutable.Map.empty[String, String]
+          val retired = retiredDirOf(root, table, ts.lastRewriteGen)
+          if (fs.exists(retired))
+            listFilesRel(fs, retired)
+              .foreach(f => shed.getOrElseUpdate(f, retired.toString))
+          fs.listStatus(rootP).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && n.startsWith(s"${table}_") &&
+              n.endsWith("_bak"))
+              listFilesRel(fs, st.getPath)
+                .foreach(f => shed.getOrElseUpdate(f, st.getPath.toString))
+          }
+          val byBase = ts.files.groupBy(f => shed.getOrElse(f, live))
+          byBase.toSeq.sortBy(_._1).map { case (base, files) =>
+            plain("", files.map(f => s"$base/$f"), basePath = Some(base))
+          }.reduce(_.unionByName(_))
+        }
+    }
+  }
+
+  /** [[Tombstones.read]]-shaped variant: None when the table is absent
+    * or holds no parquet data under the active resolution.
+    */
+  def readTableOpt(
+      spark: SparkSession, root: String, table: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
+    if (tableHasParquet(spark, root, table))
+      Some(readTable(spark, root, table, schema))
+    else None
+
+  /** Run `probe` against ONE pinned committed generation per root —
+    * MVCC snapshot isolation, the terminal form of [[stable]]: the
+    * generation is resolved ONCE (manifest -> snapshot, O(roots) small
+    * reads), every estate table read inside the probe resolves to that
+    * generation's exact files ([[readTable]]), and the result holds no
+    * matter how many commits land concurrently — ZERO validation
+    * retries, no starvation under continuous churn, and no marker
+    * sensitivity (a standing `_maintenance` marker — even a crashed
+    * op's — does not block serving the last COMMITTED generation; the
+    * partial state is unreachable by construction). The bounded retry
+    * loop exists only for the live->retired rename race: a file can
+    * move at most twice per pinned version (live -> swap-bak ->
+    * retired), so re-resolution converges in a handful of attempts
+    * regardless of writer cadence — unlike [[stable]]'s unbounded
+    * optimistic conflict. Falls back to [[stable]] for legacy roots
+    * without a committed snapshot. Caller owns [[release]] of the
+    * returned checkpoint, as with [[stable]].
+    */
+  def pinned(
+      spark: SparkSession,
+      roots: Seq[String],
+      maxAttempts: Int = 8)(probe: => DataFrame): DataFrame = {
+    require(roots.nonEmpty, "StableRead.pinned: need >= 1 root")
+    val snaps = roots.distinct.map(r => r -> readSnapshot(spark, r))
+    if (snaps.exists(_._2.isEmpty))
+      return stable(spark, roots)(probe) // legacy root(s): validate-retry
+    pinnedAt(spark, snaps.map(_._2.get), maxAttempts)(probe)
+  }
+
+  /** [[pinned]] against EXPLICIT snapshots — time travel: any
+    * generation still inside the [[expireRetired]] retention horizon is
+    * readable (resolve it once via [[readSnapshot]] — or keep an old
+    * [[RootSnapshot]] around — and probe it later, across any number of
+    * commits). Also the MVCC long-reader primitive: a consumer holding
+    * a snapshot sees one frozen estate across many probes.
+    */
+  def pinnedAt(
+      spark: SparkSession,
+      snaps: Seq[RootSnapshot],
+      maxAttempts: Int = 8)(probe: => DataFrame): DataFrame = {
+    require(snaps.nonEmpty, "StableRead.pinnedAt: need >= 1 snapshot")
+    val ctx = snaps.map(s => depthKey(s.root) -> s).toMap
+    var attempt = 0
+    var sleepMs = 25L
+    var lastErr: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prev = pinContext.get
+      pinContext.set(ctx)
+      try {
+        return probe.localCheckpoint(true)
+      } catch {
+        case e: Throwable if isSwapWindowError(e) =>
+          lastErr = e
+          Thread.sleep(sleepMs)
+          sleepMs = math.min(sleepMs * 2, 500L)
+      } finally {
+        if (prev == null) pinContext.remove() else pinContext.set(prev)
+      }
+    }
+    throw new IllegalStateException(
+      s"StableRead.pinnedAt: pinned read failed $maxAttempts times at " +
+        s"${snaps.map(s => s"${s.root}@g${s.gen}").mkString(", ")} — a " +
+        "pinned file vanished beyond the rename races (was the retention " +
+        "horizon GC'd under a live reader? see expireRetired)", lastErr)
+  }
+
+  /** Reclaim retired table versions and snapshot files no retained
+    * generation references — the estate's `expire_snapshots`. Keeps the
+    * newest `keepGenerations` snapshots (and everything they pin);
+    * deletes retired dirs `<table>__g<X>` only when NO kept snapshot
+    * has that (table, lastRewriteGen) pair. Contract: readers must not
+    * pin longer than the retention horizon — a probe overlapping the GC
+    * of its own generation fails loudly ([[pinned]]'s terminal error),
+    * never silently. Single-writer op: run it in the maintenance
+    * window, bracketed like any mutation.
+    */
+  def expireRetired(
+      spark: SparkSession, root: String,
+      keepGenerations: Int = 2): Long = {
+    require(keepGenerations >= 1,
+      s"expireRetired: keepGenerations must be >= 1, got $keepGenerations")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val curGen = manifestGeneration(spark, root).getOrElse(return 0L)
+    val minKept = math.max(1L, curGen - keepGenerations + 1)
+    val kept = (minKept to curGen)
+      .flatMap(g => readSnapshotGen(fs, root, g))
+    val referenced: Set[String] = kept
+      .flatMap(_.tables.map { case (t, ts) => s"${t}__g${ts.lastRewriteGen}" })
+      .toSet
+    var removed = 0L
+    val retiredRoot = new org.apache.hadoop.fs.Path(
+      s"$root/$RetiredDirName")
+    if (fs.exists(retiredRoot))
+      fs.listStatus(retiredRoot).foreach { st =>
+        if (!referenced.contains(st.getPath.getName)) {
+          require(fs.delete(st.getPath, true),
+            s"expireRetired: cannot drop ${st.getPath}")
+          removed += 1
+        }
+      }
+    val snapRoot = new org.apache.hadoop.fs.Path(
+      s"$root/$SnapshotsDirName")
+    if (fs.exists(snapRoot))
+      fs.listStatus(snapRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("g") &&
+          scala.util.Try(n.stripPrefix("g").toLong)
+            .toOption.exists(_ < minKept))
+          fs.delete(st.getPath, false)
+      }
+    removed
+  }
 
   /** Run `probe` against the index roots until it reads one consistent
     * state, and return it MATERIALIZED (localCheckpoint). `probe` is

@@ -179,11 +179,15 @@ object TakedownQueue {
       case None => FlushDecision(0L, 0L, 0L, 0.0, flushed = false, 0L)
       case Some(overlay) =>
         val t = overlay.localCheckpoint(true) // one read, two consumers
-        val n = t.count()
-        val (affected, total, fraction) = plan(t)
-        val due = force || n >= maxPending || fraction >= budgetFraction
-        val removed = if (due) vacuum() else 0L
-        FlushDecision(n, affected, total, fraction, flushed = due, removed)
+        try {
+          val n = t.count()
+          val (affected, total, fraction) = plan(t)
+          val due = force || n >= maxPending || fraction >= budgetFraction
+          val removed = if (due) vacuum() else 0L
+          FlushDecision(n, affected, total, fraction, flushed = due, removed)
+        } finally StableRead.release(t) // Dataset.unpersist is a no-op on
+        // checkpointed frames; a long-lived serving process polling
+        // *FlushIfDue must not accumulate dead cached blocks
     }
   }
 }

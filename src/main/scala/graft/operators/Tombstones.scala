@@ -104,6 +104,15 @@ object Tombstones {
     * backup until the next mutating op converges it ([[recover]]).
     */
   def read(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    // inside a pinned scope the overlay resolves from the pinned
+    // snapshot like any table (bak fallback is a live-read concern —
+    // a pinned generation's overlay files are live, bak'd or retired,
+    // and readTable checks all three locations)
+    if (StableRead.pinnedSnapshotFor(indexPath).isDefined)
+      return StableRead.readTableOpt(spark, indexPath, "tombstones",
+        Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))))
     val fs = dirOf(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def parquetIn(p: org.apache.hadoop.fs.Path): Boolean =
@@ -136,9 +145,15 @@ object Tombstones {
             .join(applied.select(col(keyCol).cast("long").as("id")),
               Seq("id"), "left_anti")
             .transform(graft.CacheScope.persisted)
-          if (remaining.count() == 0L)
-            require(fs.delete(cur, true),
+          if (remaining.count() == 0L) {
+            // manifest-managed roots retire the emptied overlay (pinned
+            // readers at pre-clear generations still resolve its files)
+            if (StableRead.manifestManaged(
+                fs, new org.apache.hadoop.fs.Path(indexPath)))
+              StableRead.retireTree(fs, indexPath, "tombstones")
+            else require(fs.delete(cur, true),
               s"Tombstones.clear: cannot drop $cur")
+          }
           else {
             val tmp = new org.apache.hadoop.fs.Path(
               s"$indexPath/tombstones_clear_tmp")

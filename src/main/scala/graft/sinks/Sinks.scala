@@ -197,12 +197,28 @@ object Sinks {
       mOut.get("parts").map(_.asInstanceOf[Seq[Any]].toSet).getOrElse(Set.empty) ++
         (if (mOut.get("nulls").exists(_.asInstanceOf[Long] > 0L))
           Set(null.asInstanceOf[Any]) else Set.empty)
+    val hconf = spark.sessionState.newHadoopConf()
+    // manifest-managed estates RETIRE the affected partitions' current
+    // files before the overwrite (snapshot-pinned readers keep resolving
+    // them); the dynamic overwrite then lands survivors into emptied
+    // partitions and the explicit emptied-dir removal has nothing to do
+    val tableP = new org.apache.hadoop.fs.Path(dir)
+    val tableFs = tableP.getFileSystem(hconf)
+    val retained =
+      graft.operators.StableRead.manifestManaged(tableFs, tableP.getParent)
+    if (retained)
+      graft.operators.StableRead.retirePartitions(
+        tableFs, tableP.getParent.toString, tableP.getName,
+        affected.map(v =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(
+              partitionCol, if (v == null) null else v.toString)))
     if (keptParts.nonEmpty)
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(dir)
-    val hconf = spark.sessionState.newHadoopConf()
+    if (retained) return deleted
     affected.filterNot(keptParts).foreach { v =>
       // Spark's own partition-path escaping (null and "" both map to the
       // hive default-partition directory, special characters percent-
@@ -370,6 +386,14 @@ object Sinks {
       throw new IllegalStateException(
         s"swapByRename: $bak exists — a previous swap did not complete; " +
           "restore or remove it before swapping again")
+    // manifest-managed estate roots swap in RETIRE mode: the old
+    // generation moves to its immutable _retired location instead of a
+    // transient backup, which is what keeps snapshot-PINNED readers
+    // ([[graft.operators.StableRead.pinned]]) servable across the swap
+    if (graft.operators.StableRead.manifestManaged(fs, dst.getParent)) {
+      graft.operators.StableRead.swapRetire(fs, tmp, dst)
+      return
+    }
     require(fs.rename(dst, bak), s"swapByRename: rename $dst -> $bak failed")
     if (!fs.rename(tmp, dst)) {
       // roll back so dst never vanishes: the old generation is intact in bak

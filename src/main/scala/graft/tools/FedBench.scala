@@ -111,6 +111,42 @@ object FedBench {
     println(f"[fed-bench] stable-read premium: plain=$fedPlain%6.2f s  " +
       f"stable=$fedStable%6.2f s  validation=${fedStable - fedPlain}%5.2f s")
 
+    // ---- snapshot-PINNED probes: cost FLAT under continuous churn ----
+    // The round-17 claim: a pinned probe resolves ONE committed
+    // generation (manifest -> snapshot, O(roots) small reads) and reads
+    // exactly its files — so a writer churning maintenance back-to-back
+    // neither starves it (the optimistic validate-retry failure mode)
+    // nor changes its cost. Quiesced vs under a compact-in-a-loop
+    // writer on the same roots.
+    def pinnedProbe(): Unit = {
+      val df = graft.operators.StableRead.pinned(
+        spark, Seq(s"$root/b2_base", s"$root/b2_delta")) {
+        graft.operators.Retrieval.bm25TopKFederated(
+          spark, Seq(s"$root/b2_base", s"$root/b2_delta"), queries, 10)
+      }
+      df.count()
+      graft.operators.StableRead.release(df)
+    }
+    val pinnedQuiet = minOf3(pinnedProbe())
+    val stopChurn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churner = new Thread(() => {
+      while (!stopChurn.get()) {
+        graft.operators.Retrieval.bm25Compact(spark, s"$root/b2_base")
+        graft.operators.Retrieval.bm25Compact(spark, s"$root/b2_delta")
+      }
+    })
+    churner.setDaemon(true)
+    churner.start()
+    val pinnedChurn = minOf3(pinnedProbe())
+    stopChurn.set(true)
+    churner.join(60000)
+    // retention hygiene after the churn burst (the expire_snapshots role)
+    Seq(s"$root/b2_base", s"$root/b2_delta").foreach(p =>
+      graft.operators.StableRead.expireRetired(spark, p))
+    println(f"[fed-bench] pinned probe: quiesced=$pinnedQuiet%6.2f s  " +
+      f"under-churn=$pinnedChurn%6.2f s  " +
+      f"churn-premium=${pinnedChurn - pinnedQuiet}%5.2f s (zero retries)")
+
     // ---- manifest validation scaling: O(roots), not O(files) ----
     // The round-16 commit-manifest protocol prices a probe's validation
     // at ONE small-file read per root. The claim that matters at a

@@ -160,11 +160,14 @@ class Bm25DeleteCrashSpec extends SparkSpec {
       val st = java.nio.file.Files.walk(b)
       try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
         .filter(p => java.nio.file.Files.isRegularFile(p))
-        // the commit manifest is PROTOCOL metadata, not index data — a
-        // no-op delete still commits a generation (every bracket exit
-        // does; the bracket cannot know the body changed nothing)
+        // the commit manifest AND its per-generation snapshot are
+        // PROTOCOL metadata, not index data — a no-op delete still
+        // commits a generation (every bracket exit does; the bracket
+        // cannot know the body changed nothing)
         .filter(p => !p.getFileName.toString
           .contains(graft.operators.StableRead.ManifestName))
+        .filter(p => !p.toString
+          .contains(graft.operators.StableRead.SnapshotsDirName))
         .map(p => b.relativize(p).toString ->
           ((java.nio.file.Files.size(p),
             java.nio.file.Files.getLastModifiedTime(p).toMillis)))

@@ -221,4 +221,48 @@ class ReaderMaintenanceRaceSpec extends SparkSpec {
       Retrieval.bm25TopKIndexed(idx, q, 5)
     }.count() === 1L)
   }
+
+  test("pinned probes never starve under CONTINUOUS back-to-back churn") {
+    // the round-16 residual: a writer churning maintenance with no gaps
+    // starves stable()'s optimistic validate-retry loop. Pinned probes
+    // resolve one committed generation and read exactly its files —
+    // DEFAULT maxAttempts, no gap required, every probe must land.
+    val parent = java.nio.file.Files
+      .createTempDirectory("race-spec-pinned").toString
+    val idx = s"$parent/idx"
+    val docs = (0L until 60L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", idx, buckets = 4)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+      .localCheckpoint(true)
+    def probe() = {
+      val df = StableRead.pinned(spark, Seq(idx)) {
+        Retrieval.bm25TopKIndexed(idx, q, 5)
+      }
+      val out = df.collect().map(_.toString).sorted.toSeq
+      StableRead.release(df)
+      out
+    }
+    val expected = probe()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churn = scala.concurrent.Future {
+      var n = 0
+      while (!stop.get()) { Retrieval.bm25Compact(spark, idx); n += 1 }
+      n
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      // every probe under the zero-gap writer: content-blind churn, so
+      // every committed generation yields the same relation
+      (1 to 6).foreach { i =>
+        assert(probe() === expected, s"pinned probe $i diverged mid-churn")
+      }
+    } finally stop.set(true)
+    val rounds = scala.concurrent.Await.result(
+      churn, scala.concurrent.duration.Duration.Inf)
+    assert(rounds >= 2, s"churn too slow to exercise the race ($rounds)")
+    // retention hygiene closes the loop: GC the churn's shed versions,
+    // current-generation probes unaffected
+    StableRead.expireRetired(spark, idx)
+    assert(probe() === expected)
+  }
 }

@@ -165,4 +165,162 @@ class StableReadManifestSpec extends SparkSpec {
     assert(after <= baseline + 1,
       s"retried probes leaked cached blocks: $baseline -> $after")
   }
+
+  // ---- round-17: snapshot-PINNED reads ----------------------------------
+
+  private def rel(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val out = df.collect().map(_.toString).sorted.toSeq
+    StableRead.release(df)
+    out
+  }
+
+  test("every commit writes a snapshot pinning each table's exact files") {
+    val dir = s"${tmpDir("snap-write")}/idx"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val snap = StableRead.readSnapshot(spark, dir).getOrElse(
+      fail("no snapshot after build"))
+    assert(snap.gen === gen(dir))
+    Seq("postings", "terms", "doclen", "stats").foreach { t =>
+      val ts = snap.tables.getOrElse(t, fail(s"table $t not in snapshot"))
+      assert(ts.files.nonEmpty, s"table $t pinned no files")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      ts.files.foreach(f => assert(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t/$f")),
+        s"pinned file $t/$f does not exist"))
+    }
+    // a commit that only touches ONE table inherits the others'
+    // lastRewriteGen (the retired-dir name key stays stable)
+    val dlBefore = snap.tables("doclen").lastRewriteGen
+    Tombstones.add(spark, dir, Seq(2L).toDF("id"), "id")
+    val snap2 = StableRead.readSnapshot(spark, dir).get
+    assert(snap2.gen > snap.gen)
+    assert(snap2.tables("doclen").lastRewriteGen === dlBefore,
+      "untouched table's version key must not move")
+    assert(snap2.tables("tombstones").files.nonEmpty)
+  }
+
+  test("a swap retires the old version; time travel reads it back exactly") {
+    val dir = s"${tmpDir("snap-retire")}/idx"
+    val docs = (0L until 40L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+      .localCheckpoint(true)
+    val snap0 = StableRead.readSnapshot(spark, dir).get
+    val expected = rel(StableRead.pinned(spark, Seq(dir)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    })
+    // compact rewrites postings+doclen: the old versions must land in
+    // _retired under their creation-generation names
+    Retrieval.bm25Compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = StableRead.retiredDirOf(
+      dir, "postings", snap0.tables("postings").lastRewriteGen)
+    assert(fs.exists(retired), s"old postings not retired at $retired")
+    // the new snapshot bumps the rewritten tables' version keys
+    val snap1 = StableRead.readSnapshot(spark, dir).get
+    assert(snap1.tables("postings").lastRewriteGen === snap1.gen)
+    // pinned read of the CURRENT generation: same relation (compact is
+    // content-blind)
+    assert(rel(StableRead.pinned(spark, Seq(dir)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    }) === expected)
+    // TIME TRAVEL: the pre-compact snapshot is still fully readable —
+    // its postings resolve from the retired dir
+    assert(rel(StableRead.pinnedAt(spark, Seq(snap0)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    }) === expected)
+  }
+
+  test("partition-level deletes keep pinned generations readable") {
+    val dir = s"${tmpDir("snap-del")}/idx"
+    val docs = (0L until 40L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+      .localCheckpoint(true)
+    val snap0 = StableRead.readSnapshot(spark, dir).get
+    val before = rel(StableRead.pinned(spark, Seq(dir)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    })
+    // physical delete: postings via partition rewrite (deleteRows),
+    // terms via dynamic overwrite, doclen via swap — all must retain
+    val doomed = (0L until 40L by 2L).toDF("id")
+    assert(Retrieval.bm25Delete(spark, dir, doomed, "id") === 20L)
+    val after = rel(StableRead.pinned(spark, Seq(dir)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    })
+    assert(after !== before, "delete changed nothing — vacuous test")
+    // the pre-delete generation reads back bit-for-bit: every shed file
+    // (rewritten partitions AND whole-table swaps) resolves retired
+    assert(rel(StableRead.pinnedAt(spark, Seq(snap0)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    }) === before)
+  }
+
+  test("pinned probes serve under a standing maintenance marker") {
+    val dir = s"${tmpDir("snap-marker")}/idx"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+      .localCheckpoint(true)
+    val expected = rel(StableRead.pinned(spark, Seq(dir)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    })
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/${StableRead.MarkerName}")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(marker, true).close()
+    try {
+      // stable() refuses (the optimistic protocol cannot validate under
+      // a marker); pinned() serves the last COMMITTED generation — the
+      // crashed-writer partial state is unreachable by construction
+      intercept[IllegalStateException] {
+        StableRead.stable(spark, Seq(dir), maxAttempts = 2) {
+          Retrieval.bm25TopKIndexed(dir, q, 5)
+        }
+      }
+      assert(rel(StableRead.pinned(spark, Seq(dir)) {
+        Retrieval.bm25TopKIndexed(dir, q, 5)
+      }) === expected)
+    } finally fs.delete(marker, false)
+  }
+
+  test("expireRetired reclaims only unreferenced versions, loudly breaking past-horizon pins") {
+    val dir = s"${tmpDir("snap-gc")}/idx"
+    val docs = (0L until 40L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+      .localCheckpoint(true)
+    val snap0 = StableRead.readSnapshot(spark, dir).get
+    Retrieval.bm25Compact(spark, dir)
+    Retrieval.bm25Compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val oldRetired = StableRead.retiredDirOf(
+      dir, "postings", snap0.tables("postings").lastRewriteGen)
+    assert(fs.exists(oldRetired))
+    // keep only the newest generation: gen-1's postings version is
+    // still referenced (it IS the live version's predecessor only if a
+    // kept snapshot names it) — snap0's version is not
+    assert(StableRead.expireRetired(spark, dir, keepGenerations = 1) > 0L)
+    assert(!fs.exists(oldRetired),
+      "unreferenced retired version survived the GC")
+    // the horizon contract: a pin past the retention fails LOUDLY
+    intercept[IllegalStateException] {
+      rel(StableRead.pinnedAt(spark, Seq(snap0), maxAttempts = 2) {
+        Retrieval.bm25TopKIndexed(dir, q, 5)
+      })
+    }
+    // current generation unaffected
+    assert(rel(StableRead.pinned(spark, Seq(dir)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    }).nonEmpty)
+  }
 }
