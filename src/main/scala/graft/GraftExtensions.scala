@@ -140,6 +140,24 @@ object GraftExtensions {
         case Seq(bin) => graft.functions.ImageExprs.WavStats(bin)
         case _ => throw new IllegalArgumentException(
           "wav_stats(payload binary)")
+      }),
+    (FunctionIdentifier("image_phash"),
+      new ExpressionInfo(
+        classOf[graft.functions.ImageExprs.ImagePHash].getName,
+        "image_phash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bin) => graft.functions.ImageExprs.ImagePHash(bin)
+        case _ => throw new IllegalArgumentException(
+          "image_phash(payload binary)")
+      }),
+    (FunctionIdentifier("image_dhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.ImageExprs.ImageDHash].getName,
+        "image_dhash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bin) => graft.functions.ImageExprs.ImageDHash(bin)
+        case _ => throw new IllegalArgumentException(
+          "image_dhash(payload binary)")
       }))
 
   /** Register on a live session (idempotent). */

@@ -520,6 +520,25 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol), simhash64(col(textCol)).as("__fp64")),
+      idCol, "__fp64", maxHamming)
+
+  /** The chunk-blocked Hamming pair search over any PRECOMPUTED 64-bit
+    * fingerprint column — the [[simhashNearDuplicates]] core factored
+    * out so every 64-bit perceptual hash rides the same machinery
+    * (text SimHash, image pHash/dHash
+    * [[graft.functions.ImageExprs.imagePHash]]). Same pigeonhole
+    * blocking, same exact-recall guarantee, same scale shape: the
+    * shuffle carries (chunk, key, id, fp) longs, never the payloads.
+    * Null fingerprints (undecodable payloads) drop out — a corrupt
+    * blob can't pair.
+    */
+  def hammingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
@@ -532,7 +551,9 @@ object Dedup {
         else shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1))
       masked
     }: _*)
-    val docs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val docs = df
+      .select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .filter(col("fp").isNotNull)
     val chunked = docs.select(
       col("id"), col("fp"),
       posexplode(chunkKeys).as(Seq("chunk", "ckey")))

@@ -273,6 +273,55 @@ class ImageExprsSpec extends SparkSpec {
       .filter(col("st").isNotNull).count() === 0L)
   }
 
+  test("hostile headers: dimension bombs and negative lengths are nulls") {
+    // PNG whose IHDR claims 60000x60000: dimensions are peeked from the
+    // header and refused BEFORE any raster allocation — a null row, not
+    // an executor-killing OutOfMemoryError
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val ihdr = "IHDR".getBytes("US-ASCII") ++ be32(60000) ++ be32(60000) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val c = new java.util.zip.CRC32(); c.update(ihdr)
+    val bombPng = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ be32(13) ++ ihdr ++ be32(c.getValue.toInt)
+    assert(Seq(Tuple1(bombPng)).toDF("payload")
+      .select(ImageExprs.imageStats(col("payload")).as("st"))
+      .filter(col("st").isNotNull).count() === 0L)
+    // AVI whose BITMAPINFOHEADER claims h=1,000,000: without the cap,
+    // rowBytes*h wraps Int-negative, the truncation guard passes, and
+    // the frame loop indexes out of bounds
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val strfBody = le32(40) ++ le32(1000) ++ le32(1000000) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0)
+    val strf = "strf".getBytes("US-ASCII") ++ le32(strfBody.length) ++ strfBody
+    val fr = "00db".getBytes("US-ASCII") ++ le32(8) ++ Array.fill[Byte](8)(1)
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + fr.length) ++
+      "movi".getBytes("US-ASCII") ++ fr
+    val pay = "AVI ".getBytes("US-ASCII") ++ strf ++ movi
+    val bombAvi = "RIFF".getBytes("US-ASCII") ++ le32(pay.length) ++ pay
+    assert(Seq(Tuple1(bombAvi)).toDF("payload")
+      .select(ImageExprs.aviFrameStats(col("payload"), lit(1)).as("st"))
+      .filter(col("st").isNotNull).count() === 0L)
+    // WAV with a corrupt negative declared data length: null, never a
+    // row with negative n_samples
+    val negWav = graft.functions.ImageExprs.Codec.encodeWavSquare(8000, 10, 8)
+    negWav(40) = 0; negWav(41) = 0; negWav(42) = 0; negWav(43) = 0x80.toByte
+    assert(Seq(Tuple1(negWav)).toDF("payload")
+      .select(ImageExprs.wavStats(col("payload")).as("st"))
+      .filter(col("st").isNotNull).count() === 0L)
+    // resize target dims are caller ARGUMENTS: loud require, not an
+    // unbounded allocation or a bare BufferedImage crash
+    val png = graft.functions.ImageExprs.Codec.encodePng(4, 4, 1)
+    intercept[IllegalArgumentException] {
+      graft.functions.ImageExprs.Codec.resizeNn(png, 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.ImageExprs.Codec.resizeNn(png, 5000, 5000)
+    }
+  }
+
   test("SQL registration parity: image_stats / wav_stats") {
     graft.GraftExtensions.register(spark)
     Seq((20, 10, 5)).toDF("w", "h", "s")
