@@ -2992,6 +2992,197 @@ object Curation {
       missing.unionByName(probed).orderBy(col("kind"))
     }),
 
+    // Perceptual image near-dup (round-17): DCT pHash over the real
+    // decode layer, paired by the chunk-blocked Hamming search
+    // (Dedup.hammingNearDuplicates — the SimHash machinery, now
+    // hash-agnostic). Fixtures: 25 seed-distinct low-frequency wave
+    // images; each group plants a RE-LEVELED twin (affine intensity
+    // map v -> v/2 + 96, the recompression/levels-edit class) and a 2x
+    // NN UPSCALE. The output pair relation must be EXACTLY the
+    // construction's 3-per-group — the oracle compare enforces both
+    // full recall (every twin found at radius 8; model margins: within
+    // <= 6 bits, cross-seed >= 18) and full precision (no cross-group
+    // pair). Non-vacuity requires: the exact-pixel grid descriptor's
+    // cosine drops visibly below 1 for the re-leveled twins (min over
+    // groups < 0.999 — a grid-cosine exact-dup pass misses them) while
+    // their pHash stays within radius and their dHash is IDENTICAL
+    // (gradient ordering survives the monotone map bit-for-bit).
+    "q196_image_phash_neardup" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 500)
+        .select(col("doc_id"),
+          ImageExprs.pngSynthWave(lit(48), lit(48),
+            (col("doc_id") / 20).cast("int")).as("img"))
+        .localCheckpoint(true)
+      val variants = base
+        .select((col("doc_id") * 10).as("img_id"), col("img"))
+        .unionByName(base.select((col("doc_id") * 10 + 1).as("img_id"),
+          ImageExprs.imageLinearMap(
+            col("img"), lit(1), lit(2), lit(96)).as("img")))
+        .unionByName(base.select((col("doc_id") * 10 + 2).as("img_id"),
+          ImageExprs.imageResizeNn(col("img"), lit(96), lit(96)).as("img")))
+      val hashed = variants.select(col("img_id"),
+          ImageExprs.imagePHash(col("img")).as("fp"),
+          ImageExprs.imageDHash(col("img")).as("dfp"),
+          ImageExprs.imageGridFeatures(col("img"), lit(4), lit(4)).as("gf"))
+        .localCheckpoint(true)
+      val grp = hashed.withColumn("g", (col("img_id") / 10).cast("long"))
+        .withColumn("variant", col("img_id") % 10)
+      val checks = grp.filter(col("variant") === 0)
+        .select(col("g"), col("fp").as("fp0"), col("dfp").as("dfp0"),
+          col("gf").as("gf0"))
+        .join(grp.filter(col("variant") === 1)
+          .select(col("g"), col("fp").as("fp1"), col("dfp").as("dfp1"),
+            col("gf").as("gf1")), "g")
+        .agg(
+          max(bit_count(col("fp0").bitwiseXOR(col("fp1")))).as("max_ph"),
+          sum(when(col("dfp0") =!= col("dfp1"), 1).otherwise(0)).as("d_neq"),
+          min(graft.functions.VecExprs.cosineSim(col("gf0"), col("gf1")))
+            .as("min_cos"))
+        .collect()(0)
+      require(checks.getInt(0) <= 8,
+        s"q196: re-leveled twin pHash drifted ${checks.getInt(0)} bits")
+      require(checks.getLong(1) == 0L,
+        s"q196: dHash not invariant on ${checks.getLong(1)} groups")
+      require(checks.getDouble(2) < 0.999,
+        s"q196: grid cosine ${checks.getDouble(2)} — the grid descriptor " +
+          "did not miss anything, the perceptual hash adds no coverage")
+      graft.operators.Dedup
+        .hammingNearDuplicates(hashed, "img_id", "fp", maxHamming = 8)
+        .select(col("id_a").as("img_id_a"), col("id_b").as("img_id_b"))
+        .orderBy(col("img_id_a"), col("img_id_b"))
+    }),
+
+    // Audio fingerprints in the ANN estate (round-17, the q195 shape
+    // for the audio modality): WAV corpus -> band-energy spectral
+    // features (real RIFF/PCM decode, StrictMath DFT bins) -> persisted
+    // IVF -> probe. The planted twin is a HALF-GAIN re-encode of the
+    // same recording: the synth's even samples halve EXACTLY, band
+    // energies scale by exactly 1/4 (power-of-two float scaling), and
+    // the twin pins at cosine 1.0 to the ulp. Violation row per query
+    // whose twin misses its top-2 at round(sim,6)=1.0; queries_probed
+    // pins non-vacuity. Seeds give every group a distinct square-wave
+    // period pair, so cross-group spectra cannot fake the 1.0.
+    "q197_audio_ann_pipeline" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 500)
+        .select(col("doc_id"),
+          ImageExprs.wavSynthDual(lit(8000), lit(2048),
+            (col("doc_id") / 20).cast("int")).as("wav"))
+        .localCheckpoint(true)
+      val both = base.select(col("doc_id"), col("wav"))
+        .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+          ImageExprs.wavGain(col("wav"), lit(1), lit(2)).as("wav")))
+      val feats = both.select(col("doc_id"),
+          ImageExprs.audioBandFeatures(
+            col("wav"), lit(24), lit(256)).as("feat"))
+        .localCheckpoint(true)
+      val idx = s"${java.nio.file.Files
+        .createTempDirectory("graft-q197").toString}/ivf"
+      Similarity.buildIvfIndex(feats, "doc_id", "feat", nlist = 4, idx)
+      val queries = feats.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("aud_id"), col("feat").as("qf"))
+      val hits = Similarity.ivfTopKIndexed(
+          idx, queries, "aud_id", "qf", k = 2, nprobe = 4)
+        .transform(graft.CacheScope.persisted)
+      val ok = hits
+        .filter(col("id") === col("qid") + 1000000L &&
+          round(col("sim"), 6) === 1.0)
+        .select(col("qid")).distinct()
+      val missing = queries.select(col("aud_id").as("qid"))
+        .join(ok, Seq("qid"), "left_anti")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("twin_not_in_top2").as("kind"), col("n"))
+      val probed = queries
+        .agg(count(lit(1)).as("n"))
+        .select(lit("queries_probed").as("kind"), col("n"))
+      missing.unionByName(probed).orderBy(col("kind"))
+    }),
+
+    // Multimodal STREAMING ingest (round-17): the image column is
+    // first-class in the INGEST path, not just at rest — a foreachBatch
+    // sink that DECODES + FEATURIZES each micro-batch's raw PNG bytes
+    // (imageGridFeatures, the real codegen'd decode) and lands the
+    // vectors in the persisted IVF estate via the exactly-once
+    // ivfIngestBatch protocol. Composition soundness is the q169
+    // rationale: featurize is a deterministic per-row map, so every
+    // re-delivered batch re-derives the SAME vectors and the apply's
+    // idempotence carries. Drill: manufactured batch-0 crash debris (a
+    // tagged junk part planted in the junk vector's own nearest cell —
+    // recovery must erase it or it becomes a cosine-1.0 top hit),
+    // 3-phase replay with a kill-and-restart across the batch
+    // boundary, and a post-commit re-delivery that must skip whole.
+    // Gate: every image's feature-probe must return ITSELF as top-1 at
+    // cosine 1.0 (the planted junk shares image 0's features with a
+    // smaller id, so surviving debris flips image 0's top-1), and
+    // corpus_rows pins exactly-once cardinality (a double-applied
+    // batch or surviving junk breaks the count).
+    "q198_multimodal_stream_ingest" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      val spark = Tables.configure(s)
+      val imgs = t(s, dir, "documents")
+        .filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id").as("img_id"),
+          ImageExprs.pngSynthWave(lit(48), lit(48),
+            pmod(col("doc_id"), lit(1048576L)).cast("int")).as("img"))
+        .localCheckpoint(true)
+      val feats = imgs.select(col("img_id"),
+          ImageExprs.imageGridFeatures(col("img"), lit(4), lit(4))
+            .as("feat"))
+        .localCheckpoint(true)
+      val path = s"${java.nio.file.Files
+        .createTempDirectory("graft-q198").toString}/ivf"
+      val cents = Similarity.trainIvfCentroids(
+        feats, "img_id", "feat", nlist = 4)
+      Similarity.ivfInit(spark, cents, path)
+      val junk = feats.filter(col("img_id") === 0L)
+        .select(lit(-999L).as("id"),
+          col("feat").cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), cents.map(_.toSeq).toSeq, 1), 1))
+      val junkCell = junk.select(col("cell")).collect()(0).getInt(0)
+      plantTaggedPart(junk.select(col("id"), col("vec")),
+        s"$path/corpus/cell=$junkCell", "b0")
+      val phases = (0 until 3).map(i =>
+        imgs.filter(col("img_id") % 3 === i)
+          .select(col("img_id"), col("img")))
+      val staged = stagePhases(s"multimodal198|$dir", phases)
+      val sink: (DataFrame, Long) => Unit = (batch, bid) => {
+        val f = batch.select(col("img_id"),
+          ImageExprs.imageGridFeatures(col("img"), lit(4), lit(4))
+            .as("feat"))
+        Similarity.ivfIngestBatch(path, f, "img_id", "feat", bid)
+      }
+      runPhasedIngest(spark, staged, phases.head.schema, nPhases = 3,
+        firstRun = 2, sink)
+      // post-commit re-delivery of batch 1: must skip whole
+      sink(spark.read.parquet(s"$staged/phase_001.parquet"), 1L)
+      val queries = feats
+        .select((col("img_id") + 1000000L).as("pid"),
+          col("feat").as("qf"))
+      val hits = Similarity.ivfTopKIndexed(
+          path, queries, "pid", "qf", k = 1, nprobe = 4)
+        .transform(graft.CacheScope.persisted)
+      val ok = hits
+        .filter(col("id") === col("qid") - 1000000L &&
+          round(col("sim"), 6) === 1.0)
+        .select(col("qid")).distinct()
+      val missing = queries.select(col("pid").as("qid"))
+        .join(ok, Seq("qid"), "left_anti")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("self_not_top1").as("kind"), col("n"))
+      val corpusRows = spark.read.parquet(s"$path/corpus")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("corpus_rows").as("kind"), col("n"))
+      val probed = queries.agg(count(lit(1)).as("n"))
+        .select(lit("queries_probed").as("kind"), col("n"))
+      missing.unionByName(corpusRows).unionByName(probed)
+        .orderBy(col("kind"))
+    }),
+
     // Video container TRIAGE without touching pixel data (the
     // pngDimensions contract for the video modality): dimensions, bit
     // depth, compression fourcc, and a chunk-header-only frame count —
@@ -4303,19 +4494,36 @@ object Curation {
       val parent = java.nio.file.Files
         .createTempDirectory("graft-q186").toString
       val a = s"$parent/a"; val b = s"$parent/b"
-      Retrieval.buildBm25Index(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", a,
-        buckets = 64)
-      Retrieval.buildBm25Index(
-        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", b,
-        buckets = 31)
-      // every multiple of 10 is even, so the takedown lands wholly on
-      // shard a and survivors-only == doc_id % 10 <> 0
-      graft.operators.Tombstones.add(spark, a,
-        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
-        "doc_id")
-      def probe() = graft.operators.StableRead.stable(
-        spark, Seq(a, b), maxAttempts = 300) {
+      // drill-cost memoization (round-17, the bm25Base discipline):
+      // only the deterministic PRE-CHURN estate is built once and
+      // file-copied per invocation — every multiple of 10 is even, so
+      // the takedown lands wholly on shard a and survivors-only ==
+      // doc_id % 10 <> 0. Churn, raced probes, and the vacuum stay live.
+      val aBase = baseIndexes.computeIfAbsent(s"q186a|$dir", _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-q186-base").toString + "/a"
+        Retrieval.buildBm25Index(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p,
+          buckets = 64)
+        graft.operators.Tombstones.add(spark, p,
+          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+          "doc_id")
+        p
+      })
+      val bBase = baseIndexes.computeIfAbsent(s"q186b|$dir", _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-q186-base").toString + "/b"
+        Retrieval.buildBm25Index(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", p,
+          buckets = 31)
+        p
+      })
+      copyInto(aBase, a); copyInto(bBase, b)
+      // snapshot-PINNED probes (round-17): each probe resolves one
+      // committed generation and reads exactly its files — zero
+      // validation retries under the churn, no starvation window at all
+      def probe() = graft.operators.StableRead.pinned(
+        spark, Seq(a, b)) {
         Retrieval.bm25TopKFederated(spark, Seq(a, b), bm25Queries(s), 10)
       }
       def rel186(df: DataFrame): Seq[String] = {
@@ -4365,17 +4573,28 @@ object Curation {
         .select(col("doc_id"), col("text")).localCheckpoint(true)
       val reg = s"${java.nio.file.Files
         .createTempDirectory("graft-q187").toString}/reg"
-      DedupRegistry.init(spark, reg, buckets = 64)
-      DedupRegistry.ingestBatch(
-        reg, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0L)
-      // takedown BEFORE batch 1 (all multiples of 10 are even, so the
-      // doomed set lands wholly in batch 0's rows)
-      graft.operators.Tombstones.add(spark, reg,
-        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
-        "doc_id")
+      // drill-cost memoization (q186 note): the deterministic pre-churn
+      // base — init + committed batch 0 + the takedown landed BEFORE
+      // batch 1 (all multiples of 10 are even, so the doomed set lands
+      // wholly in batch 0's rows) — builds once and copies per
+      // invocation; batch 1, compacts, vacuum, and probes stay live
+      val regBase = baseIndexes.computeIfAbsent(s"q187reg|$dir", _ => {
+        val p = s"${java.nio.file.Files
+          .createTempDirectory("graft-q187-base").toString}/reg"
+        DedupRegistry.init(spark, p, buckets = 64)
+        DedupRegistry.ingestBatch(
+          p, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0L)
+        graft.operators.Tombstones.add(spark, p,
+          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+          "doc_id")
+        p
+      })
+      copyInto(regBase, reg)
       val probeDocs = docs.filter(col("doc_id") % 3 === 0)
-      def probe() = graft.operators.StableRead.stable(
-        spark, Seq(reg), maxAttempts = 300) {
+      // snapshot-PINNED probes (round-17): see q186 — committed
+      // generations only, zero retries, marker-insensitive
+      def probe() = graft.operators.StableRead.pinned(
+        spark, Seq(reg)) {
         DedupRegistry.probe(spark, reg, probeDocs, "doc_id", "text")
           .select(col("doc_id"), col("is_new").cast("int").as("is_new"))
       }

@@ -3485,6 +3485,36 @@ object CurationOracles {
            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
              sum_r, sum_g, sum_b
            FROM px ORDER BY doc_id, frame_idx""",
+      // q196: the perceptual-hash pair relation IS the construction —
+      // 3 pairs per planted group (base/re-level/upscale), nothing
+      // else. Full recall AND precision ride the hash compare; the
+      // hash values themselves are engine-side (the oracle pins the
+      // pair RELATION, the spec pins the DCT against fixtures).
+      "q196_image_phash_neardup" ->
+        """WITH d AS (
+             SELECT doc_id FROM documents
+             WHERE doc_id % 20 = 0 AND doc_id < 500),
+           p AS (
+             SELECT doc_id*10 AS a, doc_id*10 + 1 AS b FROM d
+             UNION ALL SELECT doc_id*10, doc_id*10 + 2 FROM d
+             UNION ALL SELECT doc_id*10 + 1, doc_id*10 + 2 FROM d)
+           SELECT CAST(a AS BIGINT) AS img_id_a, CAST(b AS BIGINT) AS img_id_b
+           FROM p ORDER BY img_id_a, img_id_b""",
+      // q198: violations expected empty; corpus_rows pins exactly-once
+      // cardinality (junk erased, re-delivery skipped), queries_probed
+      // non-vacuity.
+      "q198_multimodal_stream_ingest" ->
+        """SELECT 'corpus_rows' AS kind, CAST(count(*) AS BIGINT) AS n
+           FROM documents WHERE doc_id % 8 = 0
+           UNION ALL
+           SELECT 'queries_probed', CAST(count(*) AS BIGINT)
+           FROM documents WHERE doc_id % 8 = 0
+           ORDER BY kind""",
+      // q197: the audio chain's violation set is expected empty;
+      // queries_probed pins non-vacuity (the q195 contract for audio).
+      "q197_audio_ann_pipeline" ->
+        """SELECT 'queries_probed' AS kind, CAST(count(*) AS BIGINT) AS n
+           FROM documents WHERE doc_id % 20 = 0 AND doc_id < 500""",
       // q195: the image->features->IVF->probe chain's violation set is
       // expected empty; queries_probed pins non-vacuity (count over the
       // same capped slice).

@@ -775,6 +775,53 @@ object MarketAnalytics {
           col("type"), col("is_pro"))
     }),
 
+    // Full batch-ETL round trip under the DuckDB hash (round-17): clean
+    // generator corpus -> CSV landing -> TradeCsv -> validation ->
+    // single-pass indicators stamped with ONE pinned ns batch stamp
+    // (S6/F9) -> stamped parquet sinks (S7/F10) -> the README
+    // latest_indicators analytics read BACK from the stamped path (O3
+    // ORDER BY computed_at + F8 signal CASE). The oracle re-derives
+    // SMA/RSI/VWAP per symbol from the same CSV bytes (q16's oracle
+    // shape at period 5) and hardcodes the pinned stamp — a per-row
+    // stamp, a drifted stamp, a missing read-back, or a signal-boundary
+    // bug each breaks the hash.
+    "q199_etl_latest_indicators" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val r = etlResult(spark)
+      val trades = spark.read.parquet(r.tradesPath)
+      val inds = spark.read.parquet(r.indicatorsPath)
+      graft.pipeline.BatchEtl.analytics(trades, inds)("latest_indicators")
+        .select(
+          col("symbol"),
+          round(col("sma"), 4).as("sma"),
+          round(col("rsi"), 4).as("rsi"),
+          round(col("vwap"), 4).as("vwap"),
+          col("period"), col("n_rows"), col("computed_at"), col("signal"))
+        .orderBy(col("symbol"))
+    }),
+
+    // O1 oracle-gated: the README symbol_history analytics over the
+    // read-back trades — the total (timestamp, trade_id) order made
+    // hashable by attaching its row_number (the driver compare is
+    // order-blind, so the ordinal IS the order pin). First 5000 rows
+    // of RELIANCE's history; price/volume/flags ride along raw (CSV
+    // round-trip parses to identical doubles in both engines).
+    "q200_etl_symbol_history" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val r = etlResult(spark)
+      val trades = spark.read.parquet(r.tradesPath)
+      val inds = spark.read.parquet(r.indicatorsPath)
+      graft.pipeline.BatchEtl.analytics(trades, inds)("symbol_history")
+        .limit(5000)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("timestamp"), col("trade_id"))))
+        .select(col("rn"), col("trade_id"), col("order_id"),
+          col("timestamp"), col("price"), col("volume"),
+          col("side"), col("type"), col("is_pro"))
+        .orderBy(col("rn"))
+    }),
+
     // §2.7 × S4 composed gate: exactly-once STREAMING delivery into the
     // JDBC sink (the reference's live leg: websocket feed -> indicators ->
     // postgres, src/tools/websocket_demo.cpp:130-220 +
@@ -1273,6 +1320,40 @@ object MarketAnalytics {
   // (MBs) and disposable — exactly what tmpfs is for. On a cluster the
   // equivalent knob is a local-SSD/ramdisk checkpoint volume for TEST
   // harnesses only; production checkpoints go to durable storage.
+  /** q199/q200's end-to-end ETL run (the [[csvGateDir]] discipline,
+    * extended to the whole pipeline): ONE memoized
+    * [[graft.pipeline.BatchEtl.run]] per session over a clean seeded
+    * generator corpus landed as real CSV, at a PINNED batch stamp —
+    * both gates read the run's stamped parquet outputs back and their
+    * oracle SQL re-derives everything from the same CSV bytes plus the
+    * same pinned stamp. This oracle-gates the reference rows that were
+    * spec-only: S6/F9 (ONE ns stamp per batch on every indicator row),
+    * S7/F10 (stamped parquet paths round-trip), O1 (total (ts,
+    * trade_id) order), O3 (ORDER BY computed_at), F8 (signal CASE).
+    */
+  private val etlGateNowMs = 1700000000000L
+  private lazy val etlGateRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-etl-gate").toString
+  private def etlCsvDir: String = s"$etlGateRoot/csv"
+  private val etlRuns = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.BatchEtl.Result]()
+  private def etlResult(
+      spark: org.apache.spark.sql.SparkSession): graft.pipeline.BatchEtl.Result =
+    etlRuns.computeIfAbsent("run", _ => {
+      graft.sources.TradeGenerator.generate(spark, 200000L, seed = 43L)
+        .select(
+          col("trade_id").cast("string"), col("order_id").cast("string"),
+          col("timestamp").cast("string"), col("symbol"),
+          col("price").cast("string"), col("volume").cast("string"),
+          col("side"), col("type"),
+          when(col("is_pro"), lit("1")).otherwise(lit("0")).as("is_pro"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(etlCsvDir)
+      graft.pipeline.BatchEtl.run(
+        spark, etlCsvDir, s"$etlGateRoot/out", period = 5,
+        nowMs = etlGateNowMs)
+    })
+
   /** q184's CSV landing zone. PER-SESSION temp dir: the oracle SQL is
     * rendered from this same value in this same JVM (the oracles map is
     * built lazily), so the gate and the DuckDB reader always rendezvous
@@ -1659,6 +1740,84 @@ object MarketAnalytics {
            CAST(sum(event_id) AS BIGINT) AS id_sum,
            CAST(sum(user_id) AS BIGINT) AS vol_sum
          FROM events GROUP BY event_type ORDER BY symbol""",
+    // q199: the ETL round trip's latest_indicators — indicators
+    // re-derived from the same CSV bytes (the q16 oracle shape at
+    // period 5), the single batch stamp hardcoded at the gate's pinned
+    // nowMs * 1e6, signal thresholds on the RAW rsi.
+    "q199_etl_latest_indicators" ->
+      s"""WITH raw AS (
+           SELECT * FROM read_csv('$etlCsvDir/*.csv',
+                                  header=true, all_varchar=true)
+         ), parsed AS (
+           SELECT CAST(trade_id AS BIGINT) AS trade_id,
+                  trim(symbol) AS symbol,
+                  CAST(price AS DOUBLE) AS price,
+                  CAST(volume AS INTEGER) AS volume,
+                  CAST("timestamp" AS BIGINT) AS ts
+           FROM raw
+         ), ordered AS (
+           SELECT symbol, price, ts, trade_id,
+             price - lag(price) OVER w AS d,
+             avg(price) OVER (
+               w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma_run,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY symbol) AS n,
+             sum(price * volume) OVER (PARTITION BY symbol) /
+               CAST(sum(volume) OVER (PARTITION BY symbol) AS DOUBLE)
+               AS vwap_all
+           FROM parsed
+           WINDOW w AS (PARTITION BY symbol ORDER BY ts, trade_id)
+         ), lastrows AS (
+           SELECT * FROM ordered WHERE rn = n
+         ), diffs AS (
+           SELECT symbol,
+             CASE WHEN d > 0 THEN d ELSE 0 END AS gain,
+             CASE WHEN d < 0 THEN -d ELSE 0 END AS loss
+           FROM ordered
+           WHERE rn > n - 5 AND d IS NOT NULL
+         ), rsi AS (
+           SELECT symbol,
+             CASE WHEN sum(loss) = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg(gain) / avg(loss))
+             END AS r
+           FROM diffs GROUP BY symbol
+         )
+         SELECT l.symbol,
+           round(l.sma_run, 4) AS sma,
+           round(coalesce(r.r, 50.0), 4) AS rsi,
+           round(l.vwap_all, 4) AS vwap,
+           CAST(least(5, l.n) AS INTEGER) AS period,
+           CAST(l.n AS BIGINT) AS n_rows,
+           CAST(1700000000000000000 AS BIGINT) AS computed_at,
+           CASE WHEN coalesce(r.r, 50.0) >= 70 THEN 'OVERBOUGHT'
+                WHEN coalesce(r.r, 50.0) <= 30 THEN 'OVERSOLD'
+                ELSE 'NEUTRAL' END AS signal
+         FROM lastrows l LEFT JOIN rsi r ON l.symbol = r.symbol
+         ORDER BY l.symbol""",
+    // q200: RELIANCE's total-ordered history off the read-back trades
+    // parquet — row_number pins the (ts, trade_id) order itself.
+    "q200_etl_symbol_history" ->
+      s"""WITH raw AS (
+           SELECT * FROM read_csv('$etlCsvDir/*.csv',
+                                  header=true, all_varchar=true)
+         ), parsed AS (
+           SELECT CAST(trade_id AS BIGINT) AS trade_id,
+                  CAST(order_id AS BIGINT) AS order_id,
+                  CAST("timestamp" AS BIGINT) AS ts,
+                  trim(symbol) AS symbol,
+                  CAST(price AS DOUBLE) AS price,
+                  CAST(volume AS INTEGER) AS volume,
+                  trim(side) AS side, trim("type") AS type,
+                  COALESCE(lower(trim(is_pro)) IN ('1', 'true'), FALSE)
+                    AS is_pro
+           FROM raw
+         ), h AS (
+           SELECT *, row_number() OVER (ORDER BY ts, trade_id) AS rn
+           FROM parsed WHERE symbol = 'RELIANCE'
+         )
+         SELECT CAST(rn AS INTEGER) AS rn, trade_id, order_id,
+           ts AS "timestamp", price, volume, side, type, is_pro
+         FROM h WHERE rn <= 5000 ORDER BY rn""",
     // Independent re-derivation of the CSV wire contract: DuckDB's own
     // csv reader over the SAME files (all_varchar -- the raw tokens),
     // then the silent defaults (TRY_CAST+COALESCE == from_chars
