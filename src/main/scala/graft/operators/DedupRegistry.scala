@@ -262,6 +262,7 @@ object DedupRegistry {
             s"DedupRegistry.ingestBatch: cannot drop $cur")
         require(fs.rename(bak, cur),
           s"DedupRegistry.ingestBatch: restore $bak failed")
+        StableRead.noteTouched(path, "stats")
       }
       if (fs.exists(nw))
         require(fs.delete(nw, true),
@@ -346,6 +347,7 @@ object DedupRegistry {
       s"DedupRegistry.ingestBatch: stats backup rename failed")
     require(fs.rename(sub(s"stats_${tag}_new"), sub("stats")),
       s"DedupRegistry.ingestBatch: stats swap rename failed")
+    StableRead.noteTouched(path, "stats") // dropBak notes the retire too
     commitMarker()
     dropBak()
     fs.delete(tmpRoot, true)

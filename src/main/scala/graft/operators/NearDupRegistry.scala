@@ -313,6 +313,7 @@ object NearDupRegistry {
             s"NearDupRegistry.ingestBatch: cannot drop $cur")
         require(fs.rename(bak, cur),
           s"NearDupRegistry.ingestBatch: restore $bak failed")
+        StableRead.noteTouched(path, "stats")
       }
       if (fs.exists(nw))
         require(fs.delete(nw, true),
@@ -433,6 +434,7 @@ object NearDupRegistry {
       s"NearDupRegistry.ingestBatch: stats backup rename failed")
     require(fs.rename(sub(s"stats_${tag}_new"), sub("stats")),
       s"NearDupRegistry.ingestBatch: stats swap rename failed")
+    StableRead.noteTouched(path, "stats") // dropBak notes the retire too
     commitMarker()
     dropBak()
     fs.delete(tmpRoot, true)

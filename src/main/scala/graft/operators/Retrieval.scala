@@ -196,26 +196,30 @@ object Retrieval {
     // directory (tasks × buckets small files — measured 4.9 s at sf0.1,
     // and the classic small-files failure at corpus scale); with it each
     // bucket is one task's single file
-    tf.withColumn("bucket", bucket)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    // every table lands tmp + swap/rename (Sinks.landTable): a rebuild
+    // into a LIVE root must never overwrite committed files in place
+    graft.sinks.Sinks.landTable(
+      tf.withColumn("bucket", bucket).repartition(col("bucket")),
+      path, "postings", Seq("bucket"))
     // terms and doclen both derive from the NOW-MATERIALIZED tf cache and
     // are independent — run them as concurrent jobs so their fixed
     // per-action scheduler overhead overlaps instead of serializing (the
     // postings write goes first alone: concurrent first actions would
     // race to materialize the persist)
     concurrently(
-      () => tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .withColumn("bucket", bucket)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms"),
+      () => graft.sinks.Sinks.landTable(
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("bucket", bucket)
+          .repartition(col("bucket")),
+        path, "terms", Seq("bucket")),
       // straight off the docs scan (NOT a groupBy over tf): shuffle-free,
       // and registers tokenless docs at dl = 0 — per-doc size(tokens)
       // equals sum(tf) for every doc with tokens
-      () => docs.select(
+      () => graft.sinks.Sinks.landTable(
+        docs.select(
           col(idCol).as("id"),
-          size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-        .write.mode("overwrite").parquet(s"$path/doclen"))
+          size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl")),
+        path, "doclen"))
     import spark.implicits._
     // AQE propagates an all-empty tf through the write plan and DROPS
     // the CollectMetrics stage from the final plan, losing the
@@ -223,13 +227,14 @@ object Retrieval {
     // the token total is 0 by construction and n_docs falls back to one
     // explicit count of the input
     val m = observedOrEmpty(statsObs)
-    Seq((
-        m.get("n_docs").map(_.asInstanceOf[Long]).getOrElse(docs.count()),
-        m.getOrElse("total_tokens", 0L).asInstanceOf[Long],
-        buckets.toLong))
-      .toDF("n_docs", "total_tokens", "buckets")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats")
+    graft.sinks.Sinks.landTable(
+      Seq((
+          m.get("n_docs").map(_.asInstanceOf[Long]).getOrElse(docs.count()),
+          m.getOrElse("total_tokens", 0L).asInstanceOf[Long],
+          buckets.toLong))
+        .toDF("n_docs", "total_tokens", "buckets")
+        .coalesce(1),
+      path, "stats")
     }
   }
 
@@ -349,6 +354,7 @@ object Retrieval {
     tf.withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    StableRead.noteTouched(path, "postings") // incremental-snapshot note
     // same AQE empty-relation caveat as the build: an all-tokenless
     // batch loses the observation, its token total is 0 by construction,
     // and n falls back to one explicit count of the batch
@@ -364,10 +370,13 @@ object Retrieval {
     concurrently(
       // the build's registry shape: every batch doc appends a doclen row
       // (dl = 0 when tokenless), shuffle-free off the batch scan
-      () => docs.select(
-          col(idCol).as("id"),
-          size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-        .write.mode("append").parquet(s"$path/doclen"),
+      () => {
+        docs.select(
+            col(idCol).as("id"),
+            size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+          .write.mode("append").parquet(s"$path/doclen")
+        StableRead.noteTouched(path, "doclen")
+      },
       () => mergedTerms = spark.read.schema(termsSchema)
         .parquet(s"$path/terms")
         .select(col("term"), col("df"))
@@ -376,15 +385,19 @@ object Retrieval {
         .withColumn("bucket", bucket)
         .repartition(col("bucket"))
         .localCheckpoint(true))
-    mergedTerms.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/terms")
+    // terms/stats land via tmp + swap, never an in-place overwrite: a
+    // static overwrite deletes the committed files mid-write (torn on
+    // crash, and a snapshot-PINNED reader racing the append would lose
+    // them permanently); the swap retires them instead
+    graft.sinks.Sinks.landTable(mergedTerms, path, "terms", Seq("bucket"))
     import spark.implicits._
-    Seq((oldDocs + batchDocs,
-        oldTok + batchMetrics.getOrElse("t", 0L).asInstanceOf[Long],
-        buckets))
-      .toDF("n_docs", "total_tokens", "buckets")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats")
+    graft.sinks.Sinks.landTable(
+      Seq((oldDocs + batchDocs,
+          oldTok + batchMetrics.getOrElse("t", 0L).asInstanceOf[Long],
+          buckets))
+        .toDF("n_docs", "total_tokens", "buckets")
+        .coalesce(1),
+      path, "stats")
     }
   }
 
@@ -514,6 +527,7 @@ object Retrieval {
         if (fs.exists(cur))
           require(fs.delete(cur, true), s"bm25IngestBatch: cannot drop $cur")
         require(fs.rename(bak, cur), s"bm25IngestBatch: restore $bak failed")
+        StableRead.noteTouched(path, name)
       }
       if (fs.exists(nw))
         require(fs.delete(nw, true), s"bm25IngestBatch: cannot drop $nw")
@@ -614,6 +628,7 @@ object Retrieval {
       val nw = sub(s"${name}_${tag}_new")
       require(fs.rename(cur, bak), s"bm25IngestBatch: rename $cur -> $bak failed")
       require(fs.rename(nw, cur), s"bm25IngestBatch: rename $nw -> $cur failed")
+      StableRead.noteTouched(path, name) // dropBak notes the swap itself
     }
     swapIn("terms"); swapIn("stats")
     commitMarker()

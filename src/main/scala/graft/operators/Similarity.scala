@@ -589,21 +589,26 @@ object Similarity {
     // reader-isolation bracket + manifest commit ([[StableRead]]): a
     // (re)build into a live root must not validate mid-write
     StableRead.withMaintenanceMarker(spark, path) {
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    corpus
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("cell", element_at(
-        graft.functions.VecExprs.nearestCentroids(
-          col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
-      // cluster by the partition key before the dynamic-partition write
-      // (the bm25 build's small-files lesson: without it every task
-      // writes a file into every cell directory)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    // tmp + swap/rename per table (Sinks.landTable): a rebuild into a
+    // LIVE root must never overwrite committed files in place
+    graft.sinks.Sinks.landTable(
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1),
+      path, "centroids")
+    graft.sinks.Sinks.landTable(
+      corpus
+        .select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
+        // cluster by the partition key before the dynamic-partition
+        // write (the bm25 build's small-files lesson: without it every
+        // task writes a file into every cell directory)
+        .repartition(col("cell")),
+      path, "corpus", Seq("cell"))
     }
   }
 
@@ -748,6 +753,7 @@ object Similarity {
         .repartition(col("cell")) // one file per touched cell per append
         .write.mode("append").partitionBy("cell")
         .parquet(s"$indexPath/corpus")
+      StableRead.noteTouched(indexPath, "corpus") // incremental snapshot
     }
   }
 
@@ -1022,21 +1028,24 @@ object Similarity {
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleN)
     // reader-isolation bracket + manifest commit ([[StableRead]])
     StableRead.withMaintenanceMarker(spark, path) {
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    quantizeEmbeddings(
-        corpus.select(col(idCol).as("id"),
-          col(vecCol).cast("array<double>").as("vec")), "vec")
-      .select(col("id"), col("vec"), col("qvec"),
-        intDot(col("qvec"), col("qvec")).as("qn2"))
-      .withColumn("cell", element_at(
-        graft.functions.VecExprs.nearestCentroids(
-          col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    // tmp + swap/rename per table (the buildIvfIndex landTable note)
+    graft.sinks.Sinks.landTable(
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1),
+      path, "centroids")
+    graft.sinks.Sinks.landTable(
+      quantizeEmbeddings(
+          corpus.select(col(idCol).as("id"),
+            col(vecCol).cast("array<double>").as("vec")), "vec")
+        .select(col("id"), col("vec"), col("qvec"),
+          intDot(col("qvec"), col("qvec")).as("qn2"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
+        .repartition(col("cell")),
+      path, "corpus", Seq("cell"))
     }
   }
 
@@ -1067,6 +1076,7 @@ object Similarity {
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$indexPath/corpus")
+      StableRead.noteTouched(indexPath, "corpus") // incremental snapshot
     }
   }
 

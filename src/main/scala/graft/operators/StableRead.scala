@@ -139,8 +139,36 @@ object StableRead {
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.Set[String]]()
 
-  private[graft] def noteSwapped(root: String, table: String): Unit =
+  private[graft] def noteSwapped(root: String, table: String): Unit = {
     swappedTables
+      .computeIfAbsent(depthKey(root),
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(table)
+    noteTouched(root, table)
+  }
+
+  /** Tables whose FILE SET changed inside the current bracket without a
+    * dir-version swap (appends, partition rewrites, retires, overlay
+    * creates) — the commit re-lists ONLY these (plus swapped and new
+    * tables) and reuses the previous snapshot's entries verbatim for
+    * the rest, making the snapshot write O(changed files), not O(root
+    * files) — the Iceberg incremental-manifest economics. INVARIANT
+    * (SnapshotParitySpec drills every op family against a full
+    * re-listing): every primitive that lands or removes a file under a
+    * live estate table must note here — a missed note would freeze a
+    * stale file list into the next snapshot. All landings are
+    * centralized (swapByRename/swapRetire, copyParquetParts(move),
+    * retirePartitions/retireTree, the ingest stats/terms swap-in and
+    * restore, the tombstone overlay create, bm25Append's doclen
+    * append), so new operators built from those primitives inherit the
+    * note for free.
+    */
+  private val touchedTables =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[String]]()
+
+  private[graft] def noteTouched(root: String, table: String): Unit =
+    touchedTables
       .computeIfAbsent(depthKey(root),
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
       .add(table)
@@ -233,9 +261,13 @@ object StableRead {
       new org.apache.hadoop.fs.Path(root, ManifestName))
 
   /** Transient sibling dirs that are NOT pinnable tables: swap backups,
-    * staging/tmp trees, and every `_`-prefixed house dir. */
-  private def isTransientName(n: String): Boolean =
-    n.startsWith("_") || n.startsWith(".") ||
+    * staging/tmp trees, every `_`-prefixed house dir, and the ingest
+    * batch-commit log (protocol metadata read live by recovery/fsck,
+    * never by a pinned probe — every committed batch would otherwise
+    * have to note its marker file).
+    */
+  private[graft] def isTransientName(n: String): Boolean =
+    n.startsWith("_") || n.startsWith(".") || n == "ingestlog" ||
       n.endsWith("_bak") || n.endsWith("_tmp") || n.endsWith("_new")
 
   /** Recursive table-relative data-file listing (skips `_`/`.` files —
@@ -266,21 +298,31 @@ object StableRead {
       path: String, gen: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val prev = readSnapshotFs(fs, path)
-    val swapped: Set[String] = Option(
-      swappedTables.remove(depthKey(path))) match {
-      case Some(s) => scala.jdk.CollectionConverters
-        .SetHasAsScala(s).asScala.toSet
-      case None => Set.empty
-    }
+    def drain(m: java.util.concurrent.ConcurrentHashMap[String,
+        java.util.Set[String]]): Set[String] =
+      Option(m.remove(depthKey(path))) match {
+        case Some(s) => scala.jdk.CollectionConverters
+          .SetHasAsScala(s).asScala.toSet
+        case None => Set.empty
+      }
+    val swapped = drain(swappedTables)
+    val touched = drain(touchedTables) ++ swapped
     val tables = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && !isTransientName(st.getPath.getName))
       .map { st =>
         val t = st.getPath.getName
-        val lrg =
-          if (swapped.contains(t)) gen
-          else prev.flatMap(_.tables.get(t)).map(_.lastRewriteGen)
-            .getOrElse(gen)
-        (t, lrg, listFilesRel(fs, st.getPath))
+        prev.flatMap(_.tables.get(t)) match {
+          // untouched standing table: reuse the previous entry verbatim
+          // — no listing (the incremental-manifest economics; a no-op
+          // commit on a million-file root lists nothing)
+          case Some(p) if !touched.contains(t) =>
+            (t, p.lastRewriteGen, p.files)
+          case p =>
+            val lrg =
+              if (swapped.contains(t)) gen
+              else p.map(_.lastRewriteGen).getOrElse(gen)
+            (t, lrg, listFilesRel(fs, st.getPath))
+        }
       }
     val sb = new StringBuilder(s"1|$gen\n")
     tables.foreach { case (t, lrg, files) =>
@@ -460,6 +502,7 @@ object StableRead {
       if (fs.exists(src))
         mergeMove(fs, src, new org.apache.hadoop.fs.Path(retired, d))
     }
+    noteTouched(root, table)
   }
 
   /** Retire a WHOLE live table dir without replacement (the emptied
@@ -472,6 +515,7 @@ object StableRead {
     val src = new org.apache.hadoop.fs.Path(s"$root/$table")
     if (fs.exists(src))
       mergeMove(fs, src, retiredDirOf(root, table, currentLrgFs(fs, root, table)))
+    noteTouched(root, table)
   }
 
   private def readManifest(

@@ -691,14 +691,17 @@ object TextAnalysis {
       "bpeSave: duplicate merge pair — the table is not a valid BPE history")
     StableRead.withMaintenanceMarker(spark, path) {
       import spark.implicits._
-      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getLong(3), r.getLong(4))).toSeq
-        .toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/merges")
-      Seq(rows.length.toLong).toDF("n_merges")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/stats")
+      // tmp + swap/rename (Sinks.landTable): a re-save over a LIVE
+      // artifact must not overwrite committed files in place
+      graft.sinks.Sinks.landTable(
+        rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(4))).toSeq
+          .toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
+          .coalesce(1),
+        path, "merges")
+      graft.sinks.Sinks.landTable(
+        Seq(rows.length.toLong).toDF("n_merges").coalesce(1),
+        path, "stats")
     }
   }
 
@@ -1088,12 +1091,15 @@ object TextAnalysis {
       n: Int = 3): Unit = {
     val spark = df.sparkSession
     val (weights, priors) = trainLangId(df, idCol, textCol, langCol, seedMax, n)
-    weights.write.mode("overwrite").parquet(s"$path/weights")
+    // tmp + swap/rename (Sinks.landTable): never overwrite a live
+    // artifact's committed files in place
+    graft.sinks.Sinks.landTable(weights, path, "weights")
     import spark.implicits._
-    priors.map { case (l, p) => (l, p, n) }
-      .toDF("lang", "prior", "n")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    graft.sinks.Sinks.landTable(
+      priors.map { case (l, p) => (l, p, n) }
+        .toDF("lang", "prior", "n")
+        .coalesce(1),
+      path, "meta")
   }
 
   /** Score a corpus against a [[saveLangIdModel]] model: identical

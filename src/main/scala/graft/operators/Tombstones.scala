@@ -53,9 +53,10 @@ object Tombstones {
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String): Unit = {
     val (cur, bak) = (dirOf(indexPath), bakOf(indexPath))
     if (fs.exists(bak)) {
-      if (!fs.exists(cur))
+      if (!fs.exists(cur)) {
         require(fs.rename(bak, cur), s"Tombstones: restore $bak failed")
-      else require(fs.delete(bak, true), s"Tombstones: cannot drop $bak")
+        StableRead.noteTouched(indexPath, "tombstones")
+      } else require(fs.delete(bak, true), s"Tombstones: cannot drop $bak")
     }
     Seq("tombstones_add_tmp", "tombstones_clear_tmp").foreach { t =>
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
@@ -92,8 +93,11 @@ object Tombstones {
           new org.apache.hadoop.fs.Path(s"$indexPath/tombstones_add_tmp")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(cur)) graft.sinks.Sinks.swapByRename(fs, tmp, cur)
-        else require(fs.rename(tmp, cur),
-          s"Tombstones.add: rename to $cur failed")
+        else {
+          require(fs.rename(tmp, cur),
+            s"Tombstones.add: rename to $cur failed")
+          StableRead.noteTouched(indexPath, "tombstones")
+        }
         n
       }
     }

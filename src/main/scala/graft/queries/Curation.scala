@@ -3183,6 +3183,63 @@ object Curation {
         .orderBy(col("kind"))
     }),
 
+    // Streaming first-arrival IMAGE dedup (round-17): the perceptual
+    // hash composed into the persisted exact-dedup registry with ZERO
+    // new machinery — the digest column is image_dhash (EXACTLY
+    // invariant under the re-level and integer-upscale twin classes,
+    // model- and spec-verified per seed), so a re-leveled or upscaled
+    // RE-UPLOAD of a registered image streams in and is refused as a
+    // duplicate while genuinely new images register, across batches,
+    // under the full exactly-once drill (kill-restart at the batch
+    // boundary + post-commit re-delivery). Arrivals: 50 bases, then 25
+    // re-leveled re-uploads + 25 new images, then 50 upscaled
+    // re-uploads; accepted must be EXACTLY the 50 bases + 25 new
+    // (n_dropped = 75 rides the output as a pinned scalar row).
+    "q201_image_stream_dedup" -> ((s, dir) => {
+      import graft.functions.ImageExprs
+      val spark = Tables.configure(s)
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500)
+        .select(col("doc_id"))
+        .localCheckpoint(true)
+      def wave(seed: org.apache.spark.sql.Column) =
+        ImageExprs.pngSynthWave(lit(48), lit(48), seed.cast("int"))
+      val p0 = base.select(col("doc_id").as("img_id"),
+        wave(col("doc_id") / 10).as("img"))
+      val p1 = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("img_id"),
+          ImageExprs.imageLinearMap(
+            wave(col("doc_id") / 10), lit(1), lit(2), lit(96)).as("img"))
+        .unionByName(base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000L).as("img_id"),
+            wave(col("doc_id") / 10 + 50).as("img")))
+      val p2 = base.select((col("doc_id") + 3000000L).as("img_id"),
+        ImageExprs.imageResizeNn(
+          wave(col("doc_id") / 10), lit(96), lit(96)).as("img"))
+      val reg = s"${java.nio.file.Files
+        .createTempDirectory("graft-q201").toString}/reg"
+      DedupRegistry.init(spark, reg, buckets = 16)
+      val phases = Seq(p0, p1, p2)
+      val staged = stagePhases(s"imgdedup201|$dir", phases)
+      val sink: (DataFrame, Long) => Unit = (batch, bid) =>
+        DedupRegistry.ingestBatch(reg,
+          batch.select(col("img_id"),
+            ImageExprs.imageDHash(col("img")).cast("string").as("dh")),
+          "img_id", "dh", bid)
+      runPhasedIngest(spark, staged, phases.head.schema, nPhases = 3,
+        firstRun = 2, sink)
+      // post-commit re-delivery of batch 1: must skip whole
+      sink(spark.read.parquet(s"$staged/phase_001.parquet"), 1L)
+      val corpus = spark.read
+        .schema("id LONG, text STRING, digest STRING")
+        .parquet(s"$reg/corpus")
+      val stats = spark.read.parquet(s"$reg/stats")
+      corpus.select(lit("accepted").as("kind"), col("id").cast("long").as("v"))
+        .unionByName(stats.select(lit("n_dropped").as("kind"),
+          col("n_dropped").cast("long").as("v")))
+        .orderBy(col("kind"), col("v"))
+    }),
+
     // Video container TRIAGE without touching pixel data (the
     // pngDimensions contract for the video modality): dimensions, bit
     // depth, compression fourcc, and a chunk-header-only frame count —

@@ -3500,6 +3500,25 @@ object CurationOracles {
              UNION ALL SELECT doc_id*10 + 1, doc_id*10 + 2 FROM d)
            SELECT CAST(a AS BIGINT) AS img_id_a, CAST(b AS BIGINT) AS img_id_b
            FROM p ORDER BY img_id_a, img_id_b""",
+      // q201: first-arrival image dedup — accepted ids are EXACTLY the
+      // construction's bases + genuinely-new uploads (re-leveled and
+      // upscaled re-uploads share their base's dHash digest and must
+      // refuse); n_dropped pins the rejection count.
+      "q201_image_stream_dedup" ->
+        """WITH d AS (
+             SELECT doc_id FROM documents
+             WHERE doc_id % 10 = 0 AND doc_id < 500),
+           acc AS (
+             SELECT doc_id AS v FROM d
+             UNION ALL
+             SELECT doc_id + 2000000 FROM d WHERE doc_id % 20 = 0),
+           rows_out AS (
+             SELECT 'accepted' AS kind, CAST(v AS BIGINT) AS v FROM acc
+             UNION ALL
+             SELECT 'n_dropped',
+               CAST((SELECT count(*) FROM d WHERE doc_id % 20 = 0)
+                 + (SELECT count(*) FROM d) AS BIGINT))
+           SELECT kind, v FROM rows_out ORDER BY kind, v""",
       // q198: violations expected empty; corpus_rows pins exactly-once
       // cardinality (junk erased, re-delivery skipped), queries_probed
       // non-vacuity.

@@ -271,7 +271,14 @@ object Sinks {
       move: Boolean = false): Unit = {
     val src = new org.apache.hadoop.fs.Path(srcDir)
     if (!fs.exists(src)) return
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+    val dstP = new org.apache.hadoop.fs.Path(dstDir)
+    fs.mkdirs(dstP)
+    // landing files into a manifest-managed root's live table changes
+    // its pinned file set: note it for the incremental snapshot
+    if (graft.operators.StableRead.manifestManaged(fs,
+        dstP.getParent))
+      graft.operators.StableRead.noteTouched(
+        dstP.getParent.toString, dstP.getName)
     fs.listStatus(src).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith(partitionPrefix))
@@ -362,6 +369,35 @@ object Sinks {
           }
         }
       }
+    }
+  }
+
+  /** Land a frame as an estate TABLE atomically: write to a `_tmp`
+    * sibling, then swap it in (retire-aware on manifest-managed roots)
+    * or rename it in when the table does not exist yet. NEVER an
+    * in-place `mode("overwrite")` on a live table — that deletes the
+    * committed files before the new ones exist (torn on crash, and a
+    * snapshot-pinned reader racing it loses its generation
+    * permanently). The one extra rename is free; the builds, artifact
+    * saves, and append-side stats/terms republishes all land through
+    * here.
+    */
+  def landTable(
+      df: DataFrame,
+      root: String,
+      table: String,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/${table}_land_tmp")
+    val fs = tmp.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    var w = df.write.mode("overwrite")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.parquet(tmp.toString)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$table")
+    if (fs.exists(cur)) swapByRename(fs, tmp, cur)
+    else {
+      require(fs.rename(tmp, cur), s"landTable: rename $tmp -> $cur failed")
+      graft.operators.StableRead.noteTouched(root, table)
     }
   }
 

@@ -191,6 +191,21 @@ object FedBench {
       f"legacy listing ${sFresh * 1000}%6.2f -> ${sAged * 1000}%6.2f ms " +
       "(O(files))")
 
+    // ---- incremental snapshot COMMIT cost: O(changed), not O(files) --
+    // A bracket that touched nothing reuses every previous table entry
+    // verbatim — the commit lists no table files at all, so commit cost
+    // stays flat as the estate ages (the Iceberg incremental-manifest
+    // economics, round 17). Measured as a no-op bracket (marker up,
+    // snapshot + manifest commit, marker down) on the fresh vs aged
+    // estates from the validate row above.
+    def noopCommit(p: String): Unit =
+      graft.operators.StableRead.withMaintenanceMarker(spark, p) { () }
+    val cFresh = minOf5(noopCommit(freshIdx))
+    val cAged = minOf5(noopCommit(agedIdx))
+    println(f"[fed-bench] no-op commit (snapshot+manifest): " +
+      f"fresh ${cFresh * 1000}%6.2f ms -> aged ${cAged * 1000}%6.2f ms " +
+      "(flat: untouched tables reuse their previous snapshot entries)")
+
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }
