@@ -44,17 +44,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one from then on.)
   *
   * The result is always a state the estate actually passed through
-  * (pre- or post-op, never a blend). Optimistic reads are safe, not
-  * wait-free: a writer churning maintenance continuously can starve
-  * the reader past `maxAttempts` (the loop then fails loudly rather
-  * than returning a torn read) — production serving schedules
-  * maintenance in windows exactly as the single-writer contract
-  * already requires for writers; this makes the READER side of that
-  * window honest. ReaderMaintenanceRaceSpec races federated probes
-  * against live compact/vacuum churn and pins every returned relation
-  * to the survivors-only oracle; StableReadManifestSpec pins the
-  * commit protocol itself (generation bumps, reentrancy, O(1)
-  * validation, checkpoint release).
+  * (pre- or post-op, never a blend). [[stable]]'s optimistic reads are
+  * safe, not wait-free: a writer churning maintenance continuously can
+  * starve the reader past `maxAttempts` (the loop then fails loudly
+  * rather than returning a torn read).
+  *
+  * [[pinned]] is the terminal form (round 17): every commit also
+  * writes an immutable per-generation SNAPSHOT (exact per-table file
+  * lists, incrementally maintained — untouched tables reuse their
+  * previous entries, so commit cost is O(changed files)), and every
+  * removal of committed files RETIRES them under `_retired/` instead
+  * of deleting (whole-dir swaps, partition rewrites, emptied overlays;
+  * [[expireRetired]] is the GC). A pinned probe resolves ONE committed
+  * generation per root and reads exactly its files wherever they live
+  * (live dir, retired dir, or a mid-ingest swap backup) — MVCC
+  * snapshot isolation: zero validation retries, no starvation under
+  * continuous churn, serving continues under a standing crashed-op
+  * marker, and [[pinnedAt]] time-travels to any retained generation.
+  *
+  * ReaderMaintenanceRaceSpec races federated probes against live
+  * compact/vacuum churn (including a zero-gap churn loop under
+  * [[pinned]]) and pins every returned relation to the survivors-only
+  * oracle; StableReadManifestSpec pins the commit protocol (generation
+  * bumps, reentrancy, O(1) validation, snapshot exactness, retire +
+  * time travel, GC horizon, checkpoint release); SnapshotParitySpec
+  * drills every op family's committed snapshot against an independent
+  * full re-listing.
   */
 object StableRead {
 
@@ -84,11 +99,15 @@ object StableRead {
     */
   val RetiredDirName = "_retired"
 
-  /** Directory holding one immutable snapshot file per committed
-    * generation (`g<N>`): the per-table exact data-file list plus each
-    * table's `lastRewriteGen` (the generation its current directory
-    * version was created — the retired-dir name key). Written BEFORE
-    * the manifest that names it, so a manifest generation always has
+  /** Directory holding the immutable snapshot metadata: one INDEX file
+    * per committed generation (`g<N>`: per table, its `lastRewriteGen`
+    * — the retired-dir name key — and which generation's SHARD carries
+    * its file list) plus per-table shard files (`g<M>.<table>`: the
+    * exact data-file list, written only when the table changed; later
+    * generations reference it until the table changes again — the
+    * Iceberg manifest-list/manifest split, so commits serialize
+    * O(changed files), never the estate). Written BEFORE the manifest
+    * that names the generation, so a manifest generation always has
     * its snapshot.
     */
   val SnapshotsDirName = "_snapshots"
@@ -288,16 +307,53 @@ object StableRead {
     out.result()
   }
 
+  /** One snapshot-index entry: which generation's SHARD file carries
+    * `table`'s inline file list (`srcGen` == the index's own gen for a
+    * freshly-listed table). The manifest-list/manifest split: the
+    * per-generation INDEX is O(tables) lines, file lists live in
+    * per-table shard files (`g<srcGen>.<table>`) that untouched tables
+    * SHARE across generations by reference — so a commit both LISTS
+    * and WRITES only the changed tables' files.
+    */
+  private final case class SnapEntry(
+      table: String, lrg: Long, srcGen: Long)
+
+  private def atomicWrite(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      name: String, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$name.tmp")
+    val out = fs.create(tmp, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+    val fin = new org.apache.hadoop.fs.Path(dir, name)
+    if (fs.exists(fin)) fs.delete(fin, false) // crashed prior attempt
+    require(fs.rename(tmp, fin),
+      s"writeSnapshot: rename $tmp -> $fin failed")
+  }
+
   /** Write generation `gen`'s snapshot: per table, the exact data-file
     * list and its `lastRewriteGen` ([[swappedTables]] notes bump it to
     * `gen`; new tables start at `gen`; everything else inherits).
-    * Tmp-write + rename; immutable once the manifest names it.
+    * Sharded + incremental: touched tables are re-listed into a fresh
+    * `g<gen>.<table>` shard; untouched tables REFERENCE their standing
+    * shard — the commit's metadata cost is O(tables) + O(changed
+    * files), independent of the estate's total file count on both the
+    * listing AND the write side. Shards first, index second, manifest
+    * (the caller) last; every file is tmp-write + rename and immutable
+    * once the manifest names its generation.
     */
   private def writeSnapshot(
       fs: org.apache.hadoop.fs.FileSystem,
       path: String, gen: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val prev = readSnapshotFs(fs, path)
+    val prev: Map[String, SnapEntry] = (readManifest(fs,
+      new org.apache.hadoop.fs.Path(s"$path/$ManifestName")) match {
+      case Some(c) if c.endsWith("#") =>
+        scala.util.Try(c.split('|')(0).toLong).toOption
+          .map(g => readSnapIndex(fs, path, g)).getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }).map(e => e.table -> e).toMap
     def drain(m: java.util.concurrent.ConcurrentHashMap[String,
         java.util.Set[String]]): Set[String] =
       Option(m.remove(depthKey(path))) match {
@@ -307,39 +363,104 @@ object StableRead {
       }
     val swapped = drain(swappedTables)
     val touched = drain(touchedTables) ++ swapped
-    val tables = fs.listStatus(root).toSeq
+    val dir = new org.apache.hadoop.fs.Path(root, SnapshotsDirName)
+    fs.mkdirs(dir)
+    val entries = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && !isTransientName(st.getPath.getName))
       .map { st =>
         val t = st.getPath.getName
-        prev.flatMap(_.tables.get(t)) match {
-          // untouched standing table: reuse the previous entry verbatim
-          // — no listing (the incremental-manifest economics; a no-op
-          // commit on a million-file root lists nothing)
-          case Some(p) if !touched.contains(t) =>
-            (t, p.lastRewriteGen, p.files)
+        prev.get(t) match {
+          // untouched standing table: reference its standing shard —
+          // no listing, no shard write (the incremental-manifest
+          // economics; a no-op commit on a million-file root neither
+          // lists nor serializes a single data file)
+          case Some(p) if !touched.contains(t) => p
           case p =>
             val lrg =
               if (swapped.contains(t)) gen
-              else p.map(_.lastRewriteGen).getOrElse(gen)
-            (t, lrg, listFilesRel(fs, st.getPath))
+              else p.map(_.lrg).getOrElse(gen)
+            val files = listFilesRel(fs, st.getPath)
+            val sb = new StringBuilder(s"1|$gen|$t\n")
+            files.foreach(f => sb.append(s"F|$f\n"))
+            sb.append("#END\n")
+            atomicWrite(fs, dir, s"g$gen.$t", sb.toString)
+            SnapEntry(t, lrg, gen)
         }
       }
-    val sb = new StringBuilder(s"1|$gen\n")
-    tables.foreach { case (t, lrg, files) =>
-      sb.append(s"T|$t|$lrg|${files.size}\n")
-      files.foreach(f => sb.append(s"F|$f\n"))
-    }
+    val sb = new StringBuilder(s"2|$gen\n")
+    entries.foreach(e => sb.append(s"S|${e.table}|${e.lrg}|${e.srcGen}\n"))
     sb.append("#END\n")
-    val dir = new org.apache.hadoop.fs.Path(root, SnapshotsDirName)
-    fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"g$gen.tmp")
-    val out = fs.create(tmp, true)
-    out.write(sb.toString.getBytes("UTF-8"))
-    out.close()
-    val fin = new org.apache.hadoop.fs.Path(dir, s"g$gen")
-    if (fs.exists(fin)) fs.delete(fin, false) // crashed prior attempt
-    require(fs.rename(tmp, fin),
-      s"writeSnapshot: rename $tmp -> $fin failed")
+    atomicWrite(fs, dir, s"g$gen", sb.toString)
+  }
+
+  /** Parse a generation's snapshot INDEX (v2 sharded `S|` lines; the
+    * round-17 pre-shard inline `T|`/`F|` format reads back as
+    * self-referencing entries for compatibility within a session).
+    */
+  private def readSnapIndex(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long): Seq[SnapEntry] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$SnapshotsDirName/g$gen")
+    readManifest(fs, p) match {
+      case Some(content) =>
+        val lines = content.split('\n')
+        if (lines.isEmpty || lines.last != "#END") Seq.empty
+        else if (lines.head.startsWith("2|"))
+          lines.iterator.drop(1).takeWhile(_ != "#END")
+            .filter(_.startsWith("S|"))
+            .map { l =>
+              val parts = l.split('|')
+              SnapEntry(parts(1), parts(2).toLong, parts(3).toLong)
+            }.toSeq
+        else if (lines.head.startsWith("1|"))
+          lines.iterator.drop(1).takeWhile(_ != "#END")
+            .filter(_.startsWith("T|"))
+            .map { l =>
+              val parts = l.split('|')
+              SnapEntry(parts(1), parts(2).toLong, gen)
+            }.toSeq
+        else Seq.empty
+      case None => Seq.empty
+    }
+  }
+
+  /** Resolve one table's inline file list from the shard (or legacy
+    * inline snapshot file) at `srcGen`. None on torn/missing content —
+    * the whole snapshot then reads as absent and pinned readers fall
+    * back rather than trusting a partial list.
+    */
+  private def readShardFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, e: SnapEntry): Option[Vector[String]] = {
+    val shard = new org.apache.hadoop.fs.Path(
+      s"$path/$SnapshotsDirName/g${e.srcGen}.${e.table}")
+    readManifest(fs, shard) match {
+      case Some(content) =>
+        val lines = content.split('\n')
+        if (lines.isEmpty || lines.last != "#END" ||
+          !lines.head.startsWith("1|")) None
+        else Some(lines.iterator.drop(1).takeWhile(_ != "#END")
+          .filter(_.startsWith("F|")).map(_.substring(2)).toVector)
+      case None =>
+        // legacy inline format: the table's files live in the g<srcGen>
+        // snapshot file itself
+        val inline = new org.apache.hadoop.fs.Path(
+          s"$path/$SnapshotsDirName/g${e.srcGen}")
+        readManifest(fs, inline).flatMap { content =>
+          val lines = content.split('\n')
+          if (lines.isEmpty || lines.last != "#END" ||
+            !lines.head.startsWith("1|")) None
+          else {
+            var in = false
+            val out = Vector.newBuilder[String]
+            lines.iterator.drop(1).takeWhile(_ != "#END").foreach { l =>
+              if (l.startsWith("T|")) in = l.split('|')(1) == e.table
+              else if (in && l.startsWith("F|")) out += l.substring(2)
+            }
+            Some(out.result())
+          }
+        }
+    }
   }
 
   /** The root's CURRENT committed snapshot (manifest generation ->
@@ -360,30 +481,23 @@ object StableRead {
   private def readSnapshotGen(
       fs: org.apache.hadoop.fs.FileSystem,
       path: String, gen: Long): Option[RootSnapshot] = {
-    val p = new org.apache.hadoop.fs.Path(
-      s"$path/$SnapshotsDirName/g$gen")
-    readManifest(fs, p).flatMap { content =>
-      val lines = content.split('\n')
-      if (lines.isEmpty || !lines.head.startsWith("1|") ||
-        lines.last != "#END") None
-      else {
-        val tables = Map.newBuilder[String, TableSnap]
-        var curTable: String = null
-        var curLrg = 0L
-        var curFiles = Vector.newBuilder[String]
-        def flush(): Unit = if (curTable != null)
-          tables += curTable -> TableSnap(curLrg, curFiles.result())
-        lines.iterator.drop(1).takeWhile(_ != "#END").foreach { l =>
-          if (l.startsWith("T|")) {
-            flush()
-            val parts = l.split('|')
-            curTable = parts(1); curLrg = parts(2).toLong
-            curFiles = Vector.newBuilder[String]
-          } else if (l.startsWith("F|")) curFiles += l.substring(2)
-        }
-        flush()
-        Some(RootSnapshot(path, gen, tables.result()))
+    val idx = readSnapIndex(fs, path, gen)
+    if (idx.isEmpty) {
+      // distinguish "empty estate, valid index" from "missing/torn":
+      // a valid v2 index with zero tables still parses to a snapshot
+      val p = new org.apache.hadoop.fs.Path(
+        s"$path/$SnapshotsDirName/g$gen")
+      readManifest(fs, p) match {
+        case Some(c) if c.split('\n').lastOption.contains("#END") &&
+          (c.startsWith("1|") || c.startsWith("2|")) =>
+          Some(RootSnapshot(path, gen, Map.empty))
+        case _ => None
       }
+    } else {
+      val resolved = idx.map(e =>
+        readShardFiles(fs, path, e).map(f => e.table -> TableSnap(e.lrg, f)))
+      if (resolved.exists(_.isEmpty)) None // torn shard: whole snapshot absent
+      else Some(RootSnapshot(path, gen, resolved.flatten.toMap))
     }
   }
 
@@ -416,12 +530,20 @@ object StableRead {
 
   private def currentLrgFs(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: String, table: String): Long =
-    readSnapshotFs(fs, root) match {
-      case Some(s) => s.tables.get(table).map(_.lastRewriteGen)
-        .getOrElse(s.gen)
-      case None => 0L
+      root: String, table: String): Long = {
+    val m = new org.apache.hadoop.fs.Path(s"$root/$ManifestName")
+    readManifest(fs, m) match {
+      case Some(c) if c.endsWith("#") =>
+        scala.util.Try(c.split('|')(0).toLong).toOption match {
+          case Some(g) =>
+            // index-only read: one small file, no shard resolution
+            readSnapIndex(fs, root, g).find(_.table == table)
+              .map(_.lrg).getOrElse(g)
+          case None => 0L
+        }
+      case _ => 0L
     }
+  }
 
   private[graft] def retiredDirOf(
       root: String, table: String, lrg: Long): org.apache.hadoop.fs.Path =
@@ -616,12 +738,19 @@ object StableRead {
         case _: java.io.FileNotFoundException => return true
         case _ =>
           val m = cur.getMessage
-          // the last clause: RawLocalFileSystem shells out `ls` for
+          // the third clause: RawLocalFileSystem shells out `ls` for
           // permissions and wraps a vanished file in a bare
-          // RuntimeException rather than FileNotFoundException
+          // RuntimeException rather than FileNotFoundException. The
+          // basePath clause: a pinned read resolved files under an
+          // ingest-swap bak dir that dropBak merged into _retired
+          // before Spark's file index initialized — the base dir
+          // vanished wholesale, surfacing as this IllegalArgumentException
+          // instead of a FileNotFound (observed once in ~600 raced q187
+          // probes at sf0.1); re-resolution finds the files retired
           if (m != null && (m.contains("FAILED_READ_FILE") ||
             m.contains("PATH_NOT_FOUND") ||
-            m.contains("No such file or directory"))) return true
+            m.contains("No such file or directory") ||
+            m.contains("basePath"))) return true
       }
       cur = if (cur.getCause eq cur) null else cur.getCause
       depth += 1
@@ -845,14 +974,28 @@ object StableRead {
       }
     val snapRoot = new org.apache.hadoop.fs.Path(
       s"$root/$SnapshotsDirName")
-    if (fs.exists(snapRoot))
+    if (fs.exists(snapRoot)) {
+      // shards are SHARED across generations by reference: a kept index
+      // may point at a shard written generations ago — keep exactly the
+      // referenced ones, drop expired indexes and orphaned shards
+      val referencedShards: Set[String] = (minKept to curGen)
+        .flatMap(g => readSnapIndex(fs, root, g))
+        .map(e => s"g${e.srcGen}.${e.table}")
+        .toSet
       fs.listStatus(snapRoot).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("g") &&
-          scala.util.Try(n.stripPrefix("g").toLong)
-            .toOption.exists(_ < minKept))
+        val genOf = scala.util.Try(
+          n.stripPrefix("g").takeWhile(_ != '.').toLong).toOption
+        val isIndex = n.startsWith("g") && !n.contains('.')
+        val isShard = n.startsWith("g") && n.contains('.') &&
+          !n.endsWith(".tmp")
+        if (isIndex && genOf.exists(_ < minKept))
+          fs.delete(st.getPath, false)
+        else if (isShard && genOf.exists(_ < minKept) &&
+          !referencedShards.contains(n))
           fs.delete(st.getPath, false)
       }
+    }
     removed
   }
 

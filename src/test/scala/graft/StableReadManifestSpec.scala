@@ -291,6 +291,35 @@ class StableReadManifestSpec extends SparkSpec {
     } finally fs.delete(marker, false)
   }
 
+  test("untouched tables SHARE their shard file across generations") {
+    val dir = s"${tmpDir("snap-shard")}/idx"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 4)
+    val g0 = gen(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def shardExists(g: Long, t: String): Boolean = fs.exists(
+      new org.apache.hadoop.fs.Path(
+        s"$dir/${StableRead.SnapshotsDirName}/g$g.$t"))
+    assert(shardExists(g0, "postings") && shardExists(g0, "doclen"))
+    // a commit that touches ONLY the tombstone overlay writes ONE new
+    // shard; postings/doclen/terms keep referencing their g0 shards —
+    // the commit neither lists nor serializes their file lists
+    Tombstones.add(spark, dir, Seq(2L).toDF("id"), "id")
+    val g1 = gen(dir)
+    assert(shardExists(g1, "tombstones"))
+    Seq("postings", "doclen", "terms", "stats").foreach(t =>
+      assert(!shardExists(g1, t),
+        s"untouched table $t re-serialized its shard at g$g1"))
+    // and the resolved snapshot still pins the g0 file lists exactly
+    val snap = StableRead.readSnapshot(spark, dir).get
+    assert(snap.gen === g1)
+    assert(snap.tables("postings").files.nonEmpty)
+    snap.tables("postings").files.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings/$f"))))
+  }
+
   test("expireRetired reclaims only unreferenced versions, loudly breaking past-horizon pins") {
     val dir = s"${tmpDir("snap-gc")}/idx"
     val docs = (0L until 40L).map(i => (i, s"alpha beta w$i"))
