@@ -214,8 +214,22 @@ object DedupRegistry {
     // reader isolation (the bm25IngestBatch marker note): corpus parts
     // and the stats swap cross quiet inter-job gaps a StableRead probe
     // could otherwise validate inside
-    StableRead.withMaintenanceMarker(docs.sparkSession, path) {
-      ingestApply(path, docs, idCol, textCol, batchId)
+    // writer locks on the landed/swapped tables: a concurrent
+    // compaction must not interleave (IngestConflictSpec)
+    try StableRead.withTableLocks(docs.sparkSession, path,
+      Seq("corpus", "stats")) {
+      StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+        ingestApply(path, docs, idCol, textCol, batchId)
+      }
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // commit lost a multi-writer race AFTER the apply: un-commit
+        // the exactly-once marker so the mandated re-run re-applies
+        // instead of skipping (the ivfIngestBatch compensation)
+        val m = new org.apache.hadoop.fs.Path(s"$path/ingestlog/b$batchId")
+        m.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+          .delete(m, false)
+        throw e
     }
   }
 
@@ -463,6 +477,14 @@ object DedupRegistry {
       .getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/stats")),
       s"DedupRegistry.merge: a registry already exists at $dest")
+    // a dest that already carries a commit manifest is a COMMITTED
+    // estate even if its stats table is gone: the merge's in-place
+    // landings would delete files the dest's snapshots still pin
+    require(!StableRead.manifestManaged(fs,
+        new org.apache.hadoop.fs.Path(dest)),
+      s"DedupRegistry.merge: $dest carries a commit manifest — merging " +
+        "in place into a committed estate would delete snapshot-pinned " +
+        "files; merge into a fresh dest")
     paths.foreach(requireCommitted(spark, _, "DedupRegistry.merge"))
     paths.foreach(requirePristine(spark, _, "DedupRegistry.merge"))
     // reader-isolation bracket + manifest commit ([[StableRead]]) on
@@ -531,10 +553,15 @@ object DedupRegistry {
     * [[delete]] (which also clears it) — the registry twin of
     * [[Retrieval.bm25Vacuum]]. Returns rows removed (0 = no overlay).
     */
-  def vacuum(spark: SparkSession, path: String): Long =
-    Tombstones.read(spark, path)
+  def vacuum(spark: SparkSession, path: String,
+      gcKeepGenerations: Option[Int] = None): Long = {
+    val n = Tombstones.read(spark, path)
       .map(t => delete(spark, path, t, "id"))
       .getOrElse(0L)
+    // retention cadence: the vacuum window doubles as the GC window
+    gcKeepGenerations.foreach(k => StableRead.gc(spark, path, k))
+    n
+  }
 
   /** Collapse the per-batch file generations — a long-fed registry
     * accumulates one `b<id>_` file set per applied batch and membership
@@ -615,18 +642,19 @@ object DedupRegistry {
           .as("affected_fraction"))
   }
 
-  def compact(spark: SparkSession, path: String): Unit = {
-    requireCommitted(spark, path, "DedupRegistry.compact")
-    val cur = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compact_tmp")
-    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(cur), s"DedupRegistry.compact: no corpus at $cur")
-    // reader-isolation bracket + manifest commit ([[StableRead]])
-    StableRead.withMaintenanceMarker(spark, path) {
-      spark.read.parquet(cur.toString)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-      graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+  def compact(spark: SparkSession, path: String,
+      gcKeepGenerations: Option[Int] = None): Unit = {
+    // corpus writer lock (data-level exclusion vs a racing ingest) +
+    // reader-isolation bracket + manifest commit ([[StableRead]]).
+    // Pending-ingest guard inside the lock (wait-not-refuse)
+    StableRead.withTableLocks(spark, path, Seq("corpus")) {
+      requireCommitted(spark, path, "DedupRegistry.compact")
+      StableRead.withMaintenanceMarker(spark, path) {
+        graft.sinks.Sinks.compactTable(
+          spark, path, "corpus", Some("bucket"))
+      }
+      // retention cadence: compaction is the natural GC window
+      gcKeepGenerations.foreach(k => StableRead.gc(spark, path, k))
     }
   }
 
@@ -652,10 +680,13 @@ object DedupRegistry {
       path: String,
       keys: DataFrame,
       keyCol: String): Long = {
+    // writer locks on the rewritten tables (a racing ingest must not
+    // land mid-rewrite) + reader-isolation marker
+    // ([[graft.operators.StableRead]]): the rewrite + overlay clear +
+    // stats heal are steps a concurrent stable probe must not straddle.
+    // Pending-ingest guard inside the lock (wait-not-refuse)
+    StableRead.withTableLocks(spark, path, Seq("corpus", "stats")) {
     requireCommitted(spark, path, "DedupRegistry.delete")
-    // reader-isolation marker ([[graft.operators.StableRead]]): the
-    // rewrite + overlay clear + stats heal are steps a concurrent
-    // stable probe must not straddle
     StableRead.withMaintenanceMarker(spark, path) {
     // permanent maintenance-history flag: a physical removal breaks the
     // merge stats' raw-stream conservation (n_docs drops, n_dropped
@@ -699,6 +730,7 @@ object DedupRegistry {
         fs, tmp, new org.apache.hadoop.fs.Path(s"$path/stats"))
     }
     n
+    }
     }
   }
 }

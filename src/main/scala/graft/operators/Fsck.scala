@@ -52,6 +52,22 @@ object Fsck {
     scalarViol(!StableRead.markerPresent(spark, Seq(path)),
       s"${prefix}_stranded_maintenance_marker", spark)
 
+  /** A standing [[graft.sinks.Sinks.deleteRows]] roll-forward intent
+    * marker under `tableDir`: a delete staged its survivors but crashed
+    * before landing them — live reads of the table are missing
+    * committed rows until the next delete (or
+    * [[graft.sinks.Sinks.recoverDeleteIntent]]) rolls it forward.
+    * Recoverable debris, but an audit must surface it, not read past it.
+    */
+  private def deleteIntentViol(
+      spark: SparkSession, tableDir: String, prefix: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(
+      tableDir, graft.sinks.Sinks.DeleteIntentName)
+    scalarViol(
+      !p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+      s"${prefix}_standing_delete_intent", spark)
+  }
+
   /** Audit a [[TextAnalysis.bpeSave]] tokenizer artifact. Invariants:
     * ranks contiguous from 1 (a gap silently re-orders every later
     * merge at load time), no duplicate (pair_a, pair_b) rows (a
@@ -153,6 +169,7 @@ object Fsck {
         .unionByName(misTerm).unionByName(misPost)
         .unionByName(nOk).unionByName(tokOk).unionByName(tomb)
         .unionByName(markerViol(spark, path, "bm25"))
+        .unionByName(deleteIntentViol(spark, s"$path/postings", "bm25"))
         .localCheckpoint(true)
     }
 

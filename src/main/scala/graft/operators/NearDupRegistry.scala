@@ -270,8 +270,22 @@ object NearDupRegistry {
     // reader isolation (the bm25IngestBatch marker note): corpus parts,
     // bands parts, and the stats swap cross quiet inter-job gaps a
     // StableRead probe could otherwise validate inside
-    StableRead.withMaintenanceMarker(docs.sparkSession, path) {
-      ingestApply(path, docs, idCol, textCol, batchId)
+    // writer locks on the landed/swapped tables: a concurrent
+    // compaction must not interleave (IngestConflictSpec)
+    try StableRead.withTableLocks(docs.sparkSession, path,
+      Seq("bands", "corpus", "stats")) {
+      StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+        ingestApply(path, docs, idCol, textCol, batchId)
+      }
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // commit lost a multi-writer race AFTER the apply: un-commit
+        // the exactly-once marker so the mandated re-run re-applies
+        // instead of skipping (the ivfIngestBatch compensation)
+        val m = new org.apache.hadoop.fs.Path(s"$path/ingestlog/b$batchId")
+        m.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+          .delete(m, false)
+        throw e
     }
   }
 
@@ -547,6 +561,13 @@ object NearDupRegistry {
       .getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/stats")),
       s"NearDupRegistry.merge: a registry already exists at $dest")
+    // the DedupRegistry.merge manifest guard: a committed estate whose
+    // stats table is gone must still refuse in-place merge landings
+    require(!StableRead.manifestManaged(fs,
+        new org.apache.hadoop.fs.Path(dest)),
+      s"NearDupRegistry.merge: $dest carries a commit manifest — merging " +
+        "in place into a committed estate would delete snapshot-pinned " +
+        "files; merge into a fresh dest")
     paths.foreach(
       DedupRegistry.requirePristine(spark, _, "NearDupRegistry.merge"))
     // reader-isolation bracket + manifest commit ([[StableRead]]) on
@@ -631,10 +652,15 @@ object NearDupRegistry {
     * [[delete]] (which also clears it) — the registry twin of
     * [[Retrieval.bm25Vacuum]]. Returns rows removed (0 = no overlay).
     */
-  def vacuum(spark: SparkSession, path: String): Long =
-    Tombstones.read(spark, path)
+  def vacuum(spark: SparkSession, path: String,
+      gcKeepGenerations: Option[Int] = None): Long = {
+    val n = Tombstones.read(spark, path)
       .map(t => delete(spark, path, t, "id"))
       .getOrElse(0L)
+    // retention cadence: the vacuum window doubles as the GC window
+    gcKeepGenerations.foreach(k => StableRead.gc(spark, path, k))
+    n
+  }
 
   /** Collapse per-batch file generations in BOTH tables —
     * [[DedupRegistry.compact]] over corpus and bands.
@@ -693,25 +719,23 @@ object NearDupRegistry {
           .as("affected_fraction"))
   }
 
-  def compact(spark: SparkSession, path: String): Unit = {
-    requireCommitted(spark, path, "NearDupRegistry.compact")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // reader-isolation bracket + manifest commit ([[StableRead]]): two
-    // table swaps a concurrent stable probe must not straddle
-    StableRead.withMaintenanceMarker(spark, path) {
-      Seq(("corpus", corpusSchema, "bucket"), ("bands", bandsSchema, "pk"))
-        .foreach { case (name, schema, part) =>
-          val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
-          require(fs.exists(cur),
-            s"NearDupRegistry.compact: no $name at $cur")
-          val tmp =
-            new org.apache.hadoop.fs.Path(s"$path/${name}_compact_tmp")
-          spark.read.schema(schema).parquet(cur.toString)
-            .repartition(col(part))
-            .write.mode("overwrite").partitionBy(part).parquet(tmp.toString)
-          graft.sinks.Sinks.swapByRename(fs, tmp, cur)
-        }
+  def compact(spark: SparkSession, path: String,
+      gcKeepGenerations: Option[Int] = None): Unit = {
+    // writer locks on the rewritten tables (data-level exclusion vs a
+    // racing ingest) + reader-isolation bracket + manifest commit
+    // ([[StableRead]]): two table swaps a concurrent stable probe must
+    // not straddle. Pending-ingest guard inside the lock
+    // (wait-not-refuse)
+    StableRead.withTableLocks(spark, path, Seq("bands", "corpus")) {
+      requireCommitted(spark, path, "NearDupRegistry.compact")
+      StableRead.withMaintenanceMarker(spark, path) {
+        graft.sinks.Sinks.compactTable(
+          spark, path, "corpus", Some("bucket"), Some(corpusSchema))
+        graft.sinks.Sinks.compactTable(
+          spark, path, "bands", Some("pk"), Some(bandsSchema))
+      }
+      // retention cadence: compaction is the natural GC window
+      gcKeepGenerations.foreach(k => StableRead.gc(spark, path, k))
     }
   }
 
@@ -742,10 +766,15 @@ object NearDupRegistry {
       path: String,
       keys: DataFrame,
       keyCol: String): Long = {
+    // writer locks on the rewritten tables (a racing ingest must not
+    // land mid-rewrite) + reader-isolation marker
+    // ([[graft.operators.StableRead]]): the corpus/bands rewrites +
+    // overlay clear + stats heal are steps a concurrent stable probe
+    // must not straddle. Pending-ingest guard inside the lock
+    // (wait-not-refuse)
+    StableRead.withTableLocks(spark, path,
+      Seq("bands", "corpus", "stats")) {
     requireCommitted(spark, path, "NearDupRegistry.delete")
-    // reader-isolation marker ([[graft.operators.StableRead]]): the
-    // corpus/bands rewrites + overlay clear + stats heal are steps a
-    // concurrent stable probe must not straddle
     StableRead.withMaintenanceMarker(spark, path) {
     val k = keys.select(col(keyCol).as("id"))
     // maintenance-history flag: merge refuses this shard from now on
@@ -791,6 +820,7 @@ object NearDupRegistry {
         fs, tmp, new org.apache.hadoop.fs.Path(s"$path/stats"))
     }
     n
+    }
     }
   }
 }

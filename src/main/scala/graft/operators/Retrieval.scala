@@ -33,7 +33,12 @@ object Retrieval {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    actions.map(a => Future(a()))
+    // worker threads inherit the spawning writer's bracket identity so
+    // their estate-mutation notes attribute to THIS writer's commit,
+    // not to every writer active on the root (the multi-writer
+    // note-attribution contract, StableRead.noteKeys)
+    val ctx = StableRead.currentWriterCtx()
+    actions.map(a => Future(StableRead.inheritWriterCtx(ctx)(a())))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
       .foreach(_.get)
   }
@@ -480,8 +485,22 @@ object Retrieval {
     // stable probes out for the batch's applying window; a crashed
     // apply leaves it standing exactly until the stream's re-delivery
     // converges (which re-brackets and clears it).
-    StableRead.withMaintenanceMarker(docs.sparkSession, path) {
-      bm25IngestApply(path, docs, idCol, textCol, batchId)
+    // writer locks on every table the apply lands into or swaps: a
+    // concurrent compaction must not interleave (IngestConflictSpec)
+    try StableRead.withTableLocks(docs.sparkSession, path,
+      Seq("doclen", "postings", "stats", "terms")) {
+      StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+        bm25IngestApply(path, docs, idCol, textCol, batchId)
+      }
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // commit lost a multi-writer race AFTER the apply: un-commit
+        // the exactly-once marker so the mandated re-run re-applies
+        // instead of skipping (the ivfIngestBatch compensation)
+        val m = new org.apache.hadoop.fs.Path(s"$path/ingestlog/b$batchId")
+        m.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+          .delete(m, false)
+        throw e
     }
   }
 
@@ -672,32 +691,25 @@ object Retrieval {
       path, Seq(("postings", "bucket="), ("doclen", "")),
       Seq("terms", "stats"), opName)
 
-  def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    requireCommitted(spark, path, "bm25Compact")
-    // reader-isolation bracket + manifest commit ([[StableRead]]): two
-    // table swaps a concurrent stable probe must not straddle
-    StableRead.withMaintenanceMarker(spark, path) {
-    val buckets = spark.read.parquet(s"$path/stats")
-      .select(col("buckets")).collect()(0).getLong(0)
-    val hconf = spark.sessionState.newHadoopConf()
-    def swapRewrite(name: String, clustered: Boolean): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_compact_tmp")
-      val fs = cur.getFileSystem(hconf)
-      val df = spark.read.parquet(cur.toString)
-      if (clustered)
-        df.repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-      else
-        // shuffle-free file merge: coalesce glues small splits together
-        // without moving rows between executors
-        df.coalesce(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(tmp.toString)
-      graft.sinks.Sinks.swapByRename(fs, tmp, cur)
-    }
-    require(buckets > 0, s"bm25Compact: corrupt stats at $path")
-    swapRewrite("postings", clustered = true)
-    swapRewrite("doclen", clustered = false)
+  def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      gcKeepGenerations: Option[Int] = None): Unit = {
+    // writer locks on the rewritten tables (data-level exclusion vs a
+    // racing ingest) + reader-isolation bracket + manifest commit
+    // ([[StableRead]]): two table swaps a concurrent stable probe must
+    // not straddle. Pending-ingest guard inside the lock (the
+    // ivfCompact wait-not-refuse note)
+    StableRead.withTableLocks(spark, path, Seq("doclen", "postings")) {
+      requireCommitted(spark, path, "bm25Compact")
+      StableRead.withMaintenanceMarker(spark, path) {
+        val buckets = spark.read.parquet(s"$path/stats")
+          .select(col("buckets")).collect()(0).getLong(0)
+        require(buckets > 0, s"bm25Compact: corrupt stats at $path")
+        graft.sinks.Sinks.compactTable(
+          spark, path, "postings", Some("bucket"))
+        graft.sinks.Sinks.compactTable(spark, path, "doclen", None)
+      }
+      // retention cadence: compaction is the natural GC window
+      gcKeepGenerations.foreach(k => StableRead.gc(spark, path, k))
     }
   }
 
@@ -901,13 +913,24 @@ object Retrieval {
       path: String,
       keys: DataFrame,
       keyCol: String): Long = {
+    // writer locks on every rewritten table (a racing ingest must not
+    // land mid-rewrite) + reader isolation: the rewrites below open
+    // cross-table windows a concurrent probe could read as a blend
+    // even between jobs — the marker keeps StableRead probes out until
+    // the op completes (and stays behind on a crash, exactly as long
+    // as the re-run the crash-window contract already requires).
+    // Pending-ingest guard inside the lock (wait-not-refuse)
+    StableRead.withTableLocks(spark, path,
+      Seq("doclen", "postings", "stats", "terms")) {
     requireCommitted(spark, path, "bm25Delete")
-    // reader isolation: the rewrites below open cross-table windows a
-    // concurrent probe could read as a blend even between jobs — the
-    // marker keeps StableRead probes out until the op completes (and
-    // stays behind on a crash, exactly as long as the re-run the
-    // crash-window contract already requires)
     StableRead.withMaintenanceMarker(spark, path) {
+    // roll forward a crash-interrupted prior postings delete BEFORE any
+    // derivation reads the table: a standing intent marker means the
+    // affected buckets' originals are retired and their survivors are
+    // staged-but-unlanded, so both the affected-set derivation and the
+    // terms recompute below would read a postings table missing
+    // committed rows
+    graft.sinks.Sinks.recoverDeleteIntent(spark, s"$path/postings")
     val k = broadcast(keys.select(col(keyCol).as("id")).distinct())
     // the two read-only derivations scan disjoint tables — overlap
     // them. The affected-bucket set is modulus-bounded (a driver-safe
@@ -1007,6 +1030,7 @@ object Retrieval {
     Tombstones.clear(spark, path, keys, keyCol)
     nDel
     }
+    }
   }
 
   /** Self-healing stats write shared by [[bm25Delete]]'s tail and its
@@ -1051,10 +1075,15 @@ object Retrieval {
     */
   def bm25Vacuum(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Long =
-    Tombstones.read(spark, path)
+      path: String,
+      gcKeepGenerations: Option[Int] = None): Long = {
+    val n = Tombstones.read(spark, path)
       .map(t => bm25Delete(spark, path, t, "id"))
       .getOrElse(0L)
+    // retention cadence: the vacuum window doubles as the GC window
+    gcKeepGenerations.foreach(k => StableRead.gc(spark, path, k))
+    n
+  }
 
   /** Predict a takedown batch's [[bm25Delete]] footprint BEFORE
     * executing it — the costing operator a production takedown queue

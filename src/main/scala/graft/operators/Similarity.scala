@@ -827,11 +827,28 @@ object Similarity {
       batchId: Long,
       quantized: Boolean = false): Unit = {
     require(batchId >= 0, s"ivfIngestBatch: negative batch id $batchId")
-    // reader isolation (the bm25IngestBatch marker note): the per-file
+    // corpus writer lock: a concurrent compaction must not interleave
+    // its rewrite with this batch's landing (IngestConflictSpec).
+    // Reader isolation (the bm25IngestBatch marker note): the per-file
     // rename loop is a half-applied-batch window no committed state
     // ever equals — stable probes wait the batch out
-    StableRead.withMaintenanceMarker(batch.sparkSession, indexPath) {
-      ivfIngestApply(indexPath, batch, idCol, vecCol, batchId, quantized)
+    try StableRead.withTableLocks(
+      batch.sparkSession, indexPath, Seq("corpus")) {
+      StableRead.withMaintenanceMarker(batch.sparkSession, indexPath) {
+        ivfIngestApply(indexPath, batch, idCol, vecCol, batchId, quantized)
+      }
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the apply landed but the estate COMMIT lost a multi-writer
+        // race: un-commit the exactly-once marker, or the mandated
+        // re-run would skip the batch whole while its rows may have
+        // been retired by the winning writer's rewrite (the
+        // IngestConflictSpec drill)
+        val m = new org.apache.hadoop.fs.Path(
+          s"$indexPath/ingestlog/b$batchId")
+        m.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+          .delete(m, false)
+        throw e
     }
   }
 
@@ -986,18 +1003,22 @@ object Similarity {
   }
 
   def ivfCompact(
-      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
-    requireCommitted(spark, indexPath, "ivfCompact")
-    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/corpus_compact_tmp")
-    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(cur), s"ivfCompact: no corpus at $cur")
-    // reader-isolation bracket + manifest commit ([[StableRead]])
-    StableRead.withMaintenanceMarker(spark, indexPath) {
-      spark.read.parquet(cur.toString)
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-      graft.sinks.Sinks.swapByRename(fs, tmp, cur)
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      gcKeepGenerations: Option[Int] = None): Unit = {
+    // corpus writer lock (data-level exclusion vs a racing ingest) +
+    // reader-isolation bracket + manifest commit ([[StableRead]]).
+    // The pending-ingest guard runs INSIDE the lock: a live ingest is
+    // a wait, not a refusal — only a crashed batch's debris (which the
+    // stream's mandated re-delivery converges) refuses maintenance
+    StableRead.withTableLocks(spark, indexPath, Seq("corpus")) {
+      requireCommitted(spark, indexPath, "ivfCompact")
+      StableRead.withMaintenanceMarker(spark, indexPath) {
+        graft.sinks.Sinks.compactTable(
+          spark, indexPath, "corpus", Some("cell"))
+      }
+      // retention cadence: compaction is the natural GC window
+      // ([[StableRead.gc]]); still under the table lock
+      gcKeepGenerations.foreach(k => StableRead.gc(spark, indexPath, k))
     }
   }
 
@@ -1247,10 +1268,13 @@ object Similarity {
       indexPath: String,
       keys: DataFrame,
       keyCol: String): Long = {
-    requireCommitted(spark, indexPath, "ivfDelete")
+    // corpus writer lock (a racing ingest must not land mid-rewrite) +
     // reader-isolation marker: the corpus rewrite + overlay clear are
     // two steps a concurrent StableRead probe must not straddle
-    // (bm25Delete's marker note)
+    // (bm25Delete's marker note). Pending-ingest guard inside the lock
+    // (the ivfCompact wait-not-refuse note)
+    StableRead.withTableLocks(spark, indexPath, Seq("corpus")) {
+    requireCommitted(spark, indexPath, "ivfDelete")
     StableRead.withMaintenanceMarker(spark, indexPath) {
       val n = graft.sinks.Sinks.deleteRows(
         spark, s"$indexPath/corpus", "cell", "id",
@@ -1259,6 +1283,7 @@ object Similarity {
       // these ids (Tombstones scaladoc)
       Tombstones.clear(spark, indexPath, keys, keyCol)
       n
+    }
     }
   }
 
@@ -1269,10 +1294,15 @@ object Similarity {
     */
   def ivfVacuum(
       spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Long =
-    graft.operators.Tombstones.read(spark, indexPath)
+      indexPath: String,
+      gcKeepGenerations: Option[Int] = None): Long = {
+    val n = graft.operators.Tombstones.read(spark, indexPath)
       .map(t => ivfDelete(spark, indexPath, t, "id"))
       .getOrElse(0L)
+    // retention cadence: the vacuum window doubles as the GC window
+    gcKeepGenerations.foreach(k => StableRead.gc(spark, indexPath, k))
+    n
+  }
 
   /** Read-only costing twin of [[ivfSplitCells]] (the
     * [[graft.operators.Retrieval.bm25DeleteBatchPlan]] pattern): the

@@ -3,10 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Snapshot-consistent reads over a mutable index estate — what lets a
-  * PROBE run concurrently with the single-writer maintenance ops
-  * (compact / vacuum / delete / merge-swap / ingest apply) and still
-  * return a CONSISTENT state, never a blend and never a mid-swap IO
-  * error.
+  * PROBE run concurrently with the maintenance ops (compact / vacuum /
+  * delete / merge-swap / ingest apply) and still return a CONSISTENT
+  * state, never a blend and never a mid-swap IO error. Since round 18
+  * the COMMIT side is multi-writer too: concurrent ops on one root
+  * serialize their generation bumps through a create-exclusive claim
+  * CAS and check each other for overlapping table mutations
+  * (first-committer-wins optimistic concurrency — disjoint commits
+  * rebase automatically, overlapping ones abort loudly; see
+  * [[commitManifest]]), replacing the earlier documented single-writer
+  * contract under which two racing writers silently lost a generation.
   *
   * The problem: a probe reads several table directories (postings,
   * terms, doclen, stats, tombstones) at different instants, and the
@@ -132,17 +138,106 @@ object StableRead {
     */
   val ManifestName = "_commit_manifest"
 
-  /** In-process reentrancy depths for nested [[withMaintenanceMarker]]
-    * brackets (e.g. a vacuum's delete calling Tombstones.clear on the
-    * same root): only the OUTERMOST exit commits the manifest and
-    * removes the marker. Cross-process nesting cannot occur — the
-    * estate's single-writer contract already forbids two concurrent
-    * mutators per root.
+  /** One WRITER's per-root bracket state (round 18 — the multi-writer
+    * commit protocol): nesting depth (only the outermost exit commits,
+    * e.g. a vacuum's delete calling Tombstones.clear on the same root),
+    * the writer token (note attribution — each concurrent writer's
+    * touched-table notes drain into ITS OWN commit), and the manifest
+    * generation at bracket entry (the optimistic-concurrency conflict
+    * base: generations committed after it are checked for overlapping
+    * table mutations at commit time).
     */
-  private val markerDepth =
+  private[graft] final class WriterState(
+      val token: String, @volatile var startGen: Long) {
+    val depth = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  private type WriterCtx =
+    java.util.concurrent.ConcurrentHashMap[String, WriterState]
+
+  /** The calling thread's writer identities, root -> state. Op-spawned
+    * worker threads inherit it via [[inheritWriterCtx]] (the
+    * [[graft.operators.Retrieval.concurrently]] propagation), so notes
+    * made on workers attribute to the spawning writer, not to every
+    * active writer on the root.
+    */
+  private val bracketCtx = new ThreadLocal[WriterCtx]()
+
+  /** Opaque capture of the current thread's writer context — pass to
+    * [[inheritWriterCtx]] inside a worker thread's body. Null-safe.
+    */
+  private[graft] def currentWriterCtx(): AnyRef = bracketCtx.get()
+
+  private[graft] def inheritWriterCtx[T](ctx: AnyRef)(body: => T): T = {
+    val prev = bracketCtx.get()
+    if (ctx == null) bracketCtx.remove()
+    else bracketCtx.set(ctx.asInstanceOf[WriterCtx])
+    try body
+    finally {
+      if (prev == null) bracketCtx.remove() else bracketCtx.set(prev)
+    }
+  }
+
+  /** In-JVM refcount of ACTIVE writers per root — governs the shared
+    * `_maintenance` marker file's lifecycle: created by the first
+    * writer in, removed by the last writer out IF every writer
+    * succeeded (a crashed writer leaves it standing — the crash-window
+    * contract — and any LATER successful bracket on the root clears
+    * it, exactly the pre-multi-writer convergence semantics). The
+    * refcount (like the foreign-note visibility in [[writeSnapshot]])
+    * is in-process state: cross-PROCESS writers each see a marker and
+    * the commit CAS still serializes their generations, but a foreign
+    * process's marker lifetime is not refcounted — deployments mixing
+    * writer processes should route reads through [[pinned]], which
+    * never consults the marker.
+    */
+  private val markerRefs =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Tokens of all in-JVM active writers per root. Notes from threads
+    * with no inherited writer context attribute to EVERY active writer
+    * (over-noting costs one extra table listing at commit; under-noting
+    * would freeze a stale file list into a snapshot) — and, because an
+    * unattributable mutation on a shared table is a real race, the
+    * resulting conflict abort is correct conservatism.
+    */
+  private val activeTokens =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[String]]()
+
   private def depthKey(path: String): String = path.stripSuffix("/")
+
+  /** The note-map keys a mutation on `root` files under: the calling
+    * thread's writer token when a bracket context is present, every
+    * active writer's token otherwise, the orphan root key when no
+    * writer is active at all (pre-bracket landings — drained by the
+    * next committer, the legacy behavior).
+    */
+  private def noteKeys(root: String): Seq[String] = {
+    val key = depthKey(root)
+    val ctx = bracketCtx.get()
+    val own =
+      if (ctx == null) None else Option(ctx.get(key)).map(_.token)
+    own match {
+      case Some(t) => Seq(s"$key@$t")
+      case None =>
+        val all = Option(activeTokens.get(key))
+          .map(s => scala.jdk.CollectionConverters
+            .SetHasAsScala(s).asScala.toSeq)
+          .getOrElse(Seq.empty)
+        if (all.isEmpty) Seq(key) else all.map(t => s"$key@$t")
+    }
+  }
+
+  /** The keys THIS writer's commit drains: its own token key plus the
+    * orphan key. */
+  private def drainKeys(root: String): Seq[String] = {
+    val key = depthKey(root)
+    val ctx = bracketCtx.get()
+    val own =
+      if (ctx == null) None else Option(ctx.get(key)).map(_.token)
+    own.map(t => Seq(s"$key@$t", key)).getOrElse(Seq(key))
+  }
 
   /** Tables whose DIRECTORY VERSION was replaced inside the current
     * bracket (a [[swapRetire]] or an ingest's stats/terms swap) — the
@@ -159,10 +254,11 @@ object StableRead {
       java.util.Set[String]]()
 
   private[graft] def noteSwapped(root: String, table: String): Unit = {
-    swappedTables
-      .computeIfAbsent(depthKey(root),
-        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
-      .add(table)
+    noteKeys(root).foreach(k =>
+      swappedTables
+        .computeIfAbsent(k,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        .add(table))
     noteTouched(root, table)
   }
 
@@ -187,10 +283,11 @@ object StableRead {
       java.util.Set[String]]()
 
   private[graft] def noteTouched(root: String, table: String): Unit =
-    touchedTables
-      .computeIfAbsent(depthKey(root),
-        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
-      .add(table)
+    noteKeys(root).foreach(k =>
+      touchedTables
+        .computeIfAbsent(k,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        .add(table))
 
   /** Bracket a mutating estate op with the reader-isolation marker and
     * commit a new manifest generation on success. Ordering is the
@@ -199,30 +296,68 @@ object StableRead {
     * absent at both of its checks either saw no overlapping op at all
     * or sees the new generation in its second token read. The body
     * must not use non-local `return` (it would skip the success-path
-    * commit). Reentrant per root (see [[markerDepth]]); on failure the
-    * marker stands (crash-window contract) but the depth unwinds, so
-    * an in-process re-run can converge and clear it.
+    * commit). Reentrant per root and per WRITER (thread + inherited
+    * worker context, see [[WriterState]]): each concurrent writer
+    * commits its OWN generation at its outermost exit, serialized by
+    * the claim CAS in [[commitManifest]] and checked for overlapping
+    * table mutations against every generation committed since its
+    * bracket opened (first committer wins; the loser gets a loud
+    * [[java.util.ConcurrentModificationException]] and must re-run
+    * against the new head). On failure the marker stands (crash-window
+    * contract) but the writer's depth unwinds, so an in-process re-run
+    * can converge and clear it.
     */
   private[graft] def withMaintenanceMarker[T](
       spark: SparkSession, path: String)(body: => T): T = {
     val key = depthKey(path)
     val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerName")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    val depth = markerDepth.merge(key, 1, (a, b) => a + b)
-    if (depth == 1) fs.create(marker, true).close()
+    var ctx = bracketCtx.get()
+    if (ctx == null) {
+      ctx = new java.util.concurrent.ConcurrentHashMap[String, WriterState]()
+      bracketCtx.set(ctx)
+    }
+    val st = ctx.computeIfAbsent(key,
+      _ => new WriterState(java.util.UUID.randomUUID().toString, 0L))
+    def teardown(success: Boolean): Unit =
+      if (st.depth.decrementAndGet() == 0) {
+        ctx.remove(key)
+        Option(activeTokens.get(key)).foreach(_.remove(st.token))
+        if (!success) {
+          // a failed bracket never commits, so its token-keyed notes
+          // would leak forever; the contract-mandated re-run re-does
+          // the mutations and re-notes from scratch
+          swappedTables.remove(s"$key@${st.token}")
+          touchedTables.remove(s"$key@${st.token}")
+        }
+        val refs = markerRefs.merge(key, -1, (a, b) => a + b)
+        if (refs <= 0) markerRefs.remove(key)
+        // the marker FILE comes down only when the last in-JVM writer
+        // exits AND this exit is a success — a crashed writer leaves it
+        // standing even at refcount 0 (crash-window contract; the next
+        // successful bracket on the root clears it, as before)
+        if (success && refs <= 0) fs.delete(marker, false)
+      }
+    if (st.depth.incrementAndGet() == 1) {
+      st.startGen = readManifestGen(fs, path).getOrElse(0L)
+      activeTokens
+        .computeIfAbsent(key,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        .add(st.token)
+      if (markerRefs.merge(key, 1, (a, b) => a + b) == 1)
+        fs.create(marker, true).close()
+    }
     val out =
       try body
-      catch {
-        case t: Throwable =>
-          if (markerDepth.merge(key, -1, (a, b) => a + b) == 0)
-            markerDepth.remove(key) // marker file stays standing
-          throw t
-      }
-    if (markerDepth.merge(key, -1, (a, b) => a + b) == 0) {
-      markerDepth.remove(key)
-      commitManifest(spark, path)
-      fs.delete(marker, false)
+      catch { case t: Throwable => teardown(success = false); throw t }
+    if (st.depth.get() == 1) {
+      // outermost exit: commit BEFORE the marker can come down. A
+      // commit failure (a conflict abort included) tears down as a
+      // crash — the marker stands and the re-run converges.
+      try commitManifest(spark, path)
+      catch { case t: Throwable => teardown(success = false); throw t }
     }
+    teardown(success = true)
     out
   }
 
@@ -238,35 +373,252 @@ object StableRead {
       () => withMaintenanceMarker(spark, p)(inner())
     }()
 
-  /** Write the next manifest generation for `path`. The nonce makes
-    * every committed content unique even across generation-counter
-    * resets (e.g. an estate restored from a copy), so token equality
-    * is equivalence of commit identity, not of a counter. Write is
-    * tmp + delete + rename; the brief absence window is covered by the
-    * marker the caller holds (readers refuse to validate under it),
-    * and the trailing terminator lets a reader reject a torn content
-    * read outright.
+  /** The committed manifest generation of `path` (None = legacy root),
+    * read through `fs` — the head the commit CAS race is decided on. */
+  private def readManifestGen(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Long] =
+    readManifest(fs,
+      new org.apache.hadoop.fs.Path(s"$path/$ManifestName")) match {
+      case Some(c) if c.endsWith("#") =>
+        scala.util.Try(c.split('|')(0).toLong).toOption
+      case _ => None
+    }
+
+  /** Lease (ms) on a generation claim: a `_snapshots/g<N>.claim` older
+    * than this whose generation never committed is treated as a crashed
+    * writer's debris and STOLEN. The standard commit-lease assumption
+    * (Delta/Iceberg's): a claimant alive-but-stalled past its lease
+    * could double-write the generation's snapshot files — the lease is
+    * the estate's writer-liveness bound, sized far above any real
+    * commit's metadata-only critical section. Specs shorten it.
+    */
+  @volatile private[graft] var claimLeaseMs: Long = 10000L
+
+  /** In-JVM guard making the claim's create-exclusive atomic between
+    * threads (RawLocalFileSystem's exists+create window); cross-process
+    * atomicity is the filesystem's create-no-overwrite contract. */
+  private val claimLock = new Object
+
+  private def claimPath(path: String, gen: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/$SnapshotsDirName/g$gen.claim")
+
+  private def tryClaim(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long, token: String): Boolean =
+    claimLock.synchronized {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$SnapshotsDirName"))
+      val p = claimPath(path, gen)
+      try {
+        val out = fs.create(p, false) // create-exclusive: the CAS
+        out.write(token.getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  /** Block until generation `gen`'s claim resolves: its commit lands
+    * (manifest reaches `gen`), its holder releases it (abort), or its
+    * lease expires and we steal it. Returns to the caller's CAS loop,
+    * which re-reads the head either way.
+    */
+  private def awaitClaimRelease(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, gen: Long): Unit = {
+    val p = claimPath(path, gen)
+    while (readManifestGen(fs, path).getOrElse(0L) < gen) {
+      val st = scala.util.Try(fs.getFileStatus(p)).toOption
+      if (st.isEmpty) return // released or committed-and-cleaned
+      if (System.currentTimeMillis() - st.get.getModificationTime >=
+        claimLeaseMs) {
+        fs.delete(p, false) // lease expired: steal the crashed claim
+        return
+      }
+      Thread.sleep(20L)
+    }
+  }
+
+  /** Lease (ms) on a per-table writer lock — see [[withTableLocks]].
+    * Longer than [[claimLeaseMs]] because it brackets a DATA rewrite
+    * (a compact's full table pass), not a metadata-only commit; an
+    * in-JVM holder always releases in `finally`, so the lease only
+    * gates stealing a KILLED process's debris.
+    */
+  @volatile private[graft] var tableLockLeaseMs: Long = 60000L
+
+  /** Lock-file paths currently held by live writers in THIS JVM — an
+    * existing lock file absent from here is a killed process's debris
+    * (in-JVM failures release in `finally`), stealable after the lease.
+    */
+  private val jvmHeldLocks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-thread reentrancy set for [[withTableLocks]]. */
+  private val heldLocksCtx =
+    new ThreadLocal[scala.collection.mutable.Set[String]] {
+      override def initialValue(): scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty
+    }
+
+  /** Per-TABLE advisory writer lease — DATA-level mutual exclusion for
+    * ops that land into or rewrite the SAME growing table (the
+    * ingest-batch-racing-a-compaction class). The commit CAS serializes
+    * metadata and the conflict check detects overlap AFTER the fact,
+    * but two ops interleaving file moves on one table can still strand
+    * an in-flight landing inside the other's retired version; the lock
+    * closes that window while leaving disjoint-TABLE and disjoint-ROOT
+    * writers fully concurrent (the rebase path stays lock-free).
+    * Acquisition is in sorted table order (deadlock-free by global
+    * order), reentrant per thread, released in `finally` even on
+    * failure (convergence after a crash is the op's own re-run
+    * contract; the lock is pure liveness). A KILLED process's lock file
+    * is stolen after [[tableLockLeaseMs]].
+    */
+  private[graft] def withTableLocks[T](
+      spark: SparkSession, root: String, tables: Seq[String])
+      (body: => T): T = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_locks")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val held = heldLocksCtx.get()
+    val toAcquire = tables.distinct.sorted
+      .map(t => new org.apache.hadoop.fs.Path(dir, s"$t.lock"))
+      .filterNot(p => held.contains(p.toString))
+    val acquired = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    try {
+      toAcquire.foreach { p =>
+        val key = p.toString
+        var ok = false
+        while (!ok) {
+          ok = claimLock.synchronized {
+            fs.mkdirs(dir)
+            try { fs.create(p, false).close(); true }
+            catch { case _: java.io.IOException => false }
+          }
+          if (ok) { jvmHeldLocks.add(key); held += key; acquired += p }
+          else if (!jvmHeldLocks.contains(key)) {
+            // no live in-JVM holder: a killed process's debris (or a
+            // foreign process's live lock) — steal only past the lease
+            scala.util.Try(fs.getFileStatus(p)).toOption match {
+              case Some(st) if System.currentTimeMillis() -
+                st.getModificationTime >= tableLockLeaseMs =>
+                fs.delete(p, false)
+              case Some(_) => Thread.sleep(20L)
+              case None => () // vanished: retry the create immediately
+            }
+          } else Thread.sleep(20L)
+        }
+      }
+      body
+    } finally acquired.foreach { p =>
+      fs.delete(p, false)
+      jvmHeldLocks.remove(p.toString)
+      held -= p.toString
+    }
+  }
+
+  /** This writer's noted mutation set for `path` — peeked, not drained
+    * (the drain belongs to the snapshot write on the success path). */
+  private def peekNotes(path: String): Set[String] =
+    drainKeys(path).flatMap(k =>
+      Option(touchedTables.get(k)).map(s =>
+        scala.jdk.CollectionConverters.SetHasAsScala(s).asScala.toSet)
+        .getOrElse(Set.empty[String])).toSet
+
+  /** The tables generation `gen`'s commit mutated — its `W|` records.
+    * Pre-round-18 generations carry none and read as empty (within a
+    * session that simply means no concurrent-writer history to check).
+    */
+  private def readTouchedOfGen(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long): Set[String] =
+    readManifest(fs, new org.apache.hadoop.fs.Path(
+      s"$path/$SnapshotsDirName/g$gen")) match {
+      case Some(c) if c.split('\n').lastOption.contains("#END") =>
+        c.split('\n').iterator.filter(_.startsWith("W|"))
+          .map(_.substring(2)).toSet
+      case _ => Set.empty
+    }
+
+  /** Commit the next manifest generation for `path` — the multi-writer
+    * OPTIMISTIC CONCURRENCY protocol (round 18; the pre-CAS
+    * tmp+delete+rename let two racing writers silently lose a
+    * generation). Per attempt:
+    *
+    *   1. read the head generation G;
+    *   2. CONFLICT CHECK: for every generation committed since this
+    *      writer's bracket opened, intersect its `W|` mutation records
+    *      with this writer's noted tables — overlap aborts loudly
+    *      (first committer wins; two writers rewrote the same table, so
+    *      the loser's data work is potentially torn and must re-run
+    *      against the new head). Disjoint histories REBASE for free:
+    *      the snapshot write reuses the head's entries for everything
+    *      this writer didn't touch, which already carries the other
+    *      writers' commits;
+    *   3. CAS: claim `g<G+1>` by create-exclusive file, re-verify the
+    *      head is still G under the claim (a claim acquired after the
+    *      generation committed and cleaned up is stale), then write
+    *      snapshot + manifest and release the claim. Claim held by a
+    *      crashed writer? [[awaitClaimRelease]] steals it after
+    *      [[claimLeaseMs]].
+    *
+    * The nonce makes every committed content unique even across
+    * generation-counter resets (e.g. an estate restored from a copy),
+    * so token equality is equivalence of commit identity, not of a
+    * counter. The manifest write itself stays tmp + delete + rename —
+    * safe now because only the claim holder for that generation ever
+    * writes it; the brief absence window is covered by the marker the
+    * caller holds, and the trailing terminator lets a reader reject a
+    * torn content read outright.
     */
   private[graft] def commitManifest(
       spark: SparkSession, path: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$path/$ManifestName")
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
-    val gen = readManifest(fs, cur) match {
-      case Some(c) if c.endsWith("#") =>
-        scala.util.Try(c.split('|')(0).toLong).getOrElse(0L) + 1L
-      case _ => 1L
+    val key = depthKey(path)
+    val st = Option(bracketCtx.get()).flatMap(m => Option(m.get(key)))
+    val startGen = st.map(_.startGen)
+      .getOrElse(readManifestGen(fs, path).getOrElse(0L))
+    val token = st.map(_.token).getOrElse("unbracketed")
+    val myTouched = peekNotes(path)
+    while (true) {
+      val head = readManifestGen(fs, path).getOrElse(0L)
+      var g = startGen + 1
+      while (g <= head) {
+        val overlap = myTouched.intersect(readTouchedOfGen(fs, path, g))
+        if (overlap.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"estate commit conflict at $path: generation $g (committed " +
+              s"after this writer's bracket opened at g$startGen) already " +
+              s"mutated table(s) ${overlap.toSeq.sorted.mkString(", ")} " +
+              "that this writer also mutated — first committer wins; " +
+              "re-run this op against the new head")
+        g += 1
+      }
+      val gen = head + 1
+      if (tryClaim(fs, path, gen, token)) {
+        try {
+          // re-verify under the claim: a claim acquired for an
+          // already-committed generation (its winner committed and
+          // released between our head read and our claim) is stale
+          if (readManifestGen(fs, path).getOrElse(0L) == head) {
+            // snapshot FIRST, manifest second: a manifest generation
+            // always has its snapshot (a crash between the two leaves
+            // an orphan snapshot the re-run overwrites — never a
+            // dangling manifest)
+            writeSnapshot(fs, path, gen)
+            val tmp =
+              new org.apache.hadoop.fs.Path(s"$path/$ManifestName.tmp")
+            val out = fs.create(tmp, true)
+            out.write(
+              s"$gen|${java.util.UUID.randomUUID()}|#".getBytes("UTF-8"))
+            out.close()
+            if (fs.exists(cur)) fs.delete(cur, false)
+            require(fs.rename(tmp, cur),
+              s"commitManifest: rename $tmp -> $cur failed")
+            return
+          }
+        } finally fs.delete(claimPath(path, gen), false)
+      } else awaitClaimRelease(fs, path, gen)
     }
-    // snapshot FIRST, manifest second: a manifest generation always has
-    // its snapshot (a crash between the two leaves an orphan snapshot
-    // the re-run overwrites — never a dangling manifest)
-    writeSnapshot(fs, path, gen)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/$ManifestName.tmp")
-    val out = fs.create(tmp, true)
-    out.write(s"$gen|${java.util.UUID.randomUUID()}|#".getBytes("UTF-8"))
-    out.close()
-    if (fs.exists(cur)) fs.delete(cur, false)
-    require(fs.rename(tmp, cur),
-      s"commitManifest: rename $tmp -> $cur failed")
   }
 
   /** True when `root` carries a commit manifest — the switch that turns
@@ -291,7 +643,7 @@ object StableRead {
 
   /** Recursive table-relative data-file listing (skips `_`/`.` files —
     * _SUCCESS and friends). */
-  private def listFilesRel(
+  private[graft] def listFilesRel(
       fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -318,7 +670,7 @@ object StableRead {
   private final case class SnapEntry(
       table: String, lrg: Long, srcGen: Long)
 
-  private def atomicWrite(
+  private[graft] def atomicWrite(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       name: String, content: String): Unit = {
@@ -347,6 +699,7 @@ object StableRead {
       fs: org.apache.hadoop.fs.FileSystem,
       path: String, gen: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
+    val key = depthKey(path)
     val prev: Map[String, SnapEntry] = (readManifest(fs,
       new org.apache.hadoop.fs.Path(s"$path/$ManifestName")) match {
       case Some(c) if c.endsWith("#") =>
@@ -356,25 +709,42 @@ object StableRead {
     }).map(e => e.table -> e).toMap
     def drain(m: java.util.concurrent.ConcurrentHashMap[String,
         java.util.Set[String]]): Set[String] =
-      Option(m.remove(depthKey(path))) match {
-        case Some(s) => scala.jdk.CollectionConverters
-          .SetHasAsScala(s).asScala.toSet
-        case None => Set.empty
-      }
+      drainKeys(path).flatMap(k =>
+        Option(m.remove(k)).map(s => scala.jdk.CollectionConverters
+          .SetHasAsScala(s).asScala.toSet)
+          .getOrElse(Set.empty[String])).toSet
     val swapped = drain(swappedTables)
     val touched = drain(touchedTables) ++ swapped
+    // tables another ACTIVE writer is mutating right now: its notes are
+    // visible (in-JVM), its commit has not landed. A table it CREATED
+    // mid-flight must not leak into this commit's snapshot (we'd
+    // publish a torn in-flight listing); a standing table it is
+    // rewriting keeps its prev entry here (untouched by us), which is
+    // exactly the last committed state — MVCC holds.
+    val ownTokens = drainKeys(path).toSet
+    val foreignTouched: Set[String] = Option(activeTokens.get(key))
+      .map(s => scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
+        .map(t => s"$key@$t").filterNot(ownTokens.contains)
+        .flatMap(k => Option(touchedTables.get(k))
+          .map(v => scala.jdk.CollectionConverters
+            .SetHasAsScala(v).asScala.toSet)
+          .getOrElse(Set.empty[String]))
+        .toSet)
+      .getOrElse(Set.empty)
     val dir = new org.apache.hadoop.fs.Path(root, SnapshotsDirName)
     fs.mkdirs(dir)
     val entries = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && !isTransientName(st.getPath.getName))
-      .map { st =>
+      .flatMap { st =>
         val t = st.getPath.getName
         prev.get(t) match {
           // untouched standing table: reference its standing shard —
           // no listing, no shard write (the incremental-manifest
           // economics; a no-op commit on a million-file root neither
           // lists nor serializes a single data file)
-          case Some(p) if !touched.contains(t) => p
+          case Some(p) if !touched.contains(t) => Some(p)
+          case None if !touched.contains(t) && foreignTouched.contains(t) =>
+            None // a concurrent writer's in-flight creation: not ours
           case p =>
             val lrg =
               if (swapped.contains(t)) gen
@@ -384,11 +754,16 @@ object StableRead {
             files.foreach(f => sb.append(s"F|$f\n"))
             sb.append("#END\n")
             atomicWrite(fs, dir, s"g$gen.$t", sb.toString)
-            SnapEntry(t, lrg, gen)
+            Some(SnapEntry(t, lrg, gen))
         }
       }
     val sb = new StringBuilder(s"2|$gen\n")
     entries.foreach(e => sb.append(s"S|${e.table}|${e.lrg}|${e.srcGen}\n"))
+    // the commit's mutation record — what a LATER concurrent committer
+    // intersects its own touched set against ([[commitManifest]] step
+    // 2). Includes tables that no longer exist (a retireTree'd table's
+    // disappearance is a mutation a racing writer must conflict with).
+    touched.toSeq.sorted.foreach(t => sb.append(s"W|$t\n"))
     sb.append("#END\n")
     atomicWrite(fs, dir, s"g$gen", sb.toString)
   }
@@ -730,27 +1105,35 @@ object StableRead {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def isSwapWindowError(e: Throwable): Boolean = {
+  private def isSwapWindowError(
+      e: Throwable, pinnedScope: Boolean = false): Boolean = {
     var cur = e
     var depth = 0
     while (cur != null && depth < 16) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        // the basePath clause, pinned reads ONLY and only the exact
+        // exception class: a pinned read resolved files under an
+        // ingest-swap bak dir that dropBak merged into _retired before
+        // Spark's file index initialized — the base dir vanished
+        // wholesale, surfacing as DataSource's IllegalArgumentException
+        // ("Option 'basePath' must be a directory") instead of a
+        // FileNotFound (observed once in ~600 raced q187 probes at
+        // sf0.1); re-resolution finds the files retired. Gated on the
+        // scope + type so a caller's genuine basePath-mismatch error
+        // outside a pinned probe fails fast instead of being silently
+        // retried and misreported as swap-window starvation.
+        case iae: java.lang.IllegalArgumentException
+            if pinnedScope && iae.getMessage != null &&
+              iae.getMessage.contains("basePath") => return true
         case _ =>
           val m = cur.getMessage
           // the third clause: RawLocalFileSystem shells out `ls` for
           // permissions and wraps a vanished file in a bare
-          // RuntimeException rather than FileNotFoundException. The
-          // basePath clause: a pinned read resolved files under an
-          // ingest-swap bak dir that dropBak merged into _retired
-          // before Spark's file index initialized — the base dir
-          // vanished wholesale, surfacing as this IllegalArgumentException
-          // instead of a FileNotFound (observed once in ~600 raced q187
-          // probes at sf0.1); re-resolution finds the files retired
+          // RuntimeException rather than FileNotFoundException
           if (m != null && (m.contains("FAILED_READ_FILE") ||
             m.contains("PATH_NOT_FOUND") ||
-            m.contains("No such file or directory") ||
-            m.contains("basePath"))) return true
+            m.contains("No such file or directory"))) return true
       }
       cur = if (cur.getCause eq cur) null else cur.getCause
       depth += 1
@@ -832,7 +1215,18 @@ object StableRead {
           case Some(s) =>
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), s)
-          case None => plain(s"$root/$table") // legacy error modes
+          case None =>
+            // the pinned generation holds ZERO files for this table:
+            // reading the live directory here would leak post-pin rows
+            // (a snapshot-isolation breach on exactly the path pinned()
+            // exists to close). Infer the schema from the live dir's
+            // parquet footers — METADATA only, no row can leak — and
+            // return an empty relation; a table absent live too
+            // surfaces the natural path-not-found / unable-to-infer
+            // error, unchanged from a live read.
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              plain(s"$root/$table").schema)
         } else {
           val rootP = new org.apache.hadoop.fs.Path(root)
           val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
@@ -922,7 +1316,7 @@ object StableRead {
       try {
         return probe.localCheckpoint(true)
       } catch {
-        case e: Throwable if isSwapWindowError(e) =>
+        case e: Throwable if isSwapWindowError(e, pinnedScope = true) =>
           lastErr = e
           Thread.sleep(sleepMs)
           sleepMs = math.min(sleepMs * 2, 500L)
@@ -947,6 +1341,23 @@ object StableRead {
     * never silently. Single-writer op: run it in the maintenance
     * window, bracketed like any mutation.
     */
+  /** Bracketed retention GC — [[expireRetired]] run as the mutation it
+    * is (marker up, generation committed): the maintenance-window
+    * entry point. The compacts and vacuums call it when given a
+    * `gcKeepGenerations` horizon, so a long-lived estate's `_retired/`
+    * and `_snapshots/` stay bounded by the horizon instead of growing
+    * with every mutation forever (the Iceberg
+    * `expire_snapshots`-in-maintenance cadence). In-horizon pinned
+    * readers are untouched (their generations' files stay live or
+    * kept-retired — GcRetentionSpec pins a reader surviving a
+    * concurrent GC); past-horizon pins fail LOUDLY at read
+    * ([[pinnedAt]]'s terminal error, gated by q202).
+    */
+  def gc(spark: SparkSession, root: String, keepGenerations: Int): Long =
+    withMaintenanceMarker(spark, root) {
+      expireRetired(spark, root, keepGenerations)
+    }
+
   def expireRetired(
       spark: SparkSession, root: String,
       keepGenerations: Int = 2): Long = {

@@ -3122,8 +3122,14 @@ object Curation {
     "q198_multimodal_stream_ingest" -> ((s, dir) => {
       import graft.functions.ImageExprs
       val spark = Tables.configure(s)
+      // doc_id < 19000: encodePngWave folds its seed into (kx, ky,
+      // phase) with effective period 2425, so two mod-8 ids 19400 apart
+      // produce IDENTICAL images — identical grid features — and the
+      // self-top-1 gate ties. The cap keeps every seed distinct at any
+      // scale factor (first collision pair is 0 vs 19400); q196/q197
+      // cap their slices for the same reason.
       val imgs = t(s, dir, "documents")
-        .filter(col("doc_id") % 8 === 0)
+        .filter(col("doc_id") % 8 === 0 && col("doc_id") < 19000L)
         .select(col("doc_id").as("img_id"),
           ImageExprs.pngSynthWave(lit(48), lit(48),
             pmod(col("doc_id"), lit(1048576L)).cast("int")).as("img"))
@@ -3238,6 +3244,148 @@ object Curation {
         .unionByName(stats.select(lit("n_dropped").as("kind"),
           col("n_dropped").cast("long").as("v")))
         .orderBy(col("kind"), col("v"))
+    }),
+
+    // TIME TRAVEL under the driver's oracle (round 18 — pinnedAt /
+    // readSnapshotAt were spec-only): build a bm25 index over
+    // doc_id % 3 = 0, append doc_id % 3 = 1 and capture THAT
+    // generation's snapshot, then mutate two more generations past it
+    // (delete each query's live top-1 doc, then compact) and probe the
+    // estate AS OF the captured generation — hash-pinned against the
+    // DuckDB BM25 oracle over exactly the pre-delete corpus. Teeth:
+    // (a) the live probe must DIFFER from the pinned one (each query's
+    // top doc was deleted, so rank 1 must have changed — time travel
+    // that returns the live state is vacuous), and (b) after
+    // expireRetired past the retention horizon the pin must break
+    // LOUDLY (snapshot unreadable + the held-snapshot probe throws) —
+    // a silent partial read would be an MVCC hole, not a GC.
+    "q202_time_travel" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val path = s"${java.nio.file.Files
+        .createTempDirectory("graft-q202").toString}/idx"
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path,
+        buckets = 64)
+      Retrieval.bm25Append(
+        path, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      val snapAppended = graft.operators.StableRead
+        .readSnapshot(spark, path)
+        .getOrElse(throw new IllegalStateException(
+          "q202: no committed snapshot after append"))
+      def probe() =
+        Retrieval.bm25TopKIndexed(path, bm25Queries(s), 10)
+      // doomed = every query's CURRENT top-1 doc: deleting them
+      // guarantees the live relation diverges from the pinned one
+      val doomed = probe().filter(col("rnk") === 1)
+        .select(col("doc_id")).distinct().localCheckpoint(true)
+      require(Retrieval.bm25Delete(spark, path, doomed, "doc_id") > 0L,
+        "q202: the top-doc takedown deleted nothing")
+      Retrieval.bm25Compact(spark, path)
+      val pinnedRel = graft.operators.StableRead
+        .pinnedAt(spark, Seq(snapAppended))(probe())
+      val liveRel = probe().localCheckpoint(true)
+      require(
+        pinnedRel.collect().map(_.toString).sorted.toSeq !=
+          liveRel.collect().map(_.toString).sorted.toSeq,
+        "q202: pinned == live — the post-pin mutations were invisible " +
+          "and the time-travel read proved nothing")
+      // GC teeth: expire everything but the newest generation, then the
+      // held pin must fail loudly, never serve a blend
+      graft.operators.StableRead.expireRetired(
+        spark, path, keepGenerations = 1)
+      require(graft.operators.StableRead
+        .readSnapshotAt(spark, path, snapAppended.gen).isEmpty,
+        "q202: the expired generation's snapshot is still readable")
+      val broke =
+        try {
+          val r = graft.operators.StableRead
+            .pinnedAt(spark, Seq(snapAppended), maxAttempts = 2)(probe())
+          graft.operators.StableRead.release(r)
+          false
+        } catch { case _: IllegalStateException => true }
+      require(broke,
+        "q202: a pin past the GC horizon served data instead of failing")
+      pinnedRel.orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // CONCURRENT WRITERS on one index under the driver's oracle (round
+    // 18 — the multi-writer commit protocol's flagship drill): a
+    // streaming IVF ingest (three exactly-once batches on a second
+    // thread) races repeated COMPACTIONS of the same index on this
+    // one. Table writer locks serialize the data-level file moves, the
+    // claim-CAS serializes generation bumps, and snapshot-pinned
+    // probes fire throughout — every raced probe must keep each BASE
+    // vector's self-hit at cosine 1.0 (a torn corpus or a blend breaks
+    // it). Final teeth: all three batch markers committed, >= 2
+    // compactions ran, fsck clean, and the output pins exactly-once
+    // cardinality (corpus_rows = the whole embeddings table) plus a
+    // violations row that must stay absent.
+    "q203_concurrent_writers" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("vec"))
+        .localCheckpoint(true)
+      val path = s"${java.nio.file.Files
+        .createTempDirectory("graft-q203").toString}/ivf"
+      Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "vec",
+        nlist = 4, path)
+      val batches = (1 to 3).map(m =>
+        emb.filter(col("vec_id") % 4 === m).localCheckpoint(true))
+      val baseQ = emb.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000L).as("qid"), col("vec").as("qv"))
+        .localCheckpoint(true)
+      val ingest = scala.concurrent.Future {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Similarity.ivfIngestBatch(path, b, "vec_id", "vec", i.toLong)
+        }
+      }(scala.concurrent.ExecutionContext.global)
+      var compacts = 0
+      var racedProbes = 0
+      while (!ingest.isCompleted || compacts < 2) {
+        Similarity.ivfCompact(spark, path)
+        compacts += 1
+        val hits = graft.operators.StableRead.pinned(spark, Seq(path)) {
+          Similarity.ivfTopKIndexed(
+            path, baseQ, "qid", "qv", k = 1, nprobe = 4)
+        }
+        val bad = hits.filter(col("id") =!= col("qid") - 1000000L ||
+          round(col("sim"), 6) =!= 1.0).count()
+        graft.operators.StableRead.release(hits)
+        require(bad == 0L,
+          s"q203: $bad base self-hits broke mid-race (probe $racedProbes)")
+        racedProbes += 1
+      }
+      scala.concurrent.Await.result(
+        ingest, scala.concurrent.duration.Duration.Inf)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (0 to 2).foreach(b => require(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/ingestlog/b$b")),
+        s"q203: batch $b never committed"))
+      require(graft.operators.Fsck.ivfFsck(spark, path).count() == 0L,
+        "q203: fsck found violations after the race")
+      val all = spark.read.parquet(s"$path/corpus")
+        .select((col("id") + 1000000L).as("qid"),
+          col("vec").as("qv")).localCheckpoint(true)
+      val finalHits = Similarity.ivfTopKIndexed(
+          path, all, "qid", "qv", k = 1, nprobe = 4)
+        .transform(graft.CacheScope.persisted)
+      val ok = finalHits
+        .filter(col("id") === col("qid") - 1000000L &&
+          round(col("sim"), 6) === 1.0)
+        .select(col("qid")).distinct()
+      val missing = all.select(col("qid"))
+        .join(ok, Seq("qid"), "left_anti")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("self_not_top1").as("kind"), col("n"))
+      val corpusRows = spark.read.parquet(s"$path/corpus")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("corpus_rows").as("kind"), col("n"))
+      missing.unionByName(corpusRows).orderBy(col("kind"))
     }),
 
     // Video container TRIAGE without touching pixel data (the

@@ -3519,15 +3519,26 @@ object CurationOracles {
                CAST((SELECT count(*) FROM d WHERE doc_id % 20 = 0)
                  + (SELECT count(*) FROM d) AS BIGINT))
            SELECT kind, v FROM rows_out ORDER BY kind, v""",
+      // q202: the pinned (time-travel) probe must equal the BM25
+      // relation over EXACTLY the pre-delete corpus state — base
+      // (0 mod 3) plus the appended batch (1 mod 3), no deletions.
+      "q202_time_travel" ->
+        bm25OracleOver("doc_id % 3 = 0 OR doc_id % 3 = 1"),
+      // q203: the raced ingest+compact estate must hold the WHOLE
+      // embeddings table exactly once; the self-top1 violations row
+      // must be absent.
+      "q203_concurrent_writers" ->
+        """SELECT 'corpus_rows' AS kind, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings""",
       // q198: violations expected empty; corpus_rows pins exactly-once
       // cardinality (junk erased, re-delivery skipped), queries_probed
       // non-vacuity.
       "q198_multimodal_stream_ingest" ->
         """SELECT 'corpus_rows' AS kind, CAST(count(*) AS BIGINT) AS n
-           FROM documents WHERE doc_id % 8 = 0
+           FROM documents WHERE doc_id % 8 = 0 AND doc_id < 19000
            UNION ALL
            SELECT 'queries_probed', CAST(count(*) AS BIGINT)
-           FROM documents WHERE doc_id % 8 = 0
+           FROM documents WHERE doc_id % 8 = 0 AND doc_id < 19000
            ORDER BY kind""",
       // q197: the audio chain's violation set is expected empty;
       // queries_probed pins non-vacuity (the q195 contract for audio).

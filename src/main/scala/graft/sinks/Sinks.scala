@@ -115,6 +115,10 @@ object Sinks {
       countDeleted: Boolean = true,
       affectedHint: Option[Seq[Any]] = None): Long = {
     import org.apache.spark.sql.functions._
+    // roll forward a crash-interrupted prior delete BEFORE reading the
+    // corpus: a standing intent marker means staged survivors exist
+    // that live reads are (or may be) missing
+    recoverDeleteIntent(spark, dir)
     val corpus = spark.read.parquet(dir)
     val k = broadcast(keys.select(col(keyCol)).distinct())
     // affectedHint: callers that already derived the doomed rows'
@@ -199,26 +203,52 @@ object Sinks {
           Set(null.asInstanceOf[Any]) else Set.empty)
     val hconf = spark.sessionState.newHadoopConf()
     // manifest-managed estates RETIRE the affected partitions' current
-    // files before the overwrite (snapshot-pinned readers keep resolving
-    // them); the dynamic overwrite then lands survivors into emptied
-    // partitions and the explicit emptied-dir removal has nothing to do
+    // files (snapshot-pinned readers keep resolving them) and land the
+    // survivors through the intent-marker roll-forward protocol below —
+    // survivors staged durably FIRST, so no crash window can lose
+    // committed survivor rows from live reads
     val tableP = new org.apache.hadoop.fs.Path(dir)
     val tableFs = tableP.getFileSystem(hconf)
     val retained =
       graft.operators.StableRead.manifestManaged(tableFs, tableP.getParent)
-    if (retained)
-      graft.operators.StableRead.retirePartitions(
-        tableFs, tableP.getParent.toString, tableP.getName,
-        affected.map(v =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(
-              partitionCol, if (v == null) null else v.toString)))
+    def dirNameOf(v: Any): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(
+          partitionCol, if (v == null) null else v.toString)
+    if (retained) {
+      val keptDirs = affected.filter(keptParts).map(dirNameOf).toSeq
+      val doomedDirs = affected.filterNot(keptParts).map(dirNameOf).toSeq
+      // 1. stage the survivors DURABLY in a transient sibling dir (a
+      //    crash before the intent write leaves only overwritable
+      //    debris; live is untouched so the re-run converges trivially)
+      if (keptParts.nonEmpty)
+        survivors.write.mode("overwrite")
+          .partitionBy(partitionCol)
+          .parquet(deleteTmpDir(tableP).toString)
+      // 2. intent marker, written atomically AFTER the stage is
+      //    complete: from this instant the delete ROLLS FORWARD — any
+      //    crash leaves the marker standing and the next deleteRows on
+      //    this table (or the same delete re-run) completes the
+      //    retire+land from the staged partitions before touching the
+      //    corpus. Without it, a crash between the retire and the
+      //    survivors landing would leave committed survivor rows absent
+      //    from live reads with nothing able to re-derive them (the
+      //    doomed postings are gone, so the affected set re-derives
+      //    empty) — the non-convergent window the round-17 advisor
+      //    flagged.
+      graft.operators.StableRead.atomicWrite(tableFs, tableP,
+        DeleteIntentName,
+        (keptDirs.map(d => s"K|$d") ++ doomedDirs.map(d => s"D|$d"))
+          .mkString("", "\n", "\n#END\n"))
+      // 3-5. retire originals, land staged survivors, clear the marker
+      completeDeleteIntent(tableFs, tableP, keptDirs, doomedDirs)
+      return deleted
+    }
     if (keptParts.nonEmpty)
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(dir)
-    if (retained) return deleted
     affected.filterNot(keptParts).foreach { v =>
       // Spark's own partition-path escaping (null and "" both map to the
       // hive default-partition directory, special characters percent-
@@ -236,6 +266,87 @@ object Sinks {
         s"deleteRows: could not remove emptied partition $p")
     }
     deleted
+  }
+
+  /** Name of [[deleteRows]]' roll-forward intent marker, written INSIDE
+    * the table directory (underscore-prefixed: parquet scans and
+    * snapshot listings both skip it). Present = a delete staged its
+    * survivors durably but may not have finished retiring originals and
+    * landing the stage; [[recoverDeleteIntent]] completes it.
+    */
+  private[graft] val DeleteIntentName = "_delete_intent"
+
+  /** The staging sibling for [[deleteRows]]' survivors — `_tmp`-suffixed
+    * so estate snapshots treat it as transient. */
+  private def deleteTmpDir(
+      tableP: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      tableP.getParent, tableP.getName + "__del_tmp")
+
+  /** Complete a staged delete: retire the affected partitions' ORIGINAL
+    * files, land each staged survivor partition in one atomic directory
+    * rename, drop the stage husk and the intent marker. Convergent from
+    * every crash point because landing is all-or-nothing per partition:
+    * a kept partition whose stage dir still exists has NOT landed (its
+    * live remainder, if any, is original data to retire); one whose
+    * stage dir is gone landed atomically (its live dir is survivors —
+    * excluded from the retire). Doomed (survivor-less) partitions just
+    * retire, idempotently.
+    */
+  private def completeDeleteIntent(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableP: org.apache.hadoop.fs.Path,
+      keptDirs: Seq[String],
+      doomedDirs: Seq[String]): Unit = {
+    val root = tableP.getParent.toString
+    val table = tableP.getName
+    val tmp = deleteTmpDir(tableP)
+    val staged = keptDirs.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, d)))
+    graft.operators.StableRead.retirePartitions(
+      fs, root, table, doomedDirs ++ staged)
+    staged.foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(tmp, d)
+      val dst = new org.apache.hadoop.fs.Path(tableP, d)
+      require(!fs.exists(dst),
+        s"deleteRows: landing target $dst still exists after retire")
+      require(fs.rename(src, dst),
+        s"deleteRows: landing $src -> $dst failed")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // husk (+_SUCCESS)
+    fs.delete(new org.apache.hadoop.fs.Path(tableP, DeleteIntentName), false)
+    graft.operators.StableRead.noteTouched(root, table)
+  }
+
+  /** Roll forward a crash-interrupted [[deleteRows]] if its intent
+    * marker stands — called at every deleteRows entry (and available to
+    * fsck/recovery paths). No-op when no marker exists.
+    */
+  private[graft] def recoverDeleteIntent(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val tableP = new org.apache.hadoop.fs.Path(dir)
+    val fs = tableP.getFileSystem(spark.sessionState.newHadoopConf())
+    val intent = new org.apache.hadoop.fs.Path(tableP, DeleteIntentName)
+    if (!fs.exists(intent)) return
+    val in = fs.open(intent)
+    val content =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    val lines = content.split('\n')
+    require(lines.contains("#END"),
+      s"deleteRows: torn intent marker at $intent — it is written " +
+        "atomically, so truncation means filesystem damage; refusing to " +
+        "guess which partitions were mid-delete")
+    val keptDirs = lines.takeWhile(_ != "#END")
+      .filter(_.startsWith("K|")).map(_.substring(2)).toSeq
+    val doomedDirs = lines.takeWhile(_ != "#END")
+      .filter(_.startsWith("D|")).map(_.substring(2)).toSeq
+    completeDeleteIntent(fs, tableP, keptDirs, doomedDirs)
   }
 
   /** Union a (possibly hive-partitioned) parquet directory's part files
@@ -399,6 +510,44 @@ object Sinks {
       require(fs.rename(tmp, cur), s"landTable: rename $tmp -> $cur failed")
       graft.operators.StableRead.noteTouched(root, table)
     }
+  }
+
+  /** Compact-rewrite one estate table in place — the shared body of
+    * ivfCompact / bm25Compact / the registry compacts: read the table,
+    * rewrite it clustered (partitioned by `partitionCol`) or glued
+    * (`coalesce` when None), swap the new generation in. Caller
+    * contract (IngestConflictSpec): hold the table's writer lock
+    * ([[graft.operators.StableRead.withTableLocks]]) and run
+    * [[requireNoPendingIngest]] INSIDE it — under the lock a live
+    * ingest cannot be mid-landing, so any uncommitted tagged part the
+    * guard sees is genuinely a crashed batch's debris, and refusing
+    * (rather than folding its rows into untagged output, which would
+    * duplicate the batch on its mandated re-delivery) is precise.
+    */
+  def compactTable(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      table: String,
+      partitionCol: Option[String],
+      schema: Option[String] = None): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/${table}_compact_tmp")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(cur), s"compactTable: no $table at $cur")
+    var r = spark.read
+    schema.foreach(s => r = r.schema(s))
+    val df = r.parquet(cur.toString)
+    partitionCol match {
+      case Some(c) =>
+        df.repartition(org.apache.spark.sql.functions.col(c))
+          .write.mode("overwrite").partitionBy(c).parquet(tmp.toString)
+      case None =>
+        // shuffle-free file merge: coalesce glues small splits together
+        // without moving rows between executors
+        df.coalesce(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(tmp.toString)
+    }
+    swapByRename(fs, tmp, cur)
   }
 
   /** Swap a freshly-written `tmp` directory into place at `dst` via a

@@ -153,6 +153,78 @@ class Bm25DeleteCrashSpec extends SparkSpec {
     assert(graft.operators.Fsck.bm25Fsck(spark, dir).count() === 0L)
   }
 
+  /** Manufacture the round-17 advisor's window directly: stage the
+    * postings survivors + intent marker exactly as deleteRows does,
+    * retire the affected partitions, then "crash" before any landing —
+    * live postings are now missing committed survivor rows AND the
+    * doomed keys project to an empty affected set, the state that was
+    * non-convergent before the intent protocol.
+    */
+  private def stageUnlandedDelete(dir: String): Unit = {
+    val postings = s"$dir/postings"
+    val all = spark.read.schema(Retrieval.postingsSchema).parquet(postings)
+      .localCheckpoint(true)
+    val affB = all.filter(col("id").isin(doomed: _*))
+      .select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
+    assert(affB.nonEmpty, "fixture: doomed docs must own postings")
+    val surv = all
+      .filter(col("bucket").isin(affB: _*) && !col("id").isin(doomed: _*))
+      .localCheckpoint(true)
+    val keptB = surv.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB.nonEmpty, "fixture: some affected bucket must keep rows")
+    surv.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings__del_tmp")
+    val kept = affB.filter(keptB).map(b => s"bucket=$b").toSeq
+    val dmd = affB.filterNot(keptB).map(b => s"bucket=$b").toSeq
+    val fs = fsOf(dir)
+    graft.operators.StableRead.atomicWrite(fs,
+      new org.apache.hadoop.fs.Path(postings),
+      graft.sinks.Sinks.DeleteIntentName,
+      (kept.map("K|" + _) ++ dmd.map("D|" + _))
+        .mkString("", "\n", "\n#END\n"))
+    graft.operators.StableRead.retirePartitions(
+      fs, dir, "postings", kept ++ dmd)
+  }
+
+  test("staged-but-unlanded postings window: fsck flags it, re-run rolls forward") {
+    val dir = freshIndex("w5")
+    // reachable-state fidelity: deleteRows runs strictly AFTER the
+    // terms recompute inside one thunk, so a crash inside deleteRows
+    // always sees terms already committed
+    commitTerms(dir)
+    stageUnlandedDelete(dir)
+    // the audit must surface the standing intent, not read past it
+    val kinds = graft.operators.Fsck.bm25Fsck(spark, dir)
+      .select(col("kind")).collect().map(_.getString(0)).toSet
+    assert(kinds.contains("bm25_standing_delete_intent"), s"got $kinds")
+    // re-running the SAME delete recovers the stage first (the doomed
+    // keys alone could never re-derive the affected set — their
+    // postings are retired), then converges
+    assert(rerun(dir) === 2L)
+    assertConverged(dir, "staged-unlanded")
+    assert(graft.operators.Fsck.bm25Fsck(spark, dir).count() === 0L)
+  }
+
+  test("staged-and-partially-landed window: re-run retires nothing it already landed") {
+    val dir = freshIndex("w6")
+    commitTerms(dir) // terms precede deleteRows in the chain (see w5)
+    stageUnlandedDelete(dir)
+    // land ONE staged partition by hand (the atomic per-partition
+    // rename), leaving the rest staged — the mid-landing-loop crash
+    val fs = fsOf(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/postings__del_tmp")
+    val first = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).minBy(_.getName)
+    assert(fs.rename(first,
+      new org.apache.hadoop.fs.Path(s"$dir/postings/${first.getName}")))
+    // recovery must EXCLUDE the landed partition from the re-retire (a
+    // blind re-retire would move the landed survivors to _retired and
+    // lose them from live)
+    assert(rerun(dir) === 2L)
+    assertConverged(dir, "partially-landed")
+  }
+
   test("no-op delete on a healthy index rewrites nothing") {
     val dir = freshIndex("noop")
     def snap(): Map[String, (Long, Long)] = {

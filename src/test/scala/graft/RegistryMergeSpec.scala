@@ -164,6 +164,16 @@ class RegistryMergeSpec extends SparkSpec {
     assert(graft.operators.Tombstones.read(spark, dest).isDefined,
       "completed merge lost the shard overlay")
     require(fs.delete(new org.apache.hadoop.fs.Path(s"$dest/stats"), true))
+    // a REAL crash never reaches the bracket exit, so the dest carries
+    // no commit manifest/snapshots (and a committed dest is now
+    // explicitly refused — the round-18 in-place-merge guard, asserted
+    // below); strip the protocol files the completed merge left so the
+    // manufactured state matches the reachable one
+    intercept[IllegalArgumentException] { reg.merge(spark, shards, dest) }
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dest/${graft.operators.StableRead.ManifestName}"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dest/${graft.operators.StableRead.SnapshotsDirName}"), true)
     reg.merge(spark, shards, dest) // re-run accepted, not refused
     assert(ids(dest) === Seq(1L, 2L, 11L))
     assert(stats(dest) === ((3L, 0L)))
@@ -184,6 +194,11 @@ class RegistryMergeSpec extends SparkSpec {
     val ndDest = s"$parent/nd-merged"
     ndreg.merge(spark, ndShards, ndDest)
     require(fs.delete(new org.apache.hadoop.fs.Path(s"$ndDest/stats"), true))
+    // same reachable-state strip as the exact-registry arm above
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$ndDest/${graft.operators.StableRead.ManifestName}"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$ndDest/${graft.operators.StableRead.SnapshotsDirName}"), true)
     ndreg.merge(spark, ndShards, ndDest)
     assert(graft.operators.Tombstones.read(spark, ndDest)
       .map(_.select(col("id")).collect().map(_.getLong(0)).toSeq)
