@@ -225,10 +225,14 @@ object DedupRegistry {
       case e: java.util.ConcurrentModificationException =>
         // commit lost a multi-writer race AFTER the apply: un-commit
         // the exactly-once marker so the mandated re-run re-applies
-        // instead of skipping (the ivfIngestBatch compensation)
-        val m = new org.apache.hadoop.fs.Path(s"$path/ingestlog/b$batchId")
-        m.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-          .delete(m, false)
+        // instead of skipping, and re-create the staging dir as the
+        // recovery breadcrumb (the ivfIngestBatch compensation)
+        val fsc = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+        fsc.delete(new org.apache.hadoop.fs.Path(
+          s"$path/ingestlog/b$batchId"), false)
+        fsc.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$path/_ingest_b${batchId}_tmp"))
         throw e
     }
   }
@@ -282,7 +286,10 @@ object DedupRegistry {
         require(fs.delete(nw, true),
           s"DedupRegistry.ingestBatch: cannot drop $nw")
     }
-    locally {
+    val tmpRoot = sub(s"_ingest_${tag}_tmp")
+    // tagged-debris sweep GATED on staging debris (the ivfIngestBatch
+    // rationale): no O(corpus files) scan on the steady-state apply
+    if (fs.exists(tmpRoot)) {
       val d = sub("corpus")
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         if (st.isDirectory && st.getPath.getName.startsWith("bucket="))
@@ -295,7 +302,6 @@ object DedupRegistry {
             s"DedupRegistry.ingestBatch: cannot drop ${st.getPath}")
       }
     }
-    val tmpRoot = sub(s"_ingest_${tag}_tmp")
     if (fs.exists(tmpRoot))
       require(fs.delete(tmpRoot, true),
         s"DedupRegistry.ingestBatch: cannot drop $tmpRoot")

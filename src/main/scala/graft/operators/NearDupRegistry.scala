@@ -281,10 +281,14 @@ object NearDupRegistry {
       case e: java.util.ConcurrentModificationException =>
         // commit lost a multi-writer race AFTER the apply: un-commit
         // the exactly-once marker so the mandated re-run re-applies
-        // instead of skipping (the ivfIngestBatch compensation)
-        val m = new org.apache.hadoop.fs.Path(s"$path/ingestlog/b$batchId")
-        m.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-          .delete(m, false)
+        // instead of skipping, and re-create the staging dir as the
+        // recovery breadcrumb (the ivfIngestBatch compensation)
+        val fsc = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+        fsc.delete(new org.apache.hadoop.fs.Path(
+          s"$path/ingestlog/b$batchId"), false)
+        fsc.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$path/_ingest_b${batchId}_tmp"))
         throw e
     }
   }
@@ -347,12 +351,15 @@ object NearDupRegistry {
             s"NearDupRegistry.ingestBatch: cannot drop ${st.getPath}")
       }
     }
-    dropTagged("corpus", "bucket=")
-    dropTagged("bands", "pk=")
     val tmpRoot = sub(s"_ingest_${tag}_tmp")
-    if (fs.exists(tmpRoot))
+    // tagged-debris sweep GATED on staging debris (the ivfIngestBatch
+    // rationale): no O(table files) scan on the steady-state apply
+    if (fs.exists(tmpRoot)) {
+      dropTagged("corpus", "bucket=")
+      dropTagged("bands", "pk=")
       require(fs.delete(tmpRoot, true),
         s"NearDupRegistry.ingestBatch: cannot drop $tmpRoot")
+    }
     // ---- the apply ----
     val p = readParams(spark, path)
     val obs = org.apache.spark.sql.Observation()

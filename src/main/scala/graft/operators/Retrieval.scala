@@ -393,16 +393,21 @@ object Retrieval {
     // terms/stats land via tmp + swap, never an in-place overwrite: a
     // static overwrite deletes the committed files mid-write (torn on
     // crash, and a snapshot-PINNED reader racing the append would lose
-    // them permanently); the swap retires them instead
-    graft.sinks.Sinks.landTable(mergedTerms, path, "terms", Seq("bucket"))
+    // them permanently); the swap retires them instead. The two
+    // landings touch disjoint tables off already-materialized inputs —
+    // overlap their scheduler/commit overhead (the doclen/df-merge
+    // shape above; part of the round-18 write-path overhead trim)
     import spark.implicits._
-    graft.sinks.Sinks.landTable(
-      Seq((oldDocs + batchDocs,
-          oldTok + batchMetrics.getOrElse("t", 0L).asInstanceOf[Long],
-          buckets))
-        .toDF("n_docs", "total_tokens", "buckets")
-        .coalesce(1),
-      path, "stats")
+    concurrently(
+      () => graft.sinks.Sinks.landTable(
+        mergedTerms, path, "terms", Seq("bucket")),
+      () => graft.sinks.Sinks.landTable(
+        Seq((oldDocs + batchDocs,
+            oldTok + batchMetrics.getOrElse("t", 0L).asInstanceOf[Long],
+            buckets))
+          .toDF("n_docs", "total_tokens", "buckets")
+          .coalesce(1),
+        path, "stats"))
     }
   }
 
@@ -496,10 +501,14 @@ object Retrieval {
       case e: java.util.ConcurrentModificationException =>
         // commit lost a multi-writer race AFTER the apply: un-commit
         // the exactly-once marker so the mandated re-run re-applies
-        // instead of skipping (the ivfIngestBatch compensation)
-        val m = new org.apache.hadoop.fs.Path(s"$path/ingestlog/b$batchId")
-        m.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-          .delete(m, false)
+        // instead of skipping, and re-create the staging dir as the
+        // recovery breadcrumb (the ivfIngestBatch compensation)
+        val fsc = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+        fsc.delete(new org.apache.hadoop.fs.Path(
+          s"$path/ingestlog/b$batchId"), false)
+        fsc.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$path/_ingest_b${batchId}_tmp"))
         throw e
     }
   }
@@ -566,10 +575,15 @@ object Retrieval {
       }
     }
     restore("terms"); restore("stats")
-    dropTagged("postings"); dropTagged("doclen")
     val tmpRoot = sub(s"_ingest_${tag}_tmp")
-    if (fs.exists(tmpRoot))
+    // tagged-debris sweep GATED on staging debris (the ivfIngestBatch
+    // rationale): the staging dir outlives every pre-marker crash point
+    // and the commit-conflict compensation re-creates it, so the
+    // steady-state apply never pays an O(table files) scan
+    if (fs.exists(tmpRoot)) {
+      dropTagged("postings"); dropTagged("doclen")
       require(fs.delete(tmpRoot, true), s"bm25IngestBatch: cannot drop $tmpRoot")
+    }
     // ---- stage the batch increment (bm25Append's derivations) ----
     val st = spark.read.parquet(s"$path/stats")
       .select(col("n_docs"), col("total_tokens"), col("buckets"))

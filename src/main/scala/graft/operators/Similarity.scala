@@ -843,11 +843,15 @@ object Similarity {
         // race: un-commit the exactly-once marker, or the mandated
         // re-run would skip the batch whole while its rows may have
         // been retired by the winning writer's rewrite (the
-        // IngestConflictSpec drill)
-        val m = new org.apache.hadoop.fs.Path(
-          s"$indexPath/ingestlog/b$batchId")
-        m.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-          .delete(m, false)
+        // IngestConflictSpec drill). Re-create the staging dir as the
+        // recovery breadcrumb — the re-delivery's debris sweep is
+        // gated on it (the apply deleted it post-marker)
+        val fsc = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+        fsc.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/ingestlog/b$batchId"), false)
+        fsc.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$indexPath/_ingest_b${batchId}_tmp"))
         throw e
     }
   }
@@ -865,19 +869,26 @@ object Similarity {
     val tag = s"b$batchId"
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/ingestlog/$tag")
     if (fs.exists(marker)) return // post-commit re-delivery: skip whole
-    // recovery: drop whatever a crashed attempt of THIS id moved in
-    val corpusDir = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
-    if (fs.exists(corpusDir))
-      fs.listStatus(corpusDir).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
-          fs.listStatus(st.getPath)
-            .filter(_.getPath.getName.startsWith(tag + "_"))
-            .foreach(f => require(fs.delete(f.getPath, false),
-              s"ivfIngestBatch: cannot drop ${f.getPath}"))
-      }
     val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_ingest_${tag}_tmp")
-    if (fs.exists(tmpRoot))
+    // recovery GATED on staging debris: the staging dir outlives every
+    // pre-marker crash point (it is deleted strictly AFTER the marker
+    // lands) and the commit-conflict compensation re-creates it as its
+    // breadcrumb — so live-table debris of this id cannot exist without
+    // it, and the steady-state apply never pays an O(corpus files)
+    // sweep (MediaScaleBench's mmapply flatness; the sweep was the
+    // estate-proportional term after the append-delta commit fix)
+    if (fs.exists(tmpRoot)) {
+      val corpusDir = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+      if (fs.exists(corpusDir))
+        fs.listStatus(corpusDir).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("cell="))
+            fs.listStatus(st.getPath)
+              .filter(_.getPath.getName.startsWith(tag + "_"))
+              .foreach(f => require(fs.delete(f.getPath, false),
+                s"ivfIngestBatch: cannot drop ${f.getPath}"))
+        }
       require(fs.delete(tmpRoot, true), s"ivfIngestBatch: cannot drop $tmpRoot")
+    }
     // stage the assignment (the ivfAppend / ivfQAppend body, into tmp)
     val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
     val prepped = batch.select(

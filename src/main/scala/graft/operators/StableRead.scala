@@ -289,6 +289,32 @@ object StableRead {
           _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
         .add(table))
 
+  /** Tables that only GAINED files this bracket, with the exact
+    * table-relative paths landed (the ingest/append fast path): the
+    * commit writes an APPEND-DELTA shard referencing the table's
+    * standing shard instead of re-LISTING the table — O(batch) commit
+    * metadata instead of O(table files), which is what keeps a
+    * streaming apply FLAT against a 100x standing estate
+    * (MediaScaleBench's mmapply row measured the re-listing at 2.7x
+    * before this). A table noted BOTH appended and touched re-lists
+    * fully (safety wins).
+    */
+  private val appendedFiles =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[String,
+        java.util.Set[String]]]()
+
+  private[graft] def noteAppended(
+      root: String, table: String, relPaths: Seq[String]): Unit =
+    noteKeys(root).foreach { k =>
+      val perTable = appendedFiles.computeIfAbsent(k,
+        _ => new java.util.concurrent.ConcurrentHashMap[String,
+          java.util.Set[String]]())
+      val set = perTable.computeIfAbsent(table,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      relPaths.foreach(set.add)
+    }
+
   /** Bracket a mutating estate op with the reader-isolation marker and
     * commit a new manifest generation on success. Ordering is the
     * protocol: marker up BEFORE the first mutation; manifest bumped
@@ -329,6 +355,7 @@ object StableRead {
           // the mutations and re-notes from scratch
           swappedTables.remove(s"$key@${st.token}")
           touchedTables.remove(s"$key@${st.token}")
+          appendedFiles.remove(s"$key@${st.token}")
         }
         val refs = markerRefs.merge(key, -1, (a, b) => a + b)
         if (refs <= 0) markerRefs.remove(key)
@@ -518,10 +545,15 @@ object StableRead {
   /** This writer's noted mutation set for `path` — peeked, not drained
     * (the drain belongs to the snapshot write on the success path). */
   private def peekNotes(path: String): Set[String] =
-    drainKeys(path).flatMap(k =>
+    drainKeys(path).flatMap { k =>
       Option(touchedTables.get(k)).map(s =>
         scala.jdk.CollectionConverters.SetHasAsScala(s).asScala.toSet)
-        .getOrElse(Set.empty[String])).toSet
+        .getOrElse(Set.empty[String]) ++
+        Option(appendedFiles.get(k)).map(m =>
+          scala.jdk.CollectionConverters.MapHasAsScala(m)
+            .asScala.keySet.toSet)
+          .getOrElse(Set.empty[String])
+    }.toSet
 
   /** The tables generation `gen`'s commit mutated — its `W|` records.
     * Pre-round-18 generations carry none and read as empty (within a
@@ -670,6 +702,49 @@ object StableRead {
   private final case class SnapEntry(
       table: String, lrg: Long, srcGen: Long)
 
+  /** Cap on an append-delta shard chain: past it the commit resolves
+    * the full list once and writes a fresh full shard (a read resolves
+    * a chain with one small file read per link, so the cap bounds both
+    * read fan-out and the GC's reference walk; any rewrite — compact,
+    * swap, delete — resets the chain anyway).
+    */
+  private val MaxShardChain = 64
+
+  /** First line of a snapshot/shard file — header-only read, so a
+    * commit deciding chain-vs-full never pays the standing shard's full
+    * bytes. None when absent. */
+  private def readShardHead(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](512)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else {
+          val s = new String(buf, 0, n, "UTF-8")
+          val nl = s.indexOf('\n')
+          Some(if (nl >= 0) s.substring(0, nl) else s)
+        }
+      } finally in.close()
+    }
+
+  /** Chain length of `table`'s shard at `srcGen`: 1 for a full shard,
+    * the recorded length for an append-delta, [[MaxShardChain]] when
+    * unreadable (legacy inline snapshots — forces a full re-list). */
+  private def shardChainLen(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, srcGen: Long, table: String): Int =
+    readShardHead(fs, new org.apache.hadoop.fs.Path(
+      s"$path/$SnapshotsDirName/g$srcGen.$table")) match {
+      case Some(h) if h.startsWith("3|") =>
+        scala.util.Try(h.split('|')(4).toInt).getOrElse(MaxShardChain)
+      case Some(h) if h.startsWith("1|") => 1
+      case _ => MaxShardChain
+    }
+
   private[graft] def atomicWrite(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
@@ -714,6 +789,16 @@ object StableRead {
           .SetHasAsScala(s).asScala.toSet)
           .getOrElse(Set.empty[String])).toSet
     val swapped = drain(swappedTables)
+    // append-only notes (exact new file paths) drain separately: their
+    // tables take the delta-shard fast path below UNLESS a full-touch
+    // note also exists (safety: the re-list wins)
+    val appended: Map[String, Set[String]] = drainKeys(path)
+      .flatMap(k => Option(appendedFiles.remove(k)).toSeq
+        .flatMap(m => scala.jdk.CollectionConverters
+          .MapHasAsScala(m).asScala.toSeq
+          .map { case (t, s) => t -> scala.jdk.CollectionConverters
+            .SetHasAsScala(s).asScala.toSet }))
+      .groupMapReduce(_._1)(_._2)(_ ++ _)
     val touched = drain(touchedTables) ++ swapped
     // tables another ACTIVE writer is mutating right now: its notes are
     // visible (in-JVM), its commit has not landed. A table it CREATED
@@ -728,7 +813,11 @@ object StableRead {
         .flatMap(k => Option(touchedTables.get(k))
           .map(v => scala.jdk.CollectionConverters
             .SetHasAsScala(v).asScala.toSet)
-          .getOrElse(Set.empty[String]))
+          .getOrElse(Set.empty[String]) ++
+          Option(appendedFiles.get(k)).map(m =>
+            scala.jdk.CollectionConverters.MapHasAsScala(m)
+              .asScala.keySet.toSet)
+            .getOrElse(Set.empty[String]))
         .toSet)
       .getOrElse(Set.empty)
     val dir = new org.apache.hadoop.fs.Path(root, SnapshotsDirName)
@@ -742,9 +831,27 @@ object StableRead {
           // no listing, no shard write (the incremental-manifest
           // economics; a no-op commit on a million-file root neither
           // lists nor serializes a single data file)
-          case Some(p) if !touched.contains(t) => Some(p)
+          case Some(p) if !touched.contains(t) && !appended.contains(t) =>
+            Some(p)
           case None if !touched.contains(t) && foreignTouched.contains(t) =>
             None // a concurrent writer's in-flight creation: not ours
+          case Some(p) if !touched.contains(t) && appended.contains(t) &&
+              shardChainLen(fs, path, p.srcGen, t) < MaxShardChain =>
+            // append-only fast path: the op landed EXACTLY these files
+            // and removed none, so the commit writes an O(batch)
+            // APPEND-DELTA shard referencing the standing chain —
+            // never listing or re-serializing the table. This is what
+            // keeps a streaming apply's commit flat against a 100x
+            // standing estate (MediaScaleBench mmapply; the chain
+            // resets to a full shard at MaxShardChain or on any
+            // rewrite).
+            val files = appended(t).toSeq.sorted
+            val sb = new StringBuilder(
+              s"3|$gen|$t|${p.srcGen}|${shardChainLen(fs, path, p.srcGen, t) + 1}\n")
+            files.foreach(f => sb.append(s"F|$f\n"))
+            sb.append("#END\n")
+            atomicWrite(fs, dir, s"g$gen.$t", sb.toString)
+            Some(SnapEntry(t, p.lrg, gen))
           case p =>
             val lrg =
               if (swapped.contains(t)) gen
@@ -762,8 +869,11 @@ object StableRead {
     // the commit's mutation record — what a LATER concurrent committer
     // intersects its own touched set against ([[commitManifest]] step
     // 2). Includes tables that no longer exist (a retireTree'd table's
-    // disappearance is a mutation a racing writer must conflict with).
-    touched.toSeq.sorted.foreach(t => sb.append(s"W|$t\n"))
+    // disappearance is a mutation a racing writer must conflict with)
+    // and append-only tables (an append racing a rewrite is a real
+    // overlap).
+    (touched ++ appended.keySet).toSeq.sorted
+      .foreach(t => sb.append(s"W|$t\n"))
     sb.append("#END\n")
     atomicWrite(fs, dir, s"g$gen", sb.toString)
   }
@@ -812,8 +922,18 @@ object StableRead {
     readManifest(fs, shard) match {
       case Some(content) =>
         val lines = content.split('\n')
-        if (lines.isEmpty || lines.last != "#END" ||
-          !lines.head.startsWith("1|")) None
+        if (lines.isEmpty || lines.last != "#END") None
+        else if (lines.head.startsWith("3|")) {
+          // append-delta shard: base chain + this commit's new files
+          val baseGen = scala.util.Try(
+            lines.head.split('|')(3).toLong).toOption
+          val own = lines.iterator.drop(1).takeWhile(_ != "#END")
+            .filter(_.startsWith("F|")).map(_.substring(2)).toVector
+          baseGen.flatMap(g =>
+            readShardFiles(fs, path, SnapEntry(e.table, e.lrg, g))
+              .map(base => (base ++ own).distinct))
+        }
+        else if (!lines.head.startsWith("1|")) None
         else Some(lines.iterator.drop(1).takeWhile(_ != "#END")
           .filter(_.startsWith("F|")).map(_.substring(2)).toVector)
       case None =>
@@ -1386,12 +1506,27 @@ object StableRead {
     val snapRoot = new org.apache.hadoop.fs.Path(
       s"$root/$SnapshotsDirName")
     if (fs.exists(snapRoot)) {
-      // shards are SHARED across generations by reference: a kept index
-      // may point at a shard written generations ago — keep exactly the
-      // referenced ones, drop expired indexes and orphaned shards
+      // shards are SHARED across generations by reference — and an
+      // append-DELTA shard references its whole base chain: keep the
+      // transitive closure, drop expired indexes and orphaned shards
       val referencedShards: Set[String] = (minKept to curGen)
         .flatMap(g => readSnapIndex(fs, root, g))
-        .map(e => s"g${e.srcGen}.${e.table}")
+        .flatMap { e =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var g = e.srcGen
+          var guard = 0
+          while (g >= 0 && guard <= MaxShardChain) {
+            out += s"g$g.${e.table}"
+            g = readShardHead(fs, new org.apache.hadoop.fs.Path(
+              s"$root/$SnapshotsDirName/g$g.${e.table}")) match {
+              case Some(h) if h.startsWith("3|") =>
+                scala.util.Try(h.split('|')(3).toLong).getOrElse(-1L)
+              case _ => -1L
+            }
+            guard += 1
+          }
+          out
+        }
         .toSet
       fs.listStatus(snapRoot).foreach { st =>
         val n = st.getPath.getName

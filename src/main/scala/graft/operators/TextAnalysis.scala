@@ -692,16 +692,21 @@ object TextAnalysis {
     StableRead.withMaintenanceMarker(spark, path) {
       import spark.implicits._
       // tmp + swap/rename (Sinks.landTable): a re-save over a LIVE
-      // artifact must not overwrite committed files in place
-      graft.sinks.Sinks.landTable(
-        rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
-            r.getLong(3), r.getLong(4))).toSeq
-          .toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
-          .coalesce(1),
-        path, "merges")
-      graft.sinks.Sinks.landTable(
-        Seq(rows.length.toLong).toDF("n_merges").coalesce(1),
-        path, "stats")
+      // artifact must not overwrite committed files in place. The two
+      // landings are one-row tables on disjoint paths — overlap their
+      // fixed per-action scheduler/commit overhead (the round-18
+      // write-path trim; the writer context propagates through
+      // concurrently, so the swap notes attribute to this bracket)
+      graft.operators.Retrieval.concurrently(
+        () => graft.sinks.Sinks.landTable(
+          rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+              r.getLong(3), r.getLong(4))).toSeq
+            .toDF("round", "pair_a", "pair_b", "pair_count", "tokens_after")
+            .coalesce(1),
+          path, "merges"),
+        () => graft.sinks.Sinks.landTable(
+          Seq(rows.length.toLong).toDF("n_merges").coalesce(1),
+          path, "stats"))
     }
   }
 

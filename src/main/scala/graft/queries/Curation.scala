@@ -544,6 +544,21 @@ object Curation {
       new java.io.File(dstDir, s"${tag}_${part.getName}").toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    // reachable-state fidelity: a REAL mid-apply crash always leaves
+    // the batch's staging dir (it is deleted strictly after the commit
+    // marker lands), and the recovery sweep is GATED on it — plant it
+    // too, or the manufactured debris sits in an unreachable state the
+    // gated recovery rightly ignores. Root = nearest manifest-carrying
+    // ancestor of the planted table dir.
+    var p = new java.io.File(dstDir).getParentFile
+    var hops = 0
+    while (p != null && hops < 4 &&
+      !new java.io.File(p, "_commit_manifest").exists()) {
+      p = p.getParentFile; hops += 1
+    }
+    require(p != null && new java.io.File(p, "_commit_manifest").exists(),
+      s"plantTaggedPart: no estate root above $dstDir")
+    new java.io.File(p, s"_ingest_${tag}_tmp").mkdirs()
   }
 
   /** Phase-ordered foreachBatch replay with a KILL-AND-RESTART across

@@ -384,27 +384,38 @@ object Sinks {
     if (!fs.exists(src)) return
     val dstP = new org.apache.hadoop.fs.Path(dstDir)
     fs.mkdirs(dstP)
-    // landing files into a manifest-managed root's live table changes
-    // its pinned file set: note it for the incremental snapshot
-    if (graft.operators.StableRead.manifestManaged(fs,
-        dstP.getParent))
-      graft.operators.StableRead.noteTouched(
-        dstP.getParent.toString, dstP.getName)
-    fs.listStatus(src).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith(partitionPrefix))
-        copyParquetParts(
-          fs, hconf, s"$srcDir/$name", s"$dstDir/$name", partitionPrefix,
-          tag, move)
-      else if (name.endsWith(".parquet")) {
-        val dst = new org.apache.hadoop.fs.Path(s"$dstDir/${tag}_$name")
-        if (move)
-          require(fs.rename(st.getPath, dst),
-            s"copyParquetParts: rename ${st.getPath} -> $dst failed")
-        else
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst, false, hconf)
+    // collect the exact landed table-relative paths: this op only ADDS
+    // files, so the snapshot commit takes the O(batch) APPEND-DELTA
+    // path (StableRead.noteAppended) instead of re-listing the whole
+    // table — the difference between a flat and a corpus-proportional
+    // per-batch commit on a 100x standing estate (MediaScaleBench)
+    val landed = Vector.newBuilder[String]
+    def walk(s: org.apache.hadoop.fs.Path,
+        d: org.apache.hadoop.fs.Path, rel: String): Unit = {
+      fs.mkdirs(d)
+      fs.listStatus(s).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(partitionPrefix))
+          walk(st.getPath,
+            new org.apache.hadoop.fs.Path(d, name), s"$rel$name/")
+        else if (name.endsWith(".parquet")) {
+          val dst = new org.apache.hadoop.fs.Path(d, s"${tag}_$name")
+          if (move)
+            require(fs.rename(st.getPath, dst),
+              s"copyParquetParts: rename ${st.getPath} -> $dst failed")
+          else
+            org.apache.hadoop.fs.FileUtil.copy(
+              fs, st.getPath, fs, dst, false, hconf)
+          landed += s"$rel${tag}_$name"
+        }
       }
     }
+    walk(src, dstP, "")
+    val files = landed.result()
+    if (files.nonEmpty && graft.operators.StableRead.manifestManaged(
+        fs, dstP.getParent))
+      graft.operators.StableRead.noteAppended(
+        dstP.getParent.toString, dstP.getName, files)
   }
 
   /** Refuse to run a maintenance rewrite over an artifact with an

@@ -138,6 +138,49 @@ object AuditBench {
     run(1, warmup = true)
     run(1)
     tiers.foreach(run(_))
+
+    // ---- retention GC arm (round 18): `_retired` bytes and
+    // `_snapshots` file count must stay BOUNDED across decades of
+    // continuous churn when maintenance runs with a gcKeepGenerations
+    // horizon — the GcRetentionSpec claim at bench scale. Without the
+    // horizon the MVCC retire-not-delete discipline grows both without
+    // bound (every compact parks a full table generation); with it the
+    // estate carries at most the horizon's generations at any age.
+    {
+      import graft.operators.{Retrieval, StableRead}
+      import spark.implicits._
+      def bytesUnder(p: java.io.File): Long =
+        if (!p.exists()) 0L
+        else if (p.isFile) p.length()
+        else p.listFiles().map(bytesUnder).sum
+      def filesUnder(p: java.io.File): Long =
+        if (!p.exists()) 0L
+        else if (p.isFile) 1L
+        else p.listFiles().map(filesUnder).sum
+      val gcRoot = java.nio.file.Files
+        .createTempDirectory("graft-auditbench-gc").toString + "/idx"
+      val churnDocs = docs.filter(col("doc_id") % 100 === 0)
+        .transform(graft.CacheScope.persisted)
+      Retrieval.buildBm25Index(churnDocs, "doc_id", "text", gcRoot)
+      val retired = new java.io.File(s"$gcRoot/${StableRead.RetiredDirName}")
+      val snaps = new java.io.File(s"$gcRoot/${StableRead.SnapshotsDirName}")
+      (1 to 40).foreach { i =>
+        Retrieval.bm25Append(gcRoot,
+          Seq((5000000L + i, s"churn cycle c$i payload"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text")
+        Retrieval.bm25Compact(spark, gcRoot, gcKeepGenerations = Some(2))
+        if (i == 10 || i == 20 || i == 40)
+          println(f"[audit-bench] gc-churn cycle=$i%-3d " +
+            f"retired=${bytesUnder(retired) / 1048576.0}%7.1f MiB " +
+            f"(${filesUnder(retired)}%4d files)  " +
+            f"snapshots=${filesUnder(snaps)}%4d files  " +
+            f"gen=${StableRead.manifestGeneration(spark, gcRoot).get}%d")
+      }
+      churnDocs.unpersist()
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(gcRoot).getParentFile)
+    }
     spark.stop()
   }
 }

@@ -73,6 +73,7 @@ class DedupRegistrySpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath,
         new java.io.File(dst, s"b1_${part.getName}").toPath)
     }
+    new java.io.File(s"$dir/_ingest_b1_tmp").mkdirs() // crash staging
     // ... plus the mid-swap window: live stats corrupted, truth in _bak
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sessionState.newHadoopConf())
@@ -122,6 +123,10 @@ class DedupRegistrySpec extends SparkSpec {
     dst.mkdirs()
     java.nio.file.Files.move(part.toPath,
       new java.io.File(dst, s"b0_${part.getName}").toPath)
+    // reachable-state fidelity: a real mid-apply crash always leaves
+    // the batch's staging dir (deleted strictly after the marker), and
+    // the recovery sweep is gated on it
+    new java.io.File(s"$dir/_ingest_b0_tmp").mkdirs()
     reg.ingestBatch(dir,
       Seq((1L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", 0L)
     assert(corpusIds(dir) === Seq(1L) && statsOf(dir) === ((1L, 0L)))
@@ -237,11 +242,13 @@ class DedupRegistrySpec extends SparkSpec {
         new java.io.File(dst, s"b1_${part.getName}").toPath)
     }
     plant(junk, s"$regDir/corpus/bucket=$jb")
+    new java.io.File(s"$regDir/_ingest_b1_tmp").mkdirs() // crash staging
     val appleBucket = spark.range(1)
       .select(pmod(xxhash64(lit("apple")), lit(7L))).collect()(0).getLong(0)
     plant(Seq((-9L, "apple", 50L)).toDF("id", "term", "tf"),
       s"$idxDir/postings/bucket=$appleBucket")
     plant(Seq((-9L, 50L)).toDF("id", "dl"), s"$idxDir/doclen")
+    new java.io.File(s"$idxDir/_ingest_b1_tmp").mkdirs() // crash staging
     // batch 1: one dup (dropped) + one new doc; both recoveries fire
     sink(Seq((5L, "cherry"), (6L, "apple durian")).toDF("doc_id", "text"), 1L)
     // the standing index == a from-scratch build over the deduped corpus

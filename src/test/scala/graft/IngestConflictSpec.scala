@@ -51,6 +51,10 @@ class IngestConflictSpec extends SparkSpec {
     val fs = fsOf(dir)
     require(fs.delete(
       new org.apache.hadoop.fs.Path(s"$dir/ingestlog/b7"), false))
+    // the state a conflict compensation leaves: marker un-committed AND
+    // the staging-dir breadcrumb re-created (a real crash's staging dir
+    // likewise survives; the recovery sweep is gated on it)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_ingest_b7_tmp"))
     // under the table lock the pending guard is precise: this debris is
     // a genuinely crashed batch, and folding its rows into untagged
     // output would duplicate the batch on re-delivery — refuse loudly
@@ -84,25 +88,34 @@ class IngestConflictSpec extends SparkSpec {
     t.start()
     assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
     Thread.sleep(300) // let the apply enter its Spark jobs
-    StableRead.withMaintenanceMarker(spark, dir) {
-      StableRead.noteTouched(dir, "corpus")
+    // first committer wins: EITHER this note-bracket lands first and
+    // the ingest aborts+compensates, OR the ingest lands first and
+    // THIS bracket aborts — both are the protocol working
+    val noteOutcome = scala.util.Try {
+      StableRead.withMaintenanceMarker(spark, dir) {
+        StableRead.noteTouched(dir, "corpus")
+      }
     }
     t.join(120000)
     assert(!t.isAlive, "ingest thread wedged")
     val fs = fsOf(dir)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/ingestlog/b3")
-    outcome match {
-      case scala.util.Failure(e)
+    (outcome, noteOutcome) match {
+      case (scala.util.Failure(e), scala.util.Success(_))
           if e.isInstanceOf[java.util.ConcurrentModificationException] =>
-        // the drilled interleaving: conflict abort + compensation
+        // the drilled interleaving: ingest lost, compensation ran
         assert(!fs.exists(marker),
           "conflicted ingest left its exactly-once marker standing")
-      case scala.util.Success(_) =>
-        // timing fallback: the ingest committed before the note-bracket
-        // — then the note-bracket aborted instead (also first-committer
-        // -wins) or rebased; either way the marker must stand
+      case (scala.util.Success(_), scala.util.Failure(e))
+          if e.isInstanceOf[java.util.ConcurrentModificationException] =>
+        // timing fallback: the ingest committed first, the note-bracket
+        // lost instead — the batch stands committed
         assert(fs.exists(marker))
-      case scala.util.Failure(e) => fail(s"unexpected failure: $e")
+      case (scala.util.Success(_), scala.util.Success(_)) =>
+        // both landed: the note-bracket committed before the ingest's
+        // bracket OPENED (no overlap) — batch committed normally
+        assert(fs.exists(marker))
+      case (i, nb) => fail(s"unexpected outcomes: ingest=$i note=$nb")
     }
     // re-delivery converges regardless of which writer won
     Similarity.ivfIngestBatch(dir, vecs(4000, 500), "id", "vec", 3L)

@@ -112,6 +112,7 @@ class NearDupRegistrySpec extends SparkSpec {
       s"$dir/corpus/bucket=3")
     plant(Seq((0, 12345, -9L)).toDF("band", "bkey", "id"),
       s"$dir/bands/pk=1")
+    new java.io.File(s"$dir/_ingest_b1_tmp").mkdirs() // crash staging
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sessionState.newHadoopConf())
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),

@@ -444,6 +444,7 @@ class RetrievalSpec extends SparkSpec {
     plant(Seq((-7L, "apple", 50L)).toDF("id", "term", "tf"),
       s"$dir/postings/bucket=$appleBucket")
     plant(Seq((-7L, 50L)).toDF("id", "dl"), s"$dir/doclen")
+    new java.io.File(s"$dir/_ingest_b1_tmp").mkdirs() // crash staging
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/terms"),
       new org.apache.hadoop.fs.Path(s"$dir/terms_b1_bak"))
     spark.read.parquet(s"$dir/terms_b1_bak")

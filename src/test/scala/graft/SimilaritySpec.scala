@@ -637,6 +637,10 @@ class SimilaritySpec extends SparkSpec {
     new java.io.File(s"$path/corpus/cell=$junkCell").mkdirs()
     java.nio.file.Files.move(part.toPath, new java.io.File(
       s"$path/corpus/cell=$junkCell", s"b0_${part.getName}").toPath)
+    // reachable-state fidelity: a real mid-apply crash always leaves
+    // the batch's staging dir (deleted strictly after the marker), and
+    // the recovery sweep is gated on it
+    new java.io.File(s"$path/_ingest_b0_tmp").mkdirs()
     // batch 0 (re-delivered over the crash debris), then batch 1
     Similarity.ivfIngestBatch(path, all.filter($"id" % 2 === 0), "id", "vec", 0L)
     Similarity.ivfIngestBatch(path, all.filter($"id" % 2 === 1), "id", "vec", 1L)

@@ -139,4 +139,48 @@ class SnapshotParitySpec extends SparkSpec {
     TextAnalysis.bpeSave(spark, merges, bpe) // re-save over live
     assertParity(bpe, "bpe re-save")
   }
+
+  test("ingest commits write O(batch) append-delta shards, exact under chains") {
+    val dir = s"${tmp("parity-chain")}/ivf"
+    val base = (0L until 400L)
+      .map(i => (i, Seq(math.cos(0.1 * i), math.sin(0.1 * i))))
+      .toDF("id", "vec")
+    Similarity.buildIvfIndex(base, "id", "vec", nlist = 2, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 until 3).foreach { b =>
+      Similarity.ivfIngestBatch(dir,
+        Seq((1000L + b, Seq(1.0, 0.5 * b))).toDF("id", "vec"),
+        "id", "vec", b.toLong)
+      assertParity(dir, s"chain batch $b") // resolution == full listing
+      // the commit's corpus shard must be the DELTA, not a re-listing:
+      // a `3|` header and exactly the one landed file — O(batch)
+      // metadata against any standing corpus size (the MediaScaleBench
+      // mmapply flatness)
+      val gen = StableRead.manifestGeneration(spark, dir).get
+      val shard = new org.apache.hadoop.fs.Path(
+        s"$dir/${StableRead.SnapshotsDirName}/g$gen.corpus")
+      val in = fs.open(shard)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(content.startsWith("3|"),
+        s"batch $b commit re-listed the corpus instead of a delta shard")
+      assert(content.linesIterator.count(_.startsWith("F|")) === 1,
+        s"batch $b delta shard carries more than the landed file")
+    }
+    // a rewrite resets the chain to a full shard and parity holds
+    Similarity.ivfCompact(spark, dir)
+    assertParity(dir, "chain reset by compact")
+    val gen = StableRead.manifestGeneration(spark, dir).get
+    val head = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dir/${StableRead.SnapshotsDirName}/g$gen.corpus")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.linesIterator.next()
+      finally in.close()
+    }
+    assert(head.startsWith("1|"), "compact did not reset the shard chain")
+  }
 }
