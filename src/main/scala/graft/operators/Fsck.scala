@@ -961,4 +961,103 @@ object Fsck {
         .localCheckpoint(true)
     }
   }
+
+  /** Audit the COMMIT-PROTOCOL estate itself (round 18) — the metadata
+    * the per-artifact audits above trust: the manifest, the committed
+    * snapshot and its append-delta shard chains, every pinned file's
+    * physical resolvability, and the protocol's transient surfaces
+    * (generation claims, table writer locks, maintenance markers,
+    * delete-intent markers). Violations (kind, n):
+    *
+    *   - `estate_no_manifest` — not a committed estate root (legacy or
+    *     a typo'd path); nothing else is auditable.
+    *   - `estate_manifest_torn` — manifest present but unterminated or
+    *     unparseable (only reachable mid-commit or by damage; readers
+    *     already reject it).
+    *   - `estate_snapshot_unreadable` — the head generation's snapshot
+    *     index or one of its shard CHAINS fails to resolve: pinned
+    *     reads of the head fall back or fail, and a GC that deleted a
+    *     chain base some retained index still references lands here.
+    *   - `estate_missing_pinned_file` — a file the head snapshot lists
+    *     exists neither live, nor in its version's retired dir, nor in
+    *     an ingest-swap bak: the worst corruption class (a pinned read
+    *     of the CURRENT committed state would fail). Count = files.
+    *   - `estate_stale_claim` / `estate_stale_lock` — a generation
+    *     claim / table writer lock older than its lease: a writer
+    *     process died holding it (the next writer steals it, but the
+    *     audit surfaces the death).
+    *   - `estate_stranded_marker`, `estate_standing_delete_intent` —
+    *     the per-artifact audits' checks, repeated here so ONE call
+    *     audits the whole protocol surface.
+    *
+    * Cost: O(snapshot files) existence checks plus a handful of
+    * directory listings — maintenance-window priced, like every full
+    * fsck; the resolution walk IS the audit.
+    */
+  def estateFsck(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val now = System.currentTimeMillis()
+    val mPath = new org.apache.hadoop.fs.Path(root, StableRead.ManifestName)
+    if (!fs.exists(mPath)) out += (("estate_no_manifest", 1L))
+    else {
+      val gen = StableRead.manifestGeneration(spark, root)
+      if (gen.isEmpty) out += (("estate_manifest_torn", 1L))
+      else StableRead.readSnapshot(spark, root) match {
+        case None => out += (("estate_snapshot_unreadable", 1L))
+        case Some(snap) =>
+          var missing = 0L
+          snap.tables.foreach { case (t, ts) =>
+            if (ts.files.nonEmpty) {
+              val retired = StableRead.retiredDirOf(root, t, ts.lastRewriteGen)
+              // swap-bak siblings resolve pinned reads mid-ingest; the
+              // audit honors the same resolution order
+              val baks = fs.listStatus(rootP).toSeq
+                .filter(st => st.isDirectory &&
+                  st.getPath.getName.startsWith(s"${t}_") &&
+                  st.getPath.getName.endsWith("_bak"))
+                .map(_.getPath)
+              ts.files.foreach { f =>
+                val found =
+                  fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/$f")) ||
+                    fs.exists(new org.apache.hadoop.fs.Path(retired, f)) ||
+                    baks.exists(b => fs.exists(
+                      new org.apache.hadoop.fs.Path(b, f)))
+                if (!found) missing += 1
+              }
+            }
+          }
+          if (missing > 0) out += (("estate_missing_pinned_file", missing))
+      }
+      val snapDir = new org.apache.hadoop.fs.Path(
+        root, StableRead.SnapshotsDirName)
+      if (fs.exists(snapDir)) {
+        val staleClaims = fs.listStatus(snapDir)
+          .count(st => st.getPath.getName.endsWith(".claim") &&
+            now - st.getModificationTime >= StableRead.claimLeaseMs)
+        if (staleClaims > 0)
+          out += (("estate_stale_claim", staleClaims.toLong))
+      }
+      val lockDir = new org.apache.hadoop.fs.Path(s"$root/_locks")
+      if (fs.exists(lockDir)) {
+        val staleLocks = fs.listStatus(lockDir)
+          .count(st => st.getPath.getName.endsWith(".lock") &&
+            now - st.getModificationTime >= StableRead.tableLockLeaseMs)
+        if (staleLocks > 0)
+          out += (("estate_stale_lock", staleLocks.toLong))
+      }
+      if (StableRead.markerPresent(spark, Seq(root)))
+        out += (("estate_stranded_marker", 1L))
+      val intents = fs.listStatus(rootP)
+        .count(st => st.isDirectory &&
+          !StableRead.isTransientName(st.getPath.getName) &&
+          fs.exists(new org.apache.hadoop.fs.Path(
+            st.getPath, graft.sinks.Sinks.DeleteIntentName)))
+      if (intents > 0)
+        out += (("estate_standing_delete_intent", intents.toLong))
+    }
+    out.toSeq.toDF("kind", "n").localCheckpoint(true)
+  }
 }

@@ -3261,6 +3261,80 @@ object Curation {
         .orderBy(col("kind"), col("v"))
     }),
 
+    // COMMIT-PROTOCOL estate audit under the driver's oracle (round 18;
+    // EstateFsckSpec is the spec twin with the full per-class plants):
+    // Fsck.estateFsck audits the metadata every per-artifact audit
+    // TRUSTS — manifest, committed snapshot + append-delta shard
+    // chains, every pinned file's physical resolvability, stale
+    // claims/locks, stranded markers, standing delete intents. The
+    // gate audits a lived-in IVF estate (build -> ingest chains ->
+    // compact + retention GC) plus the standing bm25 base, expecting
+    // EMPTY; non-vacuity teeth inside: a planted lease-expired claim
+    // and a severed chain base must each be caught by name (then
+    // restored).
+    "q204_estate_fsck" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val ivf = s"${java.nio.file.Files
+        .createTempDirectory("graft-q204").toString}/ivf"
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .localCheckpoint(true)
+      Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "vec",
+        nlist = 4, ivf)
+      (0 until 2).foreach(b => Similarity.ivfIngestBatch(ivf,
+        emb.filter(col("vec_id") % 4 === (2 * b + 1)), "vec_id", "vec",
+        b.toLong))
+      Similarity.ivfCompact(spark, ivf, gcKeepGenerations = Some(2))
+      Similarity.ivfIngestBatch(ivf,
+        emb.filter(col("vec_id") % 8 === 0)
+          .select((col("vec_id") + 900000L).as("vec_id"), col("vec")),
+        "vec_id", "vec", 2L) // a live delta chain at the head
+      def kindsOf(p: String): Set[String] = graft.operators.Fsck
+        .estateFsck(spark, p).collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(ivf)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // teeth 1: a lease-expired claim is caught, then cleared
+      val claim = new org.apache.hadoop.fs.Path(
+        s"$ivf/${graft.operators.StableRead.SnapshotsDirName}/g99.claim")
+      fs.create(claim, true).close()
+      fs.setTimes(claim, System.currentTimeMillis() - 3600000L, -1)
+      require(kindsOf(ivf).contains("estate_stale_claim"),
+        "q204: planted stale claim not caught")
+      fs.delete(claim, false)
+      // teeth 2: sever the head delta shard's chain base, catch, restore
+      val head = graft.operators.StableRead
+        .manifestGeneration(spark, ivf).get
+      val snapDir = s"$ivf/${graft.operators.StableRead.SnapshotsDirName}"
+      val headShard = new org.apache.hadoop.fs.Path(
+        s"$snapDir/g$head.corpus")
+      val headLine = {
+        val in = fs.open(headShard)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.linesIterator.next()
+        finally in.close()
+      }
+      require(headLine.startsWith("3|"),
+        s"q204: head corpus shard is not a delta ($headLine)")
+      val base = new org.apache.hadoop.fs.Path(
+        s"$snapDir/g${headLine.split('|')(3)}.corpus")
+      val saved = {
+        val in = fs.open(base)
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      }
+      require(fs.delete(base, false))
+      require(kindsOf(ivf).contains("estate_snapshot_unreadable"),
+        "q204: severed chain not caught")
+      val outb = fs.create(base, true); outb.write(saved); outb.close()
+      // the audited relation: both estates clean == the empty oracle
+      graft.operators.Fsck.estateFsck(s, ivf)
+        .unionByName(graft.operators.Fsck
+          .estateFsck(s, bm25BaseAppended(s, dir)))
+        .orderBy(col("kind"), col("n"))
+    }),
+
     // TIME TRAVEL under the driver's oracle (round 18 — pinnedAt /
     // readSnapshotAt were spec-only): build a bm25 index over
     // doc_id % 3 = 0, append doc_id % 3 = 1 and capture THAT

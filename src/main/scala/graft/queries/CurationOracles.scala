@@ -3519,6 +3519,12 @@ object CurationOracles {
                CAST((SELECT count(*) FROM d WHERE doc_id % 20 = 0)
                  + (SELECT count(*) FROM d) AS BIGINT))
            SELECT kind, v FROM rows_out ORDER BY kind, v""",
+      // q204: the commit-protocol estate audit over two lived-in
+      // estates is expected EMPTY (per-class plants are drilled by
+      // requires inside the gate and in EstateFsckSpec).
+      "q204_estate_fsck" ->
+        """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+           WHERE false""",
       // q202: the pinned (time-travel) probe must equal the BM25
       // relation over EXACTLY the pre-delete corpus state — base
       // (0 mod 3) plus the appended batch (1 mod 3), no deletions.
