@@ -864,7 +864,12 @@ object StableRead {
             Some(SnapEntry(t, lrg, gen))
         }
       }
-    val sb = new StringBuilder(s"2|$gen\n")
+    // header carries the commit wall-clock epoch-ms: what
+    // [[readSnapshotAsOf]] resolves timestamp-addressed time travel
+    // against (the Iceberg/Delta `AS OF <timestamp>` surface); parsers
+    // read fields positionally, so pre-round-18 two-field headers
+    // stay readable (their ts reads as absent)
+    val sb = new StringBuilder(s"2|$gen|${System.currentTimeMillis()}\n")
     entries.foreach(e => sb.append(s"S|${e.table}|${e.lrg}|${e.srcGen}\n"))
     // the commit's mutation record — what a LATER concurrent committer
     // intersects its own touched set against ([[commitManifest]] step
@@ -1010,6 +1015,51 @@ object StableRead {
     val p = new org.apache.hadoop.fs.Path(path)
     readSnapshotGen(
       p.getFileSystem(spark.sessionState.newHadoopConf()), path, gen)
+  }
+
+  /** Commit wall-clock (epoch ms) of generation `gen` — from its
+    * snapshot index header. None for expired generations or indexes
+    * written before the timestamp field existed. */
+  def snapshotCommitTime(
+      spark: SparkSession, path: String, gen: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$path/$SnapshotsDirName/g$gen")
+    readShardHead(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p) match {
+      case Some(h) if h.startsWith("2|") =>
+        val parts = h.split('|')
+        if (parts.length >= 3) scala.util.Try(parts(2).toLong).toOption
+        else None
+      case _ => None
+    }
+  }
+
+  /** Timestamp-addressed time travel — the `AS OF <timestamp>` user
+    * surface over [[pinnedAt]]: the newest RETAINED generation whose
+    * commit landed at or before `tsMs` (commit times come from the
+    * snapshot index headers, so resolution never lists data files).
+    * None when no retained generation is old enough — a horizon the
+    * caller must treat as GC'd history, exactly like an expired
+    * [[readSnapshotAt]] pin. Orphan indexes beyond the committed head
+    * (a crashed commit's debris) never resolve.
+    */
+  def readSnapshotAsOf(
+      spark: SparkSession, path: String, tsMs: Long): Option[RootSnapshot] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = readManifestGen(fs, path).getOrElse(return None)
+    val snapDir = new org.apache.hadoop.fs.Path(s"$path/$SnapshotsDirName")
+    if (!fs.exists(snapDir)) return None
+    val candidate = fs.listStatus(snapDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("g") && !n.contains('.'))
+      .flatMap(n => scala.util.Try(n.stripPrefix("g").toLong).toOption)
+      .filter(_ <= head)
+      .flatMap(g => snapshotCommitTime(spark, path, g).map(g -> _))
+      .filter(_._2 <= tsMs)
+      .sortBy(_._1)
+      .lastOption
+    candidate.flatMap { case (g, _) => readSnapshotGen(fs, path, g) }
   }
 
   /** The generation `table`'s current directory version was created —

@@ -352,4 +352,44 @@ class StableReadManifestSpec extends SparkSpec {
       Retrieval.bm25TopKIndexed(dir, q, 5)
     }).nonEmpty)
   }
+
+  test("timestamp-addressed time travel resolves the right generation") {
+    val dir = s"${tmpDir("manifest-asof")}/idx"
+    Retrieval.buildBm25Index(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text",
+      dir, buckets = 4)
+    Thread.sleep(30)
+    Retrieval.bm25Append(dir,
+      Seq((2L, "beta gamma")).toDF("doc_id", "text"), "doc_id", "text")
+    Thread.sleep(30)
+    Retrieval.bm25Compact(spark, dir)
+    val (g1, g2, g3) = (gen(dir) - 2, gen(dir) - 1, gen(dir))
+    val ts = Seq(g1, g2, g3).map(g =>
+      StableRead.snapshotCommitTime(spark, dir, g).getOrElse(
+        fail(s"no commit time for g$g")))
+    assert(ts == ts.sorted, "commit times must be monotone")
+    // between g2 and g3 -> g2; at/after g3 -> g3; before g1 -> None
+    assert(StableRead.readSnapshotAsOf(spark, dir, ts(1)).map(_.gen)
+      .contains(g2))
+    assert(StableRead.readSnapshotAsOf(spark, dir, (ts(1) + ts(2)) / 2)
+      .map(_.gen).contains(g2))
+    assert(StableRead.readSnapshotAsOf(spark, dir, ts(2) + 1000L)
+      .map(_.gen).contains(g3))
+    assert(StableRead.readSnapshotAsOf(spark, dir, ts(0) - 1L).isEmpty,
+      "a timestamp before the first retained commit must not resolve")
+    // the resolved snapshot probes exactly (doc 2 is IN at g2)
+    val q = Seq((1L, "gamma")).toDF("query_id", "query_text")
+      .localCheckpoint(true)
+    val snap = StableRead.readSnapshotAsOf(spark, dir, ts(1)).get
+    val rel = StableRead.pinnedAt(spark, Seq(snap)) {
+      Retrieval.bm25TopKIndexed(dir, q, 5)
+    }
+    assert(rel.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(2L))
+    StableRead.release(rel)
+    // past the GC horizon the timestamp stops resolving, loudly-absent
+    StableRead.gc(spark, dir, keepGenerations = 1)
+    assert(StableRead.readSnapshotAsOf(spark, dir, ts(1)).isEmpty,
+      "an expired generation must not resolve by timestamp")
+  }
 }
