@@ -3363,6 +3363,14 @@ object Curation {
         .readSnapshot(spark, path)
         .getOrElse(throw new IllegalStateException(
           "q202: no committed snapshot after append"))
+      // the AS-OF-timestamp surface must resolve this same generation
+      // from its own commit instant (round-18 addendum 2)
+      require(graft.operators.StableRead.readSnapshotAsOf(spark, path,
+          graft.operators.StableRead.snapshotCommitTime(
+            spark, path, snapAppended.gen).getOrElse(
+            throw new IllegalStateException("q202: no commit time")))
+        .map(_.gen).contains(snapAppended.gen),
+        "q202: AS OF <timestamp> resolved a different generation")
       def probe() =
         Retrieval.bm25TopKIndexed(path, bm25Queries(s), 10)
       // doomed = every query's CURRENT top-1 doc: deleting them
