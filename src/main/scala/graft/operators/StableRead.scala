@@ -413,13 +413,78 @@ object StableRead {
 
   /** Lease (ms) on a generation claim: a `_snapshots/g<N>.claim` older
     * than this whose generation never committed is treated as a crashed
-    * writer's debris and STOLEN. The standard commit-lease assumption
-    * (Delta/Iceberg's): a claimant alive-but-stalled past its lease
-    * could double-write the generation's snapshot files — the lease is
-    * the estate's writer-liveness bound, sized far above any real
-    * commit's metadata-only critical section. Specs shorten it.
+    * writer's debris and STOLEN. Round 19: the lease is no longer a
+    * bound on the holder's COMMIT DURATION — a live holder HEARTBEATS
+    * its claim ([[heartbeatRegister]] refreshes the mtime on a cadence
+    * far inside the lease), so a commit legitimately exceeding the
+    * lease (a full-relist snapshot write on a large/slow estate) keeps
+    * its claim, and the lease only expires on real process death (the
+    * heartbeat dies with the process). The round-18 fixed lease let a
+    * stalled-but-live claimant be stolen mid-[[writeSnapshot]], after
+    * which two writers wrote the same generation's snapshot and
+    * manifest — a silently lost commit. Specs shorten it to drive the
+    * steal path with planted (never-heartbeated) debris.
     */
   @volatile private[graft] var claimLeaseMs: Long = 10000L
+
+  /** Cadence of the lease heartbeat — must sit well inside the
+    * SHORTEST spec-shortened lease (250 ms), so a live holder's
+    * claim/lock is always fresher than any lease check.
+    */
+  private val HeartbeatMs = 75L
+
+  /** Claim/lock files currently held by LIVE writers in this JVM,
+    * refreshed by the single daemon heartbeat thread. A file that
+    * vanishes mid-touch (released concurrently, or stolen despite the
+    * heartbeat) is dropped silently — the holder detects loss at its
+    * own fence check, not here.
+    */
+  private val heartbeatFiles =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]()
+
+  private lazy val heartbeatExec = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true)
+        t
+      })
+    ex.scheduleWithFixedDelay(
+      () => heartbeatFiles.forEach { (_, v) =>
+        try v._1.setTimes(v._2, System.currentTimeMillis(), -1)
+        catch { case _: Throwable => () }
+      },
+      HeartbeatMs, HeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
+  private[graft] def heartbeatRegister(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    heartbeatExec // force the daemon up
+    heartbeatFiles.put(p.toString, (fs, p))
+  }
+
+  private[graft] def heartbeatUnregister(p: org.apache.hadoop.fs.Path): Unit =
+    heartbeatFiles.remove(p.toString)
+
+  /** TOCTOU-safe lease steal: delete `p` only if it is still the exact
+    * incarnation observed expired (same mtime) — a heartbeat (live
+    * holder) or a fresh re-create (new claimant after the old one
+    * released) between the expiry judgment and the delete changes the
+    * mtime, and deleting THAT file would steal a LIVE claim/lock.
+    * Returns true when the steal landed.
+    */
+  private[graft] def stealIfUnchanged(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      observedMtime: Long): Boolean =
+    claimLock.synchronized {
+      scala.util.Try(fs.getFileStatus(p)).toOption
+        .exists(_.getModificationTime == observedMtime) &&
+        fs.delete(p, false)
+    }
 
   /** In-JVM guard making the claim's create-exclusive atomic between
     * threads (RawLocalFileSystem's exists+create window); cross-process
@@ -456,7 +521,11 @@ object StableRead {
       if (st.isEmpty) return // released or committed-and-cleaned
       if (System.currentTimeMillis() - st.get.getModificationTime >=
         claimLeaseMs) {
-        fs.delete(p, false) // lease expired: steal the crashed claim
+        // lease expired with no heartbeat: a DEAD claimant's debris.
+        // TOCTOU-safe ([[stealIfUnchanged]]): only the observed
+        // incarnation is deleted — a freshly re-created claim at the
+        // same path belongs to a live writer and stays
+        stealIfUnchanged(fs, p, st.get.getModificationTime)
         return
       }
       Thread.sleep(20L)
@@ -467,7 +536,12 @@ object StableRead {
     * Longer than [[claimLeaseMs]] because it brackets a DATA rewrite
     * (a compact's full table pass), not a metadata-only commit; an
     * in-JVM holder always releases in `finally`, so the lease only
-    * gates stealing a KILLED process's debris.
+    * gates stealing a KILLED process's debris. Round 19: holders
+    * HEARTBEAT their lock files ([[heartbeatRegister]]) — a
+    * cross-process compaction legitimately spending longer than the
+    * lease in its full-table rewrite (normal at the 100x tier) keeps
+    * its lock; the lease expires only when the holding process dies
+    * and its heartbeat stops.
     */
   @volatile private[graft] var tableLockLeaseMs: Long = 60000L
 
@@ -520,14 +594,25 @@ object StableRead {
             try { fs.create(p, false).close(); true }
             catch { case _: java.io.IOException => false }
           }
-          if (ok) { jvmHeldLocks.add(key); held += key; acquired += p }
+          if (ok) {
+            jvmHeldLocks.add(key); held += key; acquired += p
+            // live holders heartbeat: the lease only expires on real
+            // process death, never on a long table rewrite
+            heartbeatRegister(fs, p)
+          }
           else if (!jvmHeldLocks.contains(key)) {
-            // no live in-JVM holder: a killed process's debris (or a
-            // foreign process's live lock) — steal only past the lease
+            // no live in-JVM holder: a killed process's debris (its
+            // heartbeat died with it) — steal only past the lease; a
+            // foreign LIVE process's lock stays fresh via its own
+            // heartbeat and is never stolen
             scala.util.Try(fs.getFileStatus(p)).toOption match {
               case Some(st) if System.currentTimeMillis() -
                 st.getModificationTime >= tableLockLeaseMs =>
-                fs.delete(p, false)
+                // TOCTOU-safe: only the observed incarnation is
+                // deleted ([[stealIfUnchanged]]) — a heartbeat or a
+                // fresh re-create between stat and delete means the
+                // holder is live (or a new holder claimed)
+                stealIfUnchanged(fs, p, st.getModificationTime)
               case Some(_) => Thread.sleep(20L)
               case None => () // vanished: retry the create immediately
             }
@@ -536,6 +621,7 @@ object StableRead {
       }
       body
     } finally acquired.foreach { p =>
+      heartbeatUnregister(p)
       fs.delete(p, false)
       jvmHeldLocks.remove(p.toString)
       held -= p.toString
@@ -556,18 +642,24 @@ object StableRead {
     }.toSet
 
   /** The tables generation `gen`'s commit mutated — its `W|` records.
-    * Pre-round-18 generations carry none and read as empty (within a
-    * session that simply means no concurrent-writer history to check).
+    * Pre-round-18 generations carry none and read as Some(empty)
+    * (within a session that simply means no concurrent-writer history
+    * to check). None = the index file is GONE or torn — which for a
+    * generation at or below the committed head means the GC expired it
+    * while a writer's bracket was still open: the overlap history is
+    * unrecoverable, and the conflict check must FAIL the commit rather
+    * than silently rebase over a possibly-overlapping commit (the
+    * round-18 empty-read did exactly that).
     */
   private def readTouchedOfGen(
       fs: org.apache.hadoop.fs.FileSystem,
-      path: String, gen: Long): Set[String] =
+      path: String, gen: Long): Option[Set[String]] =
     readManifest(fs, new org.apache.hadoop.fs.Path(
       s"$path/$SnapshotsDirName/g$gen")) match {
       case Some(c) if c.split('\n').lastOption.contains("#END") =>
-        c.split('\n').iterator.filter(_.startsWith("W|"))
-          .map(_.substring(2)).toSet
-      case _ => Set.empty
+        Some(c.split('\n').iterator.filter(_.startsWith("W|"))
+          .map(_.substring(2)).toSet)
+      case _ => None
     }
 
   /** Commit the next manifest generation for `path` — the multi-writer
@@ -613,20 +705,46 @@ object StableRead {
     val myTouched = peekNotes(path)
     while (true) {
       val head = readManifestGen(fs, path).getOrElse(0L)
-      var g = startGen + 1
+      // a writer that mutated no table (a pure GC commit, a no-op
+      // bracket) cannot overlap anything — skip the history walk, which
+      // also keeps it immune to the GC'd-history abort below
+      var g = if (myTouched.isEmpty) head + 1 else startGen + 1
       while (g <= head) {
-        val overlap = myTouched.intersect(readTouchedOfGen(fs, path, g))
-        if (overlap.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"estate commit conflict at $path: generation $g (committed " +
-              s"after this writer's bracket opened at g$startGen) already " +
-              s"mutated table(s) ${overlap.toSeq.sorted.mkString(", ")} " +
-              "that this writer also mutated — first committer wins; " +
-              "re-run this op against the new head")
+        readTouchedOfGen(fs, path, g) match {
+          case None =>
+            // the generation's snapshot index is gone: GC outran this
+            // open bracket and expired part of the overlap history —
+            // rebasing blindly could silently override an overlapping
+            // commit, so fail loudly (the op's contract-mandated re-run
+            // opens a fresh bracket at the current head)
+            throw new java.util.ConcurrentModificationException(
+              s"estate commit conflict check at $path: generation $g " +
+                s"(committed after this writer's bracket opened at " +
+                s"g$startGen) has no readable snapshot index — the GC " +
+                "expired it under this open bracket, so the overlap " +
+                "history is unrecoverable; re-run this op against the " +
+                "new head")
+          case Some(touchedOfG) =>
+            val overlap = myTouched.intersect(touchedOfG)
+            if (overlap.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"estate commit conflict at $path: generation $g (committed " +
+                  s"after this writer's bracket opened at g$startGen) already " +
+                  s"mutated table(s) ${overlap.toSeq.sorted.mkString(", ")} " +
+                  "that this writer also mutated — first committer wins; " +
+                  "re-run this op against the new head")
+        }
         g += 1
       }
       val gen = head + 1
       if (tryClaim(fs, path, gen, token)) {
+        // the holder heartbeats its claim for as long as it works under
+        // it — the lease only expires on real process death, never on a
+        // long snapshot write (the round-18 fixed lease stole LIVE
+        // claimants mid-[[writeSnapshot]] and lost a commit)
+        val cp = claimPath(path, gen)
+        heartbeatRegister(fs, cp)
+        var stolen = false
         try {
           // re-verify under the claim: a claim acquired for an
           // already-committed generation (its winner committed and
@@ -637,18 +755,29 @@ object StableRead {
             // an orphan snapshot the re-run overwrites — never a
             // dangling manifest)
             writeSnapshot(fs, path, gen)
-            val tmp =
-              new org.apache.hadoop.fs.Path(s"$path/$ManifestName.tmp")
-            val out = fs.create(tmp, true)
-            out.write(
-              s"$gen|${java.util.UUID.randomUUID()}|#".getBytes("UTF-8"))
-            out.close()
-            if (fs.exists(cur)) fs.delete(cur, false)
-            require(fs.rename(tmp, cur),
-              s"commitManifest: rename $tmp -> $cur failed")
-            return
+            // FENCE before the commit point: if the claim was stolen
+            // despite the heartbeat (heartbeat thread death, extreme
+            // clock skew), another writer may be writing this very
+            // generation — back off to the CAS loop instead of racing
+            // the manifest rename. The stolen claim (or its successor)
+            // is not ours to release.
+            if (readManifest(fs, cp).contains(token)) {
+              val tmp =
+                new org.apache.hadoop.fs.Path(s"$path/$ManifestName.tmp")
+              val out = fs.create(tmp, true)
+              out.write(
+                s"$gen|${java.util.UUID.randomUUID()}|#".getBytes("UTF-8"))
+              out.close()
+              if (fs.exists(cur)) fs.delete(cur, false)
+              require(fs.rename(tmp, cur),
+                s"commitManifest: rename $tmp -> $cur failed")
+              return
+            } else stolen = true
           }
-        } finally fs.delete(claimPath(path, gen), false)
+        } finally {
+          heartbeatUnregister(cp)
+          if (!stolen) fs.delete(cp, false)
+        }
       } else awaitClaimRelease(fs, path, gen)
     }
   }
@@ -833,7 +962,22 @@ object StableRead {
           // lists nor serializes a single data file)
           case Some(p) if !touched.contains(t) && !appended.contains(t) =>
             Some(p)
-          case None if !touched.contains(t) && foreignTouched.contains(t) =>
+          case None if !touched.contains(t) && !appended.contains(t) &&
+              (foreignTouched.contains(t) || {
+                // cross-PROCESS in-flight creation: the in-JVM note
+                // visibility above cannot see it, but every ingest-class
+                // writer holds the table's lease lock while landing —
+                // a lock this JVM does not hold on a table we have no
+                // prior entry for is a foreign writer mid-creation, and
+                // publishing its half-landed listing in OUR snapshot
+                // would hand pinned readers a torn relation. (A foreign
+                // creator NOT using table locks remains unprotected —
+                // cross-process concurrent writers outside the lock
+                // discipline require disjoint roots.)
+                val lock = new org.apache.hadoop.fs.Path(
+                  s"$path/_locks/$t.lock")
+                fs.exists(lock) && !jvmHeldLocks.contains(lock.toString)
+              }) =>
             None // a concurrent writer's in-flight creation: not ours
           case Some(p) if !touched.contains(t) && appended.contains(t) &&
               shardChainLen(fs, path, p.srcGen, t) < MaxShardChain =>
@@ -1150,6 +1294,95 @@ object StableRead {
     require(fs.rename(tmp, dst),
       s"swapRetire: rename $tmp -> $dst failed")
     noteSwapped(root, table)
+  }
+
+  /** Sidecar file inside an ingest swap's `_bak` dir recording the
+    * table version (lastRewriteGen) whose retired dir the bak must
+    * merge into once the batch's estate COMMIT lands. Written at swap
+    * time — while the pre-swap version is still the committed one —
+    * because by the time the bak retires (strictly AFTER the commit,
+    * round 19) the live lrg has already bumped to the new generation,
+    * and merging into THAT retired dir would hide the files from every
+    * reader pinned at the pre-swap generations. Underscore-prefixed so
+    * data listings ([[listFilesRel]], parquet scans) ignore it.
+    */
+  private val RetireToName = "_retire_to"
+
+  /** Stamp the retire destination into a just-created ingest swap
+    * backup — call immediately after the `cur -> bak` rename, before
+    * the new table renames in (so the lrg read here is still the
+    * committed pre-swap version's).
+    */
+  private[graft] def stampRetireTo(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, table: String, tag: String): Unit = {
+    if (!manifestManaged(fs, new org.apache.hadoop.fs.Path(root))) return
+    val bak = new org.apache.hadoop.fs.Path(s"$root/${table}_${tag}_bak")
+    atomicWrite(fs, bak, RetireToName,
+      s"${currentLrgFs(fs, root, table)}\n")
+  }
+
+  /** Retire a COMMITTED ingest swap's backup dir — the round-19
+    * DEFERRED form of the ingest protocol's backup cleanup. The bak now
+    * stays in place (still restorable verbatim) until the batch's
+    * estate commit lands; retiring it BEFORE the commit (round 18) made
+    * the commit-conflict compensation non-convergent — by the time
+    * [[commitManifest]] threw, the pre-batch tables were gone, so the
+    * mandated re-delivery re-applied the batch against the
+    * already-swapped tables and double-counted stats/df. Until the bak
+    * retires, snapshot-pinned readers resolve its files through
+    * [[readTable]]'s `<table>_*_bak` sibling scan, so serving is
+    * unaffected by the deferral.
+    *
+    * Also the recovery form: a re-delivery (or a maintenance guard)
+    * finding a bak beside a standing batch marker finishes exactly this
+    * step. Destination comes from the [[stampRetireTo]] sidecar; a
+    * recorded version still EQUAL to the live lrg means the swap's
+    * estate commit never landed (crash between the batch marker and the
+    * manifest commit), so the caller's open bracket must re-record the
+    * swap — this notes it. A bumped lrg means the commit landed, and
+    * noting again would wrongly re-bump (shifting where FUTURE retires
+    * of the live version go — stranding pinned readers), so it stays
+    * silent. Legacy baks without a sidecar fall back to the live lrg
+    * (the pre-round-19 behavior, correct exactly in the not-committed
+    * case that was then the only reachable one).
+    */
+  private[graft] def retireIngestBak(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, table: String, tag: String): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(s"$root/${table}_${tag}_bak")
+    if (!fs.exists(bak)) return
+    if (!manifestManaged(fs, new org.apache.hadoop.fs.Path(root))) {
+      require(fs.delete(bak, true), s"retireIngestBak: cannot drop $bak")
+      return
+    }
+    val sidecar = new org.apache.hadoop.fs.Path(bak, RetireToName)
+    val recorded = readManifest(fs, sidecar)
+      .flatMap(c => scala.util.Try(c.trim.toLong).toOption)
+    val curLrg = currentLrgFs(fs, root, table)
+    if (recorded.forall(_ == curLrg)) noteSwapped(root, table)
+    fs.delete(sidecar, false)
+    mergeMove(fs, bak, retiredDirOf(root, table, recorded.getOrElse(curLrg)))
+  }
+
+  /** Restore a NOT-yet-committed ingest swap from its backup — the
+    * crash-recovery / commit-conflict-compensation inverse of the swap:
+    * the live table (the batch's uncommitted new version, referenced by
+    * no snapshot) drops, the bak (the pre-batch COMMITTED version)
+    * renames back in. Returns true when a bak existed.
+    */
+  private[graft] def restoreIngestBak(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, table: String, tag: String): Boolean = {
+    val bak = new org.apache.hadoop.fs.Path(s"$root/${table}_${tag}_bak")
+    if (!fs.exists(bak)) return false
+    fs.delete(new org.apache.hadoop.fs.Path(bak, RetireToName), false)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$table")
+    if (fs.exists(cur))
+      require(fs.delete(cur, true), s"restoreIngestBak: cannot drop $cur")
+    require(fs.rename(bak, cur), s"restoreIngestBak: restore $bak failed")
+    noteTouched(root, table)
+    true
   }
 
   /** Retire selected PARTITION directories of a live table (the
