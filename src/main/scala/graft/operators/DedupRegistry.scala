@@ -216,24 +216,38 @@ object DedupRegistry {
     // could otherwise validate inside
     // writer locks on the landed/swapped tables: a concurrent
     // compaction must not interleave (IngestConflictSpec)
-    try StableRead.withTableLocks(docs.sparkSession, path,
+    val fsc = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    StableRead.withTableLocks(docs.sparkSession, path,
       Seq("corpus", "stats")) {
-      StableRead.withMaintenanceMarker(docs.sparkSession, path) {
-        ingestApply(path, docs, idCol, textCol, batchId)
+      // compensation must run UNDER the table locks: a maintenance op
+      // slipping between lock release and the restore would see a
+      // committed-looking bak (the marker still stands) and retire it,
+      // re-opening the double-apply this fixes
+      try {
+        StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+          ingestApply(path, docs, idCol, textCol, batchId)
+        }
+        // the estate commit LANDED: only now may the pre-batch stats
+        // retire — until here they stay restorable verbatim for the
+        // conflict compensation (pinned readers resolve the bak through
+        // readTable's sibling scan meanwhile)
+        StableRead.retireIngestBak(fsc, path, "stats", s"b$batchId")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // commit lost a multi-writer race AFTER the apply: restore
+          // the pre-batch stats from the still-standing bak (round 18
+          // retired it pre-commit, so the mandated re-run re-applied
+          // against post-swap stats and double-counted n_docs/n_dropped),
+          // un-commit the exactly-once marker so the re-run re-applies,
+          // and re-create the staging dir as the recovery breadcrumb
+          StableRead.restoreIngestBak(fsc, path, "stats", s"b$batchId")
+          fsc.delete(new org.apache.hadoop.fs.Path(
+            s"$path/ingestlog/b$batchId"), false)
+          fsc.mkdirs(new org.apache.hadoop.fs.Path(
+            s"$path/_ingest_b${batchId}_tmp"))
+          throw e
       }
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        // commit lost a multi-writer race AFTER the apply: un-commit
-        // the exactly-once marker so the mandated re-run re-applies
-        // instead of skipping, and re-create the staging dir as the
-        // recovery breadcrumb (the ivfIngestBatch compensation)
-        val fsc = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-        fsc.delete(new org.apache.hadoop.fs.Path(
-          s"$path/ingestlog/b$batchId"), false)
-        fsc.mkdirs(new org.apache.hadoop.fs.Path(
-          s"$path/_ingest_b${batchId}_tmp"))
-        throw e
     }
   }
 
@@ -249,39 +263,18 @@ object DedupRegistry {
     val tag = s"b$batchId"
     def sub(rel: String) = new org.apache.hadoop.fs.Path(s"$path/$rel")
     val marker = sub(s"ingestlog/$tag")
-    def dropBak(): Unit = {
-      val bak = sub(s"stats_${tag}_bak")
-      if (fs.exists(bak)) {
-        // pre-ingest committed stats: retire on manifest-managed roots
-        // (pinned readers resolve them there), drop on legacy roots
-        if (StableRead.manifestManaged(
-            fs, new org.apache.hadoop.fs.Path(path))) {
-          StableRead.mergeMove(fs, bak, StableRead.retiredDirOf(
-            path, "stats", StableRead.currentTableVersion(fs, path, "stats")))
-          StableRead.noteSwapped(path, "stats")
-        } else require(fs.delete(bak, true),
-          s"DedupRegistry.ingestBatch: cannot drop $bak")
-      }
-    }
     if (fs.exists(marker)) {
-      // post-commit re-delivery: the apply completed; only the backup
-      // cleanup may have been interrupted — finish it and skip whole
-      dropBak()
+      // post-commit re-delivery: the apply completed; only the deferred
+      // backup retirement may have been interrupted — finish it and
+      // skip whole (retireIngestBak reads the swap-time sidecar and
+      // re-notes the swap iff the batch's estate commit never landed)
+      StableRead.retireIngestBak(fs, path, "stats", tag)
       return
     }
     // ---- recovery: erase whatever a crashed attempt of THIS id left ----
     locally {
-      val bak = sub(s"stats_${tag}_bak")
+      StableRead.restoreIngestBak(fs, path, "stats", tag)
       val nw = sub(s"stats_${tag}_new")
-      if (fs.exists(bak)) {
-        val cur = sub("stats")
-        if (fs.exists(cur))
-          require(fs.delete(cur, true),
-            s"DedupRegistry.ingestBatch: cannot drop $cur")
-        require(fs.rename(bak, cur),
-          s"DedupRegistry.ingestBatch: restore $bak failed")
-        StableRead.noteTouched(path, "stats")
-      }
       if (fs.exists(nw))
         require(fs.delete(nw, true),
           s"DedupRegistry.ingestBatch: cannot drop $nw")
@@ -365,11 +358,15 @@ object DedupRegistry {
       move = true)
     require(fs.rename(sub("stats"), sub(s"stats_${tag}_bak")),
       s"DedupRegistry.ingestBatch: stats backup rename failed")
+    // retire destination stamped now (pre-swap version still committed);
+    // the physical retirement is DEFERRED until the estate commit lands
+    // ([[ingestBatch]]'s tail) so the conflict compensation can restore
+    // the pre-batch stats verbatim
+    StableRead.stampRetireTo(fs, path, "stats", tag)
     require(fs.rename(sub(s"stats_${tag}_new"), sub("stats")),
       s"DedupRegistry.ingestBatch: stats swap rename failed")
-    StableRead.noteTouched(path, "stats") // dropBak notes the retire too
+    StableRead.noteSwapped(path, "stats")
     commitMarker()
-    dropBak()
     fs.delete(tmpRoot, true)
   }
 

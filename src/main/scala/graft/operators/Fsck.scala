@@ -142,10 +142,18 @@ object Fsck {
           Seq("id"), "left")
         .filter(coalesce(col("s"), lit(0L)) =!= col("dl")),
         "bm25_doclen_tf_mismatch")
-      val dfRecomputed = postings.groupBy(col("term"))
+      // terms is an append-delta table (round 19): a term's df is the
+      // SUM of its rows (build/compact rows + one per append batch),
+      // and probes read only the term's own hash bucket — so the audit
+      // recomputes at (term, bucket) grain, the exact merge-on-read the
+      // probes run. A misbucketed delta row can therefore never cancel
+      // a same-term count drift in the real bucket (they would fold
+      // together under a term-only sum).
+      val dfRecomputed = postings.groupBy(col("term"), col("bucket"))
         .agg(count(lit(1)).as("df2")) // (id, term) unique -> count == df
       val dfMismatch = cnt(terms
-        .join(dfRecomputed, Seq("term"), "full_outer")
+        .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+        .join(dfRecomputed, Seq("term", "bucket"), "full_outer")
         .filter(coalesce(col("df"), lit(-1L)) =!= coalesce(col("df2"), lit(-1L))),
         "bm25_df_mismatch")
       val bucketOf = pmod(xxhash64(col("term")), lit(buckets))
@@ -299,7 +307,9 @@ object Fsck {
         val badTf = cnt(postings.filter(col("tf") < 1), "bm25_nonpositive_tf")
         val dfRecomputed = postings.groupBy(col("term"), col("bucket"))
           .agg(count(lit(1)).as("df2"))
+        // merge-on-read df (the round-19 append-delta terms contract)
         val dfMismatch = cnt(terms
+          .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
           .join(dfRecomputed, Seq("term", "bucket"), "full_outer")
           .filter(coalesce(col("df"), lit(-1L)) =!= coalesce(col("df2"), lit(-1L))),
           "bm25_df_mismatch")

@@ -272,24 +272,34 @@ object NearDupRegistry {
     // StableRead probe could otherwise validate inside
     // writer locks on the landed/swapped tables: a concurrent
     // compaction must not interleave (IngestConflictSpec)
-    try StableRead.withTableLocks(docs.sparkSession, path,
+    val fsc = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    StableRead.withTableLocks(docs.sparkSession, path,
       Seq("bands", "corpus", "stats")) {
-      StableRead.withMaintenanceMarker(docs.sparkSession, path) {
-        ingestApply(path, docs, idCol, textCol, batchId)
+      // compensation must run UNDER the table locks (the
+      // bm25IngestBatch rationale: a maintenance op slipping in between
+      // lock release and the restore would retire the bak this restore
+      // needs)
+      try {
+        StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+          ingestApply(path, docs, idCol, textCol, batchId)
+        }
+        // estate commit LANDED: only now may the pre-batch stats retire
+        StableRead.retireIngestBak(fsc, path, "stats", s"b$batchId")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // commit lost a multi-writer race AFTER the apply: restore
+          // the pre-batch stats verbatim (round 18 retired the bak
+          // pre-commit — the re-run then double-counted stats), un-commit
+          // the exactly-once marker so the re-run re-applies, re-create
+          // the staging breadcrumb
+          StableRead.restoreIngestBak(fsc, path, "stats", s"b$batchId")
+          fsc.delete(new org.apache.hadoop.fs.Path(
+            s"$path/ingestlog/b$batchId"), false)
+          fsc.mkdirs(new org.apache.hadoop.fs.Path(
+            s"$path/_ingest_b${batchId}_tmp"))
+          throw e
       }
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        // commit lost a multi-writer race AFTER the apply: un-commit
-        // the exactly-once marker so the mandated re-run re-applies
-        // instead of skipping, and re-create the staging dir as the
-        // recovery breadcrumb (the ivfIngestBatch compensation)
-        val fsc = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-        fsc.delete(new org.apache.hadoop.fs.Path(
-          s"$path/ingestlog/b$batchId"), false)
-        fsc.mkdirs(new org.apache.hadoop.fs.Path(
-          s"$path/_ingest_b${batchId}_tmp"))
-        throw e
     }
   }
 
@@ -305,34 +315,17 @@ object NearDupRegistry {
     val tag = s"b$batchId"
     def sub(rel: String) = new org.apache.hadoop.fs.Path(s"$path/$rel")
     val marker = sub(s"ingestlog/$tag")
-    def dropBak(): Unit = {
-      val bak = sub(s"stats_${tag}_bak")
-      if (fs.exists(bak)) {
-        // pre-ingest committed stats: retire on manifest-managed roots
-        // (pinned readers resolve them there), drop on legacy roots
-        if (StableRead.manifestManaged(
-            fs, new org.apache.hadoop.fs.Path(path))) {
-          StableRead.mergeMove(fs, bak, StableRead.retiredDirOf(
-            path, "stats", StableRead.currentTableVersion(fs, path, "stats")))
-          StableRead.noteSwapped(path, "stats")
-        } else require(fs.delete(bak, true),
-          s"NearDupRegistry.ingestBatch: cannot drop $bak")
-      }
+    if (fs.exists(marker)) {
+      // post-commit re-delivery: finish the deferred backup retirement
+      // (sidecar-addressed; re-notes the swap iff the batch's estate
+      // commit never landed) and skip whole
+      StableRead.retireIngestBak(fs, path, "stats", tag)
+      return
     }
-    if (fs.exists(marker)) { dropBak(); return }
     // ---- recovery ----
     locally {
-      val bak = sub(s"stats_${tag}_bak")
+      StableRead.restoreIngestBak(fs, path, "stats", tag)
       val nw = sub(s"stats_${tag}_new")
-      if (fs.exists(bak)) {
-        val cur = sub("stats")
-        if (fs.exists(cur))
-          require(fs.delete(cur, true),
-            s"NearDupRegistry.ingestBatch: cannot drop $cur")
-        require(fs.rename(bak, cur),
-          s"NearDupRegistry.ingestBatch: restore $bak failed")
-        StableRead.noteTouched(path, "stats")
-      }
       if (fs.exists(nw))
         require(fs.delete(nw, true),
           s"NearDupRegistry.ingestBatch: cannot drop $nw")
@@ -453,11 +446,13 @@ object NearDupRegistry {
       move = true)
     require(fs.rename(sub("stats"), sub(s"stats_${tag}_bak")),
       s"NearDupRegistry.ingestBatch: stats backup rename failed")
+    // retire destination stamped now; physical retirement DEFERRED to
+    // after the estate commit (the convergent-compensation contract)
+    StableRead.stampRetireTo(fs, path, "stats", tag)
     require(fs.rename(sub(s"stats_${tag}_new"), sub("stats")),
       s"NearDupRegistry.ingestBatch: stats swap rename failed")
-    StableRead.noteTouched(path, "stats") // dropBak notes the retire too
+    StableRead.noteSwapped(path, "stats")
     commitMarker()
-    dropBak()
     fs.delete(tmpRoot, true)
   }
 

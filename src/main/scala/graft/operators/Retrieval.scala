@@ -311,15 +311,23 @@ object Retrieval {
     * batch's postings cluster by the BUILD's bucket modulus (recovered
     * from the index stats, never trusted to a caller) and append as new
     * files in the existing bucket partitions; doclen rows append; the
-    * term df table — vocabulary-sized by construction — is the one
-    * merge rewrite (old df ∪ batch df, summed), eagerly materialized
-    * via localCheckpoint BEFORE the overwrite so the write cannot
-    * rescan the files it is replacing (the Dedup contraction-loop
-    * precedent); stats rewrites from observe()-carried scalars that the
-    * append writes fill for free. After append,
-    * [[bm25TopKIndexed]] scores the union corpus bit-identically to a
-    * from-scratch rebuild — q143 pins exactly that against q127's
-    * verbatim oracle.
+    * term df table appends the SAME way (round 19) — the batch's
+    * per-term df rows land as new files in the existing bucket
+    * partitions, and df is resolved by MERGE-ON-READ (probes sum df per
+    * term across rows; [[bm25Compact]] consolidates back to one row per
+    * term). Rounds <= 18 instead republished the FULL merged vocabulary
+    * table per append — O(global vocab) per batch, the one
+    * estate-proportional term left on the write path: on an
+    * open-vocabulary web corpus the vocabulary grows with the corpus,
+    * so at 100 TB every append (and every streamed micro-batch) paid a
+    * corpus-scale rewrite. The delta rows mirror the snapshot
+    * protocol's append-delta shards (the same LSM economics: O(batch)
+    * writes, read fan-in bounded by appends-since-compact,
+    * consolidation on maintenance windows). Stats rewrites from
+    * observe()-carried scalars that the append writes fill for free.
+    * After append, [[bm25TopKIndexed]] scores the union corpus
+    * bit-identically to a from-scratch rebuild — q143 pins exactly that
+    * against q127's verbatim oracle.
     */
   def bm25Append(
       path: String,
@@ -369,9 +377,15 @@ object Retrieval {
     require(batchDocs > 0,
       s"bm25Append: empty batch for index at $path — refusing the no-op " +
         "(df merge and stats rewrite would rescan the index for nothing)")
-    // doclen append and the df-merge materialization are independent once
-    // tf is cached — overlap their scheduler overhead (the build's shape)
-    var mergedTerms: DataFrame = null
+    // doclen, terms-delta, and stats are independent once tf is cached
+    // and the batch scalars are in hand — overlap their fixed per-action
+    // scheduler overhead (the build's shape). Everything here is
+    // O(batch): the index is never rescanned, and nothing
+    // vocabulary-sized is rewritten (stats, the one swap left, is one
+    // row through landTable — tmp + retire-aware swap, never an
+    // in-place overwrite that would tear under a crash or lose a
+    // snapshot-pinned reader's files).
+    import spark.implicits._
     concurrently(
       // the build's registry shape: every batch doc appends a doclen row
       // (dl = 0 when tokenless), shuffle-free off the batch scan
@@ -382,25 +396,17 @@ object Retrieval {
           .write.mode("append").parquet(s"$path/doclen")
         StableRead.noteTouched(path, "doclen")
       },
-      () => mergedTerms = spark.read.schema(termsSchema)
-        .parquet(s"$path/terms")
-        .select(col("term"), col("df"))
-        .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-        .withColumn("bucket", bucket)
-        .repartition(col("bucket"))
-        .localCheckpoint(true))
-    // terms/stats land via tmp + swap, never an in-place overwrite: a
-    // static overwrite deletes the committed files mid-write (torn on
-    // crash, and a snapshot-PINNED reader racing the append would lose
-    // them permanently); the swap retires them instead. The two
-    // landings touch disjoint tables off already-materialized inputs —
-    // overlap their scheduler/commit overhead (the doclen/df-merge
-    // shape above; part of the round-18 write-path overhead trim)
-    import spark.implicits._
-    concurrently(
-      () => graft.sinks.Sinks.landTable(
-        mergedTerms, path, "terms", Seq("bucket")),
+      // terms APPEND-DELTA (the round-19 O(batch-vocab) path): the
+      // batch's per-term df rows land as new files in the standing
+      // bucket partitions; probes resolve df by summing rows per term
+      () => {
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("bucket", bucket)
+          .repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$path/terms")
+        StableRead.noteTouched(path, "terms")
+      },
       () => graft.sinks.Sinks.landTable(
         Seq((oldDocs + batchDocs,
             oldTok + batchMetrics.getOrElse("t", 0L).asInstanceOf[Long],
@@ -492,24 +498,46 @@ object Retrieval {
     // converges (which re-brackets and clears it).
     // writer locks on every table the apply lands into or swaps: a
     // concurrent compaction must not interleave (IngestConflictSpec)
-    try StableRead.withTableLocks(docs.sparkSession, path,
+    val fsc = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    StableRead.withTableLocks(docs.sparkSession, path,
       Seq("doclen", "postings", "stats", "terms")) {
-      StableRead.withMaintenanceMarker(docs.sparkSession, path) {
-        bm25IngestApply(path, docs, idCol, textCol, batchId)
+      // the compensation below must run UNDER the table locks: after a
+      // conflict abort, a maintenance op slipping in between lock
+      // release and the compensation would see a committed-looking bak
+      // (the marker still stands) and retire it — re-opening exactly
+      // the double-apply this fixes
+      try {
+        StableRead.withMaintenanceMarker(docs.sparkSession, path) {
+          bm25IngestApply(path, docs, idCol, textCol, batchId)
+        }
+        // the estate commit LANDED (the marker bracket's outermost
+        // exit): only now may the pre-batch stats version retire —
+        // until here it stays restorable verbatim for the conflict
+        // compensation below (pinned readers resolve it through the
+        // _bak sibling scan in the meantime, so the deferral never
+        // blocks serving)
+        StableRead.retireIngestBak(fsc, path, "stats", s"b$batchId")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // commit lost a multi-writer race AFTER the apply: restore
+          // the pre-batch stats from its still-standing bak (round 18
+          // retired it before the commit, so the mandated re-run
+          // re-applied the batch against the already-swapped stats and
+          // double-counted n_docs/total_tokens — the advisor's
+          // non-convergence finding), un-commit the exactly-once marker
+          // so the re-run re-applies instead of skipping, and re-create
+          // the staging dir as the recovery breadcrumb (the
+          // ivfIngestBatch compensation). The batch's tagged
+          // postings/doclen/terms parts are wiped by the re-run's
+          // staging-gated recovery sweep.
+          StableRead.restoreIngestBak(fsc, path, "stats", s"b$batchId")
+          fsc.delete(new org.apache.hadoop.fs.Path(
+            s"$path/ingestlog/b$batchId"), false)
+          fsc.mkdirs(new org.apache.hadoop.fs.Path(
+            s"$path/_ingest_b${batchId}_tmp"))
+          throw e
       }
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        // commit lost a multi-writer race AFTER the apply: un-commit
-        // the exactly-once marker so the mandated re-run re-applies
-        // instead of skipping, and re-create the staging dir as the
-        // recovery breadcrumb (the ivfIngestBatch compensation)
-        val fsc = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-        fsc.delete(new org.apache.hadoop.fs.Path(
-          s"$path/ingestlog/b$batchId"), false)
-        fsc.mkdirs(new org.apache.hadoop.fs.Path(
-          s"$path/_ingest_b${batchId}_tmp"))
-        throw e
     }
   }
 
@@ -525,38 +553,19 @@ object Retrieval {
     val tag = s"b$batchId"
     def sub(rel: String) = new org.apache.hadoop.fs.Path(s"$path/$rel")
     val marker = sub(s"ingestlog/$tag")
-    def dropBak(name: String): Unit = {
-      val bak = sub(s"${name}_${tag}_bak")
-      if (fs.exists(bak)) {
-        // the bak holds the pre-ingest COMMITTED table: manifest-managed
-        // roots retire it (pinned readers resolve it there) and note the
-        // swap so the commit bumps the table's version; legacy roots drop
-        if (StableRead.manifestManaged(
-            fs, new org.apache.hadoop.fs.Path(path))) {
-          StableRead.mergeMove(fs, bak, StableRead.retiredDirOf(
-            path, name, StableRead.currentTableVersion(fs, path, name)))
-          StableRead.noteSwapped(path, name)
-        } else require(fs.delete(bak, true),
-          s"bm25IngestBatch: cannot drop $bak")
-      }
-    }
     if (fs.exists(marker)) {
-      // post-commit re-delivery: the apply completed; only the backup
-      // cleanup may have been interrupted — finish it and skip whole
-      dropBak("terms"); dropBak("stats")
+      // post-commit re-delivery: the apply completed; only the deferred
+      // backup retirement may have been interrupted — finish it
+      // ([[StableRead.retireIngestBak]] reads the retire destination
+      // from the swap-time sidecar and re-notes the swap iff the
+      // batch's estate commit never landed) and skip whole
+      StableRead.retireIngestBak(fs, path, "stats", tag)
       return
     }
     // ---- recovery: erase whatever a crashed attempt of THIS id left ----
     def restore(name: String): Unit = {
-      val bak = sub(s"${name}_${tag}_bak")
+      StableRead.restoreIngestBak(fs, path, name, tag)
       val nw = sub(s"${name}_${tag}_new")
-      if (fs.exists(bak)) {
-        val cur = sub(name)
-        if (fs.exists(cur))
-          require(fs.delete(cur, true), s"bm25IngestBatch: cannot drop $cur")
-        require(fs.rename(bak, cur), s"bm25IngestBatch: restore $bak failed")
-        StableRead.noteTouched(path, name)
-      }
       if (fs.exists(nw))
         require(fs.delete(nw, true), s"bm25IngestBatch: cannot drop $nw")
     }
@@ -574,14 +583,14 @@ object Retrieval {
             s"bm25IngestBatch: cannot drop ${st.getPath}")
       }
     }
-    restore("terms"); restore("stats")
+    restore("stats")
     val tmpRoot = sub(s"_ingest_${tag}_tmp")
     // tagged-debris sweep GATED on staging debris (the ivfIngestBatch
     // rationale): the staging dir outlives every pre-marker crash point
     // and the commit-conflict compensation re-creates it, so the
     // steady-state apply never pays an O(table files) scan
     if (fs.exists(tmpRoot)) {
-      dropTagged("postings"); dropTagged("doclen")
+      dropTagged("postings"); dropTagged("doclen"); dropTagged("terms")
       require(fs.delete(tmpRoot, true), s"bm25IngestBatch: cannot drop $tmpRoot")
     }
     // ---- stage the batch increment (bm25Append's derivations) ----
@@ -625,47 +634,53 @@ object Retrieval {
     import spark.implicits._
     // all three staged writes are independent once tf is materialized
     // and the batch scalars are in hand — overlap their fixed
-    // per-action scheduler overhead (the build/append discipline)
+    // per-action scheduler overhead (the build/append discipline).
+    // EVERY per-batch cost here is O(batch): the terms increment is the
+    // batch's own per-term df rows (the round-19 append-delta — rounds
+    // <= 18 staged the FULL merged vocabulary per micro-batch, the last
+    // estate-proportional term on the streaming write path)
     concurrently(
       () => docs.select(
           col(idCol).as("id"),
           size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
         .write.mode("overwrite").parquet(s"$tmpRoot/doclen"),
-      // merged vocabulary stages into a NEW sibling dir — reading old
-      // terms and writing elsewhere needs no localCheckpoint (nothing
-      // overwrites its own input)
-      () => spark.read.schema(termsSchema).parquet(s"$path/terms")
-        .select(col("term"), col("df"))
-        .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      () => tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .withColumn("bucket", bucket)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/terms_${tag}_new"),
+        .parquet(s"$tmpRoot/terms"),
       () => Seq((oldDocs + batchDocs,
           oldTok + m.getOrElse("t", 0L).asInstanceOf[Long],
           buckets))
         .toDF("n_docs", "total_tokens", "buckets")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/stats_${tag}_new"))
-    // ---- commit: rename increments in, swap tables, marker ----
+    // ---- commit: rename increments in, swap stats, marker ----
     graft.sinks.Sinks.copyParquetParts(
       fs, hconf, s"$tmpRoot/postings", s"$path/postings", "bucket=", tag,
       move = true)
     graft.sinks.Sinks.copyParquetParts(
       fs, hconf, s"$tmpRoot/doclen", s"$path/doclen", "bucket=", tag,
       move = true)
-    def swapIn(name: String): Unit = {
-      val cur = sub(name)
-      val bak = sub(s"${name}_${tag}_bak")
-      val nw = sub(s"${name}_${tag}_new")
+    graft.sinks.Sinks.copyParquetParts(
+      fs, hconf, s"$tmpRoot/terms", s"$path/terms", "bucket=", tag,
+      move = true)
+    locally {
+      // stats: the one remaining swap table. The swap is noted HERE
+      // (it must ride THIS batch's commit); the bak's physical
+      // retirement is DEFERRED until that commit lands
+      // ([[bm25IngestBatch]]'s tail), with its destination — the
+      // pre-swap version's retired dir — stamped now, while that
+      // version is still the committed one
+      val cur = sub("stats")
+      val bak = sub(s"stats_${tag}_bak")
+      val nw = sub(s"stats_${tag}_new")
       require(fs.rename(cur, bak), s"bm25IngestBatch: rename $cur -> $bak failed")
+      StableRead.stampRetireTo(fs, path, "stats", tag)
       require(fs.rename(nw, cur), s"bm25IngestBatch: rename $nw -> $cur failed")
-      StableRead.noteTouched(path, name) // dropBak notes the swap itself
+      StableRead.noteSwapped(path, "stats")
     }
-    swapIn("terms"); swapIn("stats")
     commitMarker()
-    dropBak("terms"); dropBak("stats")
     fs.delete(tmpRoot, true)
   }
 
@@ -702,7 +717,12 @@ object Retrieval {
     graft.sinks.Sinks.requireNoPendingIngest(
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf()),
-      path, Seq(("postings", "bucket="), ("doclen", "")),
+      path,
+      // terms moved from the swap set to the tagged-append set in
+      // round 19 (the append-delta protocol); "terms" stays in the
+      // swap list so PRE-round-19 crash debris (terms_b<id>_new/_bak)
+      // still refuses/retires correctly
+      Seq(("postings", "bucket="), ("doclen", ""), ("terms", "bucket=")),
       Seq("terms", "stats"), opName)
 
   def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -712,7 +732,8 @@ object Retrieval {
     // ([[StableRead]]): two table swaps a concurrent stable probe must
     // not straddle. Pending-ingest guard inside the lock (the
     // ivfCompact wait-not-refuse note)
-    StableRead.withTableLocks(spark, path, Seq("doclen", "postings")) {
+    StableRead.withTableLocks(spark, path,
+      Seq("doclen", "postings", "terms")) {
       requireCommitted(spark, path, "bm25Compact")
       StableRead.withMaintenanceMarker(spark, path) {
         val buckets = spark.read.parquet(s"$path/stats")
@@ -721,6 +742,18 @@ object Retrieval {
         graft.sinks.Sinks.compactTable(
           spark, path, "postings", Some("bucket"))
         graft.sinks.Sinks.compactTable(spark, path, "doclen", None)
+        // terms: CONSOLIDATE the append-delta rows (one df row per
+        // append batch and term — the round-19 merge-on-read contract)
+        // back to one row per term, clustered like the build's layout.
+        // landTable = tmp + retire-aware swap, so the read never races
+        // its own rewrite and pinned readers keep the old chain
+        graft.sinks.Sinks.landTable(
+          spark.read.schema(termsSchema).parquet(s"$path/terms")
+            .groupBy(col("term"), col("bucket"))
+            .agg(sum(col("df")).as("df"))
+            .select(col("term"), col("df"), col("bucket"))
+            .repartition(col("bucket")),
+          path, "terms", Seq("bucket"))
       }
       // retention cadence: compaction is the natural GC window
       gcKeepGenerations.foreach(k => StableRead.gc(spark, path, k))
@@ -1195,8 +1228,16 @@ object Retrieval {
       .readTable(spark, path, "postings", Some(postingsSchema))
       .filter(col("bucket").isin(qbuckets: _*))
     val dl = StableRead.readTable(spark, path, "doclen", Some(doclenSchema))
+    // df is MERGE-ON-READ (round 19): the terms table holds the build's
+    // consolidated rows PLUS one delta row per (append batch, term) —
+    // a term's df is the SUM across its rows. The aggregation is
+    // bounded by the probed buckets' rows (query-terms-sized after the
+    // broadcast join), the same arithmetic the federated probe already
+    // runs across indexes; bm25Compact consolidates the chains back to
+    // one row per term.
     val qdf = terms.join(broadcast(qterms), "term")
-      .select(col("query_id"), col("term"), col("df"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("df")).as("df"))
     val (qdfF, postingsF, nF, avgF) =
       applyTombstones(spark, Seq(path), qdf, postings, dl, nDocs, totTok)
     bm25ScoreTail(qdfF, postingsF, dl, nF, avgF, k, k1, b)

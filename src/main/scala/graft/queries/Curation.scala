@@ -3888,11 +3888,12 @@ object Curation {
     // idempotence discipline composed with q143's incremental append),
     // under q127's VERBATIM full-corpus oracle. The replay drives the
     // recovery machinery for real: (1) before the stream starts, the
-    // index carries a manufactured mid-apply crash of batch 0 — a
-    // bogus b0-tagged posting (id -999 scoring "spark" at tf 99) and
-    // doclen part, plus the mid-swap window (live terms CORRUPTED at
-    // df x1000, the true table in terms_b0_bak) — which batch 0's
-    // re-delivery must fully erase before applying; (2) the phased
+    // index carries a manufactured mid-apply crash of batch 0 — bogus
+    // b0-tagged posting (id -999 scoring "spark" at tf 99), doclen, and
+    // terms-delta (a df bomb on "spark") parts, plus the stats mid-swap
+    // window (live stats CORRUPTED at n_docs x1000, the true table in
+    // stats_b0_bak) — which batch 0's re-delivery must fully erase
+    // before applying; (2) the phased
     // stream is KILLED after two batches and RESUMED from the same
     // checkpoint (batch ids must continue or applied markers eat the
     // tail); (3) after completion, batch 1 is re-delivered by hand and
@@ -3920,13 +3921,28 @@ object Curation {
           s"$path/postings/bucket=$sparkBucket", "b0")
         plantTaggedPart(Seq((-999L, 99L)).toDF("id", "dl"),
           s"$path/doclen", "b0")
+        // terms is an append-delta table since round 19 (no swap): the
+        // reachable batch-0 crash debris is a TAGGED df-delta part — a
+        // df bomb on "spark" that, if recovery misses it, inflates the
+        // term's merge-on-read df 100x and collapses its idf
+        plantTaggedPart(Seq(("spark", 99999L)).toDF("term", "df"),
+          s"$path/terms/bucket=$sparkBucket", "b0")
       }
+      // stats mid-swap window (the one swap table left): the state right
+      // after `rename(new, cur)` and before the marker — live stats is
+      // the crashed batch's 1000x-corrupted version, the true table in
+      // stats_b0_bak. (A real crash here also leaves the bak's
+      // _retire_to sidecar; the marker-absent recovery path — restore —
+      // never reads it, so the manufactured state omits it.)
+      s.read.parquet(s"$path/stats")
+        .withColumn("n_docs", col("n_docs") * 1000)
+        .coalesce(1)
+        .write.parquet(s"$path/stats_b0_corrupt_tmp")
       org.apache.commons.io.FileUtils.moveDirectory(
-        new java.io.File(s"$path/terms"), new java.io.File(s"$path/terms_b0_bak"))
-      s.read.parquet(s"$path/terms_b0_bak")
-        .withColumn("df", col("df") * 1000)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+        new java.io.File(s"$path/stats"), new java.io.File(s"$path/stats_b0_bak"))
+      org.apache.commons.io.FileUtils.moveDirectory(
+        new java.io.File(s"$path/stats_b0_corrupt_tmp"),
+        new java.io.File(s"$path/stats"))
       val sink = Retrieval.bm25StreamSink(path, "doc_id", "text")
       runPhasedIngest(s, staged, phases.head.schema, nPhases = 3,
         firstRun = 2, sink)

@@ -464,11 +464,16 @@ object Sinks {
       if (name.startsWith("_ingest_") && name.endsWith("_tmp"))
         refuse(name, name.stripPrefix("_ingest_").stripSuffix("_tmp"))
       if (swapTables.nonEmpty) name match {
-        case swapRe(_, tag, kind) =>
+        case swapRe(table, tag, kind) =>
           if (!committed(tag)) refuse(name, tag)
           else if (kind == "bak")
-            require(fs.delete(st.getPath, true),
-              s"$opName: cannot drop stray committed backup $name")
+            // a committed batch's stray backup (crash between its
+            // marker and the deferred retirement): RETIRE it — the
+            // pre-swap version's files are snapshot-pinned, a delete
+            // would strand every reader pinned before the swap
+            // (retireIngestBak reads the swap-time sidecar and re-notes
+            // the swap iff the batch's estate commit never landed)
+            graft.operators.StableRead.retireIngestBak(fs, path, table, tag)
           else refuse(s"$name beside a commit marker", tag)
         case _ =>
       }

@@ -124,6 +124,91 @@ class IngestConflictSpec extends SparkSpec {
     assert(graft.operators.Fsck.ivfFsck(spark, dir).count() === 0L)
   }
 
+  test("bm25 conflict compensation restores pre-batch stats; re-delivery never double-counts") {
+    import graft.operators.Retrieval
+    val dir =
+      s"${java.nio.file.Files.createTempDirectory("conflict-bm25")}/bm25"
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"alpha w$i beta w${i % 7}")).toDF("doc_id", "text")
+    // a sizeable batch so the apply's Spark jobs outlast the conflicting
+    // note-commit below
+    val batch = (1000 until 4000).map(i =>
+      (i.toLong, s"gamma w$i delta w${i % 11} epsilon")).toDF("doc_id", "text")
+      .localCheckpoint(true)
+    Retrieval.buildBm25Index(docs, "doc_id", "text", dir, buckets = 7)
+    val statsOf = () => {
+      val r = spark.read.parquet(s"$dir/stats").collect()(0)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))
+    }
+    val preStats = statsOf()
+    val fs = fsOf(dir)
+    val markerFile = new org.apache.hadoop.fs.Path(
+      s"$dir/${StableRead.MarkerName}")
+    var outcome: scala.util.Try[Unit] = null
+    val t = new Thread(() => {
+      outcome = scala.util.Try {
+        Retrieval.bm25IngestBatch(dir, batch, "doc_id", "text", 5L)
+      }
+    })
+    t.start()
+    // the estate marker appears the instant the ingest's bracket opens —
+    // commit a conflicting generation (noting stats, which the ingest
+    // always swaps) strictly inside its bracket window
+    val deadline = System.currentTimeMillis() + 30000
+    while (!fs.exists(markerFile) && t.isAlive &&
+      System.currentTimeMillis() < deadline) Thread.sleep(5)
+    val noteOutcome = scala.util.Try {
+      StableRead.withMaintenanceMarker(spark, dir) {
+        StableRead.noteTouched(dir, "stats")
+      }
+    }
+    t.join(120000)
+    assert(!t.isAlive, "ingest thread wedged")
+    val batchMarker = new org.apache.hadoop.fs.Path(s"$dir/ingestlog/b5")
+    (outcome, noteOutcome) match {
+      case (scala.util.Failure(e), scala.util.Success(_))
+          if e.isInstanceOf[java.util.ConcurrentModificationException] =>
+        // the drilled interleaving: the ingest lost the race AFTER its
+        // apply — the compensation must leave EXACTLY the pre-batch
+        // index: marker un-committed, stats restored verbatim (round 18
+        // retired the bak pre-commit, so stats stayed post-batch here
+        // and the re-delivery double-counted), staging breadcrumb up
+        assert(!fs.exists(batchMarker),
+          "conflicted ingest left its exactly-once marker standing")
+        assert(statsOf() === preStats,
+          "compensation did not restore the pre-batch stats")
+        assert(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/_ingest_b5_tmp")), "recovery breadcrumb missing")
+      case (scala.util.Success(_), _) =>
+        // timing fallback: the ingest committed before (or without)
+        // overlap — the batch stands committed exactly once
+        assert(fs.exists(batchMarker))
+      case (i, nb) => fail(s"unexpected outcomes: ingest=$i note=$nb")
+    }
+    // mandated re-delivery: converges to exactly one application
+    Retrieval.bm25IngestBatch(dir, batch, "doc_id", "text", 5L)
+    val want = {
+      val p = java.nio.file.Files
+        .createTempDirectory("conflict-bm25-rb").toString
+      Retrieval.buildBm25Index(
+        docs.unionByName(batch), "doc_id", "text", p, buckets = 7)
+      (statsOfAt(p), Retrieval.bm25TopKIndexed(
+        p, Seq((1L, "alpha gamma epsilon")).toDF("query_id", "query_text"),
+        10).collect().map(_.toString).sorted.toSeq)
+    }
+    assert(statsOf() === want._1, "stats double-counted after re-delivery")
+    assert(Retrieval.bm25TopKIndexed(
+        dir, Seq((1L, "alpha gamma epsilon")).toDF("query_id", "query_text"),
+        10).collect().map(_.toString).sorted.toSeq === want._2,
+      "probe diverged from the rebuild after the conflict re-delivery")
+    assert(graft.operators.Fsck.bm25Fsck(spark, dir).count() === 0L)
+  }
+
+  private def statsOfAt(path: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$path/stats").collect()(0)
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))
+  }
+
   test("streaming ingest racing compaction: locks serialize, end state exact") {
     val dir = freshIndex("race", 30)
     val batches = (0 until 3).map(b => vecs(40, 1000 + b * 40)

@@ -425,9 +425,11 @@ class RetrievalSpec extends SparkSpec {
     graft.operators.Retrieval.bm25IngestBatch(
       dir, docs.filter(col("doc_id") > 2), "doc_id", "text", 0L)
     assert(probe(dir) === want && statsOf(dir) === ((4L, 9L)))
-    // mid-apply crash of batch 1: tagged junk parts moved in, terms
-    // mid-swap (live table corrupted, true one in _bak), stats renamed
-    // away entirely (the window between its two renames)
+    // mid-apply crash of batch 1: tagged junk parts moved in — postings,
+    // doclen, AND a terms df-delta bomb (terms is append-delta since
+    // round 19; a missed tagged delta row would inflate "apple"'s
+    // merge-on-read df 100x) — plus stats renamed away entirely (the
+    // window between its two renames)
     def plant(df: org.apache.spark.sql.DataFrame, dst: String): Unit = {
       val stage = java.nio.file.Files.createTempDirectory("bm25-spec-plant").toString
       df.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -444,13 +446,9 @@ class RetrievalSpec extends SparkSpec {
     plant(Seq((-7L, "apple", 50L)).toDF("id", "term", "tf"),
       s"$dir/postings/bucket=$appleBucket")
     plant(Seq((-7L, 50L)).toDF("id", "dl"), s"$dir/doclen")
+    plant(Seq(("apple", 100L)).toDF("term", "df"),
+      s"$dir/terms/bucket=$appleBucket")
     new java.io.File(s"$dir/_ingest_b1_tmp").mkdirs() // crash staging
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/terms"),
-      new org.apache.hadoop.fs.Path(s"$dir/terms_b1_bak"))
-    spark.read.parquet(s"$dir/terms_b1_bak")
-      .withColumn("df", col("df") * 100)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),
       new org.apache.hadoop.fs.Path(s"$dir/stats_b1_bak"))
     // the re-delivered batch must erase all of it, then apply docs 5+6
