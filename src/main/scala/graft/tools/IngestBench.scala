@@ -151,6 +151,68 @@ object IngestBench {
     run(1, warmup = true)
     run(1)
     run(n)
+
+    // OPEN-VOCABULARY arm (round 19): every replica rewrites EVERY
+    // token with a replica suffix, so the standing index's vocabulary
+    // grows ~linearly with scale — the regime the fixed-vocabulary
+    // arms above cannot expose — and the fixed batch introduces ONLY
+    // new terms (suffix `_f`, the worst case for any per-batch
+    // vocabulary cost). Rounds <= 18 republished the full merged terms
+    // table per apply — O(global vocab), linear in this arm's scale;
+    // the round-19 append-delta terms keep the apply O(batch vocab):
+    // the claim under test is a FLAT bm25 apply wall across the
+    // vocabulary decade, with probe latency on the delta'd index
+    // within noise of the consolidated (post-compact) one.
+    def openDocs(r: Int): DataFrame =
+      docs.select((col("doc_id") + lit(r * 1000000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$r"))), " ").as("text"))
+    val ovBatch = docs.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 5000000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_f"))), " ").as("text"))
+      .transform(graft.CacheScope.persisted)
+    ovBatch.count()
+    import spark.implicits._
+    // probe mixes standing (replica-0) and batch (_f) vocabulary
+    val ovQueryText = ovBatch.select(col("text")).head().getString(0)
+      .split(' ').take(4).mkString(" ")
+    val ovQueries = Seq(
+      (1L, ovQueryText),
+      (2L, ovQueryText.replace("_f", "_0"))).toDF("query_id", "query_text")
+    def runOpenVocab(scale: Int, warmup: Boolean = false): Unit = {
+      val corpus = (0 until scale).map(openDocs).reduce(_.unionByName(_))
+        .transform(graft.CacheScope.persisted)
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-ingbench-ov-$scale").toString
+      graft.operators.Retrieval.buildBm25Index(
+        corpus, "doc_id", "text", path)
+      // consolidated rows == global vocabulary size
+      val vocab = spark.read.parquet(s"$path/terms").count()
+      val t0 = System.nanoTime()
+      graft.operators.Retrieval.bm25IngestBatch(
+        path, ovBatch, "doc_id", "text", 0L)
+      val wall = (System.nanoTime() - t0) / 1e9
+      def probeWall(): Double = {
+        val p0 = System.nanoTime()
+        graft.operators.Retrieval.bm25TopKIndexed(path, ovQueries, 10)
+          .collect()
+        (System.nanoTime() - p0) / 1e9
+      }
+      val probeDelta = probeWall()
+      graft.operators.Retrieval.bm25Compact(spark, path)
+      val probeCompacted = probeWall()
+      if (!warmup)
+        println(f"[ingest-bench] open-vocab scale=$scale%-3d " +
+          f"vocab=$vocab%9d terms  bm25_apply=$wall%6.2f s  " +
+          f"probe_delta=$probeDelta%5.2f s  " +
+          f"probe_compacted=$probeCompacted%5.2f s")
+      corpus.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+    runOpenVocab(1, warmup = true)
+    runOpenVocab(1)
+    runOpenVocab(n)
     spark.stop()
   }
 }
