@@ -431,7 +431,8 @@ object DedupRegistry {
       regPath: String,
       indexPath: String,
       idCol: String,
-      textCol: String): (DataFrame, Long) => Unit =
+      textCol: String,
+      compositeRoot: Option[String] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       ingestBatch(regPath, batch, idCol, textCol, batchId)
       val accepted = batchRows(batch.sparkSession, regPath, batchId)
@@ -439,6 +440,17 @@ object DedupRegistry {
         indexPath,
         accepted.select(col("id").as(idCol), col("text").as(textCol)),
         idCol, textCol, batchId)
+      // cross-artifact atomic visibility (round 19): with BOTH children
+      // committed for this batch — and batch N+1 unable to start until
+      // this call returns (the one foreachBatch thread) — the recorded
+      // (root -> generation) pair is a cut that simultaneously existed;
+      // StableRead.pinnedComposite serves it under any later churn.
+      // Re-deliveries re-record the same heads: idempotent in content,
+      // and a crash between the children's commits and this record
+      // loses only the CUT (the next batch records a fresh one) —
+      // never a child's exactly-once application.
+      compositeRoot.foreach(p => StableRead.commitComposite(
+        batch.sparkSession, p, Seq(regPath, indexPath)))
     }
 
   /** Merge N registries into a new registry at `dest` — the distributed

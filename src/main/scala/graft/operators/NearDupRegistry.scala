@@ -507,7 +507,8 @@ object NearDupRegistry {
       regPath: String,
       indexPath: String,
       idCol: String,
-      textCol: String): (DataFrame, Long) => Unit =
+      textCol: String,
+      compositeRoot: Option[String] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       ingestBatch(regPath, batch, idCol, textCol, batchId)
       val accepted = batchRows(batch.sparkSession, regPath, batchId)
@@ -515,6 +516,10 @@ object NearDupRegistry {
         indexPath,
         accepted.select(col("id").as(idCol), col("text").as(textCol)),
         idCol, textCol, batchId)
+      // cross-artifact cut, recorded after both children committed
+      // (see DedupRegistry.dedupIndexStreamSink for the semantics)
+      compositeRoot.foreach(p => StableRead.commitComposite(
+        batch.sparkSession, p, Seq(regPath, indexPath)))
     }
 
   /** Merge N near-dup registries into a new registry at `dest` — the

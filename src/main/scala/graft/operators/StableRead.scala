@@ -1828,6 +1828,169 @@ object StableRead {
     removed
   }
 
+  // ---------------------------------------------------------------------
+  // Composite (cross-artifact) commits: one PARENT root records, per
+  // generation, a consistent (child root -> child generation) CUT.
+  // ---------------------------------------------------------------------
+
+  /** Commit a composite generation at `parent` recording each child
+    * estate's CURRENT committed generation — the cross-artifact
+    * atomic-visibility seam for COMPOSED pipelines (round 19; the
+    * round-18 verdict's #2): a curate-then-index sink commits the
+    * registry and the index exactly-once EACH, but no single snapshot
+    * spanned the two roots, so a pinned reader could observe the
+    * registry at generation N with the index still at N-1. The parent
+    * commit, written strictly AFTER both children's commits land (the
+    * composed sink's tail), names one (root -> generation) pair per
+    * child — a cut that simultaneously existed — and
+    * [[pinnedComposite]] serves it no matter how many batches churn
+    * the children afterwards.
+    *
+    * Same claim-CAS + heartbeat + fence protocol as [[commitManifest]];
+    * no conflict check — a composite commit mutates no table, it only
+    * RECORDS the children's heads, so racing recorders serialize into
+    * distinct generations and each cut is individually consistent
+    * (consistency comes from the caller's contract: commit while no
+    * child mutation can land between the head reads — e.g. from the
+    * one foreachBatch thread that just committed both children).
+    * Parent snapshot format: header `4|gen|epochMs`, one
+    * `R|<childRoot>|<childGen>` line per child, `#END`. Returns the
+    * committed parent generation.
+    */
+  def commitComposite(
+      spark: SparkSession, parent: String, children: Seq[String]): Long = {
+    require(children.nonEmpty, "commitComposite: need >= 1 child root")
+    val parentP = new org.apache.hadoop.fs.Path(parent)
+    val fs = parentP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(parentP)
+    val cut = children.distinct.sorted.map { c =>
+      val g = manifestGeneration(spark, c).getOrElse(
+        throw new IllegalStateException(
+          s"commitComposite: child $c carries no committed generation — " +
+            "composite cuts record committed estates only"))
+      c -> g
+    }
+    val token = java.util.UUID.randomUUID().toString
+    val cur = new org.apache.hadoop.fs.Path(s"$parent/$ManifestName")
+    while (true) {
+      val head = readManifestGen(fs, parent).getOrElse(0L)
+      val gen = head + 1
+      if (tryClaim(fs, parent, gen, token)) {
+        val cp = claimPath(parent, gen)
+        heartbeatRegister(fs, cp)
+        var stolen = false
+        try {
+          if (readManifestGen(fs, parent).getOrElse(0L) == head) {
+            val sb = new StringBuilder(
+              s"4|$gen|${System.currentTimeMillis()}\n")
+            cut.foreach { case (c, g) => sb.append(s"R|$c|$g\n") }
+            sb.append("#END\n")
+            atomicWrite(fs,
+              new org.apache.hadoop.fs.Path(s"$parent/$SnapshotsDirName"),
+              s"g$gen", sb.toString)
+            if (readManifest(fs, cp).contains(token)) {
+              val tmp =
+                new org.apache.hadoop.fs.Path(s"$parent/$ManifestName.tmp")
+              val out = fs.create(tmp, true)
+              out.write(
+                s"$gen|${java.util.UUID.randomUUID()}|#".getBytes("UTF-8"))
+              out.close()
+              if (fs.exists(cur)) fs.delete(cur, false)
+              require(fs.rename(tmp, cur),
+                s"commitComposite: rename $tmp -> $cur failed")
+              return gen
+            } else stolen = true
+          }
+        } finally {
+          heartbeatUnregister(cp)
+          if (!stolen) fs.delete(cp, false)
+        }
+      } else awaitClaimRelease(fs, parent, gen)
+    }
+    0L // unreachable
+  }
+
+  /** The (child root, child generation) cut recorded at parent
+    * generation `gen` (None = the current head). None when the parent
+    * has no committed generation, the named one expired, or the file is
+    * torn/not a composite snapshot.
+    */
+  def readCompositeCut(
+      spark: SparkSession, parent: String,
+      gen: Option[Long] = None): Option[Seq[(String, Long)]] = {
+    val fs = new org.apache.hadoop.fs.Path(parent)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val g = gen.orElse(readManifestGen(fs, parent))
+      .getOrElse(return None)
+    readManifest(fs, new org.apache.hadoop.fs.Path(
+      s"$parent/$SnapshotsDirName/g$g")) match {
+      case Some(c) if c.split('\n').lastOption.contains("#END") &&
+          c.startsWith("4|") =>
+        Some(c.split('\n').iterator.filter(_.startsWith("R|")).map { l =>
+          val p = l.split('|')
+          (p(1), p(2).toLong)
+        }.toSeq)
+      case _ => None
+    }
+  }
+
+  /** Run `probe` against ONE composite cut — every child estate pinned
+    * at the generation the parent's commit recorded, so a composed
+    * probe (registry membership + index scoring) reads a
+    * CROSS-ARTIFACT-CONSISTENT state even while a streaming
+    * curate-then-index sink churns both roots. `gen` = None serves the
+    * newest cut; an explicit generation time-travels (the [[pinnedAt]]
+    * semantics, spanning roots). Fails LOUDLY when a child generation
+    * expired past its retention horizon — never a silently-nearest
+    * state (the q202 GC-teeth contract).
+    */
+  def pinnedComposite(
+      spark: SparkSession, parent: String,
+      gen: Option[Long] = None,
+      maxAttempts: Int = 8)(probe: => DataFrame): DataFrame = {
+    val cut = readCompositeCut(spark, parent, gen).getOrElse(
+      throw new IllegalStateException(
+        s"pinnedComposite: no composite cut at $parent" +
+          gen.map(g => s" generation $g").getOrElse("") +
+          " — commit one with commitComposite (or the cut expired)"))
+    val snaps = cut.map { case (root, g) =>
+      readSnapshotAt(spark, root, g).getOrElse(
+        throw new IllegalStateException(
+          s"pinnedComposite: child $root@g$g of the cut is no longer " +
+            "resolvable — its estate GC'd the generation past the " +
+            "retention horizon (raise gcKeepGenerations or pin sooner)"))
+    }
+    pinnedAt(spark, snaps, maxAttempts)(probe)
+  }
+
+  /** Reclaim parent composite generations older than the newest
+    * `keepGenerations` — the parent-side retention cadence (children
+    * GC their own estates; an expired CHILD generation already fails
+    * loudly at [[pinnedComposite]]). Returns generations removed.
+    */
+  def compositeGc(
+      spark: SparkSession, parent: String, keepGenerations: Int): Long = {
+    require(keepGenerations >= 1,
+      s"compositeGc: keepGenerations must be >= 1, got $keepGenerations")
+    val fs = new org.apache.hadoop.fs.Path(parent)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = readManifestGen(fs, parent).getOrElse(return 0L)
+    val minKept = math.max(1L, head - keepGenerations + 1)
+    val dir = new org.apache.hadoop.fs.Path(s"$parent/$SnapshotsDirName")
+    if (!fs.exists(dir)) return 0L
+    var removed = 0L
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("g") && !n.contains('.') &&
+        scala.util.Try(n.stripPrefix("g").toLong).toOption
+          .exists(_ < minKept)) {
+        fs.delete(st.getPath, false)
+        removed += 1
+      }
+    }
+    removed
+  }
+
   /** Run `probe` against the index roots until it reads one consistent
     * state, and return it MATERIALIZED (localCheckpoint). `probe` is
     * re-evaluated from scratch on every attempt (driver-side stats

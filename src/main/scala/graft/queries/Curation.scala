@@ -3335,6 +3335,74 @@ object Curation {
         .orderBy(col("kind"), col("n"))
     }),
 
+    // CROSS-ARTIFACT ATOMIC VISIBILITY (round 19 — the round-18
+    // verdict's #2): the curate-then-index composition is exactly-once
+    // PER ARTIFACT, but no single snapshot spanned the two roots — a
+    // pinned reader could observe the registry at generation N with
+    // the index still at N-1. The composed sink now records a PARENT
+    // composite commit (one (root -> generation) pair per child,
+    // written after both children commit), and
+    // StableRead.pinnedComposite serves that cut under churn. The gate
+    // drives the q169 pipeline phase-stepped, captures the composite
+    // generation recorded after batch 1, lets batch 2 churn BOTH
+    // roots, then probes AT the cut: in-gate teeth require the pinned
+    // registry corpus / registry stats / index stats / index doc
+    // registry to AGREE (the exact anomaly the parent commit closes)
+    // and the live estate to have moved past the cut (non-vacuity);
+    // the audited relation is the full composed BM25 probe at the cut,
+    // hash-checked against the DuckDB oracle over phases 0..1's
+    // first-arrival survivors only.
+    "q205_composite_pin" -> ((s, dir) => {
+      val regPath = s"$regIngestParent/reg205"
+      val idxPath = s"$regIngestParent/idx205"
+      val parent = s"$regIngestParent/est205"
+      Seq(regPath, idxPath, parent).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      DedupRegistry.init(s, regPath, buckets = 16)
+      Retrieval.bm25Init(s, idxPath, buckets = 64)
+      val phases = dedupStreamPhases(s, dir)
+      val staged = stagePhases(s"ingest167|$dir", phases)
+      val sink = DedupRegistry.dedupIndexStreamSink(
+        regPath, idxPath, "doc_id", "text", compositeRoot = Some(parent))
+      var cutGen = -1L
+      runPhasedIngestStepped(s, staged, phases.head.schema,
+        nPhases = 3, sink) { i =>
+        if (i == 1)
+          cutGen = graft.operators.StableRead
+            .manifestGeneration(s, parent).getOrElse(-1L)
+      }
+      require(cutGen > 0, "q205: no composite cut captured after batch 1")
+      val cutAgree = graft.operators.StableRead
+        .pinnedComposite(s, parent, Some(cutGen)) {
+          val regN = graft.operators.StableRead
+            .readTable(s, regPath, "stats")
+            .select(col("n_docs")).collect()(0).getLong(0)
+          val corpusN = graft.operators.StableRead
+            .readTable(s, regPath, "corpus").count()
+          val idxN = graft.operators.StableRead
+            .readTable(s, idxPath, "stats")
+            .select(col("n_docs")).collect()(0).getLong(0)
+          val dlN = graft.operators.StableRead
+            .readTable(s, idxPath, "doclen",
+              Some(Retrieval.doclenSchema)).count()
+          require(regN == corpusN && regN == idxN && regN == dlN,
+            s"q205: the pinned cut is not cross-artifact consistent " +
+              s"(reg stats $regN / reg corpus $corpusN / idx stats $idxN " +
+              s"/ idx registry $dlN)")
+          s.range(1).select(lit(regN).as("n"))
+        }
+      val cutN = cutAgree.collect()(0).getLong(0)
+      graft.operators.StableRead.release(cutAgree)
+      val liveN = s.read.parquet(s"$idxPath/stats")
+        .select(col("n_docs")).collect()(0).getLong(0)
+      require(liveN > cutN,
+        s"q205: batch 2 did not move the live estate past the cut " +
+          s"($cutN vs $liveN) — the pin proves nothing")
+      graft.operators.StableRead.pinnedComposite(s, parent, Some(cutGen)) {
+        Retrieval.bm25TopKIndexed(idxPath, bm25Queries(s), k = 10)
+      }.orderBy(col("query_id"), col("rnk"))
+    }),
+
     // TIME TRAVEL under the driver's oracle (round 18 — pinnedAt /
     // readSnapshotAt were spec-only): build a bm25 index over
     // doc_id % 3 = 0, append doc_id % 3 = 1 and capture THAT

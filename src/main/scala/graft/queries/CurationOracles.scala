@@ -3525,6 +3525,16 @@ object CurationOracles {
       "q204_estate_fsck" ->
         """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
            WHERE false""",
+      // q205: the composed probe pinned at the composite cut recorded
+      // after batch 1 — BM25 over the first-arrival survivors of
+      // phases 0..1 ONLY (batch 2's churn on both roots is invisible
+      // at the cut).
+      "q205_composite_pin" -> bm25OracleOverCorpus(
+        s"""SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                 ORDER BY ph, doc_id) AS rn
+             FROM ($DedupStreamSql) WHERE ph <= 1) WHERE rn = 1"""),
       // q202: the pinned (time-travel) probe must equal the BM25
       // relation over EXACTLY the pre-delete corpus state — base
       // (0 mod 3) plus the appended batch (1 mod 3), no deletions.
