@@ -15,8 +15,18 @@ import org.apache.spark.sql.types.IntegerType
   *   - runtime: `GraftExtensions.register(spark)` (tests, notebooks)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach(ext.injectFunction)
+    // estate time travel: `SELECT ... FROM <estate>.<table> VERSION AS
+    // OF g` / `TIMESTAMP AS OF ts` (and plain live reads) for roots
+    // registered via graft.sql.EstateSql.registerEstate — analyzer
+    // rules can only enter at session build, so sessions wanting the
+    // SQL estate surface must carry
+    // `spark.sql.extensions=graft.GraftExtensions` (the engine's own
+    // Verify/Bench/localSession builders do)
+    ext.injectResolutionRule(session =>
+      graft.sql.EstateSql.TimeTravelRule(session))
+  }
 }
 
 object GraftExtensions {

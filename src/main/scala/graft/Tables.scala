@@ -105,6 +105,7 @@ object Tables {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(appName)
+        .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

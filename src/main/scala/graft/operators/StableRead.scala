@@ -1602,57 +1602,74 @@ object StableRead {
   def readTable(
       spark: SparkSession, root: String, table: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None)
-      : DataFrame = {
-    def plain(path: String, paths: Seq[String] = Seq.empty,
-        basePath: Option[String] = None): DataFrame = {
-      var r = spark.read
-      schema.foreach(s => r = r.schema(s))
-      basePath.foreach(b => r = r.option("basePath", b))
-      if (paths.isEmpty) r.parquet(path) else r.parquet(paths: _*)
-    }
+      : DataFrame =
     pinnedSnapshotFor(root) match {
-      case None => plain(s"$root/$table")
-      case Some(snap) =>
-        val ts = snap.tables.getOrElse(table, TableSnap(0L, Vector.empty))
-        if (ts.files.isEmpty) schema match {
-          case Some(s) =>
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), s)
-          case None =>
-            // the pinned generation holds ZERO files for this table:
-            // reading the live directory here would leak post-pin rows
-            // (a snapshot-isolation breach on exactly the path pinned()
-            // exists to close). Infer the schema from the live dir's
-            // parquet footers — METADATA only, no row can leak — and
-            // return an empty relation; a table absent live too
-            // surfaces the natural path-not-found / unable-to-infer
-            // error, unchanged from a live read.
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](),
-              plain(s"$root/$table").schema)
-        } else {
-          val rootP = new org.apache.hadoop.fs.Path(root)
-          val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-          val live = s"$root/$table"
-          // shed-file locations, priority order: the immutable retired
-          // dir, then any in-flight ingest-swap backup siblings
-          val shed = scala.collection.mutable.Map.empty[String, String]
-          val retired = retiredDirOf(root, table, ts.lastRewriteGen)
-          if (fs.exists(retired))
-            listFilesRel(fs, retired)
-              .foreach(f => shed.getOrElseUpdate(f, retired.toString))
-          fs.listStatus(rootP).foreach { st =>
-            val n = st.getPath.getName
-            if (st.isDirectory && n.startsWith(s"${table}_") &&
-              n.endsWith("_bak"))
-              listFilesRel(fs, st.getPath)
-                .foreach(f => shed.getOrElseUpdate(f, st.getPath.toString))
-          }
-          val byBase = ts.files.groupBy(f => shed.getOrElse(f, live))
-          byBase.toSeq.sortBy(_._1).map { case (base, files) =>
-            plain("", files.map(f => s"$base/$f"), basePath = Some(base))
-          }.reduce(_.unionByName(_))
-        }
+      case None => plainRead(spark, schema, s"$root/$table")
+      case Some(snap) => readTableAt(spark, snap, table, schema)
+    }
+
+  private def plainRead(
+      spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      path: String, paths: Seq[String] = Seq.empty,
+      basePath: Option[String] = None): DataFrame = {
+    var r = spark.read
+    schema.foreach(s => r = r.schema(s))
+    basePath.foreach(b => r = r.option("basePath", b))
+    if (paths.isEmpty) r.parquet(path) else r.parquet(paths: _*)
+  }
+
+  /** Read `table` as of an EXPLICIT snapshot — [[readTable]]'s pinned
+    * branch with the snapshot passed by value: the entry the SQL
+    * `VERSION AS OF` / `TIMESTAMP AS OF` rule
+    * ([[graft.sql.EstateSql]]) resolves through, and the body every
+    * thread-local pin delegates to.
+    */
+  def readTableAt(
+      spark: SparkSession, snap: RootSnapshot, table: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val root = snap.root
+    val ts = snap.tables.getOrElse(table, TableSnap(0L, Vector.empty))
+    if (ts.files.isEmpty) schema match {
+      case Some(s) =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      case None =>
+        // the pinned generation holds ZERO files for this table:
+        // reading the live directory here would leak post-pin rows
+        // (a snapshot-isolation breach on exactly the path pinned()
+        // exists to close). Infer the schema from the live dir's
+        // parquet footers — METADATA only, no row can leak — and
+        // return an empty relation; a table absent live too
+        // surfaces the natural path-not-found / unable-to-infer
+        // error, unchanged from a live read.
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          plainRead(spark, None, s"$root/$table").schema)
+    } else {
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+      val live = s"$root/$table"
+      // shed-file locations, priority order: the immutable retired
+      // dir, then any in-flight ingest-swap backup siblings
+      val shed = scala.collection.mutable.Map.empty[String, String]
+      val retired = retiredDirOf(root, table, ts.lastRewriteGen)
+      if (fs.exists(retired))
+        listFilesRel(fs, retired)
+          .foreach(f => shed.getOrElseUpdate(f, retired.toString))
+      fs.listStatus(rootP).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(s"${table}_") &&
+          n.endsWith("_bak"))
+          listFilesRel(fs, st.getPath)
+            .foreach(f => shed.getOrElseUpdate(f, st.getPath.toString))
+      }
+      val byBase = ts.files.groupBy(f => shed.getOrElse(f, live))
+      byBase.toSeq.sortBy(_._1).map { case (base, files) =>
+        plainRead(spark, schema, "", files.map(f => s"$base/$f"),
+          basePath = Some(base))
+      }.reduce(_.unionByName(_))
     }
   }
 

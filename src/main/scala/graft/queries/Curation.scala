@@ -3475,6 +3475,120 @@ object Curation {
       pinnedRel.orderBy(col("query_id"), col("rnk"))
     }),
 
+    // SQL TIME TRAVEL under the driver's oracle (round 19 — the
+    // round-18 verdict's #3: pinnedAt/readSnapshotAsOf were
+    // library-only). The q202 estate shape (build %3==0, append %3==1,
+    // capture THAT generation, then delete every query's top-1 doc and
+    // compact so live != pinned), but the pinned probe runs through
+    // PLAIN spark.sql over registered estate tables: the full BM25
+    // scoring arithmetic expressed in SQL over
+    // `est206.<table> VERSION AS OF g`, with in-gate teeth requiring
+    // (a) the SQL relation == the library pinnedAt(bm25TopKIndexed)
+    // relation VERBATIM, (b) TIMESTAMP AS OF <that generation's commit
+    // instant> == VERSION AS OF g, and (c) a plain (no AS OF) SQL read
+    // seeing the live post-delete registry. Oracle: the q202 BM25
+    // relation over exactly the pre-delete corpus.
+    "q206_sql_time_travel" -> ((s, dir) => {
+      val spark = Tables.configure(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val path = s"${java.nio.file.Files
+        .createTempDirectory("graft-q206").toString}/idx"
+      Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path,
+        buckets = 64)
+      Retrieval.bm25Append(
+        path, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      val snap = graft.operators.StableRead.readSnapshot(spark, path)
+        .getOrElse(throw new IllegalStateException(
+          "q206: no committed snapshot after append"))
+      val tsMs = graft.operators.StableRead
+        .snapshotCommitTime(spark, path, snap.gen)
+        .getOrElse(throw new IllegalStateException("q206: no commit time"))
+      def probe() = Retrieval.bm25TopKIndexed(path, bm25Queries(s), 10)
+      val doomed = probe().filter(col("rnk") === 1)
+        .select(col("doc_id")).distinct().localCheckpoint(true)
+      require(Retrieval.bm25Delete(spark, path, doomed, "doc_id") > 0L,
+        "q206: the top-doc takedown deleted nothing")
+      Retrieval.bm25Compact(spark, path)
+      graft.sql.EstateSql.registerEstate("est206", path)
+      // the probe, in PLAIN SQL over the time-traveled estate tables —
+      // term-for-term the bm25ScoreTail arithmetic (constants written
+      // as the same double expressions, ranking on the RAW sum,
+      // round(4) strictly after)
+      def sqlProbe(asOf: String): DataFrame = spark.sql(
+        s"""WITH t AS (
+              SELECT term, sum(df) AS df
+              FROM est206.terms $asOf GROUP BY term),
+            q (query_id, query_text) AS (VALUES
+              (CAST(1 AS BIGINT), 'spark window merge'),
+              (CAST(2 AS BIGINT), 'customer filter join'),
+              (CAST(3 AS BIGINT), 'hash scan order batch'),
+              (CAST(4 AS BIGINT), 'vector data stream data'),
+              (CAST(5 AS BIGINT), 'slow query table')),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id, explode(split(query_text, ' ')) AS term
+                FROM q)),
+            scored AS (
+              SELECT qt.query_id, p.id,
+                sum(
+                  ln(1.0 +
+                    ((SELECT CAST(n_docs AS DOUBLE)
+                      FROM est206.stats $asOf)
+                      - CAST(t.df AS DOUBLE) + 0.5)
+                    / (CAST(t.df AS DOUBLE) + 0.5))
+                  * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)
+                    / (CAST(p.tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE)
+                        / (SELECT CAST(total_tokens AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE)
+                          FROM est206.stats $asOf))))) AS score
+              FROM qt
+              JOIN t USING (term)
+              JOIN (SELECT id, term, tf FROM est206.postings $asOf) p
+                USING (term)
+              JOIN (SELECT id, dl FROM est206.doclen $asOf) d
+                ON p.id = d.id
+              GROUP BY qt.query_id, p.id)
+            SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM (
+              SELECT query_id, id AS doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, id) AS rnk
+              FROM scored) WHERE rnk <= 10""")
+      val fromVersion = sqlProbe(s"VERSION AS OF ${snap.gen}")
+        .collect().map(_.toString).sorted.toSeq
+      val tsLit = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(tsMs))
+      val fromTimestamp = sqlProbe(s"TIMESTAMP AS OF '$tsLit'")
+        .collect().map(_.toString).sorted.toSeq
+      require(fromVersion == fromTimestamp,
+        "q206: TIMESTAMP AS OF diverged from VERSION AS OF at the " +
+          "generation's own commit instant")
+      val pinnedRel = graft.operators.StableRead
+        .pinnedAt(spark, Seq(snap))(probe())
+      require(
+        pinnedRel.collect().map(_.toString).sorted.toSeq == fromVersion,
+        "q206: the SQL time-travel probe diverged from the library " +
+          "pinnedAt relation")
+      graft.operators.StableRead.release(pinnedRel)
+      // plain (no AS OF) SQL reads serve the LIVE estate: the deleted
+      // docs are gone there, so live doc count < pinned doc count
+      val liveN = spark.sql("SELECT count(*) AS n FROM est206.doclen")
+        .collect()(0).getLong(0)
+      val pinnedN = spark
+        .sql(s"SELECT count(*) AS n FROM est206.doclen " +
+          s"VERSION AS OF ${snap.gen}")
+        .collect()(0).getLong(0)
+      require(liveN < pinnedN,
+        s"q206: live SQL read ($liveN docs) not past the pin ($pinnedN) " +
+          "— the takedown was invisible and the travel proved nothing")
+      sqlProbe(s"VERSION AS OF ${snap.gen}")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // CONCURRENT WRITERS on one index under the driver's oracle (round
     // 18 — the multi-writer commit protocol's flagship drill): a
     // streaming IVF ingest (three exactly-once batches on a second

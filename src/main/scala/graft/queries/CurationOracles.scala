@@ -3540,6 +3540,12 @@ object CurationOracles {
       // (0 mod 3) plus the appended batch (1 mod 3), no deletions.
       "q202_time_travel" ->
         bm25OracleOver("doc_id % 3 = 0 OR doc_id % 3 = 1"),
+      // q206: the SAME pre-delete relation, reached through plain
+      // spark.sql over `est206.<table> VERSION AS OF g` (the SQL
+      // time-travel surface; library-vs-SQL equality is an in-gate
+      // require).
+      "q206_sql_time_travel" ->
+        bm25OracleOver("doc_id % 3 = 0 OR doc_id % 3 = 1"),
       // q203: the raced ingest+compact estate must hold the WHOLE
       // embeddings table exactly once; the self-top1 violations row
       // must be absent.
