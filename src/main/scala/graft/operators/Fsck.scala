@@ -420,10 +420,26 @@ object Fsck {
           .filter(col("qvec") =!= col("stored_q") ||
             Similarity.intDot(col("qvec"), col("qvec")) =!= col("stored_n2")),
         "ivf_quantization_mismatch")
+    // PQ layout (round 19): re-derive every row's code under the
+    // persisted codebooks — the writers' own expression, the bm25Fsck
+    // recompute discipline. A drifted/corrupt code silently mis-scores
+    // stage 1 forever (rerank can only choose among stage-1 survivors).
+    val pq =
+      if (!corpus.columns.contains("pqcode"))
+        spark.range(0).select(lit("ivf_pqcode_mismatch").as("kind"),
+          col("id").as("n"))
+      else {
+        val (_, _, books) = Similarity.loadPqCodebooks(spark, path)
+        cnt(corpus
+          .filter(graft.functions.PqExprs.pqEncode(
+            col("vec").cast("array<double>"),
+            books.map(_.map(_.toSeq).toSeq).toSeq) =!= col("pqcode")),
+          "ivf_pqcode_mismatch")
+      }
     val tomb = tombstoneChecks(spark,
       Tombstones.read(spark, path), corpus.select(col("id")), "ivf")
     dupId.unionByName(alien).unionByName(assigned).unionByName(quant)
-      .unionByName(tomb)
+      .unionByName(pq).unionByName(tomb)
       .unionByName(markerViol(spark, path, "ivf"))
       .localCheckpoint(true) // materialize inside the scope (bm25Fsck note)
   }

@@ -1221,6 +1221,302 @@ object Similarity {
       .select(col("qid"), col("id"), col("sim"), col("rank"))
   }
 
+  // --------------------------------------------------------------------
+  // PRODUCT-QUANTIZED IVF (round 19): m bytes per vector instead of one
+  // byte per DIMENSION — dim/m-fold beyond the int8 index (dim 64 at
+  // m=8: 32x vs float32, 64x vs the served float64), the codec that
+  // keeps a 100 TB embedding estate's stage-1 working set in RAM.
+  // --------------------------------------------------------------------
+
+  /** Train per-subspace PQ codebooks: subspace s covers dims
+    * [s*dsub, (s+1)*dsub), each trained by the SAME deterministic
+    * Lloyd's recipe as [[trainIvfCentroids]] (md5-ordered sample,
+    * evenly-spread init, empty clusters keep their centroid) on the
+    * sample's subvectors. Returns [m][ksub][dsub]. `ksub <= 256` so a
+    * code is one byte ([[graft.functions.PqExprs.PqEncode]]).
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 256,
+      sampleN: Int = 4096,
+      iters: Int = 8): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"trainPqCodebooks: m must be >= 1, got $m")
+    require(ksub >= 1 && ksub <= 256,
+      s"trainPqCodebooks: ksub must be in [1, 256], got $ksub")
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= ksub,
+      s"trainPqCodebooks: need >= $ksub sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0,
+      s"trainPqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = Array.tabulate(ksub)(i =>
+        sub((i.toLong * sub.length / ksub).toInt).clone())
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        sub.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < ksub) {
+            val dd = d2(v, cents(c)); if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** Build a persisted PRODUCT-QUANTIZED IVF index — the
+    * [[buildIvfQIndex]] layout with the int8 columns replaced by an
+    * m-byte `pqcode`:
+    *
+    *   - `centroids/` (cell, centroid) — the coarse quantizer, verbatim;
+    *   - `codebooks/` (sub, code, cw, n2) — m*ksub codewords with their
+    *     squared norms (n2 feeds the probe's reconstructed-norm table);
+    *   - `corpus/` (id, vec, pqcode | cell) — cell-partitioned; stage 1
+    *     reads (id, pqcode) of the probed cells ONLY (partition x
+    *     column pruning — at m=8 over dim-64 float64 vectors the
+    *     stage-1 candidate bytes drop ~64x vs the float scan and ~8x vs
+    *     the int8 index), stage 2 exact-reranks from the same cells'
+    *     `vec`.
+    *
+    * Same maintenance surface as the other IVF layouts: compact /
+    * delete / vacuum / split are layout-blind (whole-row rewrites),
+    * [[ivfPqAppend]] is the batch increment, fsck re-derives the codes.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      m: Int,
+      path: String,
+      ksub: Int = 256,
+      sampleN: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val prepped = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val centroids = trainIvfCentroids(prepped, "id", "vec", nlist, sampleN)
+    val books = trainPqCodebooks(prepped, "id", "vec", m, ksub, sampleN)
+    val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
+    StableRead.withMaintenanceMarker(spark, path) {
+      graft.sinks.Sinks.landTable(
+        centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1),
+        path, "centroids")
+      graft.sinks.Sinks.landTable(
+        books.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (cw, c) =>
+            (s, c, cw.toSeq, cw.map(x => x * x).sum)
+          }
+        }.toSeq.toDF("sub", "code", "cw", "n2").coalesce(1),
+        path, "codebooks")
+      graft.sinks.Sinks.landTable(
+        prepped
+          .withColumn("pqcode",
+            graft.functions.PqExprs.pqEncode(col("vec"), booksSeq))
+          .withColumn("cell", element_at(
+            graft.functions.VecExprs.nearestCentroids(
+              col("vec"), centroids.map(_.toSeq).toSeq, 1), 1))
+          .repartition(col("cell")),
+        path, "corpus", Seq("cell"))
+    }
+  }
+
+  /** The persisted codebooks, position-aligned: (m, ksub, [m][ksub]
+    * codewords). Bounded driver read (m*ksub*dsub doubles — KBs). */
+  private[graft] def loadPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("cw"))
+      .collect()
+    require(rows.nonEmpty, s"loadPqCodebooks: empty codebooks at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * ksub,
+      s"loadPqCodebooks: ragged codebooks at $path " +
+        s"(${rows.length} rows for m=$m ksub=$ksub)")
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach(r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    (m, ksub, books.map(_.map(identity)))
+  }
+
+  /** Append a batch to a persisted [[buildIvfPqIndex]] index —
+    * [[ivfQAppend]]'s contract with the batch PQ-encoded map-side
+    * under the index's OWN codebooks (never retrained — a drifted
+    * codebook would make old codes unscorable; re-encode via a rebuild,
+    * the [[ivfRequantize]] discipline).
+    */
+  def ivfPqAppend(
+      indexPath: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
+    val (_, _, books) = loadPqCodebooks(spark, indexPath)
+    val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
+    StableRead.withMaintenanceMarker(spark, indexPath) {
+      batch.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
+        .withColumn("pqcode",
+          graft.functions.PqExprs.pqEncode(col("vec"), booksSeq))
+        .withColumn("cell", posToCell(element_at(
+          graft.functions.VecExprs.nearestCentroids(
+            col("vec"), centroids, 1), 1),
+          cellIds))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexPath/corpus")
+      StableRead.noteTouched(indexPath, "corpus")
+    }
+  }
+
+  def ivfPqTopKIndexed(
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4): DataFrame =
+    ivfPqTopKFederated(Seq(indexPath), queries, qidCol, qvecCol,
+      k, nprobe, rerankFactor)
+
+  /** PQ-IVF top-k over N indexes without merging — the
+    * [[ivfQTopKFederated]] serving shape with ADC scoring: per query
+    * and index, ONE lookup table of <q_sub, codeword> partial inner
+    * products is built driver-side (m x ksub doubles; the query table
+    * is small by the probe contract, and the probed-cell derivation
+    * already collects it) and broadcast; a candidate's approximate
+    * cosine is then m table lookups for the inner product and m for the
+    * reconstructed norm ([[graft.functions.PqExprs.PqAdcScore]] serves
+    * both — the norm table is query-independent, one literal per
+    * index), never any arithmetic on a stored vector. Stage 1 reads
+    * (id, pqcode) of the probed cells only; ONE global ranking keeps
+    * k*rerankFactor per query across all indexes (the merged-index
+    * budget, not per-index), and stage 2 exact-reranks those survivors
+    * on float cosine from their home cells — reported sims are exact,
+    * so the q207 soundness gate re-verifies every hit independently.
+    */
+  def ivfPqTopKFederated(
+      paths: Seq[String],
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4): DataFrame = {
+    require(paths.nonEmpty, "ivfPqTopKFederated: need >= 1 index path")
+    require(k >= 1 && rerankFactor >= 1,
+      s"k and rerankFactor must be >= 1, got k=$k rerankFactor=$rerankFactor")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // bounded driver read: the raw query vectors (the LUT build needs
+    // them on the driver; the query table is small by the same contract
+    // as every probe's cell derivation)
+    val qRows = queries
+      .select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).cast("array<double>").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val overlay = pooledOverlay(spark, paths)
+    val perIndex = paths.map { indexPath =>
+      val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
+      val (m, ksub, books) = loadPqCodebooks(spark, indexPath)
+      val dsub = books(0)(0).length
+      // reconstructed-norm table: query-INDEPENDENT, one per index
+      val n2lut: Seq[Double] = books.toSeq.flatMap(_.toSeq.map { cw =>
+        var s = 0.0; var i = 0
+        while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+        s
+      })
+      val luts = qRows.map { case (qid, qv) =>
+        require(qv.length == m * dsub,
+          s"ivfPqTopKFederated: query dim ${qv.length} != index dim " +
+            s"${m * dsub} at $indexPath")
+        val lut = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            val cw = books(s)(c)
+            var acc = 0.0; var i = 0
+            while (i < dsub) { acc += qv(s * dsub + i) * cw(i); i += 1 }
+            lut(s * ksub + c) = acc
+            c += 1
+          }
+          s += 1
+        }
+        var qn2 = 0.0; var i = 0
+        while (i < qv.length) { qn2 += qv(i) * qv(i); i += 1 }
+        (qid, qv.toSeq, lut.toSeq, qn2)
+      }.toSeq
+      val qdf = luts.toDF("qid", "qv", "lut", "qn2")
+      val probes = qdf
+        .select(col("qid"), col("lut"), col("qn2"), explode(transform(
+          graft.functions.VecExprs.nearestCentroids(
+            col("qv"), centroids, nprobe),
+          p => posToCell(p, cellIds))).as("cell"))
+      val probedCells = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0).toLong).sorted
+      val corpus0 = StableRead.readTable(spark, indexPath, "corpus")
+        .filter(col("cell").isin(probedCells: _*))
+      val corpus = overlay
+        .map(d => corpus0.join(broadcast(d), Seq("id"), "left_anti"))
+        .getOrElse(corpus0)
+      // stage 1 never touches `vec`: (id, pqcode, cell) only
+      val stage1 = corpus.select(col("id"), col("pqcode"), col("cell"))
+        .join(broadcast(probes), "cell")
+        .withColumn("rn2", graft.functions.PqExprs.pqAdcScore(
+          col("pqcode"), typedLit(n2lut), ksub))
+        .filter(col("qid") =!= col("id") && col("qn2") > 0 && col("rn2") > 0)
+        .withColumn("ascore",
+          graft.functions.PqExprs.pqAdcScore(col("pqcode"), col("lut"), ksub) /
+            (sqrt(col("qn2")) * sqrt(col("rn2"))))
+        .select(col("qid"), col("id"), col("ascore"))
+      (stage1, corpus.select(col("id"), col("vec")),
+        qdf.select(col("qid"), col("qv")))
+    }
+    val wa = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("id"))
+    val cands = perIndex.map(_._1).reduce(_.unionByName(_))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("qid"), col("id"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cands
+      .join(perIndex.map(_._2).reduce(_.unionByName(_)), Seq("id"))
+      .join(broadcast(perIndex.head._3), Seq("qid"))
+      .withColumn("sim", cosine(col("vec"), col("qv")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
   /** Predict a takedown batch's [[ivfDelete]] footprint BEFORE
     * executing it — the dense twin of
     * [[graft.operators.Retrieval.bm25DeleteBatchPlan]], for the same

@@ -687,11 +687,26 @@ object Curation {
     * streamed-in (q166) index states, so the checks cannot drift.
     */
   private def ivfQSoundness(
-      s: SparkSession, emb: DataFrame, path: String): DataFrame = {
+      s: SparkSession, emb: DataFrame, path: String): DataFrame =
+    ivfTwoStageSoundness(s, emb, path,
+      q => Similarity.ivfQTopKIndexed(
+        path, q, "vec_id", "embedding", k = 5, nprobe = 2))
+
+  /** q207's PQ variant of the same checks — ONE shared body
+    * ([[ivfTwoStageSoundness]]), so the int8 and PQ gates cannot
+    * drift. */
+  private def ivfPqSoundness(
+      s: SparkSession, emb: DataFrame, path: String): DataFrame =
+    ivfTwoStageSoundness(s, emb, path,
+      q => Similarity.ivfPqTopKIndexed(
+        path, q, "vec_id", "embedding", k = 5, nprobe = 2))
+
+  private def ivfTwoStageSoundness(
+      s: SparkSession, emb: DataFrame, path: String,
+      probeFn: DataFrame => DataFrame): DataFrame = {
     val queries = emb.filter(col("vec_id") % 10 === 3)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    val hits = Similarity.ivfQTopKIndexed(
-        path, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    val hits = probeFn(queries)
       .withColumn("sim", round(col("sim"), 4))
       .transform(graft.CacheScope.persisted)
     val unsound = annUnsoundHits(
@@ -3973,6 +3988,35 @@ object Curation {
       Similarity.ivfQAppend(
         path, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
       ivfQSoundness(s, emb, path)
+    }),
+
+    // PRODUCT-QUANTIZED IVF index (round 19 — the round-18 verdict's
+    // #4): m bytes per vector (m=8 over dim 64: ~64x vs the served
+    // float64, ~8x beyond q159's int8) with ADC scoring — per query
+    // one m x ksub lookup table of <q_sub, codeword> partials, a
+    // candidate scored by m lookups, stage 2 exact-reranking from the
+    // probed cells (the q101/q159 rerank machinery absorbing the
+    // recall loss). Same production shape as q159: build on 3/4 of the
+    // corpus, ivfPqAppend the rest, then the SHARED two-stage
+    // soundness body — every hit's sim re-verified against the exact
+    // cosine (ADC may only SELECT, never alter a score), every hit
+    // from a probed partition, non-vacuous. In-gate teeth: ivfFsck
+    // (incl. the pqcode re-derivation under the persisted codebooks)
+    // audits EMPTY after build+append. AnnRecall carries the
+    // recall-vs-bytes curve; PqSpec pins codec exactness, append ==
+    // rebuild parity, fsck teeth, and the stage-1 vec-free read.
+    "q207_ivfpq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${java.nio.file.Files
+        .createTempDirectory("graft-q207").toString}/ivfpq"
+      Similarity.buildIvfPqIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nlist = 16, m = 8, path, ksub = 64)
+      Similarity.ivfPqAppend(
+        path, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      require(graft.operators.Fsck.ivfFsck(s, path).count() == 0L,
+        "q207: fsck found violations on the fresh PQ estate")
+      ivfPqSoundness(s, emb, path)
     }),
 
     // Quantizer REFRESH under q159's soundness body: the index is built

@@ -2634,6 +2634,11 @@ object CurationOracles {
     "q159_ivfq_index" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // q207: the PQ index under the same two-stage soundness relation —
+    // expected empty (ADC selects, exact cosines re-verified in-gate).
+    "q207_ivfpq_index" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // IVF shard-and-merge: the merged index must reproduce q35's
     // direct-form relation exactly — same oracle, by reference (the
     // q59 rationale extended to the distributed build: sharding and

@@ -118,6 +118,59 @@ object AnnRecall {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
     }
 
+    // PRODUCT-QUANTIZED persisted-index sweep (round 19, the q207
+    // layout): same recall-vs-bytes table with stage-1 candidate rows
+    // at (id, pqcode) = 8 + m bytes — at m=8 over dim 64, ~8x under
+    // the int8 row and ~64x under the float row. The rerank stage is
+    // identical machinery; the comparison of interest vs ivfq is
+    // recall AT EQUAL rerank budget and the bytes ratio AT EQUAL
+    // recall.
+    locally {
+      val dim = emb.selectExpr("size(embedding)").first().getInt(0)
+      val m = 8
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annrecall-ivfpq").toString
+      Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding", nlist = 16, m = m, idxDir, ksub = 64)
+      val cents = spark.read.parquet(s"$idxDir/centroids")
+        .orderBy(col("cell")).collect().map(_.getSeq[Double](1)).toSeq
+      val assigned = emb.select(
+          col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("cell", element_at(
+          graft.functions.VecExprs.nearestCentroids(col("vec"), cents, 1), 1))
+        .persist()
+      for {
+        nprobe <- Seq(2, 4, 8)
+        rerank <- Seq(1, 2, 4, 8)
+      } {
+        val candRows = qs.select(
+            col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qvec"))
+          .select(col("qid"), explode(
+            graft.functions.VecExprs.nearestCentroids(
+              col("qvec"), cents, nprobe)).as("cell"))
+          .join(assigned, "cell").count()
+        val t0 = System.nanoTime()
+        val got = Similarity.ivfPqTopKIndexed(
+            idxDir, qs, "vec_id", "embedding",
+            k = 10, nprobe = nprobe, rerankFactor = rerank)
+          .select(col("qid"), col("id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val hits = got.count(brute.contains)
+        val s1KB = candRows * (8L + m) / 1024
+        val int8KB = candRows * (8L + dim + 8L) / 1024
+        val floatKB = candRows * (8L + 8L * dim) / 1024
+        println(f"[sweep] ivfpq nprobe=$nprobe rerank=$rerank " +
+          f"recall=${hits.toDouble / brute.size}%.3f " +
+          f"stage1=${s1KB}%6d KiB (int8 ${int8KB}%6d, float ${floatKB}%6d) " +
+          f"wall=$wall%5.2f s")
+      }
+      assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    }
+
     // IVF sweep: recall vs probed-cell cost — nprobe/nlist is the
     // designed corpus fraction; cand_frac is the MEASURED one (actual
     // probed-cell population / (queries x corpus)), which diverges when
