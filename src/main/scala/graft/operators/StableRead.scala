@@ -1846,6 +1846,80 @@ object StableRead {
   }
 
   // ---------------------------------------------------------------------
+  // Maintenance POLICY (round 19): threshold-triggered compact + GC, so
+  // retention cadence is a property of the estate, not caller
+  // discipline.
+  // ---------------------------------------------------------------------
+
+  /** Longest append-delta shard chain among the head snapshot's tables
+    * — the cheap policy signal: chains grow one link per append-only
+    * commit and reset on any rewrite, so length is a direct proxy for
+    * "appends since the last compact" and bounds both the probe-side
+    * shard fan-in and the small-file count. Header-only reads (one per
+    * chain link of the longest table), never a data listing. 0 for an
+    * uncommitted root; [[MaxShardChain]] for unreadable/legacy shards.
+    */
+  def maxShardChainLen(spark: SparkSession, root: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    readManifestGen(fs, root) match {
+      case None => 0
+      case Some(g) =>
+        val lens = readSnapIndex(fs, root, g)
+          .map(e => shardChainLen(fs, root, e.srcGen, e.table))
+        if (lens.isEmpty) 0 else lens.max
+    }
+  }
+
+  /** Total bytes parked under `_retired/` — the other policy signal
+    * (the MVCC retire-not-delete discipline grows it until a GC). */
+  def retiredBytes(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$RetiredDirName")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
+  /** Threshold-triggered maintenance — retention cadence as an estate
+    * PROPERTY instead of caller discipline (round 19; round 18 added
+    * `gcKeepGenerations` to the compacts/vacuums but left WHEN to the
+    * caller). Checks two cheap signals — the longest append-delta
+    * chain (>= `chainThreshold`, default half [[MaxShardChain]]) and
+    * the retired-bytes footprint (> `retiredBytesBudget`) — and when
+    * either trips runs the caller's `compact` (the family-specific
+    * consolidation, e.g. `() => Retrieval.bm25Compact(spark, root)`;
+    * compacts reset every chain and take their own table locks, so a
+    * policy firing concurrently with a live writer WAITS on the locks
+    * exactly like any maintenance op — EstatePolicySpec races it) and
+    * then [[gc]] at `keepGenerations`. Wire it after a stream sink's
+    * batch or on any idle tick; below thresholds it is two metadata
+    * reads and a None. Returns the firing reason, None when idle.
+    */
+  def autoMaintain(
+      spark: SparkSession,
+      root: String,
+      compact: () => Unit,
+      keepGenerations: Int = 2,
+      chainThreshold: Int = MaxShardChain / 2,
+      retiredBytesBudget: Long = 256L << 20): Option[String] = {
+    require(chainThreshold >= 1 && keepGenerations >= 1,
+      s"autoMaintain: bad thresholds (chain=$chainThreshold, " +
+        s"keep=$keepGenerations)")
+    val chain = maxShardChainLen(spark, root)
+    val bytes = retiredBytes(spark, root)
+    val reason =
+      if (chain >= chainThreshold)
+        Some(s"chain=$chain >= $chainThreshold")
+      else if (bytes > retiredBytesBudget)
+        Some(s"retired=${bytes}B > ${retiredBytesBudget}B")
+      else None
+    reason.foreach { _ =>
+      compact()
+      gc(spark, root, keepGenerations)
+    }
+    reason
+  }
+
+  // ---------------------------------------------------------------------
   // Composite (cross-artifact) commits: one PARENT root records, per
   // generation, a consistent (child root -> child generation) CUT.
   // ---------------------------------------------------------------------

@@ -178,6 +178,46 @@ object AuditBench {
             f"gen=${StableRead.manifestGeneration(spark, gcRoot).get}%d")
       }
       churnDocs.unpersist()
+
+      // ---- POLICY arm (round 19): the same 40-cycle churn with NO
+      // manual compact/gc calls — each cycle is append +
+      // StableRead.autoMaintain, and the POLICY decides when to
+      // consolidate (chain threshold) and collect (keepGenerations).
+      // The claim: footprint stays bounded and the chain never exceeds
+      // the threshold, with the policy firing ~40/threshold times
+      // instead of 40.
+      val polRoot = java.nio.file.Files
+        .createTempDirectory("graft-auditbench-pol").toString + "/idx"
+      val polDocs = docs.filter(col("doc_id") % 100 === 0)
+        .transform(graft.CacheScope.persisted)
+      Retrieval.buildBm25Index(polDocs, "doc_id", "text", polRoot)
+      val pRetired = new java.io.File(
+        s"$polRoot/${StableRead.RetiredDirName}")
+      val pSnaps = new java.io.File(
+        s"$polRoot/${StableRead.SnapshotsDirName}")
+      var fired = 0
+      (1 to 40).foreach { i =>
+        // the streaming apply grows append-delta chains (the policy's
+        // trigger); the batch bm25Append commits full shards instead
+        Retrieval.bm25IngestBatch(polRoot,
+          Seq((6000000L + i, s"policy cycle c$i payload"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", i.toLong)
+        if (StableRead.autoMaintain(spark, polRoot,
+            () => Retrieval.bm25Compact(spark, polRoot),
+            keepGenerations = 2, chainThreshold = 8).isDefined)
+          fired += 1
+        if (i == 10 || i == 20 || i == 40)
+          println(f"[audit-bench] policy-churn cycle=$i%-3d fired=$fired%2d " +
+            f"chain=${StableRead.maxShardChainLen(spark, polRoot)}%2d " +
+            f"retired=${bytesUnder(pRetired) / 1048576.0}%7.1f MiB " +
+            f"(${filesUnder(pRetired)}%4d files)  " +
+            f"snapshots=${filesUnder(pSnaps)}%4d files  " +
+            f"gen=${StableRead.manifestGeneration(spark, polRoot).get}%d")
+      }
+      polDocs.unpersist()
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(polRoot).getParentFile)
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(gcRoot).getParentFile)
     }
