@@ -639,6 +639,43 @@ object Similarity {
     }
   }
 
+  /** Initialize an EMPTY product-quantized IVF index from an
+    * already-trained coarse quantizer AND PQ codebooks — the
+    * [[ivfInit]] shape for the PQ layout, and the entry point for the
+    * distributed bootstrap: train both quantizers ONCE
+    * ([[trainIvfCentroids]] + [[trainPqCodebooks]] over a global
+    * sample), init N shard roots from them, fill each shard in
+    * parallel with [[ivfPqAppend]] over its corpus slice, then
+    * [[ivfMerge]] (which verifies centroid AND codebook equality and
+    * is pure metadata). Refuses a pre-existing index.
+    */
+  def ivfPqInit(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p), s"ivfPqInit: $p already exists")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "ivfPqInit: empty codebooks")
+    StableRead.withMaintenanceMarker(spark, path) {
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(p.toString)
+      codebooks.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cw, c) =>
+          (s, c, cw.toSeq, cw.map(x => x * x).sum)
+        }
+      }.toSeq.toDF("sub", "code", "cw", "n2").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/corpus"))
+    }
+  }
+
   /** Merge two IVF indexes — the pairwise convenience form of the
     * variadic N-way merge below (one code path; see that overload for
     * the full contract).
@@ -701,12 +738,37 @@ object Similarity {
         "shards were assigned under different quantizers and their cells " +
         "are not compatible; rebuild the shards from one ivfInit centroid " +
         "table"))
+    // PQ shards (round 19): codes are only scorable under the codebooks
+    // that ENCODED them, and the merged index carries exactly one
+    // codebooks table — so either no shard has one, or all do and they
+    // are row-for-row equal (the centroid discipline extended to the
+    // sub-quantizer; a silent mismatch would mis-score every foreign
+    // code forever, which no fsck could distinguish from drift)
+    def codebooks(p: String): Option[Seq[(Int, Int, Seq[Double])]] = {
+      val t = new org.apache.hadoop.fs.Path(s"$p/codebooks")
+      if (!fs.exists(t)) None
+      else Some(spark.read.parquet(t.toString)
+        .select(col("sub").cast("int"), col("code").cast("int"), col("cw"))
+        .orderBy(col("sub"), col("code")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq)
+    }
+    val firstBooks = codebooks(paths.head)
+    paths.tail.foreach(p => require(codebooks(p) == firstBooks,
+      s"ivfMerge: PQ codebooks differ (${paths.head} vs $p) — the " +
+        "shards' codes were encoded under different sub-quantizers and " +
+        "cannot share one codebooks table; rebuild the shards from one " +
+        "trained codebook set"))
     // centroids always COPY (tiny, and the husk of a moved shard keeps
     // its quantizer intact for forensics)
     org.apache.hadoop.fs.FileUtil.copy(
       fs, new org.apache.hadoop.fs.Path(s"${paths.head}/centroids"),
       fs, new org.apache.hadoop.fs.Path(s"$dest/centroids"),
       false, hconf)
+    if (firstBooks.isDefined)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"${paths.head}/codebooks"),
+        fs, new org.apache.hadoop.fs.Path(s"$dest/codebooks"),
+        false, hconf)
     paths.zipWithIndex.foreach { case (p, i) =>
       graft.sinks.Sinks.copyParquetParts(
         fs, hconf, s"$p/corpus", s"$dest/corpus", "cell=", s"s$i", move)

@@ -129,4 +129,47 @@ class PqSpec extends SparkSpec {
     assert(kinds.contains("ivf_pqcode_mismatch"),
       s"corrupt code not caught: $kinds")
   }
+
+  test("PQ shard-and-merge under one quantizer == single build; drifted codebooks refuse") {
+    val all = twinCorpus(50).localCheckpoint(true)
+    val parent = java.nio.file.Files.createTempDirectory("pq-merge").toString
+    // ONE trained pair of quantizers, N shards from it (the bootstrap)
+    val cents = Similarity.trainIvfCentroids(all, "id", "v", nlist = 4, 128)
+    val books = Similarity.trainPqCodebooks(
+      all, "id", "v", m, ksub = 16, sampleN = 128)
+    (0 until 2).foreach { i =>
+      Similarity.ivfPqInit(spark, cents, books, s"$parent/sh$i")
+      Similarity.ivfPqAppend(
+        s"$parent/sh$i", all.filter(col("id") % 2 === i), "id", "v")
+    }
+    Similarity.ivfMerge(
+      spark, Seq(s"$parent/sh0", s"$parent/sh1"), s"$parent/merged")
+    // the merged probe equals the probe of ONE index built by
+    // init+append over the whole corpus (same quantizers, so cell and
+    // code assignments are identical row-for-row)
+    Similarity.ivfPqInit(spark, cents, books, s"$parent/full")
+    Similarity.ivfPqAppend(s"$parent/full", all, "id", "v")
+    val queries = all.filter(col("id") % 10 === 0)
+      .select((col("id") + 1000000L).as("qid"), col("v"))
+      .localCheckpoint(true)
+    def probe(p: String): Seq[String] =
+      Similarity.ivfPqTopKIndexed(p, queries, "qid", "v", k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 9))
+        .collect().map(_.toString).sorted.toSeq
+    assert(probe(s"$parent/merged") === probe(s"$parent/full"),
+      "merged PQ probe diverged from the single-build probe")
+    assert(Fsck.ivfFsck(spark, s"$parent/merged").count() === 0L)
+    // drifted codebooks: a shard trained on its own slice must refuse
+    val drift = s"$parent/drift"
+    Similarity.buildIvfPqIndex(
+      all.filter(col("id") < 20), "id", "v", nlist = 4, m = m, drift,
+      ksub = 8, sampleN = 128)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfMerge(
+        spark, Seq(s"$parent/sh0", drift), s"$parent/bad")
+    }
+    assert(e.getMessage.contains("codebooks differ") ||
+      e.getMessage.contains("centroid tables differ"),
+      s"wrong refusal: ${e.getMessage}")
+  }
 }
