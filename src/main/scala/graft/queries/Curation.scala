@@ -3600,8 +3600,14 @@ object Curation {
       require(liveN < pinnedN,
         s"q206: live SQL read ($liveN docs) not past the pin ($pinnedN) " +
           "— the takedown was invisible and the travel proved nothing")
-      sqlProbe(s"VERSION AS OF ${snap.gen}")
+      val out = sqlProbe(s"VERSION AS OF ${snap.gen}")
         .orderBy(col("query_id"), col("rnk"))
+        .localCheckpoint(true)
+      // session hygiene: an empty registry short-circuits the analyzer
+      // rule for every later query (spark.sql analysis was eager, so
+      // the returned relation no longer needs the registration)
+      graft.sql.EstateSql.unregisterEstate("est206")
+      out
     }),
 
     // CONCURRENT WRITERS on one index under the driver's oracle (round

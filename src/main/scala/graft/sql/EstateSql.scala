@@ -86,8 +86,17 @@ object EstateSql {
       Math.floorDiv(v.asInstanceOf[Long], 1000L) // micros -> ms
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan =
-      plan.resolveOperatorsUp {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      // the analyzer runs every resolution rule per fixed-point
+      // iteration on EVERY query — with no estates registered (the
+      // common session) this must be one map-size check, never a tree
+      // walk; with estates registered, tree-pattern pruning skips any
+      // plan without an unresolved relation
+      if (estates.isEmpty || plan.resolved) return plan
+      plan.resolveOperatorsUpWithPruning(
+        _.containsAnyPattern(
+          org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_RELATION,
+          org.apache.spark.sql.catalyst.trees.TreePattern.RELATION_TIME_TRAVEL)) {
         case RelationTimeTravel(u: UnresolvedRelation, tsOpt, verOpt)
             if resolveIdent(u).isDefined =>
           val (root, table) = resolveIdent(u).get
@@ -116,5 +125,6 @@ object EstateSql {
           val (root, table) = resolveIdent(u).get
           aliased(u, StableRead.readTable(spark, root, table))
       }
+    }
   }
 }
