@@ -951,16 +951,33 @@ object Similarity {
         }
       require(fs.delete(tmpRoot, true), s"ivfIngestBatch: cannot drop $tmpRoot")
     }
-    // stage the assignment (the ivfAppend / ivfQAppend body, into tmp)
+    // stage the assignment (the ivfAppend / ivfQAppend / ivfPqAppend
+    // body, into tmp). The PQ layout is AUTO-detected from the index's
+    // own codebooks table — the unambiguous persisted signal (the int8
+    // layout has no side table, hence its explicit flag) — so one sink
+    // serves all three layouts and a PQ index can never be fed
+    // un-encoded rows by a mis-flagged caller.
     val (cellIds, centroids) = loadCentroidTable(spark, indexPath)
+    val pqBooks =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/codebooks")))
+        Some(loadPqCodebooks(spark, indexPath)._3)
+      else None
+    require(!(quantized && pqBooks.isDefined),
+      s"ivfIngestBatch: $indexPath is a PQ index (codebooks present) — " +
+        "the quantized=true int8 flag does not apply")
     val prepped = batch.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
     val assigned =
-      (if (quantized)
-        quantizeEmbeddings(prepped, "vec")
-          .select(col("id"), col("vec"), col("qvec"),
-            intDot(col("qvec"), col("qvec")).as("qn2"))
-      else prepped)
+      (pqBooks match {
+        case Some(books) =>
+          prepped.withColumn("pqcode", graft.functions.PqExprs.pqEncode(
+            col("vec"), books.map(_.map(_.toSeq).toSeq).toSeq))
+        case None if quantized =>
+          quantizeEmbeddings(prepped, "vec")
+            .select(col("id"), col("vec"), col("qvec"),
+              intDot(col("qvec"), col("qvec")).as("qn2"))
+        case None => prepped
+      })
         .withColumn("cell", posToCell(element_at(
           graft.functions.VecExprs.nearestCentroids(col("vec"), centroids, 1), 1),
           cellIds))

@@ -4263,6 +4263,39 @@ object Curation {
       ivfQSoundness(s, emb, path)
     }),
 
+    // Exactly-once streaming ingest into the PRODUCT-QUANTIZED index
+    // (round 19): the q166 transport over the q207 layout — ivfPqInit
+    // from one trained (centroids, codebooks) pair, the whole corpus
+    // arriving as a 3-phase stream through the layout-auto-detecting
+    // ivfStreamSink (the codebooks table IS the signal; a mis-flagged
+    // int8 request on a PQ index refuses), a kill-restart across the
+    // batch-2 boundary, a post-commit re-delivery of batch 1 that must
+    // skip, then the SHARED two-stage soundness body + a clean fsck
+    // (incl. the pqcode re-derivation — a batch ingested un-encoded or
+    // encoded under drifted books would fail it by name).
+    "q208_ivfpq_stream_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"$ivfIngestParent/pqidx"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      val cents = fullCentroids(s, dir) // memoized deterministic quantizer
+      val books = Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", m = 8, ksub = 64)
+      Similarity.ivfPqInit(s, cents, books, path)
+      val phases = (0 until 3).map(i =>
+        emb.filter(col("vec_id") % 3 === i)
+          .select(col("vec_id"), col("embedding")))
+      val staged = stagePhases(s"ingest163|$dir", phases)
+      val sink = Similarity.ivfStreamSink(path, "vec_id", "embedding")
+      runPhasedIngest(s, staged, phases.head.schema, nPhases = 3,
+        firstRun = 2, sink)
+      Similarity.ivfIngestBatch(
+        path, s.read.parquet(s"$staged/phase_001.parquet"),
+        "vec_id", "embedding", 1L)
+      require(graft.operators.Fsck.ivfFsck(s, path).count() == 0L,
+        "q208: fsck found violations on the streamed PQ estate")
+      ivfPqSoundness(s, emb, path)
+    }),
+
     // Exactly-once streaming FIRST-ARRIVAL DEDUP into a persisted corpus
     // registry (DedupRegistry) — ingestion-time curation under the same
     // recoverable-apply protocol as q162/q163, gated end-to-end: the

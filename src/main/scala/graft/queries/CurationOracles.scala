@@ -2639,6 +2639,11 @@ object CurationOracles {
     "q207_ivfpq_index" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
          WHERE false""",
+    // q208: the streamed PQ estate under the same relation — expected
+    // empty (exactly-once drill + fsck teeth are in-gate requires).
+    "q208_ivfpq_stream_ingest" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+         WHERE false""",
     // IVF shard-and-merge: the merged index must reproduce q35's
     // direct-form relation exactly — same oracle, by reference (the
     // q59 rationale extended to the distributed build: sharding and
