@@ -372,30 +372,40 @@ object Similarity {
       bitsPerTable: Int = 10,
       probeRadius: Int = 1,
       seed: Long = 42L): DataFrame = {
-    val c = corpus
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .select(
-        col("id"), col("vec"),
-        posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
-          col("vec"), dim, tables, bitsPerTable, seed)).as(Seq("tbl", "bkey")))
-    val q = queries
-      .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qvec"))
-      .select(
-        col("qid"), col("qvec"),
-        posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
-          col("qvec"), dim, tables, bitsPerTable, seed)).as(Seq("tbl", "key0")))
+    // sketch rows stay NARROW through the collision join and the
+    // (qid, id) dedup — (tbl, bkey, id) only, per this scaladoc's own
+    // scale claim; the vectors enter exactly once each, via the
+    // bounded verify joins on the deduped candidate pairs (guide §2.3 /
+    // §8: decide on small rows, attach the payload once). Previously
+    // BOTH vectors rode the collision join (O(tables·probes) copies)
+    // and the dedup exchange.
+    val docs = prepVecs(corpus, idCol, vecCol)
+    val qdocs = prepVecs(queries, qidCol, qvecCol)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val c = docs.select(
+      col("id"),
+      posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
+        col("vec"), dim, tables, bitsPerTable, seed)).as(Seq("tbl", "bkey")))
+    val q = qdocs.select(
+      col("qid"),
+      posexplode(graft.functions.VecExprs.hyperplaneBandKeys(
+        col("qvec"), dim, tables, bitsPerTable, seed)).as(Seq("tbl", "key0")))
     val probes = q.select(
-      col("qid"), col("qvec"), col("tbl"), col("key0"),
+      col("qid"), col("tbl"), col("key0"),
       explode(typedLit(probeMasks(bitsPerTable, probeRadius)))
         .as("mask"))
       .select(
-        col("qid"), col("qvec"), col("tbl"),
+        col("qid"), col("tbl"),
         col("key0").bitwiseXOR(col("mask")).as("bkey"))
     val candidates = probes.join(c, Seq("tbl", "bkey"))
       .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
+      .join(docs, "id")
+      .join(qdocs.select(col("qid"), col("qvec")), "qid")
       .withColumn("sim", cosine(col("vec"), col("qvec")))
       .filter(col("sim").isNotNull) // zero-norm vectors have no direction
+      .select(col("qid"), col("id"), col("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     candidates
       .withColumn("rank", row_number().over(w))
@@ -554,11 +564,15 @@ object Similarity {
       col("qid"), col("qvec"),
       explode(graft.functions.VecExprs.nearestCentroids(
         col("qvec"), centroids, nprobe)).as("cell"))
+    // score-then-narrow BEFORE the dedup/window exchanges — the
+    // [[ivfProbeCandidates]] rationale: sim is a pure function of the
+    // pair, so the vectors need not ride the (qid, id) shuffle
     val candidates = probes.join(c, "cell")
       .filter(col("qid") =!= col("id"))
-      .dropDuplicates("qid", "id")
       .withColumn("sim", cosine(col("vec"), col("qvec")))
       .filter(col("sim").isNotNull) // zero-norm vectors have no direction
+      .select(col("qid"), col("id"), col("sim"))
+      .dropDuplicates("qid", "id")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     candidates
       .withColumn("rank", row_number().over(w))
@@ -1907,11 +1921,21 @@ object Similarity {
         explode(transform(graft.functions.VecExprs.nearestCentroids(
           col("qvec"), centroids, nprobe),
           p => posToCell(p, cellIds))).as("cell"))
+    // score FIRST, then project to (qid, id, sim) BEFORE the dedup (and
+    // the caller's top-k window) shuffle: a candidate row otherwise
+    // carries BOTH dim-wide vectors through two exchanges (dedup +
+    // window), which at probe fan-out scale shuffles ~128x the bytes
+    // the decision needs (guide §2.3 "project before the exchange" /
+    // §8 "move big rows once"). Equivalent output: sim is a pure
+    // function of the pair, so dedup-then-score and score-then-dedup
+    // keep identical rows (q203's full-corpus self-probe: 14.8 s of
+    // vector-payload exchange -> sub-second narrow exchange).
     probes.join(c, "cell")
       .filter(col("qid") =!= col("id"))
-      .dropDuplicates("qid", "id")
       .withColumn("sim", cosine(col("vec"), col("qvec")))
       .filter(col("sim").isNotNull)
+      .select(col("qid"), col("id"), col("sim"))
+      .dropDuplicates("qid", "id")
   }
 
   /** IVF top-k over the UNION of N persisted float-layout indexes
