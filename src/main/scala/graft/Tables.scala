@@ -93,6 +93,22 @@ object Tables {
     // data); genuinely huge partition counts still go distributed.
     spark.conf.set(
       "spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
+    // Coalesce post-shuffle partitions by SIZE, not by available
+    // parallelism (optimization guide §2.2 "fewer, larger reduce
+    // partitions"): with the default parallelismFirst=true, AQE splits
+    // even a few-KB shuffle across max-parallelism partitions, so every
+    // metadata-sized exchange in the index/estate operators schedules
+    // `cpus` near-empty tasks — pure scheduler overhead repeated dozens
+    // of times per ingest apply or probe. Size-first coalescing folds
+    // those to 1 task while real data stages still split at the
+    // advisory size; both knobs are scale-adaptive (bytes-derived), not
+    // local-core-count constants. 64 MB advisory (not the 256 MB guide
+    // example) keeps sf0.1-class stages parallel enough on 32 cores
+    // while the same setting yields 100 MB+ partitions at cluster scale.
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     GraftExtensions.register(spark)
     spark
   }

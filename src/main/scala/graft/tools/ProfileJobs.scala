@@ -39,10 +39,17 @@ object ProfileJobs {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         starts.put(e.jobId, e.time)
-        if (detail) sites.put(e.jobId,
-          Seq("spark.sql.execution.id", "spark.job.description", "callSite.short")
-            .flatMap(k => Option(e.properties.getProperty(k)))
-            .mkString(" | ") match { case "" => "?"; case s => s })
+        if (detail) {
+          // attribute the job to the innermost graft frame of its first
+          // stage's call site (the job properties carry no callSite in
+          // local mode; StageInfo.details is the submission stack trace)
+          val graftFrame = e.stageInfos.headOption
+            .map(_.details).getOrElse("")
+            .split('\n')
+            .find(l => l.contains("graft.") && !l.contains("graft.tools."))
+            .map(_.trim).getOrElse("?")
+          sites.put(e.jobId, graftFrame)
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val s = starts.remove(e.jobId)
